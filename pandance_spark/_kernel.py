@@ -1,0 +1,245 @@
+"""Shared kernel for all pandance_spark join operators.
+
+Re-expresses the reference's shared plumbing (column-name resolution,
+suffix semantics, non-finite filtering, dtype validation) as Spark-side
+helpers.  Reference behavior being mirrored:
+
+- ``_validate_input_col_names`` (reference ``pandance/pandance.py:920-928``):
+  resolve ``on`` vs ``left_on``/``right_on``; single-column keys only.
+- pandas ``join(lsuffix, rsuffix)`` semantics (reference
+  ``pandance/pandance.py:207,563-565,832-843``): ONLY colliding column
+  names get suffixed; both join columns are kept in the output; column
+  order is left-columns-then-right-columns.
+- NaN/Inf/null drop for fuzzy joins (reference
+  ``pandance/pandance.py:296-312``).
+- fuzzy dtype validation matrix (reference ``pandance/pandance.py:265-298``):
+  numeric columns need a numeric tolerance, timestamp columns need a
+  timedelta tolerance, mixed numeric/timestamp sides are a ``TypeError``.
+
+Deliberate deviations (documented in SURVEY.md §4 "quirks"):
+- empty inputs / fast paths return the FULL suffixed schema, not the
+  reference's join-columns-only frame;
+- no epsilon widening: the match predicate is exactly ``<= tol``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "resolve_join_columns",
+    "apply_suffixes",
+    "finite_filter",
+    "validate_fuzzy_types",
+    "tolerance_to_micros",
+    "is_numeric_type",
+    "is_timestamp_type",
+]
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+_TIMESTAMP_TYPES: tuple = (T.TimestampType,)
+if hasattr(T, "TimestampNTZType"):  # Spark >= 3.4
+    _TIMESTAMP_TYPES = (T.TimestampType, T.TimestampNTZType)
+
+
+def is_numeric_type(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _NUMERIC_TYPES)
+
+
+def is_timestamp_type(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _TIMESTAMP_TYPES)
+
+
+def resolve_join_columns(
+    left: DataFrame,
+    right: DataFrame,
+    on: Optional[str],
+    left_on: Optional[str],
+    right_on: Optional[str],
+) -> Tuple[str, str]:
+    """Resolve ``on`` vs ``left_on``/``right_on`` into a concrete column pair.
+
+    Mirrors reference ``_validate_input_col_names``
+    (``pandance/pandance.py:920-928``): exactly one column per side,
+    multi-column keys rejected, missing columns rejected.
+    """
+    if on is not None:
+        left_on, right_on = on, on
+    if left_on is None or right_on is None:
+        raise ValueError(
+            "join column not specified: pass `on` or both `left_on` and `right_on`"
+        )
+    for name, df, side in ((left_on, left, "left"), (right_on, right, "right")):
+        if not isinstance(name, str):
+            raise ValueError(
+                f"{side} join key must be a single column name (str); "
+                "multi-column keys are not supported"
+            )
+        if name not in df.columns:
+            raise ValueError(f"column {name!r} not found in {side} DataFrame")
+    return left_on, right_on
+
+
+def apply_suffixes(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    suffixes: Tuple[str, str] = ("_x", "_y"),
+) -> Tuple[DataFrame, DataFrame, str, str]:
+    """Rename colliding column names with suffixes, pandas-join style.
+
+    Only names present in BOTH inputs are suffixed (reference relies on
+    pandas ``DataFrame.join(lsuffix=..., rsuffix=...)``, e.g.
+    ``pandance/pandance.py:207``).  Returns the two renamed frames plus
+    the (possibly renamed) join column names.
+    """
+    if not isinstance(suffixes, (tuple, list)) or len(suffixes) != 2:
+        raise ValueError("suffixes must be a 2-tuple of strings")
+    lsuf, rsuf = suffixes
+    common = set(left.columns) & set(right.columns)
+    if common and lsuf == rsuf:
+        raise ValueError(
+            f"columns {sorted(common)} collide and the two suffixes are equal; "
+            "pass distinct suffixes"
+        )
+
+    def _rename(df: DataFrame, suffix: str, other_cols: set) -> Tuple[DataFrame, dict]:
+        mapping = {}
+        existing = set(df.columns)
+        for c in df.columns:
+            if c in common:
+                new = c + suffix
+                if new in existing or new in mapping.values():
+                    raise ValueError(
+                        f"suffixed column name {new!r} collides with an existing column"
+                    )
+                mapping[c] = new
+        if mapping:
+            df = df.withColumnsRenamed(mapping)
+        return df, mapping
+
+    left2, lmap = _rename(left, lsuf, set(right.columns))
+    right2, rmap = _rename(right, rsuf, set(left.columns))
+    return left2, right2, lmap.get(left_on, left_on), rmap.get(right_on, right_on)
+
+
+def finite_filter(df: DataFrame, col: str) -> DataFrame:
+    """Drop rows whose join-column value is NULL, NaN or +/-Inf.
+
+    Mirrors the reference's silent non-finite drop for fuzzy joins
+    (``pandance/pandance.py:296-312``, ``_is_valid_value``).  This must be
+    an explicit pre-filter in Spark because Spark's NaN semantics
+    (NaN = NaN in joins) would otherwise *produce* matches the
+    reference excludes (SURVEY.md §1).
+    """
+    dtype = df.schema[col].dataType
+    c = F.col(col)
+    cond = c.isNotNull()
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        cond = (
+            cond
+            & ~F.isnan(c)
+            & (c != F.lit(float("inf")))
+            & (c != F.lit(float("-inf")))
+        )
+    return df.filter(cond)
+
+
+def validate_fuzzy_types(
+    left_dtype: T.DataType, right_dtype: T.DataType, tol
+) -> str:
+    """Validate the fuzzy-join dtype/tolerance matrix; return the mode.
+
+    Returns ``"numeric"`` or ``"timestamp"``.  Mirrors reference
+    ``_def_validate_and_clean_inputs_to_fuzzy``
+    (``pandance/pandance.py:265-298``): numeric join columns require a
+    numeric tolerance, timestamp columns require a timedelta tolerance,
+    mixed numeric/timestamp sides raise ``TypeError``.
+    """
+    l_num, r_num = is_numeric_type(left_dtype), is_numeric_type(right_dtype)
+    l_ts, r_ts = is_timestamp_type(left_dtype), is_timestamp_type(right_dtype)
+    if not ((l_num or l_ts) and (r_num or r_ts)):
+        raise TypeError(
+            f"fuzzy_join supports numeric and timestamp join columns; "
+            f"got {left_dtype.simpleString()} / {right_dtype.simpleString()}"
+        )
+    if (l_num and r_ts) or (l_ts and r_num):
+        raise TypeError(
+            "cannot fuzzy-join a numeric column with a timestamp column "
+            f"({left_dtype.simpleString()} vs {right_dtype.simpleString()})"
+        )
+    is_td_tol = _is_timedelta(tol)
+    if l_ts and r_ts:
+        if not is_td_tol:
+            raise TypeError(
+                "timestamp join columns require a timedelta tolerance "
+                "(datetime.timedelta or pandas.Timedelta)"
+            )
+        return "timestamp"
+    if is_td_tol:
+        raise TypeError("numeric join columns require a numeric tolerance")
+    if not isinstance(tol, (int, float)) and not _is_decimal(tol):
+        try:
+            float(tol)
+        except (TypeError, ValueError):
+            raise TypeError(f"unsupported tolerance type: {type(tol).__name__}")
+    return "numeric"
+
+
+def _is_timedelta(tol) -> bool:
+    if isinstance(tol, _dt.timedelta):
+        return True
+    try:  # pandas.Timedelta subclasses datetime.timedelta, but be safe
+        import pandas as pd
+
+        return isinstance(tol, pd.Timedelta)
+    except ImportError:  # pragma: no cover
+        return False
+
+
+def _is_decimal(tol) -> bool:
+    import decimal
+
+    return isinstance(tol, decimal.Decimal)
+
+
+def tolerance_to_micros(tol) -> int:
+    """Convert a timedelta tolerance to integer microseconds."""
+    if hasattr(tol, "value"):  # pandas.Timedelta: nanoseconds
+        return int(tol.value) // 1000
+    return int(tol / _dt.timedelta(microseconds=1))
+
+
+def validate_tol_value(tol) -> None:
+    """Reject negative / non-finite tolerances (reference leaves this
+    undefined; a negative tolerance can never match ``abs(diff) <= tol``,
+    so we fail fast instead of silently returning nothing)."""
+    if _is_timedelta(tol):
+        if tolerance_to_micros(tol) < 0:
+            raise ValueError("tolerance must be non-negative")
+        return
+    import decimal
+
+    if isinstance(tol, decimal.Decimal):
+        if not tol.is_finite() or tol < 0:
+            raise ValueError("tolerance must be finite and non-negative")
+        return
+    f = float(tol)
+    if math.isnan(f) or math.isinf(f) or f < 0:
+        raise ValueError("tolerance must be finite and non-negative")

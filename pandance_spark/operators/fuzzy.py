@@ -1,0 +1,162 @@
+"""Fuzzy join: inner join on ``abs(left[left_on] - right[right_on]) <= tol``.
+
+Spark-first re-expression of the reference's ``fuzzy_join``
+(``pandance/pandance.py:22-208``).  The reference builds an in-memory
+interval tree of ``[x - tol, x + tol)`` intervals over the longer column
+and probes it with the shorter one (``pandance/pandance.py:211-240``).
+An interval tree is a single-machine index; the distributed substitute
+is a **band-bucketed equi-join**:
+
+    bucket(v) = floor(v / tol)
+
+A pair with ``|l - r| <= tol`` must land in the same or an adjacent
+bucket, so exploding one side to its neighboring buckets and hash-joining
+on bucket id followed by the exact ``abs(l - r) <= tol`` filter finds
+every match with shuffle-parallel, output-proportional work — no
+interval tree, no O(n*m) scan.
+
+Semantics mirrored from the reference (SURVEY.md §1):
+- inclusive tolerance: ``<= tol`` exactly (the reference's epsilon
+  widening at ``pandance/pandance.py:185-191,216-221`` is an artifact of
+  its interval library's half-open intervals and is intentionally NOT
+  replicated; the documented contract ``pandance/pandance.py:28-29``
+  is ``<= tol``);
+- NaN / +-Inf / NULL join values silently dropped from both sides
+  (``pandance/pandance.py:296-312``);
+- numeric columns need a numeric tolerance; timestamp columns need a
+  timedelta tolerance; mixed sides raise TypeError
+  (``pandance/pandance.py:265-298``);
+- both join columns kept, colliding names suffixed, left-then-right
+  column order (``pandance/pandance.py:204-207``);
+- empty inputs return an empty result with the FULL suffixed schema
+  (deliberate deviation from the reference's join-columns-only frame —
+  and from its empty-input IndexError crash; SURVEY.md §4 quirks 1-2).
+
+Strategies
+----------
+- ``"band"`` (the scalable default): bucket equi-join described above.
+- ``"range"``: plain conditional join
+  ``right BETWEEN left - tol AND left + tol`` — BroadcastNestedLoopJoin
+  under Catalyst; optimal when one side is broadcast-sized and used as
+  the in-repo oracle for the band form.
+- ``"auto"``: plan-statistics pick between the two.
+"""
+
+from __future__ import annotations
+
+import decimal
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandance_spark._kernel import (
+    apply_suffixes,
+    finite_filter,
+    resolve_join_columns,
+    tolerance_to_micros,
+    validate_fuzzy_types,
+    validate_tol_value,
+)
+from pandance_spark.operators.ineq import _parse_bytes_conf, _plan_size_bytes
+
+__all__ = ["fuzzy_join"]
+
+# bucket neighborhood half-width: mathematically +-1 suffices (real
+# arithmetic), +-2 absorbs any floating-point rounding of v/tol at
+# bucket boundaries (double division + floor can be off by one ulp).
+_BUCKET_MARGIN = 2
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Optional[str] = None,
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    tol=1e-3,
+    suffixes: Tuple[str, str] = ("_x", "_y"),
+    strategy: str = "auto",
+) -> DataFrame:
+    """Inner join rows whose join values differ by at most ``tol``.
+
+    API parity with reference ``fuzzy_join``
+    (``pandance/pandance.py:22-208``): same parameter names and
+    defaults (``tol=1e-3``, ``suffixes=('_x', '_y')``); ``strategy`` is
+    a Spark-side extension.
+    """
+    left_on, right_on = resolve_join_columns(left, right, on, left_on, right_on)
+    ltype = left.schema[left_on].dataType
+    rtype = right.schema[right_on].dataType
+    mode = validate_fuzzy_types(ltype, rtype, tol)
+    validate_tol_value(tol)
+
+    left = finite_filter(left, left_on)
+    right = finite_filter(right, right_on)
+    left2, right2, lcol, rcol = apply_suffixes(
+        left, right, left_on, right_on, suffixes
+    )
+    out_cols = [*left2.columns, *right2.columns]
+
+    if mode == "timestamp":
+        tol_us = tolerance_to_micros(tol)
+        lval = F.unix_micros(left2[lcol])
+        rval = F.unix_micros(right2[rcol])
+        tol_lit = F.lit(tol_us)
+        bucket_width = float(tol_us)
+    else:
+        if isinstance(tol, decimal.Decimal):
+            tol_lit = F.lit(tol)
+            bucket_width = float(tol)
+        else:
+            tol_lit = F.lit(tol)
+            bucket_width = float(tol)
+        lval, rval = left2[lcol], right2[rcol]
+        if isinstance(ltype, T.DecimalType) or isinstance(rtype, T.DecimalType):
+            # exact predicate in decimal; bucketing may use a double
+            # approximation (the +-2 margin absorbs the rounding)
+            pass
+
+    exact = F.abs(lval - rval) <= tol_lit
+
+    if strategy == "auto":
+        strategy = _pick_strategy(left2, right2)
+    if strategy == "range" or bucket_width == 0.0:
+        # tol == 0 degenerates to an exact equi-join on the value
+        if bucket_width == 0.0:
+            return (
+                left2.join(right2, lval == rval, "inner").select(*out_cols)
+            )
+        return left2.join(right2, exact, "inner").select(*out_cols)
+    if strategy != "band":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # band-bucketed equi-join ------------------------------------------------
+    lbucket = F.floor(lval.cast("double") / F.lit(bucket_width))
+    rbucket = F.floor(rval.cast("double") / F.lit(bucket_width))
+    lb = left2.withColumn("__bucket", lbucket)
+    rb = right2.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                *[
+                    rbucket + F.lit(i)
+                    for i in range(-_BUCKET_MARGIN, _BUCKET_MARGIN + 1)
+                ]
+            )
+        ),
+    )
+    joined = lb.join(rb, "__bucket", "inner").filter(exact)
+    return joined.select(*out_cols)
+
+
+def _pick_strategy(left: DataFrame, right: DataFrame) -> str:
+    spark = left.sparkSession
+    threshold = _parse_bytes_conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+    )
+    lsz, rsz = _plan_size_bytes(left), _plan_size_bytes(right)
+    if lsz is None or rsz is None:
+        return "band"
+    return "range" if min(lsz, rsz) <= max(threshold, 0) else "band"

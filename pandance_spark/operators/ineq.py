@@ -1,0 +1,258 @@
+"""Inequality join: inner join on ``left[left_on] <op> right[right_on]``.
+
+Spark-first re-expression of the reference's ``ineq_join``
+(``pandance/pandance.py:614-846``).  The reference sorts the longer side
+and binary-searches (stdlib ``bisect``) per probe row, exploiting the
+transitivity of ``<``: a match at sorted position p implies matches at
+every later position (design comment ``pandance/pandance.py:776-786``).
+
+The distributed equivalent of "sort + exploit transitivity" is a **band
+join**: range-partition values into B quantile bands; a left row in band
+i can only match right rows in bands j >= i (for ``<``/``<=``), and for
+j > i the match is *guaranteed* by band ordering so no comparison is
+needed at all — only the diagonal (j == i) pairs are filtered exactly.
+This turns the O(n*m)-comparison nested loop into an equi-join on band
+id (shuffle hash / sort-merge under Catalyst) whose work is proportional
+to the output size plus one band of slack.
+
+Strategies
+----------
+- ``"bnl"``: a plain conditional join ``left.join(right, l <op> r)``.
+  Catalyst executes it as BroadcastNestedLoopJoin when one side fits the
+  broadcast threshold — optimal for small dimensions.
+- ``"band"``: the quantile band join described above — the 100 TB path.
+- ``"auto"`` (default): use plan-statistics size estimates; if either
+  side is within ``spark.sql.autoBroadcastJoinThreshold`` choose
+  ``bnl``, else ``band``.
+
+The reference's disjoint-range fast path (``pandance/pandance.py:792-807``)
+is kept behind ``disjoint_fast_path=True``: two tiny min/max aggregations
+can prove the result is the full cross product or empty without doing
+any matching work.  NOTE (deliberate deviation, SURVEY.md §4 quirk 2):
+both fast paths return the FULL suffixed schema, where the reference
+returns only the two join columns.
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pandance_spark._kernel import (
+    apply_suffixes,
+    is_numeric_type,
+    is_timestamp_type,
+    resolve_join_columns,
+)
+
+__all__ = ["ineq_join"]
+
+_OPS = {
+    "<": operator.lt,
+    "<=": operator.le,
+    ">=": operator.ge,
+    ">": operator.gt,
+}
+
+# operator implied between a left band i and a right band j on the
+# non-diagonal: for < / <= matches live at j > i, for > / >= at j < i.
+_MATCH_HIGHER = {"<": True, "<=": True, ">": False, ">=": False}
+
+
+def ineq_join(
+    left: DataFrame,
+    right: DataFrame,
+    how: str = "<=",
+    on: Optional[str] = None,
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    suffixes: Tuple[str, str] = ("_x", "_y"),
+    strategy: str = "auto",
+    num_bands: int = 64,
+    disjoint_fast_path: bool = False,
+) -> DataFrame:
+    """Inner join rows where ``left[left_on] <how> right[right_on]``.
+
+    API parity with reference ``ineq_join`` (``pandance/pandance.py:614-846``);
+    ``strategy``/``num_bands``/``disjoint_fast_path`` are Spark-side
+    extensions (the reference's internal algorithm knobs have no meaning
+    on a distributed planner).
+
+    Join-column types: anything orderable by Spark (numbers, strings,
+    timestamps, dates) — reference docstring ``pandance/pandance.py:625``.
+    """
+    if how not in _OPS:
+        raise ValueError(f"`how` must be one of {sorted(_OPS)}; got {how!r}")
+    left_on, right_on = resolve_join_columns(left, right, on, left_on, right_on)
+    left2, right2, lcol, rcol = apply_suffixes(
+        left, right, left_on, right_on, suffixes
+    )
+    cond = _OPS[how](left2[lcol], right2[rcol])
+    out_cols = [*left2.columns, *right2.columns]
+
+    if disjoint_fast_path:
+        fast = _try_disjoint_fast_path(left2, right2, lcol, rcol, how, out_cols)
+        if fast is not None:
+            return fast
+
+    if strategy == "auto":
+        strategy = _pick_strategy(left2, right2, lcol, rcol)
+    if strategy == "band":
+        banded = _band_join(left2, right2, lcol, rcol, how, num_bands, out_cols)
+        if banded is not None:
+            return banded
+        strategy = "bnl"
+    if strategy != "bnl":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return left2.join(right2, cond, "inner").select(*out_cols)
+
+
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst size estimate of the optimized plan, in bytes (no job)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def _pick_strategy(
+    left: DataFrame, right: DataFrame, lcol: str, rcol: str
+) -> str:
+    ltype = left.schema[lcol].dataType
+    if not (is_numeric_type(ltype) or is_timestamp_type(ltype)):
+        return "bnl"  # band path needs quantiles -> numeric/timestamp only
+    spark = left.sparkSession
+    threshold = _parse_bytes_conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+    )
+    lsz, rsz = _plan_size_bytes(left), _plan_size_bytes(right)
+    if lsz is None or rsz is None:
+        return "bnl"
+    return "bnl" if min(lsz, rsz) <= max(threshold, 0) else "band"
+
+
+def _try_disjoint_fast_path(
+    left: DataFrame,
+    right: DataFrame,
+    lcol: str,
+    rcol: str,
+    how: str,
+    out_cols,
+) -> Optional[DataFrame]:
+    """If the two value ranges don't overlap, the answer is the full
+    cross product or empty — metadata-only work.  Mirrors reference
+    ``pandance/pandance.py:792-807`` but returns the full suffixed
+    schema on both branches (deliberate deviation, SURVEY.md §4)."""
+    lstat = left.agg(
+        F.min(lcol).alias("lo"), F.max(lcol).alias("hi")
+    ).first()
+    rstat = right.agg(
+        F.min(rcol).alias("lo"), F.max(rcol).alias("hi")
+    ).first()
+    if lstat["lo"] is None or rstat["lo"] is None:
+        # one side empty -> empty result with the full schema
+        return left.join(right, F.lit(False), "inner").select(*out_cols)
+    op = _OPS[how]
+    # worst case pair (hardest to satisfy) vs best case pair (easiest):
+    if how in ("<", "<="):
+        worst = (lstat["hi"], rstat["lo"])
+        best = (lstat["lo"], rstat["hi"])
+    else:
+        worst = (lstat["lo"], rstat["hi"])
+        best = (lstat["hi"], rstat["lo"])
+    if op(*worst):  # even the worst pair matches -> full cross product
+        return left.crossJoin(right).select(*out_cols)
+    if not op(*best):  # even the best pair fails -> empty
+        return left.join(right, F.lit(False), "inner").select(*out_cols)
+    return None
+
+
+def _parse_bytes_conf(spark, key: str, default: int) -> int:
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if raw.endswith("b") and raw[:-1] and raw[-2] in units:
+            return int(raw[:-2]) * units[raw[-2]]
+        if raw and raw[-1] in units:
+            return int(raw[:-1]) * units[raw[-1]]
+        return int(raw.rstrip("b"))
+    except Exception:
+        return default
+
+
+def _as_numeric(col: Column, dtype: T.DataType) -> Column:
+    """Quantile-able numeric view of a column (timestamps -> micros)."""
+    if is_timestamp_type(dtype):
+        return F.unix_micros(col)
+    return col.cast("double")
+
+
+def _band_join(
+    left: DataFrame,
+    right: DataFrame,
+    lcol: str,
+    rcol: str,
+    how: str,
+    num_bands: int,
+    out_cols,
+) -> Optional[DataFrame]:
+    """Quantile band join.  Returns None when the band path does not
+    apply (non-numeric key, degenerate cuts) so the caller can fall back.
+
+    band(v) = #cuts <= v, cuts from approxQuantile of the right side.
+    Bands are value-ordered intervals, so for ``<``/``<=`` a pair with
+    band_l < band_r is guaranteed to match and only the diagonal needs
+    the exact predicate (the distributed analog of the reference's
+    bisect transitivity argument, ``pandance/pandance.py:776-786``).
+    """
+    ltype = left.schema[lcol].dataType
+    rtype = right.schema[rcol].dataType
+    if not (
+        (is_numeric_type(ltype) or is_timestamp_type(ltype))
+        and (is_numeric_type(rtype) or is_timestamp_type(rtype))
+    ):
+        return None
+    probs = [i / num_bands for i in range(1, num_bands)]
+    rnum = right.select(_as_numeric(F.col(rcol), rtype).alias("__v")).dropna()
+    try:
+        cuts = rnum.approxQuantile("__v", probs, 0.001)
+    except Exception:
+        return None
+    cuts = sorted(set(cuts))
+    if not cuts:
+        return None
+    nb = len(cuts)  # band ids in [0, nb]
+
+    # band id = #cuts <= v, as a flat sum of CASE WHENs (stays inside
+    # whole-stage codegen; deliberately NOT a higher-order function —
+    # outer-column references inside lambda bodies break Catalyst's
+    # constraint inference across the join)
+    def band_of(c: Column, dt: T.DataType) -> Column:
+        v = _as_numeric(c, dt)
+        expr = F.lit(0)
+        for cut in cuts:
+            expr = expr + F.when(v >= F.lit(cut), 1).otherwise(0)
+        return expr
+
+    lb = left.withColumn("__band_l", band_of(F.col(lcol), ltype))
+    rb = right.withColumn("__band_r", band_of(F.col(rcol), rtype))
+
+    if _MATCH_HIGHER[how]:
+        targets = F.sequence(F.col("__band_l"), F.lit(nb))
+    else:
+        targets = F.sequence(F.lit(0), F.col("__band_l"))
+    lb = lb.withColumn("__jband", F.explode(targets))
+
+    diag_only = (F.col("__jband") != F.col("__band_l")) | _OPS[how](
+        lb[lcol], rb[rcol]
+    )
+    joined = lb.join(rb, F.col("__jband") == F.col("__band_r"), "inner").filter(
+        diag_only
+    )
+    return joined.select(*out_cols)

@@ -1,0 +1,83 @@
+"""Sources: loading the standard test/benchmark tables.
+
+The reference has no storage layer — its operators consume caller-built
+pandas frames (SURVEY.md §2.3).  Here the engine is Spark, so sources
+are first-class: parquet with predicate pushdown and column pruning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+__all__ = ["TABLES", "load_table", "register_views", "configure_session"]
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs the engine's semantics rely on.
+
+    - UTC session timezone so timestamp arithmetic matches the DuckDB
+      oracle (parquet timestamps are naive; DuckDB treats them as UTC).
+    - AQE on for runtime re-planning (coalesce, skew join).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # Spark cannot scan parquet TIMESTAMP(NANOS) columns natively;
+        # read them as long nanos and convert (truncate) to micros —
+        # the same truncation DuckDB applies casting TIMESTAMP_NS ->
+        # TIMESTAMP, so oracle comparisons agree.
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def _nanos_columns(path: str):
+    """Column names stored as parquet timestamp[ns] (via file metadata)."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    configure_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in _nanos_columns(path):
+        if c in df.columns:
+            # integer `div` (not `/`): nanos ~1.7e18 exceed double's 2^53
+            # exact-integer range, float division would corrupt low bits
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,149 @@
+"""ineq_join correctness (FIXTURES.md I1-I5; reference test/test_ops.py:251-408)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pandance_spark import ineq_join
+
+
+def rows_set(df, cols=None):
+    cols = cols or df.columns
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+@pytest.fixture(scope="module")
+def prices(spark):
+    left = spark.createDataFrame(
+        [("apple", 10), ("pear", 20), ("plum", 30)], "item string, price long"
+    )
+    right = spark.createDataFrame(
+        [("w", 10), ("x", 20), ("y", 30), ("z", 40)], "item string, price long"
+    )
+    return left, right
+
+
+def expected_pairs(lvals, rvals, op):
+    ops = {
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+    }
+    return {(a, b) for a in lvals for b in rvals if ops[op](a, b)}
+
+
+@pytest.mark.parametrize("how", ["<", "<=", ">", ">="])
+@pytest.mark.parametrize("strategy", ["bnl", "band"])
+def test_ineq_small_golden(prices, how, strategy):
+    left, right = prices
+    out = ineq_join(left, right, how=how, on="price", strategy=strategy)
+    assert set(out.columns) == {"item_x", "price_x", "item_y", "price_y"}
+    got = rows_set(out, ["price_x", "price_y"])
+    assert got == expected_pairs([10, 20, 30], [10, 20, 30, 40], how)
+
+
+def test_ineq_suffix_only_collisions(spark):
+    left = spark.createDataFrame([("a", 1)], "item string, price long")
+    right = spark.createDataFrame([(2, "b")], "cost long, vendor string")
+    out = ineq_join(left, right, how="<", left_on="price", right_on="cost")
+    # no colliding names -> no suffixes (pandas lsuffix/rsuffix semantics)
+    assert out.columns == ["item", "price", "cost", "vendor"]
+    assert out.count() == 1
+
+
+def test_ineq_column_order_left_then_right(prices):
+    left, right = prices
+    out = ineq_join(left, right, how="<", on="price")
+    assert out.columns == ["item_x", "price_x", "item_y", "price_y"]
+
+
+def test_ineq_strings(spark):
+    # FIXTURES I5 (reference docstring pandance.py:731-754)
+    left = spark.createDataFrame([("bbb",), ("ccc",)], "s string")
+    right = spark.createDataFrame(
+        [("aaa",), ("abc",), ("bbc",), ("zzz",)], "s string"
+    )
+    out = ineq_join(left, right, how=">", on="s")
+    got = rows_set(out, ["s_x", "s_y"])
+    assert got == expected_pairs(["bbb", "ccc"], ["aaa", "abc", "bbc", "zzz"], ">")
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_ineq_disjoint_full_cartesian_and_empty(spark, fast):
+    # FIXTURES I3 (reference test_ops.py:345-383): disjoint ranges
+    left = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "item string, price long"
+    )
+    right = spark.createDataFrame(
+        [("x", 10), ("y", 20), ("z", 30)], "item string, price long"
+    )
+    full = ineq_join(left, right, how="<", on="price", disjoint_fast_path=fast)
+    assert full.count() == 9
+    # full schema on the fast path too (deliberate deviation, SURVEY §4)
+    assert set(full.columns) == {"item_x", "price_x", "item_y", "price_y"}
+    empty = ineq_join(left, right, how=">", on="price", disjoint_fast_path=fast)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"item_x", "price_x", "item_y", "price_y"}
+
+
+def test_ineq_empty_input_full_schema(spark):
+    left = spark.createDataFrame([], "item string, price long")
+    right = spark.createDataFrame([("x", 10)], "item string, price long")
+    out = ineq_join(left, right, how="<", on="price", disjoint_fast_path=True)
+    assert out.count() == 0
+    assert set(out.columns) == {"item_x", "price_x", "item_y", "price_y"}
+
+
+@pytest.mark.parametrize("a,b,overlap", [(10, 10, 5), (8, 6, 3), (7, 7, 0), (5, 9, 5)])
+def test_ineq_closed_form_overlap(spark, a, b, overlap):
+    # FIXTURES I4 (reference test_ops.py:386-408): |result| for how='<'
+    # of range(0,A) vs range(A-L, A-L+B) is A*B + C(L,2) - L^2
+    left = spark.createDataFrame([(i,) for i in range(a)], "val long")
+    right = spark.createDataFrame(
+        [(i,) for i in range(a - overlap, a - overlap + b)], "val long"
+    )
+    expected = a * b + math.comb(overlap, 2) - overlap * overlap
+    for strategy in ("bnl", "band"):
+        out = ineq_join(left, right, how="<", on="val", strategy=strategy)
+        assert out.count() == expected, strategy
+
+
+def test_ineq_band_matches_bnl_on_testdata(spark, sf_dir):
+    # FIXTURES I1 mapping: customer.c_acctbal < supplier.s_acctbal
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    kwargs = dict(how="<", left_on="c_acctbal", right_on="s_acctbal")
+    bnl = ineq_join(customer, supplier, strategy="bnl", **kwargs)
+    band = ineq_join(customer, supplier, strategy="band", num_bands=16, **kwargs)
+    assert bnl.count() == band.count()
+    key = ["c_custkey", "s_suppkey"]
+    assert rows_set(bnl, key) == rows_set(band, key)
+
+
+def test_ineq_timestamps_band(spark, sf_dir):
+    # FIXTURES I2 mapping: events split into two halves by event_id parity
+    from pandance_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    a = ev.filter(F.col("event_id") % 50 == 0)
+    b = ev.filter(F.col("event_id") % 50 == 1)
+    bnl = ineq_join(a, b, how=">", on="ts", strategy="bnl")
+    band = ineq_join(a, b, how=">", on="ts", strategy="band", num_bands=8)
+    assert bnl.count() == band.count() > 0
+    for r in band.select("ts_x", "ts_y").limit(50).collect():
+        assert r["ts_x"] > r["ts_y"]
+
+
+def test_ineq_validation_errors(prices):
+    left, right = prices
+    with pytest.raises(ValueError):
+        ineq_join(left, right, how="!=", on="price")
+    with pytest.raises(ValueError):
+        ineq_join(left, right, how="<")  # no join column
+    with pytest.raises(ValueError):
+        ineq_join(left, right, how="<", on=["price", "item"])  # multi-col
+    with pytest.raises(ValueError):
+        ineq_join(left, right, how="<", on="nope")
