@@ -1,0 +1,136 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path functions are pure Column expressions (JVM-side,
+whole-stage codegen) — language ID, quality scoring, token counting and
+fingerprinting run at parquet-scan speed with no Python in the loop.
+These are engine extensions beyond the reference (SURVEY.md §2.4);
+the reference's only text capability is an arbitrary Python predicate
+via ``theta_join`` (e.g. substring containment,
+``pandance/pandance.py:431-454``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "word_shingles",
+    "quality_score",
+    "lang_id",
+    "fingerprint_md5",
+    "fingerprint_xxhash",
+]
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased word tokens (whitespace/punctuation split), empties
+    removed.  A BPE-ish approximation good enough for token budgeting."""
+    toks = F.split(F.lower(text), _TOKEN_SPLIT)
+    return F.filter(toks, lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of word n-gram shingles ('a b c' strings) per row.
+
+    Per-row computation — no shuffle; the scale cost is the array
+    memory, proportional to the document length.
+    """
+    if n < 1:
+        raise ValueError("shingle size must be >= 1")
+    toks = tokenize(text)
+    # slice windows [i, i+n) over the token array; build via index
+    # sequence so each lambda references only its own variable
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1] from cheap surface stats:
+    length band, alphabetic ratio, mean token length band, stopword hit.
+
+    Deterministic and SQL-expressible (the DuckDB oracle recomputes it
+    verbatim); weights are fixed, not learned.
+    """
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    toks = tokenize(text)
+    n_toks = F.size(toks)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_toks > 0, n_alpha / n_toks).otherwise(F.lit(0.0))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(
+        0.0
+    )
+    has_stop = F.when(
+        F.lower(text).rlike("\\b(the|a|of|and|to|in)\\b"), 1.0
+    ).otherwise(0.0)
+    score = 0.3 * len_ok + 0.3 * alpha_ratio + 0.2 * tok_len_ok + 0.2 * has_stop
+    return F.round(score, 4)
+
+
+# tiny per-language stopword panels; counts of hits decide the language.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-panel language guess: greatest hit count wins,
+    ties broken by language code order, no hits -> 'und' (undetermined).
+
+    This is the classic cheap heuristic (real pipelines plug in a
+    trained model via the same column-in/column-out shape).
+    """
+    lowered = F.lower(text)
+    scores = [
+        (
+            lang,
+            sum(
+                (
+                    F.length(lowered)
+                    - F.length(F.regexp_replace(lowered, f"\\b{w}\\b", ""))
+                )
+                / len(w)
+                for w in words
+            ),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items())
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed so earlier language codes win ties (when() chains
+    # evaluate first-match; build last-to-first)
+    for lang, s in reversed(scores):
+        result = F.when((best_score > 0) & (s == best_score), lang).otherwise(result)
+    return result
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Portable deterministic document fingerprint (md5 hex).  Used for
+    exact dedup keys; identical in any engine (the DuckDB oracle's md5
+    matches bit-for-bit)."""
+    return F.md5(text)
+
+
+def fingerprint_xxhash(text: Column) -> Column:
+    """Fast 64-bit fingerprint (xxhash64) — the scale path for exact
+    dedup keys; engine-specific, so oracle checks use fingerprint_md5."""
+    return F.xxhash64(text)

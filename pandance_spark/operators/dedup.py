@@ -1,0 +1,383 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference (SURVEY.md §2.4).  Everything is
+expressed as DataFrame plans — the MinHash/SimHash/LSH pipelines are
+compositions of per-row Column expressions (no shuffle until the
+candidate join) followed by equi-joins on bucket keys, which is the
+shape that survives a 1000-executor 100 TB run: work is proportional to
+(rows x signature size) plus (candidate pairs), never to rows².
+
+Operators
+---------
+- ``dedup_exact``       exact duplicate removal, deterministic keeper
+- ``duplicate_groups``  exact-duplicate group listing
+- ``minhash_signature`` per-row MinHash signature column
+- ``minhash_candidates``/``dedup_minhash``  LSH banding -> candidate
+  pairs -> exact Jaccard verification
+- ``simhash``           64-bit SimHash fingerprint column
+- ``simhash_candidates`` near-dup pairs within a Hamming radius
+- ``ngram_jaccard_join`` exact n-gram Jaccard similarity self-join
+- ``embedding_cosine_pairs`` near-dup pairs by embedding cosine
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.text import tokenize, word_shingles
+from pandance_spark.functions.vectors import cosine_similarity
+
+__all__ = [
+    "dedup_exact",
+    "duplicate_groups",
+    "minhash_signature",
+    "minhash_candidates",
+    "dedup_minhash",
+    "simhash",
+    "simhash_candidates",
+    "ngram_jaccard_join",
+    "embedding_cosine_pairs",
+]
+
+# Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
+# of the same magnitude as the folded hash universe: with h, a < p the
+# product a*h wraps ~a times around p, giving a well-mixed permutation.
+# (A larger modulus like 2^61-1 would wrap at most once, leaving the map
+# order-preserving in h — every min-hash slot would then be a function
+# of min(h) and all slots would be correlated, breaking MinHash.)
+# Products stay < 2^62, within the signed-long range.
+_PRIME = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42):
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p — seeded, reproducible across runs."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def dedup_exact(
+    df: DataFrame,
+    cols: Sequence[str],
+    tie_breaker: Optional[str] = None,
+) -> DataFrame:
+    """Keep exactly one row per distinct value of ``cols``.
+
+    With a ``tie_breaker`` column the kept row is deterministic (the
+    minimum tie-breaker wins) — unlike ``dropDuplicates``, whose choice
+    depends on physical row order.  One hash-partition shuffle on the
+    dedup key; map-side partial aggregation applies.
+    """
+    cols = list(cols)
+    if tie_breaker is None:
+        return df.dropDuplicates(cols)
+    others = [c for c in df.columns if c not in cols]
+    agg = df.groupBy(*cols).agg(
+        F.min_by(F.struct(*[F.col(c) for c in others]), F.col(tie_breaker)).alias(
+            "__keep"
+        )
+    )
+    return agg.select(*cols, *[F.col(f"__keep.{c}").alias(c) for c in others]).select(
+        *df.columns
+    )
+
+
+def duplicate_groups(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Groups of exact duplicates: the key columns + ``dup_count`` (> 1)."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long> of length ``num_hashes``) of the
+    word-``shingle_n``-gram set of ``text``.
+
+    Entirely per-row Column expressions: shingle -> xxhash64 -> fold to
+    31 bits -> for each hash function take the min of
+    ``(a*x + b) mod p`` over the shingles.  No shuffle, no UDF; rows
+    with fewer than ``shingle_n`` tokens get an empty-set signature of
+    all p (sentinel max).
+    """
+    shingles = word_shingles(text, shingle_n)
+    hashed = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME))
+    )
+    sig = []
+    for a, b in _hash_params(num_hashes, seed):
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        hashed,
+                        lambda h: F.pmod(
+                            h * F.lit(a) + F.lit(b), F.lit(_PRIME)
+                        ),
+                    )
+                ),
+                F.lit(_PRIME),
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: ids whose signatures collide in >= 1 band.
+
+    signature -> split into ``bands`` rows of ``num_hashes/bands``
+    values -> hash each band -> explode -> self-equi-join on
+    (band_index, band_hash).  The join is a plain shuffle hash join on a
+    compact key; output is (id_a, id_b) with id_a < id_b, distinct.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.band", "__b.bhash")
+    a = banded.withColumnRenamed(id_col, "id_a")
+    b = banded.withColumnsRenamed({id_col: "id_b", "band": "band_b", "bhash": "bhash_b"})
+    pairs = a.join(
+        b,
+        (a["band"] == b["band_b"])
+        & (a["bhash"] == b["bhash_b"])
+        & (a["id_a"] < b["id_b"]),
+        "inner",
+    )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by EXACT Jaccard
+    similarity of the shingle sets (>= threshold).
+
+    Returns (id_a, id_b, jaccard).  The exact verification joins the
+    distinct shingle arrays back onto the candidate pairs — two
+    broadcast-or-shuffle hash joins on the id, then a per-row
+    array_intersect / array_union.
+    """
+    cands = minhash_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+    )
+    sets_df = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__set"),
+    )
+    a = sets_df.withColumnsRenamed({"__id": "id_a", "__set": "__set_a"})
+    b = sets_df.withColumnsRenamed({"__id": "id_b", "__set": "__set_b"})
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size(F.array_union("__set_a", "__set_b"))
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, seed: int = 42) -> Column:
+    """64-bit SimHash of the token set, as a long.
+
+    Per-token xxhash64; each output bit is the sign of the sum of
+    (+1 / -1) contributions of that bit across tokens.  Pure Column
+    expressions (64 aggregate folds over the per-row token-hash array).
+    """
+    hashed = F.transform(tokenize(text), lambda t: F.xxhash64(t, F.lit(seed)))
+
+    def _vote(bit: int) -> Column:
+        # closure over the plain-int bit (a 2-arg lambda for F.aggregate;
+        # extra defaulted params would change the lambda's arity)
+        return F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    bit_votes = [_vote(b) for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        # bit 63 exceeds the signed-long literal range; shift JVM-side
+        bit_val = F.shiftleft(F.lit(1).cast("long"), b)
+        out = out.bitwiseOR(F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: split the 64 bits into ``max_hamming + 1``
+    chunks; any pair within the radius agrees exactly on >= 1 chunk, so
+    an equi-join per chunk finds all candidates, then the exact popcount
+    filter keeps true ones.  Returns (id_a, id_b, hamming).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), seed).alias("__sh")
+    )
+    banded = sh.select(
+        "id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("__sh"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("ckey"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("__c"),
+    ).select("id", "__sh", "__c.chunk", "__c.ckey")
+    a = banded.withColumnsRenamed({"id": "id_a", "__sh": "sh_a"})
+    b = banded.withColumnsRenamed(
+        {"id": "id_b", "__sh": "sh_b", "chunk": "chunk_b", "ckey": "ckey_b"}
+    )
+    pairs = (
+        a.join(
+            b,
+            (a["chunk"] == b["chunk_b"])
+            & (a["ckey"] == b["ckey_b"])
+            & (a["id_a"] < b["id_b"]),
+            "inner",
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity self-join (no approximation).
+
+    Inverted-index shape: explode distinct shingles, self-equi-join on
+    the shingle string (only docs sharing >= 1 shingle ever meet — work
+    is proportional to the inverted-index collision count, not rows²),
+    count shared shingles per pair, compute |A∩B| / |A∪B|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__set"),
+    )
+    sizes = sets_df.select("id", F.size("__set").alias("n"))
+    inv = sets_df.select("id", F.explode("__set").alias("sh"))
+    a = inv.withColumnRenamed("id", "id_a")
+    b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    shared = (
+        a.join(b, (a["sh"] == b["sh_b"]) & (a["id_a"] < b["id_b"]), "inner")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"})
+    nb = sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"})
+    out = (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_col: Optional[str] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Baseline path: (optionally blocked) self-join + exact cosine.  With
+    ``block_col`` (e.g. a cluster/label/LSH-bucket id) the join is an
+    equi-join on the block — the scale path; without it, a full cross
+    join (only for small/broadcastable inputs).  Returns
+    (id_a, id_b, cosine) with id_a < id_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a = base.withColumnsRenamed({"id": "id_a", "vec": "vec_a", "blk": "blk_a"} if block_col else {"id": "id_a", "vec": "vec_a"})
+    b = base.withColumnsRenamed({"id": "id_b", "vec": "vec_b", "blk": "blk_b"} if block_col else {"id": "id_b", "vec": "vec_b"})
+    cond = a["id_a"] < b["id_b"]
+    if block_col:
+        cond = (a["blk_a"] == b["blk_b"]) & cond
+    pairs = a.join(b, cond, "inner")
+    cos = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+    out = pairs.withColumn("cosine", cos).filter(F.col("cosine") >= threshold)
+    cols = ["id_a", "id_b", "cosine"]
+    return out.select(*cols)

@@ -1,0 +1,146 @@
+"""Dedup operator tests (engine extensions, SURVEY.md §2.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    duplicate_groups,
+    embedding_cosine_pairs,
+    minhash_candidates,
+    minhash_signature,
+    ngram_jaccard_join,
+    simhash,
+    simhash_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "a"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "b"),
+        (3, "the quick brown fox jumps over the lazy dog again and AGAIN!", "c"),
+        (4, "a completely different document about spark query planning", "d"),
+        (5, "another unrelated text mentioning shuffles and partitions", "e"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string, src string")
+
+
+def test_dedup_exact_deterministic(docs_with_dups):
+    out = dedup_exact(docs_with_dups, ["text"], tie_breaker="doc_id")
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 3, 4, 5}  # doc 2 is the exact dup, min id kept
+    assert out.columns == docs_with_dups.columns
+
+
+def test_duplicate_groups(docs_with_dups):
+    groups = duplicate_groups(docs_with_dups, ["text"]).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+
+
+def test_minhash_signature_shape_and_determinism(docs_with_dups):
+    sig = docs_with_dups.select(
+        "doc_id", minhash_signature(F.col("text"), num_hashes=32).alias("sig")
+    )
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert all(len(s) == 32 for s in rows.values())
+    assert rows[1] == rows[2]  # identical text -> identical signature
+    # near-identical docs share most signature slots
+    same = sum(1 for a, b in zip(rows[1], rows[3]) if a == b)
+    assert same > 16
+    # unrelated docs share few
+    diff = sum(1 for a, b in zip(rows[1], rows[4]) if a == b)
+    assert diff < 8
+
+
+def test_minhash_dedup_finds_near_dups(docs_with_dups):
+    pairs = dedup_minhash(
+        docs_with_dups, "doc_id", "text", threshold=0.5, num_hashes=64, bands=16
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup
+    assert (1, 3) in got or (2, 3) in got  # near dup
+    assert all((a, b) != (4, 5) for a, b in got)
+    for r in pairs.collect():
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d x"),
+            (3, "p q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    # 3-shingles: doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdx} -> J = 2/4 = 0.5
+    out = ngram_jaccard_join(df, "doc_id", "text", shingle_n=3, threshold=0.4)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows == {(1, 2): 0.5}
+
+
+def test_simhash_properties(docs_with_dups):
+    out = docs_with_dups.select(
+        "doc_id", simhash(F.col("text")).alias("sh")
+    ).collect()
+    vals = {r["doc_id"]: r["sh"] for r in out}
+    assert vals[1] == vals[2]  # identical text
+    ham_near = bin(vals[1] ^ vals[3]).count("1")
+    ham_far = bin(vals[1] ^ vals[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_candidates(docs_with_dups):
+    pairs = simhash_candidates(docs_with_dups, "doc_id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert all(h <= 6 for h in got.values())
+
+
+def test_embedding_cosine_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_embedding_cosine_pairs_blocked_matches_unblocked(spark, sf_dir):
+    from pandance_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.8)
+    blocked = embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.8, block_col="label"
+    )
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    blocked_pairs = {(r["id_b"], r["id_b"]) for r in blocked.collect()}
+    # blocking is a candidate restriction: it may miss cross-block pairs
+    # but must never invent pairs
+    blocked_pairs = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    assert blocked_pairs <= full_pairs
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    # LSH with 16 bands x 4 rows: P(candidate) = 1-(1-j^4)^16; at
+    # j>=0.9 that's > 0.9999 — every true near-dup pair must surface
+    from pandance_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exact = ngram_jaccard_join(docs, "doc_id", "text", shingle_n=3, threshold=0.9)
+    cands = minhash_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert exact_pairs <= cand_pairs

@@ -1,0 +1,74 @@
+"""Similarity search tests (engine extensions, SURVEY.md §2.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.vectors import cosine_similarity, dot, l2_distance, l2_norm
+from pandance_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("dot"),
+        l2_norm(F.col("a")).alias("na"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("cos"),
+        l2_distance(F.col("a"), F.col("b")).alias("dist"),
+    ).first()
+    assert r["dot"] == pytest.approx(4.0)
+    assert r["na"] == pytest.approx(3.0)
+    assert r["cos"] == pytest.approx(4.0 / (3.0 * 5.0**0.5))
+    assert r["dist"] == pytest.approx((1 + 4 + 1) ** 0.5)
+
+
+def test_cosine_topk_golden(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "cid long, embedding array<double>",
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], "qid long, embedding array<double>")
+    out = cosine_topk(queries, corpus, "qid", "cid", k=2).orderBy("rank").collect()
+    assert [r["cid"] for r in out] == [1, 2]
+    assert out[0]["cosine"] == pytest.approx(1.0)
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_cosine_topk_on_embeddings(spark, sf_dir):
+    from pandance_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(queries, emb, "vec_id", "vec_id", k=3)
+    rows = out.collect()
+    # each query's rank-1 hit is itself with cosine ~1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r[0], []).append(r)
+    for q, lst in by_q.items():
+        top = min(lst, key=lambda r: r["rank"])
+        assert top["cosine"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    from pandance_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    # note: uniformly random embeddings are the worst case for LSH
+    # (near-orthogonal vectors); few planes = large buckets = high recall
+    approx = ann_lsh_topk(
+        queries, emb, "vec_id", "vec_id", k=5, dim=64, num_planes=4
+    )
+    # column-name collision across the two frames: rename for clarity
+    e = {(r[0], r[1]) for r in exact.collect()}
+    a = {(r[0], r[1]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

@@ -1,0 +1,72 @@
+"""Text-analysis function tests (engine extensions, SURVEY.md §2.4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    quality_score,
+    token_count,
+    tokenize,
+    word_shingles,
+)
+
+
+def test_tokenize_and_count(spark):
+    df = spark.createDataFrame(
+        [("The cat, the DOG!  42 times",), ("",), ("   ",)], "text string"
+    )
+    rows = df.select(
+        tokenize(F.col("text")).alias("toks"), token_count(F.col("text")).alias("n")
+    ).collect()
+    assert rows[0]["toks"] == ["the", "cat", "the", "dog", "42", "times"]
+    assert rows[0]["n"] == 6
+    assert rows[1]["n"] == 0
+    assert rows[2]["n"] == 0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []  # shorter than n -> empty set
+    with pytest.raises(ValueError):
+        word_shingles(F.col("text"), 0)
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from pandance_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(quality_score(F.col("text")).alias("q"))
+    stats = scored.agg(F.min("q"), F.max("q")).first()
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("der Hund und die Katze ist das",),
+            ("le chat et la maison est les",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_md5_matches_duckdb(spark):
+    import duckdb
+
+    texts = ["hello world", "a b c", "ünïcode"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: r["fp"]
+        for r in df.select("text", fingerprint_md5(F.col("text")).alias("fp")).collect()
+    }
+    for t in texts:
+        expected = duckdb.sql("SELECT md5(?)", params=[t]).fetchone()[0]
+        assert got[t] == expected
