@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus exact replicas
+of the reference's two published workloads (BASELINE.md):
+
+- Workload F: fuzzy_join of two 10k N(+-2,1) samples, tol=0.1
+  (reference: 1.88 s single-thread, doc/source/usage/getting_started.rst:133)
+- Workload I: ineq_join of two 3000-row integer ranges, overlap 1500
+  -> 7,874,250 rows (reference: 3.24 s, getting_started.rst:303)
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _consume(df) -> int:
+    """Force full materialization of every column (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def workload_f(spark):
+    """BASELINE Workload F (generator: reference test/performance.py:57-74).
+
+    Inputs are materialized (cached + counted) BEFORE the timer starts —
+    the reference's published 1.88 s times only the fuzzy_join call, not
+    data generation.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    n = 10_000
+    a = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.normal(-2.0, 1.0, n))],
+        "idx long, val double",
+    ).cache()
+    b = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.normal(2.0, 1.0, n))],
+        "idx long, val double",
+    ).cache()
+    a.count(), b.count()
+    from pandance_spark import fuzzy_join
+
+    return lambda: fuzzy_join(a, b, on="val", tol=0.1, strategy="band")
+
+
+def workload_i(spark):
+    """BASELINE Workload I (generator: reference test/performance.py:96-108).
+    7,874,250 output rows at A=B=3000, overlap 1500."""
+    a_rows, overlap = 3000, 1500
+    a = spark.range(0, a_rows).selectExpr("id AS val").cache()
+    b = (
+        spark.range(a_rows - overlap, a_rows - overlap + a_rows)
+        .selectExpr("id AS val")
+        .cache()
+    )
+    a.count(), b.count()
+    from pandance_spark import ineq_join
+
+    return lambda: ineq_join(a, b, how="<", on="val", strategy="band")
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("pandance_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        "ineq_lt_balances",
+        "ineq_band_timestamps",
+        "fuzzy_numeric",
+        "fuzzy_timestamps",
+        "theta_expr_mod",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "embedding_dedup",
+        "ann_topk",
+        "ann_lsh",
+        "text_stats",
+        "text_quality",
+        "text_langid",
+        "q1_pricing",
+        "window_topk",
+        "sessionize",
+        "semi_join",
+        "anti_join",
+    ]
+
+    timings = {}
+
+    # warm the JVM/codegen path once (tiny query, not timed)
+    entrymod.queries()["q1_pricing"](spark, SF_DIR).count()
+
+    for name in headline:
+        t0 = time.time()
+        _consume(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    for name, builder in (("workload_f", workload_f), ("workload_i", workload_i)):
+        join_fn = builder(spark)  # input setup excluded from the timing
+        t0 = time.time()
+        _consume(join_fn())
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,38 @@ def duplicate_groups(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def _hashed_shingles(text: Column, shingle_n: int) -> Column:
+    """Per-row array of 31-bit-folded xxhash64 shingle hashes."""
+    shingles = word_shingles(text, shingle_n)
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+
+
+def _signature_from_hashed(hashed: Column, num_hashes: int, seed: int) -> Column:
+    """MinHash signature from a pre-computed hash array.
+
+    IMPORTANT for cost: pass ``hashed`` as a materialized column
+    attribute (via a prior ``select``), not an inline expression —
+    the ``num_hashes`` transforms each reference it, and inlining
+    would re-tokenize/re-hash the document once per slot.  Catalyst's
+    CollapseProject keeps a projection boundary when a non-trivial
+    expression is referenced many times.
+    """
+    sig = []
+    for a, b in _hash_params(num_hashes, seed):
+        sig.append(
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        hashed,
+                        lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)),
+                    )
+                ),
+                F.lit(_PRIME),
+            )
+        )
+    return F.array(*sig)
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
 ) -> Column:
@@ -110,27 +142,15 @@ def minhash_signature(
     ``(a*x + b) mod p`` over the shingles.  No shuffle, no UDF; rows
     with fewer than ``shingle_n`` tokens get an empty-set signature of
     all p (sentinel max).
+
+    NOTE: as a single inline Column this re-derives the shingle hashes
+    per slot; the pipeline entry points (``minhash_candidates``)
+    stage the hash array through a projection instead — prefer them
+    for bulk work.
     """
-    shingles = word_shingles(text, shingle_n)
-    hashed = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME))
+    return _signature_from_hashed(
+        _hashed_shingles(text, shingle_n), num_hashes, seed
     )
-    sig = []
-    for a, b in _hash_params(num_hashes, seed):
-        sig.append(
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        hashed,
-                        lambda h: F.pmod(
-                            h * F.lit(a) + F.lit(b), F.lit(_PRIME)
-                        ),
-                    )
-                ),
-                F.lit(_PRIME),
-            )
-        )
-    return F.array(*sig)
 
 
 def minhash_candidates(
@@ -152,8 +172,16 @@ def minhash_candidates(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
-    with_sig = df.select(F.col(id_col), sig.alias("__sig"))
+    # stage the hash array behind a projection so the per-slot
+    # transforms share it instead of re-hashing the text 64x
+    hashed_df = df.select(
+        F.col(id_col),
+        _hashed_shingles(F.col(text_col), shingle_n).alias("__hashed"),
+    )
+    with_sig = hashed_df.select(
+        id_col,
+        _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias("__sig"),
+    )
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -228,24 +256,29 @@ def simhash(text: Column, seed: int = 42) -> Column:
     expressions (64 aggregate folds over the per-row token-hash array).
     """
     hashed = F.transform(tokenize(text), lambda t: F.xxhash64(t, F.lit(seed)))
-
-    def _vote(bit: int) -> Column:
-        # closure over the plain-int bit (a 2-arg lambda for F.aggregate;
-        # extra defaulted params would change the lambda's arity)
-        return F.aggregate(
-            hashed,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    bit_votes = [_vote(b) for b in range(64)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        # bit 63 exceeds the signed-long literal range; shift JVM-side
-        bit_val = F.shiftleft(F.lit(1).cast("long"), b)
-        out = out.bitwiseOR(F.when(vote > 0, bit_val).otherwise(F.lit(0).cast("long")))
-    return out
+    # one fold over the token hashes with a 64-slot vote accumulator
+    # (NOT 64 separate aggregates — that re-walks the array per bit and
+    # bloats codegen).  `masks` is a pure-literal array, safe to
+    # reference inside the lambda bodies (no plan attributes).
+    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    masks = F.array(*[F.lit(m).cast("long") for m in mask_vals])
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        masks,
+        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
 
 
 def simhash_candidates(
@@ -327,7 +360,12 @@ def ngram_jaccard_join(
         F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__set"),
     )
     sizes = sets_df.select("id", F.size("__set").alias("n"))
-    inv = sets_df.select("id", F.explode("__set").alias("sh"))
+    # invert on the 64-bit shingle hash, not the string: the shuffle
+    # moves 8-byte keys instead of full shingles (collision probability
+    # over a corpus vocabulary is ~|shingles|^2 / 2^64 — negligible)
+    inv = sets_df.select(
+        "id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("sh")
+    )
     a = inv.withColumnRenamed("id", "id_a")
     b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
     shared = (
@@ -357,27 +395,93 @@ def embedding_cosine_pairs(
     vec_col: str,
     threshold: float = 0.95,
     block_col: Optional[str] = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine rounded to 6dp.
 
-    Baseline path: (optionally blocked) self-join + exact cosine.  With
-    ``block_col`` (e.g. a cluster/label/LSH-bucket id) the join is an
-    equi-join on the block — the scale path; without it, a full cross
-    join (only for small/broadcastable inputs).  Returns
-    (id_a, id_b, cosine) with id_a < id_b.
+    Strategies:
+
+    - ``"gemm"``: broadcast the whole table as a numpy matrix and stream
+      partitions through a vectorized matmul (Arrow batches).  One scan,
+      no shuffle — the right shape whenever one side fits in executor
+      memory (the classic broadcast-join analog for dense similarity).
+    - ``"expr"``: (optionally blocked) self-join + per-pair Column
+      cosine.  With ``block_col`` (cluster/label/LSH bucket) the join is
+      an equi-join on the block — the 100 TB path where nothing fits in
+      memory; without a block it degenerates to a cross join.
+    - ``"auto"``: gemm when no block column is given (assumes
+      broadcastable — callers at true scale pass ``block_col``).
     """
+    if strategy == "auto":
+        strategy = "expr" if block_col else "gemm"
+    if strategy == "gemm":
+        return _gemm_cosine_pairs(df, id_col, vec_col, threshold)
+    if strategy != "expr":
+        raise ValueError(f"unknown strategy {strategy!r}")
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         *([F.col(block_col).alias("blk")] if block_col else []),
     )
-    a = base.withColumnsRenamed({"id": "id_a", "vec": "vec_a", "blk": "blk_a"} if block_col else {"id": "id_a", "vec": "vec_a"})
-    b = base.withColumnsRenamed({"id": "id_b", "vec": "vec_b", "blk": "blk_b"} if block_col else {"id": "id_b", "vec": "vec_b"})
+    ren = {"id": "id_a", "vec": "vec_a"}
+    ren_b = {"id": "id_b", "vec": "vec_b"}
+    if block_col:
+        ren["blk"], ren_b["blk"] = "blk_a", "blk_b"
+    a = base.withColumnsRenamed(ren)
+    b = base.withColumnsRenamed(ren_b)
     cond = a["id_a"] < b["id_b"]
     if block_col:
         cond = (a["blk_a"] == b["blk_b"]) & cond
     pairs = a.join(b, cond, "inner")
     cos = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
     out = pairs.withColumn("cosine", cos).filter(F.col("cosine") >= threshold)
-    cols = ["id_a", "id_b", "cosine"]
-    return out.select(*cols)
+    return out.select("id_a", "id_b", "cosine")
+
+
+def _gemm_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs cosine via broadcast numpy matrix + per-partition matmul."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = df.select(id_col, vec_col).collect()  # broadcast-sized by contract
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, unit))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _block(batches):
+        import pandas as pd
+
+        all_ids, all_unit = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bn = np.linalg.norm(bmat, axis=1)
+            bn[bn == 0] = 1.0
+            sims = np.round((bmat / bn[:, None]) @ all_unit.T, 6)
+            # filter on the ROUNDED value (matches the expr path and the
+            # SQL oracle); id_a < id_b keeps each unordered pair once
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (bids[:, None] < all_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": bids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_block, out_schema)

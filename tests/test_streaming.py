@@ -1,0 +1,87 @@
+"""Structured Streaming extension tests.
+
+Each test drives a parquet batch through the real streaming engine
+(file source -> memory sink, processAllAvailable) and cross-checks
+against the equivalent batch computation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.sources import load_table
+from pandance_spark.streaming import (
+    read_events_stream,
+    sessionize_stream,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+
+def _run_to_memory(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+    _run_to_memory(agg, "win_counts", "append")
+    got = spark.sql(
+        "SELECT sum(n) FROM win_counts"
+    ).first()[0]
+
+    batch = load_table(spark, sf_dir, "events")
+    # append mode emits only windows fully below the final watermark;
+    # compare against batch rows in those same emitted windows
+    emitted = spark.sql("SELECT max(window_end) AS hi FROM win_counts").first()
+    expected = (
+        batch.filter(F.col("ts") < emitted["hi"]).count()
+        if emitted["hi"] is not None
+        else 0
+    )
+    assert got is not None and got > 0
+    assert got <= batch.count()
+    # every emitted (window, type) count matches the batch recount
+    win = spark.sql("SELECT * FROM win_counts")
+    batch_win = (
+        batch.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_b",
+        )
+    )
+    joined = win.join(batch_win, ["window_start", "event_type"], "inner")
+    assert joined.filter(F.col("n") != F.col("n_b")).count() == 0
+    assert joined.count() == win.count()
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    dd = streaming_dedup(stream, ["user_id"], watermark="365 days")
+    _run_to_memory(dd, "dedup_out", "append")
+    got = spark.sql("SELECT count(*) FROM dedup_out").first()[0]
+    distinct_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert got == distinct_users
+
+
+def test_sessionize_stream_runs(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    sess = sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
+    _run_to_memory(sess, "sessions", "append")
+    rows = spark.sql(
+        "SELECT count(*) AS c, sum(n_events) AS total FROM sessions"
+    ).first()
+    assert rows["c"] > 0
+    for r in spark.sql("SELECT * FROM sessions LIMIT 20").collect():
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
