@@ -52,6 +52,21 @@ __all__ = [
 _PRIME = (1 << 31) - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has
+    too few partitions (e.g. one small parquet file -> 1 partition ->
+    every per-row pipeline below runs single-threaded).  A no-op for
+    healthy inputs; at real scale file splitting already yields
+    enough partitions and this never fires."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(target // 2, 2):
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
 def _hash_params(num_hashes: int, seed: int = 42):
     """Deterministic (a, b) pairs for the universal hash family
     h_i(x) = (a_i * x + b_i) mod p — seeded, reproducible across runs."""
@@ -172,6 +187,7 @@ def minhash_candidates(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    df = _spread(df)
     # stage the hash array behind a projection so the per-slot
     # transforms share it instead of re-hashing the text 64x
     hashed_df = df.select(
@@ -228,6 +244,7 @@ def dedup_minhash(
     broadcast-or-shuffle hash joins on the id, then a per-row
     array_intersect / array_union.
     """
+    df = _spread(df)
     cands = minhash_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
@@ -297,6 +314,7 @@ def simhash_candidates(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
+    df = _spread(df)
     sh = df.select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), seed).alias("__sh")
     )
@@ -349,44 +367,59 @@ def ngram_jaccard_join(
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity self-join (no approximation).
 
-    Inverted-index shape: explode distinct shingles, self-equi-join on
-    the shingle string (only docs sharing >= 1 shingle ever meet — work
-    is proportional to the inverted-index collision count, not rows²),
-    count shared shingles per pair, compute |A∩B| / |A∪B|.
-    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    AllPairs/PPJoin-style **prefix filtering**: sort each document's
+    distinct shingle-hash set under a fixed global order; a pair with
+    ``J >= t`` MUST share an element within the first
+    ``|s| - ceil(t*|s|) + 1`` elements of each side (if the prefixes
+    were disjoint, the overlap could be at most ``|s| - prefix_len <
+    t * |s| <= t * |union|``).  So the inverted index holds only the
+    prefix — candidate generation shrinks ~``(1-t)²``-fold versus
+    indexing every shingle — and exact Jaccard on the full sets
+    verifies each candidate.  Exact for any fixed total order; we use
+    the hash value itself.
+
+    Shuffles: one explode+equi-join on 8-byte prefix hashes (work
+    proportional to prefix collisions, never rows²), then two hash
+    joins to fetch the full sets.  Returns (id_a, id_b, jaccard),
+    id_a < id_b, jaccard rounded to 6dp.
     """
+    df = _spread(df)
     sets_df = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__set"),
+        F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col(text_col), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            )
+        ).alias("__set"),
     )
-    sizes = sets_df.select("id", F.size("__set").alias("n"))
-    # invert on the 64-bit shingle hash, not the string: the shuffle
-    # moves 8-byte keys instead of full shingles (collision probability
-    # over a corpus vocabulary is ~|shingles|^2 / 2^64 — negligible)
+    n = F.size("__set")
+    prefix_len = F.greatest(
+        n - F.ceil(n * F.lit(float(threshold))) + 1, F.lit(1)
+    ).cast("int")
     inv = sets_df.select(
-        "id", F.explode(F.transform("__set", lambda s: F.xxhash64(s))).alias("sh")
+        "id", F.explode(F.slice("__set", F.lit(1), prefix_len)).alias("sh")
     )
     a = inv.withColumnRenamed("id", "id_a")
     b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
-    shared = (
+    cands = (
         a.join(b, (a["sh"] == b["sh_b"]) & (a["id_a"] < b["id_b"]), "inner")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    na = sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"})
-    nb = sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"})
-    out = (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
-            ),
-        )
+    sa = sets_df.withColumnsRenamed({"id": "id_a", "__set": "__set_a"})
+    sb = sets_df.withColumnsRenamed({"id": "id_b", "__set": "__set_b"})
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size("__set_a") + F.size("__set_b") - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jacc, 6))
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return out.select("id_a", "id_b", "jaccard")
 
 
 def embedding_cosine_pairs(
@@ -484,4 +517,4 @@ def _gemm_cosine_pairs(
                 {"id_a": bids[ii], "id_b": all_ids[jj], "cosine": sims[ii, jj]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_block, out_schema)
+    return _spread(df.select(id_col, vec_col)).mapInPandas(_block, out_schema)

@@ -59,7 +59,11 @@ from pandance_spark._kernel import (
     validate_fuzzy_types,
     validate_tol_value,
 )
-from pandance_spark.operators.ineq import _parse_bytes_conf, _plan_size_bytes
+from pandance_spark.operators.ineq import (
+    _BNL_MAX_BYTES,
+    _parse_bytes_conf,
+    _plan_size_bytes,
+)
 
 __all__ = ["fuzzy_join"]
 
@@ -152,9 +156,15 @@ def fuzzy_join(
 
 
 def _pick_strategy(left: DataFrame, right: DataFrame) -> str:
+    # the range form is a nested-loop join — only sane when the smaller
+    # side is dimension-table sized (see ineq._BNL_MAX_BYTES); the band
+    # form is a hash join and safe at any scale
     spark = left.sparkSession
-    threshold = _parse_bytes_conf(
-        spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+    threshold = min(
+        _parse_bytes_conf(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+        ),
+        _BNL_MAX_BYTES,
     )
     lsz, rsz = _plan_size_bytes(left), _plan_size_bytes(right)
     if lsz is None or rsz is None:

@@ -121,6 +121,15 @@ def _plan_size_bytes(df: DataFrame) -> Optional[int]:
         return None
 
 
+# Max bytes of the SMALLER side for which a nested-loop join is still
+# sane.  Deliberately much stricter than autoBroadcastJoinThreshold:
+# broadcast feasibility (ship 10 MB) is not nested-loop feasibility
+# (compare EVERY pair against it) — a 10 MB side is ~100k rows, and
+# 100k x 1M comparisons is already a 1e11 disaster.  ~256 KB keeps the
+# BNLJ path for genuine dimension tables (a few thousand rows).
+_BNL_MAX_BYTES = 256 * 1024
+
+
 def _pick_strategy(
     left: DataFrame, right: DataFrame, lcol: str, rcol: str
 ) -> str:
@@ -128,12 +137,15 @@ def _pick_strategy(
     if not (is_numeric_type(ltype) or is_timestamp_type(ltype)):
         return "bnl"  # band path needs quantiles -> numeric/timestamp only
     spark = left.sparkSession
-    threshold = _parse_bytes_conf(
-        spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+    threshold = min(
+        _parse_bytes_conf(
+            spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+        ),
+        _BNL_MAX_BYTES,
     )
     lsz, rsz = _plan_size_bytes(left), _plan_size_bytes(right)
     if lsz is None or rsz is None:
-        return "bnl"
+        return "band"
     return "bnl" if min(lsz, rsz) <= max(threshold, 0) else "band"
 
 
