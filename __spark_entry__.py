@@ -235,6 +235,76 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    return asof_join(
+        clicks, views, left_on="c_ts", right_on="v_ts", by=["user_id"],
+        direction="backward", how="left",
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    auto = customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    negative = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.union(auto).distinct().exceptAll(negative.distinct())
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"O": "n_open", "F": "n_filled", "P": "n_partial"})
+    )
+    # pivot yields NULL for absent combinations; count semantics say 0
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_open", "n_filled", "n_partial")
+        ],
+    )
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
 def _q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -317,7 +387,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "multimodal_meta": _q_multimodal_meta,
+        # as-of join (time-series extension)
+        "asof_click_view": _q_asof_click_view,
         # inherited relational coverage
+        "set_ops": _q_set_ops,
+        "rollup_orders": _q_rollup_orders,
+        "pivot_status": _q_pivot_status,
+        "json_extract": _q_json_extract,
+        "topk_orders": _q_topk_orders,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
         "sessionize": _q_sessionize,
@@ -492,6 +569,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'text/plain' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "asof_click_view": """
+            WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts,
+                              event_id AS c_id
+                       FROM events WHERE event_type = 'click'),
+                 v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts,
+                              event_id AS v_id
+                       FROM events WHERE event_type = 'view')
+            SELECT c.user_id, c.c_ts, c.c_id, v.v_ts, v.v_id
+            FROM c ASOF LEFT JOIN v
+              ON c.user_id = v.user_id AND c.c_ts >= v.v_ts
+        """,
+        "set_ops": """
+            SELECT c_custkey FROM (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+            )
+            EXCEPT ALL
+            SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (o_orderstatus = 'P') AS n_partial
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

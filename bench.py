@@ -96,6 +96,7 @@ def main():
         "fuzzy_numeric",
         "fuzzy_timestamps",
         "theta_expr_mod",
+        "asof_click_view",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash",

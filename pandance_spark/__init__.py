@@ -13,6 +13,7 @@ Public API parity with the reference (``pandance/pandance.py:17``,
 pandas DataFrames.
 """
 
+from pandance_spark.operators.asof import asof_join
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.theta import theta_join
@@ -27,6 +28,7 @@ __all__ = [
     "fuzzy_join",
     "theta_join",
     "ineq_join",
+    "asof_join",
     "_estimate_mem_cost_cartesian",
     "estimate_mem_cost_cartesian",
 ]
