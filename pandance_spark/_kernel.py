@@ -52,9 +52,9 @@ _NUMERIC_TYPES = (
     T.DecimalType,
 )
 
-_TIMESTAMP_TYPES: tuple = (T.TimestampType,)
+_TIMESTAMP_TYPES: tuple = (T.TimestampType, T.DateType)
 if hasattr(T, "TimestampNTZType"):  # Spark >= 3.4
-    _TIMESTAMP_TYPES = (T.TimestampType, T.TimestampNTZType)
+    _TIMESTAMP_TYPES = (T.TimestampType, T.TimestampNTZType, T.DateType)
 
 
 def is_numeric_type(dtype: T.DataType) -> bool:

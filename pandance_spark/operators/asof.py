@@ -90,7 +90,7 @@ def asof_join(
     rtype = right2.schema[rts].dataType
 
     def _ord(col: Column, dt: T.DataType) -> Column:
-        v = F.unix_micros(col) if is_timestamp_type(dt) else col.cast("double")
+        v = F.unix_micros(col.cast("timestamp")) if is_timestamp_type(dt) else col.cast("double")
         return -v if direction == "forward" else v
 
     rpayload_cols = [c for c in right2.columns if c not in by]
@@ -138,12 +138,12 @@ def asof_join(
             else float(tolerance)
         )
         lval = (
-            F.unix_micros(F.col(f"__l.{lts}"))
+            F.unix_micros(F.col(f"__l.{lts}").cast("timestamp"))
             if is_timestamp_type(ltype)
             else F.col(f"__l.{lts}").cast("double")
         )
         rval = (
-            F.unix_micros(F.col(f"__match.{rts}"))
+            F.unix_micros(F.col(f"__match.{rts}").cast("timestamp"))
             if is_timestamp_type(rtype)
             else F.col(f"__match.{rts}").cast("double")
         )

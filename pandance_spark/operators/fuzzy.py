@@ -105,8 +105,8 @@ def fuzzy_join(
 
     if mode == "timestamp":
         tol_us = tolerance_to_micros(tol)
-        lval = F.unix_micros(left2[lcol])
-        rval = F.unix_micros(right2[rcol])
+        lval = F.unix_micros(left2[lcol].cast("timestamp"))
+        rval = F.unix_micros(right2[rcol].cast("timestamp"))
         tol_lit = F.lit(tol_us)
         bucket_width = float(tol_us)
     else:

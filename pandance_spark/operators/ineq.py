@@ -201,7 +201,7 @@ def _parse_bytes_conf(spark, key: str, default: int) -> int:
 def _as_numeric(col: Column, dtype: T.DataType) -> Column:
     """Quantile-able numeric view of a column (timestamps -> micros)."""
     if is_timestamp_type(dtype):
-        return F.unix_micros(col)
+        return F.unix_micros(col.cast("timestamp"))
     return col.cast("double")
 
 

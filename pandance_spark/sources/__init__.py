@@ -81,3 +81,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None,
+             **options) -> DataFrame:
+    """Format-dispatching reader (parquet/orc/csv/json).
+
+    Always pass an explicit ``schema`` for csv/json in production —
+    inference scans the data twice and types drift between runs."""
+    configure_session(spark)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv" and "header" not in options:
+        options["header"] = "true"
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by=None,
+    **options,
+) -> None:
+    """Format-dispatching writer.  ``partition_by`` columns become
+    directory partitions — the layout that gives downstream readers
+    partition pruning for free."""
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(
+            *([partition_by] if isinstance(partition_by, str) else partition_by)
+        )
+    if fmt == "csv" and "header" not in options:
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)

@@ -1,0 +1,72 @@
+"""Source/sink round-trip tests (the reference has no storage layer —
+SURVEY.md §2.3; Spark provides it, these prove the engine's surface)."""
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark import fuzzy_join
+from pandance_spark.plans.mem import estimate_mem_cost_cartesian
+from pandance_spark.sources import load_table, read_any, register_views, write_table
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory(prefix="pdx_sources_") as d:
+        yield d
+
+
+def test_parquet_partitioned_roundtrip(spark, sf_dir, tmpdir):
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(tmpdir, "events_part")
+    write_table(ev, out, fmt="parquet", partition_by="event_type")
+    back = read_any(spark, out, "parquet")
+    assert back.count() == ev.count()
+    # partition pruning: a filter on the partition column must prune paths
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert pruned.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmpdir):
+    nation = load_table(spark, sf_dir, "nation")
+    for fmt in ("csv", "json", "orc"):
+        out = os.path.join(tmpdir, f"nation_{fmt}")
+        write_table(nation, out, fmt=fmt)
+        back = read_any(spark, out, fmt, schema=nation.schema)
+        assert back.count() == 25
+        assert {r["n_name"] for r in back.collect()} == {
+            r["n_name"] for r in nation.collect()
+        }
+
+
+def test_register_views_sql(spark, sf_dir):
+    register_views(spark, sf_dir)
+    n = spark.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).first()[0]
+    assert n > 0
+
+
+def test_mem_estimator_positive(spark, sf_dir):
+    a = load_table(spark, sf_dir, "customer")
+    b = load_table(spark, sf_dir, "supplier")
+    mib = estimate_mem_cost_cartesian(a, b)
+    assert mib >= 0  # advisory, never raises
+
+
+def test_fuzzy_join_on_dates(spark):
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 10)), (2, d(2024, 3, 1))], "id long, day date"
+    )
+    right = spark.createDataFrame(
+        [(10, d(2024, 1, 12)), (20, d(2024, 6, 30))], "id long, day date"
+    )
+    out = fuzzy_join(left, right, on="day", tol=dt.timedelta(days=3))
+    got = {(r["id_x"], r["id_y"]) for r in out.collect()}
+    assert got == {(1, 10)}
