@@ -15,6 +15,13 @@ rounded on both sides (engine summation order differs in the last bits).
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the driver may import this file from outside the repo; make the
+# package resolvable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import datetime as dt
 import decimal
 import math
@@ -235,6 +242,35 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.functions.split import hash_split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_split_bucket(F.col("doc_id"), 1000)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        (bucket < 800).alias("is_train"),
+    )
+
+
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality filter -> exact
+    dedup by content fingerprint -> language filter -> token budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter((F.col("quality") >= 0.8) & (F.col("lang") == "en"))
+    deduped = dedup_exact(scored, ["fp"], tie_breaker="doc_id")
+    return deduped.filter(F.col("n_tokens") >= 20).select(
+        "doc_id", "fp", "quality", "n_tokens"
+    )
+
+
 def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.operators.asof import asof_join
 
@@ -387,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "multimodal_meta": _q_multimodal_meta,
+        # training-pipeline composition
+        "train_split": _q_train_split,
+        "corpus_clean": _q_corpus_clean,
         # as-of join (time-series extension)
         "asof_click_view": _q_asof_click_view,
         # inherited relational coverage
@@ -569,6 +608,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'text/plain' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 1000 AS bucket,
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1000) < 800 AS is_train
+            FROM documents
+        """,
+        "corpus_clean": """
+            WITH scored AS (
+              SELECT doc_id, lang, md5(text) AS fp,
+                     round(0.3 * (CASE WHEN length(text) BETWEEN 100 AND 20000
+                                  THEN 1.0 ELSE 0.0 END)
+                         + 0.3 * (CASE WHEN length(text) > 0 THEN
+                                  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                                    / length(text) ELSE 0.0 END)
+                         + 0.2 * (CASE WHEN
+                                  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) > 0
+                                  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                                    / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+                                    BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                         + 0.2 * (CASE WHEN regexp_matches(lower(text), '\\b(the|a|of|and|to|in)\\b')
+                                  THEN 1.0 ELSE 0.0 END), 4) AS quality,
+                     len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), filtered AS (
+              SELECT * FROM scored WHERE quality >= 0.8 AND lang = 'en'
+            ), deduped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM filtered
+              ) WHERE rn = 1
+            )
+            SELECT doc_id, fp, quality, n_tokens FROM deduped WHERE n_tokens >= 20
         """,
         "asof_click_view": """
             WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts,

@@ -55,6 +55,29 @@ def workload_f(spark):
     return lambda: fuzzy_join(a, b, on="val", tol=0.1, strategy="band")
 
 
+def workload_f_x10(spark):
+    """Workload F at 10x the reference scale (100k x 100k, ~10.7M
+    matches) — the scaling evidence: the band join's work grows with
+    output size, so 10x input / ~100x output should cost ~linear-in-
+    output, not the 100x a nested loop would."""
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    n = 100_000
+    import pandas as pd
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"idx": range(n), "val": rng.normal(-2.0, 1.0, n)})
+    ).cache()
+    b = spark.createDataFrame(
+        pd.DataFrame({"idx": range(n), "val": rng.normal(2.0, 1.0, n)})
+    ).cache()
+    a.count(), b.count()
+    from pandance_spark import fuzzy_join
+
+    return lambda: fuzzy_join(a, b, on="val", tol=0.1, strategy="band")
+
+
 def workload_i(spark):
     """BASELINE Workload I (generator: reference test/performance.py:96-108).
     7,874,250 output rows at A=B=3000, overlap 1500."""
@@ -72,6 +95,11 @@ def workload_i(spark):
 
 
 def main():
+    # 32 python workers each spinning a multi-threaded BLAS thrashes the
+    # box; the matrices here are small — one BLAS thread per worker
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -124,7 +152,11 @@ def main():
         _consume(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    for name, builder in (("workload_f", workload_f), ("workload_i", workload_i)):
+    for name, builder in (
+        ("workload_f", workload_f),
+        ("workload_f_x10", workload_f_x10),
+        ("workload_i", workload_i),
+    ):
         join_fn = builder(spark)  # input setup excluded from the timing
         t0 = time.time()
         _consume(join_fn())

@@ -40,6 +40,7 @@ __all__ = [
     "tolerance_to_micros",
     "is_numeric_type",
     "is_timestamp_type",
+    "spread_partitions",
 ]
 
 _NUMERIC_TYPES = (
@@ -63,6 +64,21 @@ def is_numeric_type(dtype: T.DataType) -> bool:
 
 def is_timestamp_type(dtype: T.DataType) -> bool:
     return isinstance(dtype, _TIMESTAMP_TYPES)
+
+
+def spread_partitions(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input has
+    too few partitions (e.g. one small parquet file -> 1 partition ->
+    per-row pipelines and nested-loop streams run single-threaded).
+    A no-op for healthy inputs; at real scale file splitting already
+    yields enough partitions and this never fires."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(target // 2, 2):
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
 
 
 def resolve_join_columns(

@@ -1,0 +1,49 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``randomSplit`` is nondeterministic across partitionings; training-data
+pipelines need splits that are stable across runs, engines and cluster
+sizes — a pure function of the row's key.  ``hash_split_bucket`` maps a
+key column to a bucket in [0, buckets) via md5 (portable: the DuckDB /
+any-engine oracle computes the identical bucket), so "bucket < 80" is a
+stable 80/20 train split.
+
+For the hot path, ``hash_split_bucket_fast`` uses xxhash64 — cheaper,
+engine-specific (no cross-engine oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split_bucket", "hash_split_bucket_fast", "split_train_test"]
+
+
+def hash_split_bucket(key: Column, buckets: int = 100) -> Column:
+    """Portable deterministic bucket in [0, buckets): the first 8 hex
+    chars of md5(key) parsed as an integer, mod buckets.  Identical in
+    any engine with md5 + string ops (the DuckDB oracle recomputes it)."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split_bucket_fast(key: Column, buckets: int = 100, seed: int = 42) -> Column:
+    """xxhash64 variant — faster, engine-specific."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(buckets))
+
+
+def split_train_test(df, key_col: str, train_fraction: float = 0.8):
+    """(train_df, test_df) split deterministically by ``key_col``.
+
+    Rows with the same key always land in the same side — the property
+    that prevents train/test leakage of near-identical records sharing
+    a key (url, doc id, user id)."""
+    if not 0.0 < train_fraction < 1.0:
+        raise ValueError("train_fraction must be in (0, 1)")
+    bucket = hash_split_bucket(F.col(key_col), 1000)
+    cut = int(train_fraction * 1000)
+    return df.filter(bucket < cut), df.filter(bucket >= cut)

@@ -52,19 +52,7 @@ __all__ = [
 _PRIME = (1 << 31) - 1
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has
-    too few partitions (e.g. one small parquet file -> 1 partition ->
-    every per-row pipeline below runs single-threaded).  A no-op for
-    healthy inputs; at real scale file splitting already yields
-    enough partitions and this never fires."""
-    try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(target // 2, 2):
-            return df.repartition(target)
-    except Exception:
-        pass
-    return df
+from pandance_spark._kernel import spread_partitions as _spread  # noqa: E402
 
 
 def _hash_params(num_hashes: int, seed: int = 42):

@@ -44,7 +44,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pandance_spark._kernel import apply_suffixes, resolve_join_columns
+from pandance_spark._kernel import (
+    apply_suffixes,
+    resolve_join_columns,
+    spread_partitions,
+)
 
 __all__ = ["theta_join"]
 
@@ -97,22 +101,36 @@ def theta_join(
     )
     out_cols = [*left2.columns, *right2.columns]
 
-    pred = _build_predicate(condition, left2[lcol], right2[rcol])
-    return left2.crossJoin(right2).filter(pred).select(*out_cols)
+    pred, is_udf = _build_predicate(condition, left2[lcol], right2[rcol])
+    if is_udf:
+        # python-predicate path: cross-join parallelism equals the
+        # stream side's partition count — fan a narrow input out first
+        left2 = spread_partitions(left2)
+    joined = left2.crossJoin(right2)
+    pred_type = joined.select(pred.alias("__pred")).schema[0].dataType
+    if not isinstance(pred_type, T.BooleanType):
+        raise TypeError(
+            "theta_join condition must be boolean; got a "
+            f"{pred_type.simpleString()} expression — comparisons like "
+            "`lambda x, y: abs(x - y) <= t` return booleans, bare "
+            "arithmetic does not"
+        )
+    return joined.filter(pred).select(*out_cols)
 
 
-def _build_predicate(condition: ConditionType, lcol: Column, rcol: Column) -> Column:
+def _build_predicate(condition: ConditionType, lcol: Column, rcol: Column):
+    """Returns (predicate Column, is_python_udf)."""
     if isinstance(condition, Column):
-        return condition
+        return condition, False
     # try the Column fast path: many scalar lambdas (arithmetic,
     # comparisons, abs, %) are polymorphic and work on Columns directly
     try:
         candidate = condition(lcol, rcol)
         if isinstance(candidate, Column):
-            return candidate
+            return candidate, False
     except Exception:
         pass
-    return _python_predicate(condition)(lcol, rcol)
+    return _python_predicate(condition)(lcol, rcol), True
 
 
 def _python_predicate(condition: Callable):
@@ -126,6 +144,19 @@ def _python_predicate(condition: Callable):
 
     @F.pandas_udf(T.BooleanType())
     def _cond(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        # try the whole Arrow batch at once first: numpy-style conditions
+        # (ufunc arithmetic, comparisons) vectorize ~100x over the loop
+        try:
+            res = condition(xs, ys)
+            if isinstance(res, pd.Series) and res.dtype == bool and len(res) == len(xs):
+                return res
+            import numpy as np
+
+            if isinstance(res, np.ndarray) and res.dtype == bool and len(res) == len(xs):
+                return pd.Series(res, index=xs.index)
+        except Exception:
+            pass
+
         def safe(x, y):
             try:
                 return bool(condition(x, y))

@@ -38,6 +38,9 @@ def configure_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        # band joins can produce hot partitions (skewed keys, dense
+        # buckets); AQE splits skewed partitions at runtime
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
         # Spark cannot scan parquet TIMESTAMP(NANOS) columns natively;
         # read them as long nanos and convert (truncate) to micros —
         # the same truncation DuckDB applies casting TIMESTAMP_NS ->
@@ -96,6 +99,45 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None,
     if fmt == "csv" and "header" not in options:
         options["header"] = "true"
     return reader.options(**options).format(fmt).load(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    num_buckets: int = 32,
+    sort_cols=None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+
+    Two tables bucketed on the same key with the same bucket count
+    equi-join WITHOUT a shuffle — the pre-partitioning replaces the
+    exchange, the single biggest lever for repeated joins over 100 TB
+    fact tables.  (Requires ``saveAsTable``; plain ``.save(path)``
+    cannot record bucketing metadata.)
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if mode == "overwrite":
+        # an in-memory catalog forgets tables across sessions while the
+        # warehouse directory persists; drop first so overwrite can't
+        # hit LOCATION_ALREADY_EXISTS for a table we own
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sort_cols)
+    try:
+        writer.format("parquet").saveAsTable(table)
+    except Exception as e:
+        if "LOCATION_ALREADY_EXISTS" in str(e):
+            raise RuntimeError(
+                f"table {table!r} has an orphaned warehouse directory from a "
+                "previous session (in-memory catalog lost the table entry). "
+                "Remove the directory under spark.sql.warehouse.dir or pick "
+                "a new table name."
+            ) from e
+        raise
 
 
 def write_table(

@@ -21,6 +21,7 @@ def spark():
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.warehouse.dir", "/tmp/pdx_warehouse")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -70,3 +70,29 @@ def test_fuzzy_join_on_dates(spark):
     out = fuzzy_join(left, right, on="day", tol=dt.timedelta(days=3))
     got = {(r["id_x"], r["id_y"]) for r in out.collect()}
     assert got == {(1, 10)}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmpdir):
+    from pandance_spark.sources import save_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        save_bucketed(orders, "orders_b", "o_orderkey", num_buckets=8,
+                      sort_cols="o_orderkey")
+        save_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "lineitem_b", "o_orderkey", num_buckets=8, sort_cols="o_orderkey",
+        )
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: no Exchange on either side
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
