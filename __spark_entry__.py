@@ -271,6 +271,25 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.operators.overlap import overlap_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("start"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(mins=F.floor(F.col("value")).cast("int"))
+        ).alias("end"),
+    )
+    a = iv.filter(F.col("event_id") % 13 == 0)
+    b = iv.filter(F.col("event_id") % 13 == 1)
+    return overlap_join(
+        a, b, "start", "end", "start", "end", strategy="band", num_bands=16
+    )
+
+
 def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.operators.asof import asof_join
 
@@ -426,8 +445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-pipeline composition
         "train_split": _q_train_split,
         "corpus_clean": _q_corpus_clean,
-        # as-of join (time-series extension)
+        # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
+        "overlap_sessions": _q_overlap_sessions,
         # inherited relational coverage
         "set_ops": _q_set_ops,
         "rollup_orders": _q_rollup_orders,
@@ -654,6 +674,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.user_id, c.c_ts, c.c_id, v.v_ts, v.v_id
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.c_ts >= v.v_ts
+        """,
+        "overlap_sessions": """
+            WITH iv AS (
+              SELECT event_id, CAST(ts AS TIMESTAMP) AS start,
+                     CAST(ts AS TIMESTAMP)
+                       + to_minutes(CAST(floor(value) AS BIGINT)) AS "end"
+              FROM events
+            ),
+            a AS (SELECT event_id AS event_id_x, start AS start_x,
+                         "end" AS end_x FROM iv WHERE event_id % 13 = 0),
+            b AS (SELECT event_id AS event_id_y, start AS start_y,
+                         "end" AS end_y FROM iv WHERE event_id % 13 = 1)
+            SELECT a.*, b.* FROM a JOIN b
+              ON a.start_x <= b.end_y AND b.start_y <= a.end_x
         """,
         "set_ops": """
             SELECT c_custkey FROM (

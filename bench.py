@@ -125,6 +125,7 @@ def main():
         "fuzzy_timestamps",
         "theta_expr_mod",
         "asof_click_view",
+        "overlap_sessions",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash",

@@ -27,7 +27,7 @@ every earlier bucket) is broadcast back — still one data shuffle.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -195,12 +195,12 @@ def _bucketed_running_last(union: DataFrame, num_buckets: int) -> DataFrame:
         .groupBy("__bucket")
         .agg(F.max_by("__r", F.struct(F.col("__ord"), F.col("__tag"))).alias("__last_r"))
     )
-    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    carry = per_bucket.select(
-        "__bucket", F.col("__last_r")
-    ).withColumn("__carry_tmp", F.last("__last_r", ignorenulls=True).over(
-        Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, 0)
-    ))
+    carry = per_bucket.withColumn(
+        "__carry_tmp",
+        F.last("__last_r", ignorenulls=True).over(
+            Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
     # carry for bucket k = last right row in any bucket < k: build a
     # complete bucket index so buckets with no right rows still carry
     spark = union.sparkSession

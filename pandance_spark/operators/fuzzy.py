@@ -110,17 +110,12 @@ def fuzzy_join(
         tol_lit = F.lit(tol_us)
         bucket_width = float(tol_us)
     else:
-        if isinstance(tol, decimal.Decimal):
-            tol_lit = F.lit(tol)
-            bucket_width = float(tol)
-        else:
-            tol_lit = F.lit(tol)
-            bucket_width = float(tol)
+        # decimal columns: the exact predicate runs in decimal
+        # arithmetic; only the bucket id uses a double approximation
+        # (the +-2 explode margin absorbs that rounding)
+        tol_lit = F.lit(tol)
+        bucket_width = float(tol)
         lval, rval = left2[lcol], right2[rcol]
-        if isinstance(ltype, T.DecimalType) or isinstance(rtype, T.DecimalType):
-            # exact predicate in decimal; bucketing may use a double
-            # approximation (the +-2 margin absorbs the rounding)
-            pass
 
     exact = F.abs(lval - rval) <= tol_lit
 
