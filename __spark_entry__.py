@@ -45,7 +45,11 @@ from pandance_spark.operators.dedup import (
     simhash_candidates,
 )
 from pandance_spark.operators.multimodal import attach_binary_payload
-from pandance_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from pandance_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
 from pandance_spark.sources import load_table
 
 
@@ -198,6 +202,14 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(
         queries, emb, "vec_id", "vec_id", k=5, dim=64, num_planes=4
+    )
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(
+        queries, emb, "vec_id", "vec_id", k=5, n_clusters=8, n_probe=4
     )
 
 
@@ -437,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         # text analysis / multimodal
         "text_stats": _q_text_stats,
         "text_quality": _q_text_quality,

@@ -34,9 +34,13 @@ from pyspark.sql import types as T
 __all__ = [
     "MEDIA_SCHEMA",
     "pack_fake_image",
+    "pack_fake_video",
     "attach_binary_payload",
     "fake_decode_meta",
     "decode_image",
+    "resize_image",
+    "fake_resize",
+    "sample_frames",
     "byte_histogram_features",
 ]
 
@@ -129,6 +133,99 @@ def fake_decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(_decode, out_schema)
+
+
+def resize_image(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
+    """STUB — real resampling needs an image codec (PIL/libvips), absent
+    here.  Production shape: a ``mapInPandas`` stage decoding, resizing
+    and re-encoding per Arrow batch (see :func:`fake_resize` for the
+    exercised plumbing)."""
+    raise NotImplementedError(
+        "image codec not available in this environment; use fake_resize "
+        "for pipeline testing or plug a codec into a mapInPandas stage"
+    )
+
+
+def fake_resize(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Deterministic stand-in resize: rewrites the fake header to the
+    target dims and truncates/tiles the body to width*height bytes
+    (capped like :func:`pack_fake_image`).  Real ``mapInPandas``
+    batching; fake resampling math."""
+    out_schema = df.schema
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        body_len = min(width * height, 4096)
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if raw[:4] != _MAGIC:
+                    out.append(payload)
+                    continue
+                body = raw[12:]
+                body = (body * (body_len // max(len(body), 1) + 1))[:body_len]
+                out.append(_MAGIC + struct.pack("<II", width, height) + body)
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(_resize, out_schema)
+
+
+def pack_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake video: frame-count header + concatenated
+    fixed-size fake frames."""
+    frames = b"".join(
+        pack_fake_image(width, height, seed * 131 + i) for i in range(n_frames)
+    )
+    return b"FVID" + struct.pack("<I", n_frames) + frames
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling over fake-video payloads: explode every k-th frame
+    to its own row (``media_id``, ``frame_index``, ``frame`` binary).
+
+    The plumbing is the real thing — per-batch binary slicing in
+    ``mapInPandas``, one output row per kept frame; swap the slicing
+    for a container demuxer (pyav/ffmpeg) in production.
+    """
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                if raw[:4] != b"FVID":
+                    continue
+                n_frames = struct.unpack("<I", raw[4:8])[0]
+                body = raw[8:]
+                if n_frames == 0 or len(body) % max(n_frames, 1) != 0:
+                    continue
+                frame_size = len(body) // n_frames
+                for i in range(0, n_frames, every_k):
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(body[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(
+                {"media_id": pd.array(ids, dtype="Int64"),
+                 "frame_index": pd.array(idxs, dtype="Int32"),
+                 "frame": frames}
+            )
+
+    return df.mapInPandas(_sample, out_schema)
 
 
 def byte_histogram_features(

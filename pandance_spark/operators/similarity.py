@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from pandance_spark.functions.vectors import cosine_similarity, dot
 
-__all__ = ["cosine_topk", "lsh_bucket", "ann_lsh_topk"]
+__all__ = ["cosine_topk", "lsh_bucket", "ann_lsh_topk", "ann_ivf_topk"]
 
 
 def cosine_topk(
@@ -72,6 +72,81 @@ def _out_names(query_id: str, corpus_id: str):
     if query_id == corpus_id:
         return query_id + "_x", corpus_id + "_y"
     return query_id, corpus_id
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+
+    Index build: fit KMeans over the corpus (pyspark.ml), assign every
+    corpus vector its nearest-centroid cell — a one-off batch job whose
+    output would be persisted (bucketed by cell) in a real deployment.
+    Search: each query visits only its ``n_probe`` nearest cells — an
+    equi-join on cell id + exact cosine + window top-k, so the scan cost
+    drops to ~``n_probe / n_clusters`` of the brute-force baseline.
+
+    Same output schema as :func:`cosine_topk`; recall < 1 by design
+    (raise ``n_probe`` to trade speed for recall).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    qname, cname = _out_names(query_id, corpus_id)
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+    ).withColumn("__feat", array_to_vector("__cv"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(c)
+    c_assigned = model.transform(c).withColumnRenamed("prediction", "__cell")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        "__cell int, __ctr array<double>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+    )
+    from pandance_spark.functions.vectors import l2_distance
+
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("__d", l2_distance(F.col("__qv"), F.col("__ctr")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__qid").orderBy(F.col("__d").asc(), F.col("__cell"))
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select("__qid", "__qv", "__cell")
+    )
+    scored = (
+        qcells.join(c_assigned.select("__cid", "__cv", "__cell"), "__cell", "inner")
+        .select(
+            F.col("__qid").alias(qname),
+            F.col("__cid").alias(cname),
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cosine").desc(), F.col(cname).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list:

@@ -63,3 +63,41 @@ def test_attach_binary_payload_from_documents(spark, sf_dir):
     # metadata filters don't touch payload bytes (column pruning):
     n = media.filter(F.col("meta.n_bytes") > 100).count()
     assert 0 < n <= 50
+
+
+def test_fake_resize_rewrites_dims(spark, media):
+    from pandance_spark.operators.multimodal import fake_resize
+
+    resized = fake_resize(media, 32, 24)
+    out = fake_decode_meta(resized).orderBy("media_id").collect()
+    assert (out[0]["decoded_width"], out[0]["decoded_height"]) == (32, 24)
+    assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (32, 24)
+    assert out[2]["ok"] is False  # non-image payload passes through untouched
+    with pytest.raises(NotImplementedError):
+        from pandance_spark.operators.multimodal import resize_image
+
+        resize_image(media, 32, 24)
+
+
+def test_sample_frames(spark):
+    from pandance_spark.operators.multimodal import pack_fake_video, sample_frames
+
+    rows = [
+        (1, pack_fake_video(10, 8, 8, seed=3), "video/fake", (None, None, None)),
+        (2, b"junk", "application/octet-stream", (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_k=3).orderBy("media_id", "frame_index")
+    got = frames.collect()
+    assert [(r["media_id"], r["frame_index"]) for r in got] == [
+        (1, 0), (1, 3), (1, 6), (1, 9)
+    ]
+    # each frame round-trips through the fake image decoder
+    one = spark.createDataFrame(
+        [(100, bytes(got[0]["frame"]), "image/fake", (None, None, None))],
+        MEDIA_SCHEMA,
+    )
+    dec = fake_decode_meta(one).first()
+    assert (dec["decoded_width"], dec["decoded_height"], dec["ok"]) == (8, 8, True)
+    with pytest.raises(ValueError):
+        sample_frames(media, every_k=0)

@@ -72,3 +72,27 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     a = {(r[0], r[1]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from pandance_spark.operators.similarity import ann_ivf_topk
+    from pandance_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    approx = ann_ivf_topk(
+        queries, emb, "vec_id", "vec_id", k=5, n_clusters=8, n_probe=4
+    )
+    e = {(r[0], r[1]) for r in exact.collect()}
+    a = {(r[0], r[1]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # probing half the cells on near-orthogonal random vectors
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # rank-1 self-hit always survives (a query's own cell is probed)
+    by_q = {}
+    for r in approx.collect():
+        by_q.setdefault(r[0], []).append(r)
+    for q, lst in by_q.items():
+        top = min(lst, key=lambda r: r["rank"])
+        assert top[1] == q and top["cosine"] == pytest.approx(1.0, abs=1e-4)
