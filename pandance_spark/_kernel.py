@@ -224,7 +224,14 @@ def _is_timedelta(tol) -> bool:
     try:  # pandas.Timedelta subclasses datetime.timedelta, but be safe
         import pandas as pd
 
-        return isinstance(tol, pd.Timedelta)
+        if isinstance(tol, pd.Timedelta):
+            return True
+    except ImportError:  # pragma: no cover
+        pass
+    try:  # reference accepts np.timedelta64 (ToleranceType, pandance.py:261)
+        import numpy as np
+
+        return isinstance(tol, np.timedelta64)
     except ImportError:  # pragma: no cover
         return False
 
@@ -237,6 +244,13 @@ def _is_decimal(tol) -> bool:
 
 def tolerance_to_micros(tol) -> int:
     """Convert a timedelta tolerance to integer microseconds."""
+    try:
+        import numpy as np
+
+        if isinstance(tol, np.timedelta64):
+            return int(tol / np.timedelta64(1, "us"))
+    except ImportError:  # pragma: no cover
+        pass
     if hasattr(tol, "value"):  # pandas.Timedelta: nanoseconds
         return int(tol.value) // 1000
     return int(tol / _dt.timedelta(microseconds=1))

@@ -177,3 +177,38 @@ def test_fuzzy_timestamp_band_on_testdata(spark, sf_dir):
     key = ["event_id_x", "event_id_y"]
     assert rows_set(band, key) == rows_set(rng, key)
     assert band.count() > 0
+
+
+def test_fuzzy_numpy_timedelta_tolerance(spark):
+    # reference ToleranceType includes np.timedelta64 (pandance.py:261-262)
+    import numpy as np
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0)], "id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(seconds=30)), (20, t0 + dt.timedelta(minutes=5))],
+        "id long, ts timestamp",
+    )
+    out = fuzzy_join(left, right, on="ts", tol=np.timedelta64(1, "m"))
+    assert rows_set(out, ["id_x", "id_y"]) == {(1, 10)}
+
+
+def test_fuzzy_band_heavy_duplicates(spark):
+    # a join column with very few distinct values (hot buckets): the
+    # band join must neither lose nor duplicate pairs
+    import itertools
+
+    vals = [0.1, 0.2, 0.3, 0.4, 0.5]
+    left = spark.createDataFrame(
+        [(i, vals[i % 5]) for i in range(500)], "id long, v double"
+    )
+    counts = {v: 100 for v in vals}
+    expected_pairs = sum(
+        counts[a] * counts[b]
+        for a, b in itertools.product(vals, vals)
+        if abs(a - b) <= 0.1000001
+    )
+    out = fuzzy_join(left, left, on="v", tol=0.1000001, strategy="band")
+    assert out.count() == expected_pairs
+    rng = fuzzy_join(left, left, on="v", tol=0.1000001, strategy="range")
+    assert rng.count() == expected_pairs
