@@ -363,6 +363,17 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unpivot_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) of the lineitem charge columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="charge_kind",
+        valueColumnName="amount",
+    )
+
+
 def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -466,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": _q_rollup_orders,
         "pivot_status": _q_pivot_status,
         "json_extract": _q_json_extract,
+        "unpivot_charges": _q_unpivot_charges,
         "topk_orders": _q_topk_orders,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -728,6 +740,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
             FROM events
+        """,
+        "unpivot_charges": """
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS charge_kind,
+                   l_extendedprice AS amount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

@@ -27,12 +27,14 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "streaming_dedup",
     "sessionize_stream",
+    "running_user_stats",
 ]
 
 
@@ -113,6 +115,71 @@ def streaming_dedup(
     """
     return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
+    )
+
+
+def running_user_stats(
+    events: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count / value sum / high-water timestamp, one updated
+    row emitted per user per micro-batch.
+
+    This is the escape hatch for stateful logic the built-in streaming
+    aggregations can't express (arbitrary per-group state transition
+    functions).  State is an explicit (count, total, last_ts) tuple the
+    function owns; the engine handles shuffling by key, state store
+    persistence and recovery.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            if len(pdf):
+                batch_max = pdf["ts"].max()
+                last_us = max(last_us, int(batch_max.value) // 1000)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 

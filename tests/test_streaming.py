@@ -85,3 +85,46 @@ def test_sessionize_stream_runs(spark, sf_dir):
     for r in spark.sql("SELECT * FROM sessions LIMIT 20").collect():
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_running_user_stats_stateful(spark, sf_dir):
+    from pandance_spark.streaming import running_user_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    stats = running_user_stats(stream)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("user_stats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in spark.sql(
+            # update mode can emit a row per batch; keep the final row
+            """SELECT user_id, n_events, total_value, last_ts FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn
+                 FROM user_stats) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["total"], r["last"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for u in expected:
+        assert got[u][0] == expected[u][0], u
+        assert abs(got[u][1] - expected[u][1]) < 1e-6, u
+        assert got[u][2] == expected[u][2], u
