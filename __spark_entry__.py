@@ -266,6 +266,21 @@ def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.functions.split import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(docs, "lang", n=40, key_col="doc_id")
+
+
+def _q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
 def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning: quality filter -> exact
     dedup by content fingerprint -> language filter -> token budget."""
@@ -469,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-pipeline composition
         "train_split": _q_train_split,
         "corpus_clean": _q_corpus_clean,
+        "cap_per_lang": _q_cap_per_lang,
+        "price_quantiles": _q_price_quantiles,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
         "overlap_sessions": _q_overlap_sessions,
@@ -688,6 +705,20 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rn = 1
             )
             SELECT doc_id, fp, quality, n_tokens FROM deduped WHERE n_tokens >= 20
+        """,
+        "cap_per_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 40
+        """,
+        "price_quantiles": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+            FROM orders GROUP BY o_orderpriority
         """,
         "asof_click_view": """
             WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts,

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split_bucket", "hash_split_bucket_fast", "split_train_test"]
+__all__ = [
+    "hash_split_bucket",
+    "hash_split_bucket_fast",
+    "split_train_test",
+    "cap_per_group",
+]
 
 
 def hash_split_bucket(key: Column, buckets: int = 100) -> Column:
@@ -34,6 +39,27 @@ def hash_split_bucket_fast(key: Column, buckets: int = 100, seed: int = 42) -> C
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(buckets))
+
+
+def cap_per_group(df, group_cols, n: int, key_col: str):
+    """Keep at most ``n`` rows per group, chosen deterministically by
+    hash order of ``key_col`` (an unbiased, stable "random" sample —
+    the standard cap for over-represented domains/languages in a
+    training corpus).  One shuffle on the group key; rows beyond the
+    cap are dropped before they'd ever be materialized downstream."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
 
 
 def split_train_test(df, key_col: str, train_fraction: float = 0.8):

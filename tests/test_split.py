@@ -63,3 +63,23 @@ def test_split_validation(spark):
         hash_split_bucket(F.col("k"), 0)
     with pytest.raises(ValueError):
         hash_split_bucket_fast(F.col("k"), -1)
+
+
+def test_cap_per_group(spark, sf_dir):
+    from pandance_spark.functions.split import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, "lang", n=30, key_col="doc_id")
+    counts = {r["lang"]: r["c"] for r in
+              capped.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    orig = {r["lang"]: r["c"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    for lang, c in counts.items():
+        assert c == min(orig[lang], 30), lang
+    # deterministic: same rows kept across invocations
+    again = cap_per_group(docs, "lang", n=30, key_col="doc_id")
+    assert {r["doc_id"] for r in capped.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "lang", 0, "doc_id")
