@@ -80,3 +80,62 @@ def test_ineq_matches_brute_force(spark, a, b, data, how):
         # closed form from the reference docs
         # (test_ops.py:407-408, getting_started.rst:322-325)
         assert len(got) == a * b + math.comb(overlap, 2) - overlap * overlap
+
+
+@settings(**_SETTINGS)
+@given(
+    lints=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 30)),
+        min_size=1,
+        max_size=10,
+    ),
+    rints=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 30)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_overlap_band_matches_brute_force(spark, lints, rints):
+    from pandance_spark.operators.overlap import overlap_join
+
+    lrows = [(i, s, s + w) for i, (s, w) in enumerate(lints)]
+    rrows = [(i, s, s + w) for i, (s, w) in enumerate(rints)]
+    left = spark.createDataFrame(lrows, "id long, s long, e long")
+    right = spark.createDataFrame(rrows, "id long, s long, e long")
+    out = overlap_join(left, right, "s", "e", "s", "e", strategy="band", num_bands=4)
+    got = {(r["id_x"], r["id_y"]) for r in out.collect()}
+    # exactly-once check: no duplicate pairs
+    assert out.count() == len(got)
+    expected = {
+        (i, j)
+        for i, ls, le in lrows
+        for j, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    lts=st.lists(st.integers(0, 1000), min_size=1, max_size=12),
+    rts=st.lists(st.integers(0, 1000), min_size=1, max_size=12),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_matches_brute_force(spark, lts, rts, direction):
+    from pandance_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(i, t) for i, t in enumerate(lts)], "i long, t long")
+    right = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(sorted(set(rts)))], "j long, t long"
+    )
+    rrows = sorted(set(rts))
+    out = asof_join(left, right, on="t", direction=direction, how="left", num_buckets=3)
+    got = {r["i"]: r["t_y"] for r in out.collect()}
+    for i, t in enumerate(lts):
+        if direction == "backward":
+            cands = [rt for rt in rrows if rt <= t]
+            expected = max(cands) if cands else None
+        else:
+            cands = [rt for rt in rrows if rt >= t]
+            expected = min(cands) if cands else None
+        assert got[i] == expected, (i, t, direction)
