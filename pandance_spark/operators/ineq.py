@@ -179,7 +179,13 @@ def _try_disjoint_fast_path(
         worst = (lstat["lo"], rstat["hi"])
         best = (lstat["hi"], rstat["lo"])
     if op(*worst):  # even the worst pair matches -> full cross product
-        return left.crossJoin(right).select(*out_cols)
+        # min/max ignore NULLs, but NULL <op> x is never a match — drop
+        # null-keyed rows so the cross product equals the exact join.
+        return (
+            left.filter(F.col(lcol).isNotNull())
+            .crossJoin(right.filter(F.col(rcol).isNotNull()))
+            .select(*out_cols)
+        )
     if not op(*best):  # even the best pair fails -> empty
         return left.join(right, F.lit(False), "inner").select(*out_cols)
     return None
@@ -230,6 +236,11 @@ def _band_join(
         and (is_numeric_type(rtype) or is_timestamp_type(rtype))
     ):
         return None
+    # NULL can never satisfy an inequality, but band_of(NULL) = 0 would
+    # park NULL rows in band 0 where the off-diagonal guaranteed-match
+    # shortcut skips the exact predicate — drop them up front.
+    left = left.filter(F.col(lcol).isNotNull())
+    right = right.filter(F.col(rcol).isNotNull())
     probs = [i / num_bands for i in range(1, num_bands)]
     rnum = right.select(_as_numeric(F.col(rcol), rtype).alias("__v")).dropna()
     try:

@@ -137,6 +137,40 @@ def test_ineq_timestamps_band(spark, sf_dir):
         assert r["ts_x"] > r["ts_y"]
 
 
+@pytest.mark.parametrize("how", ["<", "<=", ">", ">="])
+def test_ineq_nulls_never_match(spark, how):
+    # ADVICE r1 (high): band_of(NULL) = 0 let NULL keys ride the
+    # off-diagonal guaranteed-match shortcut.  NULL <op> x is never a
+    # match — band and bnl must agree on null-containing inputs.
+    left = spark.createDataFrame(
+        [("a", 2), ("b", None), ("c", 5)], "item string, price long"
+    )
+    right = spark.createDataFrame(
+        [("w", 1), ("x", None), ("y", 4), ("z", 9)], "item string, price long"
+    )
+    bnl = ineq_join(left, right, how=how, on="price", strategy="bnl")
+    band = ineq_join(left, right, how=how, on="price", strategy="band", num_bands=4)
+    got_bnl = rows_set(bnl, ["price_x", "price_y"])
+    got_band = rows_set(band, ["price_x", "price_y"])
+    assert got_band == got_bnl
+    assert got_bnl == expected_pairs([2, 5], [1, 4, 9], how)
+    assert all(a is not None and b is not None for a, b in got_band)
+
+
+def test_ineq_nulls_excluded_from_fast_path_cross_product(spark):
+    # disjoint fast path returns a cross product — NULL-keyed rows must
+    # not be in it (min/max ignore NULLs, the join predicate does not).
+    left = spark.createDataFrame(
+        [("a", 1), ("b", None)], "item string, price long"
+    )
+    right = spark.createDataFrame(
+        [("x", 10), ("y", None)], "item string, price long"
+    )
+    out = ineq_join(left, right, how="<", on="price", disjoint_fast_path=True)
+    got = rows_set(out, ["price_x", "price_y"])
+    assert got == {(1, 10)}
+
+
 def test_ineq_validation_errors(prices):
     left, right = prices
     with pytest.raises(ValueError):
