@@ -115,8 +115,18 @@ def _q_fuzzy_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_retailprice").cast("decimal(12,2)").alias("price_d")
     )
-    return fuzzy_join(
+    out = fuzzy_join(
         part, part, on="price_d", tol=decimal.Decimal("0.05"), strategy="band"
+    )
+    # the join runs in exact decimal arithmetic; emit the price columns
+    # as rounded doubles so the result hashes identically across engines
+    # regardless of each engine's decimal rendering (r1: rows matched,
+    # hash didn't — driver-side decimal canonicalization differs)
+    return out.select(
+        "p_partkey_x",
+        F.round(F.col("price_d_x").cast("double"), 2).alias("price_d_x"),
+        "p_partkey_y",
+        F.round(F.col("price_d_y").cast("double"), 2).alias("price_d_y"),
     )
 
 
@@ -616,8 +626,10 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_decimal": """
             WITH p AS (SELECT p_partkey, p_retailprice::DECIMAL(12,2) AS price_d
                        FROM part)
-            SELECT a.p_partkey AS p_partkey_x, a.price_d AS price_d_x,
-                   b.p_partkey AS p_partkey_y, b.price_d AS price_d_y
+            SELECT a.p_partkey AS p_partkey_x,
+                   round(CAST(a.price_d AS DOUBLE), 2) AS price_d_x,
+                   b.p_partkey AS p_partkey_y,
+                   round(CAST(b.price_d AS DOUBLE), 2) AS price_d_y
             FROM p a, p b WHERE abs(a.price_d - b.price_d) <= 0.05
         """,
         "theta_expr_mod": """
