@@ -192,8 +192,11 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable=True -> md5-derived token hashes, so the DuckDB oracle
+    # recomputes the exact same 64-bit signatures (r1 had no oracle:
+    # xxhash64 is engine-specific)
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_candidates(docs, "doc_id", "text", max_hamming=3)
+    return simhash_candidates(docs, "doc_id", "text", max_hamming=3, portable=True)
 
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +660,43 @@ def oracle_sql() -> dict[str, str]:
         # threshold when banding catches every >=0.8 pair (16 bands x 4
         # rows: P(miss | j>=0.8) < 1e-4) — same oracle as the exact join.
         "dedup_minhash": _JACCARD_SQL,
+        # portable (md5-derived) simhash recomputed from scratch: per-token
+        # 64-bit hash as two 32-bit halves, per-bit majority vote, then
+        # all-pairs Hamming distance (500-5000 docs -> trivially cheap)
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(ts) AS t FROM ({_TOKS_CTE})
+            ),
+            h AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+                     CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+              FROM tok
+            ),
+            v AS (
+              SELECT doc_id, bits.b AS b,
+                     count(*) AS n,
+                     sum(((CASE WHEN bits.b < 32 THEN lo ELSE hi END)
+                          >> (bits.b % 32)) & 1) AS c
+              FROM h, range(64) bits(b)
+              GROUP BY doc_id, bits.b
+            ),
+            sh AS (
+              SELECT d.doc_id,
+                     coalesce(sum(CASE WHEN v.b < 32 AND v.c * 2 > v.n
+                                       THEN (1::BIGINT << v.b) ELSE 0 END), 0) AS sh_lo,
+                     coalesce(sum(CASE WHEN v.b >= 32 AND v.c * 2 > v.n
+                                       THEN (1::BIGINT << (v.b - 32)) ELSE 0 END), 0) AS sh_hi
+              FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+              GROUP BY d.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sh_lo, b.sh_lo))
+                     + bit_count(xor(a.sh_hi, b.sh_hi)) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+                    + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+        """,
         "embedding_dedup": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
             FROM embeddings a, embeddings b

@@ -37,6 +37,7 @@ __all__ = [
     "minhash_candidates",
     "dedup_minhash",
     "simhash",
+    "simhash_signatures",
     "simhash_candidates",
     "ngram_jaccard_join",
     "embedding_cosine_pairs",
@@ -253,14 +254,29 @@ def dedup_minhash(
     )
 
 
-def simhash(text: Column, seed: int = 42) -> Column:
+def _token_hash64(t: Column, seed: int, portable: bool) -> Column:
+    """64-bit token hash as a long.  ``portable=False``: xxhash64 (fast,
+    engine-specific).  ``portable=True``: the first 16 hex chars of md5,
+    reproducible bit-for-bit in any engine with md5 (the DuckDB oracle
+    recomputes it) — two 32-bit halves recombined so no unsigned-long
+    parsing is needed on either side."""
+    if not portable:
+        return F.xxhash64(t, F.lit(seed))
+    hx = F.md5(t)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash(text: Column, seed: int = 42, portable: bool = False) -> Column:
     """64-bit SimHash of the token set, as a long.
 
-    Per-token xxhash64; each output bit is the sign of the sum of
-    (+1 / -1) contributions of that bit across tokens.  Pure Column
-    expressions (64 aggregate folds over the per-row token-hash array).
+    Per-token 64-bit hash (xxhash64, or md5-derived when ``portable``);
+    each output bit is the sign of the sum of (+1 / -1) contributions of
+    that bit across tokens.  Pure Column expressions (64 aggregate folds
+    over the per-row token-hash array).
     """
-    hashed = F.transform(tokenize(text), lambda t: F.xxhash64(t, F.lit(seed)))
+    hashed = F.transform(tokenize(text), lambda t: _token_hash64(t, seed, portable))
     # one fold over the token hashes with a 64-slot vote accumulator
     # (NOT 64 separate aggregates — that re-walks the array per bit and
     # bloats codegen).  `masks` is a pure-literal array, safe to
@@ -286,12 +302,61 @@ def simhash(text: Column, seed: int = 42) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-row 64-bit SimHash as (id, __sh) — the scale/perf path.
+
+    Explode tokens and compute the 64 bit-votes as plain ``sum``
+    aggregates (bit_count-style extraction per bit).  Hash aggregation
+    with map-side partial combine does the heavy lifting on flat unsafe
+    rows — unlike the :func:`simhash` Column fold, no per-token 64-slot
+    array is allocated, and token rows of a document aggregate fully
+    within their input partition, so the shuffle carries only one
+    64-counter row per document.  A bit is set when strictly more than
+    half the token hashes have it set (identical to the sign-of-votes
+    rule in :func:`simhash`); tokenless documents get signature 0.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("__t"),
+    ).select("id", _token_hash64(F.col("__t"), seed, portable).alias("__h"))
+    cnts = tok.groupBy("id").agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(
+                f"__c{b}"
+            )
+            for b in range(64)
+        ],
+    )
+    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh.bitwiseOR(
+            F.when(
+                F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(mask_vals[b]).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = cnts.select("id", sh.alias("__sh"))
+    # tokenless documents never reach the aggregate; they carry sig 0
+    return ids.join(sigs, "id", "left").select(
+        "id", F.coalesce("__sh", F.lit(0).cast("long")).alias("__sh")
+    )
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
 
@@ -303,9 +368,7 @@ def simhash_candidates(
     chunks = max_hamming + 1
     width = 64 // chunks
     df = _spread(df)
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), seed).alias("__sh")
-    )
+    sh = simhash_signatures(df, id_col, text_col, seed, portable)
     banded = sh.select(
         "id",
         "__sh",

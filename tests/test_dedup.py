@@ -94,6 +94,36 @@ def test_simhash_properties(docs_with_dups):
     assert ham_near < ham_far
 
 
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash_signatures_match_column_fold(docs_with_dups, portable):
+    # the explode+sum aggregate path must equal the Column fold bit-for-bit
+    from pandance_spark.operators.dedup import simhash_signatures
+
+    fold = {
+        r["doc_id"]: r["sh"]
+        for r in docs_with_dups.select(
+            "doc_id", simhash(F.col("text"), portable=portable).alias("sh")
+        ).collect()
+    }
+    agg = {
+        r["id"]: r["__sh"]
+        for r in simhash_signatures(
+            docs_with_dups, "doc_id", "text", portable=portable
+        ).collect()
+    }
+    assert fold == agg
+
+
+def test_simhash_signatures_tokenless_doc(spark):
+    from pandance_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame([(1, "real text here"), (2, ""), (3, "!!!")],
+                               "doc_id long, text string")
+    got = {r["id"]: r["__sh"] for r in
+           simhash_signatures(df, "doc_id", "text").collect()}
+    assert got[2] == 0 and got[3] == 0 and got[1] != 0
+
+
 def test_simhash_candidates(docs_with_dups):
     pairs = simhash_candidates(docs_with_dups, "doc_id", "text", max_hamming=6)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
