@@ -219,10 +219,22 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic coarse quantizer: the first 8 corpus vectors serve
+    # as centroids (the kmeans++-init shape) instead of a KMeans fit,
+    # so the DuckDB oracle can recompute assignment + probing exactly.
+    # Still a true partial-probe IVF run (4 of 8 cells per query).
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    centroids = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select(F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .collect()
+    ]
     return ann_ivf_topk(
-        queries, emb, "vec_id", "vec_id", k=5, n_clusters=8, n_probe=4
+        queries, emb, "vec_id", "vec_id", k=5, n_clusters=8, n_probe=4,
+        centroids=centroids,
     )
 
 
@@ -595,6 +607,44 @@ FROM b
 """
 
 
+def _lsh_oracle() -> str:
+    """ann_lsh recomputed from scratch: the random hyperplanes are
+    deterministic literals (seeded numpy, repr round-trips exactly), so
+    DuckDB derives the same bucket ids, probes the same Hamming-1
+    neighbor buckets, and ranks by the same rounded cosine."""
+    from pandance_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, 42)
+    arr = lambda p: "[" + ",".join(repr(float(x)) for x in p) + "]"
+    bucket = "\n               + ".join(
+        f"(CASE WHEN list_inner_product(v, {arr(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH cb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 {bucket} AS b
+          FROM embeddings
+        ),
+        probes AS (
+          SELECT vec_id, v,
+                 unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS pb
+          FROM cb WHERE vec_id < 10
+        ),
+        cand AS (
+          SELECT DISTINCT p.vec_id AS vec_id_x, c.vec_id AS vec_id_y,
+                 round(list_cosine_similarity(p.v, c.v), 6) AS cosine
+          FROM probes p JOIN cb c ON p.pb = c.b
+        )
+        SELECT vec_id_x, vec_id_y, cosine,
+               row_number() OVER (PARTITION BY vec_id_x
+                                  ORDER BY cosine DESC, vec_id_y) AS rank
+        FROM cand
+        QUALIFY rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cos = (
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
@@ -701,6 +751,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id AND {cos} >= 0.45
+        """,
+        "ann_lsh": _lsh_oracle(),
+        # IVF with the first 8 corpus vectors as literal centroids:
+        # nearest-cell assignment (ties -> lowest cell, matching the
+        # operator's first-index argmin), 4-of-8 probe, cosine top-5
+        "ann_ivf": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ctr AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY list_distance(c.v, ctr.cv),
+                                                   ctr.cell) AS rn
+                FROM c, ctr) WHERE rn = 1
+            ),
+            qp AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY list_distance(c.v, ctr.cv),
+                                                   ctr.cell) AS rn
+                FROM c, ctr WHERE c.vec_id < 10) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT q.vec_id AS vec_id_x, a.vec_id AS vec_id_y,
+                     round(list_cosine_similarity(q.v, a.v), 6) AS cosine
+              FROM qp q JOIN assign a ON q.cell = a.cell
+            )
+            SELECT vec_id_x, vec_id_y, cosine,
+                   row_number() OVER (PARTITION BY vec_id_x
+                                      ORDER BY cosine DESC, vec_id_y) AS rank
+            FROM cand
+            QUALIFY rank <= 5
         """,
         "ann_topk": f"""
             SELECT a.vec_id AS vec_id_x, b.vec_id AS vec_id_y, {cos} AS cosine,

@@ -85,12 +85,20 @@ def ann_ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+    """IVF (inverted-file) approximate top-k: coarse-quantizer cells.
 
-    Index build: fit KMeans over the corpus (pyspark.ml), assign every
-    corpus vector its nearest-centroid cell — a one-off batch job whose
-    output would be persisted (bucketed by cell) in a real deployment.
+    Index build: assign every corpus vector its nearest-centroid cell —
+    a one-off batch job whose output would be persisted (bucketed by
+    cell) in a real deployment.  Centroids come from a KMeans fit over
+    the corpus (pyspark.ml, the default), or from ``centroids`` — a
+    caller-supplied ``[[float, ...], ...]`` list (e.g. sampled corpus
+    vectors, the kmeans++-init shape).  With explicit centroids the
+    assignment is a pure Column expression argmin over literal arrays —
+    no ML fit, no window, no shuffle for the assignment stage, and the
+    whole search is deterministic + SQL-expressible (the DuckDB oracle
+    recomputes it).
     Search: each query visits only its ``n_probe`` nearest cells — an
     equi-join on cell id + exact cosine + window top-k, so the scan cost
     drops to ~``n_probe / n_clusters`` of the brute-force baseline.
@@ -98,29 +106,49 @@ def ann_ivf_topk(
     Same output schema as :func:`cosine_topk`; recall < 1 by design
     (raise ``n_probe`` to trade speed for recall).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pandance_spark.functions.vectors import l2_distance
 
     qname, cname = _out_names(query_id, corpus_id)
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
-    ).withColumn("__feat", array_to_vector("__cv"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(c)
-    c_assigned = model.transform(c).withColumnRenamed("prediction", "__cell")
+    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    centers = model.clusterCenters()
+        cf = c.withColumn("__feat", array_to_vector("__cv"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat").fit(cf)
+        c_assigned = (
+            model.transform(cf)
+            .withColumnRenamed("prediction", "__cell")
+            .drop("__feat")
+        )
+        centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    else:
+        centers = [[float(x) for x in ctr] for ctr in centroids]
+        # literal-centroid argmin: first index attaining the min distance
+        dists = F.array(
+            *[
+                l2_distance(
+                    F.col("__cv"), F.array(*[F.lit(x) for x in ctr])
+                )
+                for ctr in centers
+            ]
+        )
+        c_assigned = c.withColumn(
+            "__cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+
     spark = corpus.sparkSession
     centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        [(i, ctr) for i, ctr in enumerate(centers)],
         "__cell int, __ctr array<double>",
     )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
     )
-    from pandance_spark.functions.vectors import l2_distance
-
     qcells = (
         q.crossJoin(F.broadcast(centers_df))
         .withColumn("__d", l2_distance(F.col("__qv"), F.col("__ctr")))
