@@ -426,37 +426,73 @@ def ngram_jaccard_join(
     t * |s| <= t * |union|``).  So the inverted index holds only the
     prefix — candidate generation shrinks ~``(1-t)²``-fold versus
     indexing every shingle — and exact Jaccard on the full sets
-    verifies each candidate.  Exact for any fixed total order; we use
-    the hash value itself.
+    verifies each candidate.  Exact for any fixed total order; we order
+    by ascending global document frequency (rarest first), the
+    canonical AllPairs/PPJoin choice, plus a candidate length filter
+    (``t * max(|a|,|b|) <= min(|a|,|b|)``).
 
     Shuffles: one explode+equi-join on 8-byte prefix hashes (work
     proportional to prefix collisions, never rows²), then two hash
     joins to fetch the full sets.  Returns (id_a, id_b, jaccard),
     id_a < id_b, jaccard rounded to 6dp.
     """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
     df = _spread(df)
-    sets_df = df.select(
+    raw = df.select(
         F.col(id_col).alias("id"),
-        F.sort_array(
+        F.explode(
             F.array_distinct(
                 F.transform(
                     word_shingles(F.col(text_col), shingle_n),
                     lambda s: F.xxhash64(s),
                 )
             )
-        ).alias("__set"),
+        ).alias("sh"),
+    )
+    # global prefix order = ascending DOCUMENT FREQUENCY (ties by hash):
+    # the canonical AllPairs/PPJoin ordering.  Prefixes then consist of
+    # each document's RAREST shingles, so the inverted-index join
+    # generates an order of magnitude fewer candidates on natural text
+    # than raw-hash order (correct under any fixed total order).  One
+    # extra count agg + an equi-join (AQE broadcasts the freq side when
+    # it is small); both aggregates below are exchanges Catalyst reuses
+    # across the prefix-index and the two verification joins, so the
+    # shingle sets are computed once, not three times.
+    freq = raw.groupBy("sh").agg(F.count("*").alias("__df"))
+    sets_df = (
+        raw.join(freq, "sh")
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__df", "sh"))).alias("__arr")
+        )
+        .select(
+            "id",
+            F.transform("__arr", lambda x: x["sh"]).alias("__set"),
+        )
     )
     n = F.size("__set")
     prefix_len = F.greatest(
         n - F.ceil(n * F.lit(float(threshold))) + 1, F.lit(1)
     ).cast("int")
     inv = sets_df.select(
-        "id", F.explode(F.slice("__set", F.lit(1), prefix_len)).alias("sh")
+        "id",
+        n.alias("__n"),
+        F.explode(F.slice("__set", F.lit(1), prefix_len)).alias("sh"),
     )
-    a = inv.withColumnRenamed("id", "id_a")
-    b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    a = inv.withColumnsRenamed({"id": "id_a", "__n": "__n_a"})
+    b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b", "__n": "__n_b"})
+    t = F.lit(float(threshold))
     cands = (
-        a.join(b, (a["sh"] == b["sh_b"]) & (a["id_a"] < b["id_b"]), "inner")
+        a.join(
+            b,
+            (a["sh"] == b["sh_b"])
+            & (a["id_a"] < b["id_b"])
+            # length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+            & (a["__n_a"] * t <= b["__n_b"])
+            & (b["__n_b"] * t <= a["__n_a"]),
+            "inner",
+        )
         .select("id_a", "id_b")
         .distinct()
     )
