@@ -530,13 +530,29 @@ def embedding_cosine_pairs(
       cosine.  With ``block_col`` (cluster/label/LSH bucket) the join is
       an equi-join on the block — the 100 TB path where nothing fits in
       memory; without a block it degenerates to a cross join.
-    - ``"auto"``: gemm when no block column is given (assumes
-      broadcastable — callers at true scale pass ``block_col``).
+    - ``"auto"``: with ``block_col``, blocked expr; without, gemm ONLY
+      when the Catalyst plan-size estimate fits the broadcast threshold
+      (a driver ``collect()`` must never be picked implicitly on a big
+      table — r1 verdict).  A non-broadcastable unblocked table falls
+      back to LSH-bucket blocking (random-hyperplane buckets + Hamming-1
+      multi-probe): approximate with high recall, but scale-safe.
+      Explicit ``strategy="gemm"`` keeps the documented
+      broadcast-sized-by-contract behavior.
     """
     if strategy == "auto":
-        strategy = "expr" if block_col else "gemm"
+        if block_col:
+            strategy = "expr"
+        else:
+            limit = _gemm_limit_bytes(df.sparkSession)
+            sz = _vector_table_bytes(df, id_col, vec_col)
+            # unknown size -> assume big (the scale-safe default)
+            strategy = (
+                "gemm" if sz is not None and sz <= max(limit, 0) else "lsh"
+            )
     if strategy == "gemm":
         return _gemm_cosine_pairs(df, id_col, vec_col, threshold)
+    if strategy == "lsh":
+        return _lsh_blocked_cosine_pairs(df, id_col, vec_col, threshold)
     if strategy != "expr":
         raise ValueError(f"unknown strategy {strategy!r}")
     base = df.select(
@@ -559,15 +575,156 @@ def embedding_cosine_pairs(
     return out.select("id_a", "id_b", "cosine")
 
 
+def _gemm_limit_bytes(spark) -> int:
+    from pandance_spark.operators.ineq import _parse_bytes_conf
+
+    return _parse_bytes_conf(
+        spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
+    )
+
+
+def _default_row_bytes(schema) -> int:
+    """Replica of Catalyst's per-row default pricing
+    (EstimationUtils.getSizePerRow): 8 + sum of attribute defaultSize,
+    where ArrayType is priced at ONE element — the source of the
+    underestimate for embedding tables."""
+    from pyspark.sql import types as T
+
+    def default_size(dt) -> int:
+        if isinstance(dt, T.ArrayType):
+            return default_size(dt.elementType)
+        if isinstance(dt, T.StringType):
+            return 20
+        if isinstance(dt, T.BinaryType):
+            return 100
+        if isinstance(dt, T.StructType):
+            return sum(default_size(f.dataType) for f in dt.fields)
+        if isinstance(dt, (T.DoubleType, T.LongType, T.TimestampType, T.DateType)):
+            return 8
+        if isinstance(dt, (T.FloatType, T.IntegerType)):
+            return 4
+        return 8
+
+    return 8 + sum(default_size(f.dataType) for f in schema.fields)
+
+
+def _vector_table_bytes(df: DataFrame, id_col: str, vec_col: str):
+    """Best-effort IN-MEMORY size estimate of (id, vector) in bytes.
+
+    Catalyst's ``sizeInBytes`` prices ArrayType at one element, wildly
+    underestimating embedding tables built by expressions; for file
+    scans it reports real (compressed, float-width) on-disk bytes.  Two
+    regimes, detected from the plan's leaf nodes:
+
+    - all leaves are file relations: on-disk bytes x 4 margin
+      (decompression + float->double widening);
+    - anything computed/in-memory: rows estimated by unwinding
+      Catalyst's own default row pricing, re-priced at the ACTUAL
+      vector width (one ``first()`` peek — metadata-scale work).
+
+    Returns None when nothing is known (callers treat that as big).
+    """
+    from pandance_spark.operators.ineq import _plan_size_bytes
+
+    proj = df.select(id_col, vec_col)
+    sz = _plan_size_bytes(proj)
+    if sz is None:
+        return None
+    file_based = False
+    try:
+        leaves = proj._jdf.queryExecution().optimizedPlan().collectLeaves()
+        it = leaves.iterator()
+        file_based = it.hasNext()
+        while it.hasNext():
+            cls = it.next().getClass().getSimpleName()
+            if cls not in (
+                "LogicalRelation",
+                "HiveTableRelation",
+                "DataSourceV2Relation",
+                "DataSourceV2ScanRelation",
+            ):
+                file_based = False
+                break
+    except Exception:
+        file_based = False
+    if file_based:
+        return sz * 4
+    rows_est = max(sz // _default_row_bytes(proj.schema), 1)
+    try:
+        first = proj.select(F.size(F.col(vec_col)).alias("d")).first()
+    except Exception:
+        return None
+    dim = first["d"] if first is not None and first["d"] is not None else 0
+    return rows_est * (dim * 8 + 32)
+
+
+def _lsh_blocked_cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Cosine pairs blocked by random-hyperplane LSH buckets — the
+    unblocked-at-scale fallback (approximate, high recall for
+    high-threshold near-dup use).  One side explodes to its bucket plus
+    all Hamming-1 neighbors, so any pair whose buckets differ by <= 1
+    plane sign is compared; equi-join on bucket, exact cosine filter."""
+    from pandance_spark.operators.similarity import lsh_bucket
+
+    num_planes = 8
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:  # empty input
+        return df.sparkSession.createDataFrame(
+            [], _cosine_out_schema(df, id_col)
+        )
+    dim = dim_row["d"]
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("__b"),
+    )
+    probes = F.array(
+        F.col("__b"),
+        *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.explode(probes).alias("__pb"),
+    )
+    b = base.withColumnsRenamed({"id": "id_b", "vec": "vec_b"})
+    pairs = a.join(
+        b, (a["__pb"] == b["__b"]) & (a["id_a"] < b["id_b"]), "inner"
+    ).dropDuplicates(["id_a", "id_b"])
+    cos = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _cosine_out_schema(df: DataFrame, id_col: str):
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    return T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+
 def _gemm_cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All-pairs cosine via broadcast numpy matrix + per-partition matmul."""
     import numpy as np
-    from pyspark.sql import types as T
 
     rows = df.select(id_col, vec_col).collect()  # broadcast-sized by contract
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    if not rows:
+        return df.sparkSession.createDataFrame([], _cosine_out_schema(df, id_col))
+    # preserve the id dtype (string/uuid ids must not be coerced)
+    ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -575,13 +732,7 @@ def _gemm_cosine_pairs(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast((ids, unit))
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id_a", T.LongType()),
-            T.StructField("id_b", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    out_schema = _cosine_out_schema(df, id_col)
 
     def _block(batches):
         import pandas as pd
@@ -590,7 +741,7 @@ def _gemm_cosine_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bids = pdf[id_col].to_numpy()
             bmat = np.array(list(pdf[vec_col]), dtype=np.float64)
             bn = np.linalg.norm(bmat, axis=1)
             bn[bn == 0] = 1.0

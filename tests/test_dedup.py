@@ -161,6 +161,77 @@ def test_embedding_cosine_pairs_blocked_matches_unblocked(spark, sf_dir):
     assert blocked_pairs <= full_pairs
 
 
+def test_embedding_cosine_pairs_string_ids(spark):
+    # r1 advice: gemm hard-cast ids to int64, crashing string/uuid ids
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0, 0.0]),
+            ("b", [0.999, 0.01, 0.0]),
+            ("c", [0.0, 1.0, 0.0]),
+        ],
+        "vec_id string, embedding array<double>",
+    )
+    out = embedding_cosine_pairs(
+        df, "vec_id", "embedding", threshold=0.99, strategy="gemm"
+    )
+    assert dict(out.dtypes)["id_a"] == "string"
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {("a", "b")}
+
+
+def test_embedding_auto_never_collects_large_input(spark, monkeypatch):
+    # r1 verdict: auto picked gemm (a driver collect) for ANY unblocked
+    # input. Large plans must route to the LSH-blocked path instead.
+    import pandance_spark.operators.dedup as dd
+
+    def _boom(*a, **k):
+        raise AssertionError("gemm (driver collect) picked for large input")
+
+    monkeypatch.setattr(dd, "_gemm_cosine_pairs", _boom)
+    big = (
+        spark.range(0, 500_000)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: F.sin(F.col("vec_id") * i).cast("double"),
+            ),
+        )
+    )
+    out = dd.embedding_cosine_pairs(big, "vec_id", "embedding", threshold=0.999)
+    # plan builds without touching gemm (executing the 500k-row
+    # fallback join is deliberately out of scope for a unit test)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan  # the LSH-blocked equi-join path, not mapInPandas
+
+
+def test_embedding_lsh_fallback_subset_of_exact(spark):
+    import pandance_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dd.embedding_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.9, strategy="gemm"
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dd._lsh_blocked_cosine_pairs(
+            df, "vec_id", "embedding", 0.9
+        ).collect()
+    }
+    # LSH blocking restricts candidates: subset of exact, identical cosines
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     # LSH with 16 bands x 4 rows: P(candidate) = 1-(1-j^4)^16; at
     # j>=0.9 that's > 0.9999 — every true near-dup pair must surface
