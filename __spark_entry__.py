@@ -84,6 +84,15 @@ def _q_ineq_gt_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ineq_join(nation, region, how=">", left_on="n_name", right_on="r_name")
 
 
+def _q_ineq_band_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string keys on the BAND strategy (r2): shared-prefix part names
+    # through the common-prefix surrogate banding
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = part.filter(F.col("p_partkey") % 20 == 0)
+    b = part.filter(F.col("p_partkey") % 20 == 1)
+    return ineq_join(a, b, how="<", on="p_name", strategy="band", num_bands=16)
+
+
 def _q_ineq_band_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     a = ev.filter(F.col("event_id") % 97 == 0)
@@ -485,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity operators
         "ineq_lt_balances": _q_ineq_lt_balances,
         "ineq_gt_strings": _q_ineq_gt_strings,
+        "ineq_band_strings": _q_ineq_band_strings,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         "fuzzy_numeric": _q_fuzzy_numeric,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
@@ -656,6 +666,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ineq_gt_strings": """
             SELECT n.*, r.* FROM nation n JOIN region r ON n.n_name > r.r_name
+        """,
+        "ineq_band_strings": """
+            SELECT a.p_partkey AS p_partkey_x, a.p_name AS p_name_x,
+                   b.p_partkey AS p_partkey_y, b.p_name AS p_name_y
+            FROM part a JOIN part b ON a.p_name < b.p_name
+            WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 1
         """,
         "ineq_band_timestamps": """
             SELECT a.event_id AS event_id_x, CAST(a.ts AS TIMESTAMP) AS ts_x,

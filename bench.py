@@ -120,6 +120,7 @@ def main():
     qs = entrymod.queries()
     headline = [
         "ineq_lt_balances",
+        "ineq_band_strings",
         "ineq_band_timestamps",
         "fuzzy_numeric",
         "fuzzy_timestamps",

@@ -134,8 +134,12 @@ def _pick_strategy(
     left: DataFrame, right: DataFrame, lcol: str, rcol: str
 ) -> str:
     ltype = left.schema[lcol].dataType
-    if not (is_numeric_type(ltype) or is_timestamp_type(ltype)):
-        return "bnl"  # band path needs quantiles -> numeric/timestamp only
+    if not (
+        is_numeric_type(ltype)
+        or is_timestamp_type(ltype)
+        or isinstance(ltype, T.StringType)
+    ):
+        return "bnl"  # band path needs an orderable numeric view
     spark = left.sparkSession
     threshold = min(
         _parse_bytes_conf(
@@ -211,6 +215,58 @@ def _as_numeric(col: Column, dtype: T.DataType) -> Column:
     return col.cast("double")
 
 
+# 2^21 > 0x10FFFF: one codepoint per 21-bit slot keeps packing collision-
+# free, and 3 slots (63 bits) still round monotonically through double.
+_CP_SLOT = float(1 << 21)
+_SURR_ABOVE = 1e19  # > any packed value (~9.2e18)
+
+
+def _string_surrogate_factory(right: DataFrame, rcol: str):
+    """Monotone double surrogate for string banding, or None.
+
+    The distributed analog of the reference's claim that ``ineq_join``
+    works on any comparable type (sort + bisect over arbitrary
+    orderables, ``pandance/pandance.py:625,731-754``): Spark needs
+    numeric quantiles, so map strings onto an order-preserving double.
+    A raw first-chars packing is useless on real data (TPC-H-style
+    columns share a constant prefix), so first strip the column's
+    common prefix — computed from min/max, which bound every right
+    value, hence every right value shares their longest common prefix.
+    The next 3 codepoints (21 bits each) pack into a double; rounding
+    at 63 bits can merge neighbors but never reorders them, and bands
+    only need monotonicity — exactness lives in the diagonal filter.
+    Left values outside the right range clamp to sentinels below/above
+    every cut (strings < lcp sort below all prefixed strings; strings
+    > lcp that don't start with it sort above them).
+    """
+    stat = right.agg(F.min(rcol).alias("lo"), F.max(rcol).alias("hi")).first()
+    if stat is None or stat["lo"] is None:
+        return None
+    import os.path as _osp
+
+    lcp = _osp.commonprefix([stat["lo"], stat["hi"]])
+    off = len(lcp)
+
+    def surrogate(col: Column) -> Column:
+        packed = (
+            (
+                F.ascii(F.substring(col, off + 1, 1)) * F.lit(_CP_SLOT)
+                + F.ascii(F.substring(col, off + 2, 1))
+            )
+            * F.lit(_CP_SLOT)
+            + F.ascii(F.substring(col, off + 3, 1))
+        ).cast("double")
+        if not lcp:
+            return packed
+        return (
+            F.when(col < F.lit(lcp), F.lit(-1.0))
+            .when(col.startswith(F.lit(lcp)), packed)
+            .otherwise(F.lit(_SURR_ABOVE))
+        )
+
+    return surrogate
+
+
 def _band_join(
     left: DataFrame,
     right: DataFrame,
@@ -231,18 +287,25 @@ def _band_join(
     """
     ltype = left.schema[lcol].dataType
     rtype = right.schema[rcol].dataType
-    if not (
-        (is_numeric_type(ltype) or is_timestamp_type(ltype))
-        and (is_numeric_type(rtype) or is_timestamp_type(rtype))
-    ):
-        return None
     # NULL can never satisfy an inequality, but band_of(NULL) = 0 would
     # park NULL rows in band 0 where the off-diagonal guaranteed-match
     # shortcut skips the exact predicate — drop them up front.
     left = left.filter(F.col(lcol).isNotNull())
     right = right.filter(F.col(rcol).isNotNull())
+    if (is_numeric_type(ltype) or is_timestamp_type(ltype)) and (
+        is_numeric_type(rtype) or is_timestamp_type(rtype)
+    ):
+        lview = lambda c: _as_numeric(c, ltype)  # noqa: E731
+        rview = lambda c: _as_numeric(c, rtype)  # noqa: E731
+    elif isinstance(ltype, T.StringType) and isinstance(rtype, T.StringType):
+        surrogate = _string_surrogate_factory(right, rcol)
+        if surrogate is None:
+            return None
+        lview = rview = surrogate
+    else:
+        return None
     probs = [i / num_bands for i in range(1, num_bands)]
-    rnum = right.select(_as_numeric(F.col(rcol), rtype).alias("__v")).dropna()
+    rnum = right.select(rview(F.col(rcol)).alias("__v")).dropna()
     try:
         cuts = rnum.approxQuantile("__v", probs, 0.001)
     except Exception:
@@ -256,15 +319,15 @@ def _band_join(
     # whole-stage codegen; deliberately NOT a higher-order function —
     # outer-column references inside lambda bodies break Catalyst's
     # constraint inference across the join)
-    def band_of(c: Column, dt: T.DataType) -> Column:
-        v = _as_numeric(c, dt)
+    def band_of(c: Column, view) -> Column:
+        v = view(c)
         expr = F.lit(0)
         for cut in cuts:
             expr = expr + F.when(v >= F.lit(cut), 1).otherwise(0)
         return expr
 
-    lb = left.withColumn("__band_l", band_of(F.col(lcol), ltype))
-    rb = right.withColumn("__band_r", band_of(F.col(rcol), rtype))
+    lb = left.withColumn("__band_l", band_of(F.col(lcol), lview))
+    rb = right.withColumn("__band_r", band_of(F.col(rcol), rview))
 
     if _MATCH_HIGHER[how]:
         targets = F.sequence(F.col("__band_l"), F.lit(nb))
