@@ -82,6 +82,7 @@ def fuzzy_join(
     tol=1e-3,
     suffixes: Tuple[str, str] = ("_x", "_y"),
     strategy: str = "auto",
+    disjoint_fast_path: bool = True,
 ) -> DataFrame:
     """Inner join rows whose join values differ by at most ``tol``.
 
@@ -119,6 +120,14 @@ def fuzzy_join(
 
     exact = F.abs(lval - rval) <= tol_lit
 
+    if disjoint_fast_path:
+        tol_cmp = tol_us if mode == "timestamp" else tol
+        fast = _try_fuzzy_fast_path(
+            left2, right2, lval, rval, tol_cmp, out_cols
+        )
+        if fast is not None:
+            return fast
+
     if strategy == "auto":
         strategy = _pick_strategy(left2, right2)
     if strategy == "range" or bucket_width == 0.0:
@@ -148,6 +157,38 @@ def fuzzy_join(
     )
     joined = lb.join(rb, "__bucket", "inner").filter(exact)
     return joined.select(*out_cols)
+
+
+def _try_fuzzy_fast_path(
+    left: DataFrame,
+    right: DataFrame,
+    lval: Column,
+    rval: Column,
+    tol_cmp,
+    out_cols,
+) -> Optional[DataFrame]:
+    """Range pre-check mirroring the reference's always-on ineq
+    short-circuit (``pandance/pandance.py:792-807``) adapted to
+    tolerance matching: if the value ranges are further than ``tol``
+    apart the result is empty; if the combined span fits within ``tol``
+    every pair matches (full cross product).  Two tiny min/max
+    aggregations — metadata-scale work.  NaN/Inf/NULL are already
+    filtered.  Returns None when no short-circuit applies (or the
+    driver-side comparison isn't type-compatible)."""
+    lstat = left.agg(F.min(lval).alias("lo"), F.max(lval).alias("hi")).first()
+    rstat = right.agg(F.min(rval).alias("lo"), F.max(rval).alias("hi")).first()
+    if lstat["lo"] is None or rstat["lo"] is None:
+        return left.join(right, F.lit(False), "inner").select(*out_cols)
+    try:
+        gap = max(rstat["lo"] - lstat["hi"], lstat["lo"] - rstat["hi"])
+        span = max(lstat["hi"], rstat["hi"]) - min(lstat["lo"], rstat["lo"])
+        if gap > tol_cmp:
+            return left.join(right, F.lit(False), "inner").select(*out_cols)
+        if span <= tol_cmp:
+            return left.crossJoin(right).select(*out_cols)
+    except TypeError:
+        return None
+    return None
 
 
 def _pick_strategy(left: DataFrame, right: DataFrame) -> str:

@@ -26,11 +26,11 @@ Strategies
   ``bnl``, else ``band``.
 
 The reference's disjoint-range fast path (``pandance/pandance.py:792-807``)
-is kept behind ``disjoint_fast_path=True``: two tiny min/max aggregations
-can prove the result is the full cross product or empty without doing
-any matching work.  NOTE (deliberate deviation, SURVEY.md §4 quirk 2):
-both fast paths return the FULL suffixed schema, where the reference
-returns only the two join columns.
+is ON by default (as in the reference, which always short-circuits):
+two tiny min/max aggregations can prove the result is the full cross
+product or empty without doing any matching work.  NOTE (deliberate
+deviation, SURVEY.md §4 quirk 2): both fast paths return the FULL
+suffixed schema, where the reference returns only the two join columns.
 """
 
 from __future__ import annotations
@@ -73,7 +73,7 @@ def ineq_join(
     suffixes: Tuple[str, str] = ("_x", "_y"),
     strategy: str = "auto",
     num_bands: int = 64,
-    disjoint_fast_path: bool = False,
+    disjoint_fast_path: bool = True,
 ) -> DataFrame:
     """Inner join rows where ``left[left_on] <how> right[right_on]``.
 

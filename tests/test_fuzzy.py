@@ -212,3 +212,48 @@ def test_fuzzy_band_heavy_duplicates(spark):
     assert out.count() == expected_pairs
     rng = fuzzy_join(left, left, on="v", tol=0.1000001, strategy="range")
     assert rng.count() == expected_pairs
+
+
+def test_fuzzy_disjoint_fast_path_empty_and_cross(spark):
+    # r2: range pre-check ON by default, mirroring the reference's
+    # always-on short-circuit (pandance.py:792-807)
+    left = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "item string, v double"
+    )
+    right = spark.createDataFrame(
+        [("x", 100.0), ("y", 101.0)], "item string, v double"
+    )
+    empty = fuzzy_join(left, right, on="v", tol=0.5)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"item_x", "v_x", "item_y", "v_y"}
+    plan = empty._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bucket" not in plan  # no band machinery was planned
+
+    # combined span within tol -> full cross product, again no matching
+    tight_l = spark.createDataFrame([("a", 1.00), ("b", 1.01)], "item string, v double")
+    tight_r = spark.createDataFrame([("x", 1.02), ("y", 1.03)], "item string, v double")
+    full = fuzzy_join(tight_l, tight_r, on="v", tol=0.1)
+    assert full.count() == 4
+    plan = full._jdf.queryExecution().optimizedPlan().toString()
+    assert "__bucket" not in plan
+
+    # overlapping-but-not-degenerate ranges: fast path must NOT fire
+    mid_r = spark.createDataFrame([("x", 1.4), ("y", 9.9)], "item string, v double")
+    out = fuzzy_join(left, right.union(mid_r), on="v", tol=1.0)
+    got = {(r["v_x"], r["v_y"]) for r in out.collect()}
+    assert got == {(1.0, 1.4), (2.0, 1.4)}
+
+
+def test_fuzzy_fast_path_decimal_boundary(spark):
+    import decimal
+
+    left = spark.createDataFrame(
+        [(1, decimal.Decimal("1.00"))], "id long, v decimal(10,2)"
+    )
+    right = spark.createDataFrame(
+        [(2, decimal.Decimal("1.05"))], "id long, v decimal(10,2)"
+    )
+    # span exactly tol -> inclusive cross product
+    assert fuzzy_join(left, right, on="v", tol=decimal.Decimal("0.05")).count() == 1
+    # gap exceeds tol by one cent -> empty
+    assert fuzzy_join(left, right, on="v", tol=decimal.Decimal("0.04")).count() == 0
