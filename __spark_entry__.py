@@ -93,6 +93,20 @@ def _q_ineq_band_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ineq_join(a, b, how="<", on="p_name", strategy="band", num_bands=16)
 
 
+def _q_ineq_band_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately skewed band key: half the left rows pinned to one
+    # value (one hot band) — AQE skew handling evidence for the bench
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    a = ev.filter(F.col("event_id") % 31 == 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit(34.75)).otherwise(
+            F.col("value")
+        ),
+    )
+    b = ev.filter(F.col("event_id") % 31 == 1)
+    return ineq_join(a, b, how="<", on="value", strategy="band", num_bands=32)
+
+
 def _q_ineq_band_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     a = ev.filter(F.col("event_id") % 97 == 0)
@@ -495,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_lt_balances": _q_ineq_lt_balances,
         "ineq_gt_strings": _q_ineq_gt_strings,
         "ineq_band_strings": _q_ineq_band_strings,
+        "ineq_band_skewed": _q_ineq_band_skewed,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         "fuzzy_numeric": _q_fuzzy_numeric,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
@@ -672,6 +687,15 @@ def oracle_sql() -> dict[str, str]:
                    b.p_partkey AS p_partkey_y, b.p_name AS p_name_y
             FROM part a JOIN part b ON a.p_name < b.p_name
             WHERE a.p_partkey % 20 = 0 AND b.p_partkey % 20 = 1
+        """,
+        "ineq_band_skewed": """
+            SELECT a.v AS value_x, a.event_id AS event_id_x,
+                   b.event_id AS event_id_y, b.value AS value_y
+            FROM (SELECT event_id,
+                         CASE WHEN event_id % 2 = 0 THEN 34.75 ELSE value END AS v
+                  FROM events WHERE event_id % 31 = 0) a
+            JOIN (SELECT event_id, value FROM events WHERE event_id % 31 = 1) b
+            ON a.v < b.value
         """,
         "ineq_band_timestamps": """
             SELECT a.event_id AS event_id_x, CAST(a.ts AS TIMESTAMP) AS ts_x,

@@ -121,6 +121,7 @@ def main():
     headline = [
         "ineq_lt_balances",
         "ineq_band_strings",
+        "ineq_band_skewed",
         "ineq_band_timestamps",
         "fuzzy_numeric",
         "fuzzy_timestamps",

@@ -67,14 +67,42 @@ def is_timestamp_type(dtype: T.DataType) -> bool:
 
 
 def spread_partitions(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism when the input has
-    too few partitions (e.g. one small parquet file -> 1 partition ->
-    per-row pipelines and nested-loop streams run single-threaded).
-    A no-op for healthy inputs; at real scale file splitting already
-    yields enough partitions and this never fires."""
+    """Repartition up to the cluster's parallelism when the input scan
+    would yield too few partitions (e.g. one small parquet file -> 1
+    partition -> per-row pipelines and nested-loop streams run
+    single-threaded).  A no-op for healthy inputs; at real scale file
+    splitting already yields enough partitions and this never fires.
+
+    Metadata-only inspection (``inputFiles`` + Catalyst plan stats) —
+    deliberately NOT ``df.rdd.getNumPartitions()``, which forces a
+    plan->RDD conversion per call (r1 verdict).  Non-file-backed plans
+    are left untouched: their partitioning follows the parent stages.
+    """
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(target // 2, 2):
+        files = df.inputFiles()
+        if not files:
+            return df
+        try:
+            sz = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            sz = 0
+        raw = str(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )
+        ).lower().rstrip("b")
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        max_pb = (
+            int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+        )
+        # Spark splits big files itself; only a genuinely small scan
+        # with few files benefits from a spread (and only then is the
+        # extra shuffle trivially cheap)
+        est_parts = max(len(files), sz // max_pb)
+        if est_parts < max(target // 2, 2) and sz <= 8 * max_pb:
             return df.repartition(target)
     except Exception:
         pass

@@ -72,6 +72,16 @@ __all__ = ["fuzzy_join"]
 # bucket boundaries (double division + floor can be off by one ulp).
 _BUCKET_MARGIN = 2
 
+# operating range of the band strategy: floor(v/tol) in double has
+# absolute error ~|v/tol| * 2^-53, so once |v|/tol approaches 2^53 the
+# bucket id can be off by MORE than the +-2 margin and matches would be
+# silently dropped (mirrors the reference's large-value/small-tolerance
+# caveat).  2^51 leaves a 4x safety factor; beyond it fuzzy_join falls
+# back to the exact range strategy when the quotient is detectable
+# (disjoint_fast_path on, the default) — with the fast path disabled the
+# caller owns the contract.
+_MAX_BUCKET_QUOTIENT = float(1 << 51)
+
 
 def fuzzy_join(
     left: DataFrame,
@@ -122,11 +132,18 @@ def fuzzy_join(
 
     if disjoint_fast_path:
         tol_cmp = tol_us if mode == "timestamp" else tol
-        fast = _try_fuzzy_fast_path(
+        fast, max_abs = _try_fuzzy_fast_path(
             left2, right2, lval, rval, tol_cmp, out_cols
         )
         if fast is not None:
             return fast
+        # extreme |v|/tol overflows the +-2 bucket margin -> exact path
+        if (
+            max_abs is not None
+            and bucket_width > 0.0
+            and float(max_abs) / bucket_width > _MAX_BUCKET_QUOTIENT
+        ):
+            strategy = "range"
 
     if strategy == "auto":
         strategy = _pick_strategy(left2, right2)
@@ -173,22 +190,31 @@ def _try_fuzzy_fast_path(
     apart the result is empty; if the combined span fits within ``tol``
     every pair matches (full cross product).  Two tiny min/max
     aggregations — metadata-scale work.  NaN/Inf/NULL are already
-    filtered.  Returns None when no short-circuit applies (or the
-    driver-side comparison isn't type-compatible)."""
+    filtered.  Returns ``(result_or_None, max_abs_value_or_None)``; the
+    second element feeds the band-strategy operating-range check."""
     lstat = left.agg(F.min(lval).alias("lo"), F.max(lval).alias("hi")).first()
     rstat = right.agg(F.min(rval).alias("lo"), F.max(rval).alias("hi")).first()
     if lstat["lo"] is None or rstat["lo"] is None:
-        return left.join(right, F.lit(False), "inner").select(*out_cols)
+        return left.join(right, F.lit(False), "inner").select(*out_cols), None
+    try:
+        max_abs = max(
+            abs(lstat["lo"]), abs(lstat["hi"]), abs(rstat["lo"]), abs(rstat["hi"])
+        )
+    except TypeError:
+        max_abs = None
     try:
         gap = max(rstat["lo"] - lstat["hi"], lstat["lo"] - rstat["hi"])
         span = max(lstat["hi"], rstat["hi"]) - min(lstat["lo"], rstat["lo"])
         if gap > tol_cmp:
-            return left.join(right, F.lit(False), "inner").select(*out_cols)
+            return (
+                left.join(right, F.lit(False), "inner").select(*out_cols),
+                max_abs,
+            )
         if span <= tol_cmp:
-            return left.crossJoin(right).select(*out_cols)
+            return left.crossJoin(right).select(*out_cols), max_abs
     except TypeError:
-        return None
-    return None
+        return None, max_abs
+    return None, max_abs
 
 
 def _pick_strategy(left: DataFrame, right: DataFrame) -> str:

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Multi-scale correctness gate (r2, VERDICT next-round #8): run the full
+# DuckDB-oracle gate at sf0.001 and sf0.01 to catch scale-dependent
+# drift, plus a cheap-oracle subset at sf0.1 (the remaining sf0.1
+# oracles are DuckDB-bound: brute-force fuzzy is ~2.5e9 pairs and the
+# jaccard oracle ~25M list_intersects — the ENGINE side is exercised at
+# sf0.1 by bench.py instead).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+python scripts/check_correctness.py /root/testdata/sf0.001
+python scripts/check_correctness.py /root/testdata/sf0.01
+python scripts/check_correctness.py /root/testdata/sf0.1 \
+    text_langid train_split cap_per_lang price_quantiles ineq_gt_strings \
+    ineq_band_strings dedup_exact text_stats multimodal_meta
+echo "multi-sf gate: all green"
