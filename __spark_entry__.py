@@ -44,6 +44,7 @@ from pandance_spark.operators.dedup import (
     ngram_jaccard_join,
     simhash_candidates,
 )
+from pandance_spark.operators.cluster import dedup_clusters
 from pandance_spark.operators.multimodal import attach_binary_payload
 from pandance_spark.operators.similarity import (
     ann_ivf_topk,
@@ -212,6 +213,17 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash(
         docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=3
     )
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pair -> CLUSTER assignment: MinHash-LSH verified pairs (same
+    # params as dedup_minhash, whose pair set provably equals the exact
+    # Jaccard pairs) grouped into connected components; the oracle
+    # recomputes the closure with a recursive CTE over the exact pairs
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_clusters(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=3
+    ).orderBy("doc_id")
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
@@ -750,6 +763,37 @@ def oracle_sql() -> dict[str, str]:
         # threshold when banding catches every >=0.8 pair (16 bands x 4
         # rows: P(miss | j>=0.8) < 1e-4) — same oracle as the exact join.
         "dedup_minhash": _JACCARD_SQL,
+        # transitive closure of the exact-Jaccard pair graph via a
+        # recursive CTE: label (v,v) seeds spread along edges until the
+        # fixpoint; min reached label == min doc_id in the component
+        "dedup_clusters": _SHINGLES_CTE.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+, ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ex
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ex
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_canonical
+FROM lab
+ORDER BY doc_id
+""",
         # portable (md5-derived) simhash recomputed from scratch: per-token
         # 64-bit hash as two 32-bit halves, per-bit majority vote, then
         # all-pairs Hamming distance (500-5000 docs -> trivially cheap)

@@ -77,11 +77,23 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     deliberately NOT ``df.rdd.getNumPartitions()``, which forces a
     plan->RDD conversion per call (r1 verdict).  Non-file-backed plans
     are left untouched: their partitioning follows the parent stages.
+
+    Idempotent by plan inspection: once any shuffle-introducing node
+    (repartition, join, aggregate, sort, window) sits above the scan,
+    partitioning is no longer scan-bound — operators that nest
+    ``spread_partitions`` calls (e.g. ``dedup_minhash`` ->
+    ``minhash_candidates``) must not stack repartitions.
     """
     try:
         target = df.sparkSession.sparkContext.defaultParallelism
         files = df.inputFiles()
         if not files:
+            return df
+        plan_str = str(df._jdf.queryExecution().optimizedPlan().toString())
+        if any(
+            marker in plan_str
+            for marker in ("Repartition", "Join", "Aggregate", "Sort", "Window")
+        ):
             return df
         try:
             sz = int(
@@ -107,6 +119,40 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     except Exception:
         pass
     return df
+
+
+def two_sided_minmax(left: DataFrame, lval, right: DataFrame, rval):
+    """(min, max) of a join column on each side in ONE Spark job.
+
+    Tag + union + grouped agg: still two scans, but a single job
+    submission instead of two sequential ``.agg().first()`` round trips
+    — the disjoint fast paths run this before every join call, so the
+    scheduling latency is on the operator's critical path.  The union
+    analyzer widens mixed-but-comparable numeric/decimal types; if the
+    types don't unify we fall back to two separate aggregations.
+
+    Returns ``(lstat, rstat)`` where each is a dict with ``lo``/``hi``
+    (``None`` values when that side has no non-null rows).
+    """
+    empty = {"lo": None, "hi": None}
+    try:
+        u = left.select(lval.alias("__v"), F.lit(0).alias("__s")).unionByName(
+            right.select(rval.alias("__v"), F.lit(1).alias("__s"))
+        )
+        rows = (
+            u.groupBy("__s")
+            .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+            .collect()
+        )
+        stats = {r["__s"]: {"lo": r["lo"], "hi": r["hi"]} for r in rows}
+        return stats.get(0, empty), stats.get(1, empty)
+    except Exception:
+        lrow = left.agg(F.min(lval).alias("lo"), F.max(lval).alias("hi")).first()
+        rrow = right.agg(F.min(rval).alias("lo"), F.max(rval).alias("hi")).first()
+        return (
+            {"lo": lrow["lo"], "hi": lrow["hi"]},
+            {"lo": rrow["lo"], "hi": rrow["hi"]},
+        )
 
 
 def resolve_join_columns(

@@ -1,6 +1,14 @@
 from pandance_spark.operators.asof import asof_join
+from pandance_spark.operators.cluster import connected_components, dedup_clusters
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.theta import theta_join
 
-__all__ = ["fuzzy_join", "ineq_join", "theta_join", "asof_join"]
+__all__ = [
+    "fuzzy_join",
+    "ineq_join",
+    "theta_join",
+    "asof_join",
+    "connected_components",
+    "dedup_clusters",
+]

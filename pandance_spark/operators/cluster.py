@@ -1,0 +1,168 @@
+"""Near-duplicate clustering: connected components over candidate-pair
+edges (SURVEY.md §2.4 extension surface).
+
+Real dedup pipelines don't stop at pairs: near-duplicate PAIRS must be
+grouped into CLUSTERS (connected components of the similarity graph) so
+that exactly one canonical document per cluster survives.  Pair-level
+removal ("drop the right side of every pair") over-deletes on chains
+(a~b, b~c but a!~c kills c needlessly) and under-deletes on diamonds.
+
+Spark-first design
+------------------
+``connected_components`` is an iterative DataFrame computation — the
+min-label-propagation + pointer-doubling scheme used by large-scale
+graph systems (one join against the symmetrized edge list plus one
+self-join per round, O(log d) rounds for diameter d).  Each round is
+``localCheckpoint``-ed: the lineage stays flat, the convergence check is
+an exact per-node change count, and AQE re-plans every round against
+the true (shrinking) label sizes.  Work per round is proportional to
+|E| + |V| — never quadratic in component size, which is what kills
+naive transitive-closure approaches at 100 TB.
+
+At cluster scale the near-dup graph is massively disconnected (clusters
+of size 2-100 out of billions of nodes), so label propagation converges
+in 2-4 rounds; pointer doubling bounds pathological chain components at
+O(log n) rounds.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected graph given as an edge list.
+
+    Returns a DataFrame ``(node, component)`` covering every node that
+    appears in ``edges``; ``component`` is the smallest node id in the
+    node's component (ids must be orderable — numeric or string).
+
+    Algorithm: min-label propagation with pointer doubling.  Each round
+      1. neighbor min:  comp(v) <- min(comp(v), min over neighbors u of
+         comp(u)) — one shuffle join edges x labels + one aggregation;
+      2. pointer doubling: comp(v) <- comp(comp(v)) — one self-join,
+         halves the depth of label-pointer chains so convergence is
+         O(log diameter) rounds rather than O(diameter).
+    Terminates when no label changed (exact count, not a checksum).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    )
+    e_sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e_sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # 1. neighbor min: smallest neighbor label per node
+        nbr = (
+            e_sym.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("comp").alias("bcomp")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("bcomp").alias("nbr"))
+        )
+        stepped = labels.join(nbr, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nbr"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # 2. pointer doubling: follow the label's own label
+        ptr = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("pcomp")
+        )
+        doubled = (
+            stepped.join(ptr, "comp", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.join(
+                labels.select("node", F.col("comp").alias("old")), "node"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            return labels.select("node", F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    edges: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Cluster assignment for near-duplicate documents.
+
+    Pipeline: MinHash-LSH candidate pairs verified by exact Jaccard
+    (``dedup_minhash``) -> connected components -> one row per input
+    document with
+
+    - ``cluster_id``     smallest ``id_col`` in the document's cluster
+      (documents with no near-duplicate form singleton clusters);
+    - ``cluster_size``   number of documents in the cluster;
+    - ``is_canonical``   1 for the cluster's keeper (the min id), else 0
+      — ``filter(is_canonical = 1)`` IS the deduplicated corpus.
+
+    Pass ``edges`` to cluster a precomputed pair set (any DataFrame with
+    ``id_a``/``id_b`` columns, e.g. from ``simhash_candidates`` or
+    ``embedding_cosine_pairs``) instead of the MinHash pipeline.
+    """
+    from pandance_spark.operators.dedup import dedup_minhash
+
+    if edges is None:
+        edges = dedup_minhash(
+            df, id_col, text_col, threshold, num_hashes, bands, shingle_n, seed
+        )
+    comp = connected_components(edges, "id_a", "id_b")
+    out = (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

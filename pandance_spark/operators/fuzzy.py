@@ -56,6 +56,7 @@ from pandance_spark._kernel import (
     finite_filter,
     resolve_join_columns,
     tolerance_to_micros,
+    two_sided_minmax,
     validate_fuzzy_types,
     validate_tol_value,
 )
@@ -192,8 +193,7 @@ def _try_fuzzy_fast_path(
     aggregations — metadata-scale work.  NaN/Inf/NULL are already
     filtered.  Returns ``(result_or_None, max_abs_value_or_None)``; the
     second element feeds the band-strategy operating-range check."""
-    lstat = left.agg(F.min(lval).alias("lo"), F.max(lval).alias("hi")).first()
-    rstat = right.agg(F.min(rval).alias("lo"), F.max(rval).alias("hi")).first()
+    lstat, rstat = two_sided_minmax(left, lval, right, rval)
     if lstat["lo"] is None or rstat["lo"] is None:
         return left.join(right, F.lit(False), "inner").select(*out_cols), None
     try:

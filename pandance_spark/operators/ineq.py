@@ -47,6 +47,7 @@ from pandance_spark._kernel import (
     is_numeric_type,
     is_timestamp_type,
     resolve_join_columns,
+    two_sided_minmax,
 )
 
 __all__ = ["ineq_join"]
@@ -165,12 +166,7 @@ def _try_disjoint_fast_path(
     cross product or empty — metadata-only work.  Mirrors reference
     ``pandance/pandance.py:792-807`` but returns the full suffixed
     schema on both branches (deliberate deviation, SURVEY.md §4)."""
-    lstat = left.agg(
-        F.min(lcol).alias("lo"), F.max(lcol).alias("hi")
-    ).first()
-    rstat = right.agg(
-        F.min(rcol).alias("lo"), F.max(rcol).alias("hi")
-    ).first()
+    lstat, rstat = two_sided_minmax(left, F.col(lcol), right, F.col(rcol))
     if lstat["lo"] is None or rstat["lo"] is None:
         # one side empty -> empty result with the full schema
         return left.join(right, F.lit(False), "inner").select(*out_cols)

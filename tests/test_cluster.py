@@ -1,0 +1,132 @@
+"""connected_components + dedup_clusters: exactness vs brute-force
+transitive closure, chain/diamond/singleton shapes, canonical keepers."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def _brute_components(edges, nodes):
+    """Union-find ground truth on the driver."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress fully, label = min of component
+    comp = {}
+    for n in nodes:
+        comp[n] = find(n)
+    # find() with min-merge keeps the min as root
+    return comp
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, "src", "dst")
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_chain(spark):
+    # long path graph: worst case for plain propagation, pointer
+    # doubling must still converge within max_iter
+    n = 64
+    edges = [(i, i + 1) for i in range(n)]
+    got = _cc_dict(spark, edges)
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_two_components_and_diamond(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    got = _cc_dict(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_random_vs_brute_force(spark):
+    rng = random.Random(7)
+    nodes = list(range(200))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _cc_dict(spark, edges)
+    touched = {a for a, _ in edges} | {b for _, b in edges}
+    want = _brute_components(edges, sorted(touched))
+    assert got == want
+
+
+def test_null_edges_ignored(spark):
+    edges = [(1, 2), (None, 3), (4, None)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(df, "src", "dst").collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_string_node_ids(spark):
+    edges = [("b", "c"), ("a", "b"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(df, "src", "dst").collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_clusters_with_precomputed_edges(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(docs, "doc_id", "text", edges=edges).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"]) for r in out}
+    assert got == {
+        0: (0, 3, 1),
+        1: (0, 3, 0),
+        2: (0, 3, 0),
+        3: (3, 1, 1),
+        4: (4, 1, 1),
+        5: (5, 2, 1),
+        6: (5, 2, 0),
+        7: (7, 1, 1),
+    }
+    # keepers = deduplicated corpus: one doc per cluster
+    keepers = [d for d, (_, _, k) in got.items() if k == 1]
+    assert sorted(keepers) == [0, 3, 4, 5, 7]
+
+
+def test_dedup_clusters_minhash_end_to_end(spark):
+    # three exact-duplicate groups + noise docs; minhash at threshold
+    # 0.9 must cluster the duplicates and leave noise as singletons
+    base = [
+        "spark shuffles hash partitions across executors for wide joins",
+        "catalyst rewrites logical plans before tungsten code generation",
+        "arrow batches stream pandas udf results back to the jvm runtime",
+    ]
+    rows, did = [], 0
+    for b in base:
+        for _ in range(3):  # 3 identical copies each
+            rows.append((did, b + " word filler tail piece for shingles"))
+            did += 1
+    for i in range(5):
+        rows.append((did, f"unique noise document number {i} with its own distinct vocabulary token{i}"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_clusters(docs, "doc_id", "text", threshold=0.9).collect()
+    got = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert got == {
+        0: 0, 1: 0, 2: 0,
+        3: 3, 4: 3, 5: 3,
+        6: 6, 7: 6, 8: 6,
+        9: 9, 10: 10, 11: 11, 12: 12, 13: 13,
+    }
+    n_canonical = sum(r["is_canonical"] for r in out)
+    assert n_canonical == 8  # 3 clusters + 5 singletons
