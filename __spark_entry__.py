@@ -32,10 +32,12 @@ from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join, theta_join
 from pandance_spark.functions.text import (
+    distinct_token_ratio,
     fingerprint_md5,
     lang_id,
     quality_score,
     token_count,
+    top_ngram_ratio,
 )
 from pandance_spark.operators.dedup import (
     dedup_exact,
@@ -285,6 +287,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         fingerprint_md5(F.col("text")).alias("fp"),
+    )
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition signals, all per-row Column expressions
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(distinct_token_ratio(F.col("text")), 6).alias("distinct_ratio"),
+        F.round(top_ngram_ratio(F.col("text"), 2), 6).alias("top_bigram_ratio"),
     )
 
 
@@ -541,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         # text analysis / multimodal
         "text_stats": _q_text_stats,
+        "text_repetition": _q_text_repetition,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "multimodal_meta": _q_multimodal_meta,
@@ -884,6 +898,32 @@ ORDER BY doc_id
             SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
                    len(t.ts)::BIGINT AS n_tokens, md5(d.text) AS fp
             FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+        """,
+        "text_repetition": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            bg AS (
+              SELECT doc_id,
+                     CASE WHEN len(ts) < 2 THEN []
+                          ELSE [ts[i] || ' ' || ts[i+1] for i in range(1, len(ts))]
+                     END AS gs
+              FROM toks
+            ),
+            cnt AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(gs) AS g FROM bg)
+              GROUP BY doc_id, g
+            ),
+            top AS (
+              SELECT doc_id, max(c) AS topc, sum(c) AS nbg
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.ts)::BIGINT AS n_tokens,
+                   round(CASE WHEN len(t.ts) > 0
+                              THEN len(list_distinct(t.ts))::DOUBLE / len(t.ts)
+                              ELSE 0.0 END, 6) AS distinct_ratio,
+                   round(coalesce(top.topc::DOUBLE / top.nbg, 0.0), 6)
+                     AS top_bigram_ratio
+            FROM toks t LEFT JOIN top ON t.doc_id = top.doc_id
         """,
         "text_quality": _quality_oracle(),
         "text_langid": _langid_oracle(),

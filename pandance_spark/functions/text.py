@@ -59,6 +59,53 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def distinct_token_ratio(text: Column) -> Column:
+    """|distinct tokens| / |tokens| in (0, 1]; 0.0 for tokenless rows.
+    Low values = heavy token repetition (Gopher-style repetition
+    signal).  Pure per-row Column expression — no shuffle."""
+    toks = tokenize(text)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams taken by the single most
+    frequent n-gram (Gopher-style "top-2-gram fraction": boilerplate and
+    template spam score high).  0.0 when the document has no n-grams.
+
+    Per-row: sort the n-gram array, then a single aggregate fold finds
+    the longest run of equal neighbors (= the max n-gram count).  No
+    explode, no shuffle — the 100 TB cost is O(tokens log tokens) per
+    row, all inside whole-stage codegen.
+    """
+    grams = F.sort_array(word_shingles(text, n))
+    longest_run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(
+        F.size(grams) > 0, longest_run / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0, 1] from cheap surface stats:
     length band, alphabetic ratio, mean token length band, stopword hit.

@@ -70,3 +70,36 @@ def test_fingerprint_md5_matches_duckdb(spark):
     for t in texts:
         expected = duckdb.sql("SELECT md5(?)", params=[t]).fetchone()[0]
         assert got[t] == expected
+
+
+def test_distinct_token_ratio(spark):
+    from pandance_spark.functions.text import distinct_token_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a a a a"), (3, ""), (4, "x x y")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", F.round(distinct_token_ratio(F.col("text")), 4).alias("v")).collect()
+    }
+    assert got == {1: 1.0, 2: 0.25, 3: 0.0, 4: round(2 / 3, 4)}
+
+
+def test_top_ngram_ratio(spark):
+    from pandance_spark.functions.text import top_ngram_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> top 'a b' 3/5
+            (2, "w x y z"),       # all distinct -> 1/3
+            (3, "t"),             # no bigrams -> 0.0
+            (4, ""),              # empty -> 0.0
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", F.round(top_ngram_ratio(F.col("text"), 2), 4).alias("v")).collect()
+    }
+    assert got == {1: 0.6, 2: round(1 / 3, 4), 3: 0.0, 4: 0.0}
