@@ -47,6 +47,7 @@ from pandance_spark.operators.dedup import (
     simhash_candidates,
 )
 from pandance_spark.operators.cluster import dedup_clusters
+from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.multimodal import attach_binary_payload
 from pandance_spark.operators.similarity import (
     ann_ivf_topk,
@@ -298,6 +299,19 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count(F.col("text")).cast("long").alias("n_tokens"),
         F.round(distinct_token_ratio(F.col("text")), 6).alias("distinct_ratio"),
         F.round(top_ngram_ratio(F.col("text"), 2), 6).alias("top_bigram_ratio"),
+    )
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark = every doc_id = 7 (mod 100) — a stand-in eval set; the
+    # corpus is everything else.  shingle_n=2 suits the synthetic
+    # small-vocabulary text (real pipelines use 8+); threshold 3 shared
+    # distinct bigrams flags a pair as contaminated.
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 7)
+    corpus = docs.filter(F.col("doc_id") % 100 != 7)
+    return contamination_check(
+        corpus, bench, "doc_id", "text", shingle_n=2, min_overlap=3
     )
 
 
@@ -555,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis / multimodal
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
+        "contamination": _q_contamination,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "multimodal_meta": _q_multimodal_meta,
@@ -898,6 +913,23 @@ ORDER BY doc_id
             SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
                    len(t.ts)::BIGINT AS n_tokens, md5(d.text) AS fp
             FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+        """,
+        "contamination": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ts) < 2 THEN []
+                       ELSE [array_to_string(list_slice(ts, i, i+1), ' ')
+                             for i in range(1, len(ts))]
+                     END) AS s
+              FROM toks
+            ),
+            b AS (SELECT * FROM sh WHERE doc_id % 100 = 7),
+            c AS (SELECT * FROM sh WHERE doc_id % 100 <> 7)
+            SELECT c.doc_id, b.doc_id AS bench_id,
+                   len(list_intersect(c.s, b.s))::BIGINT AS n_shared
+            FROM c, b
+            WHERE len(list_intersect(c.s, b.s)) >= 3
         """,
         "text_repetition": f"""
             WITH toks AS ({_TOKS_CTE}),
