@@ -341,6 +341,33 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rebalance by language: halve en, quarter de, keep 10% of the rest
+    from pandance_spark.functions.split import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.5, "de": 0.25},
+        key_col="doc_id",
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source")
+
+
+def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.functions.vectors import embedding_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(emb, "label", "embedding")
+    return cents.select(
+        "label",
+        "pos",
+        F.round("centroid", 6).alias("centroid"),
+        "n",
+    )
+
+
 def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.functions.split import hash_split_bucket
 
@@ -575,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         # training-pipeline composition
         "train_split": _q_train_split,
+        "stratified_sample": _q_stratified_sample,
+        "embedding_centroids": _q_embedding_centroids,
         "corpus_clean": _q_corpus_clean,
         "cap_per_lang": _q_cap_per_lang,
         "price_quantiles": _q_price_quantiles,
@@ -963,6 +992,24 @@ ORDER BY doc_id
             SELECT doc_id AS media_id, 'text/plain' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000
+                  < CASE lang WHEN 'en' THEN 5000
+                              WHEN 'de' THEN 2500
+                              ELSE 1000 END
+        """,
+        "embedding_centroids": """
+            SELECT label, (i - 1)::INT AS pos,
+                   round(avg(v), 6) AS centroid, count(*) AS n
+            FROM (SELECT label,
+                         unnest(embedding::DOUBLE[]) AS v,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY label, i
         """,
         "train_split": """
             SELECT doc_id,

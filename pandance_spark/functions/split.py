@@ -21,6 +21,7 @@ __all__ = [
     "hash_split_bucket_fast",
     "split_train_test",
     "cap_per_group",
+    "stratified_sample",
 ]
 
 
@@ -60,6 +61,41 @@ def cap_per_group(df, group_cols, n: int, key_col: str):
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def stratified_sample(
+    df,
+    strata_col: str,
+    rates: dict,
+    key_col: str,
+    default_rate: float = 0.0,
+):
+    """Deterministic stratified sampling: keep each row with its
+    stratum's rate, decided by the row's portable hash bucket — the
+    standard rebalancing move for over/under-represented languages or
+    sources in a training corpus.
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1]; strata not
+    listed use ``default_rate``.  Selection is a pure function of
+    ``key_col`` (md5 bucket in [0, 10000)), so the sample is identical
+    across runs, engines, partitionings and cluster sizes, and the same
+    key is kept or dropped consistently across strata-preserving
+    re-processing.  Pure per-row filter — no shuffle, fully pushed into
+    the scan pipeline.
+    """
+    for stratum, rate in rates.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {stratum!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    bucket = hash_split_bucket(F.col(key_col), 10000)
+    cut = F.lit(int(round(default_rate * 10000)))
+    for stratum, rate in sorted(rates.items()):
+        cut = F.when(
+            F.col(strata_col) == F.lit(stratum),
+            F.lit(int(round(rate * 10000))),
+        ).otherwise(cut)
+    return df.filter(bucket < cut)
 
 
 def split_train_test(df, key_col: str, train_fraction: float = 0.8):

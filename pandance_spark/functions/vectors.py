@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine_similarity", "l2_distance"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "l2_distance",
+    "l2_normalize",
+    "embedding_centroids",
+]
 
 
 def _as_double_array(v: Column) -> Column:
@@ -40,3 +47,41 @@ def l2_distance(a: Column, b: Column) -> Column:
         _as_double_array(a), _as_double_array(b), lambda x, y: (x - y) * (x - y)
     )
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm copy of the vector (zero vectors pass through as-is).
+    Normalizing once upstream turns every cosine into a plain dot
+    product — the standard prep step before ANN indexing."""
+    arr = _as_double_array(a)
+    nrm = l2_norm(arr)
+    # zip against a repeated-norm array so the lambda touches only its
+    # own variables (outer-column capture breaks Catalyst — see header)
+    unit = F.zip_with(
+        arr, F.array_repeat(nrm, F.size(arr)), lambda x, n: x / n
+    )
+    return F.when(nrm > 0.0, unit).otherwise(arr)
+
+
+def embedding_centroids(df, group_col: str, vec_col: str):
+    """Per-group element-wise mean of an embedding column, in long form:
+    ``(group, pos, centroid, n)`` — one row per (group, dimension).
+
+    posexplode -> groupBy(group, pos) avg: the aggregation combines
+    partially map-side, so the shuffle carries one partial sum per
+    (group, dimension, input partition) — never the raw vectors.  This
+    is the building block for IVF coarse quantizers, per-source
+    embedding drift monitoring, and cluster summarization.
+
+    Long form (not array-typed) keeps the output joinable/filterable by
+    plain relational ops; pivot back with ``collect_list`` over
+    ``pos``-sorted rows when an array is needed.
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos", "__v"),
+    )
+    return ex.groupBy(group_col, "pos").agg(
+        F.avg("__v").alias("centroid"),
+        F.count("*").alias("n"),
+    )

@@ -96,3 +96,31 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     for q, lst in by_q.items():
         top = min(lst, key=lambda r: r["rank"])
         assert top[1] == q and top["cosine"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_l2_normalize(spark):
+    from pandance_spark.functions.vectors import l2_norm, l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id long, v array<double>"
+    )
+    out = df.select("id", l2_normalize(F.col("v")).alias("u"),
+                    F.round(l2_norm(l2_normalize(F.col("v"))), 9).alias("n")).collect()
+    got = {r["id"]: (r["u"], r["n"]) for r in out}
+    assert got[1][0] == [0.6, 0.8] and got[1][1] == 1.0
+    assert got[2][0] == [0.0, 0.0] and got[2][1] == 0.0  # zero vec passes through
+
+
+def test_embedding_centroids(spark):
+    from pandance_spark.functions.vectors import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 10.0]), (0, [3.0, 20.0]), (1, [5.0, 6.0])],
+        "label int, v array<double>",
+    )
+    out = embedding_centroids(df, "label", "v").collect()
+    got = {(r["label"], r["pos"]): (r["centroid"], r["n"]) for r in out}
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (15.0, 2),
+        (1, 0): (5.0, 1), (1, 1): (6.0, 1),
+    }

@@ -83,3 +83,42 @@ def test_cap_per_group(spark, sf_dir):
     }
     with pytest.raises(ValueError):
         cap_per_group(docs, "lang", 0, "doc_id")
+
+
+def test_stratified_sample_rates(spark):
+    from pandance_spark.functions.split import hash_split_bucket, stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else ("de" if i % 3 == 1 else "fr"))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.2}, key_col="id", default_rate=0.0
+    )
+    got = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert "fr" not in got  # default_rate 0 drops the stratum entirely
+    # rates hold within sampling tolerance (1000 rows per stratum)
+    assert abs(got["en"] / 1000 - 0.5) < 0.08
+    assert abs(got["de"] / 1000 - 0.2) < 0.08
+    # determinism: same key set on rerun
+    ids1 = sorted(r["id"] for r in out.collect())
+    ids2 = sorted(r["id"] for r in stratified_sample(
+        df, "lang", {"en": 0.5, "de": 0.2}, key_col="id", default_rate=0.0
+    ).collect())
+    assert ids1 == ids2
+    # selection is a pure function of the key: kept ids all hash under the cut
+    kept_en = {r["id"] for r in out.filter(F.col("lang") == "en").collect()}
+    buckets = {
+        r["id"]: r["b"]
+        for r in df.select("id", hash_split_bucket(F.col("id"), 10000).alias("b")).collect()
+    }
+    for i in range(0, 3000, 3):
+        assert (buckets[i] < 5000) == (i in kept_en)
+
+
+def test_stratified_sample_validates(spark):
+    import pytest as _pytest
+    from pandance_spark.functions.split import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "id long, lang string")
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "lang", {"en": 1.5}, key_col="id")
