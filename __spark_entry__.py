@@ -302,6 +302,35 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic corpus is PII-free, so inject deterministic
+    # email/phone strings first (the oracle injects the identical ones),
+    # then count + redact — exercising detection AND replacement
+    from pandance_spark.functions.text import (
+        PII_EMAIL,
+        PII_PHONE,
+        pii_count,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    injected = F.when(
+        F.col("doc_id") % 10 == 3,
+        F.concat(F.col("text"), F.lit(" contact user"), did, F.lit("@example.com now")),
+    ).when(
+        F.col("doc_id") % 10 == 4,
+        F.concat(F.col("text"), F.lit(" call +1 555-01"), did, F.lit(" today")),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", injected.alias("t"))
+    return staged.select(
+        "doc_id",
+        pii_count(F.col("t"), PII_EMAIL).cast("long").alias("n_emails"),
+        pii_count(F.col("t"), PII_PHONE).cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("t"))).alias("red_fp"),
+    )
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark = every doc_id = 7 (mod 100) — a stand-in eval set; the
     # corpus is everything else.  shingle_n=2 suits the synthetic
@@ -597,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
         "contamination": _q_contamination,
+        "pii_redact": _q_pii_redact,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "multimodal_meta": _q_multimodal_meta,
@@ -942,6 +972,30 @@ ORDER BY doc_id
             SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
                    len(t.ts)::BIGINT AS n_tokens, md5(d.text) AS fp
             FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+        """,
+        "pii_redact": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3 THEN
+                            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com now'
+                          WHEN doc_id % 10 = 4 THEN
+                            text || ' call +1 555-01' || CAST(doc_id AS VARCHAR)
+                                 || ' today'
+                          ELSE text END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_emails,
+                   len(regexp_extract_all(t, '\+?\d[\d\- ]{7,}\d'))::BIGINT
+                     AS n_phones,
+                   md5(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[PII]', 'g'),
+                       '\+?\d[\d\- ]{7,}\d', '[PII]', 'g')) AS red_fp
+            FROM inj
         """,
         "contamination": f"""
             WITH toks AS ({_TOKS_CTE}),

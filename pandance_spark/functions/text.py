@@ -59,6 +59,32 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# PII patterns restricted to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB, Go, Rust engines): no lookarounds, no backrefs — the
+# redaction is reproducible bit-for-bit in any engine
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def redact_pii(text: Column, patterns=None, replacement: str = "[PII]") -> Column:
+    """Replace every match of each PII pattern with ``replacement``.
+
+    Patterns apply sequentially in list order (deterministic, so
+    overlapping matches resolve identically everywhere).  Pure per-row
+    Column expression — the 100 TB cost is a regex scan per document
+    inside whole-stage codegen, no shuffle.
+    """
+    out = text
+    for p in patterns or [PII_EMAIL, PII_PHONE]:
+        out = F.regexp_replace(out, p, replacement)
+    return out
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of matches of a PII pattern in the document."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
 def distinct_token_ratio(text: Column) -> Column:
     """|distinct tokens| / |tokens| in (0, 1]; 0.0 for tokenless rows.
     Low values = heavy token repetition (Gopher-style repetition

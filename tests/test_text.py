@@ -103,3 +103,29 @@ def test_top_ngram_ratio(spark):
         for r in df.select("id", F.round(top_ngram_ratio(F.col("text"), 2), 4).alias("v")).collect()
     }
     assert got == {1: 0.6, 2: round(1 / 3, 4), 3: 0.0, 4: 0.0}
+
+
+def test_redact_pii_and_counts(spark):
+    from pandance_spark.functions.text import PII_EMAIL, PII_PHONE, pii_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org or call +1 555-123-4567 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails: a@b.io c@d.net"),
+        ],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        pii_count(F.col("text"), PII_EMAIL).alias("ne"),
+        pii_count(F.col("text"), PII_PHONE).alias("np"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    got = {r["id"]: r for r in out}
+    assert (got[1]["ne"], got[1]["np"]) == (1, 1)
+    assert got[1]["red"] == "mail me at [PII] or call [PII] ok"
+    assert (got[2]["ne"], got[2]["np"]) == (0, 0)
+    assert got[2]["red"] == "no pii here at all"
+    assert got[3]["ne"] == 2
+    assert got[3]["red"] == "two mails: [PII] [PII]"
