@@ -129,6 +129,10 @@ def main():
         "asof_click_view",
         "overlap_sessions",
         "dedup_exact",
+        "dedup_clusters",
+        "contamination",
+        "text_repetition",
+        "pii_redact",
         "dedup_ngram_jaccard",
         "dedup_minhash",
         "dedup_simhash",
