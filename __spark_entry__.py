@@ -476,6 +476,26 @@ def _q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-view match per click (either direction, ties -> backward).
+    # v_id is deliberately NOT emitted: among right rows at the SAME
+    # timestamp the winner is arbitrary (as in pandas merge_asof), so
+    # only the deterministic columns are compared.
+    from pandance_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+    )
+    return asof_join(
+        clicks, views, left_on="c_ts", right_on="v_ts", by=["user_id"],
+        direction="nearest", how="left",
+    ).select("user_id", "c_ts", "c_id", "v_ts")
+
+
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -639,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": _q_price_quantiles,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
+        "asof_nearest": _q_asof_nearest,
         "overlap_sessions": _q_overlap_sessions,
         # inherited relational coverage
         "set_ops": _q_set_ops,
@@ -1124,6 +1145,24 @@ ORDER BY doc_id
             SELECT c.user_id, c.c_ts, c.c_id, v.v_ts, v.v_id
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.c_ts >= v.v_ts
+        """,
+        "asof_nearest": """
+            WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts,
+                              event_id AS c_id
+                       FROM events WHERE event_type = 'click'),
+                 v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS v_ts
+                       FROM events WHERE event_type = 'view'),
+                 j AS (
+                   SELECT c.user_id, c.c_ts, c.c_id, v.v_ts,
+                          row_number() OVER (
+                            PARTITION BY c.c_id
+                            ORDER BY abs(epoch_us(c.c_ts) - epoch_us(v.v_ts))
+                                     ASC NULLS LAST,
+                                     v.v_ts ASC
+                          ) AS rn
+                   FROM c LEFT JOIN v ON c.user_id = v.user_id
+                 )
+            SELECT user_id, c_ts, c_id, v_ts FROM j WHERE rn = 1
         """,
         "overlap_sessions": """
             WITH iv AS (

@@ -58,14 +58,20 @@ def asof_join(
 ) -> DataFrame:
     """pandas-``merge_asof``-style join as a single-shuffle Spark plan.
 
-    ``direction``: ``"backward"`` (right.ts <= left.ts, latest wins) or
-    ``"forward"`` (right.ts >= left.ts, earliest wins).
+    ``direction``: ``"backward"`` (right.ts <= left.ts, latest wins),
+    ``"forward"`` (right.ts >= left.ts, earliest wins), or
+    ``"nearest"`` (smallest |right.ts - left.ts|; equidistant
+    candidates resolve to the backward one, i.e. the smaller right ts).
     ``how``: ``"left"`` (unmatched left rows kept with nulls) or
     ``"inner"``.  Ties among right rows at the same timestamp are
     broken arbitrarily (as in pandas).
+
+    ``nearest`` costs the same single shuffle as the directional modes:
+    the union sorts once, then two window frames over the same sort
+    (running last-below + first-above) feed a per-row distance pick.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
     by = list(by) if by else []
@@ -119,6 +125,7 @@ def asof_join(
     )
     union = lpart.unionByName(rpart)
 
+    want_fwd = direction == "nearest"
     if by:
         w = Window.partitionBy(*by).orderBy("__ord", "__tag")
         matched = union.withColumn(
@@ -127,10 +134,44 @@ def asof_join(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
+        if want_fwd:
+            # right rows at the same ts sort BEFORE the left row (__tag
+            # 0 < 1), so [current, following) is strictly-after — the
+            # equal-ts candidate is already the backward match (dist 0)
+            matched = matched.withColumn(
+                "__match_f",
+                F.first("__r", ignorenulls=True).over(
+                    w.rowsBetween(0, Window.unboundedFollowing)
+                ),
+            )
     else:
-        matched = _bucketed_running_last(union, num_buckets)
+        matched = _bucketed_running_last(union, num_buckets, want_fwd)
 
     out = matched.filter(F.col("__tag") == 1)
+    if want_fwd:
+        lnum = (
+            F.unix_micros(F.col(f"__l.{lts}").cast("timestamp"))
+            if is_timestamp_type(ltype)
+            else F.col(f"__l.{lts}").cast("double")
+        )
+
+        def _rnum(match_col: str) -> Column:
+            c = F.col(f"{match_col}.{rts}")
+            return (
+                F.unix_micros(c.cast("timestamp"))
+                if is_timestamp_type(rtype)
+                else c.cast("double")
+            )
+
+        bdist = F.abs(lnum - _rnum("__match"))
+        fdist = F.abs(lnum - _rnum("__match_f"))
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__match_f").isNull(), F.col("__match"))
+            .when(F.col("__match").isNull(), F.col("__match_f"))
+            .when(bdist <= fdist, F.col("__match"))
+            .otherwise(F.col("__match_f")),
+        ).drop("__match_f")
     if tolerance is not None:
         tol = (
             tolerance_to_micros(tolerance)
@@ -159,10 +200,17 @@ def asof_join(
     )
 
 
-def _bucketed_running_last(union: DataFrame, num_buckets: int) -> DataFrame:
+def _bucketed_running_last(
+    union: DataFrame, num_buckets: int, want_fwd: bool = False
+) -> DataFrame:
     """Running last-right-row without `by` keys: range-bucket by time
     quantiles so the window parallelizes, then carry each bucket's
-    final right row forward via a tiny broadcast table."""
+    final right row forward via a tiny broadcast table.
+
+    ``want_fwd`` additionally computes ``__match_f`` — the FIRST right
+    row at-or-after each row — with the mirrored construction (first
+    right row per bucket, carried backward), for ``direction="nearest"``.
+    """
     stats = union.select("__ord").dropna()
     try:
         cuts = sorted(
@@ -172,12 +220,20 @@ def _bucketed_running_last(union: DataFrame, num_buckets: int) -> DataFrame:
         cuts = []
     if not cuts:
         w = Window.orderBy("__ord", "__tag")
-        return union.withColumn(
+        out = union.withColumn(
             "__match",
             F.last("__r", ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
+        if want_fwd:
+            out = out.withColumn(
+                "__match_f",
+                F.first("__r", ignorenulls=True).over(
+                    w.rowsBetween(0, Window.unboundedFollowing)
+                ),
+            )
+        return out
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + F.when(F.col("__ord") >= c, 1).otherwise(0)
@@ -220,8 +276,48 @@ def _bucketed_running_last(union: DataFrame, num_buckets: int) -> DataFrame:
         )
         .select("__bucket", "__carry")
     )
-    return (
+    out = (
         in_bucket.join(F.broadcast(carry_full), "__bucket", "left")
         .withColumn("__match", F.coalesce("__match_in", "__carry"))
-        .drop("__match_in", "__carry", "__bucket")
+        .drop("__match_in", "__carry")
+    )
+    if not want_fwd:
+        return out.drop("__bucket")
+
+    # mirrored forward pass: first right row at-or-after, within bucket
+    out = out.withColumn(
+        "__match_f_in",
+        F.first("__r", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        ),
+    )
+    # first right row of every bucket, carried BACKWARD: the forward
+    # carry for bucket k is the first right row in any bucket > k
+    per_bucket_first = (
+        b.filter(F.col("__tag") == 0)
+        .groupBy("__bucket")
+        .agg(F.min_by("__r", F.struct(F.col("__ord"), F.col("__tag"))).alias("__first_r"))
+    )
+    spark = union.sparkSession
+    all_buckets_f = spark.range(0, len(cuts) + 1).selectExpr("id AS __bucket")
+    wdesc = Window.orderBy(F.col("__bucket").desc())
+    carry_fwd = (
+        all_buckets_f.join(
+            per_bucket_first.select("__bucket", "__first_r"), "__bucket", "left"
+        )
+        .withColumn(
+            "__carry_f",
+            F.lag(
+                F.last("__first_r", ignorenulls=True).over(
+                    wdesc.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                1,
+            ).over(wdesc),
+        )
+        .select("__bucket", "__carry_f")
+    )
+    return (
+        out.join(F.broadcast(carry_fwd), "__bucket", "left")
+        .withColumn("__match_f", F.coalesce("__match_f_in", "__carry_f"))
+        .drop("__match_f_in", "__carry_f", "__bucket")
     )

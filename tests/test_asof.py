@@ -145,3 +145,65 @@ def test_asof_validation(spark):
         asof_join(df, df, on="t", how="outer")
     with pytest.raises(ValueError):
         asof_join(df, df, on="t", by=["missing"])
+
+
+def _brute_nearest(left_rows, right_rows):
+    # (ts, id) rows; returns {left_id: right_id or None}; ties -> backward
+    out = {}
+    for lt, lid in left_rows:
+        best = None
+        for rt, rid in right_rows:
+            d = abs(lt - rt)
+            if best is None or d < best[0] or (d == best[0] and rt < best[1]):
+                best = (d, rt, rid)
+        out[lid] = best[2] if best else None
+    return out
+
+
+def test_asof_nearest_by_keys(spark):
+    import random
+    rng = random.Random(11)
+    lrows = [(rng.randint(0, 1000), i, i % 3) for i in range(60)]
+    rrows = [(rng.randint(0, 1000), 1000 + i, i % 3) for i in range(40)]
+    left = spark.createDataFrame([(t, i, g) for t, i, g in lrows], "t long, lid long, g long")
+    right = spark.createDataFrame([(t, i, g) for t, i, g in rrows], "t long, rid long, g long")
+    out = asof_join(left, right, on="t", by=["g"], direction="nearest", how="left")
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    for g in range(3):
+        want = _brute_nearest(
+            [(t, i) for t, i, gg in lrows if gg == g],
+            [(t, i) for t, i, gg in rrows if gg == g],
+        )
+        for lid, rid in want.items():
+            assert got[lid] == rid, (g, lid, rid, got[lid])
+
+
+def test_asof_nearest_no_by(spark):
+    import random
+    rng = random.Random(13)
+    lrows = [(rng.randint(0, 5000), i) for i in range(300)]
+    rrows = [(rng.randint(0, 5000), 1000 + i) for i in range(200)]
+    left = spark.createDataFrame(lrows, "t long, lid long")
+    right = spark.createDataFrame(rrows, "t long, rid long")
+    out = asof_join(left, right, on="t", direction="nearest", how="left", num_buckets=8)
+    # ties among right rows at the SAME ts are arbitrary (as documented)
+    # -> compare the chosen timestamp, not the row id
+    got_ts = {r["lid"]: r["t_y"] for r in out.collect()}
+    want = _brute_nearest(lrows, rrows)
+    rts = {rid: t for t, rid in rrows}
+    assert got_ts == {lid: rts.get(rid) for lid, rid in want.items()}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(10, 1)], "t long, lid long")
+    right = spark.createDataFrame([(8, 100), (12, 200)], "t long, rid long")
+    out = asof_join(left, right, on="t", direction="nearest").collect()
+    assert out[0]["rid"] == 100  # equidistant -> smaller right ts
+
+
+def test_asof_nearest_with_tolerance(spark):
+    left = spark.createDataFrame([(10, 1), (50, 2)], "t long, lid long")
+    right = spark.createDataFrame([(13, 100)], "t long, rid long")
+    out = asof_join(left, right, on="t", direction="nearest", tolerance=5, how="left")
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got == {1: 100, 2: None}
