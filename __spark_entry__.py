@@ -32,12 +32,10 @@ from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join, theta_join
 from pandance_spark.functions.text import (
-    distinct_token_ratio,
     fingerprint_md5,
     lang_id,
     quality_score,
     token_count,
-    top_ngram_ratio,
 )
 from pandance_spark.operators.dedup import (
     dedup_exact,
@@ -292,13 +290,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gopher-style repetition signals, all per-row Column expressions
+    # Gopher-style repetition signals — staged-projection form so the
+    # tokenize/shingle chains evaluate once per document
+    from pandance_spark.functions.text import repetition_profile
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    prof = repetition_profile(docs, "doc_id", "text", 2)
+    return prof.select(
         "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.round(distinct_token_ratio(F.col("text")), 6).alias("distinct_ratio"),
-        F.round(top_ngram_ratio(F.col("text"), 2), 6).alias("top_bigram_ratio"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_bigram_ratio", 6).alias("top_bigram_ratio"),
     )
 
 

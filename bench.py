@@ -165,6 +165,10 @@ def main():
         "dedup_ngram_jaccard",
         "dedup_simhash",
         "embedding_dedup",
+        "dedup_clusters",
+        "contamination",
+        "text_repetition",
+        "pii_redact",
     ):
         try:
             qs[wq](spark, warm_dir).count()

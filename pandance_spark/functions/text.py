@@ -46,9 +46,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     Per-row computation — no shuffle; the scale cost is the array
     memory, proportional to the document length.
     """
+    return word_shingles_from_tokens(tokenize(text), n)
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """``word_shingles`` over an already-tokenized array column — use
+    when the token array is staged behind a projection so several
+    derived signals share ONE tokenize evaluation (Catalyst inlines
+    repeated Column references; staging is the caller's lever)."""
     if n < 1:
         raise ValueError("shingle size must be >= 1")
-    toks = tokenize(text)
     # slice windows [i, i+n) over the token array; build via index
     # sequence so each lambda references only its own variable
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
@@ -95,19 +102,12 @@ def distinct_token_ratio(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_ngram_ratio(text: Column, n: int = 2) -> Column:
-    """Fraction of the document's word n-grams taken by the single most
-    frequent n-gram (Gopher-style "top-2-gram fraction": boilerplate and
-    template spam score high).  0.0 when the document has no n-grams.
-
-    Per-row: sort the n-gram array, then a single aggregate fold finds
-    the longest run of equal neighbors (= the max n-gram count).  No
-    explode, no shuffle — the 100 TB cost is O(tokens log tokens) per
-    row, all inside whole-stage codegen.
-    """
-    grams = F.sort_array(word_shingles(text, n))
-    longest_run = F.aggregate(
-        grams,
+def longest_equal_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal neighbors in a SORTED array —
+    i.e. the count of its most frequent element.  Single aggregate
+    fold, fully inside whole-stage codegen."""
+    return F.aggregate(
+        sorted_arr,
         F.struct(
             F.lit("").alias("prev"),
             F.lit(0).cast("int").alias("run"),
@@ -127,9 +127,64 @@ def top_ngram_ratio(text: Column, n: int = 2) -> Column:
         ),
         lambda acc: acc["best"],
     )
+
+
+def top_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams taken by the single most
+    frequent n-gram (Gopher-style "top-2-gram fraction": boilerplate and
+    template spam score high).  0.0 when the document has no n-grams.
+
+    Per-row: sort the n-gram array, then a single aggregate fold finds
+    the longest run of equal neighbors (= the max n-gram count).  No
+    explode, no shuffle — the 100 TB cost is O(tokens log tokens) per
+    row, all inside whole-stage codegen.
+
+    NOTE for hot paths: this Column form re-evaluates the tokenize +
+    shingle chain wherever the expression tree references it; use
+    :func:`repetition_profile` (staged projections) when computing
+    several signals over the same documents.
+    """
+    grams = F.sort_array(word_shingles(text, n))
     return F.when(
-        F.size(grams) > 0, longest_run / F.size(grams)
+        F.size(grams) > 0, longest_equal_run(grams) / F.size(grams)
     ).otherwise(F.lit(0.0))
+
+
+def repetition_profile(df, id_col: str, text_col: str, n: int = 2):
+    """(id, n_tokens, distinct_ratio, top_bigram_ratio) for every row —
+    the staged-projection form of the repetition signals.
+
+    Tokenization, the distinct count and the sorted n-gram array are
+    each computed ONCE behind projection boundaries (Catalyst inlines
+    repeated Column references; an unstaged select re-runs the whole
+    tokenize chain per reference — ~10x slower measured at sf0.1).
+    """
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    )
+    staged = toks.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("__n_distinct"),
+        F.sort_array(word_shingles_from_tokens(F.col("__toks"), n)).alias(
+            "__grams"
+        ),
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0, F.col("__n_distinct") / F.col("n_tokens")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+        F.when(
+            F.size("__grams") > 0,
+            longest_equal_run(F.col("__grams")) / F.size("__grams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_ratio"),
+    )
 
 
 def quality_score(text: Column) -> Column:

@@ -31,6 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 __all__ = ["connected_components", "dedup_clusters"]
@@ -70,7 +71,16 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # labels only ever DECREASE, so for numeric ids sum(comp) strictly
+    # decreases until the fixpoint — one cheap agg on the checkpointed
+    # table replaces a join-based change count.  Non-numeric ids fall
+    # back to the exact join count.
+    numeric_ids = isinstance(
+        labels.schema["comp"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    prev_sum = None
+    for it in range(max_iter):
         # 1. neighbor min: smallest neighbor label per node
         nbr = (
             e_sym.join(
@@ -88,29 +98,43 @@ def connected_components(
                 "comp"
             ),
         )
-        # 2. pointer doubling: follow the label's own label
-        ptr = stepped.select(
-            F.col("node").alias("comp"), F.col("comp").alias("pcomp")
-        )
-        doubled = (
-            stepped.join(ptr, "comp", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
-                ).alias("comp"),
+        # 2. pointer doubling: follow the label's own label.  Skipped in
+        # round 1 where comp(comp) == comp trivially (labels start as
+        # identity); from round 2 on it halves chain depth per round.
+        if it == 0:
+            doubled = stepped.localCheckpoint(eager=True)
+        else:
+            ptr = stepped.select(
+                F.col("node").alias("comp"), F.col("comp").alias("pcomp")
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            doubled.join(
-                labels.select("node", F.col("comp").alias("old")), "node"
+            doubled = (
+                stepped.join(ptr, "comp", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .filter(F.col("comp") != F.col("old"))
-            .count()
-        )
+        if numeric_ids:
+            cur = doubled.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+            ).first()["s"]
+            # None == None (empty node set) correctly converges too
+            converged = it > 0 and cur == prev_sum
+            prev_sum = cur
+        else:
+            converged = (
+                doubled.join(
+                    labels.select("node", F.col("comp").alias("old")), "node"
+                )
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+                == 0
+            )
         labels = doubled
-        if changed == 0:
+        if converged:
             return labels.select("node", F.col("comp").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"

@@ -22,7 +22,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandance_spark.functions.text import word_shingles
+from pandance_spark.functions.text import tokenize, word_shingles_from_tokens
 
 __all__ = ["contamination_check"]
 
@@ -55,18 +55,26 @@ def contamination_check(
     """
     bid = bench_id_col or id_col
     btext = bench_text_col or text_col
-    cor = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("__sh"),
-    )
-    ben = benchmark.select(
-        F.col(bid).alias("bench_id"),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(btext), shingle_n))
-        ).alias("__sh"),
-    )
+
+    def _shingled(df, id_src, id_out, text_src):
+        # stage the token array behind a projection: the shingle
+        # expression references it 3x, and unstaged each reference
+        # re-runs the whole tokenize chain
+        toks = df.select(
+            F.col(id_src).alias(id_out),
+            tokenize(F.col(text_src)).alias("__toks"),
+        )
+        return toks.select(
+            id_out,
+            F.explode(
+                F.array_distinct(
+                    word_shingles_from_tokens(F.col("__toks"), shingle_n)
+                )
+            ).alias("__sh"),
+        )
+
+    cor = _shingled(corpus, id_col, "doc_id", text_col)
+    ben = _shingled(benchmark, bid, "bench_id", btext)
     if broadcast_benchmark:
         ben = F.broadcast(ben)
     return (

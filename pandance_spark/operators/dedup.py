@@ -27,7 +27,11 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pandance_spark.functions.text import tokenize, word_shingles
+from pandance_spark.functions.text import (
+    tokenize,
+    word_shingles,
+    word_shingles_from_tokens,
+)
 from pandance_spark.functions.vectors import cosine_similarity
 
 __all__ = [
@@ -177,11 +181,17 @@ def minhash_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     df = _spread(df)
-    # stage the hash array behind a projection so the per-slot
-    # transforms share it instead of re-hashing the text 64x
-    hashed_df = df.select(
+    # stage tokens, then the hash array, behind projections: the
+    # shingle expr references the token array 3x and the per-slot
+    # transforms reference the hash array 64x — unstaged, each
+    # reference re-runs the whole upstream chain
+    tok_df = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    hashed_df = tok_df.select(
         F.col(id_col),
-        _hashed_shingles(F.col(text_col), shingle_n).alias("__hashed"),
+        F.transform(
+            word_shingles_from_tokens(F.col("__toks"), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
+        ).alias("__hashed"),
     )
     with_sig = hashed_df.select(
         id_col,
@@ -238,8 +248,12 @@ def dedup_minhash(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
     sets_df = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("__set"),
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+    ).select(
+        "__id",
+        F.array_distinct(
+            word_shingles_from_tokens(F.col("__toks"), shingle_n)
+        ).alias("__set"),
     )
     a = sets_df.withColumnsRenamed({"__id": "id_a", "__set": "__set_a"})
     b = sets_df.withColumnsRenamed({"__id": "id_b", "__set": "__set_b"})
@@ -440,11 +454,13 @@ def ngram_jaccard_join(
         raise ValueError("threshold must be in (0, 1]")
     df = _spread(df)
     raw = df.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+    ).select(
+        "id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    word_shingles(F.col(text_col), shingle_n),
+                    word_shingles_from_tokens(F.col("__toks"), shingle_n),
                     lambda s: F.xxhash64(s),
                 )
             )
