@@ -159,17 +159,7 @@ def main():
     warm_dir = SF_DIR.replace("sf0.1", "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = SF_DIR
-    for wq in (
-        "q1_pricing",
-        "dedup_minhash",
-        "dedup_ngram_jaccard",
-        "dedup_simhash",
-        "embedding_dedup",
-        "dedup_clusters",
-        "contamination",
-        "text_repetition",
-        "pii_redact",
-    ):
+    for wq in headline:
         try:
             qs[wq](spark, warm_dir).count()
         except Exception:

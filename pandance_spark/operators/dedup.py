@@ -139,6 +139,56 @@ def _signature_from_hashed(hashed: Column, num_hashes: int, seed: int) -> Column
     return F.array(*sig)
 
 
+def _banded_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    seed: int,
+) -> DataFrame:
+    """(id, band, bhash) LSH band keys — pure per-row Column work.
+
+    Tokens, then the hash array, are staged behind projections: the
+    shingle expr references the token array 3x and the per-slot
+    transforms reference the hash array 64x — unstaged, each reference
+    re-runs the whole upstream chain.  Works unchanged on streaming
+    DataFrames (no shuffle, no state).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    tok_df = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    hashed_df = tok_df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles_from_tokens(F.col("__toks"), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
+        ).alias("__hashed"),
+    )
+    with_sig = hashed_df.select(
+        id_col,
+        _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias("__sig"),
+    )
+    return with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select(id_col, "__b.band", "__b.bhash")
+
+
 def minhash_signature(
     text: Column, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
 ) -> Column:
@@ -179,40 +229,10 @@ def minhash_candidates(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     df = _spread(df)
-    # stage tokens, then the hash array, behind projections: the
-    # shingle expr references the token array 3x and the per-slot
-    # transforms reference the hash array 64x — unstaged, each
-    # reference re-runs the whole upstream chain
-    tok_df = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
-    hashed_df = tok_df.select(
-        F.col(id_col),
-        F.transform(
-            word_shingles_from_tokens(F.col("__toks"), shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
-        ).alias("__hashed"),
+    banded = _banded_keys(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
-    with_sig = hashed_df.select(
-        id_col,
-        _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias("__sig"),
-    )
-    banded = with_sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
-                        ).alias("bhash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("__b"),
-    ).select(id_col, "__b.band", "__b.bhash")
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnsRenamed({id_col: "id_b", "band": "band_b", "bhash": "bhash_b"})
     pairs = a.join(

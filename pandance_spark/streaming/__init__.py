@@ -35,6 +35,7 @@ __all__ = [
     "streaming_dedup",
     "sessionize_stream",
     "running_user_stats",
+    "streaming_near_dup_filter",
 ]
 
 
@@ -116,6 +117,99 @@ def streaming_dedup(
     return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def streaming_near_dup_filter(
+    docs_stream: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Drop streaming documents that near-duplicate a STATIC reference
+    corpus — the incremental-ingest complement of ``dedup_minhash``:
+    the full corpus was deduplicated offline once; new arrivals are
+    checked against it in-flight.
+
+    Stream-static LEFT ANTI join on the LSH band keys: the static side's
+    banded signature index is computed once per micro-batch plan from
+    ``reference`` (persist the banded index to parquet and pass that in
+    for production ingest), and the stream side computes its signatures
+    per-row with the identical Column expressions — no state store, no
+    watermark needed, because the static side never changes mid-stream.
+
+    Conservative semantics: ANY band collision drops the document
+    (LSH candidates, no exact verification — a verification join on a
+    stream would need the reference texts broadcast; at typical ingest
+    rates run the exact check downstream on the survivors instead).
+
+    Shape: one chained stream-static LEFT ANTI join PER BAND (all
+    stateless — no watermark, no state store; an explode + per-doc
+    "no band hit" aggregation would be a stateful op on a stream).
+    Each static side is one band's hash index, broadcast — size the
+    reference accordingly (persist + repartition the banded index for
+    a corpus-scale reference, or dedup in batch instead).
+    """
+    from pandance_spark.operators.dedup import (
+        _banded_keys,
+        _signature_from_hashed,
+        _PRIME,
+    )
+    from pandance_spark.functions.text import (
+        tokenize,
+        word_shingles_from_tokens,
+    )
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    # stage tokens -> hashes -> signature, CARRYING all original
+    # columns so survivors come out intact
+    orig_cols = docs_stream.columns
+    tok = docs_stream.withColumn(
+        "__toks", tokenize(F.col(text_col))
+    ).withColumn(
+        "__hashed",
+        F.transform(
+            word_shingles_from_tokens(F.col("__toks"), shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
+        ),
+    )
+    sig = tok.select(
+        *orig_cols,
+        _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias(
+            "__sig"
+        ),
+    )
+    with_bands = sig.select(
+        *orig_cols,
+        *[
+            F.hash(
+                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+            ).alias(f"__bh{i}")
+            for i in range(bands)
+        ],
+    )
+    ref_banded = _banded_keys(
+        reference, id_col, text_col, num_hashes, bands, shingle_n, seed
+    )
+    out = with_bands
+    for i in range(bands):
+        ref_i = (
+            ref_banded.filter(F.col("band") == i)
+            .select(F.col("bhash").alias(f"__rbh{i}"))
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(ref_i),
+            out[f"__bh{i}"] == ref_i[f"__rbh{i}"],
+            "left_anti",
+        )
+    return out.select(*orig_cols)
 
 
 def running_user_stats(

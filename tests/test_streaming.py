@@ -128,3 +128,49 @@ def test_running_user_stats_stateful(spark, sf_dir):
         assert got[u][0] == expected[u][0], u
         assert abs(got[u][1] - expected[u][1]) < 1e-6, u
         assert got[u][2] == expected[u][2], u
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    from pandance_spark.streaming import streaming_near_dup_filter
+    from pandance_spark.operators.dedup import minhash_candidates
+
+    ref_rows = [
+        (100, "spark shuffles hash partitions across many executors for wide joins always"),
+        (101, "catalyst rewrites logical plans before tungsten generates java bytecode fast"),
+    ]
+    stream_rows = [
+        # 1, 2: near-identical to reference docs -> must be dropped
+        (1, "spark shuffles hash partitions across many executors for wide joins always"),
+        (2, "catalyst rewrites logical plans before tungsten generates java bytecode fast"),
+        # 3, 4: novel -> must survive
+        (3, "completely unrelated document about cooking pasta with tomato sauce tonight"),
+        (4, "another novel text concerning mountain hiking trails and weather forecasts"),
+    ]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    in_dir = str(tmp_path / "docs_in")
+    spark.createDataFrame(stream_rows, "doc_id long, text string").coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    kept = streaming_near_dup_filter(stream, reference, "doc_id", "text")
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("near_dup_kept")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["doc_id"] for r in spark.sql("SELECT doc_id FROM near_dup_kept").collect())
+    assert got == [3, 4]
+
+    # batch equivalence: survivors = docs with no LSH candidate pair
+    # against the reference (union trick: candidates within ref+stream
+    # restricted to cross pairs)
+    batch = spark.createDataFrame(stream_rows, "doc_id long, text string")
+    both = batch.unionByName(reference)
+    pairs = minhash_candidates(both, "doc_id", "text")
+    crossing = pairs.filter("(id_a < 100) != (id_b < 100)")
+    flagged = {r["id"] for r in crossing.selectExpr("least(id_a, id_b) AS id").collect()}
+    assert sorted(set(r[0] for r in stream_rows) - flagged) == got
