@@ -127,6 +127,7 @@ def main():
         "fuzzy_timestamps",
         "theta_expr_mod",
         "asof_click_view",
+        "asof_nearest",
         "overlap_sessions",
         "dedup_exact",
         "dedup_clusters",
