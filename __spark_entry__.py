@@ -498,6 +498,26 @@ def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "c_ts", "c_id", "v_ts")
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fold a "fresh drop" (even keys, +10% price, status UPD) into the
+    # canonical orders table: update matches, insert new keys
+    from pandance_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # price bump is a SINGLE IEEE multiply — bit-identical in any
+    # engine, so the doubles pass through unrounded (round() itself is
+    # the portability hazard: HALF_UP vs C-library ties disagree)
+    target = orders.filter(F.col("o_orderkey") % 5 != 4)
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("UPD").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    return merge_upsert(target, source, ["o_orderkey"])
+
+
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -663,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_view": _q_asof_click_view,
         "asof_nearest": _q_asof_nearest,
         "overlap_sessions": _q_overlap_sessions,
+        "merge_upsert": _q_merge_upsert,
         # inherited relational coverage
         "set_ops": _q_set_ops,
         "rollup_orders": _q_rollup_orders,
@@ -1147,6 +1168,21 @@ ORDER BY doc_id
             SELECT c.user_id, c.c_ts, c.c_id, v.v_ts, v.v_id
             FROM c ASOF LEFT JOIN v
               ON c.user_id = v.user_id AND c.c_ts >= v.v_ts
+        """,
+        "merge_upsert": """
+            WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                       FROM orders WHERE o_orderkey % 5 <> 4),
+                 s AS (SELECT o_orderkey, 'UPD' AS o_orderstatus,
+                              o_totalprice * 1.1 AS o_totalprice
+                       FROM orders WHERE o_orderkey % 2 = 0)
+            SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_orderstatus ELSE t.o_orderstatus END
+                     AS o_orderstatus,
+                   CASE WHEN s.o_orderkey IS NOT NULL
+                        THEN s.o_totalprice ELSE t.o_totalprice END
+                     AS o_totalprice
+            FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
         """,
         "asof_nearest": """
             WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts,

@@ -1,0 +1,91 @@
+"""Batch MERGE (upsert) emulation — SURVEY.md §2.4 extension surface.
+
+Training-data pipelines continuously fold fresh crawl/annotation drops
+into a canonical table.  Lakehouse formats expose this as ``MERGE
+INTO``; on plain parquet the same semantics compose from one relational
+plan: a single full-outer join on the key, with per-column precedence.
+
+Spark-first design: ONE shuffle (the full-outer hash/sort-merge join on
+the key).  No driver-side row handling, no per-row UDFs; AQE picks the
+physical join and re-splits skewed keys.  At 100 TB the rewrite cost is
+the join plus the table write — the same floor a lakehouse MERGE pays
+when every file overlaps the source keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merge_upsert"]
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    update_cols: Optional[Sequence[str]] = None,
+    insert_unmatched: bool = True,
+    delete_missing: bool = False,
+) -> DataFrame:
+    """SQL-MERGE semantics over two same-schema DataFrames.
+
+    - key match in both: source values win for ``update_cols``
+      (default: every non-key column), target values kept otherwise;
+    - source-only keys: inserted when ``insert_unmatched`` (WHEN NOT
+      MATCHED THEN INSERT);
+    - target-only keys: kept, or dropped when ``delete_missing`` (WHEN
+      NOT MATCHED BY SOURCE THEN DELETE).
+
+    Both inputs must be key-unique (standard MERGE precondition; a
+    many-row source per key makes MERGE nondeterministic in every
+    engine).  Returns the merged table with the target's column order.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    for k in keys:
+        if k not in target.columns or k not in source.columns:
+            raise ValueError(f"key column {k!r} missing from an input")
+    missing = set(source.columns) - set(target.columns)
+    if missing:
+        raise ValueError(f"source has columns absent from target: {sorted(missing)}")
+    payload = [c for c in target.columns if c not in keys]
+    upd = set(payload if update_cols is None else update_cols) & set(source.columns)
+
+    t = target.select(
+        *[F.col(c).alias(f"__t_{c}") for c in target.columns],
+        F.lit(1).alias("__in_t"),
+    )
+    s = source.select(
+        *[F.col(c).alias(f"__s_{c}") for c in source.columns],
+        F.lit(1).alias("__in_s"),
+    )
+    cond = None
+    for k in keys:
+        eq = t[f"__t_{k}"] == s[f"__s_{k}"]
+        cond = eq if cond is None else (cond & eq)
+    j = t.join(s, cond, "full_outer")
+
+    in_t = F.col("__in_t").isNotNull()
+    in_s = F.col("__in_s").isNotNull()
+    keep = in_t if not delete_missing else (in_t & in_s)
+    if insert_unmatched:
+        keep = keep | (in_s & ~in_t)
+
+    def _pick(c: str):
+        tcol, scol = F.col(f"__t_{c}"), F.col(f"__s_{c}")
+        if c in keys:
+            return F.coalesce(tcol, scol).alias(c)
+        if c in upd or c not in source.columns:
+            # updated on match; on insert the source value (or NULL for
+            # target-only columns the source lacks)
+            if c not in source.columns:
+                return tcol.alias(c)
+            return F.when(in_t & in_s, scol).when(in_s, scol).otherwise(tcol).alias(c)
+        # not an update column: target value on match, source on insert
+        return F.when(in_t, tcol).otherwise(scol).alias(c)
+
+    return j.filter(keep).select(*[_pick(c) for c in target.columns])

@@ -1,0 +1,73 @@
+"""merge_upsert: update/insert/delete matrix + column precedence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.operators.merge import merge_upsert
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_update_and_insert(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, tag string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (4, "d", 40.0)], "id long, tag string, v double"
+    )
+    out = merge_upsert(target, source, ["id"])
+    assert _rows(out) == {
+        (1, "a", 10.0),
+        (2, "B", 200.0),  # updated
+        (3, "c", 30.0),
+        (4, "d", 40.0),  # inserted
+    }
+
+
+def test_update_subset_of_columns(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0)], "id long, tag string, v double"
+    )
+    source = spark.createDataFrame(
+        [(1, "Z", 99.0)], "id long, tag string, v double"
+    )
+    out = merge_upsert(target, source, ["id"], update_cols=["v"])
+    assert _rows(out) == {(1, "a", 99.0)}  # tag kept, v updated
+
+
+def test_no_insert_and_delete_missing(spark):
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    )
+    source = spark.createDataFrame([(2, 200.0), (9, 90.0)], "id long, v double")
+    out = merge_upsert(target, source, ["id"], insert_unmatched=False)
+    assert _rows(out) == {(1, 10.0), (2, 200.0)}
+    out2 = merge_upsert(target, source, ["id"], delete_missing=True)
+    assert _rows(out2) == {(2, 200.0), (9, 90.0)}  # 1 deleted, 9 inserted
+
+
+def test_composite_keys_and_validation(spark):
+    target = spark.createDataFrame(
+        [(1, "x", 5.0), (1, "y", 6.0)], "a long, b string, v double"
+    )
+    source = spark.createDataFrame([(1, "y", 60.0)], "a long, b string, v double")
+    out = merge_upsert(target, source, ["a", "b"])
+    assert _rows(out) == {(1, "x", 5.0), (1, "y", 60.0)}
+    with pytest.raises(ValueError):
+        merge_upsert(target, source, [])
+    with pytest.raises(ValueError):
+        merge_upsert(target, source, ["nope"])
+
+
+def test_single_shuffle_plan(spark):
+    target = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double")
+    source = spark.createDataFrame([(i, -float(i)) for i in range(50, 150)], "id long, v double")
+    out = merge_upsert(target, source, ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one join, no Cartesian/BNLJ
+    assert plan.count("Join") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 150
