@@ -1,7 +1,10 @@
 from pandance_spark.operators.asof import asof_join
 from pandance_spark.operators.cluster import connected_components, dedup_clusters
+from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
+from pandance_spark.operators.merge import merge_upsert
+from pandance_spark.operators.skew import salted_join
 from pandance_spark.operators.theta import theta_join
 
 __all__ = [
@@ -11,4 +14,7 @@ __all__ = [
     "asof_join",
     "connected_components",
     "dedup_clusters",
+    "contamination_check",
+    "merge_upsert",
+    "salted_join",
 ]
