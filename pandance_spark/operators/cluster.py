@@ -102,7 +102,7 @@ def connected_components(
         # round 1 where comp(comp) == comp trivially (labels start as
         # identity); from round 2 on it halves chain depth per round.
         if it == 0:
-            doubled = stepped.localCheckpoint(eager=True)
+            doubled = stepped.localCheckpoint(eager=False)
         else:
             ptr = stepped.select(
                 F.col("node").alias("comp"), F.col("comp").alias("pcomp")
@@ -115,7 +115,9 @@ def connected_components(
                         F.col("comp"), F.coalesce(F.col("pcomp"), F.col("comp"))
                     ).alias("comp"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the convergence aggregation below materializes
+                # the checkpoint AND computes the metric in ONE job
+                .localCheckpoint(eager=False)
             )
         if numeric_ids:
             cur = doubled.agg(
