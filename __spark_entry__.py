@@ -399,6 +399,25 @@ def _q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-budget packing: 8 buckets, 2000-token packs
+    from pandance_spark.functions.split import pack_documents
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_documents(sized, "doc_id", "n_tokens", budget=2000, n_buckets=8)
+
+
+def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.functions.text import top_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_tokens(docs, "text", k=50)
+
+
 def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.functions.split import hash_split_bucket
 
@@ -674,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         # training-pipeline composition
         "train_split": _q_train_split,
+        "pack_documents": _q_pack_documents,
+        "top_tokens": _q_top_tokens,
         "stratified_sample": _q_stratified_sample,
         "embedding_centroids": _q_embedding_centroids,
         "corpus_clean": _q_corpus_clean,
@@ -1090,6 +1111,29 @@ ORDER BY doc_id
             SELECT doc_id AS media_id, 'text/plain' AS media_type,
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
+        """,
+        "pack_documents": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            sized AS (
+              SELECT doc_id, len(ts)::BIGINT AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 8 AS pack_bucket
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, pack_bucket,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       PARTITION BY pack_bucket ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) / 2000.0) AS BIGINT) AS pack_id
+            FROM sized
+        """,
+        "top_tokens": f"""
+            WITH toks AS ({_TOKS_CTE})
+            SELECT token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(ts) AS token FROM toks)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 50
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source

@@ -22,6 +22,7 @@ __all__ = [
     "split_train_test",
     "cap_per_group",
     "stratified_sample",
+    "pack_documents",
 ]
 
 
@@ -96,6 +97,52 @@ def stratified_sample(
             F.lit(int(round(rate * 10000))),
         ).otherwise(cut)
     return df.filter(bucket < cut)
+
+
+def pack_documents(
+    df,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    n_buckets: int = 1024,
+):
+    """Assign documents to token-budget packs — the grouping step of
+    sequence packing for training batches.
+
+    Within each of ``n_buckets`` deterministic hash buckets, documents
+    are ordered by ``key_col`` and packed by running token total:
+    ``pack = floor(exclusive_cumsum / budget)``.  Packs average to the
+    budget; a boundary document may straddle into the next multiple
+    (the standard approximate packing — exact greedy packing is a
+    sequential scan, which cannot scale past one partition).
+
+    Output adds ``pack_bucket`` and ``pack_id``; a pack is identified
+    by (pack_bucket, pack_id).  Work: ONE shuffle (window over the
+    bucket), parallel across buckets — at 100 TB pick ``n_buckets`` >>
+    cores so buckets stay memory-sized.
+    """
+    from pyspark.sql import Window
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    bucket = hash_split_bucket(F.col(key_col), n_buckets)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("pack_bucket", bucket)
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum(F.col(size_col)).over(w), F.lit(0))
+                / F.lit(budget)
+            ),
+        )
+    )
 
 
 def split_train_test(df, key_col: str, train_fraction: float = 0.8):

@@ -251,6 +251,26 @@ def lang_id(text: Column) -> Column:
     return result
 
 
+def top_tokens(df, text_col: str, k: int = 100, by_doc_freq: bool = False):
+    """Global top-``k`` tokens: ``(token, n)`` ordered by count desc,
+    token asc (deterministic at the cut).  ``by_doc_freq`` counts each
+    token once per document instead of every occurrence.
+
+    Explode -> hash aggregate (map-side partial combine carries one
+    partial count per distinct token per partition, never raw tokens)
+    -> TakeOrdered top-k on the driver.  The classic vocabulary /
+    heavy-hitter sweep.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = tokenize(F.col(text_col))
+    if by_doc_freq:
+        toks = F.array_distinct(toks)
+    exploded = df.select(F.explode(toks).alias("token"))
+    counts = exploded.groupBy("token").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
 def fingerprint_md5(text: Column) -> Column:
     """Portable deterministic document fingerprint (md5 hex).  Used for
     exact dedup keys; identical in any engine (the DuckDB oracle's md5

@@ -122,3 +122,37 @@ def test_stratified_sample_validates(spark):
     df = spark.createDataFrame([(1, "en")], "id long, lang string")
     with _pytest.raises(ValueError):
         stratified_sample(df, "lang", {"en": 1.5}, key_col="id")
+
+
+def test_pack_documents(spark):
+    from pandance_spark.functions.split import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "id long, n long"
+    )
+    out = pack_documents(df, "id", "n", budget=300, n_buckets=1).collect()
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r["id"])
+    # 40 docs x 100 tokens, budget 300 -> packs of 3 docs (exclusive
+    # cumsum: docs 0,1,2 have cumsum 0,100,200 -> pack 0; doc 3 -> 300/300=1)
+    assert len(packs) == 14
+    sizes = sorted(len(v) for v in packs.values())
+    assert sizes == [1] + [3] * 13
+    # deterministic: doc order by id within the single bucket
+    assert packs[0] == [0, 1, 2]
+
+
+def test_pack_documents_buckets_parallel(spark):
+    from pandance_spark.functions.split import pack_documents
+
+    df = spark.createDataFrame([(i, 50) for i in range(200)], "id long, n long")
+    out = pack_documents(df, "id", "n", budget=500, n_buckets=16)
+    # every doc assigned; pack totals within a (bucket, pack) pair stay
+    # near budget (can straddle by at most one doc)
+    agg = out.groupBy("pack_bucket", "pack_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("c")
+    ).collect()
+    assert sum(r["c"] for r in agg) == 200
+    for r in agg:
+        assert r["total"] <= 500 + 50  # budget + one straddling doc

@@ -129,3 +129,17 @@ def test_redact_pii_and_counts(spark):
     assert got[2]["red"] == "no pii here at all"
     assert got[3]["ne"] == 2
     assert got[3]["red"] == "two mails: [PII] [PII]"
+
+
+def test_top_tokens(spark):
+    from pandance_spark.functions.text import top_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b c d"), (3, "a c")],
+        "id long, text string",
+    )
+    out = top_tokens(df, "text", k=3).collect()
+    assert [(r["token"], r["n"]) for r in out] == [("a", 4), ("b", 3), ("c", 3)]
+    out_df = top_tokens(df, "text", k=2, by_doc_freq=True).collect()
+    # doc freq: a:2 b:2 c:3 d:1 -> c, then a before b (tie by token asc)
+    assert [(r["token"], r["n"]) for r in out_df] == [("c", 3), ("a", 2)]
