@@ -115,6 +115,34 @@ add(
     ).select("doc_id", "lang"),
 )
 
+from pandance_spark.sources import save_bucketed
+
+save_bucketed(
+    od.limit(50000), "plans_orders_b", "o_orderkey", num_buckets=8
+)
+save_bucketed(
+    li.limit(50000), "plans_lineitem_b", "l_orderkey", num_buckets=8
+)
+# disable broadcast so the plan shows the bucketed sort-merge shape a
+# 100 TB fact-fact join would take (at toy scale Spark would broadcast)
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+add(
+    "bucketed co-located equi-join — ZERO shuffle Exchange",
+    "Both tables bucketed on the join key with the same bucket count: the "
+    "sort-merge join runs on the stored bucketing with **no shuffle Exchange "
+    "on either side** — pre-partitioned storage replaces the shuffle, the "
+    "biggest lever for repeated joins over 100 TB fact tables "
+    "(`sources.save_bucketed`; broadcast disabled for this explain so the "
+    "fact-fact shape is visible).",
+    spark.table("plans_orders_b").join(
+        spark.table("plans_lineitem_b"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ),
+)
+spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+spark.sql("DROP TABLE IF EXISTS plans_orders_b")
+spark.sql("DROP TABLE IF EXISTS plans_lineitem_b")
+
 STATIC_SECTIONS = """## skew evidence — band join under a hot key (r2)
 
 `ineq_band_skewed` (bench + oracle-gated) pins 50% of the left rows to a
