@@ -120,6 +120,10 @@ def pack_documents(
     by (pack_bucket, pack_id).  Work: ONE shuffle (window over the
     bucket), parallel across buckets — at 100 TB pick ``n_buckets`` >>
     cores so buckets stay memory-sized.
+
+    ``key_col`` must be unique per row: the running total orders by it,
+    and duplicate keys would make pack assignment nondeterministic
+    across runs/partitionings.
     """
     from pyspark.sql import Window
 

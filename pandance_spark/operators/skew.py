@@ -49,6 +49,8 @@ def salted_join(
     for k in keys:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join column {k!r} missing from an input")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("inputs must not already contain a __salt column")
     # deterministic per-row salt from the full left row: hot-key rows
     # with varying payloads spread uniformly; identical full rows
     # colliding on one salt is correct (they are the same row)
