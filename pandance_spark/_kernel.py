@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import re as _re
 from typing import Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
@@ -90,9 +91,12 @@ def spread_partitions(df: DataFrame) -> DataFrame:
         if not files:
             return df
         plan_str = str(df._jdf.queryExecution().optimizedPlan().toString())
-        if any(
-            marker in plan_str
-            for marker in ("Repartition", "Join", "Aggregate", "Sort", "Window")
+        # word-boundary match on NODE names: a bare substring test would
+        # false-positive on column/alias names like `lastSortTs` or
+        # `joinDate` appearing in the rendered plan
+        if _re.search(
+            r"\b(?:Repartition|RepartitionByExpression|Join|Aggregate|Sort|Window)\b",
+            plan_str,
         ):
             return df
         try:
@@ -101,14 +105,8 @@ def spread_partitions(df: DataFrame) -> DataFrame:
             )
         except Exception:
             sz = 0
-        raw = str(
-            df.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728"
-            )
-        ).lower().rstrip("b")
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        max_pb = (
-            int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+        max_pb = parse_bytes_conf(
+            df.sparkSession, "spark.sql.files.maxPartitionBytes", 128 << 20
         )
         # Spark splits big files itself; only a genuinely small scan
         # with few files benefits from a spread (and only then is the
@@ -119,6 +117,20 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     except Exception:
         pass
     return df
+
+
+def parse_bytes_conf(spark, key: str, default: int) -> int:
+    """Spark byte-size conf value ('10m', '256kb', plain bytes) as int."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if raw.endswith("b") and raw[:-1] and raw[-2] in units:
+            return int(raw[:-2]) * units[raw[-2]]
+        if raw and raw[-1] in units:
+            return int(raw[:-1]) * units[raw[-1]]
+        return int(raw.rstrip("b"))
+    except Exception:
+        return default
 
 
 def two_sided_minmax(left: DataFrame, lval, right: DataFrame, rval):

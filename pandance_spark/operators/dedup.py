@@ -507,9 +507,14 @@ def ngram_jaccard_join(
             F.transform("__arr", lambda x: x["sh"]).alias("__set"),
         )
     )
+    # the output filter keeps ROUNDED jaccard >= threshold, which
+    # admits exact J down to threshold - 5e-7: every pruning bound
+    # below must use that effective threshold, or boundary pairs
+    # (round(J,6) == t, J < t) silently vanish from the result
+    t_eff = max(float(threshold) - 5e-7, 1e-9)
     n = F.size("__set")
     prefix_len = F.greatest(
-        n - F.ceil(n * F.lit(float(threshold))) + 1, F.lit(1)
+        n - F.ceil(n * F.lit(t_eff)) + 1, F.lit(1)
     ).cast("int")
     inv = sets_df.select(
         "id",
@@ -518,7 +523,7 @@ def ngram_jaccard_join(
     )
     a = inv.withColumnsRenamed({"id": "id_a", "__n": "__n_a"})
     b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b", "__n": "__n_b"})
-    t = F.lit(float(threshold))
+    t = F.lit(t_eff)
     cands = (
         a.join(
             b,
@@ -612,9 +617,9 @@ def embedding_cosine_pairs(
 
 
 def _gemm_limit_bytes(spark) -> int:
-    from pandance_spark.operators.ineq import _parse_bytes_conf
+    from pandance_spark._kernel import parse_bytes_conf
 
-    return _parse_bytes_conf(
+    return parse_bytes_conf(
         spark, "spark.sql.autoBroadcastJoinThreshold", 10 * 1024 * 1024
     )
 
@@ -705,12 +710,14 @@ def _lsh_blocked_cosine_pairs(
     from pandance_spark.operators.similarity import lsh_bucket
 
     num_planes = 8
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:  # empty input
+    # max() skips NULL vectors — a NULL in the first row must not yield
+    # dim=None (empty input and all-NULL input both produce no pairs)
+    dim_row = df.agg(F.max(F.size(F.col(vec_col))).alias("d")).first()
+    dim = dim_row["d"] if dim_row is not None else None
+    if dim is None or dim <= 0:
         return df.sparkSession.createDataFrame(
             [], _cosine_out_schema(df, id_col)
         )
-    dim = dim_row["d"]
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),

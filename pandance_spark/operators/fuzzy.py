@@ -102,6 +102,10 @@ def fuzzy_join(
     defaults (``tol=1e-3``, ``suffixes=('_x', '_y')``); ``strategy`` is
     a Spark-side extension.
     """
+    if strategy not in ("auto", "band", "range"):
+        # validate BEFORE any fast path so a typo raises regardless of
+        # whether the data happens to short-circuit
+        raise ValueError(f"unknown strategy {strategy!r}")
     left_on, right_on = resolve_join_columns(left, right, on, left_on, right_on)
     ltype = left.schema[left_on].dataType
     rtype = right.schema[right_on].dataType
@@ -138,12 +142,23 @@ def fuzzy_join(
         )
         if fast is not None:
             return fast
-        # extreme |v|/tol overflows the +-2 bucket margin -> exact path
+        # extreme |v|/tol overflows the +-2 bucket margin: band would
+        # silently DROP matches.  auto falls back to the exact range
+        # join (correct, possibly slow); an explicitly requested band
+        # is a contract violation -> raise rather than silently run an
+        # unbounded nested-loop plan in its place.
         if (
             max_abs is not None
             and bucket_width > 0.0
             and float(max_abs) / bucket_width > _MAX_BUCKET_QUOTIENT
         ):
+            if strategy == "band":
+                raise ValueError(
+                    "band strategy out of operating range: |value|/tol "
+                    f"~ {float(max_abs) / bucket_width:.2e} exceeds 2^51, "
+                    "floor(v/tol) in double would drop matches; use "
+                    "strategy='range' (exact) or rescale the values"
+                )
             strategy = "range"
 
     if strategy == "auto":
@@ -155,8 +170,6 @@ def fuzzy_join(
                 left2.join(right2, lval == rval, "inner").select(*out_cols)
             )
         return left2.join(right2, exact, "inner").select(*out_cols)
-    if strategy != "band":
-        raise ValueError(f"unknown strategy {strategy!r}")
 
     # band-bucketed equi-join ------------------------------------------------
     lbucket = F.floor(lval.cast("double") / F.lit(bucket_width))

@@ -35,6 +35,7 @@ suffixed schema, where the reference returns only the two join columns.
 
 from __future__ import annotations
 
+import math
 import operator
 from typing import Optional, Tuple
 
@@ -44,6 +45,7 @@ from pyspark.sql import types as T
 
 from pandance_spark._kernel import (
     apply_suffixes,
+    parse_bytes_conf as _parse_bytes_conf,
     is_numeric_type,
     is_timestamp_type,
     resolve_join_columns,
@@ -88,6 +90,10 @@ def ineq_join(
     """
     if how not in _OPS:
         raise ValueError(f"`how` must be one of {sorted(_OPS)}; got {how!r}")
+    if strategy not in ("auto", "band", "bnl"):
+        # validate BEFORE the fast path so a typo raises regardless of
+        # whether the data happens to short-circuit
+        raise ValueError(f"unknown strategy {strategy!r}")
     left_on, right_on = resolve_join_columns(left, right, on, left_on, right_on)
     left2, right2, lcol, rcol = apply_suffixes(
         left, right, left_on, right_on, suffixes
@@ -95,20 +101,23 @@ def ineq_join(
     cond = _OPS[how](left2[lcol], right2[rcol])
     out_cols = [*left2.columns, *right2.columns]
 
+    rstat = None
     if disjoint_fast_path:
-        fast = _try_disjoint_fast_path(left2, right2, lcol, rcol, how, out_cols)
+        fast, _lstat, rstat = _try_disjoint_fast_path(
+            left2, right2, lcol, rcol, how, out_cols
+        )
         if fast is not None:
             return fast
 
     if strategy == "auto":
         strategy = _pick_strategy(left2, right2, lcol, rcol)
     if strategy == "band":
-        banded = _band_join(left2, right2, lcol, rcol, how, num_bands, out_cols)
+        banded = _band_join(
+            left2, right2, lcol, rcol, how, num_bands, out_cols, rstat
+        )
         if banded is not None:
             return banded
         strategy = "bnl"
-    if strategy != "bnl":
-        raise ValueError(f"unknown strategy {strategy!r}")
     return left2.join(right2, cond, "inner").select(*out_cols)
 
 
@@ -165,11 +174,28 @@ def _try_disjoint_fast_path(
     """If the two value ranges don't overlap, the answer is the full
     cross product or empty — metadata-only work.  Mirrors reference
     ``pandance/pandance.py:792-807`` but returns the full suffixed
-    schema on both branches (deliberate deviation, SURVEY.md §4)."""
+    schema on both branches (deliberate deviation, SURVEY.md §4).
+
+    Returns ``(result_or_None, lstat, rstat)`` so callers can reuse the
+    min/max stats (the string-surrogate factory needs the right side's).
+    """
     lstat, rstat = two_sided_minmax(left, F.col(lcol), right, F.col(rcol))
     if lstat["lo"] is None or rstat["lo"] is None:
         # one side empty -> empty result with the full schema
-        return left.join(right, F.lit(False), "inner").select(*out_cols)
+        return (
+            left.join(right, F.lit(False), "inner").select(*out_cols),
+            lstat,
+            rstat,
+        )
+    # NaN join values: Spark orders NaN ABOVE everything while Python
+    # comparisons return False — the driver-side range check would flip
+    # results vs the band/bnl paths.  No short-circuit; the join
+    # strategies handle NaN with Spark semantics.
+    if any(
+        isinstance(v, float) and math.isnan(v)
+        for v in (lstat["lo"], lstat["hi"], rstat["lo"], rstat["hi"])
+    ):
+        return None, lstat, rstat
     op = _OPS[how]
     # worst case pair (hardest to satisfy) vs best case pair (easiest):
     if how in ("<", "<="):
@@ -184,24 +210,17 @@ def _try_disjoint_fast_path(
         return (
             left.filter(F.col(lcol).isNotNull())
             .crossJoin(right.filter(F.col(rcol).isNotNull()))
-            .select(*out_cols)
+            .select(*out_cols),
+            lstat,
+            rstat,
         )
     if not op(*best):  # even the best pair fails -> empty
-        return left.join(right, F.lit(False), "inner").select(*out_cols)
-    return None
-
-
-def _parse_bytes_conf(spark, key: str, default: int) -> int:
-    try:
-        raw = str(spark.conf.get(key)).strip().lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-        if raw.endswith("b") and raw[:-1] and raw[-2] in units:
-            return int(raw[:-2]) * units[raw[-2]]
-        if raw and raw[-1] in units:
-            return int(raw[:-1]) * units[raw[-1]]
-        return int(raw.rstrip("b"))
-    except Exception:
-        return default
+        return (
+            left.join(right, F.lit(False), "inner").select(*out_cols),
+            lstat,
+            rstat,
+        )
+    return None, lstat, rstat
 
 
 def _as_numeric(col: Column, dtype: T.DataType) -> Column:
@@ -217,7 +236,7 @@ _CP_SLOT = float(1 << 21)
 _SURR_ABOVE = 1e19  # > any packed value (~9.2e18)
 
 
-def _string_surrogate_factory(right: DataFrame, rcol: str):
+def _string_surrogate_factory(right: DataFrame, rcol: str, rstat=None):
     """Monotone double surrogate for string banding, or None.
 
     The distributed analog of the reference's claim that ``ineq_join``
@@ -235,12 +254,15 @@ def _string_surrogate_factory(right: DataFrame, rcol: str):
     every cut (strings < lcp sort below all prefixed strings; strings
     > lcp that don't start with it sort above them).
     """
-    stat = right.agg(F.min(rcol).alias("lo"), F.max(rcol).alias("hi")).first()
-    if stat is None or stat["lo"] is None:
+    if rstat is None:
+        # no stats threaded from the disjoint fast path -> one min/max agg
+        row = right.agg(F.min(rcol).alias("lo"), F.max(rcol).alias("hi")).first()
+        rstat = {"lo": row["lo"], "hi": row["hi"]} if row is not None else None
+    if rstat is None or rstat["lo"] is None:
         return None
     import os.path as _osp
 
-    lcp = _osp.commonprefix([stat["lo"], stat["hi"]])
+    lcp = _osp.commonprefix([rstat["lo"], rstat["hi"]])
     off = len(lcp)
 
     def surrogate(col: Column) -> Column:
@@ -271,6 +293,7 @@ def _band_join(
     how: str,
     num_bands: int,
     out_cols,
+    rstat=None,
 ) -> Optional[DataFrame]:
     """Quantile band join.  Returns None when the band path does not
     apply (non-numeric key, degenerate cuts) so the caller can fall back.
@@ -294,7 +317,7 @@ def _band_join(
         lview = lambda c: _as_numeric(c, ltype)  # noqa: E731
         rview = lambda c: _as_numeric(c, rtype)  # noqa: E731
     elif isinstance(ltype, T.StringType) and isinstance(rtype, T.StringType):
-        surrogate = _string_surrogate_factory(right, rcol)
+        surrogate = _string_surrogate_factory(right, rcol, rstat)
         if surrogate is None:
             return None
         lview = rview = surrogate

@@ -79,12 +79,12 @@ def merge_upsert(
         tcol, scol = F.col(f"__t_{c}"), F.col(f"__s_{c}")
         if c in keys:
             return F.coalesce(tcol, scol).alias(c)
-        if c in upd or c not in source.columns:
-            # updated on match; on insert the source value (or NULL for
-            # target-only columns the source lacks)
-            if c not in source.columns:
-                return tcol.alias(c)
-            return F.when(in_t & in_s, scol).when(in_s, scol).otherwise(tcol).alias(c)
+        if c not in source.columns:
+            # target-only column: kept on match, NULL on insert
+            return tcol.alias(c)
+        if c in upd:
+            # updated on match, source value on insert
+            return F.when(in_s, scol).otherwise(tcol).alias(c)
         # not an update column: target value on match, source on insert
         return F.when(in_t, tcol).otherwise(scol).alias(c)
 

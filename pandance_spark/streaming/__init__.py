@@ -194,9 +194,12 @@ def streaming_near_dup_filter(
             for i in range(bands)
         ],
     )
+    # persist: the banded reference index feeds one anti-join PER BAND
+    # in every micro-batch — uncached, each of the `bands` joins would
+    # re-run the reference scan + tokenize + signature pipeline
     ref_banded = _banded_keys(
         reference, id_col, text_col, num_hashes, bands, shingle_n, seed
-    )
+    ).persist()
     out = with_bands
     for i in range(bands):
         ref_i = (

@@ -259,16 +259,19 @@ def test_fuzzy_fast_path_decimal_boundary(spark):
     assert fuzzy_join(left, right, on="v", tol=decimal.Decimal("0.04")).count() == 0
 
 
-def test_fuzzy_extreme_quotient_falls_back_to_range(spark):
+def test_fuzzy_extreme_quotient_guard(spark):
     # |v|/tol ~ 1e22 >> 2^51: floor(v/tol) in double is off by far more
-    # than the +-2 bucket margin, so band would silently drop matches;
-    # the operating-range guard must force the exact range strategy
+    # than the +-2 bucket margin, so band would silently drop matches.
+    # auto must reroute to the exact range strategy; an explicit band
+    # request must raise (contract violation, not silent rewrite).
     big = 1.0e18
     vals = [(1, big), (2, big + 256.0), (3, big + 512.0)]
     left = spark.createDataFrame(vals, "id long, v double")
     right = spark.createDataFrame(vals, "id long, v double")
-    out = fuzzy_join(left, right, on="v", tol=1e-4, strategy="band")
+    out = fuzzy_join(left, right, on="v", tol=1e-4, strategy="auto")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "__bucket" not in plan  # guard rerouted band -> range
+    assert "__bucket" not in plan  # guard rerouted auto -> range
     got = {(r["id_x"], r["id_y"]) for r in out.collect()}
     assert got == {(1, 1), (2, 2), (3, 3)}
+    with pytest.raises(ValueError, match="operating range"):
+        fuzzy_join(left, right, on="v", tol=1e-4, strategy="band")

@@ -222,3 +222,27 @@ def test_ineq_validation_errors(prices):
         ineq_join(left, right, how="<", on=["price", "item"])  # multi-col
     with pytest.raises(ValueError):
         ineq_join(left, right, how="<", on="nope")
+
+
+def test_nan_values_consistent_across_fast_path(spark):
+    import math
+    # Spark orders NaN ABOVE everything: x < NaN matches for finite x.
+    # The driver-side disjoint fast path must not flip that (Python
+    # comparisons with nan are all False).
+    left = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double")
+    right = spark.createDataFrame(
+        [(10, 1.0), (11, float("nan"))], "id long, v double"
+    )
+    with_fp = ineq_join(left, right, how="<", on="v", disjoint_fast_path=True)
+    without_fp = ineq_join(left, right, how="<", on="v", disjoint_fast_path=False)
+    got_fp = {(r["id_x"], r["id_y"]) for r in with_fp.collect()}
+    got_plain = {(r["id_x"], r["id_y"]) for r in without_fp.collect()}
+    assert got_fp == got_plain == {(1, 11), (2, 11)}
+
+
+def test_unknown_strategy_raises_even_on_disjoint_inputs(spark):
+    import pytest as _pytest
+    left = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    right = spark.createDataFrame([(2, 100.0)], "id long, v double")
+    with _pytest.raises(ValueError, match="strategy"):
+        ineq_join(left, right, how="<", on="v", strategy="bandd")
