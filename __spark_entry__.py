@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join, theta_join
+from pandance_spark._kernel import as_instant
 from pandance_spark.functions.text import (
     fingerprint_md5,
     lang_id,
@@ -634,7 +635,13 @@ def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # ts may arrive as TIMESTAMP_NTZ (parquet timestamp[us] without tz under
+    # inferTimestampNTZ); unix_micros only accepts TIMESTAMP, so normalize via
+    # as_instant (a DDL-string cast would resolve back to NTZ under
+    # spark.sql.timestampType=TIMESTAMP_NTZ).  Only gaps (differences) are
+    # used, so the session-tz interpretation cancels.
+    ts = as_instant(F.col("ts"))
+    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
     is_new = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
     return (
         ev.withColumn("is_new", is_new)

@@ -41,6 +41,7 @@ __all__ = [
     "tolerance_to_micros",
     "is_numeric_type",
     "is_timestamp_type",
+    "as_instant",
     "spread_partitions",
 ]
 
@@ -65,6 +66,19 @@ def is_numeric_type(dtype: T.DataType) -> bool:
 
 def is_timestamp_type(dtype: T.DataType) -> bool:
     return isinstance(dtype, _TIMESTAMP_TYPES)
+
+
+def as_instant(col: Column) -> Column:
+    """Cast a timestamp-ish column to the LTZ ``TimestampType`` so
+    ``unix_micros`` accepts it.  The Python type object is used instead of
+    the ``"timestamp"`` DDL string because under
+    ``spark.sql.timestampType=TIMESTAMP_NTZ`` the string resolves to NTZ
+    (which ``unix_micros`` rejects), while ``T.TimestampType()`` is always
+    the instant type.  NTZ->LTZ interprets the naive value in the session
+    timezone; every caller only compares/differences instants from the same
+    source family, so the interpretation cancels.
+    """
+    return col.cast(T.TimestampType())
 
 
 def spread_partitions(df: DataFrame) -> DataFrame:

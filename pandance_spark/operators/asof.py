@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pandance_spark._kernel import (
+    as_instant,
     apply_suffixes,
     is_timestamp_type,
     resolve_join_columns,
@@ -96,7 +97,7 @@ def asof_join(
     rtype = right2.schema[rts].dataType
 
     def _ord(col: Column, dt: T.DataType) -> Column:
-        v = F.unix_micros(col.cast("timestamp")) if is_timestamp_type(dt) else col.cast("double")
+        v = F.unix_micros(as_instant(col)) if is_timestamp_type(dt) else col.cast("double")
         return -v if direction == "forward" else v
 
     rpayload_cols = [c for c in right2.columns if c not in by]
@@ -150,7 +151,7 @@ def asof_join(
     out = matched.filter(F.col("__tag") == 1)
     if want_fwd:
         lnum = (
-            F.unix_micros(F.col(f"__l.{lts}").cast("timestamp"))
+            F.unix_micros(as_instant(F.col(f"__l.{lts}")))
             if is_timestamp_type(ltype)
             else F.col(f"__l.{lts}").cast("double")
         )
@@ -158,7 +159,7 @@ def asof_join(
         def _rnum(match_col: str) -> Column:
             c = F.col(f"{match_col}.{rts}")
             return (
-                F.unix_micros(c.cast("timestamp"))
+                F.unix_micros(as_instant(c))
                 if is_timestamp_type(rtype)
                 else c.cast("double")
             )
@@ -179,12 +180,12 @@ def asof_join(
             else float(tolerance)
         )
         lval = (
-            F.unix_micros(F.col(f"__l.{lts}").cast("timestamp"))
+            F.unix_micros(as_instant(F.col(f"__l.{lts}")))
             if is_timestamp_type(ltype)
             else F.col(f"__l.{lts}").cast("double")
         )
         rval = (
-            F.unix_micros(F.col(f"__match.{rts}").cast("timestamp"))
+            F.unix_micros(as_instant(F.col(f"__match.{rts}")))
             if is_timestamp_type(rtype)
             else F.col(f"__match.{rts}").cast("double")
         )

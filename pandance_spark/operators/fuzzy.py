@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pandance_spark._kernel import (
+    as_instant,
     apply_suffixes,
     finite_filter,
     resolve_join_columns,
@@ -121,8 +122,8 @@ def fuzzy_join(
 
     if mode == "timestamp":
         tol_us = tolerance_to_micros(tol)
-        lval = F.unix_micros(left2[lcol].cast("timestamp"))
-        rval = F.unix_micros(right2[rcol].cast("timestamp"))
+        lval = F.unix_micros(as_instant(left2[lcol]))
+        rval = F.unix_micros(as_instant(right2[rcol]))
         tol_lit = F.lit(tol_us)
         bucket_width = float(tol_us)
     else:

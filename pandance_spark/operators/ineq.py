@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pandance_spark._kernel import (
+    as_instant,
     apply_suffixes,
     parse_bytes_conf as _parse_bytes_conf,
     is_numeric_type,
@@ -226,7 +227,7 @@ def _try_disjoint_fast_path(
 def _as_numeric(col: Column, dtype: T.DataType) -> Column:
     """Quantile-able numeric view of a column (timestamps -> micros)."""
     if is_timestamp_type(dtype):
-        return F.unix_micros(col.cast("timestamp"))
+        return F.unix_micros(as_instant(col))
     return col.cast("double")
 
 

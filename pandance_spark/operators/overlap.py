@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pandance_spark._kernel import is_timestamp_type
+from pandance_spark._kernel import as_instant, is_timestamp_type
 
 __all__ = ["overlap_join"]
 
@@ -86,7 +86,7 @@ def overlap_join(
 
     def _num(col: Column, dt: T.DataType) -> Column:
         if is_timestamp_type(dt):
-            return F.unix_micros(col.cast("timestamp"))
+            return F.unix_micros(as_instant(col))
         return col.cast("double")
 
     lstype = left2.schema[ls].dataType

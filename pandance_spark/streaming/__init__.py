@@ -39,6 +39,19 @@ __all__ = [
 ]
 
 
+def _ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Watermarks/windows require the instant TIMESTAMP type; parquet
+    naive timestamps arrive as TIMESTAMP_NTZ under NTZ inference.  The
+    session timezone is pinned to UTC (sources.configure_session), so
+    the NTZ->LTZ reinterpretation is value-preserving.
+    """
+    from pandance_spark._kernel import as_instant
+
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, as_instant(F.col(col)))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: Optional[int] = None
 ) -> DataFrame:
@@ -70,6 +83,8 @@ def read_events_stream(
     df = reader.parquet(stage_dir)
     if dict(df.dtypes).get("ts") == "bigint":  # nanosAsLong in effect
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if "ts" in df.columns:
+        df = _ensure_event_time(df, "ts")
     return df
 
 
@@ -85,6 +100,7 @@ def windowed_event_counts(
     reclaimed — bounded state at unbounded input, the property that
     matters at 100 TB/day ingest.
     """
+    events = _ensure_event_time(events, "ts")
     win = (
         F.window("ts", window, slide) if slide else F.window("ts", window)
     )
@@ -114,6 +130,7 @@ def streaming_dedup(
     watermark passes it — state size is bounded by the watermark
     horizon, not the stream length.
     """
+    events = _ensure_event_time(events, event_time_col)
     return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
@@ -267,6 +284,7 @@ def running_user_stats(
             }
         )
 
+    events = _ensure_event_time(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -286,6 +304,7 @@ def sessionize_stream(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Gap-based session windows per user (streaming sessionization)."""
+    events = _ensure_event_time(events, "ts")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")

@@ -34,3 +34,29 @@ def test_all_queries_run_at_smallest_sf(spark, entrymod):
     for name, fn in entrymod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.count() >= 0, name
+
+
+def test_all_queries_run_under_ntz_mode(spark, entrymod):
+    """The driver's session reads naive parquet timestamps as
+    TIMESTAMP_NTZ (spark.sql.timestampType=TIMESTAMP_NTZ); every
+    timestamp-touching query must still resolve (regression: round-2
+    sessionize crashed on unix_micros(TIMESTAMP_NTZ))."""
+    prev = spark.conf.get("spark.sql.timestampType", None)
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        qs = entrymod.queries()
+        for name in (
+            "sessionize",
+            "asof_click_view",
+            "asof_nearest",
+            "fuzzy_timestamps",
+            "ineq_band_timestamps",
+            "overlap_sessions",
+            "window_topk",
+        ):
+            assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.timestampType", prev)
+        else:
+            spark.conf.unset("spark.sql.timestampType")
