@@ -42,6 +42,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    max_driver_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
@@ -56,15 +57,40 @@ def connected_components(
          halves the depth of label-pointer chains so convergence is
          O(log diameter) rounds rather than O(diameter).
     Terminates when no label changed (exact count, not a checksum).
+
+    Small-graph fast path: the edge list must be materialized before the
+    loop anyway (it is re-joined every round), so its exact count is one
+    cheap agg on the checkpoint.  When it is at most ``max_driver_edges``
+    (guard, same pattern as the GEMM plan-size gate in
+    ``embedding_cosine_pairs``) a driver union-find replaces the O(log d)
+    shuffle rounds — each distributed round costs a fixed multi-job
+    latency that dwarfs a sub-second local scan of a few million edges.
+    Post-LSH dedup graphs at corpus scale exceed the guard and take the
+    distributed loop; set ``max_driver_edges=0`` to force it.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
     )
+    # symmetrize in ONE pass over the (possibly expensive) edge pipeline:
+    # a union with the swapped projection would evaluate the upstream
+    # plan once per branch inside the checkpoint job
     e_sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("__p")
+        )
+        .select("__p.a", "__p.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # materializes the checkpoint the iterative loop would need anyway
+    n_sym = e_sym.count()
+    if n_sym <= 2 * max_driver_edges:
+        return _driver_union_find(e_sym)
     labels = (
         e_sym.select(F.col("a").alias("node"))
         .distinct()
@@ -141,6 +167,46 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+def _driver_union_find(e_sym: DataFrame) -> DataFrame:
+    """Union-find over a collected (guard-bounded) symmetric edge list;
+    returns the same ``(node, component)`` frame as the distributed
+    loop, component = smallest node id (path compression + union by
+    attaching the larger root under the smaller, so roots ARE minima).
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in e_sym.collect():  # bounded by the max_driver_edges guard
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: the root of
+            # every tree is then its component's minimum by induction
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    node_type = e_sym.schema["a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_type),
+            T.StructField("component", node_type),
+        ]
+    )
+    rows = [(n, find(n)) for n in parent]
+    return e_sym.sparkSession.createDataFrame(rows, out_schema)
 
 
 def dedup_clusters(

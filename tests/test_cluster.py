@@ -33,8 +33,14 @@ def _brute_components(edges, nodes):
 
 def _cc_dict(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
-    out = connected_components(df, "src", "dst")
-    return {r["node"]: r["component"] for r in out.collect()}
+    # both codepaths must agree: driver union-find (guard passes) and
+    # the distributed label-propagation loop (guard forced off)
+    fast = connected_components(df, "src", "dst")
+    dist = connected_components(df, "src", "dst", max_driver_edges=0)
+    got_fast = {r["node"]: r["component"] for r in fast.collect()}
+    got_dist = {r["node"]: r["component"] for r in dist.collect()}
+    assert got_fast == got_dist
+    return got_fast
 
 
 def test_chain(spark):
