@@ -275,6 +275,46 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher rule panel (Rae et al. 2021 A1.1) — pure-projection quality
+    # gate; extension surface, no reference analog (SURVEY.md 2.4)
+    from pandance_spark.functions.text import gopher_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_signals(docs, "doc_id", "text")
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 retrieval scoring: query-based corpus selection
+    from pandance_spark.functions.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["table", "scan", "merge", "hash"], k=20
+    )
+
+
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whole-corpus kNN graph: the large-x-large similarity case — both
+    # sides shuffle on IVF cell id, nothing is broadcast-sized.
+    # Deterministic centroids (first 8 corpus vectors) so the DuckDB
+    # oracle replays assignment + probing exactly.
+    from pandance_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select(F.col("embedding").cast("array<double>").alias("embedding"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    return knn_graph(
+        emb, "vec_id", "embedding", k=3, n_clusters=8, n_probe=4,
+        centroids=centroids,
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis extensions (SURVEY.md §2.4)
 # --------------------------------------------------------------------------
@@ -691,6 +731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # text analysis / multimodal
+        "gopher_quality": _q_gopher_quality,
+        "bm25_topk": _q_bm25,
+        "knn_graph": _q_knn_graph,
         "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
         "contamination": _q_contamination,
@@ -1038,6 +1081,107 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "gopher_quality": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            sig AS (
+              SELECT d.doc_id, d.text, t.ts, len(t.ts) AS n,
+                     coalesce(list_sum(list_transform(t.ts, x -> len(x))), 0)
+                       AS sum_len
+              FROM documents d JOIN toks t USING (doc_id)
+            ),
+            calc AS (
+              SELECT doc_id, n::BIGINT AS n_words,
+                     round(CASE WHEN n > 0 THEN sum_len::DOUBLE / n
+                                ELSE 0 END, 6) AS mean_word_len,
+                     round(CASE WHEN n > 0 THEN
+                             len(list_filter(ts,
+                                 x -> regexp_matches(x, '[a-z]')))::DOUBLE / n
+                           ELSE 0 END, 6) AS frac_alpha_words,
+                     round(CASE WHEN n > 0 THEN
+                             ((len(text) - len(replace(text, '#', '')))
+                              + (len(text) - len(replace(text, '...', ''))) / 3
+                             )::DOUBLE / n
+                           ELSE 0 END, 6) AS symbol_ratio,
+                     round(len(list_filter(string_split(text, chr(10)),
+                               l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+                           / len(string_split(text, chr(10))), 6)
+                       AS bullet_line_frac,
+                     len(list_distinct(list_intersect(list_distinct(ts),
+                         ['the','be','to','of','and','that','have','with'])
+                         ))::BIGINT AS stop_hits
+              FROM sig
+            )
+            SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+                   symbol_ratio, bullet_line_frac, stop_hits,
+                   CAST(n_words BETWEEN 50 AND 100000
+                        AND mean_word_len BETWEEN 3.0 AND 10.0
+                        AND frac_alpha_words >= 0.8
+                        AND symbol_ratio < 0.1
+                        AND bullet_line_frac < 0.9
+                        AND stop_hits >= 2 AS INT) AS gopher_keep
+            FROM calc
+        """,
+        "bm25_topk": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+            stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl
+                      FROM dl),
+            m AS (
+              SELECT doc_id, dl, t
+              FROM (SELECT doc_id, dl, unnest(ts) AS t FROM dl)
+              WHERE t IN ('hash', 'merge', 'scan', 'table')
+            ),
+            tf AS (SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl
+                   FROM m GROUP BY doc_id, t),
+            dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            s AS (
+              SELECT tf.doc_id,
+                     round(sum(ln(1 + (stats.n_docs - dft.df + 0.5)
+                                      / (dft.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                           ), 6) AS score
+              FROM tf JOIN dft USING (t) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM s
+            QUALIFY rank <= 20
+        """,
+        # kNN graph = ann_ivf with every vector as query, self excluded
+        "knn_graph": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            ctr AS (SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+                    FROM embeddings WHERE vec_id < 8),
+            assign AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY list_distance(c.v, ctr.cv),
+                                                   ctr.cell) AS rn
+                FROM c, ctr) WHERE rn = 1
+            ),
+            qp AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, ctr.cell,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY list_distance(c.v, ctr.cv),
+                                                   ctr.cell) AS rn
+                FROM c, ctr) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT q.vec_id AS vec_id_x, a.vec_id AS vec_id_y,
+                     round(list_cosine_similarity(q.v, a.v), 6) AS cosine
+              FROM qp q JOIN assign a
+                ON q.cell = a.cell AND q.vec_id <> a.vec_id
+            )
+            SELECT vec_id_x, vec_id_y, cosine,
+                   row_number() OVER (PARTITION BY vec_id_x
+                                      ORDER BY cosine DESC, vec_id_y) AS rank
+            FROM cand
+            QUALIFY rank <= 3
         """,
         "text_stats": f"""
             WITH toks AS ({_TOKS_CTE})

@@ -140,6 +140,9 @@ def main():
         "embedding_dedup",
         "ann_topk",
         "ann_lsh",
+        "gopher_quality",
+        "bm25_topk",
+        "knn_graph",
         "text_stats",
         "text_quality",
         "text_langid",

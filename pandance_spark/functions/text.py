@@ -21,6 +21,7 @@ __all__ = [
     "token_count",
     "word_shingles",
     "quality_score",
+    "gopher_signals",
     "lang_id",
     "fingerprint_md5",
     "fingerprint_xxhash",
@@ -282,3 +283,84 @@ def fingerprint_xxhash(text: Column) -> Column:
     """Fast 64-bit fingerprint (xxhash64) — the scale path for exact
     dedup keys; engine-specific, so oracle checks use fingerprint_md5."""
     return F.xxhash64(text)
+
+
+# Gopher-style rule panel (Rae et al. 2021, "Scaling Language Models",
+# appendix A1.1 quality heuristics) — the standard pretraining-corpus
+# quality gate.  Fixed thresholds, pure Column expressions, one map
+# stage over the corpus; every signal is SQL-expressible so the DuckDB
+# oracle recomputes the panel verbatim.
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(df, id_col: str, text_col: str):
+    """Per-document Gopher rule signals + the combined keep flag.
+
+    Columns: n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+    bullet_line_frac, stop_hits, gopher_keep.  ``gopher_keep`` is the
+    conjunction of the published bounds (50 <= words <= 100k, mean word
+    length in [3, 10], >= 80% alphabetic words, < 10% symbol marks,
+    < 90% bullet lines, >= 2 distinct stopwords).
+
+    Scale shape: no shuffle, no UDF — a projection over the corpus scan;
+    at 100 TB this pipelines with whatever runs next.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    mean_word_len = F.round(
+        F.when(n > 0, sum_len.cast("double") / nd).otherwise(F.lit(0.0)), 6
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    frac_alpha = F.round(
+        F.when(n > 0, n_alpha_words.cast("double") / nd).otherwise(F.lit(0.0)), 6
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(
+        F.when(n > 0, (n_hash + n_ellipsis).cast("double") / nd).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^\\s*[-*•]")))
+    bullet_frac = F.round(
+        F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        (n >= 50)
+        & (n <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (stop_hits >= 2)
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        keep.alias("gopher_keep"),
+    )

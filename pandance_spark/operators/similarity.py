@@ -23,9 +23,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandance_spark.functions.vectors import cosine_similarity, dot
+from pandance_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
-__all__ = ["cosine_topk", "lsh_bucket", "ann_lsh_topk", "ann_ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "lsh_bucket",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "knn_graph",
+]
 
 
 def cosine_topk(
@@ -44,18 +50,26 @@ def cosine_topk(
     scale the corpus is the huge side and scans once.
     """
     qname, cname = _out_names(query_id, corpus_id)
+    # norms staged per ROW (not per pair): the per-pair expression is
+    # then a single dot-product traversal — identical float ops and
+    # result, ~3x less work than recomputing both norms per candidate
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
     )
     scored = c.crossJoin(F.broadcast(q)).select(
         F.col("__qid").alias(qname),
         F.col("__cid").alias(cname),
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qname).orderBy(
         F.col("cosine").desc(), F.col(cname).asc()
@@ -106,12 +120,52 @@ def ann_ivf_topk(
     Same output schema as :func:`cosine_topk`; recall < 1 by design
     (raise ``n_probe`` to trade speed for recall).
     """
+    qname, cname = _out_names(query_id, corpus_id)
+    c_assigned, qcells = _ivf_cells(
+        corpus, queries, corpus_id, query_id, corpus_vec, query_vec,
+        n_clusters, n_probe, seed, centroids,
+    )
+    scored = (
+        qcells.join(
+            c_assigned.select("__cid", "__cv", "__cn", "__cell"), "__cell", "inner"
+        )
+        .select(
+            F.col("__qid").alias(qname),
+            F.col("__cid").alias(cname),
+            F.round(
+                dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(qname).orderBy(F.col("cosine").desc(), F.col(cname).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _ivf_cells(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    corpus_vec: str,
+    query_vec: str,
+    n_clusters: int,
+    n_probe: int,
+    seed: int,
+    centroids: Optional[list],
+):
+    """Shared IVF stage: corpus rows tagged with their nearest-centroid
+    cell (``__cid/__cv/__cn/__cell``), queries exploded to their
+    ``n_probe`` nearest cells (``__qid/__qv/__qn/__cell``)."""
     from pandance_spark.functions.vectors import l2_distance
 
-    qname, cname = _out_names(query_id, corpus_id)
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
     )
     if centroids is None:
         from pyspark.ml.clustering import KMeans
@@ -148,6 +202,7 @@ def ann_ivf_topk(
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
     )
     qcells = (
         q.crossJoin(F.broadcast(centers_df))
@@ -159,22 +214,9 @@ def ann_ivf_topk(
             ),
         )
         .filter(F.col("__r") <= n_probe)
-        .select("__qid", "__qv", "__cell")
+        .select("__qid", "__qv", "__qn", "__cell")
     )
-    scored = (
-        qcells.join(c_assigned.select("__cid", "__cv", "__cell"), "__cell", "inner")
-        .select(
-            F.col("__qid").alias(qname),
-            F.col("__cid").alias(cname),
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy(qname).orderBy(F.col("cosine").desc(), F.col(cname).asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return c_assigned, qcells
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list:
@@ -223,11 +265,13 @@ def ann_lsh_topk(
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
         lsh_bucket(F.col(corpus_vec), dim, num_planes, seed).alias("__bucket"),
     )
     qbase = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
         lsh_bucket(F.col(query_vec), dim, num_planes, seed).alias("__qb"),
     )
     # multi-probe: also visit buckets that differ in `multi_probe_bits`
@@ -242,7 +286,10 @@ def ann_lsh_topk(
     scored = q.join(c, "__bucket", "inner").select(
         F.col("__qid").alias(qname),
         F.col("__cid").alias(cname),
-        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+            6,
+        ).alias("cosine"),
     ).dropDuplicates([qname, cname])
     w = Window.partitionBy(qname).orderBy(
         F.col("cosine").desc(), F.col(cname).asc()
@@ -250,4 +297,116 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: Optional[list] = None,
+    strategy: str = "gemm",
+) -> DataFrame:
+    """k-nearest-neighbor graph of a corpus against itself (cosine).
+
+    The LARGE-x-LARGE similarity case: every vector is both query and
+    candidate, so nothing is broadcast-sized.  Both sides shuffle ONCE
+    on IVF cell id and meet per-cell; work ~ n_probe/n_clusters of the
+    brute-force |corpus|^2 (the plan that does NOT survive 100x).
+    Self-pairs are excluded; output is (id_x, id_y, cosine, rank) with
+    rank 1..k per source vector.
+
+    ``strategy="gemm"`` (default): per-cell block GEMM via
+    ``cogroup().applyInPandas`` — Arrow ships each cell's ROWS (not
+    pairs) to Python once, numpy does the (queries x candidates)
+    matmul, and only per-(query, cell) top-k survivors come back, so
+    transfer is O(rows + k * probes), never O(pairs).  This is the
+    batch-local-GEMM design vector databases use for IVF scan.
+    ``strategy="expr"``: pure Column expressions (JVM codegen, no
+    Python) — bit-identical to :func:`ann_ivf_topk`; slower per pair
+    but zero Arrow dependency.
+
+    Feeds graph-based pipeline stages: near-dup clustering over
+    embedding space (pair edges -> ``connected_components``),
+    kNN-density outlier pruning, label propagation.
+    """
+    if strategy not in ("gemm", "expr"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    qname, cname = _out_names(id_col, id_col)
+    if strategy == "expr":
+        out = ann_ivf_topk(
+            corpus,
+            corpus,
+            id_col,
+            id_col,
+            query_vec=vec_col,
+            corpus_vec=vec_col,
+            k=k + 1,  # self-match occupies one slot in every probe list
+            n_clusters=n_clusters,
+            n_probe=n_probe,
+            seed=seed,
+            centroids=centroids,
+        )
+        w = Window.partitionBy(qname).orderBy(
+            F.col("cosine").desc(), F.col(cname).asc()
+        )
+        return (
+            out.filter(F.col(qname) != F.col(cname))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    import pandas as pd
+
+    c_assigned, qcells = _ivf_cells(
+        corpus, corpus, id_col, id_col, vec_col, vec_col,
+        n_clusters, n_probe, seed, centroids,
+    )
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{qname} {id_ddl}, {cname} {id_ddl}, cosine double"
+
+    def score_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({qname: [], cname: [], "cosine": []})
+        qm = np.vstack(qpdf["__qv"].to_numpy())
+        cm = np.vstack(cpdf["__cv"].to_numpy())
+        qn = qpdf["__qn"].to_numpy()
+        cn = cpdf["__cn"].to_numpy()
+        qids = qpdf["__qid"].to_numpy()
+        cids = cpdf["__cid"].to_numpy()
+        sims = np.round((qm @ cm.T) / np.outer(qn, cn), 6)
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        kk = min(k, sims.shape[1])
+        out_q, out_c, out_s = [], [], []
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            # per-(query, cell) top-k; ties broken by candidate id asc
+            # (lexsort: last key is primary)
+            order = np.lexsort((cids, -row))[:kk]
+            keep = order[np.isfinite(row[order])]
+            out_q.append(np.repeat(qids[i], len(keep)))
+            out_c.append(cids[keep])
+            out_s.append(row[keep])
+        return pd.DataFrame(
+            {
+                qname: np.concatenate(out_q),
+                cname: np.concatenate(out_c),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    cand = (
+        qcells.groupBy("__cell")
+        .cogroup(c_assigned.groupBy("__cell"))
+        .applyInPandas(score_cell, schema=out_schema)
+    )
+    w = Window.partitionBy(qname).orderBy(
+        F.col("cosine").desc(), F.col(cname).asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

@@ -1,6 +1,7 @@
 """Similarity search tests (engine extensions, SURVEY.md §2.4)."""
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pandance_spark.functions.vectors import cosine_similarity, dot, l2_distance, l2_norm
@@ -124,3 +125,77 @@ def test_embedding_centroids(spark):
         (0, 0): (2.0, 2), (0, 1): (15.0, 2),
         (1, 0): (5.0, 1), (1, 1): (6.0, 1),
     }
+
+
+# ------------------------------------------------------------- knn_graph
+
+
+def test_knn_graph_full_probe_equals_exact(spark):
+    """Probing every cell makes the IVF graph exact — compare against
+    brute-force cosine_topk with self-pairs removed."""
+    import random
+
+    from pandance_spark.operators.similarity import cosine_topk, knn_graph
+
+    random.seed(7)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [rows[i][1] for i in range(4)]
+    got = knn_graph(
+        df, "vec_id", "embedding", k=3, n_clusters=4, n_probe=4,
+        centroids=centroids,
+    )
+    exact = cosine_topk(df, df, "vec_id", "vec_id", k=4)
+    exact_nonself = (
+        exact.filter(F.col("vec_id_x") != F.col("vec_id_y"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id_x").orderBy(
+                    F.col("cosine").desc(), F.col("vec_id_y")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    a = {(r["vec_id_x"], r["rank"]): r["vec_id_y"] for r in got.collect()}
+    b = {(r["vec_id_x"], r["rank"]): r["vec_id_y"] for r in exact_nonself.collect()}
+    assert a == b
+
+
+def test_knn_graph_no_self_pairs(spark):
+    import random
+
+    from pandance_spark.operators.similarity import knn_graph
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_graph(
+        df, "vec_id", "embedding", k=2, n_clusters=4, n_probe=2,
+        centroids=[rows[i][1] for i in range(4)],
+    ).collect()
+    assert all(r["vec_id_x"] != r["vec_id_y"] for r in out)
+    assert all(1 <= r["rank"] <= 2 for r in out)
+
+
+def test_knn_graph_gemm_equals_expr(spark):
+    import random
+
+    from pandance_spark.operators.similarity import knn_graph
+
+    random.seed(23)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rows[i][1] for i in range(6)]
+    kw = dict(k=4, n_clusters=6, n_probe=3, centroids=cents)
+    a = knn_graph(df, "vec_id", "embedding", strategy="gemm", **kw)
+    b = knn_graph(df, "vec_id", "embedding", strategy="expr", **kw)
+    ka = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in a.collect()}
+    kb = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in b.collect()}
+    assert set(ka) == set(kb)
+    for key in ka:
+        assert ka[key][0] == kb[key][0]
+        assert abs(ka[key][1] - kb[key][1]) < 1e-9

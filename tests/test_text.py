@@ -143,3 +143,50 @@ def test_top_tokens(spark):
     out_df = top_tokens(df, "text", k=2, by_doc_freq=True).collect()
     # doc freq: a:2 b:2 c:3 d:1 -> c, then a before b (tie by token asc)
     assert [(r["token"], r["n"]) for r in out_df] == [("c", 3), ("a", 2)]
+
+
+# ---------------------------------------------------------------- gopher
+
+
+def test_gopher_signals_values(spark):
+    from pandance_spark.functions.text import gopher_signals
+
+    text_pass = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 60
+    )  # 65 words, all alpha, 5 distinct stopwords
+    text_short = "tiny doc"
+    text_symbols = " ".join(["ok#tag"] * 60) + " ..."
+    text_bullets = "\n".join(["- item one two", "* item three", "• four"])
+    df = spark.createDataFrame(
+        [
+            (1, text_pass),
+            (2, text_short),
+            (3, text_symbols),
+            (4, text_bullets),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_signals(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_words"] == 65
+    assert got[1]["stop_hits"] == 5
+    assert got[1]["gopher_keep"] == 1
+    # too few words
+    assert got[2]["n_words"] == 2 and got[2]["gopher_keep"] == 0
+    # '#' marks push symbol_ratio over 0.1
+    assert got[3]["symbol_ratio"] > 0.1 and got[3]["gopher_keep"] == 0
+    # every line bulleted
+    assert got[4]["bullet_line_frac"] == 1.0 and got[4]["gopher_keep"] == 0
+
+
+def test_gopher_empty_text_defined(spark):
+    from pandance_spark.functions.text import gopher_signals
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in gopher_signals(df, "doc_id", "text").collect()}
+    for r in rows.values():
+        assert r["n_words"] == 0
+        assert r["mean_word_len"] == 0.0
+        assert r["gopher_keep"] == 0
