@@ -115,6 +115,49 @@ add(
     ).select("doc_id", "lang"),
 )
 
+
+from pandance_spark.functions.ranking import bm25_topk
+from pandance_spark.functions.text import gopher_signals
+from pandance_spark.operators.similarity import knn_graph
+
+add(
+    "gopher_signals — quality panel as one projection",
+    "The full Gopher rule panel (token stats, symbol/bullet ratios, stopword "
+    "hits, keep flag) is a single Project over the scan — no Exchange, no "
+    "UDF, `ReadSchema` reads only (doc_id, text). At 100 TB this fuses with "
+    "whatever stage consumes the flags.",
+    gopher_signals(docs, "doc_id", "text"),
+)
+add(
+    "bm25_topk — term-filtered explode, partial aggs, TakeOrdered",
+    "The query-term filter sits INSIDE the same map stage as tokenize (the "
+    "explode emits only matching tokens — shuffle volume ∝ matches, not "
+    "corpus tokens); tf and df are hash aggregations with map-side partial "
+    "combine; the tiny per-term df table comes back via BroadcastHashJoin; "
+    "the final top-k is `TakeOrderedAndProject` — per-partition heap + "
+    "driver merge, NO global sort shuffle.",
+    bm25_topk(docs, "doc_id", "text", ["table", "scan", "merge", "hash"], k=20),
+)
+emb = load_table(spark, SF, "embeddings")
+_cents = [
+    r["embedding"]
+    for r in emb.filter(F.col("vec_id") < 8)
+    .select(F.col("embedding").cast("array<double>").alias("embedding"))
+    .orderBy("vec_id")
+    .collect()
+]
+add(
+    "knn_graph — large x large via per-cell GEMM (FlatMapCoGroupsInPandas)",
+    "Both sides are shuffled ONCE on IVF cell id into a cogroup; the "
+    "`FlatMapCoGroupsInPandas` node is the per-cell numpy GEMM, which "
+    "returns only per-(query, cell) top-k survivors — Arrow transfer is "
+    "O(rows + k·probes), never O(pairs). The final window ranks "
+    "n_probe·k candidates per query. Neither side is broadcast — this is "
+    "the plan shape that survives both sides at corpus scale.",
+    knn_graph(emb, "vec_id", "embedding", k=3, n_clusters=8, n_probe=4,
+              centroids=_cents),
+)
+
 from pandance_spark.sources import save_bucketed
 
 save_bucketed(
@@ -164,6 +207,13 @@ edges×labels (hash on the node id) → partial-aggregating `min` →
 left-join back → optional pointer-doubling self-join. Convergence is a
 single `sum(comp)` agg on the checkpointed labels (numeric ids) — no
 extra join. Work per round ∝ |E| + |V|; rounds = O(log diameter).
+
+r3: the symmetrized edge list is materialized (checkpoint) before the
+loop, so its exact count is free; at ≤ `max_driver_edges` (default 2M)
+a driver union-find replaces the rounds entirely — the guarded
+small-side fast path, same pattern as the GEMM plan-size gate. Post-LSH
+dedup graphs at corpus scale blow past the guard and take the
+distributed loop; both paths are property-tested to agree.
 """
 sections.append(STATIC_SECTIONS)
 
