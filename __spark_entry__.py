@@ -275,6 +275,68 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: selective dim filter -> two fact joins -> grouped
+    # revenue -> top-10 (TakeOrderedAndProject, no global sort shuffle).
+    # Inherited relational surface (SURVEY.md 2.3) at multi-join width.
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-30")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: 6-table join, dims broadcast, facts shuffle on
+    # their join keys once; the c_nationkey = s_nationkey "local" edge
+    # is an extra equi-condition, not an extra shuffle.
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher rule panel (Rae et al. 2021 A1.1) — pure-projection quality
     # gate; extension surface, no reference analog (SURVEY.md 2.4)
@@ -763,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_charges": _q_unpivot_charges,
         "topk_orders": _q_topk_orders,
         "q1_pricing": _q_q1_pricing,
+        "q3_shipping": _q_q3_shipping,
+        "q5_local_supplier": _q_q5_local_supplier,
         "window_topk": _q_window_topk,
         "sessionize": _q_sessionize,
         "semi_join": _q_semi_join,
@@ -1462,6 +1526,31 @@ ORDER BY doc_id
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+              AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
         """,
         "window_topk": """
             SELECT c_nationkey, c_custkey, c_acctbal,

@@ -147,6 +147,8 @@ def main():
         "text_quality",
         "text_langid",
         "q1_pricing",
+        "q3_shipping",
+        "q5_local_supplier",
         "window_topk",
         "sessionize",
         "semi_join",
