@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -24,7 +25,16 @@ TABLES = (
     "embeddings",
 )
 
-__all__ = ["TABLES", "load_table", "register_views", "configure_session"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "register_views",
+    "configure_session",
+    "read_any",
+    "read_jsonl",
+    "save_bucketed",
+    "write_table",
+]
 
 
 def configure_session(spark: SparkSession) -> SparkSession:
@@ -159,3 +169,43 @@ def write_table(
     if fmt == "csv" and "header" not in options:
         writer = writer.option("header", "true")
     writer.format(fmt).save(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Schema-enforced JSONL reader with corrupt-record quarantine.
+
+    Returns ``(good, bad)``: rows parsing cleanly against ``schema``
+    (without the corrupt column), and quarantined raw lines (the
+    corrupt column only).  PERMISSIVE mode keeps the scan single-pass
+    at any scale — bad lines don't abort the 100 TB job, they land in
+    a side output for inspection/replay (the standard ingest contract
+    for crawled/exported corpora).
+
+    Spark quirk: a PERMISSIVE read materializes the corrupt column
+    only if it is part of the declared schema, and rows referencing
+    ONLY the corrupt column must be disambiguated through a cached or
+    re-planned frame — hence the eager split here.
+    """
+    from pyspark.sql import types as T
+
+    configure_session(spark)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    # Spark refuses filters on the corrupt column alone over the raw
+    # scan; a cache() boundary makes the split legal and single-scan
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
+    return good, bad

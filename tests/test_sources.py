@@ -96,3 +96,33 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmpdir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from pandance_spark.sources import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "hello world"}),
+        '{"doc_id": 2, "text": "ok"}',
+        '{"doc_id": "NOT AN INT AND UNCLOSED',   # corrupt
+        _json.dumps({"doc_id": 3, "text": None}),
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl(spark, str(p), schema)
+    got = sorted((r["doc_id"], r["text"]) for r in good.collect())
+    assert got == [(1, "hello world"), (2, "ok"), (3, None)]
+    assert good.columns == ["doc_id", "text"]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "UNCLOSED" in bad_rows[0][0]
