@@ -337,6 +337,18 @@ def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rolling-hash fingerprinting (mod-p k-gram selection): per-doc
+    # selected fingerprints, exploded to rows for the oracle compare
+    from pandance_spark.functions.text import char_ngram_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(char_ngram_fingerprints(F.col("text"), 8, 16)).alias("fp"),
+    )
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher rule panel (Rae et al. 2021 A1.1) — pure-projection quality
     # gate; extension surface, no reference analog (SURVEY.md 2.4)
@@ -793,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # text analysis / multimodal
+        "text_fingerprints": _q_text_fingerprints,
         "gopher_quality": _q_gopher_quality,
         "bm25_topk": _q_bm25,
         "knn_graph": _q_knn_graph,
@@ -1145,6 +1158,19 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "text_fingerprints": """
+            SELECT doc_id, fp FROM (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       [h FOR h IN
+                         [CAST('0x' || substr(md5(substr(lower(text), i, 8)),
+                                              1, 14) AS BIGINT)
+                          FOR i IN range(1, greatest(len(text) - 7, 0) + 1)]
+                        IF h % 16 = 0]
+                     )) AS fp
+              FROM documents
+            )
         """,
         "gopher_quality": f"""
             WITH toks AS ({_TOKS_CTE}),

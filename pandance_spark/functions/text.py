@@ -24,6 +24,7 @@ __all__ = [
     "gopher_signals",
     "lang_id",
     "fingerprint_md5",
+    "char_ngram_fingerprints",
     "fingerprint_xxhash",
 ]
 
@@ -363,4 +364,40 @@ def gopher_signals(df, id_col: str, text_col: str):
         bullet_frac.alias("bullet_line_frac"),
         stop_hits.cast("long").alias("stop_hits"),
         keep.alias("gopher_keep"),
+    )
+
+
+def char_ngram_fingerprints(
+    text: Column, k: int = 8, mod: int = 16
+) -> Column:
+    """Rolling-hash document fingerprints (mod-p k-gram selection).
+
+    Classic fingerprinting for copy detection (the selection rule of
+    Manber 1994 / the baseline winnowing compares against, Schleimer et
+    al. 2003 §2): hash EVERY character k-gram, keep the ~1/mod subset
+    whose hash ≡ 0 (mod ``mod``).  Two documents sharing any run of
+    ≥ k chars share fingerprints with probability ~1 - (1-1/mod)^runlen
+    — robust to small edits in a way whole-document hashes are not.
+
+    Portable hash (md5-derived 56-bit int) so an independent engine can
+    recompute the selection bit-for-bit.  Pure Column expressions: the
+    k-gram walk is a per-row ``transform`` over an index sequence — no
+    shuffle, no UDF; output is the sorted distinct fingerprint array.
+    """
+    lowered = F.lower(text)
+    n = F.length(lowered)
+    # guard: Spark sequence(1, stop) DESCENDS when stop < 1 — short
+    # texts must yield the empty array, not [1, 0]
+    grams = F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.substring(lowered, i, k),
+        )
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 14), 16, 10).cast("long"),
+    )
+    return F.array_sort(
+        F.array_distinct(F.filter(hashes, lambda h: h % mod == 0))
     )

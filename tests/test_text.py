@@ -190,3 +190,43 @@ def test_gopher_empty_text_defined(spark):
         assert r["n_words"] == 0
         assert r["mean_word_len"] == 0.0
         assert r["gopher_keep"] == 0
+
+
+# ---------------------------------------------------- fingerprinting
+
+
+def test_char_ngram_fingerprints_share_on_common_runs(spark):
+    from pandance_spark.functions.text import char_ngram_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "busy")  # small edit, long shared runs
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "completely different content here xyz")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", char_ngram_fingerprints(F.col("text"), 8, 4).alias("fps")
+        ).collect()
+    }
+    assert rows[1] & rows[2], "small edit must preserve shared fingerprints"
+    overlap_12 = len(rows[1] & rows[2]) / max(len(rows[1] | rows[2]), 1)
+    overlap_13 = len(rows[1] & rows[3]) / max(len(rows[1] | rows[3]), 1)
+    assert overlap_12 > overlap_13
+
+
+def test_char_ngram_fingerprints_short_text_empty(spark):
+    from pandance_spark.functions.text import char_ngram_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, ""), (3, "exactly8")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", char_ngram_fingerprints(F.col("text"), 8, 1).alias("fps")
+        ).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert len(rows[3]) == 1  # single 8-gram, mod 1 keeps everything
