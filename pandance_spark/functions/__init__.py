@@ -1,0 +1,45 @@
+from pandance_spark.functions.ranking import bm25_topk
+from pandance_spark.functions.split import (
+    cap_per_group,
+    pack_documents,
+    stratified_sample,
+    split_train_test,
+)
+from pandance_spark.functions.text import (
+    char_ngram_fingerprints,
+    fingerprint_md5,
+    gopher_signals,
+    lang_id,
+    quality_score,
+    redact_pii,
+    repetition_profile,
+    token_count,
+    tokenize,
+)
+from pandance_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    embedding_centroids,
+    l2_normalize,
+)
+
+__all__ = [
+    "bm25_topk",
+    "cap_per_group",
+    "pack_documents",
+    "stratified_sample",
+    "split_train_test",
+    "char_ngram_fingerprints",
+    "fingerprint_md5",
+    "gopher_signals",
+    "lang_id",
+    "quality_score",
+    "redact_pii",
+    "repetition_profile",
+    "token_count",
+    "tokenize",
+    "cosine_similarity",
+    "dot",
+    "embedding_centroids",
+    "l2_normalize",
+]

@@ -4,6 +4,13 @@ from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.merge import merge_upsert
+from pandance_spark.operators.overlap import overlap_join
+from pandance_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+    knn_graph,
+)
 from pandance_spark.operators.skew import salted_join
 from pandance_spark.operators.theta import theta_join
 
@@ -17,4 +24,9 @@ __all__ = [
     "contamination_check",
     "merge_upsert",
     "salted_join",
+    "overlap_join",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "knn_graph",
 ]
