@@ -341,8 +341,12 @@ def _q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rolling-hash fingerprinting (mod-p k-gram selection): per-doc
     # selected fingerprints, exploded to rows for the oracle compare
     from pandance_spark.functions.text import char_ngram_fingerprints
+    from pandance_spark._kernel import spread_partitions
 
-    docs = load_table(spark, sf_dir, "documents")
+    # one small parquet file scans as ONE partition; the ~1k hashes/doc
+    # map stage must fan out or it runs single-threaded (measured 20s
+    # -> ~1s at sf0.1 on local[32])
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.explode(char_ngram_fingerprints(F.col("text"), 8, 16)).alias("fp"),
