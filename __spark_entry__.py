@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join, theta_join
-from pandance_spark._kernel import as_instant
+from pandance_spark._kernel import as_instant, spread_partitions
 from pandance_spark.functions.text import (
     fingerprint_md5,
     lang_id,
@@ -237,18 +237,20 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # single-file scans yield ONE partition; fan out so the per-pair
+    # scoring map stage uses every core (see text_fingerprints note)
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(
         queries, emb, "vec_id", "vec_id", k=5, dim=64, num_planes=4
@@ -260,7 +262,7 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as centroids (the kmeans++-init shape) instead of a KMeans fit,
     # so the DuckDB oracle can recompute assignment + probing exactly.
     # Still a true partial-probe IVF run (4 of 8 cells per query).
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     centroids = [
         r["embedding"]
@@ -358,7 +360,7 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gate; extension surface, no reference analog (SURVEY.md 2.4)
     from pandance_spark.functions.text import gopher_signals
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     return gopher_signals(docs, "doc_id", "text")
 
 
@@ -366,7 +368,7 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25 retrieval scoring: query-based corpus selection
     from pandance_spark.functions.ranking import bm25_topk
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     return bm25_topk(
         docs, "doc_id", "text", ["table", "scan", "merge", "hash"], k=20
     )
@@ -379,7 +381,7 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle replays assignment + probing exactly.
     from pandance_spark.operators.similarity import knn_graph
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     centroids = [
         r["embedding"]
         for r in emb.filter(F.col("vec_id") < 8)
