@@ -230,9 +230,13 @@ def minhash_candidates(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     df = _spread(df)
+    # lazy-checkpoint the banded keys: the self-join evaluates BOTH
+    # branches, and Catalyst does not dedupe identical map pipelines —
+    # uncheckpointed, the 64-hash signature stage runs twice.  The
+    # checkpoint is rows x bands x ~16B — far smaller than the corpus.
     banded = _banded_keys(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
-    )
+    ).localCheckpoint(eager=False)
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnsRenamed({id_col: "id_b", "band": "band_b", "bhash": "bhash_b"})
     pairs = a.join(
@@ -267,6 +271,7 @@ def dedup_minhash(
     cands = minhash_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
     )
+    # checkpointed for the same both-branches reason as the banded keys
     sets_df = df.select(
         F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
     ).select(
@@ -274,7 +279,7 @@ def dedup_minhash(
         F.array_distinct(
             word_shingles_from_tokens(F.col("__toks"), shingle_n)
         ).alias("__set"),
-    )
+    ).localCheckpoint(eager=False)
     a = sets_df.withColumnsRenamed({"__id": "id_a", "__set": "__set_a"})
     b = sets_df.withColumnsRenamed({"__id": "id_b", "__set": "__set_b"})
     joined = cands.join(a, "id_a").join(b, "id_b")
