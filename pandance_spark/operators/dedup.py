@@ -407,7 +407,11 @@ def simhash_candidates(
     chunks = max_hamming + 1
     width = 64 // chunks
     df = _spread(df)
-    sh = simhash_signatures(df, id_col, text_col, seed, portable)
+    # checkpoint: the banding self-join evaluates both branches — the
+    # signature fold must not run twice (same reason as dedup_minhash)
+    sh = simhash_signatures(df, id_col, text_col, seed, portable).localCheckpoint(
+        eager=False
+    )
     banded = sh.select(
         "id",
         "__sh",
@@ -511,6 +515,10 @@ def ngram_jaccard_join(
             "id",
             F.transform("__arr", lambda x: x["sh"]).alias("__set"),
         )
+        # checkpoint: consumed by the prefix index AND both verification
+        # joins; Exchange reuse across renamed branches is not
+        # guaranteed, a checkpoint is
+        .localCheckpoint(eager=False)
     )
     # the output filter keeps ROUNDED jaccard >= threshold, which
     # admits exact J down to threshold - 5e-7: every pruning bound
