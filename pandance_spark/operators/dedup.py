@@ -230,13 +230,14 @@ def minhash_candidates(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     df = _spread(df)
-    # lazy-checkpoint the banded keys: the self-join evaluates BOTH
-    # branches, and Catalyst does not dedupe identical map pipelines —
-    # uncheckpointed, the 64-hash signature stage runs twice.  The
-    # checkpoint is rows x bands x ~16B — far smaller than the corpus.
+    # eager-checkpoint the banded keys: the self-join evaluates BOTH
+    # branches, Catalyst does not dedupe identical map pipelines, and a
+    # lazy checkpoint would materialize inside the join job where both
+    # branches can race to compute the same RDD.  The checkpoint is
+    # rows x bands x ~16B — far smaller than the corpus.
     banded = _banded_keys(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnsRenamed({id_col: "id_b", "band": "band_b", "bhash": "bhash_b"})
     pairs = a.join(
@@ -279,7 +280,7 @@ def dedup_minhash(
         F.array_distinct(
             word_shingles_from_tokens(F.col("__toks"), shingle_n)
         ).alias("__set"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = sets_df.withColumnsRenamed({"__id": "id_a", "__set": "__set_a"})
     b = sets_df.withColumnsRenamed({"__id": "id_b", "__set": "__set_b"})
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -409,9 +410,7 @@ def simhash_candidates(
     df = _spread(df)
     # checkpoint: the banding self-join evaluates both branches — the
     # signature fold must not run twice (same reason as dedup_minhash)
-    sh = simhash_signatures(df, id_col, text_col, seed, portable).localCheckpoint(
-        eager=False
-    )
+    sh = simhash_signatures(df, id_col, text_col, seed, portable).localCheckpoint(eager=True)
     banded = sh.select(
         "id",
         "__sh",
@@ -518,7 +517,7 @@ def ngram_jaccard_join(
         # checkpoint: consumed by the prefix index AND both verification
         # joins; Exchange reuse across renamed branches is not
         # guaranteed, a checkpoint is
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # the output filter keeps ROUNDED jaccard >= threshold, which
     # admits exact J down to threshold - 5e-7: every pruning bound
