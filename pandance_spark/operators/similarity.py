@@ -310,6 +310,7 @@ def knn_graph(
     seed: int = 42,
     centroids: Optional[list] = None,
     strategy: str = "gemm",
+    max_cell_rows: Optional[int] = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph of a corpus against itself (cosine).
 
@@ -329,6 +330,15 @@ def knn_graph(
     ``strategy="expr"``: pure Column expressions (JVM codegen, no
     Python) — bit-identical to :func:`ann_ivf_topk`; slower per pair
     but zero Arrow dependency.
+
+    ``max_cell_rows`` (gemm only): hot-cell salting.  An IVF cell with
+    a disproportionate share of the corpus becomes ONE giant GEMM task
+    (the straggler that kills the 1000-executor run); cells above the
+    bound are sub-split deterministically by candidate-id hash and
+    probing queries fan out to every sub-cell, so task size is bounded
+    by ``max_cell_rows`` while the candidate set — and therefore the
+    result — is provably identical (each (query, candidate) pair meets
+    in exactly one sub-cell).  Costs one tiny per-cell count agg.
 
     Feeds graph-based pipeline stages: near-dup clustering over
     embedding space (pair edges -> ``connected_components``),
@@ -399,9 +409,38 @@ def knn_graph(
             }
         )
 
+    group_keys = ["__cell"]
+    if max_cell_rows is not None:
+        if max_cell_rows < 1:
+            raise ValueError("max_cell_rows must be >= 1")
+        counts = {
+            r["__cell"]: r["n"]
+            for r in c_assigned.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        import math
+
+        salts = {
+            cell: math.ceil(n / max_cell_rows) for cell, n in counts.items()
+        }
+        if any(v > 1 for v in salts.values()):
+            salt_map = F.create_map(
+                *[F.lit(x) for kv in salts.items() for x in kv]
+            )
+            n_salt = F.coalesce(
+                F.element_at(salt_map, F.col("__cell")), F.lit(1)
+            )
+            c_assigned = c_assigned.withColumn(
+                "__salt", F.pmod(F.xxhash64("__cid"), n_salt).cast("int")
+            )
+            qcells = qcells.withColumn(
+                "__salt", F.explode(F.sequence(F.lit(0), n_salt - 1))
+            )
+            group_keys = ["__cell", "__salt"]
     cand = (
-        qcells.groupBy("__cell")
-        .cogroup(c_assigned.groupBy("__cell"))
+        qcells.groupBy(*group_keys)
+        .cogroup(c_assigned.groupBy(*group_keys))
         .applyInPandas(score_cell, schema=out_schema)
     )
     w = Window.partitionBy(qname).orderBy(

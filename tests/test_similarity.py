@@ -199,3 +199,26 @@ def test_knn_graph_gemm_equals_expr(spark):
     for key in ka:
         assert ka[key][0] == kb[key][0]
         assert abs(ka[key][1] - kb[key][1]) < 1e-9
+
+
+def test_knn_graph_hot_cell_salting_identical(spark):
+    """All vectors land in one IVF cell (hot cell); salting must bound
+    per-task size while producing the identical kNN graph."""
+    import random
+
+    from pandance_spark.operators.similarity import knn_graph
+
+    random.seed(31)
+    # cluster every vector near one centroid -> single hot cell
+    base = [random.uniform(-0.1, 0.1) for _ in range(8)]
+    rows = [
+        (i, [b + random.uniform(-0.05, 0.05) for b in base]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rows[0][1], [10.0] * 8, [-10.0] * 8, [5.0] * 8]
+    kw = dict(k=3, n_clusters=4, n_probe=2, centroids=cents)
+    plain = knn_graph(df, "vec_id", "embedding", **kw)
+    salted = knn_graph(df, "vec_id", "embedding", max_cell_rows=8, **kw)
+    a = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in plain.collect()}
+    b = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in salted.collect()}
+    assert a == b
