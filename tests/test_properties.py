@@ -139,3 +139,92 @@ def test_asof_matches_brute_force(spark, lts, rts, direction):
             cands = [rt for rt in rrows if rt >= t]
             expected = min(cands) if cands else None
         assert got[i] == expected, (i, t, direction)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cd",  # tiny alphabet -> heavy shared k-grams
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.integers(2, 6),
+    mod=st.sampled_from([1, 2, 4]),
+)
+def test_fingerprints_match_brute_force(spark, texts, k, mod):
+    """Every selected fingerprint corresponds to a real k-gram whose
+    portable hash ≡ 0 (mod p) — recomputed row by row in Python."""
+    import hashlib
+
+    from pandance_spark.functions.text import char_ngram_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in df.select(
+            "doc_id", char_ngram_fingerprints(F.col("text"), k, mod).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        lo = t.lower()
+        hashes = set()
+        for s in range(len(lo) - k + 1):
+            g = lo[s : s + k]
+            h = int(hashlib.md5(g.encode()).hexdigest()[:14], 16)
+            if h % mod == 0:
+                hashes.add(h)
+        assert got[i] == sorted(hashes), (i, t)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["apple", "banana", "cherry", "durian", "fig"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    terms=st.lists(
+        st.sampled_from(["apple", "banana", "cherry"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_matches_brute_force(spark, docs, terms):
+    import math as _math
+
+    from pandance_spark.functions.ranking import bm25_topk
+
+    texts = [" ".join(d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, "doc_id", "text", terms, k=100).collect()
+    }
+    N = len(docs)
+    avgdl = sum(len(d) for d in docs) / N
+    dfreq = {t: sum(1 for d in docs if t in d) for t in terms}
+    for i, d in enumerate(docs):
+        s = 0.0
+        for t in set(terms):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf = _math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+        if s > 0:
+            assert got[i] == pytest.approx(round(s, 6), abs=2e-6), i
+        else:
+            assert i not in got
