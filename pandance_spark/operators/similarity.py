@@ -31,6 +31,8 @@ __all__ = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "knn_graph",
+    "build_ivf_index",
+    "ann_ivf_search",
 ]
 
 
@@ -447,5 +449,117 @@ def knn_graph(
         F.col("cosine").desc(), F.col(cname).asc()
     )
     return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids: Optional[list] = None,
+    num_buckets: int = 32,
+) -> list:
+    """One-off IVF index build, persisted for repeated searches.
+
+    Assigns every corpus vector its nearest-centroid cell and saves the
+    assignment as a catalog table BUCKETED BY CELL (``save_bucketed``):
+    every later search's cell equi-join runs against pre-shuffled
+    storage instead of re-shuffling the corpus — the 100 TB pattern
+    where the index amortizes across thousands of queries.  Returns the
+    centroid list; pass it (and the table) to :func:`ann_ivf_search`.
+    """
+    from pandance_spark.sources import save_bucketed
+
+    if centroids is None:
+        # a KMeans fit's centers would live only in this process; the
+        # persisted index must be replayable, so centroids are explicit
+        # (fit KMeans upstream or sample corpus vectors)
+        raise ValueError(
+            "build_ivf_index requires explicit centroids so searches "
+            "can replay the assignment deterministically"
+        )
+    centers = [[float(x) for x in ctr] for ctr in centroids]
+    c_assigned, _ = _ivf_cells(
+        corpus, corpus.limit(0), id_col, id_col, vec_col, vec_col,
+        n_clusters, 1, seed, centroids,
+    )
+    save_bucketed(
+        c_assigned.select(
+            F.col("__cid").alias(id_col),
+            F.col("__cv").alias(vec_col),
+            F.col("__cn").alias("__norm"),
+            F.col("__cell").alias("__cell"),
+        ),
+        table,
+        "__cell",
+        num_buckets=num_buckets,
+    )
+    return centers
+
+
+def ann_ivf_search(
+    spark,
+    queries: DataFrame,
+    query_id: str,
+    table: str,
+    centroids: list,
+    query_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k search against a persisted :func:`build_ivf_index` table.
+
+    The corpus side comes back bucketed on ``__cell``, so the cell
+    equi-join needs NO corpus-side shuffle — only the (small) probe
+    side moves.  Output schema matches :func:`cosine_topk`.
+    """
+    from pandance_spark.functions.vectors import l2_distance, l2_norm, dot as _dot
+
+    idx = spark.table(table)
+    id_col = [c for c in idx.columns if c not in ("__norm", "__cell")][0]
+    vec_col = [
+        c for c in idx.columns if c not in (id_col, "__norm", "__cell")
+    ][0]
+    qname, cname = _out_names(query_id, id_col)
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
+        "__cell int, __ctr array<double>",
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).cast("array<double>").alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn("__d", l2_distance(F.col("__qv"), F.col("__ctr")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("__qid").orderBy(
+                    F.col("__d").asc(), F.col("__cell")
+                )
+            ),
+        )
+        .filter(F.col("__r") <= n_probe)
+        .select("__qid", "__qv", "__qn", "__cell")
+    )
+    scored = qcells.join(idx, "__cell", "inner").select(
+        F.col("__qid").alias(qname),
+        F.col(id_col).alias(cname),
+        F.round(
+            _dot(F.col("__qv"), F.col(vec_col))
+            / (F.col("__qn") * F.col("__norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qname).orderBy(
+        F.col("cosine").desc(), F.col(cname).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )

