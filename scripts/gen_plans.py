@@ -186,7 +186,18 @@ spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 spark.sql("DROP TABLE IF EXISTS plans_orders_b")
 spark.sql("DROP TABLE IF EXISTS plans_lineitem_b")
 
-STATIC_SECTIONS = """## skew evidence — band join under a hot key (r2)
+STATIC_SECTIONS = """## knn_graph hot-cell salting + persisted IVF index (r3, narrative)
+
+`knn_graph(max_cell_rows=N)` bounds the per-cell GEMM: oversized IVF
+cells sub-split by candidate-id hash and probing queries fan out to
+every sub-cell — task size capped, result provably identical (each
+pair meets in exactly one sub-cell; tested on a single-hot-cell
+corpus). `build_ivf_index` persists the cell assignment bucketed by
+cell id; `ann_ivf_search`'s executed plan then carries ONE shuffle
+exchange (probe side only) — the corpus never re-shuffles across
+searches.
+
+## skew evidence — band join under a hot key (r2)
 
 `ineq_band_skewed` (bench + oracle-gated) pins 50% of the left rows to a
 single value, concentrating them in one quantile band. Measured at sf0.1
