@@ -36,6 +36,7 @@ __all__ = [
     "sessionize_stream",
     "running_user_stats",
     "streaming_near_dup_filter",
+    "stream_upsert_sink",
 ]
 
 
@@ -316,3 +317,103 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def stream_upsert_sink(
+    events: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str,
+    num_buckets: int = 64,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Streaming MERGE/upsert into a bucket-partitioned parquet target
+    via ``foreachBatch`` — the keyed-sink pattern for engines without a
+    table format's native MERGE.
+
+    The target is directory-partitioned by ``__bucket =
+    pmod(xxhash64(keys), num_buckets)``.  Each micro-batch:
+
+    1. dedups itself per key (greatest ``order_col`` wins),
+    2. reads back ONLY the target partitions its keys hash into,
+    3. full-outer merges batch over existing (batch wins),
+    4. rewrites exactly those partitions with dynamic partition
+       overwrite.
+
+    Per-batch work is proportional to touched buckets, not target size
+    — the property that keeps a 100 TB keyed sink writable.  The merged
+    frame is eagerly checkpointed before the write because the job
+    reads the same files it overwrites.
+
+    Returns the unstarted ``DataStreamWriter``; call ``.start()``.
+    """
+    import uuid
+
+    from pyspark.sql import functions as _F
+
+    from pandance_spark.operators.merge import merge_upsert
+
+    keys = list(keys)
+    bucket_of = lambda cols: _F.pmod(_F.xxhash64(*cols), num_buckets)  # noqa: E731
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # 1. latest row per key within the batch
+            from pyspark.sql.window import Window as _W
+
+            w = _W.partitionBy(*keys).orderBy(_F.col(order_col).desc())
+            latest = (
+                batch.withColumn("__rn", _F.row_number().over(w))
+                .filter(_F.col("__rn") == 1)
+                .drop("__rn")
+                .withColumn("__bucket", bucket_of(keys))
+            )
+            latest = latest.localCheckpoint(eager=True)
+            touched = [
+                r["__bucket"]
+                for r in latest.select("__bucket").distinct().collect()
+            ]
+            # 2. existing rows in the touched partitions only
+            try:
+                existing = spark.read.parquet(path).filter(
+                    _F.col("__bucket").isin(touched)
+                )
+            except Exception:
+                existing = None
+            # 3. merge (batch wins on key collision)
+            if existing is not None and existing.columns:
+                merged = merge_upsert(
+                    existing, latest, key_cols=keys
+                ).withColumn("__bucket", bucket_of(keys))
+            else:
+                merged = latest
+            # 4. eager checkpoint breaks lineage to the files being
+            # overwritten, then dynamic overwrite touches only the
+            # partitions present in `merged`
+            merged.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).partitionBy("__bucket").parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir
+        or os.path.join(
+            tempfile_dir(), f"pdx_upsert_ckpt_{uuid.uuid4().hex[:8]}"
+        ),
+    )
+    return writer
+
+
+def tempfile_dir() -> str:
+    import tempfile
+
+    return tempfile.gettempdir()

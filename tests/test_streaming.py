@@ -174,3 +174,39 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     crossing = pairs.filter("(id_a < 100) != (id_b < 100)")
     flagged = {r["id"] for r in crossing.selectExpr("least(id_a, id_b) AS id").collect()}
     assert sorted(set(r[0] for r in stream_rows) - flagged) == got
+
+
+def test_stream_upsert_sink_merges_batches(spark, tmp_path):
+    from pandance_spark.streaming import stream_upsert_sink
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ver long, val string"
+
+    spark.createDataFrame(
+        [(i, 1, f"v{i}a") for i in range(1, 6)], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=ckpt,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # second batch: two updates (higher ver), one insert, one stale row
+    spark.createDataFrame(
+        [(2, 2, "v2b"), (3, 2, "v3b"), (6, 1, "v6a"), (2, 0, "stale")],
+        schema,
+    ).coalesce(1).write.mode("append").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=ckpt,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {
+        1: (1, "v1a"), 2: (2, "v2b"), 3: (2, "v3b"),
+        4: (1, "v4a"), 5: (1, "v5a"), 6: (1, "v6a"),
+    }
