@@ -339,6 +339,19 @@ def _q_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical normalization fingerprint: formatting variants collapse
+    # to one dedup key (lower + whitespace collapse + trim)
+    from pandance_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("norm_fp"),
+        F.length(normalize_text(F.col("text"))).cast("long").alias("norm_len"),
+    )
+
+
 def _q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rolling-hash fingerprinting (mod-p k-gram selection): per-doc
     # selected fingerprints, exploded to rows for the oracle compare
@@ -811,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # text analysis / multimodal
+        "text_normalize": _q_text_normalize,
         "text_fingerprints": _q_text_fingerprints,
         "gopher_quality": _q_gopher_quality,
         "bm25_topk": _q_bm25,
@@ -1164,6 +1178,14 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS norm_fp,
+                   len(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))::BIGINT
+                     AS norm_len
+            FROM documents
         """,
         "text_fingerprints": """
             SELECT doc_id, fp FROM (

@@ -140,6 +140,7 @@ def main():
         "embedding_dedup",
         "ann_topk",
         "ann_lsh",
+        "text_normalize",
         "text_fingerprints",
         "gopher_quality",
         "bm25_topk",

@@ -25,6 +25,7 @@ __all__ = [
     "lang_id",
     "fingerprint_md5",
     "char_ngram_fingerprints",
+    "normalize_text",
     "fingerprint_xxhash",
 ]
 
@@ -401,3 +402,13 @@ def char_ngram_fingerprints(
     return F.array_sort(
         F.array_distinct(F.filter(hashes, lambda h: h % mod == 0))
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    all whitespace runs to single spaces, trim.  The standard prep step
+    before exact-hash dedup so formatting variants collapse to one key.
+    Pure Column expression; engine-portable (same regex semantics in
+    Java regex and RE2).
+    """
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))

@@ -230,3 +230,23 @@ def test_char_ngram_fingerprints_short_text_empty(spark):
     }
     assert rows[1] == [] and rows[2] == []
     assert len(rows[3]) == 1  # single 8-gram, mod 1 keeps everything
+
+
+def test_normalize_text_collapses_formatting_variants(spark):
+    from pandance_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "  hello world\t"),
+            (3, "HELLO\n\nWORLD"),
+            (4, "different doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "different doc"
