@@ -116,27 +116,36 @@ def _hashed_shingles(text: Column, shingle_n: int) -> Column:
 def _signature_from_hashed(hashed: Column, num_hashes: int, seed: int) -> Column:
     """MinHash signature from a pre-computed hash array.
 
-    IMPORTANT for cost: pass ``hashed`` as a materialized column
-    attribute (via a prior ``select``), not an inline expression —
-    the ``num_hashes`` transforms each reference it, and inlining
-    would re-tokenize/re-hash the document once per slot.  Catalyst's
-    CollapseProject keeps a projection boundary when a non-trivial
-    expression is referenced many times.
+    ONE fold over the shingle hashes with a ``num_hashes``-slot
+    accumulator (the :func:`simhash` vote-fold shape): each step
+    ``zip_with``s the running minima against a pure-literal array of
+    (a, b) hash parameters.  A single compact expression tree — the
+    previous shape (``num_hashes`` separate ``array_min(transform(...))``
+    slots) re-walked the array per slot and cost ~6 s of cold Catalyst
+    compile per fresh session (r3 driver bench: 15.1 s vs ~3.2 s warm).
+    Measured on sf0.1: fold cold 1.2 s vs 1.6 s, warm 1.0 s vs 1.3 s,
+    identical signatures.  Empty or null shingle arrays yield the
+    all-``p`` sentinel signature, as before.
     """
-    sig = []
-    for a, b in _hash_params(num_hashes, seed):
-        sig.append(
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        hashed,
-                        lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)),
-                    )
-                ),
-                F.lit(_PRIME),
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
             )
-        )
-    return F.array(*sig)
+            for a, b in _hash_params(num_hashes, seed)
+        ]
+    )
+    sentinel = F.array_repeat(F.lit(_PRIME).cast("long"), num_hashes)
+    folded = F.aggregate(
+        hashed,
+        sentinel,
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(_PRIME))),
+        ),
+    )
+    return F.coalesce(folded, sentinel)
 
 
 def _banded_keys(
