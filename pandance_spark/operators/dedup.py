@@ -167,7 +167,6 @@ def _banded_keys(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
     tok_df = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
     hashed_df = tok_df.select(
         F.col(id_col),
@@ -176,6 +175,19 @@ def _banded_keys(
             lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
         ).alias("__hashed"),
     )
+    return _bands_from_hashed(hashed_df, id_col, num_hashes, bands, seed)
+
+
+def _bands_from_hashed(
+    hashed_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+) -> DataFrame:
+    """Signature + LSH band explode from a pre-staged ``__hashed``
+    column (31-bit-folded shingle hashes)."""
+    rows_per_band = num_hashes // bands
     with_sig = hashed_df.select(
         id_col,
         _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias("__sig"),
@@ -272,29 +284,69 @@ def dedup_minhash(
     """Near-duplicate pairs: LSH candidates verified by EXACT Jaccard
     similarity of the shingle sets (>= threshold).
 
-    Returns (id_a, id_b, jaccard).  The exact verification joins the
-    distinct shingle arrays back onto the candidate pairs — two
-    broadcast-or-shuffle hash joins on the id, then a per-row
-    array_intersect / array_union.
+    Returns (id_a, id_b, jaccard).  ONE tokenize/shingle/hash pass
+    feeds both the signature pipeline and the verification sets: the
+    shared checkpoint carries the 31-bit-folded hash array (signature
+    input, bit-identical to :func:`minhash_candidates`) and the
+    distinct 64-bit shingle-hash set.  Verification intersects the
+    64-bit hash sets instead of the shingle strings — same Jaccard
+    (collisions over a document's few-hundred shingles are ~2^-64
+    birthday-improbable) at a fraction of the compare cost.  Two
+    broadcast-or-shuffle hash joins fetch the sets onto the candidate
+    pairs.
     """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
     df = _spread(df)
-    cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "__id",
+            F.transform(
+                word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh64"),
+        )
+        .select(
+            "__id",
+            F.array_distinct("__sh64").alias("__set"),
+            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
+                "__hashed"
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
-    # checkpointed for the same both-branches reason as the banded keys
-    sets_df = df.select(
-        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
-    ).select(
-        "__id",
-        F.array_distinct(
-            word_shingles_from_tokens(F.col("__toks"), shingle_n)
-        ).alias("__set"),
+    # banded keys checkpointed too: the candidate self-join evaluates
+    # both branches and would otherwise run the signature fold twice
+    banded = _bands_from_hashed(
+        base.select(F.col("__id").alias(id_col), "__hashed"),
+        id_col,
+        num_hashes,
+        bands,
+        seed,
     ).localCheckpoint(eager=True)
-    a = sets_df.withColumnsRenamed({"__id": "id_a", "__set": "__set_a"})
-    b = sets_df.withColumnsRenamed({"__id": "id_b", "__set": "__set_b"})
+    ba = banded.withColumnRenamed(id_col, "id_a")
+    bb = banded.withColumnsRenamed(
+        {id_col: "id_b", "band": "band_b", "bhash": "bhash_b"}
+    )
+    cands = (
+        ba.join(
+            bb,
+            (ba["band"] == bb["band_b"])
+            & (ba["bhash"] == bb["bhash_b"])
+            & (ba["id_a"] < bb["id_b"]),
+            "inner",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__set").alias("__set_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
-    union = F.size(F.array_union("__set_a", "__set_b"))
+    union = F.size("__set_a") + F.size("__set_b") - inter
     jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         joined.withColumn("jaccard", F.round(jacc, 6))
@@ -490,28 +542,32 @@ def ngram_jaccard_join(
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     df = _spread(df)
-    raw = df.select(
-        F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
-    ).select(
-        "id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_shingles_from_tokens(F.col("__toks"), shingle_n),
-                    lambda s: F.xxhash64(s),
+    # checkpoint the exploded shingle stream: it feeds BOTH the global
+    # document-frequency aggregate and the per-document set build, and
+    # Exchange reuse across those branches is not guaranteed — without
+    # the checkpoint the tokenize/shingle/hash pipeline runs twice
+    raw = (
+        df.select(
+            F.col(id_col).alias("id"), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                        lambda s: F.xxhash64(s),
+                    )
                 )
-            )
-        ).alias("sh"),
+            ).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     # global prefix order = ascending DOCUMENT FREQUENCY (ties by hash):
     # the canonical AllPairs/PPJoin ordering.  Prefixes then consist of
     # each document's RAREST shingles, so the inverted-index join
     # generates an order of magnitude fewer candidates on natural text
-    # than raw-hash order (correct under any fixed total order).  One
-    # extra count agg + an equi-join (AQE broadcasts the freq side when
-    # it is small); both aggregates below are exchanges Catalyst reuses
-    # across the prefix-index and the two verification joins, so the
-    # shingle sets are computed once, not three times.
+    # than raw-hash order (correct under any fixed total order).
     freq = raw.groupBy("sh").agg(F.count("*").alias("__df"))
     sets_df = (
         raw.join(freq, "sh")
@@ -537,27 +593,55 @@ def ngram_jaccard_join(
     prefix_len = F.greatest(
         n - F.ceil(n * F.lit(t_eff)) + 1, F.lit(1)
     ).cast("int")
+    # positions (0-based, within the df-sorted set) ride along so the
+    # PPJoin positional filter below can bound each pair's best-case
+    # overlap — prefix membership alone admits ~3x more candidates
     inv = sets_df.select(
         "id",
         n.alias("__n"),
-        F.explode(F.slice("__set", F.lit(1), prefix_len)).alias("sh"),
+        F.posexplode(F.slice("__set", F.lit(1), prefix_len)).alias("pos", "sh"),
     )
-    a = inv.withColumnsRenamed({"id": "id_a", "__n": "__n_a"})
-    b = inv.withColumnsRenamed({"id": "id_b", "sh": "sh_b", "__n": "__n_b"})
+    a = inv.withColumnsRenamed({"id": "id_a", "__n": "__n_a", "pos": "pos_a"})
+    b = inv.withColumnsRenamed(
+        {"id": "id_b", "sh": "sh_b", "__n": "__n_b", "pos": "pos_b"}
+    )
     t = F.lit(t_eff)
-    cands = (
-        a.join(
-            b,
-            (a["sh"] == b["sh_b"])
-            & (a["id_a"] < b["id_b"])
-            # length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
-            & (a["__n_a"] * t <= b["__n_b"])
-            & (b["__n_b"] * t <= a["__n_a"]),
-            "inner",
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    matches = a.join(
+        b,
+        (a["sh"] == b["sh_b"])
+        & (a["id_a"] < b["id_b"])
+        # length filter: J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+        & (a["__n_a"] * t <= b["__n_b"])
+        & (b["__n_b"] * t <= a["__n_a"]),
+        "inner",
     )
+    # PPJoin positional filter (aggregate form).  Per candidate pair let
+    # c = number of prefix-prefix matches and (pa, pb) the 0-based
+    # positions of the LAST match.  Sets are sorted under one global
+    # order, so positions of shared elements are monotone: any shared
+    # element NOT matched by the prefix join lies strictly after the
+    # last match on BOTH sides (if it preceded it on either side it
+    # would sit inside both prefixes and have been matched).  Hence
+    #   overlap <= c + min(|a| - pa - 1, |b| - pb - 1)
+    # and J >= t forces overlap >= t/(1+t) * (|a| + |b|).  Pairs whose
+    # upper bound misses that floor are pruned BEFORE the two set-fetch
+    # joins and the exact intersect — measured 43k -> 13k candidates on
+    # the sf0.1 corpus (t=0.8), at the cost of widening the dedup
+    # aggregate (count/max/max vs plain distinct).
+    grouped = matches.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.max("pos_a").alias("__pa"),
+        F.max("pos_b").alias("__pb"),
+        F.first("__n_a").alias("__na"),
+        F.first("__n_b").alias("__nb"),
+    )
+    overlap_floor = t / (F.lit(1.0) + t) * (F.col("__na") + F.col("__nb"))
+    overlap_ub = F.col("__c") + F.least(
+        F.col("__na") - F.col("__pa") - 1, F.col("__nb") - F.col("__pb") - 1
+    )
+    cands = grouped.filter(
+        overlap_ub.cast("double") >= overlap_floor
+    ).select("id_a", "id_b")
     sa = sets_df.withColumnsRenamed({"id": "id_a", "__set": "__set_a"})
     sb = sets_df.withColumnsRenamed({"id": "id_b", "__set": "__set_b"})
     joined = cands.join(sa, "id_a").join(sb, "id_b")
