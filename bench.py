@@ -173,28 +173,35 @@ def main():
     # warmup gets evicted by intervening queries' compiled stages and
     # the big dedup expressions re-compile INSIDE timed runs — observed
     # as bimodal 2-4x swings on dedup_ngram_jaccard/dedup_minhash
+    # per-query cleanup barrier (untimed): drop Python refs and request
+    # a JVM GC so the ContextCleaner evicts the previous queries'
+    # localCheckpoint/broadcast blocks BEFORE the next timed run.
+    # Without it, accumulated blocks inflate later queries 2-3x
+    # (measured: dedup_clusters 4.0 s with the barrier vs 9.4 s when
+    # run third without it) — the r3 bench's +86-292 % "regressions" on
+    # late sub-2 s queries were this accumulation, not the queries.
+    import gc
+
+    def _barrier():
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for name in headline:
         try:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
+        _barrier()
         t0 = time.time()
         _consume(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    # untimed cleanup barrier: drop Python refs to the ~74 headline
-    # frames (timed + warm) so the ContextCleaner can evict their
-    # checkpoint/shuffle blocks, and request a JVM GC — without this
-    # the LAST entries (the baseline workloads) absorb the accumulated
-    # GC pressure and read 2-3x slow
-    import gc
-
-    gc.collect()
-    try:
-        spark.sparkContext._jvm.System.gc()
-        time.sleep(2)
-    except Exception:
-        pass
+    # extra settle before the baseline workloads
+    _barrier()
+    time.sleep(2)
 
     for name, builder in (
         ("workload_f", workload_f),
