@@ -35,6 +35,7 @@ from pandance_spark._kernel import as_instant, spread_partitions
 from pandance_spark.functions.text import (
     fingerprint_md5,
     lang_id,
+    with_lang_id,
     quality_score,
     token_count,
 )
@@ -487,8 +488,13 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.col("lang").alias("lang_actual"), lang_id(F.col("text")).alias("lang_pred")
+    # single-file scan -> one partition; fan out before the regex work
+    base = spread_partitions(docs).select(
+        "doc_id", F.col("lang").alias("lang_actual"), F.col("text")
+    )
+    # staged form: 20 regex scans once per row, not per CASE branch
+    return with_lang_id(base, "text", "lang_pred").select(
+        "doc_id", "lang_actual", "lang_pred"
     )
 
 

@@ -10,6 +10,7 @@ from pandance_spark.functions.text import (
     fingerprint_md5,
     gopher_signals,
     lang_id,
+    with_lang_id,
     quality_score,
     redact_pii,
     repetition_profile,
@@ -33,6 +34,7 @@ __all__ = [
     "fingerprint_md5",
     "gopher_signals",
     "lang_id",
+    "with_lang_id",
     "quality_score",
     "redact_pii",
     "repetition_profile",
