@@ -7,10 +7,11 @@ the join predicate, result sets equal the brute-force oracle, and the
 closed-form ineq overlap count A*B + C(L,2) - L^2 holds.
 """
 
+import datetime as _dt
 import math
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join
@@ -228,3 +229,61 @@ def test_bm25_matches_brute_force(spark, docs, terms):
             assert got[i] == pytest.approx(round(s, 6), abs=2e-6), i
         else:
             assert i not in got
+
+
+@settings(**_SETTINGS)
+@given(a=st.integers(0, 10), b=st.integers(0, 10), data=st.data())
+def test_ineq_overlap_closed_form(spark, a, b, data):
+    """Dedicated port of the reference's closed-form overlap property
+    (test_ops.py:386-408): two integer ranges with overlap L joined by
+    '<' produce EXACTLY A*B + C(L,2) - L^2 rows, for every (A, B, L)
+    and BOTH strategies.  Unlike the brute-force property this pins
+    band boundary off-by-ones by construction: the overlap region
+    straddles quantile cuts, and any inclusive/exclusive slip at a
+    band edge shifts the count."""
+    overlap = data.draw(st.integers(0, min(a, b)))
+    left = spark.createDataFrame([(v,) for v in range(a)], "val long")
+    right = spark.createDataFrame(
+        [(v,) for v in range(a - overlap, a - overlap + b)], "val long"
+    )
+    expected = a * b + math.comb(overlap, 2) - overlap * overlap
+    for strategy in ("band", "bnl"):
+        got = ineq_join(left, right, how="<", on="val", strategy=strategy).count()
+        assert got == expected, (strategy, a, b, overlap)
+
+
+@settings(**_SETTINGS)
+@given(
+    start=st.datetimes(
+        min_value=_dt.datetime(2022, 1, 1, 0, 0),
+        max_value=_dt.datetime(2022, 1, 2, 0, 0),
+    ),
+    end=st.datetimes(
+        min_value=_dt.datetime(2022, 1, 1, 0, 0),
+        max_value=_dt.datetime(2022, 1, 2, 0, 0),
+    ),
+)
+def test_fuzzy_random_datetime_ranges(spark, start, end):
+    """Port of the reference's random-datetime fuzzy property
+    (test_ops.py:88-121): hourly timestamps over a random [start, end]
+    range fuzzy-joined against the range end with a 1-hour timedelta
+    tolerance — band strategy == exact range strategy == brute force.
+    Random sub-second datetimes exercise microsecond band boundaries."""
+    assume(start <= end)
+    step = _dt.timedelta(hours=1)
+    times_a, t = [], start
+    while t <= end:
+        times_a.append(t)
+        t += step
+    tol = _dt.timedelta(hours=1)
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(times_a)], "i long, t timestamp"
+    )
+    right = spark.createDataFrame([(0, end)], "j long, t timestamp")
+    expected = {
+        (i, 0) for i, v in enumerate(times_a) if abs(v - end) <= tol
+    }
+    for strategy in ("band", "range"):
+        out = fuzzy_join(left, right, on="t", tol=tol, strategy=strategy)
+        got = {(r["i"], r["j"]) for r in out.collect()}
+        assert got == expected, (strategy, start, end)
