@@ -43,6 +43,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     max_driver_edges: int = 2_000_000,
+    max_driver_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Connected components of an undirected graph given as an edge list.
 
@@ -65,8 +66,12 @@ def connected_components(
     ``embedding_cosine_pairs``) a driver union-find replaces the O(log d)
     shuffle rounds — each distributed round costs a fixed multi-job
     latency that dwarfs a sub-second local scan of a few million edges.
-    Post-LSH dedup graphs at corpus scale exceed the guard and take the
-    distributed loop; set ``max_driver_edges=0`` to force it.
+    The guard is sized on BOTH row count and estimated driver bytes
+    (``max_driver_bytes``, default 512 MiB): string node ids contribute
+    their measured average width, so a 2 M-edge graph of long URL ids
+    does not blow up the driver just because it cleared the row-count
+    gate.  Post-LSH dedup graphs at corpus scale exceed the guard and
+    take the distributed loop; set ``max_driver_edges=0`` to force it.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a").isNotNull() & F.col("b").isNotNull()
@@ -87,9 +92,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    # materializes the checkpoint the iterative loop would need anyway
-    n_sym = e_sym.count()
-    if n_sym <= 2 * max_driver_edges:
+    # materializes the checkpoint the iterative loop would need anyway;
+    # for string ids the same job also measures average pair width so
+    # the driver gate is byte-aware, not just row-count-aware
+    id_is_string = isinstance(e_sym.schema["a"].dataType, T.StringType)
+    if id_is_string:
+        stats = e_sym.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("a") + F.length("b")).alias("w"),
+        ).first()
+        n_sym, pair_payload = stats["n"], float(stats["w"] or 0.0)
+    else:
+        n_sym, pair_payload = e_sym.count(), 16.0
+    # ~96 B/pair of collected-Row + dict/union-find overhead on top of
+    # the id payload itself
+    est_driver_bytes = n_sym * (pair_payload + 96.0)
+    if n_sym <= 2 * max_driver_edges and est_driver_bytes <= max_driver_bytes:
         return _driver_union_find(e_sym)
     labels = (
         e_sym.select(F.col("a").alias("node"))

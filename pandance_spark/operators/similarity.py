@@ -390,15 +390,21 @@ def knn_graph(
         cn = cpdf["__cn"].to_numpy()
         qids = qpdf["__qid"].to_numpy()
         cids = cpdf["__cid"].to_numpy()
-        sims = np.round((qm @ cm.T) / np.outer(qn, cn), 6)
+        sims = (qm @ cm.T) / np.outer(qn, cn)
         sims[qids[:, None] == cids[None, :]] = -np.inf  # exclude self
+        # order/prune on HALF-UP-rounded values (F.round semantics) so
+        # the per-cell top-k agrees with the expr path and the final
+        # plan-side F.round — np.round's half-to-even would flip rank
+        # ties landing exactly on a 5e-7 boundary.  Raw cosines are
+        # emitted; the single rounding step lives in the Spark plan.
+        rsims = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
         kk = min(k, sims.shape[1])
         out_q, out_c, out_s = [], [], []
         for i in range(sims.shape[0]):
-            row = sims[i]
+            row, rrow = sims[i], rsims[i]
             # per-(query, cell) top-k; ties broken by candidate id asc
             # (lexsort: last key is primary)
-            order = np.lexsort((cids, -row))[:kk]
+            order = np.lexsort((cids, -rrow))[:kk]
             keep = order[np.isfinite(row[order])]
             out_q.append(np.repeat(qids[i], len(keep)))
             out_c.append(cids[keep])
@@ -444,6 +450,9 @@ def knn_graph(
         qcells.groupBy(*group_keys)
         .cogroup(c_assigned.groupBy(*group_keys))
         .applyInPandas(score_cell, schema=out_schema)
+        # one rounding rule for both strategies: F.round (half-up),
+        # applied plan-side on the raw cosines score_cell emits
+        .withColumn("cosine", F.round("cosine", 6))
     )
     w = Window.partitionBy(qname).orderBy(
         F.col("cosine").desc(), F.col(cname).asc()

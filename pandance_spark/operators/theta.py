@@ -123,12 +123,16 @@ def _build_predicate(condition: ConditionType, lcol: Column, rcol: Column):
     if isinstance(condition, Column):
         return condition, False
     # try the Column fast path: many scalar lambdas (arithmetic,
-    # comparisons, abs, %) are polymorphic and work on Columns directly
+    # comparisons, abs, %) are polymorphic and work on Columns directly.
+    # Only the errors that mean "this callable is not Column-polymorphic"
+    # (unsupported operation / bad duck-typing on the Column object)
+    # demote to the pandas_udf path — anything else is a real bug in the
+    # user's condition and must surface, not silently degrade.
     try:
         candidate = condition(lcol, rcol)
         if isinstance(candidate, Column):
             return candidate, False
-    except Exception:
+    except (TypeError, ValueError, AttributeError):
         pass
     return _python_predicate(condition)(lcol, rcol), True
 

@@ -179,17 +179,31 @@ def read_jsonl(
 ):
     """Schema-enforced JSONL reader with corrupt-record quarantine.
 
-    Returns ``(good, bad)``: rows parsing cleanly against ``schema``
-    (without the corrupt column), and quarantined raw lines (the
-    corrupt column only).  PERMISSIVE mode keeps the scan single-pass
-    at any scale — bad lines don't abort the 100 TB job, they land in
-    a side output for inspection/replay (the standard ingest contract
-    for crawled/exported corpora).
+    Returns ``(good, bad, unpersist)``: rows parsing cleanly against
+    ``schema`` (without the corrupt column), quarantined raw lines
+    (the corrupt column only), and a zero-arg cleanup callable.
+    PERMISSIVE mode keeps the scan single-pass at any scale — bad
+    lines don't abort the 100 TB job, they land in a side output for
+    inspection/replay (the standard ingest contract for
+    crawled/exported corpora).
 
     Spark quirk: a PERMISSIVE read materializes the corrupt column
     only if it is part of the declared schema, and rows referencing
     ONLY the corrupt column must be disambiguated through a cached or
-    re-planned frame — hence the eager split here.
+    re-planned frame — hence both outputs share one cached scan.
+
+    **Cache lifetime**: the shared cache pins executor storage until
+    released.  Call ``unpersist()`` once both branches have been
+    consumed (written out / materialized) — repeated ingest calls in a
+    long-lived session otherwise accumulate cached blocks until Spark
+    evicts them under pressure.  After ``unpersist()`` the cache
+    boundary is gone, so Spark's corrupt-record-only restriction
+    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``)
+    applies again: any query whose pruned column set is just the
+    corrupt column fails — all of ``bad``, and even ``good.count()``
+    (count prunes every output column, leaving only the filter's
+    corrupt reference).  Treat both branches as consumed once
+    released; persist anything you still need first.
     """
     from pyspark.sql import types as T
 
@@ -208,4 +222,8 @@ def read_jsonl(
     df = df.cache()
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)
-    return good, bad
+
+    def unpersist(blocking: bool = False):
+        df.unpersist(blocking)
+
+    return good, bad, unpersist

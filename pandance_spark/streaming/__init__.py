@@ -345,10 +345,24 @@ def stream_upsert_sink(
     frame is eagerly checkpointed before the write because the job
     reads the same files it overwrites.
 
+    **Restart semantics.** The sink is exactly-once across restarts
+    *only* with a stable ``checkpoint_dir``: the checkpoint records the
+    source offsets already merged, so a restarted stream resumes
+    instead of replaying.  When ``checkpoint_dir`` is omitted, a stable
+    default of ``<path>/_checkpoint`` is used (underscore-prefixed
+    paths are invisible to Spark's parquet listing and survive dynamic
+    partition overwrite, which only replaces ``__bucket=*`` dirs).
+    Pass an explicit directory when ``path`` is on a store where
+    colocating checkpoints with data is undesirable.
+
+    A missing target (first batch ever) is detected with an explicit
+    filesystem existence probe — read errors on an *existing* target
+    propagate and fail the micro-batch (which Spark then retries)
+    rather than being mistaken for "empty target", which would rewrite
+    touched buckets with batch-only rows and silently drop prior keys.
+
     Returns the unstarted ``DataStreamWriter``; call ``.start()``.
     """
-    import uuid
-
     from pyspark.sql import functions as _F
 
     from pandance_spark.operators.merge import merge_upsert
@@ -378,13 +392,17 @@ def stream_upsert_sink(
                 r["__bucket"]
                 for r in latest.select("__bucket").distinct().collect()
             ]
-            # 2. existing rows in the touched partitions only
-            try:
+            # 2. existing rows in the touched partitions only.  The
+            # "target absent" case is decided by an explicit existence
+            # probe, NOT by swallowing read errors: a transient read
+            # failure on an existing target must fail the batch (Spark
+            # retries it) instead of masquerading as first-write and
+            # dropping every pre-existing key in the touched buckets.
+            existing = None
+            if _hadoop_path_exists(spark, path):
                 existing = spark.read.parquet(path).filter(
                     _F.col("__bucket").isin(touched)
                 )
-            except Exception:
-                existing = None
             # 3. merge (batch wins on key collision)
             if existing is not None and existing.columns:
                 merged = merge_upsert(
@@ -403,17 +421,29 @@ def stream_upsert_sink(
                 "spark.sql.sources.partitionOverwriteMode", prev_mode
             )
 
+    # Stable default: the stream resumes after restart instead of
+    # replaying source offsets (see docstring "Restart semantics").
     writer = events.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",
-        checkpoint_dir
-        or os.path.join(
-            tempfile_dir(), f"pdx_upsert_ckpt_{uuid.uuid4().hex[:8]}"
-        ),
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
     )
     return writer
 
 
-def tempfile_dir() -> str:
-    import tempfile
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one ``__bucket=*`` partition.
 
-    return tempfile.gettempdir()
+    Uses the Hadoop FileSystem API so the probe works on any
+    Hadoop-compatible store, not just the local FS.  A directory that
+    exists but holds only hidden entries (e.g. the colocated
+    ``_checkpoint``) counts as absent — there is nothing to merge and
+    ``spark.read.parquet`` could not infer a schema from it.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    glob = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/__bucket=*")
+    matches = fs.globStatus(glob)
+    return matches is not None and len(matches) > 0

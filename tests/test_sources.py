@@ -119,10 +119,19 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
             T.StructField("text", T.StringType()),
         ]
     )
-    good, bad = read_jsonl(spark, str(p), schema)
+    good, bad, unpersist = read_jsonl(spark, str(p), schema)
     got = sorted((r["doc_id"], r["text"]) for r in good.collect())
     assert got == [(1, "hello world"), (2, "ok"), (3, None)]
     assert good.columns == ["doc_id", "text"]
     bad_rows = bad.collect()
     assert len(bad_rows) == 1
     assert "UNCLOSED" in bad_rows[0][0]
+    # releasing the shared scan cache: queries whose pruned columns
+    # are corrupt-only become illegal again (documented
+    # persist-before-release contract); wide projections recompute
+    unpersist(blocking=True)
+    assert len(good.collect()) == 3
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        bad.count()

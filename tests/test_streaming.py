@@ -210,3 +210,42 @@ def test_stream_upsert_sink_merges_batches(spark, tmp_path):
         1: (1, "v1a"), 2: (2, "v2b"), 3: (2, "v3b"),
         4: (1, "v4a"), 5: (1, "v5a"), 6: (1, "v6a"),
     }
+
+
+def test_stream_upsert_sink_default_checkpoint_is_stable(spark, tmp_path):
+    """Without checkpoint_dir the sink checkpoints under <path>/_checkpoint,
+    so a restarted stream resumes offsets instead of replaying, and the
+    colocated checkpoint dir neither breaks the parquet read nor is wiped
+    by the dynamic partition overwrite."""
+    import os
+
+    from pandance_spark.streaming import stream_upsert_sink
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    schema = "k long, ver long, val string"
+
+    spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], schema).coalesce(
+        1
+    ).write.mode("overwrite").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert os.path.isdir(os.path.join(tgt, "_checkpoint"))
+
+    # restart: the stable checkpoint means only NEW source files replay;
+    # an update for k=1 merges over the surviving first-write rows
+    spark.createDataFrame([(1, 2, "a2")], schema).coalesce(1).write.mode(
+        "append"
+    ).json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: (2, "a2"), 2: (1, "b")}

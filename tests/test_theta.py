@@ -150,3 +150,33 @@ def test_theta_decimal_invalid_operation_guard(spark):
 
     out = theta_join(left, right, condition=cond, left_on="x", right_on="y")
     assert rows_set(out, ["x", "y"]) == {(1.0, 1.0)}
+
+
+def test_theta_fastpath_probe_surfaces_real_bugs(spark):
+    # Only TypeError/ValueError/AttributeError during the Column-probe
+    # mean "not Column-polymorphic, use the pandas path".  Anything
+    # else is a genuine bug in the user's condition and must surface
+    # instead of silently degrading to the slow path.
+    left = spark.createDataFrame([(1,)], "x long")
+    right = spark.createDataFrame([(1,)], "y long")
+
+    def buggy(x, y):
+        raise ZeroDivisionError("bug in user condition")
+
+    with pytest.raises(ZeroDivisionError):
+        theta_join(left, right, condition=buggy, left_on="x", right_on="y")
+
+
+def test_theta_fastpath_probe_demotes_on_typeerror(spark):
+    # a condition that TypeErrors on Columns (math.gcd needs ints)
+    # still lands on the pandas_udf path and evaluates correctly
+    left = spark.createDataFrame([(4,), (5,)], "x long")
+    right = spark.createDataFrame([(8,), (7,)], "y long")
+    out = theta_join(
+        left,
+        right,
+        condition=lambda x, y: math.gcd(int(x), int(y)) > 1,
+        left_on="x",
+        right_on="y",
+    )
+    assert rows_set(out, ["x", "y"]) == {(4, 8)}
