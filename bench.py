@@ -183,8 +183,26 @@ def main():
     import gc
 
     def _barrier():
+        # 1. drop Python-side refs so the ContextCleaner may collect
         gc.collect()
+        # 2. explicitly release EVERY persistent block the previous
+        # query left behind (caches + localCheckpoint RDD blocks).
+        # Relying on GC + ContextCleaner alone is not enough: cleanup
+        # is asynchronous, so stale blocks survive into later queries,
+        # evict THEIR cached inputs, and force recomputes — observed
+        # as 2-6x tail spikes on the baseline workloads whose cached
+        # createDataFrame inputs re-serialize from the driver when
+        # evicted.  Queries never share state across iterations, so a
+        # full sweep between them is always safe.
         try:
+            spark.catalog.clearCache()
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .values()
+                .iterator()
+            )
+            while it.hasNext():
+                it.next().unpersist(False)
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
@@ -208,6 +226,9 @@ def main():
         ("workload_f_x10", workload_f_x10),
         ("workload_i", workload_i),
     ):
+        # sweep BEFORE the builder caches its inputs (never between the
+        # cache and the timed join, which would evict them)
+        _barrier()
         join_fn = builder(spark)  # input setup excluded from the timing
         t0 = time.time()
         _consume(join_fn())
