@@ -40,12 +40,15 @@ from pandance_spark.functions.text import (
     token_count,
 )
 from pandance_spark.operators.dedup import (
+    build_minhash_index,
+    dedup_against_index,
     dedup_exact,
     dedup_minhash,
     embedding_cosine_pairs,
     ngram_jaccard_join,
     simhash_candidates,
 )
+from pandance_spark.operators.scd import scd2_history
 from pandance_spark.operators.cluster import dedup_clusters
 from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.multimodal import attach_binary_payload
@@ -789,6 +792,35 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each user's event_type over the events change
+    log: consecutive same-type events collapse into one validity
+    interval (operators/scd.py — one shuffle, two windows sharing
+    the Exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev, ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+    )
+
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: index 90% of the corpus (doc_id % 10 != 0)
+    once, then flag the remaining 10% "new batch" against it —
+    banded-signature + shingle-set tables are bucketed so only the
+    batch side shuffles (operators/dedup.py build_minhash_index /
+    dedup_against_index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    build_minhash_index(
+        corpus, "doc_id", "text", "pdx_drv_mh_idx",
+        num_hashes=64, bands=16, shingle_n=3,
+    )
+    return dedup_against_index(
+        batch, "doc_id", "text", "pdx_drv_mh_idx", threshold=0.8
+    )
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -825,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_incremental": _q_dedup_incremental,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -845,12 +878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-pipeline composition
         "train_split": _q_train_split,
         "pack_documents": _q_pack_documents,
-        "top_tokens": _q_top_tokens,
         "stratified_sample": _q_stratified_sample,
         "embedding_centroids": _q_embedding_centroids,
         "corpus_clean": _q_corpus_clean,
         "cap_per_lang": _q_cap_per_lang,
-        "price_quantiles": _q_price_quantiles,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
         "asof_nearest": _q_asof_nearest,
@@ -868,8 +899,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
+        "scd2_user_status": _q_scd2_user_status,
         # --- entries 51+ (outside the driver window; locally gated) ---
         "merge_upsert": _q_merge_upsert,
+        "price_quantiles": _q_price_quantiles,
+        "top_tokens": _q_top_tokens,
         "set_ops": _q_set_ops,
         "rollup_orders": _q_rollup_orders,
         "pivot_status": _q_pivot_status,
@@ -1075,6 +1109,20 @@ def oracle_sql() -> dict[str, str]:
         # threshold when banding catches every >=0.8 pair (16 bands x 4
         # rows: P(miss | j>=0.8) < 1e-4) — same oracle as the exact join.
         "dedup_minhash": _JACCARD_SQL,
+        # incremental variant: same exact-Jaccard ground truth restricted
+        # to cross pairs (batch = doc_id % 10 == 0 vs indexed corpus)
+        "dedup_incremental": _SHINGLES_CTE
+        + """
+, ex AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a, sh b
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT new_id, corpus_id, round(j, 6) AS jaccard
+FROM ex WHERE round(j, 6) >= 0.8
+""",
         # transitive closure of the exact-Jaccard pair graph via a
         # recursive CTE: label (v,v) seeds spread along edges until the
         # fixpoint; min reached label == min doc_id in the component
@@ -1646,5 +1694,29 @@ ORDER BY doc_id
             SELECT c.* FROM customer c WHERE NOT EXISTS (
               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # SCD2: change-log -> validity intervals.  lag detects version
+        # boundaries (null-safe via IS DISTINCT FROM, = eqNullSafe),
+        # lead closes the half-open interval; ties broken by event_id
+        # exactly as the Spark order_cols
+        "scd2_user_status": """
+            WITH h AS (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            ),
+            c AS (
+              SELECT user_id, event_type, ts FROM h
+              WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   (lead(ts) OVER w2 IS NULL) AS is_current
+            FROM c
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
         """,
     }

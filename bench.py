@@ -94,6 +94,28 @@ def workload_i(spark):
     return lambda: ineq_join(a, b, how="<", on="val", strategy="band")
 
 
+def dedup_incremental_search(spark):
+    """Amortized cost of incremental dedup: the one-off corpus index
+    build is setup (like the baseline workloads' input generation);
+    the timed part is what every ingestion batch pays — the search of
+    the new 10% against the persisted banded index."""
+    from pyspark.sql import functions as F
+
+    from pandance_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from pandance_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    build_minhash_index(corpus, "doc_id", "text", "bench_mh_idx")
+    return lambda: dedup_against_index(
+        batch, "doc_id", "text", "bench_mh_idx", threshold=0.8
+    )
+
+
 def main():
     # 32 python workers each spinning a multi-threaded BLAS thrashes the
     # box; the matrices here are small — one BLAS thread per worker
@@ -155,6 +177,7 @@ def main():
         "sessionize",
         "semi_join",
         "anti_join",
+        "scd2_user_status",
     ]
 
     timings = {}
@@ -225,6 +248,7 @@ def main():
         ("workload_f", workload_f),
         ("workload_f_x10", workload_f_x10),
         ("workload_i", workload_i),
+        ("dedup_incremental_search", dedup_incremental_search),
     ):
         # sweep BEFORE the builder caches its inputs (never between the
         # cache and the timed join, which would evict them)

@@ -5,6 +5,7 @@ from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.merge import merge_upsert
 from pandance_spark.operators.overlap import overlap_join
+from pandance_spark.operators.scd import scd2_apply, scd2_history
 from pandance_spark.operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -23,6 +24,8 @@ __all__ = [
     "dedup_clusters",
     "contamination_check",
     "merge_upsert",
+    "scd2_history",
+    "scd2_apply",
     "salted_join",
     "overlap_join",
     "cosine_topk",

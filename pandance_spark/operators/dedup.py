@@ -45,6 +45,8 @@ __all__ = [
     "simhash_candidates",
     "ngram_jaccard_join",
     "embedding_cosine_pairs",
+    "build_minhash_index",
+    "dedup_against_index",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -904,3 +906,181 @@ def _gemm_cosine_pairs(
             )
 
     return _spread(df.select(id_col, vec_col)).mapInPandas(_block, out_schema)
+
+
+# --------------------------------------------------------------------------
+# incremental dedup against a persisted MinHash index
+# --------------------------------------------------------------------------
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the corpus's MinHash-LSH state for incremental dedup.
+
+    The production ingestion pattern: the corpus is deduped ONCE, its
+    banded signatures and shingle sets are persisted, and every later
+    batch of new documents is checked against the index WITHOUT
+    touching (re-reading, re-hashing, or re-shuffling) the corpus —
+    the property that makes continuous 100 TB ingestion affordable.
+
+    Three catalog tables (same layout idea as the persisted IVF index,
+    ``similarity.build_ivf_index``):
+
+    - ``{table}_bands`` (id, band, bhash) BUCKETED BY ``bhash``: the
+      candidate equi-join on (band, bhash) reuses storage bucketing,
+      so only the (small) new-batch side shuffles.
+    - ``{table}_sets`` (id, set) BUCKETED BY id: the exact-Jaccard
+      verification fetch joins on id against pre-bucketed storage.
+    - ``{table}_meta`` one row of build parameters; the search side
+      reads them back so a query can never silently hash with
+      mismatched (num_hashes, bands, shingle_n, seed).
+    """
+    from pandance_spark.sources import save_bucketed
+
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    spark = corpus.sparkSession
+    # fan a narrow (often single-file) scan out before the per-row
+    # tokenize/hash work — same as every other dedup entry point
+    corpus = _spread(corpus)
+    base = (
+        corpus.select(
+            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "__id",
+            F.transform(
+                word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh64"),
+        )
+        .select(
+            "__id",
+            F.array_distinct("__sh64").alias("__set"),
+            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
+                "__hashed"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    banded = _bands_from_hashed(
+        base.select(F.col("__id").alias(id_col), "__hashed"),
+        id_col,
+        num_hashes,
+        bands,
+        seed,
+    )
+    save_bucketed(banded, f"{table}_bands", "bhash", num_buckets=num_buckets)
+    save_bucketed(
+        base.select(F.col("__id").alias(id_col), F.col("__set").alias("shingle_set")),
+        f"{table}_sets",
+        id_col,
+        num_buckets=num_buckets,
+    )
+    from pandance_spark.sources import save_table
+
+    save_table(
+        spark.createDataFrame(
+            [(id_col, num_hashes, bands, shingle_n, seed)],
+            "id_col string, num_hashes int, bands int, shingle_n int, seed int",
+        ),
+        f"{table}_meta",
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs between a new batch and an indexed corpus.
+
+    Returns ``(new_id, corpus_id, jaccard)`` — one row per new
+    document x indexed document whose LSH bands collide and whose
+    EXACT shingle-set Jaccard is ``>= threshold``.  Hash parameters
+    come from ``{table}_meta`` (written by :func:`build_minhash_index`)
+    so batch signatures are always computed with the index's exact
+    scheme.
+
+    Cost model: the batch is tokenized/hashed once (per-row Column
+    work), its band keys shuffle-join against the bucket-pre-shuffled
+    ``{table}_bands`` (corpus side does NOT move), candidate pairs
+    fetch corpus sets from the id-bucketed ``{table}_sets`` — every
+    join moves only batch-proportional data.  The corpus parquet is
+    never re-read beyond the collided buckets' rows.
+    """
+    spark = new_docs.sparkSession
+    meta = spark.table(f"{table}_meta").first()
+    num_hashes, bands_n, shingle_n, seed = (
+        meta["num_hashes"], meta["bands"], meta["shingle_n"], meta["seed"],
+    )
+    corpus_id = meta["id_col"]
+
+    new_docs = _spread(new_docs)
+    base = (
+        new_docs.select(
+            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "__id",
+            F.transform(
+                word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh64"),
+        )
+        .select(
+            "__id",
+            F.array_distinct("__sh64").alias("__set"),
+            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
+                "__hashed"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    new_bands = _bands_from_hashed(
+        base.select(F.col("__id").alias("new_id"), "__hashed"),
+        "new_id",
+        num_hashes,
+        bands_n,
+        seed,
+    )
+    idx_bands = spark.table(f"{table}_bands").withColumnsRenamed(
+        {corpus_id: "corpus_id", "band": "band_i", "bhash": "bhash_i"}
+    )
+    cands = (
+        new_bands.join(
+            idx_bands,
+            (new_bands["band"] == idx_bands["band_i"])
+            & (new_bands["bhash"] == idx_bands["bhash_i"]),
+            "inner",
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    new_sets = base.select(
+        F.col("__id").alias("new_id"), F.col("__set").alias("__set_a")
+    )
+    idx_sets = spark.table(f"{table}_sets").select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.col("shingle_set").alias("__set_b"),
+    )
+    joined = cands.join(new_sets, "new_id").join(idx_sets, "corpus_id")
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size("__set_a") + F.size("__set_b") - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

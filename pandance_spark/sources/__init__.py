@@ -8,6 +8,7 @@ are first-class: parquet with predicate pushdown and column pruning.
 from __future__ import annotations
 
 import os
+import re as _re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,28 +127,75 @@ def save_bucketed(
     exchange, the single biggest lever for repeated joins over 100 TB
     fact tables.  (Requires ``saveAsTable``; plain ``.save(path)``
     cannot record bucketing metadata.)
+
+    With ``mode="overwrite"`` an orphaned warehouse directory (the
+    in-memory catalog forgets tables across sessions while the
+    directory persists) is deleted and the write retried once:
+    overwrite semantics mean the caller owns the location, so a
+    leftover from a dead session must not wedge every later run.
+
+    The frame is repartitioned to ``hashpartitioning(bucket_cols,
+    num_buckets)`` before the write: Spark's bucket file layout is
+    one file per (write task x bucket), so an unaligned upstream
+    partitioning fans out to ``tasks * num_buckets`` small files —
+    aligning it yields exactly ``num_buckets`` files (and caps write
+    parallelism at ``num_buckets``; size the bucket count for the
+    table, not the toy default, when writing 100 TB).
     """
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if mode == "overwrite":
-        # an in-memory catalog forgets tables across sessions while the
-        # warehouse directory persists; drop first so overwrite can't
-        # hit LOCATION_ALREADY_EXISTS for a table we own
+        # drop first so overwrite can't hit LOCATION_ALREADY_EXISTS
+        # for a table the catalog still knows about
         df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    # repartition uses the same Murmur3 hash as the bucket spec, so
+    # each write task holds exactly one bucket's rows
+    df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*sort_cols)
+    _save_as_table(
+        writer.format("parquet"), df.sparkSession, table,
+        recover_orphan=(mode == "overwrite"),
+    )
+
+
+def save_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    """Persist as a plain managed catalog table (no bucketing), with the
+    same orphaned-location recovery as :func:`save_bucketed`."""
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    _save_as_table(
+        df.write.mode(mode).format("parquet"), df.sparkSession, table,
+        recover_orphan=(mode == "overwrite"),
+    )
+
+
+def _save_as_table(writer, spark, table: str, recover_orphan: bool) -> None:
     try:
-        writer.format("parquet").saveAsTable(table)
+        writer.saveAsTable(table)
     except Exception as e:
-        if "LOCATION_ALREADY_EXISTS" in str(e):
+        if "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        if not recover_orphan:
             raise RuntimeError(
                 f"table {table!r} has an orphaned warehouse directory from a "
                 "previous session (in-memory catalog lost the table entry). "
-                "Remove the directory under spark.sql.warehouse.dir or pick "
-                "a new table name."
+                "Remove the directory under spark.sql.warehouse.dir, pick a "
+                "new table name, or write with mode='overwrite'."
             ) from e
-        raise
+        # overwrite owns the location: remove the orphan (Hadoop FS API
+        # so any warehouse store works) and retry once
+        jvm = spark._jvm
+        m = _re.search(r"LOCATION_ALREADY_EXISTS[^']*'(?:file:)?([^']+)'", str(e))
+        loc = m.group(1) if m else None
+        if loc is None:
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            loc = os.path.join(wh, table.split(".")[-1].lower())
+        hpath = jvm.org.apache.hadoop.fs.Path(loc)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+        writer.saveAsTable(table)
 
 
 def write_table(

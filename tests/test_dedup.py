@@ -245,3 +245,80 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     cand_pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert exact_pairs <= cand_pairs
+
+
+def test_incremental_index_matches_batch_dedup(spark):
+    """build_minhash_index + dedup_against_index == the cross-pair
+    subset of dedup_minhash over the union, with identical jaccards."""
+    from pandance_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        dedup_minhash,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different text about spark partitions and shuffle behavior",
+        "a third document mentioning minhash banding and jaccard thresholds",
+    ]
+    corpus_rows = [(i, base[i % 3] + f" tail{i % 3}") for i in range(30)]
+    # batch: near-dups of corpus docs (same text, tiny suffix change) + one novel
+    batch_rows = [(100 + i, base[i] + f" tail{i}") for i in range(3)]
+    batch_rows.append((200, "utterly novel content with zero overlapping shingles whatsoever"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    build_minhash_index(
+        corpus, "doc_id", "text", "mh_test_idx",
+        num_hashes=64, bands=16, shingle_n=3, num_buckets=4,
+    )
+    got = {
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in dedup_against_index(
+            batch, "doc_id", "text", "mh_test_idx", threshold=0.8
+        ).collect()
+    }
+
+    both = corpus.unionByName(batch)
+    ref = {
+        (max(r["id_a"], r["id_b"]) if r["id_a"] < 100 else r["id_a"],
+         min(r["id_a"], r["id_b"]),
+         r["jaccard"])
+        for r in dedup_minhash(
+            both, "doc_id", "text", threshold=0.8,
+            num_hashes=64, bands=16, shingle_n=3,
+        ).collect()
+        # keep only cross pairs (one side in the batch, one in the corpus)
+        if (r["id_a"] >= 100) != (r["id_b"] >= 100)
+    }
+    assert got == ref
+    assert got  # the three near-dups must actually collide
+    assert not any(n == 200 for n, _, _ in got)  # novel doc stays clean
+
+    for t in ("mh_test_idx_bands", "mh_test_idx_sets", "mh_test_idx_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_index_uses_stored_params(spark):
+    """Search hashes with the INDEX's parameters (from the meta table),
+    not its own defaults — a shingle_n=2 index still matches."""
+    from pandance_spark.operators.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    build_minhash_index(
+        corpus, "doc_id", "text", "mh_test_idx2",
+        num_hashes=32, bands=8, shingle_n=2, num_buckets=2,
+    )
+    out = dedup_against_index(batch, "doc_id", "text", "mh_test_idx2", threshold=0.99)
+    rows = out.collect()
+    assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in rows] == [(9, 1, 1.0)]
+    for t in ("mh_test_idx2_bands", "mh_test_idx2_sets", "mh_test_idx2_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -135,3 +135,23 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
 
     with pytest.raises(AnalysisException):
         bad.count()
+
+
+def test_save_bucketed_recovers_orphaned_location(spark, tmpdir):
+    """A warehouse directory left behind by a dead session (catalog
+    entry gone, files present) must not wedge overwrite writes."""
+    import os
+
+    from pandance_spark.sources import save_bucketed
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(wh, "orphan_tbl")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "w") as f:
+        f.write("not parquet")
+    spark.sql("DROP TABLE IF EXISTS orphan_tbl")  # catalog has no entry
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    save_bucketed(df, "orphan_tbl", "k", num_buckets=2)
+    assert spark.table("orphan_tbl").count() == 2
+    spark.sql("DROP TABLE IF EXISTS orphan_tbl")
