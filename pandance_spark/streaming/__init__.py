@@ -37,6 +37,7 @@ __all__ = [
     "running_user_stats",
     "streaming_near_dup_filter",
     "stream_upsert_sink",
+    "stream_scd2_sink",
 ]
 
 
@@ -423,6 +424,88 @@ def stream_upsert_sink(
 
     # Stable default: the stream resumes after restart instead of
     # replaying source offsets (see docstring "Restart semantics").
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
+    )
+    return writer
+
+
+def stream_scd2_sink(
+    events: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    ts_col: str,
+    num_buckets: int = 64,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Maintain an SCD2 dimension incrementally from a change stream.
+
+    The streaming composition of :func:`~pandance_spark.operators.scd.
+    scd2_apply` with the bucket-partitioned keyed-sink machinery of
+    :func:`stream_upsert_sink`: the target at ``path`` is a parquet
+    SCD2 table (``keys..., attrs..., valid_from, valid_to,
+    is_current``) partitioned by ``__bucket = pmod(xxhash64(keys),
+    num_buckets)``.  Each micro-batch
+
+    1. reads back ONLY the target buckets its keys hash into,
+    2. re-derives intervals for exactly those keys' histories plus the
+       batch via ``scd2_apply`` (no-change updates collapse, late
+       events splice in at their timestamp),
+    3. rewrites just the touched buckets with dynamic partition
+       overwrite.
+
+    Per-batch work ∝ touched buckets' histories + batch size — never
+    the full dimension.  Restart/existence semantics are identical to
+    :func:`stream_upsert_sink` (stable ``<path>/_checkpoint`` default,
+    explicit existence probe, read errors fail the batch).
+
+    Returns the unstarted ``DataStreamWriter``; call ``.start()``.
+    """
+    from pyspark.sql import functions as _F
+
+    from pandance_spark.operators.scd import scd2_apply, scd2_history
+
+    keys = list(keys)
+    attrs = list(attrs)
+    bucket_of = _F.pmod(_F.xxhash64(*keys), num_buckets)
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch = batch.select(*keys, *attrs, ts_col).withColumn(
+                "__bucket", bucket_of
+            )
+            batch = batch.localCheckpoint(eager=True)
+            touched = [
+                r["__bucket"]
+                for r in batch.select("__bucket").distinct().collect()
+            ]
+            if _hadoop_path_exists(spark, path):
+                existing = spark.read.parquet(path).filter(
+                    _F.col("__bucket").isin(touched)
+                )
+                merged = scd2_apply(
+                    existing, batch.drop("__bucket"), keys, attrs, ts_col
+                )
+            else:
+                merged = scd2_history(
+                    batch.drop("__bucket"), keys, attrs, ts_col
+                )
+            out = merged.withColumn("__bucket", bucket_of)
+            out.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).partitionBy("__bucket").parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
     writer = events.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",
         checkpoint_dir or path.rstrip("/") + "/_checkpoint",

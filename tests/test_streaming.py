@@ -249,3 +249,52 @@ def test_stream_upsert_sink_default_checkpoint_is_stable(spark, tmp_path):
 
     got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
     assert got == {1: (2, "a2"), 2: (1, "b")}
+
+
+def test_stream_scd2_sink_matches_batch_history(spark, tmp_path):
+    """Streaming SCD2 maintenance over two micro-batches equals
+    scd2_history over the whole log, including a late arrival and a
+    no-change update."""
+    import datetime as dt
+
+    from pandance_spark.operators.scd import scd2_history
+    from pandance_spark.streaming import stream_scd2_sink
+
+    def ts(d):
+        return dt.datetime(2024, 1, d)
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    schema = "uid long, state string, ts timestamp"
+
+    batch1 = [(1, "a", ts(1)), (1, "b", ts(5)), (2, "x", ts(1))]
+    batch2 = [
+        (1, "mid", ts(3)),   # late arrival, splices between a and b
+        (2, "x", ts(6)),     # no-change update, must collapse
+        (3, "z", ts(2)),     # new key
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").json(src)
+    q = stream_scd2_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["uid"], ["state"], "ts",
+        num_buckets=4,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").json(src)
+    q = stream_scd2_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["uid"], ["state"], "ts",
+        num_buckets=4,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["uid"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(tgt).drop("__bucket").collect()
+    }
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        tuple(r)
+        for r in scd2_history(full, ["uid"], ["state"], "ts").collect()
+    }
+    assert got == want
