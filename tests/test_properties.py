@@ -287,3 +287,70 @@ def test_fuzzy_random_datetime_ranges(spark, start, end):
         out = fuzzy_join(left, right, on="t", tol=tol, strategy=strategy)
         got = {(r["i"], r["j"]) for r in out.collect()}
         assert got == expected, (strategy, start, end)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                 # key
+            st.sampled_from(["a", "b", "c"]),  # tracked attr
+            st.integers(0, 50),                # ts offset (seconds)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    split=st.integers(0, 24),
+)
+def test_scd2_matches_brute_force_and_apply_is_splice(spark, rows, split):
+    """scd2_history == a per-key Python fold (sort, drop consecutive
+    unchanged, close intervals with the successor's start), and
+    scd2_apply over any batch split equals history of the whole log."""
+    from pandance_spark.operators.scd import scd2_apply, scd2_history
+
+    base = _dt.datetime(2024, 1, 1)
+    # unique (key, ts) pairs: equal-ts observations of one key need a
+    # tie-break column, which the apply path deliberately omits
+    seen, uniq = set(), []
+    for k, a, s in rows:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            uniq.append((k, a, base + _dt.timedelta(seconds=s)))
+    df = spark.createDataFrame(uniq, "k long, a string, ts timestamp")
+
+    def brute(log):
+        out = set()
+        bykey = {}
+        for k, a, t in sorted(log, key=lambda r: (r[0], r[2])):
+            bykey.setdefault(k, []).append((a, t))
+        for k, obs in bykey.items():
+            versions = []
+            for a, t in obs:
+                if not versions or versions[-1][0] != a:
+                    versions.append((a, t))
+            for i, (a, t) in enumerate(versions):
+                nxt = versions[i + 1][1] if i + 1 < len(versions) else None
+                out.add((k, a, t, nxt, nxt is None))
+        return out
+
+    got = {
+        (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["k"], ["a"], "ts").collect()
+    }
+    assert got == brute(uniq)
+
+    split_n = min(split, len(uniq))
+    dim = scd2_history(
+        spark.createDataFrame(uniq[:split_n] or [(99, "x", base)],
+                              "k long, a string, ts timestamp"),
+        ["k"], ["a"], "ts",
+    )
+    batch = spark.createDataFrame(uniq[split_n:] or [(99, "x", base)],
+                                  "k long, a string, ts timestamp")
+    merged = {
+        (r["k"], r["a"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_apply(dim, batch, ["k"], ["a"], "ts").collect()
+    }
+    padded = uniq[:split_n] + uniq[split_n:]
+    want = brute(padded + ([(99, "x", base)] if (split_n == 0 or split_n == len(uniq)) else []))
+    assert merged == want
