@@ -47,6 +47,7 @@ __all__ = [
     "embedding_cosine_pairs",
     "build_minhash_index",
     "dedup_against_index",
+    "add_to_minhash_index",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -913,6 +914,37 @@ def _gemm_cosine_pairs(
 # --------------------------------------------------------------------------
 
 
+def _shingle_base(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Checkpointed (``__id``, ``__set``, ``__hashed``) staging frame:
+    the distinct 64-bit shingle-hash set (exact-Jaccard verification)
+    and the 31-bit-folded hash array (signature input) from ONE
+    tokenize/shingle/hash pass.  Same staging as :func:`dedup_minhash`.
+    """
+    df = _spread(df)
+    return (
+        df.select(
+            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            "__id",
+            F.transform(
+                word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                lambda s: F.xxhash64(s),
+            ).alias("__sh64"),
+        )
+        .select(
+            "__id",
+            F.array_distinct("__sh64").alias("__set"),
+            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
+                "__hashed"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def build_minhash_index(
     corpus: DataFrame,
     id_col: str,
@@ -944,34 +976,12 @@ def build_minhash_index(
       reads them back so a query can never silently hash with
       mismatched (num_hashes, bands, shingle_n, seed).
     """
-    from pandance_spark.sources import save_bucketed
+    from pandance_spark.sources import save_bucketed, save_table
 
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     spark = corpus.sparkSession
-    # fan a narrow (often single-file) scan out before the per-row
-    # tokenize/hash work — same as every other dedup entry point
-    corpus = _spread(corpus)
-    base = (
-        corpus.select(
-            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
-        )
-        .select(
-            "__id",
-            F.transform(
-                word_shingles_from_tokens(F.col("__toks"), shingle_n),
-                lambda s: F.xxhash64(s),
-            ).alias("__sh64"),
-        )
-        .select(
-            "__id",
-            F.array_distinct("__sh64").alias("__set"),
-            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
-                "__hashed"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    base = _shingle_base(corpus, id_col, text_col, shingle_n)
     banded = _bands_from_hashed(
         base.select(F.col("__id").alias(id_col), "__hashed"),
         id_col,
@@ -986,14 +996,59 @@ def build_minhash_index(
         id_col,
         num_buckets=num_buckets,
     )
-    from pandance_spark.sources import save_table
-
     save_table(
         spark.createDataFrame(
-            [(id_col, num_hashes, bands, shingle_n, seed)],
-            "id_col string, num_hashes int, bands int, shingle_n int, seed int",
+            [(id_col, num_hashes, bands, shingle_n, seed, num_buckets)],
+            "id_col string, num_hashes int, bands int, shingle_n int, "
+            "seed int, num_buckets int",
         ),
         f"{table}_meta",
+    )
+
+
+def add_to_minhash_index(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+) -> None:
+    """Append a batch's documents into an existing MinHash index.
+
+    The other half of continuous ingestion: after
+    :func:`dedup_against_index` flags a batch's near-duplicates, the
+    surviving (novel) documents join the corpus — appending their band
+    keys and shingle sets keeps the index authoritative for the NEXT
+    batch without ever rebuilding it.  Hash parameters and bucket
+    count come from ``{table}_meta``, so appended rows are
+    bit-compatible with the original build (bucketed appends add
+    per-bucket files; Spark unions them per bucket at read time, the
+    bucketing property is preserved).
+
+    Caller contract: ids must be new (not already indexed) — this is
+    an append, not an upsert.
+    """
+    from pandance_spark.sources import save_bucketed
+
+    spark = new_docs.sparkSession
+    meta = spark.table(f"{table}_meta").first()
+    base = _shingle_base(new_docs, id_col, text_col, meta["shingle_n"])
+    banded = _bands_from_hashed(
+        base.select(F.col("__id").alias(id_col), "__hashed"),
+        id_col,
+        meta["num_hashes"],
+        meta["bands"],
+        meta["seed"],
+    )
+    save_bucketed(
+        banded, f"{table}_bands", "bhash",
+        num_buckets=meta["num_buckets"], mode="append",
+    )
+    save_bucketed(
+        base.select(F.col("__id").alias(id_col), F.col("__set").alias("shingle_set")),
+        f"{table}_sets",
+        id_col,
+        num_buckets=meta["num_buckets"],
+        mode="append",
     )
 
 
@@ -1027,27 +1082,7 @@ def dedup_against_index(
     )
     corpus_id = meta["id_col"]
 
-    new_docs = _spread(new_docs)
-    base = (
-        new_docs.select(
-            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
-        )
-        .select(
-            "__id",
-            F.transform(
-                word_shingles_from_tokens(F.col("__toks"), shingle_n),
-                lambda s: F.xxhash64(s),
-            ).alias("__sh64"),
-        )
-        .select(
-            "__id",
-            F.array_distinct("__sh64").alias("__set"),
-            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
-                "__hashed"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    base = _shingle_base(new_docs, id_col, text_col, shingle_n)
     new_bands = _bands_from_hashed(
         base.select(F.col("__id").alias("new_id"), "__hashed"),
         "new_id",

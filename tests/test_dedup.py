@@ -322,3 +322,35 @@ def test_incremental_index_uses_stored_params(spark):
     assert [(r["new_id"], r["corpus_id"], r["jaccard"]) for r in rows] == [(9, 1, 1.0)]
     for t in ("mh_test_idx2_bands", "mh_test_idx2_sets", "mh_test_idx2_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_index_append_roundtrip(spark):
+    """add_to_minhash_index appends a batch into the index so the NEXT
+    batch collides with it — continuous-ingestion round trip."""
+    from pandance_spark.operators.dedup import (
+        add_to_minhash_index,
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    t1 = "first unique document about catalyst optimizer rules and codegen stages"
+    t2 = "second unique document describing lsh banding and jaccard verification"
+    corpus = spark.createDataFrame([(1, t1)], "doc_id long, text string")
+    build_minhash_index(corpus, "doc_id", "text", "mh_test_idx3",
+                        num_hashes=32, bands=8, shingle_n=3, num_buckets=2)
+
+    batch1 = spark.createDataFrame([(10, t2)], "doc_id long, text string")
+    assert dedup_against_index(batch1, "doc_id", "text", "mh_test_idx3").count() == 0
+    add_to_minhash_index(batch1, "doc_id", "text", "mh_test_idx3")
+
+    # batch2 near-dups BOTH the original corpus doc and the appended doc
+    batch2 = spark.createDataFrame([(20, t1), (21, t2)], "doc_id long, text string")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in dedup_against_index(
+            batch2, "doc_id", "text", "mh_test_idx3", threshold=0.99
+        ).collect()
+    }
+    assert got == {(20, 1), (21, 10)}
+    for t in ("mh_test_idx3_bands", "mh_test_idx3_sets", "mh_test_idx3_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
