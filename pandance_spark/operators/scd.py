@@ -115,6 +115,7 @@ def scd2_apply(
     keys: Sequence[str],
     attrs: Sequence[str],
     ts_col: str,
+    order_cols: Optional[Sequence[str]] = None,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     is_current: str = "is_current",
@@ -137,18 +138,32 @@ def scd2_apply(
     batch changes nothing) and assumes the standard SCD2 invariant
     that intervals per key are contiguous (each ``valid_to`` equals
     the next ``valid_from``), which :func:`scd2_history` guarantees.
+
+    ``order_cols`` tie-breaks equal-timestamp observations *within the
+    batch*; existing dimension versions carry NULLs there (their
+    original order value is not retained), so at an exact-timestamp
+    tie the established version sorts first and the update becomes
+    the newer observation.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     attrs = [attrs] if isinstance(attrs, str) else list(attrs)
+    order_cols = list(order_cols or [])
     existing = dim.select(
-        *keys, *attrs, F.col(valid_from).alias("__ts")
+        *keys,
+        *attrs,
+        F.col(valid_from).alias("__ts"),
+        *[
+            F.lit(None).cast(updates.schema[c].dataType).alias(c)
+            for c in order_cols
+        ],
     )
-    batch = updates.select(*keys, *attrs, F.col(ts_col).alias("__ts"))
+    batch = updates.select(*keys, *attrs, F.col(ts_col).alias("__ts"), *order_cols)
     return scd2_history(
         existing.unionByName(batch),
         keys,
         attrs,
         "__ts",
+        order_cols=order_cols,
         valid_from=valid_from,
         valid_to=valid_to,
         is_current=is_current,

@@ -112,3 +112,25 @@ def test_scd2_apply_late_arrival_splices(spark):
 def test_scd2_output_name_collision(spark, log):
     with pytest.raises(ValueError):
         scd2_history(log, ["uid"], ["state"], "ts", valid_from="state")
+
+
+def test_scd2_apply_order_cols_tiebreak(spark):
+    # two equal-ts observations within one batch: eid tie-break orders
+    # them; an established version at the same ts sorts before updates
+    dim = scd2_history(
+        spark.createDataFrame(
+            [(1, "a", _ts(1), 0)], "uid long, state string, ts timestamp, eid long"
+        ),
+        ["uid"], ["state"], "ts", order_cols=["eid"],
+    )
+    batch = spark.createDataFrame(
+        [(1, "b", _ts(2), 5), (1, "c", _ts(2), 6)],
+        "uid long, state string, ts timestamp, eid long",
+    )
+    out = scd2_apply(dim, batch, ["uid"], ["state"], "ts", order_cols=["eid"])
+    got = {(r["state"], r["valid_from"], r["is_current"]) for r in out.collect()}
+    assert got == {
+        ("a", _ts(1), False),
+        ("b", _ts(2), False),
+        ("c", _ts(2), True),
+    }
