@@ -33,6 +33,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # PySpark >= 3.4 typed error classes
+    from pyspark.errors import (
+        AnalysisException,
+        IllegalArgumentException,
+        PySparkTypeError,
+        PySparkValueError,
+    )
+
+    # The errors approxQuantile raises when a column CANNOT be
+    # quantiled (unsupported type, bad column, client-side validation).
+    # Band/bucket planners catch exactly these to fall back to a
+    # non-banded plan; execution errors (SparkException, Py4J) must
+    # propagate — a silent fallback would swap a transient failure for
+    # an O(n*m) plan at 100 TB.
+    QUANTILE_UNSUPPORTED = (
+        AnalysisException,
+        IllegalArgumentException,
+        PySparkTypeError,
+        PySparkValueError,
+        TypeError,
+        ValueError,
+    )
+except ImportError:  # pragma: no cover - very old pyspark
+    QUANTILE_UNSUPPORTED = (TypeError, ValueError)
+
 __all__ = [
     "resolve_join_columns",
     "apply_suffixes",

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pandance_spark._kernel import QUANTILE_UNSUPPORTED as _QUANTILE_UNSUPPORTED
 from pandance_spark._kernel import (
     as_instant,
     apply_suffixes,
@@ -217,7 +218,9 @@ def _bucketed_running_last(
         cuts = sorted(
             set(stats.approxQuantile("__ord", [i / num_buckets for i in range(1, num_buckets)], 0.001))
         )
-    except Exception:
+    except _QUANTILE_UNSUPPORTED:
+        # un-quantilable order column -> single-window fallback is the
+        # plan; execution errors propagate (see _kernel note)
         cuts = []
     if not cuts:
         w = Window.orderBy("__ord", "__tag")

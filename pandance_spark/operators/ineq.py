@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pandance_spark._kernel import QUANTILE_UNSUPPORTED as _QUANTILE_UNSUPPORTED
 from pandance_spark._kernel import (
     as_instant,
     apply_suffixes,
@@ -328,7 +329,11 @@ def _band_join(
     rnum = right.select(rview(F.col(rcol)).alias("__v")).dropna()
     try:
         cuts = rnum.approxQuantile("__v", probs, 0.001)
-    except Exception:
+    except _QUANTILE_UNSUPPORTED:
+        # "this column cannot be quantiled" -> legitimate band-plan
+        # bail-out; execution errors must PROPAGATE — silently falling
+        # back to the O(n*m) conditional join on a transient failure
+        # would be catastrophic at scale
         return None
     cuts = sorted(set(cuts))
     if not cuts:

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pandance_spark._kernel import QUANTILE_UNSUPPORTED as _QUANTILE_UNSUPPORTED
 from pandance_spark._kernel import as_instant, is_timestamp_type
 
 __all__ = ["overlap_join"]
@@ -98,7 +99,9 @@ def overlap_join(
     rnum = right2.select(_num(F.col(rs), rstype).alias("__v")).dropna()
     try:
         cuts = sorted(set(rnum.approxQuantile("__v", probs, 0.001)))
-    except Exception:
+    except _QUANTILE_UNSUPPORTED:
+        # un-quantilable column -> conditional-join fallback is the
+        # plan; execution errors propagate (see _kernel note)
         cuts = []
     if not cuts:
         return left2.join(right2, overlap, "inner").select(*out_cols)
