@@ -94,6 +94,26 @@ def workload_i(spark):
     return lambda: ineq_join(a, b, how="<", on="val", strategy="band")
 
 
+def workload_t(spark):
+    """BASELINE Workload I under theta_join (reference: 9.3 s serial /
+    4.42 s with n_processes=4, getting_started.rst:305-307) — the same
+    3000x3000 inputs with the predicate as an opaque lambda.  The
+    Column fast path recovers `x < y` as a codegen'd conditional join."""
+    a_rows, overlap = 3000, 1500
+    a = spark.range(0, a_rows).selectExpr("id AS val").cache()
+    b = (
+        spark.range(a_rows - overlap, a_rows - overlap + a_rows)
+        .selectExpr("id AS val")
+        .cache()
+    )
+    a.count(), b.count()
+    from pandance_spark import theta_join
+
+    return lambda: theta_join(
+        a, b, condition=lambda x, y: x < y, on="val"
+    )
+
+
 def dedup_incremental_search(spark):
     """Amortized cost of incremental dedup: the one-off corpus index
     build is setup (like the baseline workloads' input generation);
@@ -248,6 +268,7 @@ def main():
         ("workload_f", workload_f),
         ("workload_f_x10", workload_f_x10),
         ("workload_i", workload_i),
+        ("workload_t", workload_t),
         ("dedup_incremental_search", dedup_incremental_search),
     ):
         # sweep BEFORE the builder caches its inputs (never between the
