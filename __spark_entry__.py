@@ -561,6 +561,16 @@ def _q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_tokens(docs, "text", k=50)
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted overlapping windows over documents
+    (functions/split.py chunk_documents — pure projection + explode,
+    fused into the scan)."""
+    from pandance_spark.functions.split import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", max_tokens=16, overlap=4)
+
+
 def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.functions.split import hash_split_bucket
 
@@ -876,7 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "multimodal_meta": _q_multimodal_meta,
         # training-pipeline composition
-        "train_split": _q_train_split,
+        "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
         "stratified_sample": _q_stratified_sample,
         "embedding_centroids": _q_embedding_centroids,
@@ -904,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         "price_quantiles": _q_price_quantiles,
         "top_tokens": _q_top_tokens,
+        "train_split": _q_train_split,
         "set_ops": _q_set_ops,
         "rollup_orders": _q_rollup_orders,
         "pivot_status": _q_pivot_status,
@@ -1481,6 +1492,29 @@ ORDER BY doc_id
                          generate_subscripts(embedding, 1) AS i
                   FROM embeddings)
             GROUP BY label, i
+        """,
+        # token windows: stride 12 (= 16 - 4); DuckDB list_slice is
+        # 1-based inclusive-end like Spark's slice(start, length)
+        "chunk_documents": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            c AS (
+              SELECT doc_id, ts,
+                     CASE WHEN len(ts) <= 0 THEN 0
+                          ELSE greatest(1,
+                            CAST(ceil((len(ts) - 4) / 12.0) AS INT)) END AS nc
+              FROM toks
+            )
+            , e AS (
+              SELECT doc_id, ts, CAST(unnest(range(nc)) AS INT) AS chunk_id
+              FROM c
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                     list_slice(ts, chunk_id * 12 + 1, chunk_id * 12 + 16), ' '
+                   ) AS chunk_text,
+                   len(list_slice(ts, chunk_id * 12 + 1, chunk_id * 12 + 16)
+                   ) AS n_tokens
+            FROM e
         """,
         "train_split": """
             SELECT doc_id,

@@ -198,6 +198,7 @@ def main():
         "semi_join",
         "anti_join",
         "scd2_user_status",
+        "chunk_documents",
     ]
 
     timings = {}

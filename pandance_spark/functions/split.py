@@ -23,6 +23,7 @@ __all__ = [
     "cap_per_group",
     "stratified_sample",
     "pack_documents",
+    "chunk_documents",
 ]
 
 
@@ -160,3 +161,62 @@ def split_train_test(df, key_col: str, train_fraction: float = 0.8):
     bucket = hash_split_bucket(F.col(key_col), 1000)
     cut = int(train_fraction * 1000)
     return df.filter(bucket < cut), df.filter(bucket >= cut)
+
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 128,
+    overlap: int = 16,
+):
+    """Split documents into overlapping token-budgeted chunks — the
+    windowing step that turns variable-length documents into
+    training-window-sized pieces.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + max_tokens)``
+    with ``stride = max_tokens - overlap``; the last chunk may be
+    shorter but always retains at least ``overlap`` carried tokens.
+    Documents whose token count fits one window yield exactly one
+    chunk; documents with zero tokens yield none.
+
+    Output: ``(id_col, chunk_id, chunk_text, n_tokens)``.  Pure
+    per-row Column work (tokenize -> sequence -> explode -> slice ->
+    join): no shuffle, no UDF — at 100 TB this is a flat map fused
+    into the scan.
+    """
+    from pandance_spark.functions.text import tokenize
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    n_chunks = F.when(F.col("__n") <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.col("__n") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+        )
+    )
+    # sequence(0, -1) would COUNT DOWN (Spark infers step -1), so the
+    # zero-chunk case must be an empty array, not an empty sequence
+    ids = F.when(
+        F.col("__nc") > 0, F.sequence(F.lit(0), F.col("__nc") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = toks.withColumn("__nc", n_chunks).select(
+        id_col,
+        "__toks",
+        F.explode(ids).alias("chunk_id"),
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, max_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+        F.size(chunk_toks).alias("n_tokens"),
+    )

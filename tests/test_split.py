@@ -156,3 +156,55 @@ def test_pack_documents_buckets_parallel(spark):
     assert sum(r["c"] for r in agg) == 200
     for r in agg:
         assert r["total"] <= 500 + 50  # budget + one straddling doc
+
+
+def test_chunk_documents_windows(spark):
+    from pandance_spark.functions.split import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))          # 10 tokens
+    df = spark.createDataFrame(
+        [
+            (1, words),         # max=4, ov=1 -> stride 3 -> chunks at 0,3,6,9
+            (2, "one two"),     # fits one window
+            (3, ""),            # no tokens -> no chunks
+            (4, "###"),         # tokenizes to nothing -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=1)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): ("w0 w1 w2 w3", 4),
+        (1, 1): ("w3 w4 w5 w6", 4),
+        (1, 2): ("w6 w7 w8 w9", 4),
+        (2, 0): ("one two", 2),
+    }
+    # every adjacent chunk pair shares exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-1:] == got[(1, 1)][0].split()[:1]
+
+
+def test_chunk_documents_boundary_counts(spark):
+    from pandance_spark.functions.split import chunk_documents
+
+    import pytest as _pytest
+
+    def n_chunks_for(n_tokens):
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(n_tokens)))],
+            "doc_id long, text string",
+        )
+        return chunk_documents(df, "doc_id", "text", max_tokens=8, overlap=2).count()
+
+    assert n_chunks_for(8) == 1
+    assert n_chunks_for(9) == 2      # stride 6: second chunk = tokens 6..8
+    assert n_chunks_for(14) == 2
+    assert n_chunks_for(15) == 3
+
+    with _pytest.raises(ValueError):
+        chunk_documents(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "doc_id", "text", max_tokens=4, overlap=4,
+        )
