@@ -813,6 +813,15 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k closest pairs (exact, PPJoin at the min_sim floor + global
+    TakeOrdered — the top-k set-similarity-join shape)."""
+    from pandance_spark.operators.dedup import jaccard_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_topk(docs, "doc_id", "text", k=20, min_sim=0.25)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: index 90% of the corpus (doc_id % 10 != 0)
     once, then flag the remaining 10% "new batch" against it —
@@ -868,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
+        "jaccard_topk": _q_jaccard_topk,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -891,7 +901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "embedding_centroids": _q_embedding_centroids,
         "corpus_clean": _q_corpus_clean,
-        "cap_per_lang": _q_cap_per_lang,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
         "asof_nearest": _q_asof_nearest,
@@ -915,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": _q_price_quantiles,
         "top_tokens": _q_top_tokens,
         "train_split": _q_train_split,
+        "cap_per_lang": _q_cap_per_lang,
         "set_ops": _q_set_ops,
         "rollup_orders": _q_rollup_orders,
         "pivot_status": _q_pivot_status,
@@ -1120,6 +1130,21 @@ def oracle_sql() -> dict[str, str]:
         # threshold when banding catches every >=0.8 pair (16 bands x 4
         # rows: P(miss | j>=0.8) < 1e-4) — same oracle as the exact join.
         "dedup_minhash": _JACCARD_SQL,
+        # top-k closest pairs above the min_sim floor; selection is
+        # deterministic under ties (jaccard desc, id_a, id_b) and the
+        # Spark side is exact (PPJoin, no LSH), so LIMIT k agrees
+        "jaccard_topk": _SHINGLES_CTE
+        + """
+, ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s))::DOUBLE
+           / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM ex
+WHERE round(j, 6) >= 0.25
+ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+""",
         # incremental variant: same exact-Jaccard ground truth restricted
         # to cross pairs (batch = doc_id % 10 == 0 vs indexed corpus)
         "dedup_incremental": _SHINGLES_CTE

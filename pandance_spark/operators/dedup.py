@@ -48,6 +48,7 @@ __all__ = [
     "build_minhash_index",
     "dedup_against_index",
     "add_to_minhash_index",
+    "jaccard_topk",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1119,3 +1120,39 @@ def dedup_against_index(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def jaccard_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_sim: float = 0.25,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Top-``k`` most-similar document pairs by exact n-gram Jaccard.
+
+    The top-k variant of set-similarity join (the thresholded form is
+    :func:`ngram_jaccard_join`): rather than asking "which pairs exceed
+    t", asks "what are the k closest pairs".  Built EXACTLY — the
+    PPJoin prefix-filtered join at ``min_sim`` (no LSH, no false
+    negatives above the floor) followed by a global
+    ``TakeOrderedAndProject`` top-k with a fully deterministic order
+    (jaccard desc, then both ids asc, so equal-similarity ties are
+    stable across runs and engines).
+
+    ``min_sim`` is the similarity floor that keeps the prefix index
+    selective: prefix length grows as ``(1 - min_sim) * |set|``, so a
+    floor of 0 would index every shingle and candidate generation
+    degrades toward all-pairs.  If fewer than ``k`` pairs clear the
+    floor, fewer than ``k`` rows return — lower the floor explicitly
+    rather than silently scanning rows².
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = ngram_jaccard_join(
+        df, id_col, text_col, shingle_n=shingle_n, threshold=min_sim
+    )
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)

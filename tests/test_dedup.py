@@ -354,3 +354,34 @@ def test_incremental_index_append_roundtrip(spark):
     assert got == {(20, 1), (21, 10)}
     for t in ("mh_test_idx3_bands", "mh_test_idx3_sets", "mh_test_idx3_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_jaccard_topk_exact_selection(spark):
+    from pandance_spark.operators.dedup import jaccard_topk, ngram_jaccard_join
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "alpha beta gamma delta epsilon zeta eta theta",      # = 1
+        3: "alpha beta gamma delta epsilon zeta eta iota",       # close to 1/2
+        4: "one two three four five six seven eight nine ten",
+        5: "one two three four five six seven eight nine eleven",  # close to 4
+        6: "utterly disjoint tokens nothing shared with others at all",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    top = jaccard_topk(df, "doc_id", "text", k=3, min_sim=0.1)
+    rows = [(r["id_a"], r["id_b"], r["jaccard"]) for r in top.collect()]
+    # brute-force expectation from the exact thresholded join
+    all_pairs = sorted(
+        [
+            (r["jaccard"], r["id_a"], r["id_b"])
+            for r in ngram_jaccard_join(
+                df, "doc_id", "text", threshold=0.1
+            ).collect()
+        ],
+        key=lambda t: (-t[0], t[1], t[2]),
+    )
+    assert rows == [(a, b, j) for j, a, b in all_pairs[:3]]
+    assert rows[0][:2] == (1, 2) and rows[0][2] == 1.0
+
+    # fewer qualifying pairs than k -> fewer rows, never a rows^2 scan
+    assert jaccard_topk(df, "doc_id", "text", k=50, min_sim=0.9).count() == 1
