@@ -160,26 +160,32 @@ def _banded_keys(
     bands: int,
     shingle_n: int,
     seed: int,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, band, bhash) LSH band keys — pure per-row Column work.
+    """(id, band, bhash[, carry...]) LSH band keys — pure per-row work.
 
     Tokens, then the hash array, are staged behind projections: the
     shingle expr references the token array 3x and the per-slot
     transforms reference the hash array 64x — unstaged, each reference
     re-runs the whole upstream chain.  Works unchanged on streaming
-    DataFrames (no shuffle, no state).
+    DataFrames (no shuffle, no state); ``carry`` columns (e.g. an
+    event-time column for a windowed stream-stream join) ride along.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    tok_df = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    carry = list(carry)
+    tok_df = df.select(
+        F.col(id_col), *carry, tokenize(F.col(text_col)).alias("__toks")
+    )
     hashed_df = tok_df.select(
         F.col(id_col),
+        *carry,
         F.transform(
             word_shingles_from_tokens(F.col("__toks"), shingle_n),
             lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
         ).alias("__hashed"),
     )
-    return _bands_from_hashed(hashed_df, id_col, num_hashes, bands, seed)
+    return _bands_from_hashed(hashed_df, id_col, num_hashes, bands, seed, carry=carry)
 
 
 def _bands_from_hashed(
@@ -188,16 +194,20 @@ def _bands_from_hashed(
     num_hashes: int,
     bands: int,
     seed: int,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Signature + LSH band explode from a pre-staged ``__hashed``
     column (31-bit-folded shingle hashes)."""
+    carry = list(carry)
     rows_per_band = num_hashes // bands
     with_sig = hashed_df.select(
         id_col,
+        *carry,
         _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias("__sig"),
     )
     return with_sig.select(
         id_col,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -211,7 +221,7 @@ def _bands_from_hashed(
                 ]
             )
         ).alias("__b"),
-    ).select(id_col, "__b.band", "__b.bhash")
+    ).select(id_col, *carry, "__b.band", "__b.bhash")
 
 
 def minhash_signature(

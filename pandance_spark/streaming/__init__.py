@@ -38,6 +38,7 @@ __all__ = [
     "streaming_near_dup_filter",
     "stream_upsert_sink",
     "stream_scd2_sink",
+    "streaming_similarity_join",
 ]
 
 
@@ -530,3 +531,59 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     glob = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/__bucket=*")
     matches = fs.globStatus(glob)
     return matches is not None and len(matches) > 0
+
+
+def streaming_similarity_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Stream-stream near-duplicate candidates: pairs of documents
+    arriving within ``window`` of each other whose MinHash-LSH bands
+    collide (the streaming set-similarity-join shape — both sides are
+    unbounded, state is bounded by the watermark).
+
+    Plan: per-row band keys (stateless Column work, no UDF) on each
+    side of a self-join; the join condition is band equality plus an
+    event-time range, so Spark keeps only ``watermark + window`` of
+    per-band state.  Output is one row per colliding (pair, band) —
+    ``(id_a, ts_a, id_b, ts_b, band)`` with ``id_a < id_b``; dedupe
+    downstream with ``dropDuplicatesWithinWatermark([id_a, id_b])``
+    or verify with exact Jaccard in the sink, mirroring the batch
+    ``minhash_candidates -> verify`` split.
+    """
+    from pandance_spark.operators.dedup import _banded_keys
+
+    docs = _ensure_event_time(docs, ts_col)
+    banded = _banded_keys(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        carry=[ts_col],
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col(ts_col).alias("ts_a"),
+        "band",
+        "bhash",
+    ).withWatermark("ts_a", watermark)
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col(ts_col).alias("ts_b"),
+        F.col("band").alias("band_b"),
+        F.col("bhash").alias("bhash_b"),
+    ).withWatermark("ts_b", watermark)
+    return a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bhash") == F.col("bhash_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("ts_b") >= F.col("ts_a") - F.expr(f"INTERVAL {window}"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select("id_a", "ts_a", "id_b", "ts_b", "band")

@@ -298,3 +298,51 @@ def test_stream_scd2_sink_matches_batch_history(spark, tmp_path):
         for r in scd2_history(full, ["uid"], ["state"], "ts").collect()
     }
     assert got == want
+
+
+def test_streaming_similarity_join_windowed_pairs(spark, tmp_path):
+    """Stream-stream LSH candidate join: near-identical docs arriving
+    within the window pair up; the same text far apart in time or
+    disjoint text does not."""
+    import datetime as dt
+
+    from pandance_spark.streaming import streaming_similarity_join
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    same = "spark structured streaming joins two unbounded sides with watermark state"
+    other = "completely different content about gardening tomatoes in warm weather"
+    rows = [
+        (1, same, ts(0)),
+        (2, same, ts(5)),      # within 10 min of doc 1 -> pair
+        (3, same, ts(40)),     # same text but outside the window -> alone
+        (4, other, ts(6)),     # different text -> no pair
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    pairs = streaming_similarity_join(
+        stream, "doc_id", "text", ts_col="ts",
+        window="10 minutes", watermark="1 hour",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("sim_pairs")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT DISTINCT id_a, id_b FROM sim_pairs").collect()
+    }
+    assert got == {(1, 2)}
