@@ -813,6 +813,15 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join on customer names (EDJoin q-gram prefix
+    filter + built-in levenshtein verify, operators/dedup.py)."""
+    from pandance_spark.operators.dedup import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    return edit_distance_join(cust, "c_custkey", "c_name", max_dist=1)
+
+
 def _q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k closest pairs (exact, PPJoin at the min_sim floor + global
     TakeOrdered — the top-k set-similarity-join shape)."""
@@ -878,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
+        "edit_distance": _q_edit_distance,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -900,7 +910,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "stratified_sample": _q_stratified_sample,
         "embedding_centroids": _q_embedding_centroids,
-        "corpus_clean": _q_corpus_clean,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
         "asof_nearest": _q_asof_nearest,
@@ -925,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _q_top_tokens,
         "train_split": _q_train_split,
         "cap_per_lang": _q_cap_per_lang,
+        "corpus_clean": _q_corpus_clean,
         "set_ops": _q_set_ops,
         "rollup_orders": _q_rollup_orders,
         "pivot_status": _q_pivot_status,
@@ -1130,6 +1140,15 @@ def oracle_sql() -> dict[str, str]:
         # threshold when banding catches every >=0.8 pair (16 bands x 4
         # rows: P(miss | j>=0.8) < 1e-4) — same oracle as the exact join.
         "dedup_minhash": _JACCARD_SQL,
+        # exact edit-distance pairs — DuckDB's levenshtein is the
+        # independent recompute of Spark's levenshtein verify
+        "edit_distance": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM customer a, customer b
+            WHERE a.c_custkey < b.c_custkey
+              AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
         # top-k closest pairs above the min_sim floor; selection is
         # deterministic under ties (jaccard desc, id_a, id_b) and the
         # Spark side is exact (PPJoin, no LSH), so LIMIT k agrees

@@ -26,6 +26,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pandance_spark.functions.text import (
     tokenize,
@@ -49,6 +50,7 @@ __all__ = [
     "dedup_against_index",
     "add_to_minhash_index",
     "jaccard_topk",
+    "edit_distance_join",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1166,3 +1168,152 @@ def jaccard_topk(
     return pairs.orderBy(
         F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(k)
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """EXACT edit-distance self-join: pairs with
+    ``levenshtein(a, b) <= max_dist`` — EDJoin-style POSITIONAL q-gram
+    prefix filtering (see the set-similarity-join literature in
+    PAPERS.md).
+
+    ``d`` edits disturb at most ``q*d`` positional q-grams, and a
+    surviving q-gram shifts position by at most ``d`` — so two strings
+    within distance ``d`` must share a q-gram VALUE at positions
+    within ``d`` among the first ``q*d + 1`` positional grams of each
+    side under one global order (ascending gram frequency, rarest
+    first — the AllPairs ordering).  Positions make the filter
+    format-robust: corpora of fixed-layout strings over a tiny
+    alphabet (ids, serial numbers) share gram *types* everywhere but
+    agree on (value, position) only near true matches.  The candidate
+    join key is (gram, position-bucket) with neighbor-bucket probing
+    (the fuzzy band-join trick applied to position), then Spark's
+    built-in ``levenshtein`` verifies — JVM end to end, no UDF.
+
+    Strings with fewer than ``q*d + 1`` positional grams (length
+    ``< q*(d+1)``) can evade the prefix filter and take a
+    length-banded all-pairs path; they are bounded-short by
+    construction.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    prefix_len = q * max_dist + 1
+    w = max_dist + 1  # position-bucket width
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(str_col).alias("__s"),
+        F.length(str_col).alias("__len"),
+    ).localCheckpoint(eager=True)
+    grams = base.select(
+        "__id",
+        "__len",
+        F.explode(
+            F.when(
+                F.col("__len") >= q,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__len") - q + 1),
+                    lambda i: F.struct(
+                        F.col("__s").substr(i, F.lit(q)).alias("g"),
+                        i.alias("p"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<g:string,p:int>>")
+            )
+        ).alias("__gp"),
+    ).select("__id", "__len", F.col("__gp.g").alias("__g"), F.col("__gp.p").alias("__p"))
+    # rarest-first global order on gram VALUE; ties by (gram, position)
+    # for a total order per string
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = grams.join(freq, "__g").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("__id").orderBy(
+                F.col("__df").asc(), F.col("__g").asc(), F.col("__p").asc()
+            )
+        ),
+    )
+    prefix = (
+        ranked.filter(
+            (F.col("__len") - q + 1 > q * max_dist)
+            & (F.col("__rk") <= prefix_len)
+        )
+        .select("__id", "__len", "__g", "__p")
+        .localCheckpoint(eager=True)
+    )
+    # probe side keeps its own bucket; build side fans out to every
+    # bucket a position within +-d could land in (at most 2 for w=d+1)
+    pa = prefix.select(
+        F.col("__id").alias("id_a"),
+        F.col("__len").alias("len_a"),
+        "__g",
+        F.col("__p").alias("__pa"),
+        F.floor(F.col("__p") / w).alias("__bk"),
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b"),
+        F.col("__len").alias("len_b"),
+        F.col("__g").alias("__g_b"),
+        F.col("__p").alias("__pb"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__p") - max_dist) / w),
+                    F.floor((F.col("__p") + max_dist) / w),
+                )
+            )
+        ).alias("__bk_b"),
+    )
+    cands = (
+        pa.join(
+            pb,
+            (pa["__g"] == pb["__g_b"])
+            & (pa["__bk"] == pb["__bk_b"])
+            & (F.abs(pa["__pa"] - pb["__pb"]) <= max_dist)
+            & (pa["id_a"] < pb["id_b"])
+            & (F.abs(pa["len_a"] - pb["len_b"]) <= max_dist),
+            "inner",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # short strings (< q*(d+1) chars): length-banded pairs vs everything
+    degen = base.filter(F.col("__len") - q + 1 <= q * max_dist).select(
+        F.col("__id").alias("id_d"), F.col("__len").alias("len_d")
+    )
+    allside = base.select(
+        F.col("__id").alias("id_o"), F.col("__len").alias("len_o")
+    )
+    degen_cands = (
+        degen.join(
+            allside,
+            (F.col("id_d") != F.col("id_o"))
+            & (F.abs(F.col("len_d") - F.col("len_o")) <= max_dist),
+            "inner",
+        )
+        .select(
+            F.least("id_d", "id_o").alias("id_a"),
+            F.greatest("id_d", "id_o").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cands.unionByName(degen_cands)
+        .distinct()
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("__sa", "__sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -385,3 +385,46 @@ def test_jaccard_topk_exact_selection(spark):
 
     # fewer qualifying pairs than k -> fewer rows, never a rows^2 scan
     assert jaccard_topk(df, "doc_id", "text", k=50, min_sim=0.9).count() == 1
+
+
+def test_edit_distance_join_fuzz_vs_brute_force(spark):
+    """Positional-EDJoin exactness on random small-alphabet strings
+    (incl. empty/short/repetitive, the prefix-filter edge cases)."""
+    import itertools
+    import random
+
+    from pandance_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1,
+                    m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    rng = random.Random(7)
+    for _ in range(2):
+        rows = [
+            (i, "".join(rng.choice("abc") for _ in range(rng.randint(0, 8))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        for d in (1, 2):
+            got = sorted(
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in edit_distance_join(df, "id", "s", max_dist=d).collect()
+            )
+            want = sorted(
+                (a, b, lev(sa, sb))
+                for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+                if lev(sa, sb) <= d
+            )
+            assert got == want
