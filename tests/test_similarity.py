@@ -272,3 +272,56 @@ def test_build_ivf_index_requires_centroids(spark):
     )
     with _pytest.raises(ValueError):
         build_ivf_index(df, "vec_id", "embedding", "ivf_test_idx2")
+
+
+def test_quantize_embedding_roundtrip_and_ann_recall(spark):
+    """int8 quantization: elementwise error bounded by scale/2, and
+    cosine top-k over dequantized vectors matches exact top-k on
+    well-separated data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.vectors import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+    from pandance_spark.operators.similarity import cosine_topk
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    rows.append((999, [0.0] * 16))  # zero vector edge case
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.withColumn("q", quantize_embedding(F.col("embedding"), bits=8))
+    back = q.withColumn("deq", dequantize_embedding(F.col("q")))
+
+    err = back.selectExpr(
+        "vec_id",
+        "q.scale AS scale",
+        "aggregate(zip_with(embedding, deq, (a, b) -> abs(a - b)),"
+        " 0D, (m, x) -> greatest(m, x)) AS max_err",
+    ).collect()
+    for r in err:
+        # half-up rounding: |x - code*scale| <= scale/2 (+ float fuzz)
+        assert r["max_err"] <= r["scale"] / 2 + 1e-12, r
+    zero = back.filter("vec_id = 999").first()
+    assert zero["q"]["scale"] == 0.0 and set(zero["deq"]) == {0.0}
+
+    # ANN recall: top-3 on dequantized == top-3 exact for every query
+    deq = back.select("vec_id", F.col("deq").alias("embedding")).filter(
+        "vec_id != 999"
+    )
+    exact_df = df.filter("vec_id != 999")
+    queries = exact_df.limit(5)
+    a = {
+        (r["vec_id_x"], r["rank"]): r["vec_id_y"]
+        for r in cosine_topk(queries, exact_df, "vec_id", "vec_id", k=3).collect()
+    }
+    b = {
+        (r["vec_id_x"], r["rank"]): r["vec_id_y"]
+        for r in cosine_topk(
+            queries.select("vec_id", "embedding"), deq, "vec_id", "vec_id", k=3
+        ).collect()
+    }
+    agree = sum(1 for k in a if b.get(k) == a[k])
+    assert agree / len(a) >= 0.9, (agree, len(a))
