@@ -22,7 +22,6 @@ corpus tokens.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window

@@ -11,7 +11,6 @@ via ``theta_join`` (e.g. substring containment,
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F

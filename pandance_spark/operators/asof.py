@@ -36,7 +36,6 @@ from pyspark.sql import types as T
 from pandance_spark._kernel import QUANTILE_UNSUPPORTED as _QUANTILE_UNSUPPORTED
 from pandance_spark._kernel import (
     as_instant,
-    apply_suffixes,
     is_timestamp_type,
     resolve_join_columns,
     tolerance_to_micros,

@@ -44,12 +44,10 @@ Strategies
 
 from __future__ import annotations
 
-import decimal
 from typing import Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from pandance_spark._kernel import (
     as_instant,

@@ -24,7 +24,7 @@ equi-join shuffle, never O(n*m) comparisons.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

@@ -64,7 +64,7 @@ def read_events_stream(
     read, then apply the same nanos->micros timestamp conversion as
     ``sources.load_table``.
     """
-    from pandance_spark.sources import configure_session, load_table
+    from pandance_spark.sources import configure_session
 
     configure_session(spark)
     path = os.path.join(sf_dir, "events.parquet")
