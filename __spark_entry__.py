@@ -813,6 +813,16 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_overlap_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap set-similarity self-join: document pairs sharing >= 20
+    distinct tokens (operators/dedup.py overlap_set_join — prefix
+    filter for an absolute-count threshold)."""
+    from pandance_spark.operators.dedup import overlap_set_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return overlap_set_join(docs, "doc_id", "text", min_overlap=20, shingle_n=1)
+
+
 def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance self-join on customer names (EDJoin q-gram prefix
     filter + built-in levenshtein verify, operators/dedup.py)."""
@@ -888,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
+        "overlap_set": _q_overlap_set,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
@@ -907,7 +918,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
-        "pack_documents": _q_pack_documents,
         "stratified_sample": _q_stratified_sample,
         "embedding_centroids": _q_embedding_centroids,
         # as-of / interval joins (time-series extensions)
@@ -933,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": _q_price_quantiles,
         "top_tokens": _q_top_tokens,
         "train_split": _q_train_split,
+        "pack_documents": _q_pack_documents,
         "cap_per_lang": _q_cap_per_lang,
         "corpus_clean": _q_corpus_clean,
         "set_ops": _q_set_ops,
@@ -1140,6 +1151,17 @@ def oracle_sql() -> dict[str, str]:
         # threshold when banding catches every >=0.8 pair (16 bands x 4
         # rows: P(miss | j>=0.8) < 1e-4) — same oracle as the exact join.
         "dedup_minhash": _JACCARD_SQL,
+        # overlap-threshold set-similarity: exact token-set
+        # intersections >= c
+        "overlap_set": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            d AS (SELECT doc_id, list_distinct(ts) AS ds FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.ds, b.ds)) AS overlap
+            FROM d a, d b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.ds, b.ds)) >= 20
+        """,
         # exact edit-distance pairs — DuckDB's levenshtein is the
         # independent recompute of Spark's levenshtein verify
         "edit_distance": """

@@ -51,6 +51,7 @@ __all__ = [
     "add_to_minhash_index",
     "jaccard_topk",
     "edit_distance_join",
+    "overlap_set_join",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1316,4 +1317,92 @@ def edit_distance_join(
         .withColumn("dist", F.levenshtein("__sa", "__sb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def overlap_set_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_overlap: int = 10,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT overlap set-similarity self-join: pairs whose distinct
+    ``shingle_n``-gram sets share at least ``min_overlap`` elements
+    (the overlap-threshold variant of set-similarity join; see
+    "Overlap Set Similarity Joins" in PAPERS.md — :func:`ngram_jaccard_join`
+    is the ratio-threshold variant, this is the absolute-count one,
+    the natural form for "documents sharing >= c n-grams" boilerplate
+    and citation detection).
+
+    Prefix filtering for an overlap threshold ``c``: under any global
+    total order, the smallest SHARED element of A and B must sit
+    within the first ``|A| - c + 1`` elements of A and the first
+    ``|B| - c + 1`` of B (everything before it on each side is
+    unshared) — so indexing only that prefix, ordered rarest-first,
+    generates no false negatives.  Sets smaller than ``c`` cannot
+    qualify and are dropped before the index.  Exact
+    ``array_intersect`` verification on candidates.
+
+    Returns ``(id_a, id_b, overlap)`` with ``id_a < id_b``.
+    """
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    base = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            tokenize(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id",
+            F.array_distinct(
+                F.transform(
+                    word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("__set"),
+        )
+        .filter(F.size("__set") >= min_overlap)
+        .localCheckpoint(eager=True)
+    )
+    elems = base.select(
+        "__id", F.size("__set").alias("__n"), F.explode("__set").alias("__e")
+    )
+    freq = elems.groupBy("__e").agg(F.count(F.lit(1)).alias("__df"))
+    prefix = (
+        elems.join(freq, "__e")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(
+                    F.col("__df").asc(), F.col("__e").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= F.col("__n") - min_overlap + 1)
+        .select("__id", "__e")
+        .localCheckpoint(eager=True)
+    )
+    pa = prefix.withColumnRenamed("__id", "id_a")
+    pb = prefix.withColumnsRenamed({"__id": "id_b", "__e": "__e_b"})
+    cands = (
+        pa.join(
+            pb,
+            (pa["__e"] == pb["__e_b"]) & (pa["id_a"] < pb["id_b"]),
+            "inner",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__set").alias("__set_a"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__set").alias("__set_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap", F.size(F.array_intersect("__set_a", "__set_b"))
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "overlap")
     )

@@ -428,3 +428,33 @@ def test_edit_distance_join_fuzz_vs_brute_force(spark):
                 if lev(sa, sb) <= d
             )
             assert got == want
+
+
+def test_overlap_set_join_vs_brute_force(spark):
+    import itertools
+    import random
+    import re
+
+    from pandance_spark.operators.dedup import overlap_set_join
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(0, 15))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for c in (3, 8):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["overlap"])
+            for r in overlap_set_join(
+                df, "id", "s", min_overlap=c, shingle_n=1
+            ).collect()
+        )
+        want = []
+        toks = {i: set(re.findall(r"[a-z0-9]+", s.lower())) for i, s in rows}
+        for (a, _), (b, _) in itertools.combinations(rows, 2):
+            ov = len(toks[a] & toks[b])
+            if ov >= c:
+                want.append((a, b, ov))
+        assert got == sorted(want), c
