@@ -17,10 +17,30 @@ __all__ = [
     "cosine_similarity",
     "l2_distance",
     "l2_normalize",
+    "const_vectors",
     "embedding_centroids",
     "quantize_embedding",
     "dequantize_embedding",
 ]
+
+
+def const_vectors(vectors) -> Column:
+    """Literal ``array<array<double>>`` from a Python list of vectors.
+
+    Built as ``from_json`` of a literal JSON string, which Catalyst
+    CONSTANT-FOLDS into a single array literal at optimization time —
+    the plan carries ONE literal node instead of ``n * dim`` unrolled
+    ``F.lit`` elements.  With 8 centroids x 64 dims the unrolled form
+    puts 512 literal nodes (plus one lambda per centroid) through
+    analysis and whole-stage codegen, costing seconds of compile time
+    per query; the folded form compiles a single generic loop.  Use
+    with ``F.transform``/``F.zip_with`` to scan centroid / hyperplane
+    tables inside row expressions without a join.
+    """
+    import json
+
+    payload = json.dumps([[float(x) for x in v] for v in vectors])
+    return F.from_json(F.lit(payload), "array<array<double>>")
 
 
 def _as_double_array(v: Column) -> Column:

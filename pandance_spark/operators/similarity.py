@@ -23,7 +23,12 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pandance_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from pandance_spark.functions.vectors import (
+    const_vectors,
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 
 __all__ = [
     "cosine_topk",
@@ -162,8 +167,6 @@ def _ivf_cells(
     """Shared IVF stage: corpus rows tagged with their nearest-centroid
     cell (``__cid/__cv/__cn/__cell``), queries exploded to their
     ``n_probe`` nearest cells (``__qid/__qv/__qn/__cell``)."""
-    from pandance_spark.functions.vectors import l2_distance
-
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(corpus_vec).cast("array<double>").alias("__cv"),
@@ -183,42 +186,79 @@ def _ivf_cells(
         centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
     else:
         centers = [[float(x) for x in ctr] for ctr in centroids]
-        # literal-centroid argmin: first index attaining the min distance
-        dists = F.array(
-            *[
-                l2_distance(
-                    F.col("__cv"), F.array(*[F.lit(x) for x in ctr])
-                )
-                for ctr in centers
-            ]
+        # centroid-table argmin over a CONSTANT-FOLDED array literal
+        # (const_vectors): one literal node + one generic lambda loop,
+        # vs n_clusters unrolled per-element expressions whose analysis
+        # + whole-stage-codegen cost dominated small runs.  Squared
+        # distance (no sqrt): argmin-identical, one op fewer per dim.
+        # Still a pure map stage — the 100 TB corpus is never shuffled
+        # to be assigned.  First index attaining the min (tie rule
+        # matches the previous l2_distance form — sqrt is monotone).
+        dists = F.transform(
+            const_vectors(centers),
+            lambda ctr: F.aggregate(
+                F.zip_with(F.col("__cv"), ctr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         )
-        c_assigned = c.withColumn(
-            "__cell", (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        c_assigned = (
+            c.withColumn("__dists", dists)
+            .withColumn(
+                "__cell",
+                (
+                    F.array_position(
+                        F.col("__dists"), F.array_min(F.col("__dists"))
+                    )
+                    - 1
+                ).cast("int"),
+            )
+            .drop("__dists")
         )
 
-    spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, ctr) for i, ctr in enumerate(centers)],
-        "__cell int, __ctr array<double>",
-    )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
         l2_norm(F.col(query_vec)).alias("__qn"),
     )
-    qcells = (
-        q.crossJoin(F.broadcast(centers_df))
-        .withColumn("__d", l2_distance(F.col("__qv"), F.col("__ctr")))
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy("__qid").orderBy(F.col("__d").asc(), F.col("__cell"))
-            ),
-        )
-        .filter(F.col("__r") <= n_probe)
-        .select("__qid", "__qv", "__qn", "__cell")
+    return c_assigned, _probe_cells(q, centers, n_probe)
+
+
+def _probe_cells(q: DataFrame, centers: list, n_probe: int) -> DataFrame:
+    """Explode normalized queries (``__qid/__qv/__qn``) to their
+    ``n_probe`` nearest centroid cells.
+
+    Pure array expressions: squared distance to every centroid (one
+    constant-folded centroid literal, see ``const_vectors``), zip with
+    the cell index, ``array_sort`` the (dist, cell) struct array —
+    lexicographic field order gives dist-asc then cell-asc, the same
+    tie rule as the previous window form — and slice the first
+    ``n_probe``.  Replaces a crossJoin-with-centroids + row_number
+    window, removing the probe-side shuffle entirely: cell assignment
+    of 100 TB of queries is a map stage.
+    """
+    dists = F.transform(
+        const_vectors(centers),
+        lambda ctr: F.aggregate(
+            F.zip_with(F.col("__qv"), ctr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
-    return c_assigned, qcells
+    idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+    pairs = F.zip_with(
+        dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i"))
+    )
+    top = F.slice(F.array_sort(pairs), 1, n_probe)
+    return (
+        q.withColumn("__probe", F.explode(top))
+        .select(
+            "__qid",
+            "__qv",
+            "__qn",
+            F.col("__probe.i").cast("int").alias("__cell"),
+        )
+    )
 
 
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> list:
@@ -233,15 +273,31 @@ def lsh_bucket(
 
     Deterministic hyperplanes from ``seed``; bit i is the sign of the
     dot product with plane i.  Pure Column expressions, no shuffle —
-    bucketing 100 TB of embeddings is a single map stage.
+    bucketing 100 TB of embeddings is a single map stage.  The plane
+    table is a single constant-folded literal (``const_vectors``) and
+    the bucket id a fold over it — ``num_planes * dim`` unrolled
+    literal nodes would otherwise dominate codegen compile time (same
+    hazard as the IVF centroid argmin, see ``_ivf_cells``).  Fold runs
+    msb-first (``reverse`` then ``acc*2 + bit``) so bit i of the result
+    is plane i, bit-identical to the previous ``1 << i`` sum.
     """
     planes = _hyperplanes(dim, num_planes, seed)
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec, plane_arr) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket
+    varr = vec.cast("array<double>")
+    bits = F.transform(
+        const_vectors(planes),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(varr, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b
+    )
 
 
 def ann_lsh_topk(
@@ -526,7 +582,7 @@ def ann_ivf_search(
     equi-join needs NO corpus-side shuffle — only the (small) probe
     side moves.  Output schema matches :func:`cosine_topk`.
     """
-    from pandance_spark.functions.vectors import l2_distance, l2_norm, dot as _dot
+    from pandance_spark.functions.vectors import l2_norm, dot as _dot
 
     idx = spark.table(table)
     id_col = [c for c in idx.columns if c not in ("__norm", "__cell")][0]
@@ -534,29 +590,13 @@ def ann_ivf_search(
         c for c in idx.columns if c not in (id_col, "__norm", "__cell")
     ][0]
     qname, cname = _out_names(query_id, id_col)
-    centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
-        "__cell int, __ctr array<double>",
-    )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).cast("array<double>").alias("__qv"),
         l2_norm(F.col(query_vec)).alias("__qn"),
     )
-    qcells = (
-        q.crossJoin(F.broadcast(centers_df))
-        .withColumn("__d", l2_distance(F.col("__qv"), F.col("__ctr")))
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy("__qid").orderBy(
-                    F.col("__d").asc(), F.col("__cell")
-                )
-            ),
-        )
-        .filter(F.col("__r") <= n_probe)
-        .select("__qid", "__qv", "__qn", "__cell")
-    )
+    centers = [[float(x) for x in ctr] for ctr in centroids]
+    qcells = _probe_cells(q, centers, n_probe)
     scored = qcells.join(idx, "__cell", "inner").select(
         F.col("__qid").alias(qname),
         F.col(id_col).alias(cname),
