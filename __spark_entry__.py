@@ -590,6 +590,69 @@ def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "lang", n=40, key_col="doc_id")
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a self-trained add-1 unigram LM
+    (functions/lm.py — the CCNet/KenLM-style perplexity quality filter
+    as exact relational algebra; extension surface, SURVEY.md §2.4)."""
+    from pandance_spark.functions.lm import lm_cross_entropy
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return lm_cross_entropy(docs, "doc_id", "text")
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain rebalancing (functions/split.py
+    temperature_sample): per-source quotas ~ n^0.5, deterministic md5
+    membership so the oracle reproduces the exact row set."""
+    from pandance_spark.functions.split import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return temperature_sample(
+        docs, "source", "doc_id", target_rows=200, alpha=0.5
+    )
+
+
+def _q_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-detection pair join on winnowed char-8-gram fingerprints
+    (operators/dedup.py fingerprint_overlap_join — MOSS-style shared-
+    fingerprint counting over the same mod-16 selection that
+    text_fingerprints exposes per document)."""
+    from pandance_spark.operators.dedup import fingerprint_overlap_join
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    # max_df drops template boilerplate fingerprints (the synthetic
+    # corpus shares sentence templates corpus-wide; without the cap the
+    # pair count is ~45% of all-pairs — noise, and quadratic fan-out)
+    return fingerprint_overlap_join(
+        docs, "doc_id", "text", k=8, mod=16, min_shared=2, max_df=25
+    )
+
+
+def _q_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: selective scan-aggregate with every predicate
+    # pushed to the parquet scan (shipdate year + discount band +
+    # quantity cap) — the canonical pushdown showcase; one partial agg,
+    # no shuffle beyond the final 1-row combine.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def _q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
@@ -899,26 +962,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
+        "fingerprint_dups": _q_fingerprint_dups,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # text analysis / multimodal
-        "text_normalize": _q_text_normalize,
+        "lm_perplexity": _q_lm_perplexity,
         "text_fingerprints": _q_text_fingerprints,
         "gopher_quality": _q_gopher_quality,
         "bm25_topk": _q_bm25,
         "knn_graph": _q_knn_graph,
-        "text_stats": _q_text_stats,
         "text_repetition": _q_text_repetition,
         "contamination": _q_contamination,
         "pii_redact": _q_pii_redact,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
-        "multimodal_meta": _q_multimodal_meta,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
-        "stratified_sample": _q_stratified_sample,
+        "mixture_sample": _q_mixture_sample,
         "embedding_centroids": _q_embedding_centroids,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
@@ -938,7 +1000,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "scd2_user_status": _q_scd2_user_status,
-        # --- entries 51+ (outside the driver window; locally gated) ---
+        "q6_forecast": _q_q6_forecast,
+        # --- entries 51+ (outside the driver window; locally gated;
+        # text_stats/text_normalize/multimodal_meta/stratified_sample
+        # rotated here after 2-3 straight green driver rounds to make
+        # room for the r4 additions above) ---
+        "text_stats": _q_text_stats,
+        "text_normalize": _q_text_normalize,
+        "multimodal_meta": _q_multimodal_meta,
+        "stratified_sample": _q_stratified_sample,
         "merge_upsert": _q_merge_upsert,
         "price_quantiles": _q_price_quantiles,
         "top_tokens": _q_top_tokens,
@@ -1337,6 +1407,46 @@ ORDER BY doc_id
               FROM documents
             )
         """,
+        "lm_perplexity": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+            bits AS (
+              SELECT t.doc_id,
+                     -log2((c + 1.0) / (n + (v + 1))) AS b
+              FROM tok t JOIN cnt USING (token), tot
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(b), 6) AS cross_entropy,
+                   round(pow(2, avg(b)), 6) AS perplexity
+            FROM bits GROUP BY doc_id
+        """,
+        "fingerprint_dups": """
+            WITH fp AS (
+              SELECT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                         [h FOR h IN
+                           [CAST('0x' || substr(md5(substr(lower(text), i, 8)),
+                                                1, 14) AS BIGINT)
+                            FOR i IN range(1, greatest(len(text) - 7, 0) + 1)]
+                          IF h % 16 = 0]
+                       )) AS fp
+                FROM documents
+              )
+            ),
+            kept AS (
+              SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY fp)
+              WHERE df <= 25
+            ),
+            f AS (SELECT doc_id, fp.fp FROM fp JOIN kept USING (fp))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*)::BIGINT AS shared_fps
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+        """,
         "gopher_quality": f"""
             WITH toks AS ({_TOKS_CTE}),
             sig AS (
@@ -1540,6 +1650,28 @@ ORDER BY doc_id
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 50
+        """,
+        "mixture_sample": """
+            WITH n AS (SELECT source, count(*) AS c FROM documents
+                       GROUP BY source),
+            w AS (SELECT source, c, sqrt(CAST(c AS DOUBLE)) AS wt FROM n),
+            t AS (SELECT sum(wt) AS tw FROM w),
+            r AS (SELECT source, least(1.0, 200.0 * wt / (tw * c)) AS rate
+                  FROM w, t)
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 1000000
+                  < rate * 1000000
+        """,
+        "q6_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "stratified_sample": """
             SELECT doc_id, lang, source

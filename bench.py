@@ -199,6 +199,10 @@ def main():
         "anti_join",
         "scd2_user_status",
         "chunk_documents",
+        "fingerprint_dups",
+        "lm_perplexity",
+        "mixture_sample",
+        "q6_forecast",
     ]
 
     timings = {}

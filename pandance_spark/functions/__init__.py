@@ -1,9 +1,11 @@
+from pandance_spark.functions.lm import lm_cross_entropy, unigram_counts
 from pandance_spark.functions.ranking import bm25_topk
 from pandance_spark.functions.split import (
     cap_per_group,
     pack_documents,
     stratified_sample,
     split_train_test,
+    temperature_sample,
 )
 from pandance_spark.functions.text import (
     char_ngram_fingerprints,
@@ -26,10 +28,13 @@ from pandance_spark.functions.vectors import (
 
 __all__ = [
     "bm25_topk",
+    "lm_cross_entropy",
+    "unigram_counts",
     "cap_per_group",
     "pack_documents",
     "stratified_sample",
     "split_train_test",
+    "temperature_sample",
     "char_ngram_fingerprints",
     "fingerprint_md5",
     "gopher_signals",

@@ -1,0 +1,123 @@
+"""N-gram language-model scoring for corpus quality filtering.
+
+Extension surface (SURVEY.md §2.4 — text analysis).  Perplexity under
+a simple LM trained on a trusted corpus is the classic
+training-data quality signal (the CCNet / KenLM-filter recipe): text
+whose token distribution diverges from the reference — gibberish,
+boilerplate floods, wrong-language spans — scores high cross-entropy
+and is dropped or down-weighted.  A unigram model with add-k smoothing
+keeps the whole thing exact, engine-portable relational algebra (no
+model binary, no UDF) while preserving the signal's shape; the
+reference engine has no analog (pandance is joins-only), so this is
+pure extension surface.
+
+Spark-first shape
+-----------------
+Training is one tokenize projection + explode + hash aggregation with
+map-side partial combine (shuffle carries one partial count per
+(token, input partition), never raw tokens).  Scoring re-explodes the
+docs, equi-joins token counts, and averages -log2 p per document — one
+shuffle on doc id.  The (N, V) totals are a single broadcast row.  At
+100 TB the count table is vocabulary-sized; cap it with ``vocab_size``
+(top-V by frequency, OOV falls into the smoothing bucket) to keep the
+probability table broadcastable no matter how large the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.text import tokenize
+
+__all__ = ["unigram_counts", "lm_cross_entropy"]
+
+
+def unigram_counts(
+    docs: DataFrame, text_col: str, vocab_size: Optional[int] = None
+) -> DataFrame:
+    """Token frequency table ``(token, cnt)`` over a corpus.
+
+    ``vocab_size`` keeps only the top-V tokens by count (ties broken by
+    token string, so the truncation is deterministic and an independent
+    engine reproduces it exactly); everything else becomes out-of-
+    vocabulary at scoring time and is absorbed by the smoothing bucket.
+    The cap is what keeps the model broadcastable when the training
+    corpus is 100 TB: V is a constant, corpus size only sharpens the
+    counts.  ``orderBy + limit`` compiles to TakeOrderedAndProject —
+    per-partition top-V and a driver-side merge, no global sort.
+    """
+    counts = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if vocab_size is not None:
+        if vocab_size < 1:
+            raise ValueError("vocab_size must be >= 1")
+        counts = counts.orderBy(
+            F.col("cnt").desc(), F.col("token").asc()
+        ).limit(vocab_size)
+    return counts
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: Optional[DataFrame] = None,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document cross-entropy (and perplexity) under an add-k
+    unigram LM.
+
+    ``counts`` is a ``(token, cnt)`` table from :func:`unigram_counts`
+    — typically trained on a TRUSTED reference corpus and reused to
+    score candidate data; omitted, the model is fit on ``docs`` itself
+    (self-perplexity: outlier documents within a corpus).  With
+    ``N = sum(cnt)`` and ``V`` the vocabulary size, each token scores
+
+        p(t) = (c(t) + k) / (N + k * (V + 1))
+
+    — add-k smoothing over the vocabulary plus ONE out-of-vocabulary
+    bucket (c = 0 for unseen tokens), so cross-corpus scoring is
+    well-defined.  Returns ``(id_col, n_tokens, cross_entropy,
+    perplexity)``: cross_entropy = mean -log2 p(t) in bits/token,
+    perplexity = 2^cross_entropy, both rounded to 6 decimals.
+    Documents with zero tokens are omitted (no distribution to score).
+
+    The count join is left-outer (OOV must survive to be smoothed) and
+    broadcast — the vocabulary table is small by construction, so the
+    exploded 100 TB token stream never shuffles for it; the only wide
+    shuffle is the per-document average, with map-side partial combine.
+    """
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (unsmoothed zeros diverge)")
+    if counts is None:
+        counts = unigram_counts(docs, text_col)
+    totals = counts.agg(
+        F.sum("cnt").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(add_k))
+                    / (F.col("__N") + F.lit(add_k) * (F.col("__V") + 1))
+                )
+            ).alias("__bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__bits"), 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.avg("__bits")), 6).alias("perplexity"),
+    )

@@ -24,6 +24,7 @@ __all__ = [
     "stratified_sample",
     "pack_documents",
     "chunk_documents",
+    "temperature_sample",
 ]
 
 
@@ -219,4 +220,68 @@ def chunk_documents(
         "chunk_id",
         F.array_join(chunk_toks, " ").alias("chunk_text"),
         F.size(chunk_toks).alias("n_tokens"),
+    )
+
+
+def temperature_sample(
+    df,
+    domain_col: str,
+    key_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+):
+    """Deterministic temperature-based domain rebalancing: sample
+    ~``target_rows`` rows with per-domain quotas proportional to
+    ``n_domain ** alpha`` — the multilingual/multi-source mixing rule
+    (alpha < 1 flattens the distribution, up-weighting rare domains;
+    alpha = 1 is proportional, alpha = 0 uniform-over-domains).
+
+    Each domain's keep rate is ``min(1, target_rows * w_d / (sum_w *
+    n_d))`` with ``w_d = n_d ** alpha``; rows are kept by their
+    portable md5 hash bucket (``hash_split_bucket``), so membership is
+    a pure function of the row key — stable across runs, engines and
+    cluster sizes, and an independent engine reproduces the exact row
+    set.  With ``alpha = 0.5`` the weight is computed via ``sqrt``
+    (IEEE correctly-rounded, hence bit-identical in any engine);
+    other alphas go through ``pow``, where a last-ulp divergence
+    between libm implementations is theoretically possible on rate
+    boundaries.
+
+    Plan: one small per-domain count agg, its 1-row weight total
+    broadcast back over the counts, and a broadcast join of the tiny
+    (domain, rate) table onto the corpus — the 100 TB side is filtered
+    in its scan stage and never shuffles.  Actual sample size deviates
+    from ``target_rows`` only by per-domain hash granularity
+    (binomial-like, ~sqrt(n) per domain).
+    """
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        F.sqrt(F.col("__n"))
+        if alpha == 0.5
+        else F.pow(F.col("__n"), F.lit(float(alpha)))
+    )
+    weighted = counts.withColumn("__w", w)
+    total = weighted.agg(F.sum("__w").alias("__tw"))
+    rates = (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * F.col("__w")
+                / (F.col("__tw") * F.col("__n")),
+            ).alias("__rate"),
+        )
+    )
+    bucket = hash_split_bucket(F.col(key_col), 1_000_000)
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("__rate") * 1_000_000)
+        .drop("__rate")
+        .select(*df.columns)
     )

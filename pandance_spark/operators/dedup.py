@@ -52,6 +52,7 @@ __all__ = [
     "jaccard_topk",
     "edit_distance_join",
     "overlap_set_join",
+    "fingerprint_overlap_join",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1405,4 +1406,75 @@ def overlap_set_join(
         )
         .filter(F.col("overlap") >= min_overlap)
         .select("id_a", "id_b", "overlap")
+    )
+
+
+def fingerprint_overlap_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    mod: int = 16,
+    min_shared: int = 2,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Copy-detection self-join on winnowing-style fingerprints: pairs
+    of documents sharing at least ``min_shared`` distinct rolling-hash
+    char-k-gram fingerprints (``char_ngram_fingerprints`` — the mod-p
+    selection of Manber 1994; the pair-counting step is how MOSS-style
+    copy detectors rank matches).  Character-level, so it catches
+    verbatim passage reuse that token-set similarity dilutes away in
+    long documents — the "boilerplate paragraph shared by thousands of
+    pages" case.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents before pairing — the standard noise filter for
+    ubiquitous boilerplate (headers, license blocks).  A fingerprint in
+    d documents yields d*(d-1)/2 candidate pairs, so the cap also
+    bounds the worst-case join fan-out (skew guard); ``None`` keeps
+    the join exact over all fingerprints.
+
+    Plan shape: per-row fingerprint projection (no shuffle), explode to
+    an inverted index, optional document-frequency cap (the df agg and
+    the pair join share the fingerprint shuffle key), equi-join on
+    fingerprint with ``id_a < id_b``, count shared per pair.  Work is
+    proportional to sum over fingerprints of df^2 — bounded by
+    ``max_df`` — never corpus rows².
+
+    Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``.
+    """
+    from pandance_spark.functions.text import char_ngram_fingerprints
+
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if max_df is not None and max_df < 2:
+        raise ValueError("max_df must be >= 2 (a pair needs 2 docs)")
+    fps = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                char_ngram_fingerprints(F.col(text_col), k, mod)
+            ).alias("__fp"),
+        )
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("__fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__fp")
+        )
+        fps = fps.join(keep, "__fp")
+    fa = fps.select(F.col("__id").alias("id_a"), "__fp")
+    fb = fps.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fp_b"))
+    return (
+        fa.join(
+            fb,
+            (fa["__fp"] == fb["__fp_b"]) & (fa["id_a"] < fb["id_b"]),
+            "inner",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )

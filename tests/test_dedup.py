@@ -458,3 +458,68 @@ def test_overlap_set_join_vs_brute_force(spark):
             if ov >= c:
                 want.append((a, b, ov))
         assert got == sorted(want), c
+
+
+def test_fingerprint_overlap_join_exact(spark):
+    from pandance_spark.operators.dedup import fingerprint_overlap_join
+
+    base = "the licensing header that repeats verbatim across documents"
+    rows = [
+        (1, base + " alpha unique tail one"),
+        (2, base + " beta unique tail two"),
+        (3, "completely different content with no shared runs at all xyz"),
+        (4, base + " gamma third copy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = fingerprint_overlap_join(
+        df, "doc_id", "text", k=8, mod=4, min_shared=2
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in out}
+
+    # brute-force oracle over the same fingerprint definition
+    import hashlib
+
+    def fps(text):
+        t = text.lower()
+        grams = [t[i : i + 8] for i in range(len(t) - 7)]
+        hs = {
+            int(hashlib.md5(g.encode()).hexdigest()[:14], 16)
+            for g in grams
+        }
+        return {h for h in hs if h % 4 == 0}
+
+    fsets = {i: fps(t) for i, t in rows}
+    want = {}
+    ids = sorted(fsets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                shared = len(fsets[i] & fsets[j])
+                if shared >= 2:
+                    want[(i, j)] = shared
+    assert pairs == want
+    assert (1, 2) in pairs and (1, 4) in pairs  # shared header detected
+
+
+def test_fingerprint_overlap_join_max_df(spark):
+    from pandance_spark.operators.dedup import fingerprint_overlap_join
+
+    # a fingerprint present in ALL docs is boilerplate; max_df=2 drops it
+    base = "common boilerplate stretch shared by every single document here"
+    rows = [(i, base) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    full = fingerprint_overlap_join(
+        df, "doc_id", "text", k=8, mod=4, min_shared=1
+    ).count()
+    capped = fingerprint_overlap_join(
+        df, "doc_id", "text", k=8, mod=4, min_shared=1, max_df=2
+    ).count()
+    assert full == 6  # all 4-choose-2 pairs share everything
+    assert capped == 0  # every fingerprint has df=4 > 2
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        fingerprint_overlap_join(df, "doc_id", "text", min_shared=0)
+    with _pt.raises(ValueError):
+        fingerprint_overlap_join(df, "doc_id", "text", max_df=1)

@@ -1,0 +1,112 @@
+"""Unigram LM cross-entropy scoring (functions/lm.py).
+
+Brute-force oracle: recompute token probabilities with Python floats
+over the same tokenization and compare per-document bits/token.
+"""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.lm import lm_cross_entropy, unigram_counts
+
+
+def _py_tokens(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the the the the the"),
+    (3, "zx qv jk wp"),  # rare tokens -> highest cross-entropy
+    (4, "the quick dog"),
+    (5, ""),  # zero tokens -> omitted
+]
+
+
+def _brute_ce(docs, add_k=1.0):
+    from collections import Counter
+
+    counts = Counter(t for _, txt in docs for t in _py_tokens(txt))
+    N, V = sum(counts.values()), len(counts)
+    out = {}
+    for i, txt in docs:
+        toks = _py_tokens(txt)
+        if not toks:
+            continue
+        bits = [
+            -math.log2((counts[t] + add_k) / (N + add_k * (V + 1)))
+            for t in toks
+        ]
+        out[i] = (len(toks), sum(bits) / len(bits))
+    return out
+
+
+def test_self_trained_matches_brute_force(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["perplexity"])
+        for r in lm_cross_entropy(df, "doc_id", "text").collect()
+    }
+    want = _brute_ce(DOCS)
+    assert set(got) == set(want)  # doc 5 omitted
+    for i, (n, ce) in want.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(ce, abs=1e-6)
+        assert got[i][2] == pytest.approx(2 ** ce, abs=1e-4)
+    # gibberish scores strictly worse than common-token docs
+    assert got[3][1] > got[1][1] > got[2][1]
+
+
+def test_cross_corpus_oov_smoothing(spark):
+    train = spark.createDataFrame(DOCS[:2], "doc_id int, text string")
+    score = spark.createDataFrame(
+        [(10, "the fox"), (11, "unseen wordsxyz")], "doc_id int, text string"
+    )
+    counts = unigram_counts(train, "text")
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy(score, "doc_id", "text", counts=counts).collect()
+    }
+    # all-OOV doc gets the uniform OOV bucket mass, strictly worse
+    assert got[11] > got[10]
+    from collections import Counter
+
+    c = Counter(t for _, txt in DOCS[:2] for t in _py_tokens(txt))
+    N, V = sum(c.values()), len(c)
+    want = -math.log2(1.0 / (N + V + 1))  # c(t)=0, k=1
+    assert got[11] == pytest.approx(want, abs=1e-6)
+
+
+def test_vocab_size_truncation_deterministic(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    top2 = unigram_counts(df, "text", vocab_size=2).collect()
+    # 'the' dominates; second slot resolved by (count desc, token asc)
+    assert top2[0]["token"] == "the"
+    assert len(top2) == 2
+    all_counts = {
+        r["token"]: r["cnt"] for r in unigram_counts(df, "text").collect()
+    }
+    runner_up = sorted(all_counts.items(), key=lambda kv: (-kv[1], kv[0]))[1]
+    assert (top2[1]["token"], top2[1]["cnt"]) == runner_up
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        lm_cross_entropy(df, "doc_id", "text", add_k=0.0)
+    with pytest.raises(ValueError):
+        unigram_counts(df, "text", vocab_size=0)
+
+
+def test_on_documents_table(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_cross_entropy(docs, "doc_id", "text")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["cross_entropy"] > 0 for r in rows)
+    # deterministic across evaluations
+    again = {r["doc_id"]: r["cross_entropy"] for r in out.collect()}
+    assert {r["doc_id"]: r["cross_entropy"] for r in rows} == again

@@ -208,3 +208,48 @@ def test_chunk_documents_boundary_counts(spark):
             spark.createDataFrame([(1, "x")], "doc_id long, text string"),
             "doc_id", "text", max_tokens=4, overlap=4,
         )
+
+
+def test_temperature_sample_quotas_and_determinism(spark):
+    import hashlib
+    import math
+
+    from pandance_spark.functions.split import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = temperature_sample(df, "domain", "id", target_rows=200, alpha=0.5)
+    got = sorted(r["id"] for r in out.collect())
+
+    # brute-force replication: same md5 bucket rule, same rate formula
+    n = {"big": 900, "small": 100}
+    w = {d: math.sqrt(c) for d, c in n.items()}
+    tw = sum(w.values())
+    rate = {d: min(1.0, 200 * w[d] / (tw * n[d])) for d in n}
+    want = []
+    for i, d in rows:
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        if h < rate[d] * 1_000_000:
+            want.append(i)
+    assert got == sorted(want)
+
+    # alpha=0.5 up-weights the rare domain vs proportional sampling
+    by_dom = {
+        d: sum(1 for i in got if (("big" if i < 900 else "small") == d))
+        for d in n
+    }
+    assert by_dom["small"] / 100 > by_dom["big"] / 900
+    # stable across re-evaluation
+    assert sorted(r["id"] for r in out.collect()) == got
+
+
+def test_temperature_sample_validates(spark):
+    from pandance_spark.functions.split import temperature_sample
+
+    df = spark.createDataFrame([(1, "a")], "id long, domain string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_sample(df, "domain", "id", target_rows=0)
+    with _pt.raises(ValueError):
+        temperature_sample(df, "domain", "id", target_rows=5, alpha=-1.0)
