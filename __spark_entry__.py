@@ -418,11 +418,14 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pandance_spark.functions.text import bpe_token_count
+
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
         fingerprint_md5(F.col("text")).alias("fp"),
     )
 
@@ -588,6 +591,32 @@ def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return cap_per_group(docs, "lang", n=40, key_col="doc_id")
+
+
+def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over int8-quantized embeddings
+    (functions/vectors.py quantize_embedding/dequantize_embedding —
+    the 4x storage/shuffle-cut representation): quantize, dequantize,
+    search.  The oracle recomputes scale + codes in SQL, so the
+    round-trip — including the half-up code rounding — is verified
+    bit-for-bit, and ranks show the representation preserves
+    neighborhoods."""
+    from pandance_spark.functions.vectors import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+    from pandance_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        "vec_id",
+        dequantize_embedding(
+            quantize_embedding(F.col("embedding"), 8)
+        ).alias("embedding"),
+    )
+    return cosine_topk(
+        qz.filter(F.col("vec_id") < 10), qz, "vec_id", "vec_id", k=5
+    )
 
 
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "ann_quantized": _q_ann_quantized,
         # text analysis / multimodal
         "lm_perplexity": _q_lm_perplexity,
         "text_fingerprints": _q_text_fingerprints,
@@ -975,8 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "text_repetition": _q_text_repetition,
         "contamination": _q_contamination,
-        "pii_redact": _q_pii_redact,
-        "text_quality": _q_text_quality,
+        "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
@@ -1004,8 +1033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+ (outside the driver window; locally gated;
         # text_stats/text_normalize/multimodal_meta/stratified_sample
         # rotated here after 2-3 straight green driver rounds to make
-        # room for the r4 additions above) ---
-        "text_stats": _q_text_stats,
+        # room for the r4 additions above; text_stats moved BACK inside
+        # when it gained the n_bpe_tokens column — changed queries
+        # belong in the driver window, text_quality rotated out
+        # instead; pii_redact rotated out for ann_quantized) ---
+        "pii_redact": _q_pii_redact,
+        "text_quality": _q_text_quality,
         "text_normalize": _q_text_normalize,
         "multimodal_meta": _q_multimodal_meta,
         "stratified_sample": _q_stratified_sample,
@@ -1386,6 +1419,31 @@ ORDER BY doc_id
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
         """,
+        "ann_quantized": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM base
+            ),
+            dq AS (
+              SELECT vec_id,
+                     CASE WHEN s > 0
+                          THEN list_transform(v, x -> round(x / s, 0) * s)
+                          ELSE list_transform(v, x -> 0.0) END AS dv
+              FROM sc
+            )
+            SELECT a.vec_id AS vec_id_x, b.vec_id AS vec_id_y,
+                   round(list_cosine_similarity(a.dv, b.dv), 6) AS cosine,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY round(list_cosine_similarity(a.dv, b.dv), 6) DESC,
+                                               b.vec_id) AS rank
+            FROM dq a, dq b
+            WHERE a.vec_id < 10
+            QUALIFY rank <= 5
+        """,
         "text_normalize": """
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -1551,7 +1609,11 @@ ORDER BY doc_id
         "text_stats": f"""
             WITH toks AS ({_TOKS_CTE})
             SELECT d.doc_id, d.n_chars::BIGINT AS n_chars,
-                   len(t.ts)::BIGINT AS n_tokens, md5(d.text) AS fp
+                   len(t.ts)::BIGINT AS n_tokens,
+                   len(regexp_extract_all(lower(d.text),
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+                   ))::BIGINT AS n_bpe_tokens,
+                   md5(d.text) AS fp
             FROM documents d JOIN toks t ON d.doc_id = t.doc_id
         """,
         "pii_redact": r"""

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokenize",
     "token_count",
+    "bpe_token_count",
     "word_shingles",
     "quality_score",
     "gopher_signals",
@@ -40,6 +41,28 @@ def tokenize(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokenize(text))
+
+
+# GPT-2-style pre-tokenizer pieces: contraction suffixes, space-glued
+# letter runs, digit runs, punctuation runs, residual whitespace.  The
+# lookahead clause of the original (`\s+(?!\S)`) is dropped so the
+# pattern stays RE2-portable (no lookarounds) — any engine with
+# \p{L}/\p{N} classes reproduces the count.  Leftmost-first alternation
+# semantics agree between Java regex and RE2.
+_BPE_PRETOKEN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token-budget estimate via the GPT-2/BPE pre-tokenizer regex —
+    counts the pre-merge pieces a byte-pair encoder would start from.
+    Tracks real tokenizer budgets far closer than whitespace counting
+    (punctuation and digit runs become their own pieces; BPE merges
+    then only reduce within pieces, so this is an upper bound with the
+    right shape).  Pure projection, codegen'd; no vocabulary needed.
+    """
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_BPE_PRETOKEN), F.lit(0))
+    )
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

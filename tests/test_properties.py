@@ -354,3 +354,82 @@ def test_scd2_matches_brute_force_and_apply_is_splice(spark, rows, split):
     padded = uniq[:split_n] + uniq[split_n:]
     want = brute(padded + ([(99, "x", base)] if (split_n == 0 or split_n == len(uniq)) else []))
     assert merged == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(**_SETTINGS)
+@given(
+    strs=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+    d=st.integers(0, 2),
+)
+def test_edit_distance_join_matches_brute_force(spark, strs, d):
+    """Every pair within levenshtein distance d is found with its exact
+    distance, and nothing else — exercises both the positional-prefix
+    path and the short-string length-banded fallback (tiny 'ab'
+    alphabet = worst case for gram-type selectivity)."""
+    from pandance_spark.operators.dedup import edit_distance_join
+
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_join(df, "id", "s", max_dist=d, q=2).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= d
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    c=st.integers(1, 3),
+)
+def test_overlap_set_join_matches_brute_force(spark, docs, c):
+    """Exact absolute-count overlap join: pairs of docs whose DISTINCT
+    token sets share >= c elements, with the exact overlap size."""
+    from pandance_spark.operators.dedup import overlap_set_join
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["overlap"])
+        for r in overlap_set_join(
+            df, "id", "text", min_overlap=c, shingle_n=1
+        ).collect()
+    }
+    sets = {i: set(ws) for i, ws in enumerate(docs)}
+    want = {
+        (i, j, len(sets[i] & sets[j]))
+        for i in sets
+        for j in sets
+        if i < j and len(sets[i] & sets[j]) >= c
+    }
+    assert got == want

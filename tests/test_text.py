@@ -250,3 +250,28 @@ def test_normalize_text_collapses_formatting_variants(spark):
     }
     assert got[1] == got[2] == got[3] == "hello world"
     assert got[4] == "different doc"
+
+
+def test_bpe_token_count(spark):
+    from pandance_spark.functions.text import bpe_token_count
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (text, expected GPT-2-style pre-token pieces of the LOWERED text)
+        ("Hello, world!", 4),        # 'hello' ',' ' world' '!'
+        ("it's 2024-01-01", 7),      # 'it' "'s" ' 2024' '-' '01' '-' '01'
+        ("  spaced   out  ", 5),     # '  ' 'spaced' '   ' 'out' '  '
+        ("", 0),
+        ("don't you'll we've", 6),   # don 't / you 'll / we 've (space-glued)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (t, got[i], want)
