@@ -593,6 +593,36 @@ def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "lang", n=40, key_col="doc_id")
 
 
+def _q_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval union (operators/overlap.py
+    merge_intervals): per-user 2-minute activity intervals coalesced
+    into disjoint spans — one shuffle on user_id, window + agg share
+    the Exchange."""
+    from pandance_spark.operators.overlap import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("span_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("span_end"),
+    )
+    return merge_intervals(iv, "span_start", "span_end", by="user_id")
+
+
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column health profile of the orders table
+    (functions/profile.py profile_table): exact null/distinct counts,
+    every column in ONE Expand-based pass over the scan."""
+    from pandance_spark.functions.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    )
+
+
 def _q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k over int8-quantized embeddings
     (functions/vectors.py quantize_embedding/dequantize_embedding —
@@ -1010,10 +1040,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
-        "embedding_centroids": _q_embedding_centroids,
+        "profile_orders": _q_profile_orders,
         # as-of / interval joins (time-series extensions)
         "asof_click_view": _q_asof_click_view,
-        "asof_nearest": _q_asof_nearest,
+        "merge_spans": _q_merge_spans,
         "overlap_sessions": _q_overlap_sessions,
         # inherited relational coverage.  The driver's correctness gate
         # reads only the FIRST 50 entries, so the TPC-H-shaped queries
@@ -1036,7 +1066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the r4 additions above; text_stats moved BACK inside
         # when it gained the n_bpe_tokens column — changed queries
         # belong in the driver window, text_quality rotated out
-        # instead; pii_redact rotated out for ann_quantized) ---
+        # instead; pii_redact rotated out for ann_quantized;
+        # embedding_centroids / asof_nearest rotated out for
+        # profile_orders / merge_spans) ---
+        "embedding_centroids": _q_embedding_centroids,
+        "asof_nearest": _q_asof_nearest,
         "pii_redact": _q_pii_redact,
         "text_quality": _q_text_quality,
         "text_normalize": _q_text_normalize,
@@ -1418,6 +1452,57 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "merge_spans": """
+            WITH iv AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                     CAST(ts AS TIMESTAMP) + INTERVAL 2 MINUTE AS e
+              FROM events
+            ),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM iv
+            ),
+            b AS (
+              SELECT user_id, s, e,
+                     CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk
+              FROM m
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS island
+              FROM b
+            )
+            SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+                   count(*)::BIGINT AS n_merged
+            FROM isl GROUP BY user_id, island
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_nulls,
+                   count(DISTINCT o_orderkey) AS n_distinct FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_custkey) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderstatus) FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_totalprice) FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderpriority) FROM orders
         """,
         "ann_quantized": """
             WITH base AS (

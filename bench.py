@@ -203,6 +203,8 @@ def main():
         "lm_perplexity",
         "mixture_sample",
         "q6_forecast",
+        "merge_spans",
+        "profile_orders",
     ]
 
     timings = {}

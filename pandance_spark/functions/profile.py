@@ -1,0 +1,64 @@
+"""Table profiling: per-column health stats for pipeline monitoring.
+
+Training-data pipelines gate ingestion on data health — a upstream
+schema drift or a join gone wrong shows up first as a null-fraction or
+cardinality jump.  ``profile_table`` produces the long-form stats
+table that monitoring compares run-over-run.
+
+Spark-first shape: ONE aggregation computes every column's null and
+exact distinct counts in a single pass over the data — Catalyst plans
+multiple DISTINCT aggregates with an Expand (each input row fans out
+once per distinct-agg, partial-aggregated map-side before the
+shuffle), so the scan happens once regardless of column count.  The
+final unpivot to long form is a ``stack`` over the 1-row result.
+Exact distincts are the oracle-comparable default; at 100 TB switch
+``approx=True`` for HyperLogLog (``approx_count_distinct``) — the
+Expand then carries sketches, not values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Long-form column profile: one row per column with
+    ``(col_name, n_rows, n_nulls, n_distinct)``.
+
+    ``n_distinct`` excludes NULLs (the SQL ``count(DISTINCT c)``
+    convention, identical in any engine).  ``approx=True`` swaps exact
+    distinct counting for ``approx_count_distinct`` — the scale path;
+    keep exact for oracle comparison and small tables.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    distinct_fn = F.approx_count_distinct if approx else F.countDistinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nulls_{i}")
+        )
+        aggs.append(distinct_fn(F.col(c)).alias(f"__dist_{i}"))
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{i}, __dist_{i}" for i, c in enumerate(cols)
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
+        "__n AS n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

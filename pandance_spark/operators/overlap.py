@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from pandance_spark._kernel import QUANTILE_UNSUPPORTED as _QUANTILE_UNSUPPORTED
 from pandance_spark._kernel import as_instant, is_timestamp_type
 
-__all__ = ["overlap_join"]
+__all__ = ["overlap_join", "merge_intervals"]
 
 
 def overlap_join(
@@ -132,3 +132,71 @@ def overlap_join(
         .filter(once & overlap)
     )
     return joined.select(*out_cols)
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by=None,
+) -> DataFrame:
+    """Union overlapping-or-touching [start, end] intervals per key —
+    the gaps-and-islands coalesce (session spans from raw event
+    intervals, covered time-range computation, genomic region
+    flattening).  Two intervals merge when the later one starts at or
+    before the earlier ones' running maximum end (closed bounds, the
+    same convention as :func:`overlap_join`).
+
+    Pure comparison logic — works for numeric, timestamp, or any
+    orderable type; no arithmetic on the bounds.
+
+    Plan: ONE shuffle on the ``by`` keys; a running ``max(end)`` window
+    over start-ordered rows marks island breaks (``start >`` the
+    predecessor max), a running sum of breaks numbers the islands, and
+    a final groupBy on (keys, island) — which reuses the same hash
+    partitioning, so AQE keeps it on the shuffled data — emits one row
+    per merged interval with its member count.  Per-key data need not
+    fit in memory: windows and aggs both stream.
+
+    Without ``by``, islands are computed over a single global ordering
+    — correct, but the window is one partition; prefer keyed use at
+    scale (the keyless case is for small/driver-side summaries).
+
+    Returns ``by... , start_col, end_col, n_merged``.
+    """
+    from pyspark.sql.window import Window
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    # NULL bounds are unorderable — excluded, same as the NaN/Inf drop
+    # convention of fuzzy_join (reference pandance.py:296-297)
+    base = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+    )
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_break = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_island = base.select(
+        *by,
+        F.col(start_col),
+        F.col(end_col),
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("__island"),
+    )
+    return (
+        with_island.groupBy(*by, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__island")
+    )

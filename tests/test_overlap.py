@@ -76,3 +76,61 @@ def test_overlap_validation(spark):
     df = spark.createDataFrame([(1, 2)], "s long, e long")
     with pytest.raises(ValueError):
         overlap_join(df, df, "s", "nope", "s", "e")
+
+
+def test_merge_intervals_numeric(spark):
+    from pandance_spark.operators.overlap import merge_intervals
+
+    rows = [
+        # key a: [1,3] [2,5] touch-merge [5,6]; [8,9] separate
+        ("a", 1, 3), ("a", 2, 5), ("a", 5, 6), ("a", 8, 9),
+        # key b: nested + null bound dropped
+        ("b", 10, 20), ("b", 12, 13), ("b", None, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = sorted(
+        (r["k"], r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, "s", "e", by="k").collect()
+    )
+    assert got == [("a", 1, 6, 3), ("a", 8, 9, 1), ("b", 10, 20, 2)]
+
+
+def test_merge_intervals_chain_through_max_end(spark):
+    from pandance_spark.operators.overlap import merge_intervals
+
+    # [1,10] swallows [2,3]; [4,5] overlaps the RUNNING MAX (10), not
+    # just the previous row's end (3) — the classic gaps-and-islands bug
+    df = spark.createDataFrame(
+        [(1, 10), (2, 3), (4, 5), (11, 12)], "s int, e int"
+    )
+    got = sorted(
+        (r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, "s", "e").collect()
+    )
+    assert got == [(1, 10, 3), (11, 12, 1)]
+
+
+def test_merge_intervals_timestamps(spark, sf_dir):
+    from pandance_spark.operators.overlap import merge_intervals
+    from pandance_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("span_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("span_end"),
+    )
+    out = merge_intervals(iv, "span_start", "span_end", by="user_id")
+    rows = out.collect()
+    assert len(rows) > 0
+    # invariants: spans don't overlap per user, counts sum to input
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_merged"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+            assert s2 > e1  # strictly separated islands
+    assert sum(r["n_merged"] for r in rows) == iv.count()

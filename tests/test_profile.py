@@ -1,0 +1,41 @@
+"""profile_table (functions/profile.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.profile import profile_table
+
+
+def test_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", 5.0), (3, None, 5.0), (3, None, None)],
+        "id int, s string, v double",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["id"]["n_nulls"], got["id"]["n_distinct"]) == (0, 3)
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (2, 1)
+    assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (2, 1)
+
+
+def test_profile_subset_approx_and_validation(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], "a int, b int")
+    exact = {r["col_name"]: r["n_distinct"]
+             for r in profile_table(df, ["a", "b"]).collect()}
+    assert exact == {"a": 100, "b": 3}
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in profile_table(df, ["a", "b"], approx=True).collect()}
+    assert abs(approx["a"] - 100) <= 10 and approx["b"] == 3
+    with pytest.raises(ValueError):
+        profile_table(df, [])
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+
+
+def test_profile_single_pass_plan(spark):
+    # one Expand-based agg -> the parquet/source is scanned ONCE
+    df = spark.createDataFrame([(1, "a")] * 10, "x int, y string")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Expand" in plan
