@@ -593,6 +593,55 @@ def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "lang", n=40, key_col="doc_id")
 
 
+def _q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (order
+    # count per customer, then customer count per order count) —
+    # customers with zero orders must survive with c_count = 0
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def _q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape (partsupp absent in the fixture -> derive the
+    # part-supplier relation from lineitem): DISTINCT-aggregate over a
+    # join — count distinct shipping suppliers per (brand, size)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q18 shape: HAVING-style aggregate subquery (orders whose
+    # lineitems total > 200 units) joined back to orders + customer
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 def _q_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval union (operators/overlap.py
     merge_intervals): per-user 2-minute activity intervals coalesced
@@ -1089,6 +1138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "unpivot_charges": _q_unpivot_charges,
         "topk_orders": _q_topk_orders,
+        "q13_custdist": _q_q13_custdist,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q18_big_orders": _q_q18_big_orders,
     }
 
 
@@ -1452,6 +1504,30 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "q13_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            ) GROUP BY c_count
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, p_size
+        """,
+        "q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 2) > 200
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+            FROM orders JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
         """,
         "merge_spans": """
             WITH iv AS (

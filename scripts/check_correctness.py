@@ -50,8 +50,17 @@ def value_hash(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH writes a CORRECTNESS_r{N}.json-shaped artifact so the
+    # entries beyond the driver's 50-query window still have committed,
+    # regenerable correctness evidence
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -80,6 +89,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -90,10 +100,21 @@ def main():
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
+            err = f"spark error: {type(e).__name__}: {str(e)[:200]}"
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": err,
+            }
+            print(f"FAIL  {name}: {err}")
             continue
         spark_s = time.time() - t0
         if name not in oracles:
+            results[name] = {
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "spark_rows": len(rows),
+                "oracle_rows": None, "err": None,
+            }
             print(f"rows-only  {name}: {len(rows)} rows ({spark_s:.1f}s)")
             continue
         try:
@@ -102,20 +123,43 @@ def main():
             orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
+            err = f"duckdb error: {str(e)[:200]}"
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(rows),
+                "oracle_rows": None, "err": err,
+            }
+            print(f"FAIL  {name}: {err}")
             continue
+        rows_match = len(rows) == len(orows)
+        schema_match = sorted(cols) == sorted(ocols)
+        hash_match = schema_match and value_hash(cols, rows) == value_hash(
+            ocols, orows
+        )
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(rows),
+            "oracle_rows": len(orows), "err": None,
+        }
         problems = []
-        if len(rows) != len(orows):
+        if not rows_match:
             problems.append(f"rows {len(rows)} != {len(orows)}")
-        if sorted(cols) != sorted(ocols):
+        if not schema_match:
             problems.append(f"cols {sorted(cols)} != {sorted(ocols)}")
-        elif value_hash(cols, rows) != value_hash(ocols, orows):
+        elif not hash_match:
             problems.append("value hash mismatch")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"OK    {name}: {len(rows)} rows ({spark_s:.1f}s)")
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} entries)")
 
     print()
     if failures:
