@@ -708,6 +708,16 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_cross_entropy(docs, "doc_id", "text")
 
 
+def _q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram variant of the LM quality filter (functions/lm.py
+    lm_cross_entropy_bigram): context-sensitive scoring, contexts
+    derived inside the token array (no per-doc window)."""
+    from pandance_spark.functions.lm import lm_cross_entropy_bigram
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return lm_cross_entropy_bigram(docs, "doc_id", "text")
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain rebalancing (functions/split.py
     temperature_sample): per-source quotas ~ n^0.5, deterministic md5
@@ -1083,7 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "knn_graph": _q_knn_graph,
         "text_repetition": _q_text_repetition,
-        "contamination": _q_contamination,
+        "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "text_stats": _q_text_stats,
         "text_langid": _q_text_langid,
         # training-pipeline composition
@@ -1117,7 +1127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # belong in the driver window, text_quality rotated out
         # instead; pii_redact rotated out for ann_quantized;
         # embedding_centroids / asof_nearest rotated out for
-        # profile_orders / merge_spans) ---
+        # profile_orders / merge_spans; contamination rotated out for
+        # lm_perplexity_bigram) ---
+        "contamination": _q_contamination,
         "embedding_centroids": _q_embedding_centroids,
         "asof_nearest": _q_asof_nearest,
         "pii_redact": _q_pii_redact,
@@ -1635,6 +1647,34 @@ ORDER BY doc_id
               SELECT t.doc_id,
                      -log2((c + 1.0) / (n + (v + 1))) AS b
               FROM tok t JOIN cnt USING (token), tot
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(b), 6) AS cross_entropy,
+                   round(pow(2, avg(b)), 6) AS perplexity
+            FROM bits GROUP BY doc_id
+        """,
+        "lm_perplexity_bigram": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ts) = 0 THEN []
+                            ELSE list_concat(['<s>'],
+                                 list_slice(ts, 1, len(ts) - 1)) END) AS prev,
+                     unnest(ts) AS token
+              FROM toks
+            ),
+            bg AS (SELECT prev, token, count(*) AS c FROM pairs
+                   GROUP BY prev, token),
+            ctx AS (SELECT prev, sum(c) AS cc FROM bg GROUP BY prev),
+            voc AS (SELECT count(DISTINCT token) AS v FROM bg),
+            bits AS (
+              SELECT p.doc_id,
+                     -log2((coalesce(b.c, 0) + 1.0)
+                           / (coalesce(x.cc, 0) + (v + 1))) AS b
+              FROM pairs p
+              LEFT JOIN bg b ON p.prev = b.prev AND p.token = b.token
+              LEFT JOIN ctx x ON p.prev = x.prev
+              CROSS JOIN voc
             )
             SELECT doc_id, count(*)::BIGINT AS n_tokens,
                    round(avg(b), 6) AS cross_entropy,

@@ -205,6 +205,7 @@ def main():
         "q6_forecast",
         "merge_spans",
         "profile_orders",
+        "lm_perplexity_bigram",
     ]
 
     timings = {}

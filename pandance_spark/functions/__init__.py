@@ -1,4 +1,9 @@
-from pandance_spark.functions.lm import lm_cross_entropy, unigram_counts
+from pandance_spark.functions.lm import (
+    bigram_counts,
+    lm_cross_entropy,
+    lm_cross_entropy_bigram,
+    unigram_counts,
+)
 from pandance_spark.functions.ranking import bm25_topk
 from pandance_spark.functions.split import (
     cap_per_group,
@@ -28,7 +33,9 @@ from pandance_spark.functions.vectors import (
 
 __all__ = [
     "bm25_topk",
+    "bigram_counts",
     "lm_cross_entropy",
+    "lm_cross_entropy_bigram",
     "unigram_counts",
     "cap_per_group",
     "pack_documents",

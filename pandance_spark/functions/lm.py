@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from pandance_spark.functions.text import tokenize
 
-__all__ = ["unigram_counts", "lm_cross_entropy"]
+__all__ = [
+    "unigram_counts",
+    "lm_cross_entropy",
+    "bigram_counts",
+    "lm_cross_entropy_bigram",
+]
 
 
 def unigram_counts(
@@ -112,6 +117,103 @@ def lm_cross_entropy(
                 -F.log2(
                     (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(add_k))
                     / (F.col("__N") + F.lit(add_k) * (F.col("__V") + 1))
+                )
+            ).alias("__bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__bits"), 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.avg("__bits")), 6).alias("perplexity"),
+    )
+
+
+_BOS = "<s>"  # cannot collide: tokenize() emits only [a-z0-9]+ tokens
+
+
+def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, token) pairs per document — the previous token is
+    computed INSIDE the token array (shift + zip) before exploding, so
+    deriving contexts needs no per-document window/shuffle; the first
+    token's context is the ``<s>`` sentinel."""
+    toks = tokenize(F.col(text_col))
+    # empty docs must yield an EMPTY prev array, not ['<s>'] —
+    # arrays_zip pads to the longer input, which would fabricate a
+    # (prev='<s>', token=NULL) pair for zero-token documents
+    prevs = F.when(
+        F.size(toks) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.concat(
+            F.array(F.lit(_BOS)),
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(prevs.alias("prev"), toks.alias("token"))).alias(
+            "__pair"
+        ),
+    ).select(id_col, F.col("__pair.prev").alias("prev"), F.col("__pair.token").alias("token"))
+
+
+def bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Bigram frequency table ``(prev, token, cnt)`` with a ``<s>``
+    document-start context.  Size is O(observed pairs), not |V|² —
+    natural text keeps it a few times the unigram vocabulary, still
+    broadcastable; one hash aggregation with map-side combine."""
+    return (
+        _bigram_pairs(docs.select(F.lit(0).alias("__id"), text_col), "__id", text_col)
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_cross_entropy_bigram(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: Optional[DataFrame] = None,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-k BIGRAM LM — the
+    context-sensitive upgrade of :func:`lm_cross_entropy` (closer to
+    the KenLM models the CCNet recipe actually uses): token t after
+    context p scores
+
+        p(t | p) = (c(p, t) + k) / (c_ctx(p) + k * (V + 1))
+
+    with ``c_ctx(p) = sum_t c(p, t)`` derived from the bigram table
+    itself (so contexts and numerators are always consistent), ``V``
+    the distinct-token vocabulary, and one OOV slot as in the unigram
+    form.  Unseen contexts back off to pure smoothing mass — exact,
+    deterministic, engine-reproducible.
+
+    Returns the same schema as :func:`lm_cross_entropy`.  Both count
+    joins are broadcast; the only wide shuffle is the per-document
+    average.
+    """
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (unsmoothed zeros diverge)")
+    if bigrams is None:
+        bigrams = bigram_counts(docs, text_col)
+    ctx = bigrams.groupBy("prev").agg(F.sum("cnt").alias("__ctx"))
+    vocab = bigrams.agg(
+        F.countDistinct("token").alias("__V")
+    )
+    pairs = _bigram_pairs(docs, id_col, text_col)
+    scored = (
+        pairs.join(F.broadcast(bigrams), ["prev", "token"], "left")
+        .join(F.broadcast(ctx), "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            (
+                -F.log2(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(add_k))
+                    / (
+                        F.coalesce(F.col("__ctx"), F.lit(0))
+                        + F.lit(add_k) * (F.col("__V") + 1)
+                    )
                 )
             ).alias("__bits"),
         )

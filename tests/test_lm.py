@@ -110,3 +110,70 @@ def test_on_documents_table(spark, sf_dir):
     # deterministic across evaluations
     again = {r["doc_id"]: r["cross_entropy"] for r in out.collect()}
     assert {r["doc_id"]: r["cross_entropy"] for r in rows} == again
+
+
+def _brute_bigram_ce(docs, add_k=1.0):
+    from collections import Counter
+
+    pairs = Counter()
+    for _, txt in docs:
+        toks = _py_tokens(txt)
+        prevs = ["<s>"] + toks[:-1]
+        pairs.update(zip(prevs, toks))
+    ctx = Counter()
+    for (p, _), c in pairs.items():
+        ctx[p] += c
+    V = len({t for _, t in pairs})
+    out = {}
+    for i, txt in docs:
+        toks = _py_tokens(txt)
+        if not toks:
+            continue
+        prevs = ["<s>"] + toks[:-1]
+        bits = [
+            -math.log2(
+                (pairs[(p, t)] + add_k) / (ctx[p] + add_k * (V + 1))
+            )
+            for p, t in zip(prevs, toks)
+        ]
+        out[i] = (len(toks), sum(bits) / len(bits))
+    return out
+
+
+def test_bigram_matches_brute_force(spark):
+    from pandance_spark.functions.lm import lm_cross_entropy_bigram
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in lm_cross_entropy_bigram(df, "doc_id", "text").collect()
+    }
+    want = _brute_bigram_ce(DOCS)
+    assert set(got) == set(want)
+    for i, (n, ce) in want.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(ce, abs=1e-6)
+
+
+def test_bigram_context_sensitivity(spark):
+    from pandance_spark.functions.lm import (
+        bigram_counts,
+        lm_cross_entropy_bigram,
+    )
+
+    # 'a b' always; 'a c' never: the bigram model must prefer in-context
+    train = spark.createDataFrame(
+        [(i, "a b a b a b") for i in range(5)], "doc_id int, text string"
+    )
+    bg = bigram_counts(train, "text")
+    score = spark.createDataFrame(
+        [(100, "a b a b"), (101, "b a b a"), (102, "a a b b")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy_bigram(
+            score, "doc_id", "text", bigrams=bg
+        ).collect()
+    }
+    assert got[100] < got[102]  # in-context transitions beat violations
