@@ -642,6 +642,24 @@ def _q_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier -> part shipping graph
+    (operators/cluster.py pagerank — fixed-iteration power method, 5
+    iterations, dangling mass redistributed).  The same operator
+    scores document centrality over knn_graph edges for graph-based
+    corpus selection; this fixture graph keeps the DuckDB oracle (5
+    unrolled iterations, _pagerank_oracle) cheap.  Part ids are offset
+    so the two key spaces cannot collide."""
+    from pandance_spark.operators.cluster import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    return pagerank(edges, n_iter=5)
+
+
 def _q_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands interval union (operators/overlap.py
     merge_intervals): per-user 2-minute activity intervals coalesced
@@ -1100,8 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
         "profile_orders": _q_profile_orders,
-        # as-of / interval joins (time-series extensions)
-        "asof_click_view": _q_asof_click_view,
+        # as-of / interval joins (time-series extensions) + graph
+        "pagerank_supply": _q_pagerank_supply,
         "merge_spans": _q_merge_spans,
         "overlap_sessions": _q_overlap_sessions,
         # inherited relational coverage.  The driver's correctness gate
@@ -1128,7 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # instead; pii_redact rotated out for ann_quantized;
         # embedding_centroids / asof_nearest rotated out for
         # profile_orders / merge_spans; contamination rotated out for
-        # lm_perplexity_bigram) ---
+        # lm_perplexity_bigram; asof_click_view rotated out for
+        # pagerank_supply) ---
+        "asof_click_view": _q_asof_click_view,
         "contamination": _q_contamination,
         "embedding_centroids": _q_embedding_centroids,
         "asof_nearest": _q_asof_nearest,
@@ -1269,6 +1289,43 @@ def _lsh_oracle() -> str:
                                   ORDER BY cosine DESC, vec_id_y) AS rank
         FROM cand
         QUALIFY rank <= 5
+    """
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Fixed-iteration PageRank unrolled into chained CTEs — one CTE
+    per power iteration, every constant forced to DOUBLE so the float
+    ops match the engine's Python-side literals bit-for-bit."""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+            r{i} AS (
+              SELECT v.node,
+                     (1.0::DOUBLE - 0.85::DOUBLE) / nv.n
+                     + 0.85::DOUBLE * (coalesce(c.inn, 0.0::DOUBLE)
+                                       + dm.dm / nv.n) AS r
+              FROM verts v
+              CROSS JOIN nv
+              LEFT JOIN (
+                SELECT e.t AS node, sum(p.r * (1.0::DOUBLE / o.deg)) AS inn
+                FROM r{i - 1} p JOIN e ON p.node = e.s JOIN o ON o.s = e.s
+                GROUP BY e.t
+              ) c ON v.node = c.node
+              CROSS JOIN (
+                SELECT coalesce(sum(p.r), 0.0::DOUBLE) AS dm
+                FROM r{i - 1} p LEFT JOIN o ON p.node = o.s
+                WHERE o.s IS NULL
+              ) dm
+            )""")
+    return f"""
+        WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS t
+                   FROM lineitem),
+        verts AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+        nv AS (SELECT count(*) AS n FROM verts),
+        o AS (SELECT s, count(*) AS deg FROM e GROUP BY s),
+        r0 AS (SELECT node, 1.0::DOUBLE / nv.n AS r FROM verts CROSS JOIN nv),
+        {",".join(its)}
+        SELECT node, round(r, 9) AS rank FROM r{n_iter}
     """
 
 
@@ -1541,6 +1598,7 @@ ORDER BY doc_id
             FROM orders JOIN big ON o_orderkey = l_orderkey
             JOIN customer ON o_custkey = c_custkey
         """,
+        "pagerank_supply": _pagerank_oracle(5),
         "merge_spans": """
             WITH iv AS (
               SELECT user_id, CAST(ts AS TIMESTAMP) AS s,

@@ -136,3 +136,54 @@ def test_dedup_clusters_minhash_end_to_end(spark):
     }
     n_canonical = sum(r["is_canonical"] for r in out)
     assert n_canonical == 8  # 3 clusters + 5 singletons
+
+
+def _brute_pagerank(edges, n_iter=10, d=0.85, extra_nodes=()):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | set(extra_nodes))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r = [1.0 / n] * n
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        inn = [0.0] * n
+        for u, v in edges:
+            inn[idx[v]] += r[idx[u]] * (1.0 / outdeg[u])
+        dm = sum(r[idx[u]] for u in nodes if u not in outdeg)
+        r = [base + d * (inn[i] + dm / n) for i in range(n)]
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_brute_force(spark):
+    from pandance_spark.operators.cluster import pagerank
+
+    # chain + hub + dangling sink: 1->2->3, 4->3, 3 dangles
+    edges = [(1, 2), (2, 3), (4, 3), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    want = _brute_pagerank(edges, n_iter=8)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    # mass conservation: ranks sum to 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    # the sink everyone points to ranks highest
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_extra_nodes_and_validation(spark):
+    from pandance_spark.operators.cluster import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    iso = spark.createDataFrame([(9,)], "node long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, nodes=iso, n_iter=4).collect()}
+    want = _brute_pagerank([(1, 2)], n_iter=4, extra_nodes=[9])
+    assert set(got) == {1, 2, 9}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
