@@ -101,7 +101,10 @@ def lm_cross_entropy(
     if add_k <= 0:
         raise ValueError("add_k must be > 0 (unsmoothed zeros diverge)")
     if counts is None:
-        counts = unigram_counts(docs, text_col)
+        # the count table feeds BOTH broadcasts below (totals + the
+        # token join); un-staged, each would re-run the full corpus
+        # tokenize + count — checkpoint the vocab-sized result once
+        counts = unigram_counts(docs, text_col).localCheckpoint(eager=True)
     totals = counts.agg(
         F.sum("cnt").alias("__N"), F.count(F.lit(1)).alias("__V")
     )
@@ -195,7 +198,9 @@ def lm_cross_entropy_bigram(
     if add_k <= 0:
         raise ValueError("add_k must be > 0 (unsmoothed zeros diverge)")
     if bigrams is None:
-        bigrams = bigram_counts(docs, text_col)
+        # feeds THREE consumers (pair join, context totals, vocab) —
+        # checkpoint so the corpus-wide bigram count runs once
+        bigrams = bigram_counts(docs, text_col).localCheckpoint(eager=True)
     ctx = bigrams.groupBy("prev").agg(F.sum("cnt").alias("__ctx"))
     vocab = bigrams.agg(
         F.countDistinct("token").alias("__V")

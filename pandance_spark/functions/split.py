@@ -258,7 +258,13 @@ def temperature_sample(
         raise ValueError("target_rows must be >= 1")
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    # domains-sized, but derived from a full corpus scan; it feeds both
+    # the weight total and the rate table — checkpoint to scan once
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     w = (
         F.sqrt(F.col("__n"))
         if alpha == 0.5

@@ -330,7 +330,14 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # out-degrees are re-read EVERY iteration by the dangling-mass
+    # anti-join — checkpoint so that is a |V|-sized scan, not a full
+    # recount of the (possibly 100 TB) edge list per round
+    outdeg = (
+        e.groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
     # normalized edges: each (src, dst) contributes rank(src)/outdeg(src)
     norm_e = (
         e.join(outdeg, "__src")

@@ -1449,6 +1449,9 @@ def fingerprint_overlap_join(
         raise ValueError("min_shared must be >= 1")
     if max_df is not None and max_df < 2:
         raise ValueError("max_df must be >= 2 (a pair needs 2 docs)")
+    # the fingerprint projection (md5 per char k-gram) feeds several
+    # consumers — both join sides, plus the df-cap agg; checkpoint the
+    # exploded index so the expensive hashing runs once over the corpus
     fps = (
         _spread(df)
         .select(
@@ -1457,6 +1460,7 @@ def fingerprint_overlap_join(
                 char_ngram_fingerprints(F.col(text_col), k, mod)
             ).alias("__fp"),
         )
+        .localCheckpoint(eager=True)
     )
     if max_df is not None:
         keep = (
@@ -1465,7 +1469,7 @@ def fingerprint_overlap_join(
             .filter(F.col("__df") <= max_df)
             .select("__fp")
         )
-        fps = fps.join(keep, "__fp")
+        fps = fps.join(keep, "__fp").localCheckpoint(eager=True)
     fa = fps.select(F.col("__id").alias("id_a"), "__fp")
     fb = fps.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fp_b"))
     return (
