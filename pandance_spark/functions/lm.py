@@ -108,17 +108,22 @@ def lm_cross_entropy(
     totals = counts.agg(
         F.sum("cnt").alias("__N"), F.count(F.lit(1)).alias("__V")
     )
+    # internals are __-prefixed (repo convention) so an id_col named
+    # 'token' or 'cnt' cannot collide with the model columns
+    model = counts.select(
+        F.col("token").alias("__token"), F.col("cnt").alias("__cnt")
+    )
     toks = docs.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__token")
     )
     scored = (
-        toks.join(F.broadcast(counts), "token", "left")
+        toks.join(F.broadcast(model), "__token", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
             (
                 -F.log2(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(add_k))
+                    (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(add_k))
                     / (F.col("__N") + F.lit(add_k) * (F.col("__V") + 1))
                 )
             ).alias("__bits"),
@@ -156,7 +161,11 @@ def _bigram_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(F.arrays_zip(prevs.alias("prev"), toks.alias("token"))).alias(
             "__pair"
         ),
-    ).select(id_col, F.col("__pair.prev").alias("prev"), F.col("__pair.token").alias("token"))
+    ).select(
+        id_col,
+        F.col("__pair.prev").alias("__prev"),
+        F.col("__pair.token").alias("__token"),
+    )
 
 
 def bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -166,7 +175,9 @@ def bigram_counts(docs: DataFrame, text_col: str) -> DataFrame:
     broadcastable; one hash aggregation with map-side combine."""
     return (
         _bigram_pairs(docs.select(F.lit(0).alias("__id"), text_col), "__id", text_col)
-        .groupBy("prev", "token")
+        .groupBy(
+            F.col("__prev").alias("prev"), F.col("__token").alias("token")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -201,20 +212,25 @@ def lm_cross_entropy_bigram(
         # feeds THREE consumers (pair join, context totals, vocab) —
         # checkpoint so the corpus-wide bigram count runs once
         bigrams = bigram_counts(docs, text_col).localCheckpoint(eager=True)
-    ctx = bigrams.groupBy("prev").agg(F.sum("cnt").alias("__ctx"))
-    vocab = bigrams.agg(
-        F.countDistinct("token").alias("__V")
+    # __-prefixed internal copies so an id_col named 'prev'/'token'/
+    # 'cnt' cannot collide with the public model schema
+    model = bigrams.select(
+        F.col("prev").alias("__prev"),
+        F.col("token").alias("__token"),
+        F.col("cnt").alias("__cnt"),
     )
+    ctx = model.groupBy("__prev").agg(F.sum("__cnt").alias("__ctx"))
+    vocab = model.agg(F.countDistinct("__token").alias("__V"))
     pairs = _bigram_pairs(docs, id_col, text_col)
     scored = (
-        pairs.join(F.broadcast(bigrams), ["prev", "token"], "left")
-        .join(F.broadcast(ctx), "prev", "left")
+        pairs.join(F.broadcast(model), ["__prev", "__token"], "left")
+        .join(F.broadcast(ctx), "__prev", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
             (
                 -F.log2(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(add_k))
+                    (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(add_k))
                     / (
                         F.coalesce(F.col("__ctx"), F.lit(0))
                         + F.lit(add_k) * (F.col("__V") + 1)

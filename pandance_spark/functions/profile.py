@@ -46,17 +46,26 @@ def profile_table(
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
     distinct_fn = F.approx_count_distinct if approx else F.countDistinct
+
+    # backtick-quoted references so a column literally named "a.b" is
+    # not misresolved as a nested-field path (df[c] and F.col both
+    # parse dots)
+    def ref(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            F.sum(F.when(ref(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"__nulls_{i}")
         )
-        aggs.append(distinct_fn(F.col(c)).alias(f"__dist_{i}"))
+        aggs.append(distinct_fn(ref(c)).alias(f"__dist_{i}"))
     row = df.agg(*aggs)
+    # the name goes into a SQL string literal — escape embedded quotes
     stack_args = ", ".join(
-        f"'{c}', __nulls_{i}, __dist_{i}" for i, c in enumerate(cols)
+        "'{}', __nulls_{}, __dist_{}".format(c.replace("'", "''"), i, i)
+        for i, c in enumerate(cols)
     )
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",

@@ -253,6 +253,10 @@ def temperature_sample(
     in its scan stage and never shuffles.  Actual sample size deviates
     from ``target_rows`` only by per-domain hash granularity
     (binomial-like, ~sqrt(n) per domain).
+
+    A NULL domain is treated as its own stratum (null-safe join).
+    Rows with a NULL ``key_col`` have no hash bucket and are dropped —
+    use a non-null row key.
     """
     if target_rows < 1:
         raise ValueError("target_rows must be >= 1")
@@ -285,9 +289,17 @@ def temperature_sample(
         )
     )
     bucket = hash_split_bucket(F.col(key_col), 1_000_000)
+    # null-safe join: a NULL domain is a real stratum ("unknown
+    # source" is common in scraped metadata) — a plain equi-join would
+    # silently drop those rows while their count still deflated every
+    # other domain's rate through the weight total
+    rates = rates.withColumnRenamed(domain_col, "__dom")
     return (
-        df.join(F.broadcast(rates), domain_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(domain_col).eqNullSafe(F.col("__dom")),
+            "inner",
+        )
         .filter(bucket < F.col("__rate") * 1_000_000)
-        .drop("__rate")
         .select(*df.columns)
     )

@@ -1,10 +1,14 @@
 from pandance_spark.operators.asof import asof_join
-from pandance_spark.operators.cluster import connected_components, dedup_clusters
+from pandance_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+    pagerank,
+)
 from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.merge import merge_upsert
-from pandance_spark.operators.overlap import overlap_join
+from pandance_spark.operators.overlap import merge_intervals, overlap_join
 from pandance_spark.operators.scd import scd2_apply, scd2_history
 from pandance_spark.operators.similarity import (
     ann_ivf_topk,
@@ -22,6 +26,8 @@ __all__ = [
     "asof_join",
     "connected_components",
     "dedup_clusters",
+    "pagerank",
+    "merge_intervals",
     "contamination_check",
     "merge_upsert",
     "scd2_history",

@@ -319,7 +319,12 @@ def pagerank(
         raise ValueError("n_iter must be >= 1")
     if not (0.0 < damping < 1.0):
         raise ValueError("damping must be in (0, 1)")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # the edge projection feeds verts (twice, via the union), outdeg
+    # and norm_e — checkpoint so an expensive upstream plan (e.g. a
+    # knn_graph) is evaluated once, not four times
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=True)
     verts = e.select(F.col("__src").alias("node")).union(
         e.select(F.col("__dst").alias("node"))
     )

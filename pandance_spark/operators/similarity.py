@@ -295,8 +295,12 @@ def lsh_bucket(
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
+    # LONG accumulator: an int32 fold would wrap at num_planes >= 32
+    # (the old `1 << i` sum auto-promoted to bigint there)
     return F.aggregate(
-        F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b
+        F.reverse(bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
     )
 
 

@@ -177,3 +177,19 @@ def test_bigram_context_sensitivity(spark):
         ).collect()
     }
     assert got[100] < got[102]  # in-context transitions beat violations
+
+
+def test_id_col_named_token_no_collision(spark):
+    from pandance_spark.functions.lm import (
+        lm_cross_entropy,
+        lm_cross_entropy_bigram,
+    )
+
+    # id column named after the model's public column names must work
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b c")], "token int, text string"
+    )
+    out = lm_cross_entropy(df, "token", "text").collect()
+    assert {r["token"] for r in out} == {1, 2}
+    out2 = lm_cross_entropy_bigram(df, "token", "text").collect()
+    assert {r["token"] for r in out2} == {1, 2}

@@ -39,3 +39,9 @@ def test_profile_single_pass_plan(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
     assert "Expand" in plan
+
+
+def test_profile_awkward_column_names(spark):
+    df = spark.createDataFrame([(1, 2)], "`a.b` int, `o'flag` int")
+    got = {r["col_name"]: r["n_distinct"] for r in profile_table(df).collect()}
+    assert got == {"a.b": 1, "o'flag": 1}

@@ -325,3 +325,16 @@ def test_quantize_embedding_roundtrip_and_ann_recall(spark):
     }
     agree = sum(1 for k in a if b.get(k) == a[k])
     assert agree / len(a) >= 0.9, (agree, len(a))
+
+
+def test_lsh_bucket_long_range_many_planes(spark):
+    # 40 planes: an int32 accumulator would wrap negative; the fold
+    # must stay in [0, 2^40) (long arithmetic)
+    from pandance_spark.operators.similarity import lsh_bucket
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [([float(i % 7 - 3) for i in range(16)],)], "v array<float>"
+    )
+    b = df.select(lsh_bucket(F.col("v"), 16, 40, seed=1).alias("b")).first()["b"]
+    assert 0 <= b < (1 << 40)

@@ -253,3 +253,15 @@ def test_temperature_sample_validates(spark):
         temperature_sample(df, "domain", "id", target_rows=0)
     with _pt.raises(ValueError):
         temperature_sample(df, "domain", "id", target_rows=5, alpha=-1.0)
+
+
+def test_temperature_sample_null_domain_stratum(spark):
+    from pandance_spark.functions.split import temperature_sample
+
+    rows = [(i, "known" if i < 50 else None) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = temperature_sample(df, "domain", "id", target_rows=100, alpha=0.5)
+    # rate 1.0 for both strata (target >= corpus): NULL-domain rows
+    # must survive via the null-safe join, nothing silently dropped
+    assert out.count() == 100
+    assert out.filter("domain IS NULL").count() == 50
