@@ -33,6 +33,7 @@ __all__ = [
     "configure_session",
     "read_any",
     "read_jsonl",
+    "read_csv_quarantine",
     "save_bucketed",
     "write_table",
 ]
@@ -259,14 +260,51 @@ def read_jsonl(
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
-    df = (
+    reader = (
         spark.read.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
     )
-    # Spark refuses filters on the corrupt column alone over the raw
-    # scan; a cache() boundary makes the split legal and single-scan
+    return _quarantine_split(reader.json(path), corrupt_col)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+    **options,
+):
+    """CSV sibling of :func:`read_jsonl` — same quarantine contract
+    (``(good, bad, unpersist)``, PERMISSIVE single-pass scan, same
+    cache-lifetime caveats; see that docstring).  ``options`` pass
+    through to the CSV reader (``header`` defaults to true, matching
+    :func:`read_any`); rows whose fields fail to parse against
+    ``schema`` land raw in ``bad`` instead of aborting the job.
+    """
+    from pyspark.sql import types as T
+
+    configure_session(spark)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    if "header" not in options:
+        options["header"] = "true"
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .options(**options)
+    )
+    return _quarantine_split(reader.csv(path), corrupt_col)
+
+
+def _quarantine_split(df, corrupt_col: str):
+    """Split a PERMISSIVE scan into (good, bad, unpersist) over ONE
+    cached pass.  Spark refuses filters on the corrupt column alone
+    over the raw scan; the cache() boundary makes the split legal and
+    single-scan (see read_jsonl's docstring for the cache lifetime
+    contract)."""
     df = df.cache()
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.filter(F.col(corrupt_col).isNotNull()).select(corrupt_col)

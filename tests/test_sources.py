@@ -155,3 +155,32 @@ def test_save_bucketed_recovers_orphaned_location(spark, tmpdir):
     save_bucketed(df, "orphan_tbl", "k", num_buckets=2)
     assert spark.table("orphan_tbl").count() == 2
     spark.sql("DROP TABLE IF EXISTS orphan_tbl")
+
+
+def test_read_csv_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from pandance_spark.sources import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,price,label\n"
+        "1,10.5,ok\n"
+        "2,notanumber,bad-price\n"
+        "3,7.25,fine\n"
+        ",alsobad,\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    good, bad, unpersist = read_csv_quarantine(spark, str(p), schema)
+    g = {r["id"]: (r["price"], r["label"]) for r in good.collect()}
+    b = [r["_corrupt_record"] for r in bad.collect()]
+    assert g == {1: (10.5, "ok"), 3: (7.25, "fine")}
+    assert sorted(b) == [",alsobad,", "2,notanumber,bad-price"]
+    assert good.columns == ["id", "price", "label"]
+    unpersist()
