@@ -315,27 +315,7 @@ def dedup_minhash(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    df = _spread(df)
-    base = (
-        df.select(
-            F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
-        )
-        .select(
-            "__id",
-            F.transform(
-                word_shingles_from_tokens(F.col("__toks"), shingle_n),
-                lambda s: F.xxhash64(s),
-            ).alias("__sh64"),
-        )
-        .select(
-            "__id",
-            F.array_distinct("__sh64").alias("__set"),
-            F.transform("__sh64", lambda h: F.pmod(h, F.lit(_PRIME))).alias(
-                "__hashed"
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
+    base = _shingle_base(df, id_col, text_col, shingle_n)
     # banded keys checkpointed too: the candidate self-join evaluates
     # both branches and would otherwise run the signature fold twice
     banded = _bands_from_hashed(
@@ -1046,10 +1026,14 @@ def add_to_minhash_index(
 
     spark = new_docs.sparkSession
     meta = spark.table(f"{table}_meta").first()
+    # appended frames must carry the INDEX's id column name (meta),
+    # not the caller's — a batch whose id column is named differently
+    # would otherwise fail (or mis-map) the by-name append resolution
+    idx_id = meta["id_col"]
     base = _shingle_base(new_docs, id_col, text_col, meta["shingle_n"])
     banded = _bands_from_hashed(
-        base.select(F.col("__id").alias(id_col), "__hashed"),
-        id_col,
+        base.select(F.col("__id").alias(idx_id), "__hashed"),
+        idx_id,
         meta["num_hashes"],
         meta["bands"],
         meta["seed"],
@@ -1059,9 +1043,11 @@ def add_to_minhash_index(
         num_buckets=meta["num_buckets"], mode="append",
     )
     save_bucketed(
-        base.select(F.col("__id").alias(id_col), F.col("__set").alias("shingle_set")),
+        base.select(
+            F.col("__id").alias(idx_id), F.col("__set").alias("shingle_set")
+        ),
         f"{table}_sets",
-        id_col,
+        idx_id,
         num_buckets=meta["num_buckets"],
         mode="append",
     )
@@ -1252,8 +1238,13 @@ def edit_distance_join(
         .select("__id", "__len", "__g", "__p")
         .localCheckpoint(eager=True)
     )
-    # probe side keeps its own bucket; build side fans out to every
-    # bucket a position within +-d could land in (at most 2 for w=d+1)
+    # probe side keeps its own bucket; build side fans out to EVERY
+    # bucket a position within +-d could land in.  The span [p-d, p+d]
+    # (width 2d+1) can straddle THREE width-(d+1) buckets for d >= 2 —
+    # enumerating only the two endpoint buckets missed the middle one
+    # (which can be floor(p/w) itself when p-d and p+d both fall
+    # outside it), silently dropping true matches whose only shared
+    # prefix gram landed there; sequence() enumerates the full range.
     pa = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("__len").alias("len_a"),
@@ -1267,11 +1258,9 @@ def edit_distance_join(
         F.col("__g").alias("__g_b"),
         F.col("__p").alias("__pb"),
         F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.col("__p") - max_dist) / w),
-                    F.floor((F.col("__p") + max_dist) / w),
-                )
+            F.sequence(
+                F.floor((F.col("__p") - max_dist) / w),
+                F.floor((F.col("__p") + max_dist) / w),
             )
         ).alias("__bk_b"),
     )

@@ -90,16 +90,24 @@ def scd2_history(
     w = Window.partitionBy(*keys).orderBy(
         *[F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
     )
+    # only carry order_cols that aren't already present as keys/attrs
+    # (a duplicate name would make the w2 references ambiguous)
+    extra_order = [c for c in order_cols if c not in keys and c not in attrs]
     versions = (
         df.select(*keys, *attrs, ts_col, *order_cols)
         .withColumn("__chg", _changed_vs_prev(attrs, w))
         .filter(F.col("__chg"))
-        .select(*keys, *attrs, F.col(ts_col).alias(valid_from))
+        .select(*keys, *attrs, F.col(ts_col).alias(valid_from), *extra_order)
     )
-    # same partitionBy -> the Exchange from the lag window is reused;
-    # ordering here is by valid_from alone (ties were already collapsed
-    # or tie-broken upstream)
-    w2 = Window.partitionBy(*keys).orderBy(F.col(valid_from).asc())
+    # same partitionBy -> the Exchange from the lag window is reused.
+    # order_cols MUST participate here too: two surviving versions can
+    # share valid_from (equal-timestamp observations whose attrs both
+    # changed), and ordering by valid_from alone would leave their
+    # valid_to/is_current assignment to unspecified sort stability —
+    # wrong under spill-merge at scale even when small runs pass.
+    w2 = Window.partitionBy(*keys).orderBy(
+        *[F.col(valid_from).asc()] + [F.col(c).asc() for c in order_cols]
+    )
     return versions.select(
         *keys,
         *attrs,

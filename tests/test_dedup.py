@@ -523,3 +523,16 @@ def test_fingerprint_overlap_join_max_df(spark):
         fingerprint_overlap_join(df, "doc_id", "text", min_shared=0)
     with _pt.raises(ValueError):
         fingerprint_overlap_join(df, "doc_id", "text", max_df=1)
+
+
+def test_edit_distance_join_middle_bucket_d2(spark):
+    # regression: the [p-d, p+d] span covers THREE width-(d+1) buckets
+    # for d=2; endpoint-only fan-out missed pairs whose only shared
+    # prefix grams sat in the middle bucket (confirmed miss pre-fix)
+    from pandance_spark.operators.dedup import edit_distance_join
+
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abXdeY")], "id int, s string"
+    )
+    out = edit_distance_join(df, "id", "s", max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 2)]
