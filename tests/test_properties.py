@@ -433,3 +433,32 @@ def test_overlap_set_join_matches_brute_force(spark, docs, c):
         if i < j and len(sets[i] & sets[j]) >= c
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_merge_intervals_matches_brute_force(spark, ivs):
+    """Island count, bounds and member counts equal a brute-force
+    sweep over sorted intervals (touching endpoints merge)."""
+    from pandance_spark.operators.overlap import merge_intervals
+
+    rows = [(s, s + w) for s, w in ivs]
+    df = spark.createDataFrame(rows, "s int, e int")
+    got = sorted(
+        (r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, "s", "e").collect()
+    )
+    want = []
+    for s, e in sorted(rows):
+        if want and s <= want[-1][1]:
+            ps, pe, n = want[-1]
+            want[-1] = (ps, max(pe, e), n + 1)
+        else:
+            want.append((s, e, 1))
+    assert got == sorted(want)
