@@ -234,6 +234,17 @@ header = (
     "after planner-visible changes. What to look for in each plan is noted "
     "per section.\n\n"
 )
-with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
-    f.write(header + "\n".join(sections))
+# everything below the marker is hand-maintained narrative — preserved
+# across regenerations (a plain overwrite used to destroy it)
+MARKER = "<!-- hand-maintained narratives below; gen_plans.py preserves this tail -->"
+out_path = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+)
+tail = ""
+if os.path.exists(out_path):
+    existing = open(out_path).read()
+    if MARKER in existing:
+        tail = existing.split(MARKER, 1)[1]
+with open(out_path, "w") as f:
+    f.write(header + "\n".join(sections) + "\n" + MARKER + tail)
 print("PLANS.md written")
