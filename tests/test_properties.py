@@ -16,8 +16,12 @@ from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join
 
+import os as _os
+
 _SETTINGS = dict(
-    max_examples=8,
+    # 8 examples by default (each spins Spark jobs); raise via
+    # PDX_PROP_EXAMPLES=40 for an occasional deep fuzz pass
+    max_examples=int(_os.environ.get("PDX_PROP_EXAMPLES", "8")),
     deadline=None,
     derandomize=True,  # seeded, reproducible (reference seeds 42)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
