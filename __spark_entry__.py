@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join, theta_join
-from pandance_spark._kernel import as_instant, spread_partitions
+from pandance_spark._kernel import spread_partitions
 from pandance_spark.functions.text import (
     fingerprint_md5,
     lang_id,
@@ -984,20 +984,18 @@ def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user (operators/sessions.py
+    sessionize — lag + running-sum windows sharing ONE Exchange;
+    NTZ-safe gap arithmetic lives in the operator)."""
+    from pandance_spark.operators.sessions import sessionize
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts may arrive as TIMESTAMP_NTZ (parquet timestamp[us] without tz under
-    # inferTimestampNTZ); unix_micros only accepts TIMESTAMP, so normalize via
-    # as_instant (a DDL-string cast would resolve back to NTZ under
-    # spark.sql.timestampType=TIMESTAMP_NTZ).  Only gaps (differences) are
-    # used, so the session-tz interpretation cancels.
-    ts = as_instant(F.col("ts"))
-    gap_us = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
-    is_new = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
-    return (
-        ev.withColumn("is_new", is_new)
-        .groupBy("user_id")
-        .agg((F.sum("is_new") + 1).cast("long").alias("n_sessions"))
+    tagged = sessionize(
+        ev, "user_id", "ts", dt.timedelta(minutes=30),
+        order_cols=["event_id"],
+    )
+    return tagged.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions")
     )
 
 

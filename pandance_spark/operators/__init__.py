@@ -10,6 +10,7 @@ from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.merge import merge_upsert
 from pandance_spark.operators.overlap import merge_intervals, overlap_join
 from pandance_spark.operators.scd import scd2_apply, scd2_history
+from pandance_spark.operators.sessions import sessionize
 from pandance_spark.operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
@@ -32,6 +33,7 @@ __all__ = [
     "merge_upsert",
     "scd2_history",
     "scd2_apply",
+    "sessionize",
     "salted_join",
     "overlap_join",
     "cosine_topk",

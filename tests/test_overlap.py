@@ -134,3 +134,62 @@ def test_merge_intervals_timestamps(spark, sf_dir):
         for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
             assert s2 > e1  # strictly separated islands
     assert sum(r["n_merged"] for r in rows) == iv.count()
+
+
+def test_sessionize_operator(spark):
+    import datetime as dt
+
+    from pandance_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two sessions (35-min gap between events 2 and 3)
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(minutes=10)),
+        (1, 3, t0 + dt.timedelta(minutes=45)),
+        # user 2: one session
+        (2, 4, t0),
+        (2, 5, t0 + dt.timedelta(minutes=29)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            df, "user_id", "ts", dt.timedelta(minutes=30),
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
+
+    # numeric event times + gap
+    nd = spark.createDataFrame(
+        [(1, 0.0), (1, 5.0), (1, 100.0)], "k int, t double"
+    )
+    got = sorted(
+        (r["t"], r["session_seq"])
+        for r in sessionize(nd, "k", "t", 10.0).collect()
+    )
+    assert got == [(0.0, 1), (5.0, 1), (100.0, 2)]
+
+    import pytest as _pt
+
+    with _pt.raises(TypeError):
+        sessionize(df, "user_id", "ts", 30)  # timestamp needs timedelta
+    with _pt.raises(ValueError):
+        sessionize(
+            df.withColumn("session_seq", F.lit(1)),
+            "user_id", "ts", dt.timedelta(minutes=1),
+        )
+
+
+def test_sessionize_single_exchange_plan(spark):
+    import datetime as dt
+
+    from pandance_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "u int, e int, ts timestamp"
+    )
+    plan = sessionize(df, "u", "ts", dt.timedelta(minutes=30))._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum share one shuffle
+    assert plan.count("Exchange") == 1
