@@ -593,6 +593,15 @@ def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "lang", n=40, key_col="doc_id")
 
 
+def _q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-size global sample (functions/split.py
+    exact_sample — hash-order TakeOrderedAndProject, no global sort)."""
+    from pandance_spark.functions.split import exact_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_sample(docs.select("doc_id", "lang", "source"), "doc_id", 100)
+
+
 def _q_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q13 shape: LEFT OUTER join + two-level aggregation (order
     # count per customer, then customer count per order count) —
@@ -1171,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_custdist": _q_q13_custdist,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q18_big_orders": _q_q18_big_orders,
+        "exact_sample": _q_exact_sample,
     }
 
 
@@ -1571,6 +1581,11 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "exact_sample": """
+            SELECT doc_id, lang, source FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
         """,
         "q13_custdist": """
             SELECT c_count, count(*) AS custdist FROM (

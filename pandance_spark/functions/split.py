@@ -25,6 +25,7 @@ __all__ = [
     "pack_documents",
     "chunk_documents",
     "temperature_sample",
+    "exact_sample",
 ]
 
 
@@ -303,3 +304,25 @@ def temperature_sample(
         .filter(bucket < F.col("__rate") * 1_000_000)
         .select(*df.columns)
     )
+
+
+def exact_sample(df, key_col: str, n: int):
+    """Exactly ``min(n, count)`` rows, chosen deterministically by md5
+    hash order of ``key_col`` — a fixed-SIZE companion to the
+    rate-based samplers (``stratified_sample``/``temperature_sample``
+    hit a target only in expectation; eval sets and debugging slices
+    often need an exact count).  Hash order makes the selection an
+    unbiased, stable "random" sample: the same keys are chosen on
+    every run, on any engine, at any partitioning, and adding new rows
+    only perturbs the selection where new hashes displace old ones.
+
+    Plan: ``orderBy(md5(key), key).limit(n)`` compiles to
+    TakeOrderedAndProject — each partition keeps its local top-n by
+    hash and the driver merges k*n candidate rows; no global sort
+    shuffle, so it survives any corpus size with driver memory O(n).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return df.orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    ).limit(n)

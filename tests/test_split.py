@@ -265,3 +265,24 @@ def test_temperature_sample_null_domain_stratum(spark):
     # must survive via the null-safe join, nothing silently dropped
     assert out.count() == 100
     assert out.filter("domain IS NULL").count() == 50
+
+
+def test_exact_sample(spark):
+    import hashlib
+
+    from pandance_spark.functions.split import exact_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    got = sorted(r["id"] for r in exact_sample(df, "id", 50).collect())
+    want = sorted(
+        range(200), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:50]
+    assert got == sorted(want)
+    assert exact_sample(df, "id", 1000).count() == 200  # capped at corpus
+    # TakeOrderedAndProject, not a global sort
+    plan = exact_sample(df, "id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        exact_sample(df, "id", 0)
