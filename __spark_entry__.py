@@ -593,6 +593,28 @@ def _q_cap_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "lang", n=40, key_col="doc_id")
 
 
+def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build diff (operators/merge.py table_diff): one
+    full-outer join on the key, output proportional to churn.  'old'
+    drops every 97th order; 'new' bumps every 89th price — diff must
+    report exactly those as added/changed."""
+    from pandance_spark.operators.merge import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(
+        old, new, "o_orderkey",
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 def _q_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-size global sample (functions/split.py
     exact_sample — hash-order TakeOrderedAndProject, no global sort)."""
@@ -1181,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q18_big_orders": _q_q18_big_orders,
         "exact_sample": _q_exact_sample,
+        "table_diff": _q_table_diff,
     }
 
 
@@ -1581,6 +1604,39 @@ ORDER BY doc_id
             FROM embeddings a, embeddings b
             WHERE a.vec_id < 10
             QUALIFY rank <= 5
+        """,
+        "table_diff": """
+            WITH o AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+            n AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 89 = 0
+                          THEN round(o_totalprice * 1.1, 2)
+                          ELSE o_totalprice END AS o_totalprice,
+                     o_orderpriority
+              FROM orders
+            ),
+            j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+                     o.o_orderkey AS ok, n.o_orderkey AS nk,
+                     [x FOR x IN [
+                       CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END,
+                       CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                            THEN 'o_orderpriority' END
+                     ] IF x IS NOT NULL] AS cc
+              FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT k AS o_orderkey,
+                   CASE WHEN ok IS NULL THEN 'added'
+                        WHEN nk IS NULL THEN 'removed'
+                        WHEN len(cc) > 0 THEN 'changed' END AS change,
+                   CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                             AND len(cc) > 0
+                        THEN cc ELSE []::VARCHAR[] END AS changed_cols
+            FROM j
+            WHERE ok IS NULL OR nk IS NULL OR len(cc) > 0
         """,
         "exact_sample": """
             SELECT doc_id, lang, source FROM documents

@@ -7,7 +7,7 @@ from pandance_spark.operators.cluster import (
 from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
-from pandance_spark.operators.merge import merge_upsert
+from pandance_spark.operators.merge import merge_upsert, table_diff
 from pandance_spark.operators.overlap import merge_intervals, overlap_join
 from pandance_spark.operators.scd import scd2_apply, scd2_history
 from pandance_spark.operators.sessions import sessionize
@@ -31,6 +31,7 @@ __all__ = [
     "merge_intervals",
     "contamination_check",
     "merge_upsert",
+    "table_diff",
     "scd2_history",
     "scd2_apply",
     "sessionize",

@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert"]
+__all__ = ["merge_upsert", "table_diff"]
 
 
 def merge_upsert(
@@ -89,3 +89,83 @@ def merge_upsert(
         return F.when(in_t, tcol).otherwise(scol).alias(c)
 
     return j.filter(keep).select(*[_pick(c) for c in target.columns])
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed table — the
+    read-side companion of :func:`merge_upsert`: regression-detect
+    between corpus builds, audit what an ingestion batch actually
+    changed, or validate a migration.
+
+    Returns ``(key_cols..., change, changed_cols)`` with ``change`` in
+    ``'added'`` (key only in ``new``), ``'removed'`` (only in ``old``)
+    or ``'changed'`` (key in both, at least one compared column
+    differs; ``changed_cols`` lists them).  Unchanged keys are omitted
+    — at 100 TB the diff output is proportional to the churn, not the
+    table.  Comparison is null-safe (NULL -> value and value -> NULL
+    both count as changes; NULL -> NULL does not).
+
+    ``compare_cols`` defaults to every shared non-key column.  Plan:
+    ONE full-outer join on the keys (AQE picks the physical join and
+    re-splits skew), then a pure projection — same shape and cost
+    floor as the upsert itself.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    compare_cols = list(compare_cols)
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = None
+    for k in keys:
+        eq = o[f"__ko_{k}"].eqNullSafe(n[f"__kn_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    changed_cols = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                )
+                for c in compare_cols
+            ]
+        )
+        if compare_cols
+        else F.array().cast("array<string>"),
+        lambda x: x.isNotNull(),
+    )
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+            F.when(F.col("change") == "changed", changed_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

@@ -71,3 +71,37 @@ def test_single_shuffle_plan(spark):
     assert plan.count("Join") >= 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert out.count() == 150
+
+
+def test_table_diff(spark):
+    from pandance_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),      # unchanged -> omitted
+            (2, "B", 20.0),      # changed: s
+            (3, "c", 30.0),      # changed: v (NULL -> value)
+            (5, "e", 50.0),      # added
+        ],                        # 4 removed
+        "k int, s string, v double",
+    )
+    got = {
+        r["k"]: (r["change"], sorted(r["changed_cols"]))
+        for r in table_diff(old, new, "k").collect()
+    }
+    assert got == {
+        2: ("changed", ["s"]),
+        3: ("changed", ["v"]),
+        4: ("removed", []),
+        5: ("added", []),
+    }
+    # compare_cols restriction: s-only diff ignores the v change
+    got2 = {
+        r["k"]: r["change"]
+        for r in table_diff(old, new, "k", compare_cols=["s"]).collect()
+    }
+    assert got2 == {2: "changed", 4: "removed", 5: "added"}
