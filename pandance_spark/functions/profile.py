@@ -62,9 +62,13 @@ def profile_table(
         )
         aggs.append(distinct_fn(ref(c)).alias(f"__dist_{i}"))
     row = df.agg(*aggs)
-    # the name goes into a SQL string literal — escape embedded quotes
+    # the name goes into a SQL string literal — escape backslashes
+    # first (else with escapedStringLiterals=false a name like 'a\nb'
+    # is parsed as an escape sequence), then embedded quotes
     stack_args = ", ".join(
-        "'{}', __nulls_{}, __dist_{}".format(c.replace("'", "''"), i, i)
+        "'{}', __nulls_{}, __dist_{}".format(
+            c.replace("\\", "\\\\").replace("'", "''"), i, i
+        )
         for i, c in enumerate(cols)
     )
     return row.selectExpr(

@@ -56,9 +56,11 @@ def bpe_token_count(text: Column) -> Column:
     """Token-budget estimate via the GPT-2/BPE pre-tokenizer regex —
     counts the pre-merge pieces a byte-pair encoder would start from.
     Tracks real tokenizer budgets far closer than whitespace counting
-    (punctuation and digit runs become their own pieces; BPE merges
-    then only reduce within pieces, so this is an upper bound with the
-    right shape).  Pure projection, codegen'd; no vocabulary needed.
+    (punctuation and digit runs become their own pieces).  Note this
+    is a LOWER bound on the final BPE token count: each piece encodes
+    to >= 1 tokens (merges happen within a piece, never across), so
+    budget-sizing from it should over-provision, not under.  Pure
+    projection, codegen'd; no vocabulary needed.
     """
     return F.size(
         F.regexp_extract_all(F.lower(text), F.lit(_BPE_PRETOKEN), F.lit(0))

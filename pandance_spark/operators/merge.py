@@ -114,6 +114,12 @@ def table_diff(
     ONE full-outer join on the keys (AQE picks the physical join and
     re-splits skew), then a pure projection — same shape and cost
     floor as the upsert itself.
+
+    Precondition (same as :func:`merge_upsert`): ``key_cols`` must
+    uniquely identify rows on BOTH sides.  Duplicate keys fan out in
+    the full-outer join and emit one (possibly contradictory)
+    ``'changed'`` row per old x new pairing — this function does not
+    detect that; deduplicate or aggregate first if keys can repeat.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if compare_cols is None:

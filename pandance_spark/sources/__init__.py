@@ -290,11 +290,23 @@ def read_csv_quarantine(
     )
     if "header" not in options:
         options["header"] = "true"
+    # caller options go FIRST so they can never override the two
+    # settings the quarantine contract depends on (a caller-supplied
+    # mode='DROPMALFORMED' would silently empty the bad frame)
+    clash = {"mode", "columnnameofcorruptrecord"} & {
+        k.lower() for k in options
+    }
+    if clash:
+        raise ValueError(
+            f"options {sorted(clash)} are fixed by the quarantine "
+            "contract (PERMISSIVE + corrupt-record column) and cannot "
+            "be overridden"
+        )
     reader = (
         spark.read.schema(full)
+        .options(**options)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
-        .options(**options)
     )
     return _quarantine_split(reader.csv(path), corrupt_col)
 

@@ -45,3 +45,11 @@ def test_profile_awkward_column_names(spark):
     df = spark.createDataFrame([(1, 2)], "`a.b` int, `o'flag` int")
     got = {r["col_name"]: r["n_distinct"] for r in profile_table(df).collect()}
     assert got == {"a.b": 1, "o'flag": 1}
+
+
+def test_profile_backslash_column_name(spark):
+    # r5 advice fix: backslash in a name must survive the stack()
+    # literal even with escapedStringLiterals=false (the default)
+    df = spark.createDataFrame([(1,)], ["a\\nb"])
+    got = {r["col_name"]: r["n_distinct"] for r in profile_table(df).collect()}
+    assert got == {"a\\nb": 1}

@@ -184,3 +184,19 @@ def test_read_csv_quarantine(spark, tmp_path):
     assert sorted(b) == [",alsobad,", "2,notanumber,bad-price"]
     assert good.columns == ["id", "price", "label"]
     unpersist()
+
+
+def test_read_csv_quarantine_rejects_contract_overrides(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+    from pandance_spark.sources import read_csv_quarantine
+
+    p = tmp_path / "x.csv"
+    p.write_text("a\n1\n")
+    schema = T.StructType([T.StructField("a", T.IntegerType())])
+    with _pytest.raises(ValueError, match="quarantine"):
+        read_csv_quarantine(spark, str(p), schema, mode="DROPMALFORMED")
+    with _pytest.raises(ValueError, match="quarantine"):
+        read_csv_quarantine(
+            spark, str(p), schema, columnNameOfCorruptRecord="zzz"
+        )
