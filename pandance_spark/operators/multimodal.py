@@ -3,29 +3,36 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
 Engine extension beyond the reference (SURVEY.md §2.4).  The Spark-side
 plumbing — schemas, ``mapInPandas`` batch shape, partitioning — is real
-and tested; the *codec* step is stubbed because image/audio libraries
-are not available in this environment:
+and tested, and so is the image codec for the two formats a pure
+Python + numpy stack can handle without native libraries:
 
-- ``decode_image`` raises ``NotImplementedError`` (clearly marked stub —
-  plug in PIL/libvips per-batch in production);
-- ``fake_decode_meta`` is a deterministic stand-in that parses a tiny
-  fake header (magic + width + height) so the pipeline shape can be
-  exercised end-to-end;
+- ``decode_image`` is a REAL decoder for binary PPM (``P6``) and
+  uncompressed 24-bit BMP payloads (header parse + numpy reshape);
+  unrecognized/corrupt payloads yield ``ok = false`` rows, never a
+  task failure.  Swap in PIL/libvips inside the same ``mapInPandas``
+  stage for JPEG/PNG in production;
+- ``resize_image`` is a REAL nearest-neighbor resampler over the same
+  two formats (decode → numpy index-select → re-encode as P6);
+- ``fake_decode_meta`` remains as the stand-in for *opaque* formats
+  (parses the ``FIMG`` fake header) so pipelines can be exercised with
+  payloads no pure-Python codec exists for;
 - ``byte_histogram_features`` is a REAL feature extractor (16-bin byte
-  histogram) — genuinely computed, deterministic, useful as a
-  cheap content fingerprint for binary payloads.
+  histogram) — a cheap content fingerprint for any binary payload.
 
 Design for scale: payloads stay in executor memory only for the batch
 being processed (``mapInPandas`` streams Arrow batches); metadata
 columns are plain columns so filters on them prune parquet row groups
-without touching payload bytes.
+without touching payload bytes; per-channel pixel statistics are
+emitted as exact integer sums (not float means) so results compare
+bit-for-bit across engines and partitionings.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +42,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "pack_fake_image",
     "pack_fake_video",
+    "pack_ppm_image",
+    "pack_bmp_image",
     "attach_binary_payload",
     "fake_decode_meta",
     "decode_image",
@@ -90,14 +99,166 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB — real image decode requires PIL/libvips, not present in
-    this environment.  In production, replace the body with a
-    ``mapInPandas`` over Arrow batches calling the codec per payload."""
-    raise NotImplementedError(
-        "image codec not available in this environment; use fake_decode_meta "
-        "for pipeline testing or plug a codec into a mapInPandas stage"
+def pack_ppm_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic binary-PPM (``P6``) payload: standard header plus
+    RGB raster where byte ``i`` is ``(seed + 7*i) % 256`` — a closed
+    form an independent engine can recompute without a codec, which is
+    what the driver oracle does."""
+    n = width * height * 3
+    body = ((seed + 7 * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+    return b"P6\n%d %d\n255\n" % (width, height) + body.tobytes()
+
+
+def pack_bmp_image(width: int, height: int, seed: int) -> bytes:
+    """Same deterministic raster as :func:`pack_ppm_image`, encoded as
+    an uncompressed bottom-up 24-bit BMP (BGR rows padded to 4 bytes)
+    — decoding either format for the same (width, height, seed) yields
+    identical pixels, which the tests assert."""
+    n = width * height * 3
+    rgb = (
+        ((seed + 7 * np.arange(n, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(height, width, 3)
     )
+    bgr_bottom_up = rgb[::-1, :, ::-1]
+    stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
+    data = rows.tobytes()
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+    )
+    return header + data
+
+
+def _parse_ppm(raw: bytes) -> Optional[np.ndarray]:
+    """Binary-PPM (P6) parse per the Netpbm spec: ASCII header of three
+    integers separated by whitespace/comments, maxval 255, then one
+    whitespace byte and the raw RGB raster.  Returns (h, w, 3) uint8
+    or None on any malformation."""
+    if raw[:2] != b"P6":
+        return None
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(raw) and raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and raw[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(raw[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255 or w <= 0 or h <= 0:
+        return None
+    pos += 1  # exactly one whitespace byte before the raster
+    need = w * h * 3
+    if len(raw) - pos < need:
+        return None
+    return np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def _parse_bmp(raw: bytes) -> Optional[np.ndarray]:
+    """Uncompressed 24-bit BMP parse (BITMAPINFOHEADER, BI_RGB): rows
+    padded to 4 bytes, bottom-up unless height is negative, BGR order.
+    Returns (h, w, 3) uint8 RGB or None on any malformation."""
+    if raw[:2] != b"BM" or len(raw) < 54:
+        return None
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    w = struct.unpack_from("<i", raw, 18)[0]
+    h = struct.unpack_from("<i", raw, 22)[0]
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down, H = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(raw) < data_off + stride * H:
+        return None
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * H, offset=data_off
+    ).reshape(H, stride)
+    img = rows[:, : w * 3].reshape(H, w, 3)[:, :, ::-1]
+    return img if top_down else img[::-1]
+
+
+def _decode_any(raw: bytes) -> Tuple[Optional[np.ndarray], Optional[str]]:
+    if raw[:2] == b"P6":
+        return _parse_ppm(raw), "ppm"
+    if raw[:2] == b"BM":
+        return _parse_bmp(raw), "bmp"
+    return None, None
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for binary PPM (P6) and uncompressed 24-bit
+    BMP payloads — pure Python header parse + numpy reshape inside a
+    ``mapInPandas`` stage (Arrow-batched; payloads for one batch only
+    are ever resident).  Appends::
+
+        decoded_width, decoded_height : int   (NULL when not decodable)
+        decoded_format                : 'ppm' | 'bmp' | NULL
+        sum_r, sum_g, sum_b           : long  per-channel pixel sums
+        ok                            : boolean
+
+    Per-channel statistics are exact integer SUMS rather than float
+    means so results are bit-identical across engines, partitionings
+    and row orders (mean = sum / (width*height) when needed).
+    Unrecognized or corrupt payloads produce ``ok = false`` rows —
+    never a task failure, so one bad object cannot kill a 100 TB scan.
+    For JPEG/PNG plug PIL/libvips into this same stage in production.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("decoded_width", T.IntegerType(), True),
+            T.StructField("decoded_height", T.IntegerType(), True),
+            T.StructField("decoded_format", T.StringType(), True),
+            T.StructField("sum_r", T.LongType(), True),
+            T.StructField("sum_g", T.LongType(), True),
+            T.StructField("sum_b", T.LongType(), True),
+            T.StructField("ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, fmts, srs, sgs, sbs, oks = [], [], [], [], [], [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                img, fmt = _decode_any(raw)
+                if img is None:
+                    ws.append(None), hs.append(None), fmts.append(None)
+                    srs.append(None), sgs.append(None), sbs.append(None)
+                    oks.append(False)
+                    continue
+                h, w = img.shape[:2]
+                s = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                ws.append(w), hs.append(h), fmts.append(fmt)
+                srs.append(int(s[0])), sgs.append(int(s[1])), sbs.append(int(s[2]))
+                oks.append(True)
+            yield pdf.assign(
+                decoded_width=pd.array(ws, dtype="Int32"),
+                decoded_height=pd.array(hs, dtype="Int32"),
+                decoded_format=fmts,
+                sum_r=pd.array(srs, dtype="Int64"),
+                sum_g=pd.array(sgs, dtype="Int64"),
+                sum_b=pd.array(sbs, dtype="Int64"),
+                ok=oks,
+            )
+
+    return df.mapInPandas(_decode, out_schema)
 
 
 def fake_decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -135,15 +296,46 @@ def fake_decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_decode, out_schema)
 
 
-def resize_image(df: DataFrame, width: int, height: int, payload_col: str = "payload") -> DataFrame:
-    """STUB — real resampling needs an image codec (PIL/libvips), absent
-    here.  Production shape: a ``mapInPandas`` stage decoding, resizing
-    and re-encoding per Arrow batch (see :func:`fake_resize` for the
-    exercised plumbing)."""
-    raise NotImplementedError(
-        "image codec not available in this environment; use fake_resize "
-        "for pipeline testing or plug a codec into a mapInPandas stage"
-    )
+def resize_image(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL nearest-neighbor resample over PPM/BMP payloads: decode
+    (see :func:`decode_image`), numpy index-select with the standard
+    ``src = floor(dst * src_dim / dst_dim)`` mapping, re-encode as
+    binary PPM (output normalizes to P6 regardless of input format).
+    Payloads that don't decode pass through unchanged.  Arrow-batched
+    ``mapInPandas``; swap the resampler for PIL/libvips in production
+    for filtered (bilinear/Lanczos) kernels.
+    """
+    if width < 1 or height < 1:
+        raise ValueError("target width/height must be >= 1")
+    out_schema = df.schema
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys_cache: dict = {}
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                img, _ = _decode_any(raw)
+                if img is None:
+                    out.append(payload)
+                    continue
+                h, w = img.shape[:2]
+                key = (h, w)
+                if key not in ys_cache:
+                    ys_cache[key] = (
+                        (np.arange(height, dtype=np.int64) * h) // height,
+                        (np.arange(width, dtype=np.int64) * w) // width,
+                    )
+                ys, xs = ys_cache[key]
+                res = np.ascontiguousarray(img[ys][:, xs])
+                out.append(b"P6\n%d %d\n255\n" % (width, height) + res.tobytes())
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(_resize, out_schema)
 
 
 def fake_resize(

@@ -1,10 +1,11 @@
-"""Multimodal binary-column plumbing tests (SURVEY.md §2.4).
+"""Multimodal binary-column tests (SURVEY.md §2.4).
 
-The codec is stubbed (no image libs in this environment); the Spark
-plumbing — binary columns, metadata struct, mapInPandas batching,
-pandas-UDF feature extraction — is real and exercised here.
+The Spark plumbing — binary columns, metadata struct, mapInPandas
+batching, pandas-UDF feature extraction — AND the PPM/BMP codec are
+real and exercised here (pure Python + numpy; no image libs needed).
 """
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -14,7 +15,10 @@ from pandance_spark.operators.multimodal import (
     byte_histogram_features,
     decode_image,
     fake_decode_meta,
+    pack_bmp_image,
     pack_fake_image,
+    pack_ppm_image,
+    resize_image,
 )
 
 
@@ -28,9 +32,78 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_image_is_marked_stub(media):
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+def _ref_pixels(width, height, seed):
+    n = width * height * 3
+    return (
+        ((seed + 7 * np.arange(n, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(height, width, 3)
+    )
+
+
+def test_decode_image_ppm_and_bmp(spark):
+    # same (w, h, seed) -> identical pixels in either container
+    rows = [
+        (1, pack_ppm_image(13, 7, seed=42), "image/x-ppm", (13, 7, None)),
+        (2, pack_bmp_image(13, 7, seed=42), "image/bmp", (13, 7, None)),
+        (3, b"neither", "application/octet-stream", (None, None, 7)),
+        (4, b"P6\n13 7\n255\nshort", "image/x-ppm", (None, None, None)),
+        (5, None, "image/x-ppm", (None, None, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    ref = _ref_pixels(13, 7, 42).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    for mid, fmt in [(1, "ppm"), (2, "bmp")]:
+        r = out[mid]
+        assert (r["decoded_width"], r["decoded_height"], r["decoded_format"]) == (
+            13, 7, fmt,
+        )
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in ref)
+        assert r["ok"] is True
+    for mid in (3, 4, 5):  # corrupt/foreign payloads degrade, never fail
+        assert out[mid]["ok"] is False and out[mid]["sum_r"] is None
+
+
+def test_decode_image_ppm_comment_header(spark):
+    # Netpbm allows '#' comments inside the header
+    raw = pack_ppm_image(4, 3, seed=9)
+    commented = b"P6\n# a comment\n4 3\n255\n" + raw.split(b"255\n", 1)[1]
+    r = decode_image(
+        spark.createDataFrame([(1, commented, "image/x-ppm", (4, 3, None))], MEDIA_SCHEMA)
+    ).first()
+    assert (r["decoded_width"], r["decoded_height"], r["ok"]) == (4, 3, True)
+
+
+def test_resize_image_nearest_neighbor(spark):
+    w, h, seed = 16, 10, 5
+    rows = [
+        (1, pack_ppm_image(w, h, seed), "image/x-ppm", (w, h, None)),
+        (2, pack_bmp_image(w, h, seed), "image/bmp", (w, h, None)),
+        (3, b"junk", "application/octet-stream", (None, None, 4)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in decode_image(resize_image(media, 5, 4)).collect()
+    }
+    img = _ref_pixels(w, h, seed)
+    ys = (np.arange(4, dtype=np.int64) * h) // 4
+    xs = (np.arange(5, dtype=np.int64) * w) // 5
+    ref = img[ys][:, xs].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    for mid in (1, 2):  # BMP input re-encodes as PPM on output
+        r = out[mid]
+        assert (r["decoded_width"], r["decoded_height"], r["decoded_format"]) == (
+            5, 4, "ppm",
+        )
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in ref)
+    assert out[3]["ok"] is False  # non-image passes through unchanged
+    assert bytes(out[3]["payload"]) == b"junk"
+    with pytest.raises(ValueError):
+        resize_image(media, 0, 4)
 
 
 def test_fake_decode_meta_roundtrip(media):
@@ -73,10 +146,6 @@ def test_fake_resize_rewrites_dims(spark, media):
     assert (out[0]["decoded_width"], out[0]["decoded_height"]) == (32, 24)
     assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (32, 24)
     assert out[2]["ok"] is False  # non-image payload passes through untouched
-    with pytest.raises(NotImplementedError):
-        from pandance_spark.operators.multimodal import resize_image
-
-        resize_image(media, 32, 24)
 
 
 def test_sample_frames(spark):
