@@ -27,6 +27,8 @@ import decimal
 import math
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,7 @@ from pandance_spark.functions.text import (
     token_count,
 )
 from pandance_spark.operators.dedup import (
+    add_to_minhash_index,
     build_minhash_index,
     dedup_against_index,
     dedup_exact,
@@ -509,6 +512,37 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_binary_payload(docs, "doc_id", "text")
     return media.select(
         "media_id", "media_type", F.col("meta.n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode round-trip (operators/multimodal.py): pack a
+    deterministic binary-PPM payload per document (dims + seed derived
+    from doc_id, pixel byte i = (seed + 7i) % 256), decode it with the
+    pure-Python P6 codec in a mapInPandas stage, and emit exact
+    per-channel pixel sums.  The oracle recomputes width/height/sums
+    from the same closed form — if the codec mis-parsed the header or
+    raster, every row would mismatch."""
+    from pandance_spark.operators.multimodal import decode_image, pack_ppm_image
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_ppm_image(4 + d % 13, 3 + d % 11, int(d) % 251)
+        )
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return decode_image(media).select(
+        "doc_id",
+        "decoded_width",
+        "decoded_height",
+        "decoded_format",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "ok",
     )
 
 
@@ -1041,6 +1075,27 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scd2_apply_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_apply with a LATE batch (operators/scd.py:120): the
+    dimension is built from 80%% of the event log, then the held-out
+    20%% — whose timestamps interleave throughout history — is spliced
+    in.  The oracle replays the same two-stage semantics in SQL
+    (change points of the base log, union the late batch, re-derive
+    intervals; existing versions carry NULL order ids that sort FIRST
+    at timestamp ties, matching Spark's asc-nulls-first)."""
+    from pandance_spark.operators.scd import scd2_apply
+
+    ev = load_table(spark, sf_dir, "events")
+    early = ev.filter(F.col("event_id") % 5 != 0)
+    late = ev.filter(F.col("event_id") % 5 == 0)
+    dim = scd2_history(
+        early, ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+    )
+    return scd2_apply(
+        dim, late, ["user_id"], ["event_type"], "ts", order_cols=["event_id"]
+    )
+
+
 def _q_overlap_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap set-similarity self-join: document pairs sharing >= 20
     distinct tokens (operators/dedup.py overlap_set_join — prefix
@@ -1070,20 +1125,25 @@ def _q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: index 90% of the corpus (doc_id % 10 != 0)
-    once, then flag the remaining 10% "new batch" against it —
-    banded-signature + shingle-set tables are bucketed so only the
-    batch side shuffles (operators/dedup.py build_minhash_index /
-    dedup_against_index)."""
+    """Incremental dedup exercising the full ingestion cycle
+    (operators/dedup.py build_minhash_index / add_to_minhash_index /
+    dedup_against_index): index 80% of the corpus (doc_id % 10 not in
+    {0, 5}), APPEND the % 10 == 5 slice without a rebuild, then flag
+    the % 10 == 0 "new batch" against the appended index — bucketed
+    band/set tables mean only the batch side ever shuffles, and the
+    oracle (exact Jaccard of batch vs ALL % 10 != 0 docs) only passes
+    if the appended rows are genuinely searchable."""
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    corpus = docs.filter(~F.col("doc_id").__mod__(10).isin(0, 5))
+    appended = docs.filter(F.col("doc_id") % 10 == 5)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     build_minhash_index(
-        corpus, "doc_id", "text", "pdx_drv_mh_idx",
+        corpus, "doc_id", "text", "pdx_drv_mh_idx5",
         num_hashes=64, bands=16, shingle_n=3,
     )
+    add_to_minhash_index(appended, "doc_id", "text", "pdx_drv_mh_idx5")
     return dedup_against_index(
-        batch, "doc_id", "text", "pdx_drv_mh_idx", threshold=0.8
+        batch, "doc_id", "text", "pdx_drv_mh_idx5", threshold=0.8
     )
 
 
@@ -1117,32 +1177,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_expr_mod": _q_theta_expr_mod,
         "theta_keywords": _q_theta_keywords,
         "theta_udf_gcd": _q_theta_udf_gcd,
-        # dedup / similarity extensions
-        "dedup_exact": _q_dedup_exact,
+        # dedup / similarity extensions (r5: dedup_exact, dedup_simhash,
+        # ann_topk, ann_lsh, embedding_dedup rotated OUT after 3 straight
+        # green driver rounds r2-r4; dedup_incremental CHANGED this round
+        # — now exercises add_to_minhash_index — so it stays in)
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
         "fingerprint_dups": _q_fingerprint_dups,
-        "embedding_dedup": _q_embedding_dedup,
-        "ann_topk": _q_ann_topk,
-        "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "ann_quantized": _q_ann_quantized,
-        # text analysis / multimodal
+        # text analysis / multimodal (r5: text_repetition, text_langid
+        # rotated out after 3 green rounds; multimodal_decode is NEW —
+        # real PPM codec round-trip)
         "lm_perplexity": _q_lm_perplexity,
         "text_fingerprints": _q_text_fingerprints,
         "gopher_quality": _q_gopher_quality,
         "bm25_topk": _q_bm25,
         "knn_graph": _q_knn_graph,
-        "text_repetition": _q_text_repetition,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "text_stats": _q_text_stats,
-        "text_langid": _q_text_langid,
+        "multimodal_decode": _q_multimodal_decode,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
@@ -1166,6 +1225,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "scd2_user_status": _q_scd2_user_status,
         "q6_forecast": _q_q6_forecast,
+        # r5 rotations IN: the five entries flagged by the r4 verdict as
+        # never driver-verified, plus the new scd2_apply_late
+        "q13_custdist": _q_q13_custdist,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q18_big_orders": _q_q18_big_orders,
+        "exact_sample": _q_exact_sample,
+        "table_diff": _q_table_diff,
+        "scd2_apply_late": _q_scd2_apply_late,
         # --- entries 51+ (outside the driver window; locally gated;
         # text_stats/text_normalize/multimodal_meta/stratified_sample
         # rotated here after 2-3 straight green driver rounds to make
@@ -1176,7 +1243,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_centroids / asof_nearest rotated out for
         # profile_orders / merge_spans; contamination rotated out for
         # lm_perplexity_bigram; asof_click_view rotated out for
-        # pagerank_supply) ---
+        # pagerank_supply; r5: dedup_exact / dedup_simhash / ann_topk /
+        # ann_lsh / embedding_dedup / text_repetition / text_langid
+        # rotated out after 3 straight green driver rounds r2-r4, and
+        # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh": _q_ann_lsh,
+        "embedding_dedup": _q_embedding_dedup,
+        "text_repetition": _q_text_repetition,
+        "text_langid": _q_text_langid,
         "asof_click_view": _q_asof_click_view,
         "contamination": _q_contamination,
         "embedding_centroids": _q_embedding_centroids,
@@ -1199,11 +1276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "unpivot_charges": _q_unpivot_charges,
         "topk_orders": _q_topk_orders,
-        "q13_custdist": _q_q13_custdist,
-        "q16_supplier_cnt": _q_q16_supplier_cnt,
-        "q18_big_orders": _q_q18_big_orders,
-        "exact_sample": _q_exact_sample,
-        "table_diff": _q_table_diff,
     }
 
 
@@ -2321,6 +2393,77 @@ ORDER BY doc_id
         # boundaries (null-safe via IS DISTINCT FROM, = eqNullSafe),
         # lead closes the half-open interval; ties broken by event_id
         # exactly as the Spark order_cols
+        # real-codec round trip: Spark decodes the packed P6 bytes; the
+        # oracle recomputes dims + per-channel sums from the generator's
+        # closed form (byte i = (seed + 7i) % 256; channel c takes
+        # i = 3j + c).  Integer sums -> bit-exact across engines.
+        "multimodal_decode": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 13 AS INTEGER) AS w,
+                     CAST(3 + doc_id % 11 AS INTEGER) AS h,
+                     doc_id % 251 AS seed
+              FROM documents
+            )
+            SELECT doc_id,
+                   w AS decoded_width,
+                   h AS decoded_height,
+                   'ppm' AS decoded_format,
+                   CAST(list_sum([(seed + 21*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([(seed + 7 + 21*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([(seed + 14 + 21*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM p
+        """,
+        # scd2_apply semantics replayed in SQL: stage 1 derives the
+        # base dimension's change points (80% of the log), stage 2
+        # unions the late batch and re-derives intervals.  Existing
+        # versions carry NULL order ids; Spark's asc() is nulls-first,
+        # hence the explicit NULLS FIRST at timestamp ties.
+        "scd2_apply_late": """
+            WITH h AS (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM events WHERE event_id % 5 <> 0
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            ),
+            dim AS (
+              SELECT user_id, event_type, ts,
+                     CAST(NULL AS BIGINT) AS oid
+              FROM h WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            ),
+            u AS (
+              SELECT * FROM dim
+              UNION ALL
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     event_id AS oid
+              FROM events WHERE event_id % 5 = 0
+            ),
+            h2 AS (
+              SELECT user_id, event_type, ts, oid,
+                     lag(event_type) OVER w AS prev,
+                     row_number() OVER w AS rn
+              FROM u
+              WINDOW w AS (PARTITION BY user_id
+                           ORDER BY ts, oid NULLS FIRST)
+            ),
+            c AS (
+              SELECT user_id, event_type, ts, oid FROM h2
+              WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   (lead(ts) OVER w2 IS NULL) AS is_current
+            FROM c
+            WINDOW w2 AS (PARTITION BY user_id
+                          ORDER BY ts, oid NULLS FIRST)
+        """,
         "scd2_user_status": """
             WITH h AS (
               SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
