@@ -246,3 +246,37 @@ def test_unknown_strategy_raises_even_on_disjoint_inputs(spark):
     right = spark.createDataFrame([(2, 100.0)], "id long, v double")
     with _pytest.raises(ValueError, match="strategy"):
         ineq_join(left, right, how="<", on="v", strategy="bandd")
+
+
+def test_ineq_strings_band_adversarial_cut_collapse(spark):
+    # r4 verdict watch-item: keys with a divergent first char, a long
+    # constant middle, and a rare suffix collapsed the old 3-codepoint
+    # surrogate to ~2 distinct cuts (fat diagonal).  Sampled string
+    # cuts must keep the band count healthy AND stay exact.
+    from pandance_spark.operators.ineq import _string_cuts
+
+    mid = "X" * 40
+    rows = [(f"{pre}_{mid}{i:06d}",) for pre in ("a", "b") for i in range(300)]
+    left = spark.createDataFrame(rows[::3], "s string")
+    right = spark.createDataFrame(rows[::2], "s string")
+
+    cuts = _string_cuts(right, "s", 16)
+    assert cuts is not None and len(cuts) >= 8, cuts  # no collapse
+
+    bnl = ineq_join(left, right, how="<", on="s", strategy="bnl")
+    band = ineq_join(left, right, how="<", on="s", strategy="band", num_bands=16)
+    assert rows_set(band, ["s_x", "s_y"]) == rows_set(bnl, ["s_x", "s_y"])
+
+
+def test_ineq_strings_band_constant_key_falls_back(spark):
+    # all-identical right keys: no cut can prune; _string_cuts signals
+    # fallback and the operator must still answer exactly
+    left = spark.createDataFrame([("a",), ("k",), ("z",)], "s string")
+    right = spark.createDataFrame([("k",)] * 50, "s string")
+    from pandance_spark.operators.ineq import _string_cuts
+
+    assert _string_cuts(right, "s", 8) is None
+    for how in ("<", "<=", ">", ">="):
+        bnl = ineq_join(left, right, how=how, on="s", strategy="bnl")
+        band = ineq_join(left, right, how=how, on="s", strategy="band")
+        assert rows_set(band, ["s_x", "s_y"]) == rows_set(bnl, ["s_x", "s_y"])

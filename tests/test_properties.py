@@ -466,3 +466,43 @@ def test_merge_intervals_matches_brute_force(spark, ivs):
         else:
             want.append((s, e, 1))
     assert got == sorted(want)
+
+
+@settings(**_SETTINGS)
+@given(
+    # offsets land max|v| within one tol of the 2^51 quotient guard —
+    # the exact cliff the band strategy's +-2 bucket margin covers
+    base_off=st.integers(-6, -2),
+    span=st.integers(1, 3),
+)
+def test_fuzzy_band_equals_range_up_to_operating_guard(spark, base_off, span):
+    # r4 verdict item 6: the documented silent-wrong-answer edge of the
+    # core operators.  Just BELOW the guard (|v|/tol <= 2^51) band and
+    # range must agree exactly; just ABOVE it, strategy='band' must
+    # raise and 'auto' must fall back to range (same result, no raise).
+    tol = 1.0
+    cliff = 1 << 51
+    below = [(float(cliff + base_off - i),) for i in range(span + 1)]
+    left = spark.createDataFrame(below, "v double")
+    right = spark.createDataFrame(below[: span], "v double")
+    band = fuzzy_join(left, right, on="v", tol=tol, strategy="band")
+    rng = fuzzy_join(left, right, on="v", tol=tol, strategy="range")
+    key = ["v_x", "v_y"]
+    assert sorted(map(tuple, band.select(*key).collect())) == sorted(
+        map(tuple, rng.select(*key).collect())
+    )
+    assert band.count() > 0  # adjacent values within tol really match
+
+    # spaced > tol so neither min/max fast path (empty or full cross
+    # product) short-circuits before the operating-range guard
+    above = [(float(cliff) * 1.5,), (float(cliff) * 1.5 + 10.0,)]
+    l2 = spark.createDataFrame(above, "v double")
+    r2 = spark.createDataFrame(above, "v double")
+    with pytest.raises(ValueError, match="operating range"):
+        fuzzy_join(l2, r2, on="v", tol=tol, strategy="band")
+    # auto silently takes the exact path instead
+    auto = fuzzy_join(l2, r2, on="v", tol=tol, strategy="auto")
+    exact = fuzzy_join(l2, r2, on="v", tol=tol, strategy="range")
+    assert sorted(map(tuple, auto.select(*key).collect())) == sorted(
+        map(tuple, exact.select(*key).collect())
+    )
