@@ -206,7 +206,20 @@ def main():
         "merge_spans",
         "profile_orders",
         "lm_perplexity_bigram",
+        "multimodal_decode",
+        "scd2_apply_late",
     ]
+
+    # r5: run each query REPS times and report the MEDIAN — same-session
+    # per-query jitter at sf0.1 is +-30-50% on sub-3s queries (r4:
+    # dedup_simhash swung 4.07 -> 1.99 s between identical runs), which
+    # made every cross-round per-query comparison unreadable.  The
+    # cleanup barrier runs once per triple (before the first rep): reps
+    # of the SAME query share state shape, so mid-triple sweeps would
+    # only evict the query's own cached inputs.
+    REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+
+    import statistics
 
     timings = {}
 
@@ -258,15 +271,25 @@ def main():
         except Exception:
             pass
 
+    spread = {}
+
+    def _timed_reps(fn) -> float:
+        reps = []
+        for _ in range(REPS):
+            t0 = time.time()
+            _consume(fn())
+            reps.append(time.time() - t0)
+        return reps
+
     for name in headline:
         try:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
         _barrier()
-        t0 = time.time()
-        _consume(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        reps = _timed_reps(lambda: qs[name](spark, SF_DIR))
+        timings[name] = round(statistics.median(reps), 3)
+        spread[name] = round(max(reps) - min(reps), 3)
 
     # extra settle before the baseline workloads
     _barrier()
@@ -283,9 +306,9 @@ def main():
         # cache and the timed join, which would evict them)
         _barrier()
         join_fn = builder(spark)  # input setup excluded from the timing
-        t0 = time.time()
-        _consume(join_fn())
-        timings[name] = round(time.time() - t0, 3)
+        reps = _timed_reps(join_fn)
+        timings[name] = round(statistics.median(reps), 3)
+        spread[name] = round(max(reps) - min(reps), 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -301,6 +324,8 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
+                "spread": spread,
             }
         )
     )

@@ -338,7 +338,10 @@ def stream_upsert_sink(
 
     1. dedups itself per key (greatest ``order_col`` wins),
     2. reads back ONLY the target partitions its keys hash into,
-    3. full-outer merges batch over existing (batch wins),
+    3. merges with the greatest ``order_col`` winning across batch and
+       existing rows (ties go to the batch) — so out-of-order or
+       redelivered batches can never regress a key to an older
+       version,
     4. rewrites exactly those partitions with dynamic partition
        overwrite.
 
@@ -366,8 +369,6 @@ def stream_upsert_sink(
     Returns the unstarted ``DataStreamWriter``; call ``.start()``.
     """
     from pyspark.sql import functions as _F
-
-    from pandance_spark.operators.merge import merge_upsert
 
     keys = list(keys)
     bucket_of = lambda cols: _F.pmod(_F.xxhash64(*cols), num_buckets)  # noqa: E731
@@ -405,11 +406,32 @@ def stream_upsert_sink(
                 existing = spark.read.parquet(path).filter(
                     _F.col("__bucket").isin(touched)
                 )
-            # 3. merge (batch wins on key collision)
+            # 3. merge: greatest order_col wins ACROSS existing and
+            # batch, ties to the batch (r5 — previously the batch won
+            # unconditionally, so a redelivered or out-of-order batch
+            # containing an older version could regress a key; with
+            # version-aware conflict resolution the sink is commutative
+            # over batch reordering and idempotent under at-least-once
+            # redelivery).  Same single key shuffle as the old
+            # full-outer merge, just as a window.
             if existing is not None and existing.columns:
-                merged = merge_upsert(
-                    existing, latest, key_cols=keys
-                ).withColumn("__bucket", bucket_of(keys))
+                cols = [c for c in latest.columns if c != "__bucket"]
+                unioned = (
+                    existing.select(*cols)
+                    .withColumn("__src", _F.lit(0))
+                    .unionByName(
+                        latest.select(*cols).withColumn("__src", _F.lit(1))
+                    )
+                )
+                w2 = _W.partitionBy(*keys).orderBy(
+                    _F.col(order_col).desc(), _F.col("__src").desc()
+                )
+                merged = (
+                    unioned.withColumn("__rn", _F.row_number().over(w2))
+                    .filter(_F.col("__rn") == 1)
+                    .drop("__rn", "__src")
+                    .withColumn("__bucket", bucket_of(keys))
+                )
             else:
                 merged = latest
             # 4. eager checkpoint breaks lineage to the files being

@@ -1,0 +1,398 @@
+"""Streaming parity gate (r4 verdict item 4).
+
+Structured Streaming operators can't appear in ``queries()`` (the
+driver collects batch DataFrames), so this script closes the loop the
+same way the batch operators are closed: replay each streaming
+operator over a finite fixture, materialize its final result, and
+compare it row-for-row against (a) the equivalent batch operator and
+(b) a DuckDB oracle wherever the semantics are ANSI-SQL-expressible.
+Hash-engine-specific ops (xxhash64-based LSH) get the batch-Spark
+comparison only, and the artifact records which oracle each row had —
+the same honesty rule as ``oracle_sql()``.
+
+Usage::
+
+    python scripts/streaming_parity.py [--json STREAMING_PARITY_rNN.json]
+
+Exit code 1 if any comparison fails.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def duck_rows(rel):
+    """DuckDB relation -> list of dicts with native Python values
+    (.df() would yield numpy scalars whose repr differs from Python's)."""
+    names = rel.columns
+    return [dict(zip(names, t)) for t in rel.fetchall()]
+
+
+def canon_rows(rows, cols):
+    """Order-insensitive canonical form: rows sorted, columns by name,
+    floats rounded — mirrors scripts/check_correctness.py."""
+    import math
+
+    def canon(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(round(v, 9))
+        if isinstance(v, dt.datetime):
+            return v.isoformat()
+        return repr(v)
+
+    cols = sorted(cols)
+    return sorted(tuple(canon(r[c]) for c in cols) for r in rows)
+
+
+def digest(canonical):
+    return hashlib.md5(repr(canonical).encode()).hexdigest()[:16]
+
+
+def run_stream_to_memory(df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def main():
+    out_path = None
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("pdx_streaming_parity")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import duckdb
+
+    from pandance_spark.sources import load_table
+    from pandance_spark.streaming import (
+        read_events_stream,
+        stream_scd2_sink,
+        stream_upsert_sink,
+        streaming_dedup,
+        streaming_near_dup_filter,
+        streaming_similarity_join,
+        windowed_event_counts,
+    )
+
+    events_pq = os.path.join(SF_DIR, "events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) "
+        f"FROM '{events_pq}'"
+    )
+    ev_batch = load_table(spark, SF_DIR, "events")
+    results = []
+    tmp = tempfile.mkdtemp(prefix="pdx_parity_")
+
+    def record(op, oracle, stream_canon, batch_canon, duck_canon=None, note=""):
+        row = {
+            "op": op,
+            "oracle": oracle,
+            "rows": len(stream_canon),
+            "stream_hash": digest(stream_canon),
+            "match_batch": stream_canon == batch_canon,
+            "match_duckdb": (
+                None if duck_canon is None else stream_canon == duck_canon
+            ),
+            "note": note,
+        }
+        results.append(row)
+        status = "OK " if row["match_batch"] and row["match_duckdb"] is not False else "FAIL"
+        print(f"{status}  {op}: {row['rows']} rows, batch={row['match_batch']}, "
+              f"duckdb={row['match_duckdb']}")
+
+    # ------------------------------------------------------------------
+    # 1. streaming_dedup: key set after stream replay == batch distinct
+    # (watermark spans the whole fixture so no key ever re-emits)
+    # ------------------------------------------------------------------
+    stream = read_events_stream(spark, SF_DIR)
+    run_stream_to_memory(
+        streaming_dedup(stream, ["user_id", "event_type"], watermark="3650 days")
+        .select("user_id", "event_type"),
+        "parity_dedup",
+    )
+    cols = ["user_id", "event_type"]
+    s = canon_rows(spark.table("parity_dedup").collect(), cols)
+    b = canon_rows(ev_batch.select(*cols).dropDuplicates(cols).collect(), cols)
+    d = canon_rows(
+        duck_rows(con.sql("SELECT DISTINCT user_id, event_type FROM events")),
+        cols,
+    )
+    record("streaming_dedup", "duckdb", s, b, d)
+
+    # ------------------------------------------------------------------
+    # 2. windowed_event_counts (complete mode -> every window emitted)
+    # ------------------------------------------------------------------
+    stream = read_events_stream(spark, SF_DIR)
+    agg = windowed_event_counts(stream, window="5 minutes", watermark="10 minutes")
+    run_stream_to_memory(
+        agg.select(
+            "window_start", "window_end", "event_type", "n",
+            F.round("total_value", 6).alias("total_value"),
+        ),
+        "parity_windows",
+        output_mode="complete",
+    )
+    cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+    s = canon_rows(spark.table("parity_windows").collect(), cols)
+    b = canon_rows(
+        ev_batch.groupBy(F.window("ts", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+        .collect(),
+        cols,
+    )
+    d = canon_rows(
+        duck_rows(con.sql(
+            """
+            SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 1, 2, 3
+            """
+        )),
+        cols,
+    )
+    record("windowed_event_counts", "duckdb", s, b, d)
+
+    # ------------------------------------------------------------------
+    # 3. stream_scd2_sink: two micro-batch replays == batch scd2_history
+    # over the full log == the DuckDB SCD2 oracle
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.scd import scd2_history
+
+    src = os.path.join(tmp, "scd_src")
+    tgt = os.path.join(tmp, "scd_tgt")
+    log = ev_batch.select("user_id", "event_type", "ts", "event_id")
+    # time-ordered micro-batches: cross-batch no-change collapse is
+    # exercised, and apply == full-log recompute holds exactly.  (The
+    # LATE-batch splice semantics are driver-oracle-checked by the
+    # scd2_apply_late queries() entry — an SCD2 apply cannot recover
+    # observations the base history already collapsed, so a full-log
+    # oracle would be the wrong comparison for an out-of-order split.)
+    cutoff = log.agg(F.percentile_approx("ts", 0.5).alias("c")).first()["c"]
+    log.filter(F.col("ts") <= F.lit(cutoff)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = "user_id bigint, event_type string, ts timestamp, event_id bigint"
+    for _append in (False, True):
+        if _append:
+            log.filter(F.col("ts") > F.lit(cutoff)).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = stream_scd2_sink(
+            spark.readStream.schema(schema).parquet(src),
+            tgt, ["user_id"], ["event_type"], "ts", num_buckets=4,
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    cols = ["user_id", "event_type", "valid_from", "valid_to", "is_current"]
+    s = canon_rows(spark.read.parquet(tgt).select(*cols).collect(), cols)
+    b = canon_rows(
+        scd2_history(log, ["user_id"], ["event_type"], "ts").collect(),
+        cols,
+    )
+    d = canon_rows(
+        duck_rows(con.sql(
+            """
+            WITH h AS (
+              SELECT user_id, event_type, ts,
+                     lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            c AS (
+              SELECT user_id, event_type, ts FROM h
+              WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   (lead(ts) OVER w2 IS NULL) AS is_current
+            FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+            """
+        )),
+        cols,
+    )
+    record("stream_scd2_sink", "duckdb", s, b, d,
+           note="2 time-ordered micro-batches; late-splice semantics are "
+                "driver-checked via the scd2_apply_late oracle query")
+
+    # ------------------------------------------------------------------
+    # 4. stream_upsert_sink: latest event per user == batch latest ==
+    # DuckDB arg_max (ts is unique per user in the fixture)
+    # ------------------------------------------------------------------
+    src = os.path.join(tmp, "ups_src")
+    tgt = os.path.join(tmp, "ups_tgt")
+    log.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(src)
+    for _append in (False, True):
+        if _append:
+            log.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        q = stream_upsert_sink(
+            spark.readStream.schema(schema).parquet(src),
+            tgt, ["user_id"], "ts", num_buckets=4,
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+    cols = ["user_id", "event_type", "ts"]
+    s = canon_rows(spark.read.parquet(tgt).select(*cols).collect(), cols)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    b = canon_rows(
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*cols)
+        .collect(),
+        cols,
+    )
+    d = canon_rows(
+        duck_rows(con.sql(
+            "SELECT user_id, arg_max(event_type, ts) AS event_type, "
+            "max(ts) AS ts FROM events GROUP BY user_id"
+        )),
+        cols,
+    )
+    record("stream_upsert_sink", "duckdb", s, b, d,
+           note="OUT-OF-ORDER split (odd event_ids replayed second): the "
+                "version-aware merge must still land on the global latest")
+
+    # ------------------------------------------------------------------
+    # 5. streaming_similarity_join: stream-stream LSH candidates ==
+    # the same band expressions self-joined in batch (xxhash64 bands
+    # are engine-specific -> no DuckDB form; oracle = spark-batch)
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.dedup import _banded_keys
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80).collect()
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, r in enumerate(docs):
+        ts0 = base + dt.timedelta(minutes=3 * i)
+        rows.append((2 * i, r["text"], ts0))
+        if i % 4 == 0:  # near-dup copy arriving 5 minutes later
+            rows.append((2 * i + 1, r["text"], ts0 + dt.timedelta(minutes=5)))
+    doc_schema = "doc_id long, text string, ts timestamp"
+    src = os.path.join(tmp, "sim_src")
+    spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(doc_schema).parquet(src)
+    run_stream_to_memory(
+        streaming_similarity_join(
+            stream, "doc_id", "text", ts_col="ts",
+            window="10 minutes", watermark="2 hours",
+        ).select("id_a", "id_b", "band"),
+        "parity_sim",
+    )
+    cols = ["id_a", "id_b", "band"]
+    s = canon_rows(spark.table("parity_sim").collect(), cols)
+    banded = _banded_keys(
+        spark.createDataFrame(rows, doc_schema),
+        "doc_id", "text", 64, 16, 3, 42, carry=["ts"],
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"), "band", "bhash"
+    )
+    bb = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"),
+        F.col("band").alias("band_b"), F.col("bhash").alias("bhash_b"),
+    )
+    batch_pairs = a.join(
+        bb,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("bhash") == F.col("bhash_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("ts_b").cast("long") - F.col("ts_a").cast("long")) <= 600),
+        "inner",
+    ).select("id_a", "id_b", "band")
+    b = canon_rows(batch_pairs.collect(), cols)
+    record("streaming_similarity_join", "spark-batch", s, b, None,
+           note="xxhash64 LSH bands are engine-specific; no SQL form")
+
+    # ------------------------------------------------------------------
+    # 6. streaming_near_dup_filter: stream-static anti-join survivors ==
+    # batch anti-join on the exploded band keys (same expressions)
+    # ------------------------------------------------------------------
+    docs_all = load_table(spark, SF_DIR, "documents")
+    ref = docs_all.filter(F.col("doc_id") % 3 == 0)
+    batch_docs = docs_all.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text", F.lit(base).alias("ts")
+    )
+    src = os.path.join(tmp, "ndf_src")
+    batch_docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    run_stream_to_memory(
+        streaming_near_dup_filter(stream, ref, "doc_id", "text").select("doc_id"),
+        "parity_ndf",
+    )
+    cols = ["doc_id"]
+    s = canon_rows(spark.table("parity_ndf").collect(), cols)
+    sb = _banded_keys(batch_docs, "doc_id", "text", 64, 16, 3, 42)
+    rb = _banded_keys(ref, "doc_id", "text", 64, 16, 3, 42).select("band", "bhash").distinct()
+    survivors = (
+        sb.join(rb, ["band", "bhash"], "left_anti")
+        .select("doc_id").distinct()
+        .join(
+            sb.join(rb, ["band", "bhash"], "left_semi").select("doc_id").distinct(),
+            "doc_id", "left_anti",
+        )
+    )
+    b = canon_rows(survivors.collect(), cols)
+    record("streaming_near_dup_filter", "spark-batch", s, b, None,
+           note="survivor = no band collides with the static reference")
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    ok = all(
+        r["match_batch"] and r["match_duckdb"] is not False for r in results
+    )
+    artifact = {
+        "sf_dir": SF_DIR,
+        "ops": results,
+        "all_pass": ok,
+    }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=2)
+            f.write("\n")
+        print(f"wrote {out_path}")
+    print("ALL STREAMING PARITY CHECKS PASSED" if ok else "FAILURES PRESENT")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

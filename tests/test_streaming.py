@@ -346,3 +346,39 @@ def test_streaming_similarity_join_windowed_pairs(spark, tmp_path):
         for r in spark.sql("SELECT DISTINCT id_a, id_b FROM sim_pairs").collect()
     }
     assert got == {(1, 2)}
+
+
+def test_stream_upsert_sink_out_of_order_batch_cannot_regress(spark, tmp_path):
+    """r5: version-aware merge — a later batch carrying an OLDER
+    version of a key (redelivery, unordered source) must not regress
+    the target; a genuinely newer version still wins."""
+    from pandance_spark.streaming import stream_upsert_sink
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, ver long, val string"
+
+    spark.createDataFrame(
+        [(1, 5, "v1_new"), (2, 5, "v2_new")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=ckpt,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # batch 2: stale update for k=1 (ver 3 < 5), real update for k=2,
+    # and an exact redelivery of k=1 ver 5 (tie -> batch, same value)
+    spark.createDataFrame(
+        [(1, 3, "v1_stale"), (2, 7, "v2_newer"), (1, 5, "v1_new")], schema
+    ).coalesce(1).write.mode("append").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=ckpt,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: (5, "v1_new"), 2: (7, "v2_newer")}
