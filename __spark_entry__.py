@@ -1147,6 +1147,29 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (operators/dedup.py
+    dedup_paragraphs — the C4/RefinedWeb sub-document pass).  The
+    corpus has no paragraph structure, so the fixture builds synthetic
+    3-paragraph docs from consecutive source texts (each text appears
+    in 3 synthetic docs -> genuine cross-document duplicates); the
+    oracle rebuilds the same docs in SQL and replays first-occurrence
+    semantics with a window."""
+    from pandance_spark.operators.dedup import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()  # table cardinality: one scalar, metadata-scale
+    a = docs.select(F.col("doc_id").alias("sid"), F.col("text").alias("t0"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("t1"))
+    c = docs.select(F.col("doc_id").alias("c_id"), F.col("text").alias("t2"))
+    synth = (
+        a.join(b, (F.col("sid") + 1) % n == F.col("b_id"))
+        .join(c, (F.col("sid") + 2) % n == F.col("c_id"))
+        .select("sid", F.concat_ws("\n\n", "t0", "t1", "t2").alias("text"))
+    )
+    return dedup_paragraphs(synth, "sid", "text")
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -1207,9 +1230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "profile_orders": _q_profile_orders,
         # as-of / interval joins (time-series extensions) + graph
+        # (r5: overlap_sessions rotated out after 3 green rounds to
+        # make room for the new dedup_paragraphs)
         "pagerank_supply": _q_pagerank_supply,
         "merge_spans": _q_merge_spans,
-        "overlap_sessions": _q_overlap_sessions,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         # inherited relational coverage.  The driver's correctness gate
         # reads only the FIRST 50 entries, so the TPC-H-shaped queries
         # (never driver-verified through r3) sit inside that window and
@@ -1247,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh / embedding_dedup / text_repetition / text_langid
         # rotated out after 3 straight green driver rounds r2-r4, and
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
+        "overlap_sessions": _q_overlap_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2393,6 +2419,42 @@ ORDER BY doc_id
         # boundaries (null-safe via IS DISTINCT FROM, = eqNullSafe),
         # lead closes the half-open interval; ties broken by event_id
         # exactly as the Spark order_cols
+        # paragraph dedup: the oracle rebuilds the synthetic 3-paragraph
+        # docs and replays first-occurrence (min (sid, pos)) semantics
+        "dedup_paragraphs": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            synth AS (
+              SELECT a.doc_id AS sid,
+                     a.text || chr(10)||chr(10) || b.text
+                            || chr(10)||chr(10) || c.text AS text
+              FROM documents a, documents b, documents c, n
+              WHERE b.doc_id = (a.doc_id + 1) % n.n
+                AND c.doc_id = (a.doc_id + 2) % n.n
+            ),
+            ps AS (
+              SELECT sid, string_split_regex(text, '\\n\\n+') AS arr
+              FROM synth
+            ),
+            px AS (
+              SELECT sid, unnest(generate_series(1, len(arr))) AS pos, arr
+              FROM ps
+            ),
+            p2 AS (
+              SELECT sid, pos, arr[pos] AS para FROM px WHERE arr[pos] <> ''
+            ),
+            k AS (
+              SELECT sid, pos, para,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY sid, pos) AS rn
+              FROM p2
+            )
+            SELECT sid,
+                   coalesce(string_agg(para, chr(10)||chr(10) ORDER BY pos)
+                              FILTER (WHERE rn = 1), '') AS text_deduped,
+                   count(*) AS n_paragraphs,
+                   count(*) FILTER (WHERE rn = 1) AS n_kept
+            FROM k GROUP BY sid
+        """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's
         # closed form (byte i = (seed + 7i) % 256; channel c takes

@@ -53,6 +53,7 @@ __all__ = [
     "edit_distance_join",
     "overlap_set_join",
     "fingerprint_overlap_join",
+    "dedup_paragraphs",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1470,4 +1471,87 @@ def fingerprint_overlap_join(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep_regex: str = r"\n\n+",
+    join_sep: str = "\n\n",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the C4/RefinedWeb/Dolma
+    sub-document pass): split every document on ``sep_regex``, keep
+    each distinct paragraph only at its FIRST occurrence (smallest
+    ``(id, position)``), drop every later copy, and reassemble the
+    surviving paragraphs in original order.
+
+    Catches the boilerplate whole-document dedup misses — repeated
+    headers, navigation blocks, license footers — while leaving the
+    unique body of each page intact.  Engine extension beyond the
+    reference (SURVEY.md §2.4); the reference has no text pipeline.
+
+    Returns ``(id_col, out_col, n_paragraphs, n_kept)`` — one row per
+    input document (``out_col`` is ``''`` if every paragraph was a
+    duplicate).  Empty paragraphs (consecutive separators, edges) are
+    dropped before counting.
+
+    Scale plan: posexplode is a pure projection; the first-occurrence
+    choice is ONE groupBy shuffle on the paragraph text; reassembly is
+    one groupBy on the doc id.  Work ∝ total paragraphs, never
+    docs² — and at 100 TB the paragraph-key shuffle is the same
+    volume a distinct() over the corpus' paragraphs would pay.
+    Determinism: min (id, pos) is a total order, so reruns and
+    different partitionings keep the same copy.
+    """
+    parts = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.col(text_col), sep_regex)
+            ).alias("__pos", "__para"),
+        )
+        .filter(F.col("__para") != "")
+    )
+    # one shuffle: the globally-first (id, pos) per distinct paragraph
+    firsts = parts.groupBy("__para").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    kept = parts.join(firsts, "__para").withColumn(
+        "__keep",
+        (F.col("__first.__id") == F.col("__id"))
+        & (F.col("__first.__pos") == F.col("__pos")),
+    )
+    per_doc = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("__pos", "__para"),
+                        )
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+        ).alias(out_col),
+    )
+    # documents whose every paragraph was empty never reach `parts`;
+    # restore them so the contract (one row per input doc) holds
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )

@@ -536,3 +536,38 @@ def test_edit_distance_join_middle_bucket_d2(spark):
     )
     out = edit_distance_join(df, "id", "s", max_dist=2).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in out] == [(1, 2, 2)]
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from pandance_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "intro one\n\nshared footer\n\nbody A"),
+        (2, "body B\n\nshared footer"),          # footer dup -> dropped
+        (3, "shared footer\n\n\n\nbody C"),      # multi-sep collapses
+        (4, ""),                                  # all-empty doc survives
+        (5, "body A"),                            # dup of doc 1's para
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[1]["text_deduped"] == "intro one\n\nshared footer\n\nbody A"
+    assert (out[1]["n_paragraphs"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text_deduped"] == "body B"
+    assert (out[2]["n_paragraphs"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text_deduped"] == "body C"
+    assert (out[4]["text_deduped"], out[4]["n_paragraphs"]) == ("", 0)
+    assert out[5]["text_deduped"] == "" and out[5]["n_kept"] == 0
+    # determinism: a second run keeps the same copies
+    again = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup_paragraphs(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert again == {k: v["text_deduped"] for k, v in out.items()}
