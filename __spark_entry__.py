@@ -1075,6 +1075,31 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode round-trip (operators/multimodal.py
+    decode_audio): pack deterministic 16-bit PCM WAV per document
+    (sample i = ((seed + 11i) % 65536) - 32768), decode through the
+    pure-Python RIFF parser, emit exact integer amplitude stats; the
+    oracle recomputes them from the closed form."""
+    from pandance_spark.operators.multimodal import decode_audio, pack_wav_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_wav_audio(
+                40 + d % 60, 8000 + (int(d) % 4) * 4000, int(d) % 997
+            )
+        )
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return decode_audio(media).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        "sum_abs", "peak", "ok",
+    )
+
+
 def _q_scd2_apply_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scd2_apply with a LATE batch (operators/scd.py:120): the
     dimension is built from 80%% of the event log, then the held-out
@@ -1217,8 +1242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis / multimodal (r5: text_repetition, text_langid
         # rotated out after 3 green rounds; multimodal_decode is NEW —
         # real PPM codec round-trip)
+        # (r5: text_fingerprints rotated out after 3 green rounds for
+        # the new multimodal_audio)
         "lm_perplexity": _q_lm_perplexity,
-        "text_fingerprints": _q_text_fingerprints,
+        "multimodal_audio": _q_multimodal_audio,
         "gopher_quality": _q_gopher_quality,
         "bm25_topk": _q_bm25,
         "knn_graph": _q_knn_graph,
@@ -1273,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out after 3 straight green driver rounds r2-r4, and
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
         "overlap_sessions": _q_overlap_sessions,
+        "text_fingerprints": _q_text_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2479,6 +2507,30 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
                    TRUE AS ok
             FROM p
+        """,
+        # audio round trip: closed-form PCM samples recomputed in SQL
+        "multimodal_audio": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(40 + doc_id % 60 AS BIGINT) AS n,
+                     CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS rate,
+                     doc_id % 997 AS seed
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n, rate,
+                     [abs(((seed + 11*i) % 65536) - 32768)
+                      for i in range(0, n)] AS amps
+              FROM p
+            )
+            SELECT doc_id,
+                   rate AS sample_rate,
+                   1 AS n_channels,
+                   n AS n_samples,
+                   CAST(list_sum(amps) AS BIGINT) AS sum_abs,
+                   CAST(list_max(amps) AS INTEGER) AS peak,
+                   TRUE AS ok
+            FROM s
         """,
         # scd2_apply semantics replayed in SQL: stage 1 derives the
         # base dimension's change points (80% of the log), stage 2

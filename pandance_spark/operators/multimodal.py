@@ -44,6 +44,8 @@ __all__ = [
     "pack_fake_video",
     "pack_ppm_image",
     "pack_bmp_image",
+    "pack_wav_audio",
+    "decode_audio",
     "attach_binary_payload",
     "fake_decode_meta",
     "decode_image",
@@ -446,3 +448,119 @@ def byte_histogram_features(
         return pd.Series(out)
 
     return df.withColumn("features", _hist(F.col(payload_col)))
+
+
+def pack_wav_audio(
+    n_samples: int, sample_rate: int, seed: int, n_channels: int = 1
+) -> bytes:
+    """Deterministic 16-bit PCM WAV payload (standard 44-byte RIFF
+    header): sample ``i`` (interleaved across channels) is
+    ``((seed + 11*i) % 65536) - 32768`` — a closed form an independent
+    engine can recompute without a codec, mirroring
+    :func:`pack_ppm_image`."""
+    total = n_samples * n_channels
+    pcm = (
+        ((seed + 11 * np.arange(total, dtype=np.int64)) % 65536) - 32768
+    ).astype("<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
+            n_channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def _parse_wav(raw: bytes):
+    """RIFF/WAVE chunk walk for 16-bit integer PCM: returns
+    ``(sample_rate, n_channels, samples[(n, ch) int16])`` or None on
+    any malformation (wrong magic, compressed format, truncated
+    chunks).  Chunks pad to even length per the RIFF spec."""
+    if raw[:4] != b"RIFF" or len(raw) < 44 or raw[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        size = struct.unpack_from("<I", raw, pos + 4)[0]
+        if pos + 8 + size > len(raw):
+            return None
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        return None
+    usable = len(data) // (2 * n_ch) * (2 * n_ch)
+    samples = np.frombuffer(data, dtype="<i2", count=usable // 2).reshape(
+        -1, n_ch
+    )
+    return int(rate), int(n_ch), samples
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode for 16-bit PCM WAV payloads — the audio
+    sibling of :func:`decode_image` (same ``mapInPandas`` Arrow
+    batching, same degrade-don't-fail contract).  Appends::
+
+        sample_rate, n_channels : int   (NULL when not decodable)
+        n_samples               : long  frames per channel
+        sum_abs                 : long  sum of |sample| over all channels
+        peak                    : int   max |sample|
+        ok                      : boolean
+
+    Statistics are exact integers (bit-stable across engines and
+    partitionings).  Compressed formats (MP3/AAC/FLAC) need native
+    codecs — plug them into this same stage in production.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("sum_abs", T.LongType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+            T.StructField("ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, chs, ns, sums, peaks, oks = [], [], [], [], [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                parsed = _parse_wav(raw)
+                if parsed is None:
+                    rates.append(None), chs.append(None), ns.append(None)
+                    sums.append(None), peaks.append(None), oks.append(False)
+                    continue
+                rate, n_ch, samples = parsed
+                a = np.abs(samples.astype(np.int64))
+                rates.append(rate), chs.append(n_ch)
+                ns.append(samples.shape[0])
+                sums.append(int(a.sum()))
+                peaks.append(int(a.max()) if a.size else 0)
+                oks.append(True)
+            yield pdf.assign(
+                sample_rate=pd.array(rates, dtype="Int32"),
+                n_channels=pd.array(chs, dtype="Int32"),
+                n_samples=pd.array(ns, dtype="Int64"),
+                sum_abs=pd.array(sums, dtype="Int64"),
+                peak=pd.array(peaks, dtype="Int32"),
+                ok=oks,
+            )
+
+    return df.mapInPandas(_decode, out_schema)

@@ -170,3 +170,29 @@ def test_sample_frames(spark):
     assert (dec["decoded_width"], dec["decoded_height"], dec["ok"]) == (8, 8, True)
     with pytest.raises(ValueError):
         sample_frames(media, every_k=0)
+
+
+def test_decode_audio_wav_roundtrip(spark):
+    from pandance_spark.operators.multimodal import decode_audio, pack_wav_audio
+
+    rows = [
+        (1, pack_wav_audio(100, 16000, seed=7), "audio/wav", (None, None, None)),
+        (2, pack_wav_audio(50, 8000, seed=3, n_channels=2), "audio/wav", (None, None, None)),
+        (3, b"RIFFjunk", "audio/wav", (None, None, None)),
+        (4, None, "audio/wav", (None, None, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_audio(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    ref1 = np.abs(((7 + 11 * np.arange(100, dtype=np.int64)) % 65536) - 32768)
+    r = out[1]
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (16000, 1, 100)
+    assert r["sum_abs"] == int(ref1.sum()) and r["peak"] == int(ref1.max())
+    ref2 = np.abs(((3 + 11 * np.arange(100, dtype=np.int64)) % 65536) - 32768)
+    r = out[2]  # stereo: 50 frames, 100 interleaved samples
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 2, 50)
+    assert r["sum_abs"] == int(ref2.sum())
+    assert out[3]["ok"] is False and out[4]["ok"] is False
