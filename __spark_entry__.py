@@ -1075,6 +1075,22 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table (operators/dedup.py
+    semantic_dedup): label groups act as the clusters; members are
+    ranked farthest-from-centroid first and dropped when a
+    better-ranked member is within cosine 0.3 (low threshold because
+    the synthetic vectors are near-orthogonal — 111 qualifying pairs
+    at sf0.01, so the drop path genuinely executes).  Cosines round to
+    9 decimals on both engines before every comparison."""
+    from pandance_spark.operators.dedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=0.3, keep="farthest"
+    )
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode round-trip (operators/multimodal.py
     decode_audio): pack deterministic 16-bit PCM WAV per document
@@ -1226,11 +1242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_keywords": _q_theta_keywords,
         "theta_udf_gcd": _q_theta_udf_gcd,
         # dedup / similarity extensions (r5: dedup_exact, dedup_simhash,
-        # ann_topk, ann_lsh, embedding_dedup rotated OUT after 3 straight
-        # green driver rounds r2-r4; dedup_incremental CHANGED this round
-        # — now exercises add_to_minhash_index — so it stays in)
+        # dedup_minhash, ann_topk, ann_lsh, embedding_dedup rotated OUT
+        # after 3 straight green driver rounds r2-r4 — minhash's exact-
+        # Jaccard oracle family stays exercised via dedup_incremental;
+        # dedup_incremental CHANGED this round — now exercises
+        # add_to_minhash_index — so it stays in; semantic_dedup is NEW)
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_minhash": _q_dedup_minhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
@@ -1239,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dups": _q_fingerprint_dups,
         "ann_ivf": _q_ann_ivf,
         "ann_quantized": _q_ann_quantized,
+        "semantic_dedup": _q_semantic_dedup,
         # text analysis / multimodal (r5: text_repetition, text_langid
         # rotated out after 3 green rounds; multimodal_decode is NEW —
         # real PPM codec round-trip)
@@ -1301,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
+        "dedup_minhash": _q_dedup_minhash,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2507,6 +2526,55 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
                    TRUE AS ok
             FROM p
+        """,
+        # SemDeDup: centroid/rank/drop decisions replayed with list ops;
+        # every cosine is rounded to 9 decimals on BOTH engines before
+        # comparison so the decisions are bit-identical
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ),
+            nn AS (
+              SELECT vec_id, label, v,
+                     sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+              FROM e
+            ),
+            px AS (
+              SELECT label, unnest(generate_series(1, len(v))) AS p, v
+              FROM e
+            ),
+            cx AS (
+              SELECT label, p, avg(v[p]) AS c FROM px GROUP BY label, p
+            ),
+            cent AS (
+              SELECT label, list(c ORDER BY p) AS cvec,
+                     sqrt(sum(c*c)) AS cnrm
+              FROM cx GROUP BY label
+            ),
+            scored AS (
+              SELECT nn.vec_id, nn.label, nn.v, nn.nrm,
+                     round(list_dot_product(nn.v, cent.cvec)
+                           / (nn.nrm * cent.cnrm), 9) AS ccos
+              FROM nn JOIN cent USING (label)
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY label ORDER BY ccos ASC, vec_id ASC
+                     ) AS rank
+              FROM scored
+            ),
+            dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM ranked a JOIN ranked b USING (label)
+              WHERE a.rank < b.rank
+                AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+                    >= 0.3
+            )
+            SELECT r.vec_id, r.label, r.ccos AS centroid_cos,
+                   CAST(r.rank AS INTEGER) AS rank,
+                   (d.vec_id IS NULL) AS kept
+            FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
         """,
         # audio round trip: closed-form PCM samples recomputed in SQL
         "multimodal_audio": """

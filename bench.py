@@ -208,6 +208,8 @@ def main():
         "lm_perplexity_bigram",
         "multimodal_decode",
         "scd2_apply_late",
+        "dedup_paragraphs",
+        "multimodal_audio",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -54,6 +54,7 @@ __all__ = [
     "overlap_set_join",
     "fingerprint_overlap_join",
     "dedup_paragraphs",
+    "semantic_dedup",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1553,5 +1554,123 @@ def dedup_paragraphs(
             F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
             F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.95,
+    keep: str = "farthest",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): WITHIN each cluster, rank members by cosine to
+    the cluster centroid and drop every member that has pairwise
+    cosine >= ``threshold`` with a better-ranked member.  ``keep`` =
+    ``'farthest'`` ranks low-centroid-cosine first (the paper's
+    diversity-preserving choice); ``'closest'`` ranks prototypes
+    first.  Ranks tie-break on id, so the survivor set is
+    deterministic under any partitioning.
+
+    Complements :func:`embedding_cosine_pairs` (global threshold
+    pairs): here candidate generation is the CLUSTER assignment — at
+    100 TB, scale ``n_clusters`` with the corpus so per-cluster sizes
+    stay bounded (the paper's regime); the in-cluster comparison is
+    then pairs ∝ sum(cluster_size²), never corpus².  All-Column
+    expressions (fold-based dot products), one shuffle for the
+    centroid agg, one for the rank window, one in-cluster join.
+
+    Returns ``(id_col, cluster_col, centroid_cos, rank, kept)`` — one
+    row per input vector.  Cosines are rounded to 9 decimals before
+    every comparison so independent engines replay identical
+    decisions.
+    """
+    if keep not in ("farthest", "closest"):
+        raise ValueError("keep must be 'farthest' or 'closest'")
+    from pyspark.sql.window import Window as _W
+
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(cluster_col).alias("__cl"),
+        vecd.alias("__v"),
+    ).withColumn(
+        "__norm",
+        F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    # centroid per cluster: position-exploded mean, reassembled in order
+    cent = (
+        base.select("__cl", F.posexplode("__v").alias("__p", "__x"))
+        .groupBy("__cl", "__p")
+        .agg(F.avg("__x").alias("__c"))
+        .groupBy("__cl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cvec")
+        )
+        .withColumn(
+            "__cnorm",
+            F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x)),
+        )
+    )
+    dot_c = F.aggregate(
+        F.zip_with("__v", "__cvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = _W.partitionBy("__cl").orderBy(
+        F.col("__ccos").asc() if keep == "farthest" else F.col("__ccos").desc(),
+        F.col("__id").asc(),
+    )
+    ranked = (
+        base.join(F.broadcast(cent), "__cl")
+        .withColumn("__ccos", F.round(dot_c / (F.col("__norm") * F.col("__cnorm")), 9))
+        .withColumn("__rank", F.row_number().over(w))
+        .select("__id", "__cl", "__v", "__norm", "__ccos", "__rank")
+        .localCheckpoint(eager=True)  # feeds both sides of the pair join
+    )
+    a = ranked.select(
+        F.col("__cl"),
+        F.col("__id").alias("__id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
+        F.col("__rank").alias("__rank_a"),
+    )
+    b = ranked.select(
+        F.col("__cl"),
+        F.col("__id").alias("__id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        F.col("__rank").alias("__rank_b"),
+    )
+    pair_cos = F.round(
+        F.aggregate(
+            F.zip_with("__va", "__vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("__na") * F.col("__nb")),
+        9,
+    )
+    dropped = (
+        a.join(b, "__cl")
+        .filter(F.col("__rank_a") < F.col("__rank_b"))
+        .filter(pair_cos >= F.lit(threshold))
+        .select(F.col("__id_b").alias("__id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").alias(cluster_col),
+            F.col("__ccos").alias("centroid_cos"),
+            F.col("__rank").alias("rank"),
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )

@@ -571,3 +571,41 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
         ).collect()
     }
     assert again == {k: v["text_deduped"] for k, v in out.items()}
+
+
+def test_semantic_dedup_cluster_scoped_keep_policy(spark):
+    from pandance_spark.operators.dedup import semantic_dedup
+
+    # cluster 0: a and b near-identical, c orthogonal; centroid is
+    # pulled toward a/b, so c ranks first under keep='farthest', then
+    # whichever of a/b ranks better keeps and the other drops.
+    # cluster 1: two near-identical vectors must NOT interact with
+    # cluster 0 (cluster-scoped, unlike a global pair join).
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (10, [0.0, 0.0, 1.0], 1),
+        (11, [0.0, 0.01, 0.999], 1),
+    ]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label int"
+            ),
+            "vec_id", "embedding", "label", threshold=0.9,
+        ).collect()
+    }
+    assert out[3]["kept"] and out[3]["rank"] == 1  # farthest from centroid
+    kept_ab = [i for i in (1, 2) if out[i]["kept"]]
+    assert len(kept_ab) == 1  # exactly one of the near-dup pair survives
+    # cluster 1: exactly one of its near-dup pair survives too
+    assert sum(out[i]["kept"] for i in (10, 11)) == 1
+    with pytest.raises(ValueError):
+        semantic_dedup(
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, label int"
+            ),
+            "vec_id", "embedding", "label", keep="weird",
+        )
