@@ -1118,8 +1118,8 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_scd2_apply_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scd2_apply with a LATE batch (operators/scd.py:120): the
-    dimension is built from 80%% of the event log, then the held-out
-    20%% — whose timestamps interleave throughout history — is spliced
+    dimension is built from 80% of the event log, then the held-out
+    20% — whose timestamps interleave throughout history — is spliced
     in.  The oracle replays the same two-stage semantics in SQL
     (change points of the base log, union the late batch, re-derive
     intervals; existing versions carry NULL order ids that sort FIRST

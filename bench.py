@@ -275,7 +275,7 @@ def main():
 
     spread = {}
 
-    def _timed_reps(fn) -> float:
+    def _timed_reps(fn) -> list:
         reps = []
         for _ in range(REPS):
             t0 = time.time()

@@ -1627,8 +1627,11 @@ def semantic_dedup(
         F.col("__ccos").asc() if keep == "farthest" else F.col("__ccos").desc(),
         F.col("__id").asc(),
     )
+    # no broadcast hint: cent is O(n_clusters x dim) and the operator's
+    # own scale guidance grows n_clusters with the corpus — let AQE
+    # pick broadcast only when the centroid table actually fits
     ranked = (
-        base.join(F.broadcast(cent), "__cl")
+        base.join(cent, "__cl")
         .withColumn("__ccos", F.round(dot_c / (F.col("__norm") * F.col("__cnorm")), 9))
         .withColumn("__rank", F.row_number().over(w))
         .select("__id", "__cl", "__v", "__norm", "__ccos", "__rank")
@@ -1657,15 +1660,19 @@ def semantic_dedup(
         / (F.col("__na") * F.col("__nb")),
         9,
     )
+    # drop keys are (cluster, id): ids need not be globally unique —
+    # a drop in one cluster must never shadow a same-id row elsewhere
     dropped = (
         a.join(b, "__cl")
         .filter(F.col("__rank_a") < F.col("__rank_b"))
         .filter(pair_cos >= F.lit(threshold))
-        .select(F.col("__id_b").alias("__id"))
+        .select("__cl", F.col("__id_b").alias("__id"))
         .distinct()
     )
     return (
-        ranked.join(dropped.withColumn("__dropped", F.lit(True)), "__id", "left")
+        ranked.join(
+            dropped.withColumn("__dropped", F.lit(True)), ["__cl", "__id"], "left"
+        )
         .select(
             F.col("__id").alias(id_col),
             F.col("__cl").alias(cluster_col),

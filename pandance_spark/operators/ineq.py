@@ -103,9 +103,8 @@ def ineq_join(
     cond = _OPS[how](left2[lcol], right2[rcol])
     out_cols = [*left2.columns, *right2.columns]
 
-    rstat = None
     if disjoint_fast_path:
-        fast, _lstat, rstat = _try_disjoint_fast_path(
+        fast, _lstat, _rstat = _try_disjoint_fast_path(
             left2, right2, lcol, rcol, how, out_cols
         )
         if fast is not None:
@@ -115,7 +114,7 @@ def ineq_join(
         strategy = _pick_strategy(left2, right2, lcol, rcol)
     if strategy == "band":
         banded = _band_join(
-            left2, right2, lcol, rcol, how, num_bands, out_cols, rstat
+            left2, right2, lcol, rcol, how, num_bands, out_cols
         )
         if banded is not None:
             return banded
@@ -284,12 +283,14 @@ def _band_join(
     how: str,
     num_bands: int,
     out_cols,
-    rstat=None,
 ) -> Optional[DataFrame]:
     """Quantile band join.  Returns None when the band path does not
-    apply (non-numeric key, degenerate cuts) so the caller can fall back.
+    apply (non-orderable key, degenerate cuts) so the caller can fall
+    back.
 
-    band(v) = #cuts <= v, cuts from approxQuantile of the right side.
+    band(v) = #cuts <= v; cuts come from approxQuantile of the right
+    side for numeric/timestamp keys and from a bounded value sample
+    (:func:`_string_cuts`) for string keys.
     Bands are value-ordered intervals, so for ``<``/``<=`` a pair with
     band_l < band_r is guaranteed to match and only the diagonal needs
     the exact predicate (the distributed analog of the reference's

@@ -162,7 +162,12 @@ def _parse_ppm(raw: bytes) -> Optional[np.ndarray]:
     w, h, maxval = vals
     if maxval != 255 or w <= 0 or h <= 0:
         return None
-    pos += 1  # exactly one whitespace byte before the raster
+    # exactly ONE whitespace byte must separate maxval from the raster
+    # (Netpbm spec); anything else is a malformed header and decoding
+    # from a guessed offset would return garbage with ok=true
+    if not raw[pos : pos + 1].isspace():
+        return None
+    pos += 1
     need = w * h * 3
     if len(raw) - pos < need:
         return None

@@ -609,3 +609,24 @@ def test_semantic_dedup_cluster_scoped_keep_policy(spark):
             ),
             "vec_id", "embedding", "label", keep="weird",
         )
+
+
+def test_semantic_dedup_ids_unique_per_cluster_only(spark):
+    # review fix: drop keys are (cluster, id) — a drop in one cluster
+    # must not shadow the same id in another cluster
+    from pandance_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (7, [1.0, 0.0], 0),
+        (8, [0.999, 0.01], 0),   # near-dup of 7 -> one of them drops
+        (7, [0.0, 1.0], 1),      # same id, different cluster: singleton
+    ]
+    out = semantic_dedup(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        ),
+        "vec_id", "embedding", "label", threshold=0.9,
+    ).collect()
+    by_key = {(r["label"], r["vec_id"]): r["kept"] for r in out}
+    assert by_key[(1, 7)] is True           # untouched singleton
+    assert sum(by_key[(0, i)] for i in (7, 8)) == 1

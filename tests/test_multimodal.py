@@ -196,3 +196,15 @@ def test_decode_audio_wav_roundtrip(spark):
     assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (8000, 2, 50)
     assert r["sum_abs"] == int(ref2.sum())
     assert out[3]["ok"] is False and out[4]["ok"] is False
+
+
+def test_decode_image_ppm_bad_maxval_separator(spark):
+    # review fix: the byte after maxval must be whitespace — a comment
+    # there would shift the raster; must degrade to ok=false, not
+    # decode garbage
+    raw = pack_ppm_image(4, 3, seed=9)
+    bad = b"P6\n4 3\n255# junk\n" + raw.split(b"255\n", 1)[1]
+    r = decode_image(
+        spark.createDataFrame([(1, bad, "image/x-ppm", (4, 3, None))], MEDIA_SCHEMA)
+    ).first()
+    assert r["ok"] is False and r["sum_r"] is None
