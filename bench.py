@@ -210,6 +210,7 @@ def main():
         "scd2_apply_late",
         "dedup_paragraphs",
         "multimodal_audio",
+        "semantic_dedup",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
