@@ -1116,6 +1116,46 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux + decode round-trip (operators/multimodal.py
+    pack_avi_video / sample_frames_video / decode_image): pack a
+    deterministic uncompressed AVI per document, demux every 2nd
+    ``00db`` DIB frame through the RIFF walker, decode each frame with
+    the BMP codec, and emit exact per-channel sums.  The oracle
+    enumerates the same sampled frame indices and recomputes the sums
+    from the per-frame closed form (frame f seed = seed + 131 f)."""
+    from pandance_spark.operators.multimodal import (
+        decode_image,
+        pack_avi_video,
+        sample_frames_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_avi_video(
+                2 + d % 4, 4 + d % 5, 3 + d % 3, int(d) % 200
+            )
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), _pack(F.col("doc_id")).alias("payload")
+    )
+    frames = sample_frames_video(media, every_k=2)
+    return decode_image(frames, "frame").select(
+        F.col("media_id").alias("doc_id"),
+        "frame_index",
+        "decoded_width",
+        "decoded_height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "ok",
+    )
+
+
 def _q_scd2_apply_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scd2_apply with a LATE batch (operators/scd.py:120): the
     dimension is built from 80% of the event log, then the held-out
@@ -1262,9 +1302,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real PPM codec round-trip)
         # (r5: text_fingerprints rotated out after 3 green rounds for
         # the new multimodal_audio)
+        # (r5: gopher_quality rotated out after 2 green rounds for the
+        # new multimodal_video)
         "lm_perplexity": _q_lm_perplexity,
         "multimodal_audio": _q_multimodal_audio,
-        "gopher_quality": _q_gopher_quality,
+        "multimodal_video": _q_multimodal_video,
         "bm25_topk": _q_bm25,
         "knn_graph": _q_knn_graph,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
@@ -1320,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
+        "gopher_quality": _q_gopher_quality,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2575,6 +2618,38 @@ ORDER BY doc_id
                    CAST(r.rank AS INTEGER) AS rank,
                    (d.vec_id IS NULL) AS kept
             FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+        """,
+        # video round trip: sampled frame indices enumerated, per-frame
+        # pixel sums recomputed from frame seed = seed + 131*f
+        "multimodal_video": """
+            WITH p AS (
+              SELECT doc_id,
+                     2 + doc_id % 4 AS nf,
+                     CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                     CAST(3 + doc_id % 3 AS INTEGER) AS h,
+                     doc_id % 200 AS seed
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, w, h, seed,
+                     unnest(generate_series(0, nf - 1, 2)) AS fi
+              FROM p
+            ),
+            s AS (
+              SELECT doc_id, CAST(fi AS INTEGER) AS frame_index, w, h,
+                     seed + 131 * fi AS fs, w * h AS np
+              FROM f
+            )
+            SELECT doc_id, frame_index,
+                   w AS decoded_width, h AS decoded_height,
+                   CAST(list_sum([(fs + 21*j) % 256
+                                  for j in range(0, np)]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([(fs + 7 + 21*j) % 256
+                                  for j in range(0, np)]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([(fs + 14 + 21*j) % 256
+                                  for j in range(0, np)]) AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM s
         """,
         # audio round trip: closed-form PCM samples recomputed in SQL
         "multimodal_audio": """

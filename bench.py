@@ -211,6 +211,7 @@ def main():
         "dedup_paragraphs",
         "multimodal_audio",
         "semantic_dedup",
+        "multimodal_video",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -46,6 +46,8 @@ __all__ = [
     "pack_bmp_image",
     "pack_wav_audio",
     "decode_audio",
+    "pack_avi_video",
+    "sample_frames_video",
     "attach_binary_payload",
     "fake_decode_meta",
     "decode_image",
@@ -569,3 +571,161 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(_decode, out_schema)
+
+
+def _dib_frame_bytes(width: int, height: int, frame_seed: int) -> bytes:
+    """One uncompressed 24-bit DIB frame (bottom-up BGR, 4-byte row
+    padding) with the :func:`pack_ppm_image` pixel formula."""
+    n = width * height * 3
+    rgb = (
+        ((frame_seed + 7 * np.arange(n, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(height, width, 3)
+    )
+    bgr_bottom_up = rgb[::-1, :, ::-1]
+    stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
+    return rows.tobytes()
+
+
+def pack_avi_video(
+    n_frames: int, width: int, height: int, seed: int, fps: int = 10
+) -> bytes:
+    """Minimal VALID uncompressed AVI (RIFF ``AVI ``): ``hdrl`` list
+    (``avih`` + one ``vids/DIB `` stream with a BITMAPINFOHEADER
+    ``strf``) and a ``movi`` list of ``00db`` DIB frames.  Frame ``f``
+    uses pixel seed ``seed + 131*f`` — closed form for the oracle,
+    like the image/audio packers."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_size = ((width * 3 + 3) & ~3) * height
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n_frames, 0, 1,
+        frame_size, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsDIB "
+        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      frame_size, 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size,
+        2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(b"00db", _dib_frame_bytes(width, height, seed + 131 * f))
+            for f in range(n_frames)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _parse_avi(raw: bytes):
+    """Walk a RIFF AVI: returns ``(width, height, [frame DIB bytes])``
+    for uncompressed 24-bit ``00db`` streams, or None on any
+    malformation (bad magic, missing strf/movi, compressed codec)."""
+    if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"AVI ":
+        return None
+    strf, frames = None, []
+
+    def walk(buf: bytes) -> bool:
+        nonlocal strf
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            if pos + 8 + size > len(buf):
+                return False
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                if not walk(body[4:]):  # skip the list-type fourcc
+                    return False
+            elif cid == b"strf":
+                strf = body
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append(body)
+            pos += 8 + size + (size & 1)
+        return True
+
+    if not walk(raw[12:]) or strf is None or len(strf) < 40:
+        return None
+    w = struct.unpack_from("<i", strf, 4)[0]
+    h = struct.unpack_from("<i", strf, 8)[0]
+    bpp = struct.unpack_from("<H", strf, 14)[0]
+    comp = struct.unpack_from("<I", strf, 16)[0]
+    if w <= 0 or h == 0 or bpp != 24 or comp != 0:
+        return None
+    return w, h, frames
+
+
+def sample_frames_video(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling over uncompressed AVI payloads — the
+    container-demux sibling of :func:`sample_frames` (which handles
+    the fake ``FVID`` format): walk the RIFF structure, keep every
+    k-th ``00db`` frame, and emit each as a standalone BMP so
+    :func:`decode_image` decodes it directly.  One output row per
+    kept frame: ``(media_id, frame_index, frame)``.  Payloads that
+    don't parse produce no rows (same contract as sample_frames).
+    Swap pyav/ffmpeg into this stage for compressed codecs.
+    """
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                parsed = _parse_avi(raw)
+                if parsed is None:
+                    continue
+                w, h, fr = parsed
+                data_off = 14 + 40
+                for i in range(0, len(fr), every_k):
+                    bmp = (
+                        b"BM"
+                        + struct.pack("<IHHI", data_off + len(fr[i]), 0, 0, data_off)
+                        + struct.pack(
+                            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(fr[i]),
+                            2835, 2835, 0, 0,
+                        )
+                        + fr[i]
+                    )
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(bmp)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_index": pd.array(idxs, dtype="Int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(_sample, out_schema)

@@ -208,3 +208,39 @@ def test_decode_image_ppm_bad_maxval_separator(spark):
         spark.createDataFrame([(1, bad, "image/x-ppm", (4, 3, None))], MEDIA_SCHEMA)
     ).first()
     assert r["ok"] is False and r["sum_r"] is None
+
+
+def test_sample_frames_video_avi_roundtrip(spark):
+    from pandance_spark.operators.multimodal import (
+        pack_avi_video, sample_frames_video,
+    )
+
+    rows = [
+        (1, pack_avi_video(5, 6, 4, seed=20), "video/avi", (6, 4, None)),
+        (2, b"RIFFxxxxJUNK", "video/avi", (None, None, None)),
+        (3, None, "video/avi", (None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames_video(media, every_k=2)
+    got = frames.orderBy("media_id", "frame_index").collect()
+    assert [(r["media_id"], r["frame_index"]) for r in got] == [
+        (1, 0), (1, 2), (1, 4)
+    ]
+    # each demuxed frame decodes as BMP with the per-frame closed form
+    dec = decode_image(
+        spark.createDataFrame(
+            [(r["frame_index"], bytes(r["frame"]), "image/bmp",
+              (None, None, None)) for r in got],
+            MEDIA_SCHEMA,
+        ),
+        "payload",
+    ).collect()
+    for r in dec:
+        f = r["media_id"]  # frame_index smuggled as id
+        ref = _ref_pixels(6, 4, 20 + 131 * f).reshape(-1, 3).sum(
+            axis=0, dtype="int64"
+        )
+        assert (r["decoded_width"], r["decoded_height"], r["ok"]) == (6, 4, True)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in ref)
+    with pytest.raises(ValueError):
+        sample_frames_video(media, every_k=0)
