@@ -1500,9 +1500,10 @@ def dedup_paragraphs(
     dropped before counting.
 
     Scale plan: posexplode is a pure projection; the first-occurrence
-    choice is ONE groupBy shuffle on the paragraph text; reassembly is
-    one groupBy on the doc id.  Work ∝ total paragraphs, never
-    docs² — and at 100 TB the paragraph-key shuffle is the same
+    choice is ONE window shuffle on the paragraph text (row_number —
+    no join-back, so the corpus is scanned and exploded exactly once);
+    reassembly is one groupBy on the doc id.  Work ∝ total paragraphs,
+    never docs² — at 100 TB the paragraph-key shuffle is the same
     volume a distinct() over the corpus' paragraphs would pay.
     Determinism: min (id, pos) is a total order, so reruns and
     different partitionings keep the same copy.
@@ -1517,14 +1518,16 @@ def dedup_paragraphs(
         )
         .filter(F.col("__para") != "")
     )
-    # one shuffle: the globally-first (id, pos) per distinct paragraph
-    firsts = parts.groupBy("__para").agg(
-        F.min(F.struct("__id", "__pos")).alias("__first")
+    # one shuffle on the paragraph key decides first-occurrence via a
+    # window — NOT groupBy + join-back, which evaluates (and at scan
+    # level re-reads + re-explodes) the corpus twice (r5 plan audit)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("__para").orderBy(
+        F.col("__id").asc(), F.col("__pos").asc()
     )
-    kept = parts.join(firsts, "__para").withColumn(
-        "__keep",
-        (F.col("__first.__id") == F.col("__id"))
-        & (F.col("__first.__pos") == F.col("__pos")),
+    kept = parts.withColumn(
+        "__keep", F.row_number().over(w) == F.lit(1)
     )
     per_doc = kept.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_paragraphs"),
