@@ -118,26 +118,7 @@ def pack_bmp_image(width: int, height: int, seed: int) -> bytes:
     an uncompressed bottom-up 24-bit BMP (BGR rows padded to 4 bytes)
     — decoding either format for the same (width, height, seed) yields
     identical pixels, which the tests assert."""
-    n = width * height * 3
-    rgb = (
-        ((seed + 7 * np.arange(n, dtype=np.int64)) % 256)
-        .astype(np.uint8)
-        .reshape(height, width, 3)
-    )
-    bgr_bottom_up = rgb[::-1, :, ::-1]
-    stride = (width * 3 + 3) & ~3
-    rows = np.zeros((height, stride), dtype=np.uint8)
-    rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
-    data = rows.tobytes()
-    data_off = 14 + 40
-    header = (
-        b"BM"
-        + struct.pack("<IHHI", data_off + len(data), 0, 0, data_off)
-        + struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
-        )
-    )
-    return header + data
+    return _bmp_wrap(width, height, _dib_frame_bytes(width, height, seed))
 
 
 def _parse_ppm(raw: bytes) -> Optional[np.ndarray]:
@@ -575,7 +556,9 @@ def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 def _dib_frame_bytes(width: int, height: int, frame_seed: int) -> bytes:
     """One uncompressed 24-bit DIB frame (bottom-up BGR, 4-byte row
-    padding) with the :func:`pack_ppm_image` pixel formula."""
+    padding) with the :func:`pack_ppm_image` pixel formula — the
+    shared raster builder behind :func:`pack_bmp_image` and
+    :func:`pack_avi_video`."""
     n = width * height * 3
     rgb = (
         ((frame_seed + 7 * np.arange(n, dtype=np.int64)) % 256)
@@ -587,6 +570,22 @@ def _dib_frame_bytes(width: int, height: int, frame_seed: int) -> bytes:
     rows = np.zeros((height, stride), dtype=np.uint8)
     rows[:, : width * 3] = bgr_bottom_up.reshape(height, width * 3)
     return rows.tobytes()
+
+
+def _bmp_wrap(width: int, height: int, dib_data: bytes) -> bytes:
+    """Prepend BITMAPFILEHEADER + BITMAPINFOHEADER to raw bottom-up
+    24-bit DIB data — shared by :func:`pack_bmp_image` and the AVI
+    frame re-emit in :func:`sample_frames_video`."""
+    data_off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(dib_data), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(dib_data),
+            2835, 2835, 0, 0,
+        )
+        + dib_data
+    )
 
 
 def pack_avi_video(
@@ -611,10 +610,13 @@ def pack_avi_video(
         1_000_000 // fps, frame_size * fps, 0, 0x10, n_frames, 0, 1,
         frame_size, width, height, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER: flags, wPriority+wLanguage, initial_frames,
+    # scale, rate, start, length, suggested_bufsize, quality,
+    # sample_size, then rcFrame — 56 bytes exactly
     strh = (
         b"vidsDIB "
-        + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
-                      frame_size, 0, 0, 0)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames,
+                      frame_size, 0, 0)
         + struct.pack("<HHHH", 0, 0, width, height)
     )
     strf = struct.pack(
@@ -638,33 +640,59 @@ def pack_avi_video(
 
 
 def _parse_avi(raw: bytes):
-    """Walk a RIFF AVI: returns ``(width, height, [frame DIB bytes])``
-    for uncompressed 24-bit ``00db`` streams, or None on any
-    malformation (bad magic, missing strf/movi, compressed codec)."""
+    """Walk a RIFF AVI iteratively (explicit stack, bounded depth and
+    chunk count — a crafted deep-nest payload must degrade, never
+    RecursionError a Spark task).  Returns ``(width, height,
+    [frame DIB bytes])`` for the FIRST uncompressed 24-bit ``vids``
+    stream; frames from other streams (audio, second video) are
+    ignored rather than mixed in, and an audio stream's WAVEFORMATEX
+    ``strf`` cannot shadow the video BITMAPINFOHEADER.  None on any
+    malformation."""
     if raw[:4] != b"RIFF" or len(raw) < 12 or raw[8:12] != b"AVI ":
         return None
     strf, frames = None, []
-
-    def walk(buf: bytes) -> bool:
-        nonlocal strf
-        pos = 0
+    stream_idx, video_idx, last_strh_type = 0, None, None
+    stack = [(raw, 12)]  # (buffer, pos)
+    seen_chunks = 0
+    while stack:
+        buf, pos = stack.pop()
         while pos + 8 <= len(buf):
+            seen_chunks += 1
+            if len(stack) > 32 or seen_chunks > 100_000:
+                return None  # adversarial nesting / chunk bomb
             cid = buf[pos : pos + 4]
             size = struct.unpack_from("<I", buf, pos + 4)[0]
             if pos + 8 + size > len(buf):
-                return False
+                return None
             body = buf[pos + 8 : pos + 8 + size]
+            next_pos = pos + 8 + size + (size & 1)
             if cid == b"LIST":
-                if not walk(body[4:]):  # skip the list-type fourcc
-                    return False
+                # resume the current buffer later; descend into the
+                # list body (skipping its 4-byte list-type fourcc)
+                stack.append((buf, next_pos))
+                buf, pos = body, 4
+                continue
+            if cid == b"strh":
+                last_strh_type = body[:4]
+                if last_strh_type == b"vids" and video_idx is None:
+                    video_idx = stream_idx
+                stream_idx += 1
             elif cid == b"strf":
-                strf = body
-            elif cid[2:4] in (b"db", b"dc"):
+                if (
+                    strf is None
+                    and last_strh_type == b"vids"
+                    and len(body) >= 40
+                ):
+                    strf = body
+                last_strh_type = None
+            elif (
+                cid[2:4] in (b"db", b"dc")
+                and video_idx is not None
+                and cid[:2] == b"%02d" % video_idx
+            ):
                 frames.append(body)
-            pos += 8 + size + (size & 1)
-        return True
-
-    if not walk(raw[12:]) or strf is None or len(strf) < 40:
+            pos = next_pos
+    if strf is None:
         return None
     w = struct.unpack_from("<i", strf, 4)[0]
     h = struct.unpack_from("<i", strf, 8)[0]
@@ -702,24 +730,17 @@ def sample_frames_video(
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                parsed = _parse_avi(raw)
+                try:
+                    parsed = _parse_avi(raw)
+                except Exception:
+                    parsed = None  # degrade, never kill the task
                 if parsed is None:
                     continue
                 w, h, fr = parsed
-                data_off = 14 + 40
                 for i in range(0, len(fr), every_k):
-                    bmp = (
-                        b"BM"
-                        + struct.pack("<IHHI", data_off + len(fr[i]), 0, 0, data_off)
-                        + struct.pack(
-                            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(fr[i]),
-                            2835, 2835, 0, 0,
-                        )
-                        + fr[i]
-                    )
                     ids.append(media_id)
                     idxs.append(i)
-                    frames.append(bmp)
+                    frames.append(_bmp_wrap(w, h, fr[i]))
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="Int64"),

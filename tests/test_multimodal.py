@@ -244,3 +244,76 @@ def test_sample_frames_video_avi_roundtrip(spark):
         assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in ref)
     with pytest.raises(ValueError):
         sample_frames_video(media, every_k=0)
+
+
+def _chunk(cid, body):
+    import struct as _s
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + _s.pack("<I", len(body)) + body + pad
+
+
+def _lst(ltype, body):
+    return _chunk(b"LIST", ltype + body)
+
+
+def test_sample_frames_video_multistream_and_bomb(spark):
+    """Review fixes: an audio stream's strf must not shadow the video
+    header (audio-first AVI still demuxes); only the video stream's
+    frames are taken; a deep-nested LIST bomb degrades to zero rows
+    instead of RecursionError-ing the task."""
+    import struct as _s
+
+    from pandance_spark.operators.multimodal import (
+        pack_avi_video, sample_frames_video,
+    )
+
+    good = pack_avi_video(3, 6, 4, seed=20)
+    # splice an AUDIO strl list after the video strl inside hdrl
+    # (video stays stream 00; audio becomes stream 01)
+    auds_strh = b"auds\x00\x00\x00\x00" + b"\x00" * 48
+    auds_strf = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)  # WAVEFORMATEX
+    audio_strl = _lst(b"strl", _chunk(b"strh", auds_strh) + _chunk(b"strf", auds_strf))
+    # rebuild: RIFF(AVI  hdrl(avih + audio_strl + video_strl) movi)
+    body = good[12:]
+    # locate the original hdrl list and inject the audio strl after avih
+    assert body[:4] == b"LIST"
+    hdrl_size = _s.unpack_from("<I", body, 4)[0]
+    hdrl_body = body[12 : 8 + hdrl_size]  # after 'hdrl' fourcc
+    avih_size = _s.unpack_from("<I", hdrl_body, 4)[0]
+    avih_chunk = hdrl_body[: 8 + avih_size + (avih_size & 1)]
+    video_strl = hdrl_body[len(avih_chunk):]
+    # add a stream-01 '01db' RED HERRING frame in movi that must NOT
+    # be returned (the video stream is 00; 01 is the audio stream)
+    movi = body[8 + hdrl_size + (hdrl_size & 1):]
+    herring = _chunk(b"01db", b"\xff" * 76)
+    assert movi[:4] == b"LIST"
+    movi_size = _s.unpack_from("<I", movi, 4)[0]
+    movi_body = movi[12 : 8 + movi_size]
+    new_avi = (
+        b"RIFF" + b"\x00\x00\x00\x00" + b"AVI "
+        + _lst(b"hdrl", avih_chunk + video_strl + audio_strl)
+        + _lst(b"movi", movi_body + herring)
+    )
+    bomb = b"RIFF" + b"\x00\x00\x00\x00" + b"AVI "
+    nest = _chunk(b"00db", b"x" * 4)
+    for _ in range(2000):
+        nest = _lst(b"hdrl", nest)
+    bomb = bomb + nest
+
+    media = spark.createDataFrame(
+        [
+            (1, new_avi, "video/avi", (None, None, None)),
+            (2, bomb, "video/avi", (None, None, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = sample_frames_video(media, every_k=1).collect()
+    assert {r["media_id"] for r in got} == {1}
+    assert len(got) == 3  # only the 00-stream frames, herring excluded
+    dec = decode_image(
+        spark.createDataFrame(
+            [(1, bytes(got[0]["frame"]), "image/bmp", (None, None, None))],
+            MEDIA_SCHEMA,
+        )
+    ).first()
+    assert (dec["decoded_width"], dec["decoded_height"], dec["ok"]) == (6, 4, True)
