@@ -96,6 +96,8 @@ def main():
     from pandance_spark.sources import load_table
     from pandance_spark.streaming import (
         read_events_stream,
+        running_user_stats,
+        sessionize_stream,
         stream_scd2_sink,
         stream_upsert_sink,
         streaming_dedup,
@@ -375,6 +377,117 @@ def main():
     b = canon_rows(survivors.collect(), cols)
     record("streaming_near_dup_filter", "spark-batch", s, b, None,
            note="survivor = no band collides with the static reference")
+
+    # ------------------------------------------------------------------
+    # 7. sessionize_stream (session_window agg, append mode): a far-
+    # future sentinel event advances the watermark so every real
+    # session flushes; sentinel sessions excluded from the comparison.
+    # Oracle = gaps-and-islands SQL (session end = last event + gap).
+    # ------------------------------------------------------------------
+    src = os.path.join(tmp, "sess_src")
+    ev_cols = ev_batch.select("user_id", "ts", "value")
+    ev_cols.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = ev_cols.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=30), 0.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_to_memory(
+        sessionize_stream(stream, gap="30 minutes", watermark="10 minutes"),
+        "parity_sessions",
+    )
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    s7 = canon_rows(
+        spark.table("parity_sessions").filter("user_id >= 0").collect(), cols
+    )
+    b7 = canon_rows(
+        ev_cols.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id", "n_events",
+        )
+        .collect(),
+        cols,
+    )
+    d7 = canon_rows(
+        duck_rows(con.sql(
+            """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            g AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM o
+            )
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id, count(*) AS n_events
+            FROM g GROUP BY user_id, sid
+            """
+        )),
+        cols,
+    )
+    record("sessionize_stream", "duckdb", s7, b7, d7,
+           note="sentinel event advances the watermark to flush sessions")
+
+    # ------------------------------------------------------------------
+    # 8. running_user_stats (applyInPandasWithState, update mode): the
+    # final update per user equals the batch aggregate
+    # ------------------------------------------------------------------
+    stream = read_events_stream(spark, SF_DIR)
+    run_stream_to_memory(
+        running_user_stats(stream), "parity_stats", output_mode="update"
+    )
+    cols = ["user_id", "n_events", "total_value", "last_ts"]
+    from pyspark.sql.window import Window as _W
+
+    latest = (
+        spark.table("parity_stats")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("__rn = 1")
+        .select("user_id", "n_events", F.round("total_value", 6).alias("total_value"), "last_ts")
+    )
+    s8 = canon_rows(latest.collect(), cols)
+    b8 = canon_rows(
+        ev_batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect(),
+        cols,
+    )
+    d8 = canon_rows(
+        duck_rows(con.sql(
+            "SELECT user_id, count(*) AS n_events, "
+            "round(sum(value), 6) AS total_value, max(ts) AS last_ts "
+            "FROM events GROUP BY user_id"
+        )),
+        cols,
+    )
+    record("running_user_stats", "duckdb", s8, b8, d8,
+           note="final applyInPandasWithState update per user == batch agg")
 
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
