@@ -1075,6 +1075,33 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (functions/text.py strip_html): each
+    document is wrapped in a deterministic HTML shell (style + comment
+    + headings + entities + a script with a raw '<'), stripped back to
+    text, and measured.  The oracle replays the identical RE2-portable
+    regex/entity pipeline in DuckDB — outputs must match byte-for-byte."""
+    from pandance_spark.functions.text import strip_html, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p {color: red}</style></head><body><!-- doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" &amp; more</p><script>var n = 1 < 2;</script></body></html>"),
+    )
+    clean = strip_html(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("n_chars_clean"),
+        token_count(clean).alias("n_tokens_clean"),
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table (operators/dedup.py
     semantic_dedup): label groups act as the clusters; members are
@@ -1294,9 +1321,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
         "fingerprint_dups": _q_fingerprint_dups,
-        "ann_ivf": _q_ann_ivf,
+        # (r5: ann_ivf rotated out after 3 green rounds for the new
+        # html_clean; ann_quantized stays — only 1 green round)
         "ann_quantized": _q_ann_quantized,
         "semantic_dedup": _q_semantic_dedup,
+        "html_clean": _q_html_clean,
         # text analysis / multimodal (r5: text_repetition, text_langid
         # rotated out after 3 green rounds; multimodal_decode is NEW —
         # real PPM codec round-trip)
@@ -1363,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
         "gopher_quality": _q_gopher_quality,
+        "ann_ivf": _q_ann_ivf,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2569,6 +2599,43 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
                    TRUE AS ok
             FROM p
+        """,
+        # strip_html replayed in DuckDB: same RE2-portable regex order
+        # (script, style, comments, tags), same entity chain with &amp;
+        # LAST, same whitespace collapse — byte-identical output
+        "html_clean": """
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><style>p {color: red}</style></head>'
+                     || '<body><!-- doc ' || CAST(doc_id AS VARCHAR)
+                     || ' --><h1>' || lang || '</h1><p>' || text
+                     || ' &amp; more</p><script>var n = 1 < 2;</script>'
+                     || '</body></html>' AS html
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(html,
+                                 '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis'),
+                               '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis'),
+                             '<!--.*?-->', ' ', 'gs'),
+                           '<[^>]*>', ' ', 'gs'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean_text
+              FROM h
+            )
+            SELECT doc_id, clean_text,
+                   length(clean_text) AS n_chars_clean,
+                   len(list_filter(
+                     string_split_regex(lower(clean_text), '[^a-z0-9]+'),
+                     t -> t <> '')) AS n_tokens_clean
+            FROM c
         """,
         # SemDeDup: centroid/rank/drop decisions replayed with list ops;
         # every cosine is rounded to 9 decimals on BOTH engines before

@@ -212,6 +212,7 @@ def main():
         "multimodal_audio",
         "semantic_dedup",
         "multimodal_video",
+        "html_clean",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

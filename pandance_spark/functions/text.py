@@ -16,6 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "strip_html",
     "tokenize",
     "token_count",
     "bpe_token_count",
@@ -477,3 +478,41 @@ def normalize_text(text: Column) -> Column:
     Java regex and RE2).
     """
     return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+# entity map shared by the Spark implementation and the DuckDB oracle:
+# chained literal replaces, applied AFTER tag removal, numeric last
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' must become '&lt;' literally
+]
+
+
+def strip_html(text: Column) -> Column:
+    """Boilerplate text extraction for web corpora: remove
+    ``<script>``/``<style>`` blocks wholesale, strip remaining tags
+    and HTML comments, decode the common entities, and collapse
+    whitespace runs.  Pure projection (three regexp_replace passes +
+    literal replaces) — zero shuffle, whole-stage codegen; the regexes
+    avoid lookarounds so any RE2-class engine (and the DuckDB oracle)
+    replays them byte-identically.
+
+    This is the cheap deterministic layer of HTML cleaning (what C4
+    did); DOM-aware readability extraction (trafilatura/jusText) is a
+    Pandas-UDF plug-in on top, like the multimodal codecs.
+    """
+    # (?is): case-insensitive, dot matches newline.  script/style are
+    # two separate passes (a backreference form would not be
+    # RE2-portable, breaking oracle replay)
+    out = F.regexp_replace(text, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

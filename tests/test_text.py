@@ -275,3 +275,25 @@ def test_bpe_token_count(spark):
     }
     for i, (t, want) in enumerate(cases):
         assert got[i] == want, (t, got[i], want)
+
+
+def test_strip_html_matches_expected(spark):
+    from pandance_spark.functions.text import strip_html
+
+    html = (
+        '<html><!-- c --><style a>p{}</style><body><h1>T</h1>'
+        "<p>x &amp;lt; y &nbsp;&quot;q&#39;</p>"
+        "<script>if (1<2) {}</script>tail</body>"
+    )
+    rows = [(1, html), (2, "no markup at all"), (3, ""), (4, None)]
+    got = {
+        r["i"]: r["t"]
+        for r in spark.createDataFrame(rows, "i long, h string")
+        .select("i", strip_html(F.col("h")).alias("t"))
+        .collect()
+    }
+    # script/style bodies gone wholesale, entities decoded, &amp;lt;
+    # becomes the LITERAL '&lt;' (amp decodes last), whitespace collapsed
+    assert got[1] == 'T x &lt; y "q\' tail'
+    assert got[2] == "no markup at all"
+    assert got[3] == "" and got[4] is None
