@@ -1075,6 +1075,16 @@ def _q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (functions/profile.py skew_report):
+    top-5 heavy hitters with row shares for the two natural event join
+    keys.  Oracle = per-column UNION ALL + rank window."""
+    from pandance_spark.functions.profile import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["event_type", "user_id"], top_k=5)
+
+
 def _q_html_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML boilerplate stripping (functions/text.py strip_html): each
     document is wrapped in a deterministic HTML shell (style + comment
@@ -1336,8 +1346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
+        # (r5: knn_graph rotated out after 2 green rounds for the new
+        # skew_report_events)
         "bm25_topk": _q_bm25,
-        "knn_graph": _q_knn_graph,
+        "skew_report_events": _q_skew_report_events,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "text_stats": _q_text_stats,
         "multimodal_decode": _q_multimodal_decode,
@@ -1393,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": _q_dedup_minhash,
         "gopher_quality": _q_gopher_quality,
         "ann_ivf": _q_ann_ivf,
+        "knn_graph": _q_knn_graph,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "ann_topk": _q_ann_topk,
@@ -2599,6 +2612,30 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
                    TRUE AS ok
             FROM p
+        """,
+        # skew diagnostics: per-column UNION ALL + rank window; NULL is
+        # a reportable value, ties break on value asc nulls first
+        "skew_report_events": """
+            WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events),
+            u AS (
+              SELECT 'event_type' AS col_name,
+                     CAST(event_type AS VARCHAR) AS value, count(*) AS cnt
+              FROM events GROUP BY 2
+              UNION ALL
+              SELECT 'user_id', CAST(user_id AS VARCHAR), count(*)
+              FROM events GROUP BY 2
+            ),
+            r AS (
+              SELECT u.*, row_number() OVER (
+                       PARTITION BY col_name
+                       ORDER BY cnt DESC, value ASC NULLS FIRST
+                     ) AS rank
+              FROM u
+            )
+            SELECT col_name, value, cnt,
+                   round(cnt / t.total, 6) AS share,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r, t WHERE rank <= 5
         """,
         # strip_html replayed in DuckDB: same RE2-portable regex order
         # (script, style, comments, tags), same entity chain with &amp;

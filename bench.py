@@ -213,6 +213,7 @@ def main():
         "semantic_dedup",
         "multimodal_video",
         "html_clean",
+        "skew_report_events",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -22,8 +22,9 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "skew_report"]
 
 
 def profile_table(
@@ -75,3 +76,70 @@ def profile_table(
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def skew_report(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    top_k: int = 5,
+) -> DataFrame:
+    """Heavy-hitter report per column — the diagnostic you run BEFORE
+    a slow join/groupBy at 100 TB: for each column, the ``top_k`` most
+    frequent values with their absolute count and share of all rows.
+    A top-1 share near 1.0 on a join key means one reducer gets the
+    whole table (salt it or let AQE skew-split); NULL is reported as a
+    value like any other since NULL-heavy keys skew just as hard.
+
+    Returns ``(col_name, value, cnt, share, rank)`` with ``value``
+    cast to string (long format over heterogeneous column types) and
+    ``share`` rounded to 6 decimals.
+
+    Plan: ONE pass — the row is exploded into (col_name, value) pairs
+    (|cols| copies of only the inspected columns, not the full row),
+    then a single groupBy(col, value) count + per-column rank window.
+    The count agg is map-side-combined, so shuffle volume is bounded
+    by the DISTINCT pairs, not the row count.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+
+    def ref(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    total = df.count()  # one scalar; reused as a literal below
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        ref(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.value")
+    counts = pairs.groupBy("col_name", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("value").asc_nulls_first()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "col_name",
+            "value",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            "rank",
+        )
+    )

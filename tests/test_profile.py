@@ -53,3 +53,24 @@ def test_profile_backslash_column_name(spark):
     df = spark.createDataFrame([(1,)], ["a\\nb"])
     got = {r["col_name"]: r["n_distinct"] for r in profile_table(df).collect()}
     assert got == {"a\\nb": 1}
+
+
+def test_skew_report_heavy_hitters(spark):
+    from pandance_spark.functions.profile import skew_report
+
+    rows = [("a", 1)] * 6 + [("b", 1)] * 3 + [("c", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    got = {
+        (r["col_name"], r["value"], r["rank"]): (r["cnt"], r["share"])
+        for r in skew_report(df, top_k=2).collect()
+    }
+    assert got[("k", "a", 1)] == (6, 0.6)
+    assert got[("k", "b", 2)] == (3, 0.3)
+    assert got[("v", "1", 1)] == (9, 0.9)
+    assert got[("v", None, 2)] == (1, 0.1)  # NULL reported as a value
+    with pytest.raises(ValueError):
+        skew_report(df, [])
+    with pytest.raises(ValueError):
+        skew_report(df, ["nope"])
+    with pytest.raises(ValueError):
+        skew_report(df, top_k=0)
