@@ -643,9 +643,18 @@ def _q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 1.1, 2),
         ).otherwise(F.col("o_totalprice")),
     )
-    return table_diff(
+    diff = table_diff(
         old, new, "o_orderkey",
         compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    # The operator's public API returns changed_cols as array<string>;
+    # project it to a sorted CSV here (driver-query layer only) because
+    # the driver harness canonicalizes via pandas sort_values, which
+    # cannot hash list cells (r5 driver err).
+    return diff.select(
+        "o_orderkey",
+        "change",
+        F.array_join(F.array_sort("changed_cols"), ",").alias("changed_cols"),
     )
 
 
@@ -1863,9 +1872,11 @@ ORDER BY doc_id
                    CASE WHEN ok IS NULL THEN 'added'
                         WHEN nk IS NULL THEN 'removed'
                         WHEN len(cc) > 0 THEN 'changed' END AS change,
-                   CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
-                             AND len(cc) > 0
-                        THEN cc ELSE []::VARCHAR[] END AS changed_cols
+                   coalesce(array_to_string(list_sort(
+                     CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                               AND len(cc) > 0
+                          THEN cc ELSE []::VARCHAR[] END), ','), '')
+                     AS changed_cols
             FROM j
             WHERE ok IS NULL OR nk IS NULL OR len(cc) > 0
         """,
