@@ -2723,7 +2723,11 @@ ORDER BY doc_id
               FROM scored
             ),
             dropped AS (
-              SELECT DISTINCT b.vec_id
+              -- drop key is (label, vec_id): the operator drops
+              -- cluster-scoped (ids need not be globally unique), so
+              -- the oracle must not collapse same-id rows across
+              -- clusters (r5 advice)
+              SELECT DISTINCT b.label, b.vec_id
               FROM ranked a JOIN ranked b USING (label)
               WHERE a.rank < b.rank
                 AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
@@ -2732,7 +2736,8 @@ ORDER BY doc_id
             SELECT r.vec_id, r.label, r.ccos AS centroid_cos,
                    CAST(r.rank AS INTEGER) AS rank,
                    (d.vec_id IS NULL) AS kept
-            FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+            FROM ranked r LEFT JOIN dropped d
+              ON r.label = d.label AND r.vec_id = d.vec_id
         """,
         # video round trip: sampled frame indices enumerated, per-frame
         # pixel sums recomputed from frame seed = seed + 131*f

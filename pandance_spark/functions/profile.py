@@ -112,7 +112,6 @@ def skew_report(
     def ref(c):
         return F.col("`" + c.replace("`", "``") + "`")
 
-    total = df.count()  # one scalar; reused as a literal below
     pairs = df.select(
         F.explode(
             F.array(
@@ -132,14 +131,23 @@ def skew_report(
     w = Window.partitionBy("col_name").orderBy(
         F.col("cnt").desc(), F.col("value").asc_nulls_first()
     )
+    # total rows IN-PLAN: every input row contributes exactly one
+    # (col_name, value) pair per inspected column (NULL included), so
+    # sum(cnt) within a col_name partition IS the row count — same
+    # scan as the counts themselves (no separate eager df.count(),
+    # which both cost an extra full pass and could read a different
+    # snapshot of the source than the counts, making share
+    # internally inconsistent).
+    w_tot = Window.partitionBy("col_name")
     return (
         counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("__total", F.sum("cnt").over(w_tot))
         .filter(F.col("rank") <= top_k)
         .select(
             "col_name",
             "value",
             "cnt",
-            F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
             "rank",
         )
     )

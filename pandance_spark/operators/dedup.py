@@ -1499,12 +1499,24 @@ def dedup_paragraphs(
     duplicate).  Empty paragraphs (consecutive separators, edges) are
     dropped before counting.
 
-    Scale plan: posexplode is a pure projection; the first-occurrence
-    choice is ONE window shuffle on the paragraph text (row_number —
-    no join-back, so the corpus is scanned and exploded exactly once);
-    reassembly is one groupBy on the doc id.  Work ∝ total paragraphs,
-    never docs² — at 100 TB the paragraph-key shuffle is the same
-    volume a distinct() over the corpus' paragraphs would pay.
+    Scale plan: posexplode is a pure projection; first-occurrence is a
+    ``min(struct(id, pos))`` groupBy on the paragraph text — the
+    partial aggregation map-side-combines, so the HOT paragraphs the
+    operator exists to remove (footers/nav repeated across a large
+    share of documents) collapse to one row per mapper before the
+    shuffle, and the agg shuffle volume is ∝ DISTINCT paragraphs.
+    (A row_number window over the paragraph key — the r5 design —
+    cannot combine map-side: every copy of a hot paragraph lands on a
+    single reducer, an un-splittable straggler at 100 TB.)  The firsts
+    table is joined back to mark keepers; at one row per distinct
+    paragraph it usually broadcasts, and when it doesn't, the
+    paragraph-key shuffle join is exactly what AQE's skew-join
+    splitting handles — unlike a window, which AQE cannot split.
+    Reassembly is one groupBy on the doc id.  Work ∝ total
+    paragraphs, never docs².  The scan+explode is evaluated on both
+    join sides (twice total) — a deliberate trade: an embarrassingly
+    parallel second scan beats the window's un-splittable hot-key
+    reducer, which serializes the whole job on one task.
     Determinism: min (id, pos) is a total order, so reruns and
     different partitionings keep the same copy.
     """
@@ -1518,16 +1530,12 @@ def dedup_paragraphs(
         )
         .filter(F.col("__para") != "")
     )
-    # one shuffle on the paragraph key decides first-occurrence via a
-    # window — NOT groupBy + join-back, which evaluates (and at scan
-    # level re-reads + re-explodes) the corpus twice (r5 plan audit)
-    from pyspark.sql.window import Window as _W
-
-    w = _W.partitionBy("__para").orderBy(
-        F.col("__id").asc(), F.col("__pos").asc()
+    firsts = parts.groupBy("__para").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
     )
-    kept = parts.withColumn(
-        "__keep", F.row_number().over(w) == F.lit(1)
+    kept = parts.join(firsts, "__para").withColumn(
+        "__keep",
+        F.struct("__id", "__pos").eqNullSafe(F.col("__first")),
     )
     per_doc = kept.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_paragraphs"),

@@ -258,12 +258,27 @@ def _string_cuts(right: DataFrame, rcol: str, num_bands: int, seed: int = 42):
     exactly how Spark's RangePartitioner sketches sort boundaries.
     """
     col = right.select(F.col(rcol).alias("__v")).filter(F.col("__v").isNotNull())
-    n = col.count()
-    if n == 0:
-        return None
-    frac = min(1.0, _STRING_CUT_SAMPLE / n)
-    sample = col if frac >= 1.0 else col.sample(False, frac, seed)
-    vals = sorted(r["__v"] for r in sample.collect())
+    # ONE pass, HARD driver bound: order by a pseudo-random row hash
+    # and take the first _STRING_CUT_SAMPLE rows — Spark plans this as
+    # TakeOrderedAndProject (per-partition top-K heaps, K rows on the
+    # driver, never more).  This replaces the earlier count() +
+    # sample(frac).collect() pair, which (a) cost an extra full scan
+    # just to derive frac and (b) bounded the collect only in
+    # expectation, not absolutely (r5 advice).  The hash salts in a
+    # per-row component (monotonically_increasing_id) so heavy
+    # duplicate values don't share one hash and crowd the sample.
+    rows = (
+        col.orderBy(
+            F.xxhash64(
+                F.col("__v"),
+                F.monotonically_increasing_id(),
+                F.lit(seed),
+            )
+        )
+        .limit(_STRING_CUT_SAMPLE)
+        .collect()
+    )
+    vals = sorted(r["__v"] for r in rows)
     if len(vals) < 2:
         return None
     m = len(vals)

@@ -380,10 +380,19 @@ def stream_upsert_sink(
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            # 1. latest row per key within the batch
+            # 1. latest row per key within the batch.  Ties on
+            # order_col break on a stable whole-row hash so the
+            # surviving row is a function of the DATA, not of the
+            # batch's partitioning — without it, two in-batch rows
+            # sharing (key, order_col) would be resolved arbitrarily,
+            # a nondeterminism the cross-batch merge's commutativity
+            # claim would silently inherit (r5 advice).
             from pyspark.sql.window import Window as _W
 
-            w = _W.partitionBy(*keys).orderBy(_F.col(order_col).desc())
+            w = _W.partitionBy(*keys).orderBy(
+                _F.col(order_col).desc(),
+                _F.xxhash64(*[_F.col(c) for c in batch.columns]).asc(),
+            )
             latest = (
                 batch.withColumn("__rn", _F.row_number().over(w))
                 .filter(_F.col("__rn") == 1)
