@@ -546,6 +546,39 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round-trip (operators/multimodal.py): pack a
+    spec-conformant PNG per document (8-bit RGB, zlib IDAT, CRC'd
+    chunks; scanline y uses filter type y % 5, and every payload is
+    >= 5 rows tall so all five PNG filters — None/Sub/Up/Average/
+    Paeth — are exercised on decode), decode it with the pure
+    Python+numpy codec, and emit exact per-channel pixel sums.  The
+    oracle recomputes width/height/sums from the packer's closed form
+    (pixel byte i = (seed + 7i) % 256) — any unfiltering or inflate
+    error would mismatch every row."""
+    from pandance_spark.operators.multimodal import decode_image, pack_png_image
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_png_image(4 + d % 9, 5 + d % 7, int(d) % 241)
+        )
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return decode_image(media).select(
+        "doc_id",
+        "decoded_width",
+        "decoded_height",
+        "decoded_format",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "ok",
+    )
+
+
 # --------------------------------------------------------------------------
 # inherited relational coverage (SURVEY.md §2.3 — pandas-delegated in the
 # reference, Spark-native here; included to demonstrate the full surface)
@@ -1362,6 +1395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "text_stats": _q_text_stats,
         "multimodal_decode": _q_multimodal_decode,
+        # r6: real PNG codec (zlib inflate + scanline unfilter) — new
+        # in window this round
+        "multimodal_png": _q_multimodal_png,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
@@ -2603,6 +2639,27 @@ ORDER BY doc_id
         # oracle recomputes dims + per-channel sums from the generator's
         # closed form (byte i = (seed + 7i) % 256; channel c takes
         # i = 3j + c).  Integer sums -> bit-exact across engines.
+        "multimodal_png": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 9 AS INTEGER) AS w,
+                     CAST(5 + doc_id % 7 AS INTEGER) AS h,
+                     doc_id % 241 AS seed
+              FROM documents
+            )
+            SELECT doc_id,
+                   w AS decoded_width,
+                   h AS decoded_height,
+                   'png' AS decoded_format,
+                   CAST(list_sum([(seed + 21*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT) AS sum_r,
+                   CAST(list_sum([(seed + 7 + 21*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT) AS sum_g,
+                   CAST(list_sum([(seed + 14 + 21*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM p
+        """,
         "multimodal_decode": """
             WITH p AS (
               SELECT doc_id,

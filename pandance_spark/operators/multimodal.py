@@ -6,11 +6,13 @@ plumbing — schemas, ``mapInPandas`` batch shape, partitioning — is real
 and tested, and so is the image codec for the two formats a pure
 Python + numpy stack can handle without native libraries:
 
-- ``decode_image`` is a REAL decoder for binary PPM (``P6``) and
-  uncompressed 24-bit BMP payloads (header parse + numpy reshape);
+- ``decode_image`` is a REAL decoder for binary PPM (``P6``),
+  uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/RGBA,
+  non-interlaced — stdlib ``zlib`` inflate + numpy scanline
+  unfiltering incl. Sub/Up/Average/Paeth, CRC-verified chunks);
   unrecognized/corrupt payloads yield ``ok = false`` rows, never a
   task failure.  Swap in PIL/libvips inside the same ``mapInPandas``
-  stage for JPEG/PNG in production;
+  stage for JPEG (the one web format still needing a native codec);
 - ``resize_image`` is a REAL nearest-neighbor resampler over the same
   two formats (decode → numpy index-select → re-encode as P6);
 - ``fake_decode_meta`` remains as the stand-in for *opaque* formats
@@ -30,6 +32,7 @@ bit-for-bit across engines and partitionings.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -44,6 +47,7 @@ __all__ = [
     "pack_fake_video",
     "pack_ppm_image",
     "pack_bmp_image",
+    "pack_png_image",
     "pack_wav_audio",
     "decode_audio",
     "pack_avi_video",
@@ -121,6 +125,71 @@ def pack_bmp_image(width: int, height: int, seed: int) -> bytes:
     return _bmp_wrap(width, height, _dib_frame_bytes(width, height, seed))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def pack_png_image(width: int, height: int, seed: int) -> bytes:
+    """Same deterministic raster as :func:`pack_ppm_image`, encoded as
+    a REAL spec-conformant PNG (8-bit RGB, zlib-deflated IDAT, CRC'd
+    chunks).  Scanline ``y`` uses filter type ``y % 5``, so a payload
+    taller than 4 rows exercises every PNG filter (None/Sub/Up/
+    Average/Paeth) on decode — round-tripping through
+    :func:`decode_image` must reproduce the exact closed-form pixels,
+    which is what the driver oracle recomputes independently."""
+    stride = width * 3
+    n = stride * height
+    body = (
+        ((seed + 7 * np.arange(n, dtype=np.int64)) % 256)
+        .reshape(height, stride)
+    )
+
+    def shift(v):  # value of the pixel one bpp (3 bytes) to the left
+        out = np.zeros_like(v)
+        out[3:] = v[:-3]
+        return out
+
+    lines = []
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        cur = body[y]
+        f = y % 5
+        left = shift(cur)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            ul = shift(prior)
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _parse_ppm(raw: bytes) -> Optional[np.ndarray]:
     """Binary-PPM (P6) parse per the Netpbm spec: ASCII header of three
     integers separated by whitespace/comments, maxval 255, then one
@@ -183,22 +252,126 @@ def _parse_bmp(raw: bytes) -> Optional[np.ndarray]:
     return img if top_down else img[::-1]
 
 
+def _parse_png(raw: bytes) -> Optional[np.ndarray]:
+    """PNG parse without native libraries: chunk walk with CRC
+    verification, stdlib ``zlib`` inflate of the concatenated IDAT
+    stream, and per-scanline numpy unfiltering (None/Sub/Up/Average/
+    Paeth).  Supports 8-bit depth, color types 0 (grayscale —
+    replicated to RGB), 2 (RGB) and 6 (RGBA — alpha dropped),
+    non-interlaced.  Returns (h, w, 3) uint8 RGB or None on any
+    malformation (bad CRC, short chunk, inflate error, wrong stream
+    length, Adam7 interlace, unsupported depth/type).
+
+    Sub is a per-lane cumulative sum (mod 256 distributes over
+    addition, so one vectorized cumsum suffices); Average/Paeth carry
+    a left-pixel dependency and fall back to a per-byte scan of just
+    those scanlines.
+    """
+    if raw[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(raw):
+            return None
+        data = raw[pos + 8 : data_end]
+        (crc,) = struct.unpack_from(">I", raw, data_end)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        pos = data_end + 4
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h = struct.unpack_from(">II", ihdr, 0)
+    depth, color_type, comp, filt_method, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if (
+        depth != 8
+        or comp != 0
+        or filt_method != 0
+        or interlace != 0
+        or channels is None
+        or w <= 0
+        or h <= 0
+    ):
+        return None
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(stream) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, cur = int(ftypes[y]), rows[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:
+            rec = cur.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
+        elif f == 2:
+            rec = (cur + prior) % 256
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if f == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) % 256
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                    rec[x] = (cur[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec
+        prior = rec
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 def _decode_any(raw: bytes) -> Tuple[Optional[np.ndarray], Optional[str]]:
     if raw[:2] == b"P6":
         return _parse_ppm(raw), "ppm"
     if raw[:2] == b"BM":
         return _parse_bmp(raw), "bmp"
+    if raw[:8] == _PNG_SIG:
+        return _parse_png(raw), "png"
     return None, None
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL image decode for binary PPM (P6) and uncompressed 24-bit
-    BMP payloads — pure Python header parse + numpy reshape inside a
-    ``mapInPandas`` stage (Arrow-batched; payloads for one batch only
-    are ever resident).  Appends::
+    """REAL image decode for binary PPM (P6), uncompressed 24-bit BMP,
+    and PNG payloads (8-bit, non-interlaced; zlib inflate + scanline
+    unfilter) — pure Python + numpy inside a ``mapInPandas`` stage
+    (Arrow-batched; payloads for one batch only are ever resident).
+    Appends::
 
         decoded_width, decoded_height : int   (NULL when not decodable)
-        decoded_format                : 'ppm' | 'bmp' | NULL
+        decoded_format                : 'ppm' | 'bmp' | 'png' | NULL
         sum_r, sum_g, sum_b           : long  per-channel pixel sums
         ok                            : boolean
 
@@ -207,7 +380,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     and row orders (mean = sum / (width*height) when needed).
     Unrecognized or corrupt payloads produce ``ok = false`` rows —
     never a task failure, so one bad object cannot kill a 100 TB scan.
-    For JPEG/PNG plug PIL/libvips into this same stage in production.
+    For JPEG plug PIL/libvips into this same stage in production.
     """
     out_schema = T.StructType(
         list(df.schema.fields)

@@ -317,3 +317,113 @@ def test_sample_frames_video_multistream_and_bomb(spark):
         )
     ).first()
     assert (dec["decoded_width"], dec["decoded_height"], dec["ok"]) == (6, 4, True)
+
+
+def test_decode_image_png_roundtrip(spark):
+    # PNG encodes scanline y with filter type y % 5: any height >= 5
+    # exercises every PNG filter (None/Sub/Up/Average/Paeth) on decode.
+    # Same (w, h, seed) must yield identical pixels to the PPM path.
+    from pandance_spark.operators.multimodal import pack_png_image
+
+    rows = [
+        (1, pack_png_image(13, 7, seed=42), "image/png", (13, 7, None)),
+        (2, pack_ppm_image(13, 7, seed=42), "image/x-ppm", (13, 7, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["decoded_format"] == "png" and out[1]["ok"] is True
+    assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (13, 7)
+    for c in ("sum_r", "sum_g", "sum_b"):
+        assert out[1][c] == out[2][c]
+
+
+def test_decode_image_png_corrupt_degrades(spark):
+    from pandance_spark.operators.multimodal import pack_png_image
+
+    good = pack_png_image(6, 6, seed=9)
+    bad_crc = bytearray(good)
+    bad_crc[-5] ^= 0xFF  # flip a byte of IEND's CRC
+    bad_idat = bytearray(good)
+    bad_idat[good.index(b"IDAT") + 6] ^= 0xFF  # corrupt compressed data
+    rows = [
+        (1, bytes(bad_crc), "image/png", (None, None, None)),
+        (2, good[:40], "image/png", (None, None, None)),  # truncated
+        (3, bytes(bad_idat), "image/png", (None, None, None)),
+        (4, good, "image/png", (6, 6, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    for mid in (1, 2, 3):
+        assert out[mid]["ok"] is False and out[mid]["sum_r"] is None
+    assert out[4]["ok"] is True
+
+
+def test_decode_image_png_gray_and_rgba(spark):
+    # hand-built color-type 0 (gray -> replicated RGB) and 6 (RGBA ->
+    # alpha dropped) payloads through the public decode path
+    import struct as _s
+    import zlib as _z
+
+    from pandance_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    def build(color_type, channels, w, h):
+        stride = w * channels
+        body = (np.arange(h * stride, dtype=np.int64) % 256).astype(np.uint8)
+        lines = b"".join(
+            b"\x00" + body[y * stride : (y + 1) * stride].tobytes()
+            for y in range(h)
+        )
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(lines))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rows = [
+        (1, build(0, 1, 3, 2), "image/png", (3, 2, None)),
+        (2, build(6, 4, 3, 2), "image/png", (3, 2, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    # gray values 0..5 replicated across channels: each channel sums 15
+    assert (out[1]["sum_r"], out[1]["sum_g"], out[1]["sum_b"]) == (15, 15, 15)
+    assert out[1]["ok"] is True and out[1]["decoded_format"] == "png"
+    # RGBA bytes 0..23: R bytes are 0,4,8,12,16,20 -> 60; G -> 66; B -> 72
+    assert (out[2]["sum_r"], out[2]["sum_g"], out[2]["sum_b"]) == (60, 66, 72)
+
+
+def test_resize_image_png_input(spark):
+    # resize accepts PNG input (decode -> NN resample -> re-encode P6)
+    # and matches the PPM input pixel-for-pixel
+    from pandance_spark.operators.multimodal import pack_png_image
+
+    w, h, seed = 8, 6, 3
+    media = spark.createDataFrame(
+        [
+            (1, pack_png_image(w, h, seed), "image/png", (w, h, None)),
+            (2, pack_ppm_image(w, h, seed), "image/x-ppm", (w, h, None)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_image(resize_image(media, 4, 3)).collect()
+    }
+    assert out[1]["ok"] is True and out[1]["decoded_format"] == "ppm"
+    assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (4, 3)
+    for c in ("sum_r", "sum_g", "sum_b"):
+        assert out[1][c] == out[2][c]
