@@ -117,6 +117,25 @@ def _q_ineq_band_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ineq_join(a, b, how="<", on="value", strategy="band", num_bands=32)
 
 
+def _q_ineq_band_autoskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-skew band join (r6): the RIGHT side has half its rows
+    pinned to one value, which collapses ~half the quantile cuts into
+    one fat band no cut refinement can split.  _band_join detects the
+    collapse from the raw cut multiplicity (free — no extra scan) and
+    salts that band across k reducers (operators/ineq.py _hot_bands);
+    the result set is identical to the unsalted plan, which the oracle
+    verifies pair-for-pair."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    a = ev.filter(F.col("event_id") % 97 == 2)
+    b = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit(55.25)).otherwise(
+            F.col("value")
+        ),
+    )
+    return ineq_join(a, b, how="<", on="value", strategy="band", num_bands=32)
+
+
 def _q_ineq_band_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     a = ev.filter(F.col("event_id") % 97 == 0)
@@ -1353,6 +1372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_gt_strings": _q_ineq_gt_strings,
         "ineq_band_strings": _q_ineq_band_strings,
         "ineq_band_skewed": _q_ineq_band_skewed,
+        # r6: right-side hot key -> cut-collapse-detected salted band
+        # join — new in window this round
+        "ineq_band_autoskew": _q_ineq_band_autoskew,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         "fuzzy_numeric": _q_fuzzy_numeric,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
@@ -1662,6 +1684,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_id % 31 = 0) a
             JOIN (SELECT event_id, value FROM events WHERE event_id % 31 = 1) b
             ON a.v < b.value
+        """,
+        "ineq_band_autoskew": """
+            SELECT a.event_id AS event_id_x, a.value AS value_x,
+                   b.event_id AS event_id_y, b.v AS value_y
+            FROM (SELECT event_id, value FROM events WHERE event_id % 97 = 2) a
+            JOIN (SELECT event_id,
+                         CASE WHEN event_id % 2 = 0 THEN 55.25 ELSE value END AS v
+                  FROM events WHERE event_id % 7 = 0) b
+            ON a.value < b.v
         """,
         "ineq_band_timestamps": """
             SELECT a.event_id AS event_id_x, CAST(a.ts AS TIMESTAMP) AS ts_x,

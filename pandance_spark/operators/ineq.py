@@ -236,8 +236,42 @@ def _as_numeric(col: Column, dtype: T.DataType) -> Column:
 # bounded-sketch contract as Spark's own RangePartitioner
 _STRING_CUT_SAMPLE = 100_000
 
+# auto-skew: a value occupying k quantile slots has right-side mass
+# >= (k-1)/num_bands; at multiplicity >= 2 its band is already a fat
+# indivisible reducer, so it gets k salt buckets (capped)
+_AUTOSKEW_MIN_MULT = 2
+_AUTOSKEW_MAX_SALTS = 64
 
-def _string_cuts(right: DataFrame, rcol: str, num_bands: int, seed: int = 42):
+
+def _hot_bands(raw_cuts, cuts) -> dict:
+    """Map band id -> salt count for right-side heavy hitters.
+
+    Detection is FREE: the band cuts are right-side quantiles, so a
+    single value with mass f occupies ~f*num_bands consecutive slots
+    of the RAW (pre-dedup) cut vector — the duplicate multiplicity the
+    dedup discards IS the skew_report signal, with no extra scan.  A
+    value appearing k >= _AUTOSKEW_MIN_MULT times gets k salt buckets,
+    sizing the split to the observed mass.
+    """
+    from collections import Counter
+
+    out: dict = {}
+    for v, k in Counter(raw_cuts).items():
+        if k >= _AUTOSKEW_MIN_MULT:
+            band = sum(1 for c in cuts if c <= v)
+            out[band] = min(
+                max(out.get(band, 1), int(k)), _AUTOSKEW_MAX_SALTS
+            )
+    return out
+
+
+def _string_cuts(
+    right: DataFrame,
+    rcol: str,
+    num_bands: int,
+    seed: int = 42,
+    return_raw: bool = False,
+):
     """Approximate string quantile cuts from a bounded deterministic
     sample of the right side, or None when banding can't help.
 
@@ -280,14 +314,15 @@ def _string_cuts(right: DataFrame, rcol: str, num_bands: int, seed: int = 42):
     )
     vals = sorted(r["__v"] for r in rows)
     if len(vals) < 2:
-        return None
+        return (None, None) if return_raw else None
     m = len(vals)
-    cuts = sorted({vals[(i * m) // num_bands] for i in range(1, num_bands)})
+    raw = [vals[(i * m) // num_bands] for i in range(1, num_bands)]
+    cuts = sorted(set(raw))
     # every sampled value identical -> one cut at the global min buys
     # no pruning; tell the caller to fall back
     if len(cuts) == 1 and cuts[0] == vals[0]:
-        return None
-    return cuts
+        return (None, None) if return_raw else None
+    return (cuts, raw) if return_raw else cuts
 
 
 def _band_join(
@@ -327,7 +362,7 @@ def _band_join(
         # strings band on sampled value cuts directly (no numeric
         # surrogate — see _string_cuts); band membership then compares
         # in the predicate's own binary string order
-        cuts = _string_cuts(right, rcol, num_bands)
+        cuts, raw_cuts = _string_cuts(right, rcol, num_bands, return_raw=True)
         if not cuts:
             return None
         lview = rview = lambda c: c  # noqa: E731
@@ -337,17 +372,18 @@ def _band_join(
         probs = [i / num_bands for i in range(1, num_bands)]
         rnum = right.select(rview(F.col(rcol)).alias("__v")).dropna()
         try:
-            cuts = rnum.approxQuantile("__v", probs, 0.001)
+            raw_cuts = rnum.approxQuantile("__v", probs, 0.001)
         except _QUANTILE_UNSUPPORTED:
             # "this column cannot be quantiled" -> legitimate band-plan
             # bail-out; execution errors must PROPAGATE — silently
             # falling back to the O(n*m) conditional join on a transient
             # failure would be catastrophic at scale
             return None
-        cuts = sorted(set(cuts))
+        cuts = sorted(set(raw_cuts))
         if not cuts:
             return None
     nb = len(cuts)  # band ids in [0, nb]
+    hot = _hot_bands(raw_cuts, cuts)
 
     # band id = #cuts <= v, as a flat sum of CASE WHENs (stays inside
     # whole-stage codegen; deliberately NOT a higher-order function —
@@ -372,7 +408,47 @@ def _band_join(
     diag_only = (F.col("__jband") != F.col("__band_l")) | _OPS[how](
         lb[lcol], rb[rcol]
     )
-    joined = lb.join(rb, F.col("__jband") == F.col("__band_r"), "inner").filter(
-        diag_only
-    )
+    if hot:
+        # AUTO-SKEW: a right-side key heavy enough to collapse quantile
+        # cuts makes its band a single fat reducer no cut refinement can
+        # split (equal values are indivisible by value).  Split it by
+        # SALT instead: right rows in a hot band scatter over S_b salt
+        # buckets via a whole-row hash; left rows targeting that band
+        # replicate once per salt value.  Join key (band, salt) spreads
+        # the fat band over S_b reducers; every (l, r) pair still meets
+        # exactly once because each right row holds ONE salt.  Cost:
+        # left replication ×S_b only for rows aimed at hot bands —
+        # proportional to the extra output those rows produce anyway.
+        # (AQE's skew-join split can rescue sort-merge joins, but with
+        # ~num_bands distinct join keys a fat band is one KEY, not one
+        # partition — salting is the only lever that subdivides it.)
+        def salt_count(band_col: Column) -> Column:
+            expr = F.lit(1)
+            for b, s in hot.items():
+                expr = F.when(band_col == F.lit(b), F.lit(s)).otherwise(expr)
+            return expr
+
+        rb = rb.withColumn(
+            "__salt_r",
+            F.pmod(
+                F.xxhash64(F.struct(*[rb[c] for c in rb.columns])),
+                salt_count(F.col("__band_r")),
+            ),
+        )
+        lb = lb.withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0), salt_count(F.col("__jband")) - 1)
+            ),
+        )
+        joined = lb.join(
+            rb,
+            (F.col("__jband") == F.col("__band_r"))
+            & (F.col("__salt") == F.col("__salt_r")),
+            "inner",
+        ).filter(diag_only)
+    else:
+        joined = lb.join(
+            rb, F.col("__jband") == F.col("__band_r"), "inner"
+        ).filter(diag_only)
     return joined.select(*out_cols)

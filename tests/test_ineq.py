@@ -280,3 +280,60 @@ def test_ineq_strings_band_constant_key_falls_back(spark):
         bnl = ineq_join(left, right, how=how, on="s", strategy="bnl")
         band = ineq_join(left, right, how=how, on="s", strategy="band")
         assert rows_set(band, ["s_x", "s_y"]) == rows_set(bnl, ["s_x", "s_y"])
+
+
+def test_ineq_band_autoskew_hot_right_key(spark):
+    # a right-side value with ~half the mass collapses quantile cuts;
+    # _band_join must detect it (raw-cut multiplicity), salt the fat
+    # band, and return exactly the bnl result
+    import pandas as pd
+
+    from pandance_spark.operators.ineq import _hot_bands
+
+    rows = [(float(i), i) for i in range(400)]
+    hot = [(250.0, 1000 + i) for i in range(400)]  # 50% mass at 250.0
+    right = spark.createDataFrame(
+        pd.DataFrame(rows + hot, columns=["v", "rid"])
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame([(float(i * 7 % 400), i) for i in range(60)],
+                     columns=["v", "lid"])
+    )
+    band = ineq_join(left, right, how="<=", on="v", strategy="band",
+                     num_bands=16, disjoint_fast_path=False)
+    plan = band._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the salted exchange is actually in play
+    bnl = ineq_join(left, right, how="<=", on="v", strategy="bnl",
+                    disjoint_fast_path=False)
+    key = ["lid", "rid"]
+    assert rows_set(band, key) == rows_set(bnl, key)
+
+
+def test_ineq_band_no_salt_without_skew(spark):
+    # uniform right side: no cut multiplicity, no salting machinery
+    import pandas as pd
+
+    right = spark.createDataFrame(
+        pd.DataFrame([(float(i), i) for i in range(500)], columns=["v", "rid"])
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame([(float(i * 11 % 500), i) for i in range(40)],
+                     columns=["v", "lid"])
+    )
+    band = ineq_join(left, right, how="<", on="v", strategy="band",
+                     num_bands=16, disjoint_fast_path=False)
+    plan = band._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan
+
+
+def test_hot_bands_mapping():
+    from pandance_spark.operators.ineq import _hot_bands
+
+    # value 5.0 occupies 3 quantile slots -> band of 5.0 gets 3 salts
+    raw = [1.0, 2.0, 5.0, 5.0, 5.0, 7.0]
+    cuts = sorted(set(raw))
+    hot = _hot_bands(raw, cuts)
+    band_of_5 = sum(1 for c in cuts if c <= 5.0)
+    assert hot == {band_of_5: 3}
+    # no duplicates -> nothing hot
+    assert _hot_bands([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) == {}
