@@ -78,6 +78,14 @@ def theta_join(
     - a ready-made ``Column`` (advanced: build it yourself from the two
       frames' columns *after* suffixing — prefer the callable forms).
 
+    Plan-time probe caveat: to pick between the two callable paths,
+    ``theta_join`` CALLS ``condition`` once with Column arguments while
+    BUILDING the plan (not per row).  A condition with side effects
+    (logging, counters, appending to state) runs them at that moment —
+    and, if it raises one of the probe-swallowed error types mid-way,
+    may have run them partially before being demoted to the pandas
+    path.  Keep conditions pure; side effects belong outside the join.
+
     API parity with reference ``theta_join``
     (``pandance/pandance.py:331-566``).
     """

@@ -180,3 +180,46 @@ def test_theta_fastpath_probe_demotes_on_typeerror(spark):
         right_on="y",
     )
     assert rows_set(out, ["x", "y"]) == {(4, 8)}
+
+
+def test_theta_condition_probe_called_once_at_plan_time(spark):
+    # the Column-polymorphism probe executes the condition ONCE while
+    # building the plan (documented caveat); execution of the job must
+    # not call a Column-polymorphic condition again per row
+    left = spark.createDataFrame([(i,) for i in range(5)], "a long")
+    right = spark.createDataFrame([(i,) for i in range(5)], "b long")
+    calls = []
+
+    def cond(x, y):
+        calls.append(1)
+        return x == y
+
+    out = theta_join(left, right, cond, left_on="a", right_on="b")
+    assert len(calls) == 1  # probed exactly once at plan time
+    assert out.count() == 5
+    assert len(calls) == 1  # collect did not re-enter the callable
+
+
+def test_theta_stateful_condition_probe_failure_still_correct(spark):
+    # a condition whose side effects fire before a probe-swallowed
+    # TypeError must still produce the right answer via the pandas
+    # path, with the partial side effect confined to plan time
+    left = spark.createDataFrame([(2,), (3,), (4,)], "a long")
+    right = spark.createDataFrame([(2,), (4,), (9,)], "b long")
+    state = []
+
+    def cond(x, y):
+        state.append(("called", type(x).__name__))
+        return math.gcd(int(x), int(y)) > 1  # TypeError on Column args
+
+    out = theta_join(left, right, cond, left_on="a", right_on="b")
+    got = {(r["a"], r["b"]) for r in out.collect()}
+    exp = {
+        (a, b)
+        for a in (2, 3, 4)
+        for b in (2, 4, 9)
+        if math.gcd(a, b) > 1
+    }
+    assert got == exp
+    # the plan-time probe left exactly one Column-typed state entry
+    assert state[0] == ("called", "Column")
