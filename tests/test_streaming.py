@@ -382,3 +382,63 @@ def test_stream_upsert_sink_out_of_order_batch_cannot_regress(spark, tmp_path):
 
     got = {r["k"]: (r["ver"], r["val"]) for r in spark.read.parquet(tgt).collect()}
     assert got == {1: (5, "v1_new"), 2: (7, "v2_newer")}
+
+
+def test_stream_upsert_sink_replay_after_lost_commit_is_idempotent(
+    spark, tmp_path
+):
+    """r6 exactly-once audit: simulate a crash BETWEEN the parquet
+    write and the streaming-checkpoint commit — the parquet target
+    holds the batch's effects, but the offset log does not, so on
+    restart Spark re-delivers the same batch.  The bucketed dynamic
+    overwrite + version-aware merge must make the replay a no-op:
+    same rows, same values, no duplicates."""
+    from pandance_spark.streaming import stream_upsert_sink
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    schema = "k long, ver long, val string"
+
+    # batch 1 through checkpoint A — establishes pre-existing state
+    spark.createDataFrame(
+        [(1, 1, "a1"), (2, 1, "b1"), (3, 1, "c1")], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=str(tmp_path / "ckptA"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # batch 2 (updates + insert) also through checkpoint A: its parquet
+    # write lands AND its commit lands
+    spark.createDataFrame(
+        [(2, 2, "b2"), (4, 1, "d1")], schema
+    ).coalesce(1).write.mode("append").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=str(tmp_path / "ckptA"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    after_commit = sorted(
+        tuple(r) for r in
+        spark.read.parquet(tgt).select("k", "ver", "val").collect()
+    )
+
+    # crash simulation: the commit is LOST (fresh checkpoint B) while
+    # the target keeps batch 2's writes -> the whole source replays,
+    # including a batch whose effects are already in the target
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=4, checkpoint_dir=str(tmp_path / "ckptB"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    replayed = sorted(
+        tuple(r) for r in
+        spark.read.parquet(tgt).select("k", "ver", "val").collect()
+    )
+    assert replayed == after_commit == [
+        (1, 1, "a1"), (2, 2, "b2"), (3, 1, "c1"), (4, 1, "d1")
+    ]
