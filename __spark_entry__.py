@@ -124,7 +124,11 @@ def _q_ineq_band_autoskew(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse from the raw cut multiplicity (free — no extra scan) and
     salts that band across k reducers (operators/ineq.py _hot_bands);
     the result set is identical to the unsalted plan, which the oracle
-    verifies pair-for-pair."""
+    verifies pair-for-pair.  skew_salting='always' pins the salted
+    plan at this test scale (at sf0.01 both sides broadcast, so the
+    default 'auto' would — correctly — skip the salt as overhead; at
+    100 TB 'auto' engages on its own because neither side fits the
+    broadcast threshold)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     a = ev.filter(F.col("event_id") % 97 == 2)
     b = ev.filter(F.col("event_id") % 7 == 0).withColumn(
@@ -133,7 +137,10 @@ def _q_ineq_band_autoskew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value")
         ),
     )
-    return ineq_join(a, b, how="<", on="value", strategy="band", num_bands=32)
+    return ineq_join(
+        a, b, how="<", on="value", strategy="band", num_bands=32,
+        skew_salting="always",
+    )
 
 
 def _q_ineq_band_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:

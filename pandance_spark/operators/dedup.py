@@ -541,6 +541,34 @@ def ngram_jaccard_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    cands, sets_df, threshold = _ngram_candidates(
+        df, id_col, text_col, shingle_n, threshold
+    )
+    sa = sets_df.withColumnsRenamed({"id": "id_a", "__set": "__set_a"})
+    sb = sets_df.withColumnsRenamed({"id": "id_b", "__set": "__set_b"})
+    joined = cands.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size("__set_a") + F.size("__set_b") - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+):
+    """Candidate-generation stage of :func:`ngram_jaccard_join`,
+    factored out so scale probes can measure candidate volume (the
+    quantity that must grow ∝ prefix collisions, not rows²) without
+    paying for verification.  Returns ``(cands, sets_df, threshold)``.
+    """
     df = _spread(df)
     # checkpoint the exploded shingle stream: it feeds BOTH the global
     # document-frequency aggregate and the per-document set build, and
@@ -642,17 +670,7 @@ def ngram_jaccard_join(
     cands = grouped.filter(
         overlap_ub.cast("double") >= overlap_floor
     ).select("id_a", "id_b")
-    sa = sets_df.withColumnsRenamed({"id": "id_a", "__set": "__set_a"})
-    sb = sets_df.withColumnsRenamed({"id": "id_b", "__set": "__set_b"})
-    joined = cands.join(sa, "id_a").join(sb, "id_b")
-    inter = F.size(F.array_intersect("__set_a", "__set_b"))
-    union = F.size("__set_a") + F.size("__set_b") - inter
-    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        joined.withColumn("jaccard", F.round(jacc, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return cands, sets_df, threshold
 
 
 def embedding_cosine_pairs(

@@ -79,13 +79,22 @@ def ineq_join(
     strategy: str = "auto",
     num_bands: int = 64,
     disjoint_fast_path: bool = True,
+    skew_salting: str = "auto",
 ) -> DataFrame:
     """Inner join rows where ``left[left_on] <how> right[right_on]``.
 
     API parity with reference ``ineq_join`` (``pandance/pandance.py:614-846``);
-    ``strategy``/``num_bands``/``disjoint_fast_path`` are Spark-side
-    extensions (the reference's internal algorithm knobs have no meaning
-    on a distributed planner).
+    ``strategy``/``num_bands``/``disjoint_fast_path``/``skew_salting``
+    are Spark-side extensions (the reference's internal algorithm knobs
+    have no meaning on a distributed planner).
+
+    ``skew_salting`` controls the fat-band auto-salt (see
+    :func:`_hot_bands`): ``'auto'`` salts only when a hot right-side
+    key is detected AND the band join is expected to shuffle (when one
+    side broadcasts there is no per-band reducer, so salting would be
+    pure overhead); ``'always'`` salts on detection regardless —
+    useful to pin the plan in tests/benchmarks; ``'never'`` disables
+    it.
 
     Join-column types: anything orderable by Spark (numbers, strings,
     timestamps, dates) — reference docstring ``pandance/pandance.py:625``.
@@ -96,6 +105,8 @@ def ineq_join(
         # validate BEFORE the fast path so a typo raises regardless of
         # whether the data happens to short-circuit
         raise ValueError(f"unknown strategy {strategy!r}")
+    if skew_salting not in ("auto", "always", "never"):
+        raise ValueError(f"unknown skew_salting {skew_salting!r}")
     left_on, right_on = resolve_join_columns(left, right, on, left_on, right_on)
     left2, right2, lcol, rcol = apply_suffixes(
         left, right, left_on, right_on, suffixes
@@ -114,7 +125,8 @@ def ineq_join(
         strategy = _pick_strategy(left2, right2, lcol, rcol)
     if strategy == "band":
         banded = _band_join(
-            left2, right2, lcol, rcol, how, num_bands, out_cols
+            left2, right2, lcol, rcol, how, num_bands, out_cols,
+            skew_salting=skew_salting,
         )
         if banded is not None:
             return banded
@@ -325,6 +337,39 @@ def _string_cuts(
     return (cuts, raw) if return_raw else cuts
 
 
+def _parse_size_bytes(s: str) -> Optional[int]:
+    """Parse Spark byte-size config strings ('10485760', '10m', '10MB')."""
+    import re
+
+    m = re.fullmatch(r"\s*(-?\d+)\s*([kKmMgGtT]?)[bB]?\s*", str(s))
+    if not m:
+        return None
+    mult = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}[
+        m.group(2).lower()
+    ]
+    return int(m.group(1)) * mult
+
+
+def _likely_shuffle_join(left: DataFrame, right: DataFrame) -> bool:
+    """True when a join of these two frames is expected to SHUFFLE —
+    i.e. neither side's Catalyst size estimate fits under
+    ``spark.sql.autoBroadcastJoinThreshold``.  Unknown threshold or
+    missing statistics count as 'will shuffle': at 100 TB the safe
+    default is to assume no broadcast rescue."""
+    try:
+        thr = _parse_size_bytes(
+            left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        )
+    except Exception:
+        return True
+    if thr is None or thr <= 0:
+        return True
+    ls, rs = _plan_size_bytes(left), _plan_size_bytes(right)
+    if ls is None or rs is None:
+        return True
+    return min(ls, rs) > thr
+
+
 def _band_join(
     left: DataFrame,
     right: DataFrame,
@@ -333,6 +378,7 @@ def _band_join(
     how: str,
     num_bands: int,
     out_cols,
+    skew_salting: str = "auto",
 ) -> Optional[DataFrame]:
     """Quantile band join.  Returns None when the band path does not
     apply (non-orderable key, degenerate cuts) so the caller can fall
@@ -383,7 +429,11 @@ def _band_join(
         if not cuts:
             return None
     nb = len(cuts)  # band ids in [0, nb]
-    hot = _hot_bands(raw_cuts, cuts)
+    hot = {} if skew_salting == "never" else _hot_bands(raw_cuts, cuts)
+    if hot and skew_salting == "auto" and not _likely_shuffle_join(left, right):
+        # a broadcast-able side means no per-band reducer exists to
+        # salt — the machinery would be pure overhead
+        hot = {}
 
     # band id = #cuts <= v, as a flat sum of CASE WHENs (stays inside
     # whole-stage codegen; deliberately NOT a higher-order function —

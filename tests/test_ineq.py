@@ -300,13 +300,34 @@ def test_ineq_band_autoskew_hot_right_key(spark):
                      columns=["v", "lid"])
     )
     band = ineq_join(left, right, how="<=", on="v", strategy="band",
-                     num_bands=16, disjoint_fast_path=False)
+                     num_bands=16, disjoint_fast_path=False,
+                     skew_salting="always")
     plan = band._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan  # the salted exchange is actually in play
     bnl = ineq_join(left, right, how="<=", on="v", strategy="bnl",
                     disjoint_fast_path=False)
     key = ["lid", "rid"]
     assert rows_set(band, key) == rows_set(bnl, key)
+    # default 'auto' on broadcast-sized inputs skips the salt — no
+    # per-band reducer exists when a side broadcasts, so salting
+    # there is pure overhead
+    auto = ineq_join(left, right, how="<=", on="v", strategy="band",
+                     num_bands=16, disjoint_fast_path=False)
+    assert "__salt" not in (
+        auto._jdf.queryExecution().executedPlan().toString()
+    )
+    # and 'auto' DOES salt once the broadcast rescue is off (the
+    # both-sides-big regime)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = ineq_join(left, right, how="<=", on="v", strategy="band",
+                           num_bands=16, disjoint_fast_path=False)
+        assert "__salt" in (
+            forced._jdf.queryExecution().executedPlan().toString()
+        )
+        assert rows_set(forced, key) == rows_set(bnl, key)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_ineq_band_no_salt_without_skew(spark):
