@@ -1422,7 +1422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "skew_report_events": _q_skew_report_events,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
-        "text_stats": _q_text_stats,
         "multimodal_decode": _q_multimodal_decode,
         # r6: real PNG codec (zlib inflate + scanline unfilter) — new
         # in window this round
@@ -1443,7 +1442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seven entries that have been green for 3 straight rounds
         # (r1-r3) are rotated past it — they keep their oracle_sql and
         # stay in the local multi-sf gate, which checks ALL entries.
-        "q1_pricing": _q_q1_pricing,
         "q3_shipping": _q_q3_shipping,
         "q5_local_supplier": _q_q5_local_supplier,
         "window_topk": _q_window_topk,
@@ -1461,6 +1459,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "scd2_apply_late": _q_scd2_apply_late,
         # --- entries 51+ (outside the driver window; locally gated;
+        # r6: text_stats (green r1-r5) and q1_pricing (green r1,2,4,5)
+        # rotated out — the only window slots free for table_diff +
+        # scd2_apply_late, which r5 left at positions 51-52 where the
+        # driver gate could not see them (table_diff needs its first
+        # green driver row; scd2_apply_late has one).  The 13 r5
+        # first-green entries + ann_quantized + the 2 new r6 queries
+        # (ineq_band_autoskew, multimodal_png) all sit inside the
+        # window;
         # text_stats/text_normalize/multimodal_meta/stratified_sample
         # rotated here after 2-3 straight green driver rounds to make
         # room for the r4 additions above; text_stats moved BACK inside
@@ -1474,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh / embedding_dedup / text_repetition / text_langid
         # rotated out after 3 straight green driver rounds r2-r4, and
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
+        "text_stats": _q_text_stats,
+        "q1_pricing": _q_q1_pricing,
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
