@@ -214,6 +214,10 @@ def main():
         "multimodal_video",
         "html_clean",
         "skew_report_events",
+        # r6 additions
+        "multimodal_png",
+        "ineq_band_autoskew",
+        "table_diff",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
