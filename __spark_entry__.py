@@ -163,6 +163,28 @@ def _q_fuzzy_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fuzzy_autoskew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy join with a hot right-side atom (r6): half the right rows
+    share ONE value, so one bucket key carries their whole mass — a
+    single reducer AQE cannot split (a fat bucket is one join KEY).
+    skew_salting='always' pins the salted two-sided-cell plan at test
+    scale (operators/fuzzy.py _salted_bucket_join; at sf0.01 both
+    sides broadcast so 'auto' would — correctly — skip); the oracle
+    verifies the result set is exactly the unsalted |l-r| <= tol
+    semantics."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    a = ev.filter(F.col("event_id") % 31 == 3)
+    b = ev.filter(F.col("event_id") % 7 == 1).withColumn(
+        "value",
+        F.when(F.col("event_id") % 2 == 0, F.lit(55.25)).otherwise(
+            F.col("value")
+        ),
+    )
+    return fuzzy_join(
+        a, b, on="value", tol=0.5, strategy="band", skew_salting="always"
+    )
+
+
 def _q_fuzzy_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
     a = ev.filter(F.col("event_id") % 2 == 0)
@@ -1384,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_band_autoskew": _q_ineq_band_autoskew,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         "fuzzy_numeric": _q_fuzzy_numeric,
+        # r6: hot-bucket salted fuzzy join — new in window this round
+        "fuzzy_autoskew": _q_fuzzy_autoskew,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
         "fuzzy_decimal": _q_fuzzy_decimal,
         "theta_expr_mod": _q_theta_expr_mod,
@@ -1444,7 +1468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in the local multi-sf gate, which checks ALL entries.
         "q3_shipping": _q_q3_shipping,
         "q5_local_supplier": _q_q5_local_supplier,
-        "window_topk": _q_window_topk,
         "sessionize": _q_sessionize,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
@@ -1459,14 +1482,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "scd2_apply_late": _q_scd2_apply_late,
         # --- entries 51+ (outside the driver window; locally gated;
-        # r6: text_stats (green r1-r5) and q1_pricing (green r1,2,4,5)
-        # rotated out — the only window slots free for table_diff +
-        # scd2_apply_late, which r5 left at positions 51-52 where the
-        # driver gate could not see them (table_diff needs its first
-        # green driver row; scd2_apply_late has one).  The 13 r5
-        # first-green entries + ann_quantized + the 2 new r6 queries
-        # (ineq_band_autoskew, multimodal_png) all sit inside the
-        # window;
+        # r6: text_stats (green r1-r5), q1_pricing (green r1,2,4,5) and
+        # window_topk (green r1,2,4,5) rotated out — the only window
+        # slots free for table_diff + scd2_apply_late (r5 left them at
+        # positions 51-52 where the driver gate could not see them;
+        # table_diff needs its first green driver row) and the new
+        # fuzzy_autoskew.  The 13 r5 first-green entries +
+        # ann_quantized + the 3 new r6 queries (ineq_band_autoskew,
+        # multimodal_png, fuzzy_autoskew) all sit inside the window;
         # text_stats/text_normalize/multimodal_meta/stratified_sample
         # rotated here after 2-3 straight green driver rounds to make
         # room for the r4 additions above; text_stats moved BACK inside
@@ -1482,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
+        "window_topk": _q_window_topk,
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
@@ -1719,6 +1743,15 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_numeric": """
             SELECT p.*, c.* FROM part p JOIN customer c
             ON abs(p.p_retailprice - c.c_acctbal) <= 0.5
+        """,
+        "fuzzy_autoskew": """
+            SELECT a.event_id AS event_id_x, a.value AS value_x,
+                   b.event_id AS event_id_y, b.v AS value_y
+            FROM (SELECT event_id, value FROM events WHERE event_id % 31 = 3) a
+            JOIN (SELECT event_id,
+                         CASE WHEN event_id % 2 = 0 THEN 55.25 ELSE value END AS v
+                  FROM events WHERE event_id % 7 = 1) b
+            ON abs(a.value - b.v) <= 0.5
         """,
         "fuzzy_timestamps": """
             SELECT a.event_id AS event_id_x, CAST(a.ts AS TIMESTAMP) AS ts_x,

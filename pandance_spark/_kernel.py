@@ -68,6 +68,8 @@ __all__ = [
     "is_timestamp_type",
     "as_instant",
     "spread_partitions",
+    "likely_shuffle_join",
+    "sampled_hot_keys",
 ]
 
 _NUMERIC_TYPES = (
@@ -170,6 +172,74 @@ def parse_bytes_conf(spark, key: str, default: int) -> int:
         return int(raw.rstrip("b"))
     except Exception:
         return default
+
+
+def likely_shuffle_join(left: DataFrame, right: DataFrame) -> bool:
+    """True when a join of these frames is expected to SHUFFLE — i.e.
+    neither side's Catalyst size estimate fits under
+    ``spark.sql.autoBroadcastJoinThreshold``.  Unknown threshold or
+    missing statistics count as 'will shuffle': at 100 TB the safe
+    default is to assume no broadcast rescue.  Used to gate skew
+    machinery that only pays off when a per-key reducer exists."""
+    thr = parse_bytes_conf(
+        left.sparkSession, "spark.sql.autoBroadcastJoinThreshold", -1
+    )
+    if thr <= 0:
+        return True
+    sizes = []
+    for df in (left, right):
+        try:
+            sizes.append(
+                int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            return True
+    return min(sizes) > thr
+
+
+def sampled_hot_keys(
+    df: DataFrame,
+    key: Column,
+    sample_cap: int = 100_000,
+    min_share: float = 0.03,
+    max_salts: int = 64,
+    max_keys: int = 32,
+    seed: int = 42,
+):
+    """Heavy-hitter join keys from ONE bounded sampled pass: order by a
+    pseudo-random per-row hash and take the first ``sample_cap`` rows
+    (TakeOrderedAndProject — per-partition top-K heaps, a hard driver
+    bound), then count key multiplicities on the driver.  Returns
+    ``{key_value: salt_count}`` for keys whose sampled share is at
+    least ``min_share`` — the pre-flight :func:`skew_report` would
+    run, shrunk to one bounded job so join operators can afford it at
+    plan time.  ``salt_count`` scales with the observed share
+    (``share * 64``, floor 2, cap ``max_salts``); at most ``max_keys``
+    hottest keys are returned so the CASE expressions built from the
+    dict stay small."""
+    rows = (
+        df.select(key.alias("__k"))
+        .filter(F.col("__k").isNotNull())
+        .orderBy(
+            F.xxhash64(
+                F.col("__k"), F.monotonically_increasing_id(), F.lit(seed)
+            )
+        )
+        .limit(sample_cap)
+        .collect()
+    )
+    n = len(rows)
+    if n == 0:
+        return {}
+    from collections import Counter
+
+    counts = Counter(r["__k"] for r in rows)
+    hot = {}
+    for k, c in counts.most_common(max_keys):
+        share = c / n
+        if share >= min_share:
+            hot[k] = min(max_salts, max(2, int(share * 64)))
+    return hot
 
 
 def two_sided_minmax(left: DataFrame, lval, right: DataFrame, rval):

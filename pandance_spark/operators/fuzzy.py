@@ -53,7 +53,9 @@ from pandance_spark._kernel import (
     as_instant,
     apply_suffixes,
     finite_filter,
+    likely_shuffle_join,
     resolve_join_columns,
+    sampled_hot_keys,
     tolerance_to_micros,
     two_sided_minmax,
     validate_fuzzy_types,
@@ -93,18 +95,33 @@ def fuzzy_join(
     suffixes: Tuple[str, str] = ("_x", "_y"),
     strategy: str = "auto",
     disjoint_fast_path: bool = True,
+    skew_salting: str = "auto",
 ) -> DataFrame:
     """Inner join rows whose join values differ by at most ``tol``.
 
     API parity with reference ``fuzzy_join``
     (``pandance/pandance.py:22-208``): same parameter names and
-    defaults (``tol=1e-3``, ``suffixes=('_x', '_y')``); ``strategy`` is
-    a Spark-side extension.
+    defaults (``tol=1e-3``, ``suffixes=('_x', '_y')``); ``strategy``
+    and ``skew_salting`` are Spark-side extensions.
+
+    ``skew_salting``: a value carrying a large share of one side's
+    rows puts that whole share into ONE bucket key, which one reducer
+    must process alone — AQE splits oversized partitions, never a
+    single key.  ``'auto'`` pays one bounded sampled pass per side
+    (:func:`pandance_spark._kernel.sampled_hot_keys`) to find such
+    buckets and salt-splits them, but only when neither side can
+    broadcast (a broadcast join has no per-bucket reducer, and the
+    detection pass + salt machinery would be pure overhead — so small
+    joins are untouched).  ``'always'`` forces detection+salting,
+    ``'never'`` disables it.  The result set is identical in every
+    mode.
     """
     if strategy not in ("auto", "band", "range"):
         # validate BEFORE any fast path so a typo raises regardless of
         # whether the data happens to short-circuit
         raise ValueError(f"unknown strategy {strategy!r}")
+    if skew_salting not in ("auto", "always", "never"):
+        raise ValueError(f"unknown skew_salting {skew_salting!r}")
     left_on, right_on = resolve_join_columns(left, right, on, left_on, right_on)
     ltype = left.schema[left_on].dataType
     rtype = right.schema[right_on].dataType
@@ -185,7 +202,75 @@ def fuzzy_join(
             )
         ),
     )
+
+    hot_l = hot_r = {}
+    if skew_salting == "always" or (
+        skew_salting == "auto" and likely_shuffle_join(left2, right2)
+    ):
+        hot_l = sampled_hot_keys(left2, lbucket)
+        hot_r = sampled_hot_keys(right2, rbucket)
+    if hot_r:
+        # a hot right VALUE explodes into its ±margin neighbor buckets,
+        # so every one of those bucket keys receives the full hot mass
+        hot_r = {
+            b + i: s
+            for b, s in hot_r.items()
+            for i in range(-_BUCKET_MARGIN, _BUCKET_MARGIN + 1)
+        }
+    if hot_l or hot_r:
+        return _salted_bucket_join(
+            lb, rb, hot_l, hot_r, exact, out_cols
+        )
     joined = lb.join(rb, "__bucket", "inner").filter(exact)
+    return joined.select(*out_cols)
+
+
+def _salt_count(hot: dict) -> Column:
+    """CASE expression mapping __bucket to its salt count (1 if cold)."""
+    expr = F.lit(1)
+    for b, s in hot.items():
+        expr = F.when(F.col("__bucket") == F.lit(b), F.lit(s)).otherwise(expr)
+    return expr
+
+
+def _salted_bucket_join(
+    lb: DataFrame,
+    rb: DataFrame,
+    hot_l: dict,
+    hot_r: dict,
+    exact: Column,
+    out_cols,
+) -> DataFrame:
+    """Two-sided salt-cell join for hot buckets (identical result set).
+
+    For bucket ``b`` with ``S_l`` left salts and ``S_r`` right salts,
+    the (left x right) work splits into ``S_l * S_r`` cells: each side
+    scatters its own rows by a whole-row hash over its own salt space
+    and replicates across the OTHER side's salt space, so each (l, r)
+    pair meets in exactly one cell.  Replication cost is bounded and
+    targeted — left rows replicate ``S_r(b)``-fold only inside
+    hot-RIGHT buckets (and vice versa); cold buckets have
+    ``S_l = S_r = 1`` and behave exactly as the unsalted join.  When
+    only one side is hot this degenerates to classic one-sided
+    salting.  AQE cannot do this: a fat bucket is one join KEY, and
+    partition-splitting never subdivides a key.
+    """
+    sl_n, sr_n = _salt_count(hot_l), _salt_count(hot_r)
+    lbs = lb.withColumn(
+        "__salt_l",
+        F.pmod(F.xxhash64(F.struct(*[lb[c] for c in lb.columns])), sl_n),
+    ).withColumn("__salt_r_t", F.explode(F.sequence(F.lit(0), sr_n - 1)))
+    rbs = rb.withColumn(
+        "__salt_r",
+        F.pmod(F.xxhash64(F.struct(*[rb[c] for c in rb.columns])), sr_n),
+    ).withColumn("__salt_l_t", F.explode(F.sequence(F.lit(0), sl_n - 1)))
+    joined = lbs.join(
+        rbs,
+        (lbs["__bucket"] == rbs["__bucket"])
+        & (lbs["__salt_l"] == rbs["__salt_l_t"])
+        & (lbs["__salt_r_t"] == rbs["__salt_r"]),
+        "inner",
+    ).filter(exact)
     return joined.select(*out_cols)
 
 

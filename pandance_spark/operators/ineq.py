@@ -50,6 +50,7 @@ from pandance_spark._kernel import (
     parse_bytes_conf as _parse_bytes_conf,
     is_numeric_type,
     is_timestamp_type,
+    likely_shuffle_join,
     resolve_join_columns,
     two_sided_minmax,
 )
@@ -337,39 +338,6 @@ def _string_cuts(
     return (cuts, raw) if return_raw else cuts
 
 
-def _parse_size_bytes(s: str) -> Optional[int]:
-    """Parse Spark byte-size config strings ('10485760', '10m', '10MB')."""
-    import re
-
-    m = re.fullmatch(r"\s*(-?\d+)\s*([kKmMgGtT]?)[bB]?\s*", str(s))
-    if not m:
-        return None
-    mult = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}[
-        m.group(2).lower()
-    ]
-    return int(m.group(1)) * mult
-
-
-def _likely_shuffle_join(left: DataFrame, right: DataFrame) -> bool:
-    """True when a join of these two frames is expected to SHUFFLE —
-    i.e. neither side's Catalyst size estimate fits under
-    ``spark.sql.autoBroadcastJoinThreshold``.  Unknown threshold or
-    missing statistics count as 'will shuffle': at 100 TB the safe
-    default is to assume no broadcast rescue."""
-    try:
-        thr = _parse_size_bytes(
-            left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        )
-    except Exception:
-        return True
-    if thr is None or thr <= 0:
-        return True
-    ls, rs = _plan_size_bytes(left), _plan_size_bytes(right)
-    if ls is None or rs is None:
-        return True
-    return min(ls, rs) > thr
-
-
 def _band_join(
     left: DataFrame,
     right: DataFrame,
@@ -430,7 +398,7 @@ def _band_join(
             return None
     nb = len(cuts)  # band ids in [0, nb]
     hot = {} if skew_salting == "never" else _hot_bands(raw_cuts, cuts)
-    if hot and skew_salting == "auto" and not _likely_shuffle_join(left, right):
+    if hot and skew_salting == "auto" and not likely_shuffle_join(left, right):
         # a broadcast-able side means no per-band reducer exists to
         # salt — the machinery would be pure overhead
         hot = {}

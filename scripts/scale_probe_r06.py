@@ -197,6 +197,70 @@ def main():
     assert n_salted == n_plain, (n_salted, n_plain)
     assert wall_salted < wall_plain, (wall_salted, wall_plain)
 
+    # ---- 4. fuzzy hot-bucket salting (r6 skew_salting for fuzzy) ----
+    # 2M left rows at ONE atom value; 25 right rows within tol of it
+    # -> ~50M output pairs that ONE bucket reducer must emit alone
+    # unsalted.  The fuzzy fat bucket is output-bound (same-bucket
+    # pairs mostly match), so salting spreads row EMISSION, not
+    # predicate work.  Both sides too big to broadcast -> auto mode
+    # detects and salts via its bounded sampled pass.
+    atom = 500.00005
+    fl = (
+        spark.range(4_000_000)
+        .select(
+            F.col("id").alias("lid"),
+            F.when(F.col("id") % 2 == 0, F.lit(atom))
+            .otherwise(
+                F.pmod(F.xxhash64("id"), F.lit(10**9)) / F.lit(10**6.0)
+            )
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    fr = (
+        spark.range(2_000_000)
+        .select(
+            F.col("id").alias("rid"),
+            F.when(F.col("id") < 25, F.lit(atom - 3e-5))
+            .otherwise(
+                F.pmod(F.xxhash64(F.col("id") + 13), F.lit(10**9))
+                / F.lit(10**6.0)
+            )
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    from pandance_spark import fuzzy_join
+
+    def frun(mode):
+        out = fuzzy_join(
+            fl, fr, on="v", tol=1e-4, strategy="band",
+            disjoint_fast_path=False, skew_salting=mode,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        t0 = time.time()
+        consume(out)
+        return time.time() - t0, out.count(), "__salt" in plan
+
+    wall_s, n_s, flag_s = frun("auto")
+    wall_p, n_p, flag_p = frun("never")
+    rec = {
+        "probe": "fuzzy_autoskew_atom_2m",
+        "left_atom_rows": 2_000_000,
+        "rows_out": n_s,
+        "salted_wall": round(wall_s, 2),
+        "unsalted_wall": round(wall_p, 2),
+        "salted_plan": flag_s,
+        "unsalted_plan_has_salt": flag_p,
+        "note": "~50M pairs emitted by one bucket reducer unsalted vs "
+        "spread over salt cells",
+    }
+    print(json.dumps(rec))
+    assert flag_s and not flag_p
+    assert n_s == n_p, (n_s, n_p)
+    assert wall_s < wall_p, (wall_s, wall_p)
+
 
 if __name__ == "__main__":
     main()

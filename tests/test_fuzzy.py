@@ -275,3 +275,55 @@ def test_fuzzy_extreme_quotient_guard(spark):
     assert got == {(1, 1), (2, 2), (3, 3)}
     with pytest.raises(ValueError, match="operating range"):
         fuzzy_join(left, right, on="v", tol=1e-4, strategy="band")
+
+
+def test_fuzzy_skew_salting_equality(spark):
+    # hot atom on each side in turn; salted band result must equal the
+    # exact range join pair-for-pair, and the salted exchange must be
+    # in the plan under 'always'
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        pd.DataFrame({
+            "v": [250.0] * 300 + [float(i) for i in range(300)],
+            "lid": list(range(600)),
+        })
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({
+            "v": [250.0004] * 200 + [float(i) + 0.0005 for i in range(400)],
+            "rid": list(range(600)),
+        })
+    )
+    key = ["lid", "rid"]
+    ref = rows_set(
+        fuzzy_join(left, right, on="v", tol=1e-3, strategy="range"), key
+    )
+    salted = fuzzy_join(
+        left, right, on="v", tol=1e-3, strategy="band", skew_salting="always"
+    )
+    assert "__salt" in salted._jdf.queryExecution().executedPlan().toString()
+    assert rows_set(salted, key) == ref
+    never = fuzzy_join(
+        left, right, on="v", tol=1e-3, strategy="band", skew_salting="never"
+    )
+    assert "__salt" not in never._jdf.queryExecution().executedPlan().toString()
+    assert rows_set(never, key) == ref
+
+
+def test_fuzzy_skew_salting_auto_skips_broadcast_sized(spark, sf_dir):
+    # parquet-backed inputs under the broadcast threshold (real size
+    # stats): auto must neither salt nor pay the detection passes
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    auto = fuzzy_join(
+        part, cust, left_on="p_retailprice", right_on="c_acctbal",
+        tol=0.5, strategy="band",
+    )
+    assert "__salt" not in auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fuzzy_skew_salting_validation(spark):
+    left = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        fuzzy_join(left, left, on="v", skew_salting="sometimes")
