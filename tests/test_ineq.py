@@ -358,3 +358,28 @@ def test_hot_bands_mapping():
     assert hot == {band_of_5: 3}
     # no duplicates -> nothing hot
     assert _hot_bands([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) == {}
+
+
+def test_ineq_band_autoskew_hot_string_key(spark):
+    # string path: a hot right-side STRING collapses sampled value
+    # cuts the same way a numeric atom collapses quantiles — detection
+    # reads the raw cut multiplicity in both paths
+    import pandas as pd
+
+    base = [f"key_{i:05d}" for i in range(300)]
+    hot = ["key_00150x"] * 300  # 50% mass on one string
+    right = spark.createDataFrame(
+        pd.DataFrame({"s": base + hot, "rid": list(range(600))})
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame({"s": [f"key_{i*7%300:05d}" for i in range(50)],
+                      "lid": list(range(50))})
+    )
+    band = ineq_join(left, right, how="<", on="s", strategy="band",
+                     num_bands=16, disjoint_fast_path=False,
+                     skew_salting="always")
+    assert "__salt" in band._jdf.queryExecution().executedPlan().toString()
+    bnl = ineq_join(left, right, how="<", on="s", strategy="bnl",
+                    disjoint_fast_path=False)
+    key = ["lid", "rid"]
+    assert rows_set(band, key) == rows_set(bnl, key)
