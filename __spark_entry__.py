@@ -627,6 +627,39 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round-trip (operators/multimodal.py): pack a
+    spec-conformant JFIF grayscale payload per document whose image is
+    a grid of CONSTANT 8x8 blocks with a flat quant table — a constant
+    block's DCT is a single integer DC coefficient, which survives the
+    lossy pipeline (quantize -> Huffman -> dequantize -> IDCT)
+    EXACTLY.  The decoder is a full baseline entropy decoder (canonical
+    Huffman, EOB/ZRL, restart support); the oracle recomputes the
+    decoded pixel sums from the packer's closed form (block b value =
+    (seed + 17b) % 256, edge blocks partial)."""
+    from pandance_spark.operators.multimodal import decode_image, pack_jpeg_image
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_jpeg_image(9 + d % 10, 8 + d % 9, int(d) % 211)
+        )
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return decode_image(media).select(
+        "doc_id",
+        "decoded_width",
+        "decoded_height",
+        "decoded_format",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "ok",
+    )
+
+
 # --------------------------------------------------------------------------
 # inherited relational coverage (SURVEY.md §2.3 — pandas-delegated in the
 # reference, Spark-native here; included to demonstrate the full surface)
@@ -1447,9 +1480,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_events": _q_skew_report_events,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "multimodal_decode": _q_multimodal_decode,
-        # r6: real PNG codec (zlib inflate + scanline unfilter) — new
-        # in window this round
+        # r6: real PNG codec (zlib inflate + scanline unfilter) and
+        # baseline JPEG codec (Huffman + IDCT; DC-exact payloads) —
+        # new in window this round
         "multimodal_png": _q_multimodal_png,
+        "multimodal_jpeg": _q_multimodal_jpeg,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
@@ -1469,7 +1504,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": _q_q3_shipping,
         "q5_local_supplier": _q_q5_local_supplier,
         "sessionize": _q_sessionize,
-        "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "scd2_user_status": _q_scd2_user_status,
         "q6_forecast": _q_q6_forecast,
@@ -1482,14 +1516,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _q_table_diff,
         "scd2_apply_late": _q_scd2_apply_late,
         # --- entries 51+ (outside the driver window; locally gated;
-        # r6: text_stats (green r1-r5), q1_pricing (green r1,2,4,5) and
-        # window_topk (green r1,2,4,5) rotated out — the only window
-        # slots free for table_diff + scd2_apply_late (r5 left them at
-        # positions 51-52 where the driver gate could not see them;
-        # table_diff needs its first green driver row) and the new
-        # fuzzy_autoskew.  The 13 r5 first-green entries +
-        # ann_quantized + the 3 new r6 queries (ineq_band_autoskew,
-        # multimodal_png, fuzzy_autoskew) all sit inside the window;
+        # r6: text_stats (green r1-r5), q1_pricing, window_topk and
+        # semi_join (each green 4 rounds) rotated out — the only
+        # window slots free for table_diff + scd2_apply_late (r5 left
+        # them at positions 51-52 where the driver gate could not see
+        # them; table_diff needs its first green driver row) and the
+        # new r6 queries.  The 13 r5 first-green entries +
+        # ann_quantized + the 4 new r6 queries (ineq_band_autoskew,
+        # multimodal_png, multimodal_jpeg, fuzzy_autoskew) all sit
+        # inside the window;
         # text_stats/text_normalize/multimodal_meta/stratified_sample
         # rotated here after 2-3 straight green driver rounds to make
         # room for the r4 additions above; text_stats moved BACK inside
@@ -1506,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
+        "semi_join": _q_semi_join,
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
@@ -2718,6 +2754,41 @@ ORDER BY doc_id
         # oracle recomputes dims + per-channel sums from the generator's
         # closed form (byte i = (seed + 7i) % 256; channel c takes
         # i = 3j + c).  Integer sums -> bit-exact across engines.
+        # decoded pixel (x,y) = (seed + 17*((y//8)*bx + x//8)) % 256,
+        # bx = ceil(w/8); edge blocks contribute partial pixel counts
+        "multimodal_jpeg": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(9 + doc_id % 10 AS INTEGER) AS w,
+                     CAST(8 + doc_id % 9 AS INTEGER) AS h,
+                     doc_id % 211 AS seed
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, w, h, seed,
+                     (w + 7) // 8 AS bx, (h + 7) // 8 AS by
+              FROM p
+            ),
+            blk AS (
+              SELECT doc_id, w, h, seed, bx,
+                     unnest(generate_series(0, bx * by - 1)) AS bi
+              FROM g
+            ),
+            s AS (
+              SELECT doc_id, w, h,
+                     ((seed + 17 * bi) % 256)
+                       * least(8, w - (bi % bx) * 8)
+                       * least(8, h - (bi // bx) * 8) AS contrib
+              FROM blk
+            )
+            SELECT doc_id, w AS decoded_width, h AS decoded_height,
+                   'jpeg' AS decoded_format,
+                   CAST(sum(contrib) AS BIGINT) AS sum_r,
+                   CAST(sum(contrib) AS BIGINT) AS sum_g,
+                   CAST(sum(contrib) AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM s GROUP BY doc_id, w, h
+        """,
         "multimodal_png": """
             WITH p AS (
               SELECT doc_id,

@@ -7,12 +7,15 @@ and tested, and so is the image codec for the two formats a pure
 Python + numpy stack can handle without native libraries:
 
 - ``decode_image`` is a REAL decoder for binary PPM (``P6``),
-  uncompressed 24-bit BMP, and PNG (8-bit gray/RGB/RGBA,
-  non-interlaced — stdlib ``zlib`` inflate + numpy scanline
-  unfiltering incl. Sub/Up/Average/Paeth, CRC-verified chunks);
+  uncompressed 24-bit BMP, PNG (8-bit gray/RGB/RGBA, non-interlaced —
+  stdlib ``zlib`` inflate + numpy scanline unfiltering incl.
+  Sub/Up/Average/Paeth, CRC-verified chunks), and baseline JPEG
+  (ITU-T T.81: canonical Huffman entropy decode with restart support,
+  dequantize, orthonormal IDCT; grayscale + 4:4:4 YCbCr;
+  progressive/subsampled degrade to ``ok=false``);
   unrecognized/corrupt payloads yield ``ok = false`` rows, never a
   task failure.  Swap in PIL/libvips inside the same ``mapInPandas``
-  stage for JPEG (the one web format still needing a native codec);
+  stage for subsampled/progressive JPEG and animated formats;
 - ``resize_image`` is a REAL nearest-neighbor resampler over the same
   two formats (decode → numpy index-select → re-encode as P6);
 - ``fake_decode_meta`` remains as the stand-in for *opaque* formats
@@ -31,6 +34,7 @@ bit-for-bit across engines and partitionings.
 
 from __future__ import annotations
 
+import os as _os
 import struct
 import zlib
 from typing import Iterator, Optional, Tuple
@@ -48,6 +52,7 @@ __all__ = [
     "pack_ppm_image",
     "pack_bmp_image",
     "pack_png_image",
+    "pack_jpeg_image",
     "pack_wav_audio",
     "decode_audio",
     "pack_avi_video",
@@ -353,6 +358,369 @@ def _parse_png(raw: bytes) -> Optional[np.ndarray]:
     return img
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG (pure Python + numpy): spec-conformant encoder for
+# DC-only payloads and a general baseline decoder (ITU-T T.81, JFIF).
+# The PACKER emits images that are grids of CONSTANT 8x8 blocks with a
+# flat quantization table of 1s: a constant block's DCT is DC-only and
+# an integer DC coefficient survives quantize -> entropy-code ->
+# dequantize -> IDCT EXACTLY, so the lossy format round-trips these
+# payloads losslessly and an independent engine can recompute the
+# decoded pixels in closed form (which the driver oracle does).  The
+# DECODER is general baseline: any DQT, DC+AC Huffman, restart
+# markers, grayscale or 4:4:4 YCbCr; progressive/subsampled -> None.
+# --------------------------------------------------------------------------
+
+# standard Annex K luminance Huffman tables (ITU-T T.81 K.3.1)
+_JPG_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_JPG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal 8-point DCT-II basis: IDCT(coefs) = C.T @ coefs @ C
+_JPG_DCT_C = np.array([
+    [
+        (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+        * np.cos((2 * n + 1) * k * np.pi / 16.0)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+
+def _jpg_huff_codes(bits, vals):
+    """Canonical Huffman codes: {symbol: (code, length)}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpg_huff_decode_table(bits, vals):
+    """Canonical Huffman decode map: {(length, code): symbol}."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.bytes_.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.bytes_.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self):
+        while self.nbits:  # pad with 1s per spec
+            self.write(1, 1)
+        return bytes(self.bytes_)
+
+
+def pack_jpeg_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic baseline-JFIF grayscale payload whose lossy round
+    trip is EXACT: the image is a grid of constant 8x8 blocks (pixel
+    (x, y) has value ``(seed + 17 * ((y//8) * ceil(w/8) + x//8)) %
+    256``), the quantization table is all 1s, and a constant block's
+    DCT is a single integer DC coefficient — quantize, Huffman-code,
+    dequantize and IDCT reproduce it bit-exactly, so the driver oracle
+    recomputes the decoded pixel sums in closed form.  Standard Annex
+    K Huffman tables; edge blocks are constant too, so non-multiple-
+    of-8 dims round-trip exactly as well."""
+    if width < 1 or height < 1:
+        raise ValueError("width/height must be >= 1")
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    dc_codes = _jpg_huff_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_huff_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    eob_code, eob_len = ac_codes[0x00]
+    w = _JpgBitWriter()
+    prev_dc = 0
+    for b in range(bx * by):
+        v = (seed + 17 * b) % 256
+        dc = 8 * (v - 128)  # DC coefficient of a constant block
+        diff = dc - prev_dc
+        prev_dc = dc
+        mag = abs(diff)
+        cat = mag.bit_length()
+        code, length = dc_codes[cat]
+        w.write(code, length)
+        if cat:
+            bits = diff if diff >= 0 else diff + (1 << cat) - 1
+            w.write(bits & ((1 << cat) - 1), cat)
+        w.write(eob_code, eob_len)  # all AC coefficients are zero
+    scan = w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # table 0, all 1s
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPG_DC_BITS[1:]) + bytes(_JPG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPG_AC_BITS[1:]) + bytes(_JPG_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+class _JpgBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; RST markers are consumed by the caller."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise EOFError("marker in scan")  # RST/EOI handled above
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self):
+        self.nbits = 0
+        self.acc = 0
+
+
+def _jpg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def _jpg_decode_symbol(reader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
+    """Baseline JPEG decode (ITU-T T.81): marker walk, DQT/DHT/SOF0/
+    SOS/DRI parsing, canonical Huffman entropy decode with restart
+    support, dequantize, orthonormal IDCT, level shift.  Supports
+    8-bit baseline with 1x1 sampling for every component (grayscale
+    replicated to RGB; 3-component scans converted JFIF YCbCr -> RGB).
+    Progressive (SOF2), subsampled, arithmetic or 12-bit streams
+    return None, as does any malformed structure."""
+    try:
+        if raw[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qt = {}
+        huff_dc, huff_ac = {}, {}
+        comps = None
+        w = h = 0
+        restart_interval = 0
+        while pos + 4 <= len(raw):
+            if raw[pos] != 0xFF:
+                return None
+            marker = raw[pos + 1]
+            if marker == 0xD9:  # EOI without SOS
+                return None
+            (seg_len,) = struct.unpack_from(">H", raw, pos + 2)
+            body = raw[pos + 4 : pos + 2 + seg_len]
+            pos += 2 + seg_len
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    prec, tid = body[i] >> 4, body[i] & 0xF
+                    i += 1
+                    if prec == 0:
+                        qt[tid] = np.frombuffer(
+                            body, np.uint8, 64, i
+                        ).astype(np.int64)
+                        i += 64
+                    else:
+                        qt[tid] = np.frombuffer(
+                            body[i : i + 128], ">u2"
+                        ).astype(np.int64)
+                        i += 128
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    bits = [0] + list(body[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + n])
+                    table = _jpg_huff_decode_table(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = table
+                    i += 17 + n
+            elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+                prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or w < 1 or h < 1 or nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:  # only 1x1 sampling
+                        return None
+                    comps.append({"id": cid, "tq": tq})
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", body, 0)
+            elif marker == 0xDA:  # SOS -> entropy-coded data follows
+                if comps is None:
+                    return None
+                ns = body[0]
+                if ns != len(comps):
+                    return None
+                for c in range(ns):
+                    cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                    for comp in comps:
+                        if comp["id"] == cs:
+                            comp["td"] = tables >> 4
+                            comp["ta"] = tables & 0xF
+                break
+            # APPn/COM/others: skipped via seg_len
+        else:
+            return None
+
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        planes = [
+            np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+        ]
+        reader = _JpgBitReader(raw, pos)
+        preds = [0] * len(comps)
+        mcu = 0
+        for yb in range(by):
+            for xb in range(bx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    # align and consume the RST marker
+                    reader.align()
+                    p = reader.pos
+                    if raw[p] == 0xFF and 0xD0 <= raw[p + 1] <= 0xD7:
+                        reader.pos = p + 2
+                        preds = [0] * len(comps)
+                    else:
+                        return None
+                mcu += 1
+                for ci, comp in enumerate(comps):
+                    dct = huff_dc.get(comp.get("td", 0))
+                    act = huff_ac.get(comp.get("ta", 0))
+                    q = qt.get(comp["tq"])
+                    if dct is None or act is None or q is None:
+                        return None
+                    cat = _jpg_decode_symbol(reader, dct)
+                    diff = _jpg_extend(reader.read_bits(cat), cat)
+                    preds[ci] += diff
+                    coefs = np.zeros(64, dtype=np.int64)
+                    coefs[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _jpg_decode_symbol(reader, act)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63 or size == 0:
+                            return None
+                        coefs[k] = _jpg_extend(reader.read_bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_JPG_ZIGZAG] = (coefs * q).astype(np.float64)
+                    pix = _JPG_DCT_C.T @ block.reshape(8, 8) @ _JPG_DCT_C
+                    planes[ci][
+                        yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8
+                    ] = pix
+        out = [
+            np.clip(np.rint(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+            for p in planes
+        ]
+        if len(out) == 1:
+            return np.repeat(out[0][:, :, None], 3, axis=2)
+        yy, cb, cr = (o.astype(np.float64) for o in out)
+        r = yy + 1.402 * (cr - 128.0)
+        g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = yy + 1.772 * (cb - 128.0)
+        return np.stack(
+            [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
+            axis=2,
+        )
+    except (IndexError, ValueError, EOFError, struct.error):
+        if _os.environ.get("PDX_JPG_DEBUG"):  # pragma: no cover
+            raise
+        return None
+
+
 def _decode_any(raw: bytes) -> Tuple[Optional[np.ndarray], Optional[str]]:
     if raw[:2] == b"P6":
         return _parse_ppm(raw), "ppm"
@@ -360,6 +728,8 @@ def _decode_any(raw: bytes) -> Tuple[Optional[np.ndarray], Optional[str]]:
         return _parse_bmp(raw), "bmp"
     if raw[:8] == _PNG_SIG:
         return _parse_png(raw), "png"
+    if raw[:2] == b"\xff\xd8":
+        return _parse_jpeg(raw), "jpeg"
     return None, None
 
 
@@ -371,7 +741,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Appends::
 
         decoded_width, decoded_height : int   (NULL when not decodable)
-        decoded_format                : 'ppm' | 'bmp' | 'png' | NULL
+        decoded_format                : 'ppm' | 'bmp' | 'png' | 'jpeg' | NULL
         sum_r, sum_g, sum_b           : long  per-channel pixel sums
         ok                            : boolean
 

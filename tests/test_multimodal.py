@@ -427,3 +427,116 @@ def test_resize_image_png_input(spark):
     assert (out[1]["decoded_width"], out[1]["decoded_height"]) == (4, 3)
     for c in ("sum_r", "sum_g", "sum_b"):
         assert out[1][c] == out[2][c]
+
+
+def test_decode_image_jpeg_dc_exact_roundtrip(spark):
+    # constant-8x8-block payloads round-trip EXACTLY through the lossy
+    # pipeline (DC-only blocks, flat quant table) — decoded sums match
+    # the packer's closed form
+    from pandance_spark.operators.multimodal import pack_jpeg_image
+
+    w, h, seed = 19, 14, 123  # non-multiple-of-8 dims: partial edge blocks
+    bx = (w + 7) // 8
+    exp = 0
+    for y in range(h):
+        for x in range(w):
+            exp += (seed + 17 * ((y // 8) * bx + x // 8)) % 256
+    r = decode_image(
+        spark.createDataFrame(
+            [(1, pack_jpeg_image(w, h, seed), "image/jpeg", (w, h, None))],
+            MEDIA_SCHEMA,
+        )
+    ).first()
+    assert (r["decoded_width"], r["decoded_height"], r["decoded_format"]) == (
+        w, h, "jpeg",
+    )
+    assert r["ok"] is True
+    assert r["sum_r"] == r["sum_g"] == r["sum_b"] == exp
+
+
+def test_decode_image_jpeg_general_ac_blocks(spark):
+    # decoder generality: a block with real AC coefficients decodes to
+    # exactly dequantize+IDCT of the quantized spectrum (within the
+    # +-1 lossy rounding of the original pixels)
+    import struct as _s
+
+    import pandance_spark.operators.multimodal as mm
+
+    rng = np.random.default_rng(7)
+    block = rng.integers(0, 256, size=(8, 8)).astype(np.float64)
+    C = mm._JPG_DCT_C
+    coefs = C @ (block - 128.0) @ C.T
+    zz = np.rint(coefs).astype(np.int64).reshape(64)[mm._JPG_ZIGZAG]
+    dcc = mm._jpg_huff_codes(mm._JPG_DC_BITS, mm._JPG_DC_VALS)
+    acc = mm._jpg_huff_codes(mm._JPG_AC_BITS, mm._JPG_AC_VALS)
+    wtr = mm._JpgBitWriter()
+    diff = int(zz[0])
+    cat = abs(diff).bit_length()
+    code, ln = dcc[cat]
+    wtr.write(code, ln)
+    if cat:
+        bits = diff if diff >= 0 else diff + (1 << cat) - 1
+        wtr.write(bits & ((1 << cat) - 1), cat)
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            c2, l2 = acc[0x00]
+            wtr.write(c2, l2)
+            break
+        while run > 15:
+            c2, l2 = acc[0xF0]
+            wtr.write(c2, l2)
+            run -= 16
+        v = int(zz[k])
+        size = abs(v).bit_length()
+        c2, l2 = acc[(run << 4) | size]
+        wtr.write(c2, l2)
+        bits = v if v >= 0 else v + (1 << size) - 1
+        wtr.write(bits & ((1 << size) - 1), size)
+        k += 1
+    scan = wtr.flush()
+
+    def seg(m, p):
+        return bytes([0xFF, m]) + _s.pack(">H", len(p) + 2) + p
+
+    raw = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(mm._JPG_DC_BITS[1:])
+              + bytes(mm._JPG_DC_VALS) + bytes([0x10])
+              + bytes(mm._JPG_AC_BITS[1:]) + bytes(mm._JPG_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0, 0, 63, 0]))
+        + scan + b"\xff\xd9"
+    )
+    img = mm._parse_jpeg(raw)
+    rec = C.T @ np.rint(coefs) @ C
+    ref = np.clip(np.rint(rec + 128.0), 0, 255).astype(np.uint8)
+    assert img is not None and np.array_equal(img[:, :, 0], ref)
+    assert np.abs(img[:, :, 0].astype(int) - block.astype(int)).max() <= 1
+
+
+def test_decode_image_jpeg_corrupt_and_progressive_degrade(spark):
+    from pandance_spark.operators.multimodal import pack_jpeg_image
+
+    good = pack_jpeg_image(16, 16, 9)
+    progressive = bytearray(good)
+    sof = progressive.index(b"\xff\xc0")
+    progressive[sof + 1] = 0xC2  # mark as progressive -> unsupported
+    rows = [
+        (1, good[:20], "image/jpeg", (None, None, None)),  # truncated
+        (2, bytes(progressive), "image/jpeg", (None, None, None)),
+        (3, good, "image/jpeg", (16, 16, None)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_image(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert out[1]["ok"] is False and out[2]["ok"] is False
+    assert out[3]["ok"] is True and out[3]["decoded_format"] == "jpeg"
