@@ -216,6 +216,7 @@ def main():
         "skew_report_events",
         # r6 additions
         "multimodal_png",
+        "multimodal_jpeg",
         "ineq_band_autoskew",
         "fuzzy_autoskew",
         "table_diff",
