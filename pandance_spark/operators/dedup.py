@@ -541,7 +541,7 @@ def ngram_jaccard_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    cands, sets_df, threshold = _ngram_candidates(
+    cands, sets_df = _ngram_candidates(
         df, id_col, text_col, shingle_n, threshold
     )
     sa = sets_df.withColumnsRenamed({"id": "id_a", "__set": "__set_a"})
@@ -567,7 +567,7 @@ def _ngram_candidates(
     """Candidate-generation stage of :func:`ngram_jaccard_join`,
     factored out so scale probes can measure candidate volume (the
     quantity that must grow ∝ prefix collisions, not rows²) without
-    paying for verification.  Returns ``(cands, sets_df, threshold)``.
+    paying for verification.  Returns ``(cands, sets_df)``.
     """
     df = _spread(df)
     # checkpoint the exploded shingle stream: it feeds BOTH the global
@@ -670,7 +670,7 @@ def _ngram_candidates(
     cands = grouped.filter(
         overlap_ub.cast("double") >= overlap_floor
     ).select("id_a", "id_b")
-    return cands, sets_df, threshold
+    return cands, sets_df
 
 
 def embedding_cosine_pairs(
@@ -1536,7 +1536,12 @@ def dedup_paragraphs(
     parallel second scan beats the window's un-splittable hot-key
     reducer, which serializes the whole job on one task.
     Determinism: min (id, pos) is a total order, so reruns and
-    different partitionings keep the same copy.
+    different partitionings keep the same copy.  PRECONDITION of the
+    double evaluation: ``df`` must be deterministic — a source built
+    on ``sample()``/``monotonically_increasing_id()`` etc. can
+    evaluate differently per side and silently drop paragraphs;
+    ``localCheckpoint()`` such inputs first (the same rule Spark
+    itself imposes on retried nondeterministic stages).
     """
     parts = (
         _spread(df)

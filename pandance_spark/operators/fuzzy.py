@@ -211,12 +211,16 @@ def fuzzy_join(
         hot_r = sampled_hot_keys(right2, rbucket)
     if hot_r:
         # a hot right VALUE explodes into its ±margin neighbor buckets,
-        # so every one of those bucket keys receives the full hot mass
-        hot_r = {
-            b + i: s
-            for b, s in hot_r.items()
-            for i in range(-_BUCKET_MARGIN, _BUCKET_MARGIN + 1)
-        }
+        # so every one of those bucket keys receives the full hot mass;
+        # overlapping expansions keep the LARGEST salt count (two hot
+        # values within 2*margin of each other must not clobber the
+        # fatter one's split down to the thinner one's)
+        expanded: dict = {}
+        for b, s in hot_r.items():
+            for i in range(-_BUCKET_MARGIN, _BUCKET_MARGIN + 1):
+                k = b + i
+                expanded[k] = max(expanded.get(k, 0), s)
+        hot_r = expanded
     if hot_l or hot_r:
         return _salted_bucket_join(
             lb, rb, hot_l, hot_r, exact, out_cols

@@ -132,6 +132,13 @@ def pack_bmp_image(width: int, height: int, seed: int) -> bytes:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# decode-side allocation cap: headers are attacker-controlled, and a
+# few-hundred-byte payload declaring 65535x65535 dims must degrade to
+# ok=false, not OOM the executor ("one bad object cannot kill a 100 TB
+# scan").  16M pixels covers any sane in-pipeline image; raise it
+# deliberately if a corpus genuinely carries larger frames.
+_MAX_DECODE_PIXELS = 16_000_000
+
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     return (
@@ -305,14 +312,19 @@ def _parse_png(raw: bytes) -> Optional[np.ndarray]:
         or channels is None
         or w <= 0
         or h <= 0
+        or w * h > _MAX_DECODE_PIXELS
     ):
         return None
-    try:
-        stream = zlib.decompress(b"".join(idat))
-    except zlib.error:
-        return None
     stride = w * channels
-    if len(stream) != h * (stride + 1):
+    expected = h * (stride + 1)
+    try:
+        # bounded inflate: cap at the exact expected stream size so a
+        # crafted deflate bomb cannot expand past the declared dims
+        d = zlib.decompressobj()
+        stream = d.decompress(b"".join(idat), expected)
+        if len(stream) != expected or d.unconsumed_tail or d.flush(8):
+            return None  # short stream, or more data than the dims allow
+    except zlib.error:
         return None
     arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
     ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
@@ -621,7 +633,13 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
                     i += 17 + n
             elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
                 prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-                if prec != 8 or w < 1 or h < 1 or nc not in (1, 3):
+                if (
+                    prec != 8
+                    or w < 1
+                    or h < 1
+                    or nc not in (1, 3)
+                    or w * h > _MAX_DECODE_PIXELS
+                ):
                     return None
                 comps = []
                 for c in range(nc):
@@ -715,7 +733,7 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
             [np.clip(np.rint(c), 0, 255).astype(np.uint8) for c in (r, g, b)],
             axis=2,
         )
-    except (IndexError, ValueError, EOFError, struct.error):
+    except (IndexError, ValueError, EOFError, MemoryError, struct.error):
         if _os.environ.get("PDX_JPG_DEBUG"):  # pragma: no cover
             raise
         return None

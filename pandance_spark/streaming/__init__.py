@@ -381,18 +381,38 @@ def stream_upsert_sink(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             # 1. latest row per key within the batch.  Ties on
-            # order_col break on a stable whole-row hash so the
-            # surviving row is a function of the DATA, not of the
-            # batch's partitioning — without it, two in-batch rows
-            # sharing (key, order_col) would be resolved arbitrarily,
-            # a nondeterminism the cross-batch merge's commutativity
-            # claim would silently inherit (r5 advice).
+            # order_col break on a stable row hash so the surviving
+            # row is a function of the DATA, not of the batch's
+            # partitioning — without it, two in-batch rows sharing
+            # (key, order_col) would be resolved arbitrarily, a
+            # nondeterminism the cross-batch merge's commutativity
+            # claim would silently inherit (r5 advice).  xxhash64
+            # rejects MapType inputs, so map-typed columns are left
+            # out of the hash (rows differing ONLY in a map column
+            # still tie arbitrarily — the schema gives no stable
+            # order to break by).
             from pyspark.sql.window import Window as _W
 
-            w = _W.partitionBy(*keys).orderBy(
-                _F.col(order_col).desc(),
-                _F.xxhash64(*[_F.col(c) for c in batch.columns]).asc(),
-            )
+            def _hashable(dt) -> bool:
+                from pyspark.sql import types as _T
+
+                if isinstance(dt, _T.MapType):
+                    return False
+                if isinstance(dt, _T.ArrayType):
+                    return _hashable(dt.elementType)
+                if isinstance(dt, _T.StructType):
+                    return all(_hashable(f.dataType) for f in dt.fields)
+                return True
+
+            hash_cols = [
+                f.name for f in batch.schema.fields if _hashable(f.dataType)
+            ]
+            order_by = [_F.col(order_col).desc()]
+            if hash_cols:
+                order_by.append(
+                    _F.xxhash64(*[_F.col(c) for c in hash_cols]).asc()
+                )
+            w = _W.partitionBy(*keys).orderBy(*order_by)
             latest = (
                 batch.withColumn("__rn", _F.row_number().over(w))
                 .filter(_F.col("__rn") == 1)

@@ -540,3 +540,42 @@ def test_decode_image_jpeg_corrupt_and_progressive_degrade(spark):
     }
     assert out[1]["ok"] is False and out[2]["ok"] is False
     assert out[3]["ok"] is True and out[3]["decoded_format"] == "jpeg"
+
+
+def test_decode_image_bomb_headers_degrade(spark):
+    # attacker-controlled headers declaring huge dims must degrade to
+    # ok=false, never allocate (decode-side _MAX_DECODE_PIXELS cap)
+    import struct as _s
+    import zlib as _z
+
+    from pandance_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        pack_jpeg_image,
+    )
+
+    ihdr = _s.pack(">IIBBBBB", 20000, 20000, 8, 2, 0, 0, 0)
+    png_bomb = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 1000))
+        + _png_chunk(b"IEND", b"")
+    )
+    # deflate stream longer than the declared dims allow -> malformed
+    ihdr2 = _s.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    png_over = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr2)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00" * 10000))
+        + _png_chunk(b"IEND", b"")
+    )
+    jpg_bomb = bytearray(pack_jpeg_image(8, 8, 1))
+    sof = jpg_bomb.index(b"\xff\xc0")
+    _s.pack_into(">HH", jpg_bomb, sof + 5, 65535, 65535)
+    rows = [
+        (1, png_bomb, "image/png", (None, None, None)),
+        (2, png_over, "image/png", (None, None, None)),
+        (3, bytes(jpg_bomb), "image/jpeg", (None, None, None)),
+    ]
+    out = decode_image(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert all(r["ok"] is False for r in out)

@@ -442,3 +442,24 @@ def test_stream_upsert_sink_replay_after_lost_commit_is_idempotent(
     assert replayed == after_commit == [
         (1, 1, "a1"), (2, 2, "b2"), (3, 1, "c1"), (4, 1, "d1")
     ]
+
+
+def test_stream_upsert_sink_map_typed_column(spark, tmp_path):
+    """r6 review fix: the whole-row-hash tie-breaker must skip
+    map-typed columns (xxhash64 rejects MapType) instead of failing
+    every micro-batch."""
+    from pandance_spark.streaming import stream_upsert_sink
+
+    src, tgt = str(tmp_path / "src"), str(tmp_path / "tgt")
+    schema = "k long, ver long, attrs map<string,string>"
+    spark.createDataFrame(
+        [(1, 1, {"a": "x"}), (2, 1, {"b": "y"})], schema
+    ).coalesce(1).write.mode("overwrite").json(src)
+    q = stream_upsert_sink(
+        spark.readStream.schema(schema).json(src), tgt, ["k"], "ver",
+        num_buckets=2, checkpoint_dir=str(tmp_path / "ckpt"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["k"]: r["attrs"] for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: {"a": "x"}, 2: {"b": "y"}}
