@@ -506,3 +506,79 @@ def test_fuzzy_band_equals_range_up_to_operating_guard(spark, base_off, span):
     assert sorted(map(tuple, auto.select(*key).collect())) == sorted(
         map(tuple, exact.select(*key).collect())
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    hot_share=st.integers(min_value=2, max_value=9),  # tenths of left rows
+    n_right=st.integers(min_value=30, max_value=120),
+    how=st.sampled_from(["<", "<=", ">", ">="]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_ineq_salted_equals_unsalted_on_random_skew(
+    spark, hot_share, n_right, how, seed
+):
+    # r6 auto-skew: for ANY hot-key concentration, the salted band
+    # join must return exactly the unsalted result set — salting may
+    # only change the physical plan, never the pairs
+    import random
+
+    rnd = random.Random(seed)
+    hot_val = float(rnd.randrange(0, 500))
+    n_hot = 10 * hot_share
+    right_vals = [hot_val] * n_hot + [
+        float(rnd.randrange(0, 1000)) for _ in range(n_right)
+    ]
+    left_vals = [float(rnd.randrange(0, 1000)) for _ in range(25)]
+    right = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(right_vals)], "v double, rid long"
+    )
+    left = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(left_vals)], "v double, lid long"
+    )
+    kw = dict(on="v", how=how, strategy="band", num_bands=16,
+              disjoint_fast_path=False)
+    salted = ineq_join(left, right, skew_salting="always", **kw)
+    plain = ineq_join(left, right, skew_salting="never", **kw)
+    key = ["lid", "rid"]
+    got_s = sorted(map(tuple, salted.select(*key).collect()))
+    got_p = sorted(map(tuple, plain.select(*key).collect()))
+    assert got_s == got_p
+
+
+@settings(**_SETTINGS)
+@given(
+    n_hot_l=st.integers(min_value=0, max_value=60),
+    n_hot_r=st.integers(min_value=0, max_value=60),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_fuzzy_salted_equals_unsalted_on_random_skew(
+    spark, n_hot_l, n_hot_r, seed
+):
+    # r6 two-sided salt cells: atoms on the left, the right, both, or
+    # neither — the salted result must equal the exact range join
+    import random
+
+    rnd = random.Random(seed)
+    atom_l = rnd.randrange(0, 300) + 0.5
+    atom_r = rnd.randrange(0, 300) + 0.25
+    lv = [atom_l] * n_hot_l + [
+        rnd.randrange(0, 3000) / 10.0 for _ in range(40)
+    ]
+    rv = [atom_r] * n_hot_r + [
+        rnd.randrange(0, 3000) / 10.0 for _ in range(40)
+    ]
+    left = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(lv)], "v double, lid long"
+    )
+    right = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(rv)], "v double, rid long"
+    )
+    kw = dict(on="v", tol=0.5, disjoint_fast_path=False)
+    salted = fuzzy_join(left, right, strategy="band",
+                        skew_salting="always", **kw)
+    rng = fuzzy_join(left, right, strategy="range", **kw)
+    key = ["lid", "rid"]
+    assert sorted(map(tuple, salted.select(*key).collect())) == sorted(
+        map(tuple, rng.select(*key).collect())
+    )
