@@ -217,6 +217,7 @@ def main():
         # r6 additions
         "multimodal_png",
         "multimodal_jpeg",
+        "warc_extract",
         "ineq_band_autoskew",
         "fuzzy_autoskew",
         "table_diff",

@@ -34,6 +34,7 @@ __all__ = [
     "read_any",
     "read_jsonl",
     "read_csv_quarantine",
+    "warc_records",
     "save_bucketed",
     "write_table",
 ]
@@ -325,3 +326,6 @@ def _quarantine_split(df, corrupt_col: str):
         df.unpersist(blocking)
 
     return good, bad, unpersist
+
+
+from pandance_spark.sources.warc import warc_records  # noqa: E402
