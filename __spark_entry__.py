@@ -660,6 +660,48 @@ def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/url.py): synthesize noisy
+    absolute URLs per document (uppercase scheme/host, default ports,
+    tracking params, unsorted query, fragments — closed form over
+    doc_id), then emit normalize_url / url_host / registered_domain.
+    Pure Column expressions fused into the scan — zero shuffles.  The
+    oracle rebuilds every output string in closed form; any slip in
+    port stripping, param filtering/sorting or the public-suffix
+    heuristic mismatches whole row groups."""
+    from pandance_spark.functions.url import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://WWW.Site"))
+        .otherwise(F.lit("https://sub.site")),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".Example.CO.UK"))
+        .otherwise(F.lit(".Example.COM")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+            F.lit(":443")
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("?utm_source=x&b=2&a=1#frag"),
+        ).otherwise(F.lit("")),
+    )
+    out = docs.withColumn("url", url)
+    return out.select(
+        "doc_id",
+        "url",
+        normalize_url(F.col("url")).alias("url_norm"),
+        url_host(F.col("url")).alias("host"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+    )
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest round-trip (sources/warc.py): pack a deterministic
     WARC/1.0 payload per document — 1 + doc_id % 3 HTTP response
@@ -1527,8 +1569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in window this round
         "multimodal_png": _q_multimodal_png,
         "multimodal_jpeg": _q_multimodal_jpeg,
-        # r6: WARC source (Common Crawl container) — new in window
+        # r6: WARC source (Common Crawl container) + URL
+        # canonicalization — new in window
         "warc_extract": _q_warc_extract,
+        "url_normalize": _q_url_normalize,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
@@ -1547,7 +1591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in the local multi-sf gate, which checks ALL entries.
         "q3_shipping": _q_q3_shipping,
         "q5_local_supplier": _q_q5_local_supplier,
-        "sessionize": _q_sessionize,
         "scd2_user_status": _q_scd2_user_status,
         "q6_forecast": _q_q6_forecast,
         # r5 rotations IN: the five entries flagged by the r4 verdict as
@@ -1587,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
+        "sessionize": _q_sessionize,
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
@@ -2799,6 +2843,46 @@ ORDER BY doc_id
         # oracle recomputes dims + per-channel sums from the generator's
         # closed form (byte i = (seed + 7i) % 256; channel c takes
         # i = 3j + c).  Integer sums -> bit-exact across engines.
+        # every output string rebuilt in closed form from the same
+        # doc_id expressions the Spark query uses to SYNTHESIZE the
+        # noisy input URL
+        "url_normalize": """
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 2 = 0 AS even,
+                     doc_id % 3 = 0 AS uk,
+                     doc_id % 4 = 0 AS tracked,
+                     CAST(doc_id % 7 AS VARCHAR) AS k
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, even, tracked,
+                     CASE WHEN even THEN 'www.site' ELSE 'sub.site' END
+                       || k ||
+                     CASE WHEN uk THEN '.example.co.uk'
+                          ELSE '.example.com' END AS host,
+                     CASE WHEN even THEN 'http' ELSE 'https' END AS scheme,
+                     CASE WHEN uk THEN 'example.co.uk'
+                          ELSE 'example.com' END AS domain,
+                     CASE WHEN even THEN 'HTTP://WWW.Site'
+                          ELSE 'https://sub.site' END
+                       || k ||
+                     CASE WHEN uk THEN '.Example.CO.UK'
+                          ELSE '.Example.COM' END
+                       || CASE WHEN even THEN ':80' ELSE ':443' END
+                       || '/p/' || doc_id
+                       || CASE WHEN tracked
+                               THEN '?utm_source=x&b=2&a=1#frag'
+                               ELSE '' END AS url
+              FROM p
+            )
+            SELECT doc_id, url,
+                   scheme || '://' || host || '/p/' || doc_id
+                     || CASE WHEN tracked THEN '?a=1&b=2' ELSE '' END
+                     AS url_norm,
+                   host, domain
+            FROM b
+        """,
         # body of record j = 'd{id} r{j} ' repeated 1 + (id+j) % 4
         # times; gzip-vs-plain container choice must be invisible
         "warc_extract": """

@@ -218,6 +218,7 @@ def main():
         "multimodal_png",
         "multimodal_jpeg",
         "warc_extract",
+        "url_normalize",
         "ineq_band_autoskew",
         "fuzzy_autoskew",
         "table_diff",

@@ -1,0 +1,85 @@
+"""URL canonicalization tests (functions/url.py — SURVEY.md §2.4
+extension; pure Column expressions, zero shuffles)."""
+
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.url import (
+    normalize_url,
+    registered_domain,
+    url_host,
+    url_parts,
+)
+
+
+def test_normalize_url_cases(spark):
+    cases = [
+        # case noise + default port + tracking + param order + fragment
+        ("HTTP://WWW.Example.COM:80/Path/A?utm_source=x&b=2&a=1#frag",
+         "http://www.example.com/Path/A?a=1&b=2"),
+        ("https://Site.example.co.uk:443/", "https://site.example.co.uk/"),
+        # non-default port survives
+        ("https://host.com:8443/x?z=1", "https://host.com:8443/x?z=1"),
+        # empty path -> '/'
+        ("http://example.com", "http://example.com/"),
+        # tracking-only query disappears entirely
+        ("http://a.b.com/p?fbclid=abc", "http://a.b.com/p"),
+        # path case is NOT folded (paths are case-sensitive)
+        ("http://X.com/CaseSensitive", "http://x.com/CaseSensitive"),
+    ]
+    df = spark.createDataFrame([(u, e) for u, e in cases], "u string, exp string")
+    for r in df.select(normalize_url(F.col("u")).alias("n"), "exp").collect():
+        assert r["n"] == r["exp"], r
+
+
+def test_normalize_url_is_dedup_key(spark):
+    # the whole point: case/port/tracking/order variants of one
+    # resource collapse to ONE key
+    variants = [
+        "http://Example.com/a?x=1&y=2",
+        "HTTP://EXAMPLE.COM:80/a?y=2&x=1",
+        "http://example.com/a?utm_medium=m&x=1&y=2#top",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "u string")
+    keys = df.select(normalize_url(F.col("u")).alias("k")).distinct()
+    assert keys.count() == 1
+
+
+def test_url_host_and_registered_domain(spark):
+    rows = [
+        ("http://www.example.co.uk/x", "www.example.co.uk", "example.co.uk"),
+        ("https://a.b.site.com:8080/", "a.b.site.com", "site.com"),
+        ("http://localhost/", "localhost", "localhost"),
+        ("http://example.com/", "example.com", "example.com"),
+    ]
+    df = spark.createDataFrame(rows, "u string, h string, d string")
+    out = df.select(
+        url_host(F.col("u")).alias("host"),
+        registered_domain(url_host(F.col("u"))).alias("dom"),
+        "h", "d",
+    ).collect()
+    for r in out:
+        assert r["host"] == r["h"] and r["dom"] == r["d"], r
+
+
+def test_url_parts_struct(spark):
+    r = (
+        spark.createDataFrame(
+            [("HTTP://User@Host.COM:8080/p/x?q=1#f",)], "u string"
+        )
+        .select(url_parts(F.col("u")).alias("p"))
+        .first()["p"]
+    )
+    assert r["scheme"] == "http"
+    assert r["path"] == "/p/x" and r["query"] == "q=1" and r["fragment"] == "f"
+
+
+def test_url_functions_no_shuffle(spark):
+    # the canonicalization pass must fuse into the scan: no Exchange
+    df = spark.range(100).select(
+        F.concat(F.lit("http://h"), F.col("id"), F.lit(".com/p")).alias("u")
+    )
+    out = df.select(
+        normalize_url(F.col("u")), registered_domain(url_host(F.col("u")))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
