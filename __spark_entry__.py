@@ -1603,8 +1603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply_late": _q_scd2_apply_late,
         # --- entries 51+ (outside the driver window; locally gated;
         # r6: text_stats (green r1-r5), q1_pricing, window_topk,
-        # semi_join and anti_join (each green 4 rounds) rotated out —
-        # the only
+        # semi_join and anti_join (each green 4 rounds) and sessionize
+        # (green 3 rounds: r1, r4, r5) rotated out — the only
         # window slots free for table_diff + scd2_apply_late (r5 left
         # them at positions 51-52 where the driver gate could not see
         # them; table_diff needs its first green driver row) and the

@@ -34,7 +34,11 @@ __all__ = [
 
 # RFC 3986 appendix-B split regex (scheme, authority, path, query, frag)
 _URL_RE = r"^(?:([^:/?#]+):)?(?:\/\/([^\/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?"
-_AUTH_RE = r"^([^:]*)(?::(\d+))?$"
+# host inside an authority AFTER userinfo strip: a bracketed IPv6
+# literal or everything up to the port colon; trailing FQDN dot
+# normalized away
+_HOST_RE = r"^(\[[^\]]*\]|[^:]*)"
+_PORT_RE = r":(\d+)$"
 
 # common second-level public suffixes (approximation of the PSL)
 _TWO_LEVEL_SUFFIXES = [
@@ -44,22 +48,40 @@ _TWO_LEVEL_SUFFIXES = [
     "com.tw",
 ]
 
-# query parameters that track the click, not the resource
-_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)="
+# query parameters that track the click, not the resource — with or
+# without a value ('?gclid' must normalize identically to '?gclid=x')
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|igshid|ref_src)(=|$)"
 
 
 def _part(col: Column, i: int) -> Column:
     return F.regexp_extract(col, _URL_RE, i)
 
 
+def _host_part(auth: Column) -> Column:
+    """Host from an authority: strip userinfo, keep bracketed IPv6
+    literals whole, drop the port and any trailing FQDN dot."""
+    bare = F.regexp_replace(auth, r"^[^@]*@", "")
+    return F.regexp_replace(
+        F.regexp_extract(bare, _HOST_RE, 1), r"\.$", ""
+    )
+
+
+def _port_part(auth: Column) -> Column:
+    return F.regexp_extract(
+        F.regexp_replace(auth, r"^[^@]*@", ""), _PORT_RE, 1
+    )
+
+
 def url_parts(col: Column) -> Column:
     """``struct(scheme, host, port, path, query, fragment)`` — scheme
-    and host lowercased, everything else verbatim."""
+    and host lowercased (userinfo and any trailing FQDN dot dropped
+    from the host; bracketed IPv6 literals kept whole), everything
+    else verbatim."""
     auth = _part(col, 2)
     return F.struct(
         F.lower(_part(col, 1)).alias("scheme"),
-        F.lower(F.regexp_extract(auth, _AUTH_RE, 1)).alias("host"),
-        F.regexp_extract(auth, _AUTH_RE, 2).alias("port"),
+        F.lower(_host_part(auth)).alias("host"),
+        _port_part(auth).alias("port"),
         _part(col, 3).alias("path"),
         _part(col, 4).alias("query"),
         _part(col, 5).alias("fragment"),
@@ -67,8 +89,8 @@ def url_parts(col: Column) -> Column:
 
 
 def url_host(col: Column) -> Column:
-    """Lowercased host without port."""
-    return F.lower(F.regexp_extract(_part(col, 2), _AUTH_RE, 1))
+    """Lowercased host without userinfo, port, or trailing dot."""
+    return F.lower(_host_part(_part(col, 2)))
 
 
 def normalize_url(col: Column) -> Column:
@@ -79,8 +101,8 @@ def normalize_url(col: Column) -> Column:
     through case/port/tracking/param-order noise map to one key."""
     scheme = F.lower(_part(col, 1))
     auth = F.lower(_part(col, 2))
-    host = F.regexp_extract(auth, _AUTH_RE, 1)
-    port = F.regexp_extract(auth, _AUTH_RE, 2)
+    host = _host_part(auth)
+    port = _port_part(auth)
     default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )

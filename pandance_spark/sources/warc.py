@@ -25,7 +25,6 @@ parsed field in closed form (the driver query does exactly that).
 
 from __future__ import annotations
 
-import struct  # noqa: F401  (parity with sibling codecs; not used yet)
 import zlib
 from typing import Iterator, List, Optional, Tuple
 
@@ -53,11 +52,14 @@ def pack_warc(records) -> bytes:
             body = body.encode("utf-8")
         status = int(r.get("status", 200))
         ctype = r.get("ctype", "text/plain")
+        # utf-8, not ascii: WARC 1.0 headers are utf-8 and crawl-data
+        # target URIs are routinely IRIs — a non-ascii uri must encode,
+        # not crash the packer
         http = (
             f"HTTP/1.1 {status} OK\r\n"
             f"Content-Type: {ctype}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode("ascii") + body
+        ).encode("utf-8") + body
         header = (
             "WARC/1.0\r\n"
             f"WARC-Type: {r.get('warc_type', 'response')}\r\n"
@@ -66,7 +68,7 @@ def pack_warc(records) -> bytes:
             f"WARC-Target-URI: {r['uri']}\r\n"
             "Content-Type: application/http; msgtype=response\r\n"
             f"Content-Length: {len(http)}\r\n\r\n"
-        ).encode("ascii")
+        ).encode("utf-8")
         out += header + http + b"\r\n\r\n"
     return bytes(out)
 
@@ -75,7 +77,7 @@ def pack_warc_gz(records) -> bytes:
     """Common Crawl layout: one independent gzip MEMBER per record
     (lets a reader split the file at member boundaries)."""
     out = bytearray()
-    for i, r in enumerate(records):
+    for r in records:
         member = pack_warc([r])
         co = zlib.compressobj(6, zlib.DEFLATED, 31)  # wbits 31 = gzip
         out += co.compress(member) + co.flush()
@@ -88,14 +90,17 @@ def _gunzip_members(raw: bytes) -> Optional[bytes]:
     out, pos, budget = [], 0, _MAX_INFLATED_BYTES
     try:
         while pos < len(raw):
+            if budget <= 0:
+                # more compressed input but no budget left — and
+                # max_length=0 would mean UNBOUNDED to zlib, so the
+                # check must come before the decompress call
+                return None
             d = zlib.decompressobj(31)
             chunk = d.decompress(raw[pos:], budget)
             if not d.eof:  # member didn't finish inside the budget
                 return None
             out.append(chunk)
-            budget -= len(chunk)
-            if budget <= 0:
-                return None
+            budget -= len(chunk)  # >= 0: chunk is capped by max_length
             consumed = len(raw) - pos - len(d.unused_data)
             if consumed <= 0:
                 return None
@@ -205,7 +210,11 @@ def warc_records(
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
                 recs = parse_warc(raw) if raw else None
-                if recs is None:
+                if not recs:
+                    # None (malformed) AND [] (whitespace-only payload,
+                    # zero records) both mark the id with ok=false —
+                    # every input id must appear in the output exactly
+                    # so completeness audits can catch silent loss
                     rows.append(
                         (rid, None, None, None, None, None, None, None,
                          None, False)

@@ -510,7 +510,7 @@ def test_fuzzy_band_equals_range_up_to_operating_guard(spark, base_off, span):
 
 @settings(**_SETTINGS)
 @given(
-    hot_share=st.integers(min_value=2, max_value=9),  # tenths of left rows
+    hot_share=st.integers(min_value=2, max_value=9),  # x10 hot RIGHT rows
     n_right=st.integers(min_value=30, max_value=120),
     how=st.sampled_from(["<", "<=", ">", ">="]),
     seed=st.integers(min_value=0, max_value=10_000),

@@ -83,3 +83,34 @@ def test_url_functions_no_shuffle(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_url_host_userinfo_ipv6_trailing_dot(spark):
+    # r6 review fixes: userinfo stripped, bracketed IPv6 kept whole,
+    # trailing FQDN dot dropped, valueless trackers removed
+    rows = [
+        ("http://user:pw@Example.com:8080/p", "example.com", "8080"),
+        ("http://[::1]:8080/p", "[::1]", "8080"),
+        ("http://example.com./p", "example.com", ""),
+    ]
+    df = spark.createDataFrame(rows, "u string, h string, prt string")
+    from pandance_spark.functions.url import url_parts as _parts
+
+    for r in df.select(
+        url_host(F.col("u")).alias("host"),
+        _parts(F.col("u")).alias("p"),
+        "h", "prt",
+    ).collect():
+        assert r["host"] == r["h"], r
+        assert r["p"]["port"] == r["prt"], r
+
+
+def test_normalize_url_valueless_tracker_and_userinfo(spark):
+    cases = [
+        ("http://a.com/p?gclid", "http://a.com/p"),
+        ("http://a.com/p?gclid=x", "http://a.com/p"),
+        ("http://u:p@a.com:80/p?b=1", "http://a.com/p?b=1"),
+    ]
+    df = spark.createDataFrame(cases, "u string, exp string")
+    for r in df.select(normalize_url(F.col("u")).alias("n"), "exp").collect():
+        assert r["n"] == r["exp"], r

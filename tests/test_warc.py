@@ -77,3 +77,40 @@ def test_warc_status_and_ctype_surfaced(spark):
     assert (r["http_status"], r["http_content_type"]) == (
         404, "text/html; charset=utf-8",
     )
+
+
+def test_warc_whitespace_only_payload_marks_ok_false(spark):
+    # r6 review fix: zero-record payloads must still emit the id with
+    # ok=false — a vanished id is silent data loss
+    out = warc_records(
+        spark.createDataFrame(
+            [(7, b"\r\n\r\n")], _SCHEMA
+        ),
+        "doc_id",
+    ).collect()
+    assert len(out) == 1 and out[0]["ok"] is False
+
+
+def test_warc_gunzip_exact_budget_boundary():
+    # a member inflating to EXACTLY the budget is within the cap
+    import pandance_spark.sources.warc as w
+
+    saved = w._MAX_INFLATED_BYTES
+    try:
+        w._MAX_INFLATED_BYTES = 1000
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        exact = co.compress(b"a" * 1000) + co.flush()
+        got = w._gunzip_members(exact)
+        assert got == b"a" * 1000
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        over = co.compress(b"a" * 1001) + co.flush()
+        assert w._gunzip_members(over) is None
+    finally:
+        w._MAX_INFLATED_BYTES = saved
+
+
+def test_warc_non_ascii_uri_round_trips():
+    raw = pack_warc([{"uri": "http://ex.test/café", "body": "x"}])
+    recs = parse_warc(raw)
+    assert recs is not None
+    assert recs[0][0]["warc-target-uri"] == "http://ex.test/café"
