@@ -702,6 +702,33 @@ def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-domain cap a crawl pipeline actually runs:
+    synthesize noisy URLs (same closed form as url_normalize), derive
+    registered_domain(url_host(url)) — pure Column expressions fused
+    into the scan — and keep at most 25 docs per domain via
+    cap_per_group's deterministic md5-order window.  One shuffle on
+    the domain key, total.  The oracle replays the domain derivation
+    AND the cap's hash order in closed form."""
+    from pandance_spark.functions.split import cap_per_group
+    from pandance_spark.functions.url import registered_domain, url_host
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 17).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".com")
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_domain = docs.withColumn(
+        "domain", registered_domain(url_host(url))
+    )
+    return cap_per_group(with_domain, "domain", n=10, key_col="doc_id")
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest round-trip (sources/warc.py): pack a deterministic
     WARC/1.0 payload per document — 1 + doc_id % 3 HTTP response
@@ -1560,7 +1587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video": _q_multimodal_video,
         # (r5: knn_graph rotated out after 2 green rounds for the new
         # skew_report_events)
-        "bm25_topk": _q_bm25,
         "skew_report_events": _q_skew_report_events,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "multimodal_decode": _q_multimodal_decode,
@@ -1573,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonicalization — new in window
         "warc_extract": _q_warc_extract,
         "url_normalize": _q_url_normalize,
+        "cap_per_domain": _q_cap_per_domain,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
@@ -1603,8 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply_late": _q_scd2_apply_late,
         # --- entries 51+ (outside the driver window; locally gated;
         # r6: text_stats (green r1-r5), q1_pricing, window_topk,
-        # semi_join and anti_join (each green 4 rounds) and sessionize
-        # (green 3 rounds: r1, r4, r5) rotated out — the only
+        # semi_join and anti_join (each green 4 rounds), sessionize
+        # (green 3 rounds: r1, r4, r5) and bm25_topk (green 3 rounds:
+        # r3, r4, r5) rotated out — the only
         # window slots free for table_diff + scd2_apply_late (r5 left
         # them at positions 51-52 where the driver gate could not see
         # them; table_diff needs its first green driver row) and the
@@ -1631,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": _q_semi_join,
         "anti_join": _q_anti_join,
         "sessionize": _q_sessionize,
+        "bm25_topk": _q_bm25,
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
         "dedup_minhash": _q_dedup_minhash,
@@ -2843,6 +2872,26 @@ ORDER BY doc_id
         # oracle recomputes dims + per-channel sums from the generator's
         # closed form (byte i = (seed + 7i) % 256; channel c takes
         # i = 3j + c).  Integer sums -> bit-exact across engines.
+        # domain derivation AND the cap's md5-order window replayed in
+        # closed form
+        "cap_per_domain": """
+            WITH d AS (
+              SELECT doc_id,
+                     'site' || (doc_id % 17) ||
+                     CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                          ELSE '.com' END AS domain
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, domain,
+                     row_number() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM d
+            )
+            SELECT doc_id, domain FROM r WHERE rn <= 10
+        """,
         # every output string rebuilt in closed form from the same
         # doc_id expressions the Spark query uses to SYNTHESIZE the
         # noisy input URL

@@ -219,6 +219,7 @@ def main():
         "multimodal_jpeg",
         "warc_extract",
         "url_normalize",
+        "cap_per_domain",
         "ineq_band_autoskew",
         "fuzzy_autoskew",
         "table_diff",
