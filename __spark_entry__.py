@@ -1522,6 +1522,28 @@ def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(synth, "sid", "text")
 
 
+def _q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (operators/dedup.py
+    dedup_substrings — the Lee et al. arXiv:2107.06499 suffix-array
+    pass re-expressed as a shingle-hash equi-join + gaps-and-islands
+    span merge).  The corpus has no natural repeated spans, so the
+    fixture concatenates each doc with its successor (mod n) — every
+    source text then occurs verbatim in two synthetic docs, planting
+    maximal shared spans the oracle recovers with the same
+    shingle-join + islands logic on raw shingle strings."""
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()  # table cardinality: one scalar, metadata-scale
+    a = docs.select(F.col("doc_id").alias("sid"), F.col("text").alias("t0"))
+    b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("t1"))
+    synth = (
+        a.join(b, (F.col("sid") + 1) % n == F.col("b_id"))
+        .select("sid", F.concat_ws(" ", "t0", "t1").alias("text"))
+    )
+    return dedup_substrings(synth, "sid", "text", min_tokens=20)
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -1563,8 +1585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Jaccard oracle family stays exercised via dedup_incremental;
         # dedup_incremental CHANGED this round — now exercises
         # add_to_minhash_index — so it stays in; semantic_dedup is NEW)
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
+        # r6 (late): dedup_ngram_jaccard (green r1-r5) and
+        # dedup_clusters (green r2-r5) rotated out for the new
+        # dedup_substrings (Lee-et-al-style exact substring spans) and
+        # quality_classifier — both families keep other in-window rows
+        # (jaccard_topk/fingerprint_dups; pagerank_supply)
+        "dedup_substrings": _q_dedup_substrings,
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
@@ -1653,6 +1679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh / embedding_dedup / text_repetition / text_langid
         # rotated out after 3 straight green driver rounds r2-r4, and
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -2867,6 +2895,49 @@ ORDER BY doc_id
                    count(*) AS n_paragraphs,
                    count(*) FILTER (WHERE rn = 1) AS n_kept
             FROM k GROUP BY sid
+        """,
+        # same synth corpus (doc || ' ' || successor); the oracle runs
+        # the shingle join on RAW 20-gram strings (no hashing) and the
+        # same gaps-and-islands merge — engine-independent exact spans
+        "dedup_substrings": """
+            WITH n AS (SELECT count(*) AS n FROM documents),
+            synth AS (
+              SELECT a.doc_id AS sid, a.text || ' ' || b.text AS text
+              FROM documents a, documents b, n
+              WHERE b.doc_id = (a.doc_id + 1) % n.n
+            ),
+            t AS (
+              SELECT sid,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS arr
+              FROM synth
+            ),
+            s AS (
+              SELECT sid,
+                     unnest(generate_series(1, greatest(len(arr) - 19, 0)))
+                       AS i,
+                     arr
+              FROM t
+            ),
+            sh AS (
+              SELECT sid, i - 1 AS pos,
+                     array_to_string(arr[i:i+19], ' ') AS sh
+              FROM s
+            ),
+            p AS (
+              SELECT a.sid AS da, a.pos AS pa, b.sid AS db, b.pos AS pb
+              FROM sh a JOIN sh b ON a.sh = b.sh
+              WHERE a.sid < b.sid OR (a.sid = b.sid AND a.pos < b.pos)
+            ),
+            g AS (
+              SELECT da, db, pb - pa AS delta, pa,
+                     pa - row_number() OVER (PARTITION BY da, db, pb - pa
+                                             ORDER BY pa) AS isl
+              FROM p
+            )
+            SELECT da AS doc_a, db AS doc_b, min(pa) AS a_start,
+                   min(pa) + delta AS b_start, count(*) + 19 AS n_tokens
+            FROM g GROUP BY da, db, delta, isl
         """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's

@@ -55,6 +55,7 @@ __all__ = [
     "fingerprint_overlap_join",
     "dedup_paragraphs",
     "semantic_dedup",
+    "dedup_substrings",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1713,5 +1714,125 @@ def semantic_dedup(
             F.col("__ccos").alias("centroid_cos"),
             F.col("__rank").alias("rank"),
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_occurrences: Optional[int] = None,
+    hash_seed: int = 1315423911,
+) -> DataFrame:
+    """Exact duplicate-SUBSTRING detection across (and within)
+    documents: report every maximal token span of at least
+    ``min_tokens`` whitespace tokens that occurs verbatim in two
+    places.  The sub-document analogue of exact dedup — the pass Lee
+    et al. ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499) run with a suffix array at 50-token
+    granularity; here re-expressed as a Spark plan.
+
+    Returns ``(doc_a, doc_b, a_start, b_start, n_tokens)`` — one row
+    per maximal shared span, positions 0-based in token space, pairs
+    ordered so ``(doc_a, a_start) < (doc_b, b_start)``.  Within-doc
+    repeats are reported with ``doc_a == doc_b``.
+
+    How (all DataFrame ops, no UDF): tokenize on whitespace; emit one
+    ``min_tokens``-gram shingle per position as TWO independent 64-bit
+    hashes (the string itself is dropped before the shuffle — 16 bytes
+    per position instead of ~6 bytes x min_tokens); self-equi-join on
+    the 128-bit hash pair; merge runs of consecutive matching
+    positions at constant offset into maximal spans with a
+    gaps-and-islands window per (doc_a, doc_b, offset).  A span of
+    L >= min_tokens duplicated tokens yields L - min_tokens + 1
+    consecutive matching shingles, so maximal spans are recovered
+    exactly; 128-bit hashing makes a false match vanishingly
+    improbable (~n^2 / 2^128) without carrying shingle strings
+    through the shuffle.
+
+    Scale plan: the shingle projection is per-row (no shuffle); the
+    equi-join shuffles 16-byte keys + (id, pos) — about 2.5x the
+    corpus bytes at 50-token grain, flat in doc count.  Candidate work
+    is proportional to DUPLICATED positions, never rows².  The one
+    quadratic hazard is a boilerplate shingle repeated in f places ->
+    f^2/2 pairs on one key: ``max_occurrences`` drops shingles seen
+    more than that many times (a map-side-combinable count + semi
+    join), the same frequency cut Lee et al. apply to pathological
+    repeats — at 100 TB set it to a few thousand; spans covered only
+    by dropped shingles are then not reported (documented semantics,
+    not silent truncation).  The islands window partitions by
+    (doc pair, offset): its partition size is bounded by a single
+    document's length, not by corpus-wide key frequency, so no hot
+    reducer.  Like ``dedup_paragraphs``, the shingle stream feeds two
+    join sides — ``df`` must be deterministic (``localCheckpoint()``
+    nondeterministic sources first).
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                word_shingles_from_tokens(toks, min_tokens)
+            ).alias("__pos", "__sh"),
+        )
+        .select(
+            "__id",
+            "__pos",
+            F.xxhash64("__sh").alias("__h1"),
+            F.xxhash64(F.lit(hash_seed), F.col("__sh")).alias("__h2"),
+        )
+    )
+    if max_occurrences is not None:
+        rare = (
+            sh.groupBy("__h1", "__h2")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_occurrences)
+            .select("__h1", "__h2")
+        )
+        sh = sh.join(rare, ["__h1", "__h2"], "left_semi")
+        sh = sh.localCheckpoint(eager=True)
+    a = sh.select(
+        F.col("__id").alias("__ida"),
+        F.col("__pos").alias("__pa"),
+        "__h1",
+        "__h2",
+    )
+    b = sh.select(
+        F.col("__id").alias("__idb"),
+        F.col("__pos").alias("__pb"),
+        F.col("__h1").alias("__h1b"),
+        F.col("__h2").alias("__h2b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__h1") == F.col("__h1b"))
+        & (F.col("__h2") == F.col("__h2b"))
+        & (
+            (F.col("__ida") < F.col("__idb"))
+            | ((F.col("__ida") == F.col("__idb")) & (F.col("__pa") < F.col("__pb")))
+        ),
+        "inner",
+    ).select(
+        "__ida", "__idb", "__pa", (F.col("__pb") - F.col("__pa")).alias("__delta")
+    )
+    w = Window.partitionBy("__ida", "__idb", "__delta").orderBy("__pa")
+    runs = pairs.withColumn("__isl", F.col("__pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("__ida", "__idb", "__delta", "__isl")
+        .agg(
+            F.min("__pa").alias("__astart"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.col("__ida").alias("doc_a"),
+            F.col("__idb").alias("doc_b"),
+            F.col("__astart").cast("long").alias("a_start"),
+            (F.col("__astart") + F.col("__delta")).cast("long").alias("b_start"),
+            (F.col("__n") + F.lit(min_tokens - 1)).cast("long").alias("n_tokens"),
         )
     )

@@ -630,3 +630,75 @@ def test_semantic_dedup_ids_unique_per_cluster_only(spark):
     by_key = {(r["label"], r["vec_id"]): r["kept"] for r in out}
     assert by_key[(1, 7)] is True           # untouched singleton
     assert sum(by_key[(0, i)] for i in (7, 8)) == 1
+
+
+def _brute_spans(docs, k):
+    """All maximal shared >=k-token spans, (doc_a,a_start)<(doc_b,b_start)."""
+    toks = {i: t.split() for i, t in docs}
+    out = set()
+    ids = sorted(toks)
+    for ai in ids:
+        for bi in ids:
+            if bi < ai:
+                continue
+            a, b = toks[ai], toks[bi]
+            for i in range(len(a)):
+                for j in range(len(b)):
+                    if ai == bi and j <= i:
+                        continue
+                    # start of a maximal match?
+                    if a[i:i + 1] != b[j:j + 1]:
+                        continue
+                    prev_ok = (
+                        i > 0 and j > 0 and a[i - 1] == b[j - 1]
+                        and not (ai == bi and j - 1 == i - 1)
+                    )
+                    if prev_ok:
+                        continue
+                    ln = 0
+                    while (i + ln < len(a) and j + ln < len(b)
+                           and a[i + ln] == b[j + ln]
+                           and not (ai == bi and j + ln == i + ln)):
+                        ln += 1
+                    if ln >= k:
+                        out.add((ai, bi, i, j, ln))
+    return out
+
+
+def test_dedup_substrings_vs_brute_force(spark):
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    docs = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f z q"),      # 6-token overlap with doc 1
+        (3, "p q r s p q r s p q r s"),  # periodic within-doc repeats
+        (4, "a b c d e f g h i j"),      # exact dup of doc 1
+        (5, "m n o p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    got = {tuple(r) for r in dedup_substrings(df, "id", "text",
+                                              min_tokens=4).collect()}
+    assert got == _brute_spans(docs, 4)
+
+
+def test_dedup_substrings_max_occurrences_drops_boilerplate(spark):
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    boiler = "this footer repeats on every single page of the site"
+    docs = [(i, f"unique{i} words{i} " + boiler) for i in range(6)]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    full = dedup_substrings(df, "id", "text", min_tokens=10)
+    # the footer appears in all 6 docs -> 15 pair spans
+    assert full.count() == 15
+    capped = dedup_substrings(df, "id", "text", min_tokens=10,
+                              max_occurrences=3)
+    assert capped.count() == 0  # every footer shingle df=6 > 3
+
+
+def test_dedup_substrings_min_tokens_guard(spark):
+    import pytest as _pytest
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    df = spark.createDataFrame([(1, "a b")], ["id", "text"])
+    with _pytest.raises(ValueError):
+        dedup_substrings(df, "id", "text", min_tokens=1)
