@@ -1544,6 +1544,24 @@ def _q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings(synth, "sid", "text", min_tokens=20)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (functions/text.py
+    hashed_quality_score — the fastText/CCNet-shaped filter as a pure
+    map-only Column expression).  Integer weight sums keep the score
+    bit-reproducible in DuckDB; only the final mean/sigmoid is float,
+    rounded to 6 dp on both sides."""
+    from pandance_spark.functions.text import hashed_quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(hashed_quality_score(F.col("text")), 6)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        q.alias("quality"),
+        (q >= 0.5).alias("keep"),
+    )
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -1591,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_classifier — both families keep other in-window rows
         # (jaccard_topk/fingerprint_dups; pagerank_supply)
         "dedup_substrings": _q_dedup_substrings,
+        "quality_classifier": _q_quality_classifier,
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
@@ -2938,6 +2957,39 @@ ORDER BY doc_id
             SELECT da AS doc_a, db AS doc_b, min(pa) AS a_start,
                    min(pa) + delta AS b_start, count(*) + 19 AS n_tokens
             FROM g GROUP BY da, db, delta, isl
+        """,
+        # integer weight sums (bucket/weight arithmetic all int64) make
+        # the score exact in both engines before the one float sigmoid
+        "quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            w AS (
+              SELECT doc_id,
+                     (CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                      % 4096 * 2654435761 + 13) % 10007 AS wn
+              FROM tok
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n, sum(wn) AS s
+              FROM w GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n, 0)::BIGINT AS n_tokens,
+                   CASE WHEN n > 0 THEN
+                     round(1.0 / (1.0 + exp(-8.0 * (s / (10007.0 * n)
+                                                    - 0.5))), 6)
+                   END AS quality,
+                   CASE WHEN n > 0 THEN
+                     round(1.0 / (1.0 + exp(-8.0 * (s / (10007.0 * n)
+                                                    - 0.5))), 6) >= 0.5
+                   END AS keep
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's

@@ -22,6 +22,7 @@ __all__ = [
     "bpe_token_count",
     "word_shingles",
     "quality_score",
+    "hashed_quality_score",
     "gopher_signals",
     "lang_id",
     "fingerprint_md5",
@@ -516,3 +517,56 @@ def strip_html(text: Column) -> Column:
         out = F.replace(out, F.lit(ent), F.lit(repl))
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+# Knuth's multiplicative constant (2654435761 = 2^32 * golden ratio):
+# spreads consecutive bucket ids over the weight modulus.  The weight
+# modulus 10007 (prime) keeps every intermediate an exact int64, so
+# the score is bit-reproducible in any engine before the single final
+# float expression.
+_HQ_MULT = 2654435761
+_HQ_MOD = 10007
+
+
+def hashed_quality_score(
+    text: Column,
+    n_buckets: int = 4096,
+    seed: int = 13,
+    scale: float = 8.0,
+) -> Column:
+    """fastText-style linear quality classifier score in [0, 1]: hash
+    each token into one of ``n_buckets`` buckets (md5-derived, engine-
+    portable), look up a deterministic pseudo-random weight per bucket,
+    and squash the mean weight through a sigmoid.  The exact shape of
+    the production quality filters (CCNet's fastText classifier, the
+    GPT-3/LLaMA quality LR models): a hashed bag-of-words dot a weight
+    vector.  Here the weights are derived from the bucket id by a
+    multiplicative-hash LCG instead of being learned — swap
+    ``bucket_weight`` for a trained broadcast array and the plan is
+    unchanged.
+
+    Pure Column expression — per-row transform/aggregate fold, no
+    shuffle, no UDF, no model file to distribute: the "weight lookup"
+    is arithmetic on the bucket id, so a 100 TB scoring pass is a
+    map-only scan.  The token weight sum is INTEGER (exact in any
+    engine); only the final mean/sigmoid is float, rounded by the
+    caller.  Empty token lists score NULL (no tokens -> no signal).
+
+    Returns ``sigmoid(scale * (mean_weight/_HQ_MOD - 0.5))`` where
+    ``mean_weight`` is the average of ``(bucket * _HQ_MULT + seed)
+    % _HQ_MOD`` over tokens.
+    """
+    toks = tokenize(text)
+    w = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets * F.lit(_HQ_MULT) + F.lit(seed)
+        ) % _HQ_MOD,
+    )
+    s = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size(toks)
+    mean = s / (float(_HQ_MOD) * n) - F.lit(0.5)
+    return F.when(
+        n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(scale)) * mean))
+    )

@@ -297,3 +297,37 @@ def test_strip_html_matches_expected(spark):
     assert got[1] == 'T x &lt; y "q\' tail'
     assert got[2] == "no markup at all"
     assert got[3] == "" and got[4] is None
+
+
+def test_hashed_quality_score_reference_values(spark):
+    # hand-computed in pure Python: md5-bucket -> LCG weight -> mean
+    # -> sigmoid; pins the engine-portable arithmetic
+    from pandance_spark.functions.text import hashed_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world this is fine"), (3, ""), (4, "!!!")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", hashed_quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    assert abs(out[1] - 0.7156436072341278) < 1e-12
+    assert abs(out[2] - 0.7349426220328898) < 1e-12
+    assert out[3] is None          # no tokens -> no signal
+    assert out[4] is None          # punctuation-only -> no tokens
+    assert 0.0 <= out[1] <= 1.0 and 0.0 <= out[2] <= 1.0
+
+
+def test_hashed_quality_score_params_change_score(spark):
+    from pandance_spark.functions.text import hashed_quality_score
+
+    df = spark.createDataFrame([(1, "some ordinary text here")], ["id", "t"])
+    a, b, c = df.select(
+        hashed_quality_score(F.col("t")).alias("a"),
+        hashed_quality_score(F.col("t"), seed=99).alias("b"),
+        hashed_quality_score(F.col("t"), n_buckets=64).alias("c"),
+    ).first()
+    assert len({round(x, 12) for x in (a, b, c)}) == 3
