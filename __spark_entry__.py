@@ -1562,6 +1562,31 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + control-strip + whitespace-collapse cleaning
+    (functions/text.py clean_text).  The ASCII corpus is first made
+    deliberately dirty IN the query — every 'a' gains a combining
+    acute (U+0301), a BEL control byte is prepended and trailing
+    spaces appended — then cleaned; the oracle replays the same
+    dirtying and cleans with DuckDB's own nfc_normalize, so the match
+    proves the pandas-UDF NFC agrees with an independent UCD
+    implementation."""
+    from pandance_spark.functions.text import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("\u0007"),
+        F.regexp_replace(F.col("text"), "a", "a\u0301"),
+        F.lit("  "),
+    )
+    cleaned = clean_text(noisy)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text_clean"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -1583,7 +1608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parity operators
         "ineq_lt_balances": _q_ineq_lt_balances,
         "ineq_gt_strings": _q_ineq_gt_strings,
-        "ineq_band_strings": _q_ineq_band_strings,
+        # r6 (late): ineq_band_strings (green r2-r5) rotated out for
+        # the new unicode_clean — the string-cut machinery keeps
+        # in-window rows via ineq_gt_strings + ineq_band_autoskew
         "ineq_band_skewed": _q_ineq_band_skewed,
         # r6: right-side hot key -> cut-collapse-detected salted band
         # join — new in window this round
@@ -1610,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (jaccard_topk/fingerprint_dups; pagerank_supply)
         "dedup_substrings": _q_dedup_substrings,
         "quality_classifier": _q_quality_classifier,
+        "unicode_clean": _q_unicode_clean,
         "dedup_incremental": _q_dedup_incremental,
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
@@ -1700,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "ineq_band_strings": _q_ineq_band_strings,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -2990,6 +3019,31 @@ ORDER BY doc_id
                                                     - 0.5))), 6) >= 0.5
                    END AS keep
             FROM documents d LEFT JOIN agg USING (doc_id)
+        """,
+        # same dirtying replayed in SQL; DuckDB's own nfc_normalize is
+        # the independent UCD implementation the pandas-UDF NFC must
+        # agree with bit-for-bit
+        "unicode_clean": """
+            WITH noisy AS (
+              SELECT doc_id,
+                     chr(7) || regexp_replace(text, 'a',
+                                              'a' || chr(769), 'g')
+                            || '  ' AS t
+              FROM documents
+            ),
+            cleaned AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       nfc_normalize(regexp_replace(
+                         t,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                         '', 'g')),
+                       '\\s+', ' ', 'g')) AS text_clean
+              FROM noisy
+            )
+            SELECT doc_id, text_clean,
+                   length(text_clean)::BIGINT AS n_chars_clean
+            FROM cleaned
         """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's

@@ -28,6 +28,8 @@ __all__ = [
     "fingerprint_md5",
     "char_ngram_fingerprints",
     "normalize_text",
+    "normalize_unicode",
+    "clean_text",
     "fingerprint_xxhash",
 ]
 
@@ -569,4 +571,54 @@ def hashed_quality_score(
     mean = s / (float(_HQ_MOD) * n) - F.lit(0.5)
     return F.when(
         n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(float(scale)) * mean))
+    )
+
+
+# C0/C1-ish control characters (keeping \t \n \r, which are whitespace
+# semantics, not noise); identical character-class semantics in Java
+# regex and RE2
+_CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column.
+
+    The one text-cleaning step Spark has no built-in for — composition
+    tables need the UCD, so this is an Arrow-batched ``pandas_udf``
+    over ``unicodedata.normalize`` (vectorized transfer, no
+    row-at-a-time pickling; the slow path, but a narrow one: a pure
+    per-row projection that fuses into the scan stage, no shuffle).
+    NFC is stable across Unicode versions for assigned codepoints, so
+    the result is reproducible against any conformant engine
+    (DuckDB's ``nfc_normalize`` agrees bit-for-bit).
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return _norm(text)
+
+
+def clean_text(text: Column, form: str = "NFC") -> Column:
+    """Canonical ingest cleaning: strip control characters, Unicode-
+    normalize (``form``), collapse whitespace runs to single spaces,
+    trim.  The mojibake-adjacent prep every web-scraped corpus needs
+    before hashing or tokenizing — two variants of the same page that
+    differ only in combining-character encoding or stray control bytes
+    collapse to one dedup key.  Control strip and whitespace collapse
+    are JVM-side regexes; only the normalization itself crosses to
+    Python (see ``normalize_unicode``).
+    """
+    stripped = F.regexp_replace(text, _CONTROL_CLASS, "")
+    return F.trim(
+        F.regexp_replace(normalize_unicode(stripped, form), "\\s+", " ")
     )

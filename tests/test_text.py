@@ -331,3 +331,41 @@ def test_hashed_quality_score_params_change_score(spark):
         hashed_quality_score(F.col("t"), n_buckets=64).alias("c"),
     ).first()
     assert len({round(x, 12) for x in (a, b, c)}) == 3
+
+
+def test_normalize_unicode_forms(spark):
+    from pandance_spark.functions.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301"),   # decomposed: e + combining acute
+            (2, "\ufb01ne"),     # fi ligature
+            (3, None),
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: (r["nfc"], r["nfkc"])
+        for r in df.select(
+            "id",
+            normalize_unicode(F.col("t")).alias("nfc"),
+            normalize_unicode(F.col("t"), "NFKC").alias("nfkc"),
+        ).collect()
+    }
+    assert out[1] == ("caf\u00e9", "caf\u00e9")  # composed either way
+    assert out[2] == ("\ufb01ne", "fine")         # only NFKC folds it
+    assert out[3] == (None, None)
+    with pytest.raises(ValueError):
+        normalize_unicode(F.col("t"), "NFX")
+
+
+def test_clean_text_strips_controls_and_collapses_ws(spark):
+    from pandance_spark.functions.text import clean_text
+
+    df = spark.createDataFrame(
+        [(1, " \x07hello   wor\u0301ld\t\n end  \x1f")], ["id", "t"]
+    )
+    got = df.select(clean_text(F.col("t")).alias("c")).first()["c"]
+    assert got == "hello wo\u0155ld end"  # r + acute composes to r-acute
+    assert "\x07" not in got and "\x1f" not in got
+    assert "  " not in got and got == got.strip()
