@@ -702,6 +702,45 @@ def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup — the first pass of every crawl pipeline:
+    canonicalize (functions/url.py normalize_url), then keep ONE page
+    per canonical URL with a deterministic keeper (operators/dedup.py
+    dedup_exact, min doc_id).  The fixture synthesizes ~5 noisy
+    variants per canonical URL (case noise, default ports, tracking-
+    only query strings, fragments — closed form over doc_id), so the
+    oracle's closed-form group/min replay fails if any normalization
+    rule or the keeper tie-break drifts.  One shuffle total (the dedup
+    groupBy); the normalization itself fuses into the scan."""
+    from pandance_spark.functions.url import normalize_url
+    from pandance_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 100
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://SITE")).otherwise(
+            F.lit("http://site")
+        ),
+        (k % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".EXAMPLE")).otherwise(
+            F.lit(".example")
+        ),
+        F.when(k % 3 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        k.cast("string"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("?utm_source=x&utm_medium=y#frag"),
+        )
+        .when(F.col("doc_id") % 3 == 0, F.lit("#frag2"))
+        .otherwise(F.lit("")),
+    )
+    noisy = docs.select("doc_id", url.alias("url"))
+    keyed = noisy.withColumn("url_norm", normalize_url(F.col("url")))
+    return dedup_exact(keyed, ["url_norm"], tie_breaker="doc_id")
+
+
 def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed per-domain cap a crawl pipeline actually runs:
     synthesize noisy URLs (same closed form as url_normalize), derive
@@ -1620,7 +1659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: hot-bucket salted fuzzy join — new in window this round
         "fuzzy_autoskew": _q_fuzzy_autoskew,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
-        "fuzzy_decimal": _q_fuzzy_decimal,
+        # r6 (late): fuzzy_decimal (green r2-r5) rotated out for the
+        # new url_dedup — decimal dtype coverage stays in the local
+        # gate and tests/test_fuzzy.py's dtype matrix
         "theta_expr_mod": _q_theta_expr_mod,
         "theta_keywords": _q_theta_keywords,
         "theta_udf_gcd": _q_theta_udf_gcd,
@@ -1672,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonicalization — new in window
         "warc_extract": _q_warc_extract,
         "url_normalize": _q_url_normalize,
+        "url_dedup": _q_url_dedup,
         "cap_per_domain": _q_cap_per_domain,
         # training-pipeline composition
         "chunk_documents": _q_chunk_documents,
@@ -1729,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
+        "fuzzy_decimal": _q_fuzzy_decimal,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3044,6 +3087,35 @@ ORDER BY doc_id
             SELECT doc_id, text_clean,
                    length(text_clean)::BIGINT AS n_chars_clean
             FROM cleaned
+        """,
+        # noise + canonical form both replayed in closed form; min /
+        # min_by replicate dedup_exact's deterministic keeper
+        "url_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'HTTP://SITE'
+                          ELSE 'http://site' END
+                       || CAST((doc_id % 100) % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE'
+                               ELSE '.example' END
+                       || CASE WHEN (doc_id % 100) % 3 = 0 THEN '.co.uk'
+                               ELSE '.com' END
+                       || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+                       || '/p/' || CAST(doc_id % 100 AS VARCHAR)
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '?utm_source=x&utm_medium=y#frag'
+                               WHEN doc_id % 3 = 0 THEN '#frag2'
+                               ELSE '' END AS url,
+                     'http://site' || CAST((doc_id % 100) % 7 AS VARCHAR)
+                       || '.example.'
+                       || CASE WHEN (doc_id % 100) % 3 = 0 THEN 'co.uk'
+                               ELSE 'com' END
+                       || '/p/' || CAST(doc_id % 100 AS VARCHAR) AS url_norm
+              FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, min_by(url, doc_id) AS url,
+                   url_norm
+            FROM u GROUP BY url_norm
         """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's

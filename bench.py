@@ -223,6 +223,11 @@ def main():
         "ineq_band_autoskew",
         "fuzzy_autoskew",
         "table_diff",
+        # r6 (late) additions
+        "dedup_substrings",
+        "quality_classifier",
+        "unicode_clean",
+        "url_dedup",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -114,3 +114,23 @@ def test_normalize_url_valueless_tracker_and_userinfo(spark):
     df = spark.createDataFrame(cases, "u string, exp string")
     for r in df.select(normalize_url(F.col("u")).alias("n"), "exp").collect():
         assert r["n"] == r["exp"], r
+
+
+def test_url_dedup_composition(spark):
+    # normalize_url as dedup key + dedup_exact deterministic keeper:
+    # variants that differ only in case/port/tracking collapse to one
+    from pandance_spark.functions.url import normalize_url
+    from pandance_spark.operators.dedup import dedup_exact
+
+    rows = [
+        (1, "HTTP://Example.COM:80/a?utm_source=x"),
+        (2, "http://example.com/a#frag"),
+        (3, "http://example.com/a"),
+        (4, "http://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"]).withColumn(
+        "url_norm", normalize_url(F.col("url"))
+    )
+    out = {r["url_norm"]: r["doc_id"]
+           for r in dedup_exact(df, ["url_norm"], tie_breaker="doc_id").collect()}
+    assert out == {"http://example.com/a": 1, "http://example.com/b": 4}
