@@ -1626,6 +1626,59 @@ def _q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (functions/text.py split_sentences) as
+    the chunking pass: the corpus has no punctuation, so the fixture
+    plants terminators deterministically (every 'table' ends a
+    sentence, every 'value' an exclamation), then explodes the split
+    with positions.  The piece regex has no lookarounds, so the
+    oracle re-tokenizes byte-identically."""
+    from pandance_spark.functions.text import split_sentences
+
+    docs = load_table(spark, sf_dir, "documents")
+    punct = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "\\btable\\b", "table."),
+        "\\bvalue\\b",
+        "value!",
+    )
+    return docs.select(
+        "doc_id",
+        F.posexplode(split_sentences(punct)).alias("sent_idx", "sentence"),
+    ).select("doc_id", F.col("sent_idx").cast("long"), "sentence")
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-line removal (functions/text.py
+    dedup_lines — the C4-style nav/footer strip; cross-corpus variant
+    is dedup_paragraphs).  The fixture builds multi-line pages with
+    planted repeats: a nav line three times, two body slices, a
+    footer twice; the oracle replays the first-occurrence filter with
+    DuckDB list lambdas."""
+    from pandance_spark.functions.text import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("nav bar home about"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("nav bar home about"),
+        F.substring(F.col("text"), 61, 60),
+        F.lit("nav bar home about"),
+        F.lit("copyright footer"),
+        F.lit("copyright footer"),
+    )
+    arr = F.filter(F.split(page, "\\n+"), lambda x: x != "")
+    deduped = dedup_lines(page)
+    return docs.select(
+        "doc_id",
+        deduped.alias("text_deduped"),
+        F.size(arr).cast("long").alias("n_lines"),
+        F.size(F.filter(F.split(deduped, "\\n+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -1680,8 +1733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "unicode_clean": _q_unicode_clean,
         "dedup_incremental": _q_dedup_incremental,
-        "jaccard_topk": _q_jaccard_topk,
-        "edit_distance": _q_edit_distance,
+        # r6 (late): jaccard_topk + edit_distance (2 driver greens
+        # each, r4-r5 — the policy floor) rotated out for the new
+        # sentence_chunks + line_dedup text-pipeline passes
+        "sentence_chunks": _q_sentence_chunks,
+        "line_dedup": _q_line_dedup,
         "overlap_set": _q_overlap_set,
         "fingerprint_dups": _q_fingerprint_dups,
         # (r5: ann_ivf rotated out after 3 green rounds for the new
@@ -1772,6 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
         "fuzzy_decimal": _q_fuzzy_decimal,
+        "jaccard_topk": _q_jaccard_topk,
+        "edit_distance": _q_edit_distance,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3116,6 +3174,64 @@ ORDER BY doc_id
             SELECT min(doc_id) AS doc_id, min_by(url, doc_id) AS url,
                    url_norm
             FROM u GROUP BY url_norm
+        """,
+        # terminator planting + the lookaround-free piece regex are
+        # replayed verbatim; positions via generate_series
+        "sentence_chunks": """
+            WITH punct AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '\\btable\\b', 'table.', 'g'),
+                       '\\bvalue\\b', 'value!', 'g') AS t
+              FROM documents
+            ),
+            pieces AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         regexp_extract_all(t, '[^.!?]+[.!?]*'),
+                         p -> trim(p)),
+                       p -> p <> '') AS ss
+              FROM punct
+            )
+            SELECT doc_id,
+                   unnest(generate_series(1, len(ss))) - 1 AS sent_idx,
+                   ss[unnest(generate_series(1, len(ss)))] AS sentence
+            FROM pieces
+        """,
+        # page synthesis + first-occurrence list filter replayed with
+        # DuckDB list lambdas (list_position is 1-based in BOTH
+        # engines; Spark's filter lambda index is 0-based, DuckDB's
+        # 1-based — the oracle compares = i, the operator = i + 1)
+        "line_dedup": """
+            WITH page AS (
+              SELECT doc_id,
+                     'nav bar home about' || chr(10) ||
+                     substr(text, 1, 60) || chr(10) ||
+                     'nav bar home about' || chr(10) ||
+                     substr(text, 61, 60) || chr(10) ||
+                     'nav bar home about' || chr(10) ||
+                     'copyright footer' || chr(10) ||
+                     'copyright footer' AS t
+              FROM documents
+            ),
+            arrs AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(t, '\\n+'),
+                                 x -> x <> '') AS arr
+              FROM page
+            ),
+            kept AS (
+              SELECT doc_id, arr,
+                     list_filter(arr,
+                                 (x, i) -> list_position(arr, x) = i) AS k
+              FROM arrs
+            )
+            SELECT doc_id,
+                   array_to_string(k, chr(10)) AS text_deduped,
+                   len(arr)::BIGINT AS n_lines,
+                   len(k)::BIGINT AS n_kept
+            FROM kept
         """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's

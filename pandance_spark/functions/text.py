@@ -30,6 +30,8 @@ __all__ = [
     "normalize_text",
     "normalize_unicode",
     "clean_text",
+    "split_sentences",
+    "dedup_lines",
     "fingerprint_xxhash",
 ]
 
@@ -622,3 +624,47 @@ def clean_text(text: Column, form: str = "NFC") -> Column:
     return F.trim(
         F.regexp_replace(normalize_unicode(stripped, form), "\\s+", " ")
     )
+
+
+# sentence pieces: greedy runs of non-terminators plus their trailing
+# terminator run.  No lookarounds, so Java regex (Spark) and RE2
+# (DuckDB et al.) tokenize identically.
+_SENTENCE_PIECE = "[^.!?]+[.!?]*"
+
+
+def split_sentences(text: Column) -> Column:
+    """Array of sentences (terminator-attached, trimmed, empties
+    dropped).  The chunking boundary every training pipeline prefers
+    over blind token windows; pure per-row projection, no shuffle.
+    Heuristic by design (no abbreviation model) but engine-portable:
+    the piece regex avoids lookarounds, so an oracle reproduces the
+    split byte-for-byte.
+    """
+    pieces = F.regexp_extract_all(text, F.lit(_SENTENCE_PIECE), 0)
+    # NOT F.transform(pieces, F.trim): transform inspects callable
+    # arity and F.trim is binary (col, trim_chars) since Spark 4, so
+    # it would be called as trim(x, i) — trimming the INDEX character
+    trimmed = F.transform(pieces, lambda s: F.trim(s))
+    return F.filter(trimmed, lambda s: s != "")
+
+
+def dedup_lines(
+    text: Column,
+    sep_regex: str = "\\n+",
+    join_sep: str = "\n",
+) -> Column:
+    """WITHIN-document repeated-line removal: keep each distinct line
+    at its first occurrence, preserving order — the C4-style heuristic
+    that strips nav menus and footers repeated inside one page.  (The
+    cross-corpus variant is ``operators.dedup.dedup_paragraphs``.)
+
+    Pure Column expression: split, first-occurrence filter via
+    ``array_position``, rejoin — no shuffle, no UDF.  The position
+    scan is O(lines²) per document, a per-row cost bounded by page
+    size, not corpus size; at 100 TB it stays embarrassingly parallel.
+    """
+    arr = F.filter(F.split(text, sep_regex), lambda x: x != "")
+    kept = F.filter(
+        arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1)
+    )
+    return F.array_join(kept, join_sep)

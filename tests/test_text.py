@@ -369,3 +369,38 @@ def test_clean_text_strips_controls_and_collapses_ws(spark):
     assert got == "hello wo\u0155ld end"  # r + acute composes to r-acute
     assert "\x07" not in got and "\x1f" not in got
     assert "  " not in got and got == got.strip()
+
+
+def test_split_sentences_basic(spark):
+    from pandance_spark.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello there. How are you?  Fine!   "),
+            (2, "no terminator at all"),
+            (3, "...!?"),
+            (4, ""),
+        ],
+        ["id", "t"],
+    )
+    out = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", split_sentences(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert out[1] == ["Hello there.", "How are you?", "Fine!"]
+    assert out[2] == ["no terminator at all"]
+    assert out[3] == []  # terminator-only: no piece has content
+    assert out[4] == []
+
+
+def test_dedup_lines_first_occurrence_order(spark):
+    from pandance_spark.functions.text import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter")],
+        ["id", "t"],
+    )
+    got = df.select(dedup_lines(F.col("t")).alias("d")).first()["d"]
+    assert got == "nav\nbody one\nbody two\nfooter"
