@@ -627,6 +627,39 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round-trip (operators/multimodal.py): pack a GIF89a
+    per document (256-entry closed-form palette, real LZW with
+    variable code width), decode it with the pure-Python LZW +
+    container walk, and emit exact per-channel pixel sums.  GIF is
+    lossless, so the oracle recomputes everything from the packer's
+    closed form (pixel index i = (seed + 7i) % 256, palette[j] =
+    (j, 2j % 256, 3j % 256)); any LZW or palette slip mismatches
+    every row.  The decoder itself is pinned to a FOREIGN-encoded
+    GIF in tests (not merely self-consistent)."""
+    from pandance_spark.operators.multimodal import decode_image, pack_gif_image
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_gif_image(4 + d % 9, 5 + d % 7, int(d) % 241)
+        )
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return decode_image(media).select(
+        "doc_id",
+        "decoded_width",
+        "decoded_height",
+        "decoded_format",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "ok",
+    )
+
+
 def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG round-trip (operators/multimodal.py): pack a
     spec-conformant JFIF grayscale payload per document whose image is
@@ -1738,7 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sentence_chunks + line_dedup text-pipeline passes
         "sentence_chunks": _q_sentence_chunks,
         "line_dedup": _q_line_dedup,
-        "overlap_set": _q_overlap_set,
+
         "fingerprint_dups": _q_fingerprint_dups,
         # (r5: ann_ivf rotated out after 3 green rounds for the new
         # html_clean; ann_quantized stays — only 1 green round)
@@ -1765,6 +1798,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in window this round
         "multimodal_png": _q_multimodal_png,
         "multimodal_jpeg": _q_multimodal_jpeg,
+        # r6 (late): overlap_set (2 driver greens, r4-r5) rotated out
+        # for the new multimodal_gif — the set-similarity family keeps
+        # fingerprint_dups in-window
+        "multimodal_gif": _q_multimodal_gif,
         # r6: WARC source (Common Crawl container) + URL
         # canonicalization — new in window
         "warc_extract": _q_warc_extract,
@@ -1830,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decimal": _q_fuzzy_decimal,
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
+        "overlap_set": _q_overlap_set,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3378,6 +3416,32 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_g,
                    CAST(list_sum([(seed + 14 + 21*j) % 256
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
+                   TRUE AS ok
+            FROM p
+        """,
+        # GIF is lossless: palette + LZW round trip replayed in
+        # closed form (index i = (seed+7i)%256; channels j, 2j, 3j)
+        "multimodal_gif": """
+            WITH p AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 9 AS INTEGER) AS w,
+                     CAST(5 + doc_id % 7 AS INTEGER) AS h,
+                     doc_id % 241 AS seed
+              FROM documents
+            )
+            SELECT doc_id,
+                   w AS decoded_width,
+                   h AS decoded_height,
+                   'gif' AS decoded_format,
+                   CAST(list_sum([(seed + 7*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT)
+                     AS sum_r,
+                   CAST(list_sum([(2 * ((seed + 7*j) % 256)) % 256
+                                  for j in range(0, w*h)]) AS BIGINT)
+                     AS sum_g,
+                   CAST(list_sum([(3 * ((seed + 7*j) % 256)) % 256
+                                  for j in range(0, w*h)]) AS BIGINT)
+                     AS sum_b,
                    TRUE AS ok
             FROM p
         """,

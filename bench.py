@@ -228,6 +228,9 @@ def main():
         "quality_classifier",
         "unicode_clean",
         "url_dedup",
+        "sentence_chunks",
+        "line_dedup",
+        "multimodal_gif",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -12,10 +12,13 @@ Python + numpy stack can handle without native libraries:
   Sub/Up/Average/Paeth, CRC-verified chunks), and baseline JPEG
   (ITU-T T.81: canonical Huffman entropy decode with restart support,
   dequantize, orthonormal IDCT; grayscale + 4:4:4 YCbCr;
-  progressive/subsampled degrade to ``ok=false``);
+  progressive/subsampled degrade to ``ok=false``), and GIF87a/89a
+  (pure-Python LZW with variable code width + table reset, global/
+  local palettes, interlace reorder; first frame of animations);
   unrecognized/corrupt payloads yield ``ok = false`` rows, never a
   task failure.  Swap in PIL/libvips inside the same ``mapInPandas``
-  stage for subsampled/progressive JPEG and animated formats;
+  stage for subsampled/progressive JPEG and multi-frame animation
+  sampling;
 - ``resize_image`` is a REAL nearest-neighbor resampler over the same
   two formats (decode → numpy index-select → re-encode as P6);
 - ``fake_decode_meta`` remains as the stand-in for *opaque* formats
@@ -52,6 +55,7 @@ __all__ = [
     "pack_ppm_image",
     "pack_bmp_image",
     "pack_png_image",
+    "pack_gif_image",
     "pack_jpeg_image",
     "pack_wav_audio",
     "decode_audio",
@@ -423,6 +427,244 @@ _JPG_DCT_C = np.array([
 ])
 
 
+# ---------------------------------------------------------------------------
+# GIF — the third of the web's big-three image formats.  Pure-Python
+# LZW (GIF's only compression) + container walk; like the PNG/JPEG
+# codecs above, headers are treated as attacker-controlled: pixel
+# counts capped at _MAX_DECODE_PIXELS, LZW output capped at the
+# declared raster size, sub-block walks bounds-checked, and anything
+# malformed degrades to ``ok=false`` instead of a task failure.
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable code width (min+1 .. 12 bits),
+    LSB-first packing, CLEAR emitted up front and again whenever the
+    table fills at 4096 entries.  Widens the code size right after
+    the just-added entry's value reaches ``1 << code_size`` so the
+    next emitted code — which may reference it — still fits (GIF's
+    non-early-change convention; the decoder below and tests against
+    a known foreign GIF pin the other side)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    emit(clear, code_size)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code == 4096:  # full: reset before any 13-bit need
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = c
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_out: int
+) -> Optional[bytes]:
+    """Inverse of :func:`_lzw_encode` (standard GIF LZW decoder).
+    ``max_out`` hard-caps the emitted byte count — the compressed
+    stream is attacker-controlled and a few bytes can legally expand
+    to ~4096x, so decoding stops as soon as the declared raster is
+    full.  Returns ``None`` on any malformed stream."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: Optional[bytes] = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < code_size:
+            if pos >= n:
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        if len(out) >= max_out:
+            return bytes(out[:max_out])
+        prev = entry
+
+
+def pack_gif_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic GIF89a payload: 256-entry global palette with the
+    closed form ``palette[j] = (j, (2j) % 256, (3j) % 256)`` and pixel
+    index ``i`` equal to ``(seed + 7i) % 256`` — so after the LOSSLESS
+    LZW round trip the decoded RGB channel sums are closed-form
+    recomputable by an independent engine (what the driver oracle
+    does), exactly like the PPM/BMP/PNG packers above."""
+    n = width * height
+    idx = ((seed + 7 * np.arange(n, dtype=np.int64)) % 256).astype(np.uint8)
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1).astype(
+        np.uint8
+    )
+    lzw = _lzw_encode(idx.tobytes(), 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256
+        + palette.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([8])  # LZW minimum code size
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif(raw: bytes) -> Optional[np.ndarray]:
+    """GIF87a/89a decode: global/local color table, extension-block
+    skip, LZW decompress, palette application, interlace reorder.
+    First image frame only (animation = repeated image blocks; a
+    training pipeline wanting frames plugs a sampler into the same
+    stage as ``sample_frames_video``).  Returns h x w x 3 uint8 or
+    ``None``."""
+    try:
+        if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        width, height = struct.unpack_from("<HH", raw, 6)
+        if width == 0 or height == 0:
+            return None
+        if width * height > _MAX_DECODE_PIXELS:
+            return None
+        packed = raw[10]
+        pos = 13
+        palette = None
+        if packed & 0x80:
+            size = 3 * (2 << (packed & 0x07))
+            if pos + size > len(raw):
+                return None
+            palette = np.frombuffer(raw, np.uint8, size, pos).reshape(-1, 3)
+            pos += size
+        while pos < len(raw):
+            block = raw[pos]
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(raw) and raw[pos] != 0:
+                    pos += 1 + raw[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                if pos + 10 > len(raw):
+                    return None
+                _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
+                pos += 10
+                if iw == 0 or ih == 0 or iw * ih > _MAX_DECODE_PIXELS:
+                    return None
+                if ipacked & 0x80:  # local color table wins
+                    size = 3 * (2 << (ipacked & 0x07))
+                    if pos + size > len(raw):
+                        return None
+                    palette = np.frombuffer(
+                        raw, np.uint8, size, pos
+                    ).reshape(-1, 3)
+                    pos += size
+                if palette is None or pos >= len(raw):
+                    return None
+                min_code = raw[pos]
+                pos += 1
+                data = bytearray()
+                while pos < len(raw) and raw[pos] != 0:
+                    ln = raw[pos]
+                    if pos + 1 + ln > len(raw):
+                        return None
+                    data += raw[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx_bytes = _lzw_decode(bytes(data), min_code, iw * ih)
+                if idx_bytes is None or len(idx_bytes) < iw * ih:
+                    return None
+                idx = np.frombuffer(idx_bytes, np.uint8, iw * ih)
+                if int(idx.max()) >= len(palette):
+                    return None
+                img = palette[idx].reshape(ih, iw, 3)
+                if ipacked & 0x40:  # interlaced: rows arrive by pass
+                    order = [
+                        r
+                        for start, step in _GIF_INTERLACE_PASSES
+                        for r in range(start, ih, step)
+                    ]
+                    out = np.empty_like(img)
+                    out[order] = img
+                    img = out
+                return img
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except (ValueError, struct.error, IndexError, MemoryError):
+        return None
+
+
 def _jpg_huff_codes(bits, vals):
     """Canonical Huffman codes: {symbol: (code, length)}."""
     out, code, i = {}, 0, 0
@@ -748,6 +990,8 @@ def _decode_any(raw: bytes) -> Tuple[Optional[np.ndarray], Optional[str]]:
         return _parse_png(raw), "png"
     if raw[:2] == b"\xff\xd8":
         return _parse_jpeg(raw), "jpeg"
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return _parse_gif(raw), "gif"
     return None, None
 
 
@@ -759,7 +1003,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     Appends::
 
         decoded_width, decoded_height : int   (NULL when not decodable)
-        decoded_format                : 'ppm' | 'bmp' | 'png' | 'jpeg' | NULL
+        decoded_format                : 'ppm'|'bmp'|'png'|'jpeg'|'gif'|NULL
         sum_r, sum_g, sum_b           : long  per-channel pixel sums
         ok                            : boolean
 

@@ -579,3 +579,108 @@ def test_decode_image_bomb_headers_degrade(spark):
     ]
     out = decode_image(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert all(r["ok"] is False for r in out)
+
+
+def test_lzw_roundtrip_properties():
+    import numpy as np
+    from pandance_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(42)
+    cases = [
+        b"",
+        b"\x00",
+        b"abababababab",
+        rng.integers(0, 256, 70000).astype(np.uint8).tobytes(),  # resets
+        rng.integers(0, 2, 120000).astype(np.uint8).tobytes(),
+    ]
+    for data in cases:
+        enc = _lzw_encode(data, 8)
+        assert _lzw_decode(enc, 8, len(data) + 16) == data
+    # max_out hard cap: decoder stops at the declared raster size
+    big = _lzw_encode(b"\x01" * 10000, 8)
+    assert len(_lzw_decode(big, 8, 100)) == 100
+
+
+def test_parse_gif_foreign_bytes_and_interlace():
+    import base64
+    import numpy as np
+    from pandance_spark.operators.multimodal import (
+        _lzw_encode,
+        _parse_gif,
+        pack_gif_image,
+    )
+
+    # foreign-encoded ground truth (classic 1x1 black pixel GIF):
+    # proves the decoder is spec-conformant, not just the inverse of
+    # our own encoder
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    img = _parse_gif(tiny)
+    assert img is not None and img.shape == (1, 1, 3)
+    assert img.tolist() == [[[0, 0, 0]]]
+
+    # interlaced variant: rows are stored by pass (0,8..|4,8..|2,4..|
+    # 1,2..); build one by permuting the packer's rows and setting the
+    # interlace flag, then assert the decoder restores display order
+    w, h, seed = 9, 11, 5
+    plain = _parse_gif(pack_gif_image(w, h, seed))
+    idx = ((seed + 7 * np.arange(w * h, dtype=np.int64)) % 256).astype(
+        np.uint8
+    ).reshape(h, w)
+    order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(s, h, st)]
+    stored = idx[order]  # what an interlaced file stores sequentially
+    import struct as _s
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1).astype(
+        np.uint8
+    )
+    lzw = _lzw_encode(stored.tobytes(), 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        c = lzw[i:i + 255]
+        blocks.append(len(c))
+        blocks.extend(c)
+    blocks.append(0)
+    gif = (b"GIF89a" + _s.pack("<HHBBB", w, h, 0xF7, 0, 0)
+           + palette.tobytes() + b"\x2c"
+           + _s.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+           + bytes([8]) + bytes(blocks) + b"\x3b")
+    inter = _parse_gif(gif)
+    assert inter is not None and (inter == plain).all()
+
+
+def test_parse_gif_corrupt_and_bomb_degrade():
+    from pandance_spark.operators.multimodal import _parse_gif, pack_gif_image
+
+    good = pack_gif_image(8, 8, 1)
+    assert _parse_gif(good) is not None
+    assert _parse_gif(b"GIF89a") is None                  # truncated
+    assert _parse_gif(good[:20]) is None                  # mid-palette
+    assert _parse_gif(b"NOPE" + good[4:]) is None         # bad magic
+    # 65535x65535 declared dims in a tiny payload: capped, not OOM
+    import struct as _s
+    bomb = b"GIF89a" + _s.pack("<HHBBB", 65535, 65535, 0xF7, 0, 0)
+    assert _parse_gif(bomb + b"\x00" * 768) is None
+    # truncated LZW stream (EOI never arrives)
+    assert _parse_gif(good[:-10] + b"\x00") is None
+
+
+def test_decode_image_gif_matches_closed_form(spark):
+    import numpy as np
+    from pandance_spark.operators.multimodal import decode_image, pack_gif_image
+
+    rows = [(i, pack_gif_image(4 + i % 5, 3 + i % 4, i * 13 % 251))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r for r in decode_image(df).collect()}
+    for i in range(12):
+        w, h, seed = 4 + i % 5, 3 + i % 4, i * 13 % 251
+        p = (seed + 7 * np.arange(w * h, dtype=np.int64)) % 256
+        r = out[i]
+        assert r["ok"] and r["decoded_format"] == "gif"
+        assert (r["decoded_width"], r["decoded_height"]) == (w, h)
+        assert r["sum_r"] == int(p.sum())
+        assert r["sum_g"] == int(((2 * p) % 256).sum())
+        assert r["sum_b"] == int(((3 * p) % 256).sum())
