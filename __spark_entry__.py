@@ -1107,6 +1107,27 @@ def _q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_cross_entropy_bigram(docs, "doc_id", "text")
 
 
+def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture (functions/split.py epoch_mixture —
+    the LLaMA-style data-recipe knob): src0 x 2.5 epochs, src1 x 0.25,
+    src2 dropped, everything else x 1.  Driver-side integer
+    micro-units + portable md5 fractional membership make the exact
+    replica multiset reproducible in the oracle."""
+    from pandance_spark.functions.split import epoch_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = epoch_mixture(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        default=1.0,
+    )
+    return out.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain rebalancing (functions/split.py
     temperature_sample): per-source quotas ~ n^0.5, deterministic md5
@@ -1809,7 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "cap_per_domain": _q_cap_per_domain,
         # training-pipeline composition
-        "chunk_documents": _q_chunk_documents,
+        # r6 (late): chunk_documents (2 driver greens, r4-r5) rotated
+        # out for the new epoch_mix fractional-epoch upsampler
+        "epoch_mix": _q_epoch_mix,
         "mixture_sample": _q_mixture_sample,
         "profile_orders": _q_profile_orders,
         # as-of / interval joins (time-series extensions) + graph
@@ -1868,6 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_topk": _q_jaccard_topk,
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
+        "chunk_documents": _q_chunk_documents,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3418,6 +3442,31 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
                    TRUE AS ok
             FROM p
+        """,
+        # integer micro-units + md5 fractional membership replayed
+        # exactly; generate_series replicates the whole copies
+        "epoch_mix": """
+            WITH e AS (
+              SELECT doc_id, source,
+                     CASE source
+                       WHEN 'src0' THEN 2500000
+                       WHEN 'src1' THEN 250000
+                       WHEN 'src2' THEN 0
+                       ELSE 1000000 END AS em,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 1000000 AS b
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source,
+                     em // 1000000
+                       + CASE WHEN b < em % 1000000 THEN 1 ELSE 0 END
+                       AS copies
+              FROM e
+            )
+            SELECT doc_id, source,
+                   unnest(generate_series(1, copies)) AS epoch
+            FROM c WHERE copies >= 1
         """,
         # GIF is lossless: palette + LZW round trip replayed in
         # closed form (index i = (seed+7i)%256; channels j, 2j, 3j)

@@ -231,6 +231,7 @@ def main():
         "sentence_chunks",
         "line_dedup",
         "multimodal_gif",
+        "epoch_mix",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -26,6 +26,7 @@ __all__ = [
     "chunk_documents",
     "temperature_sample",
     "exact_sample",
+    "epoch_mixture",
 ]
 
 
@@ -326,3 +327,60 @@ def exact_sample(df, key_col: str, n: int):
     return df.orderBy(
         F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
     ).limit(n)
+
+
+def epoch_mixture(
+    df,
+    domain_col: str,
+    key_col: str,
+    epochs: dict,
+    default: float = 1.0,
+):
+    """Fractional-EPOCH mixing: replicate or thin each domain by a
+    real-valued epoch count — the data recipe knob of LLaMA/GPT-style
+    training mixes ("Wikipedia x 2.5, CommonCrawl x 0.67").  A row in
+    a domain with epoch ``e`` appears ``floor(e)`` times, plus once
+    more for the deterministic md5 fraction of rows selected at rate
+    ``frac(e)`` — so ``e = 0.3`` is a 30% downsample, ``e = 2.5``
+    emits every row twice and half the rows a third time.  Appends an
+    ``epoch`` column (1..copies) so downstream shuffling can interleave
+    replicas instead of streaming each epoch back-to-back.
+
+    Determinism and portability: epochs are converted to integer
+    micro-units in the DRIVER (no float row math); the fractional
+    membership is the portable md5 bucket of ``key_col`` — the same
+    row is replicated the same number of times on any engine, run or
+    partitioning, and an oracle reproduces the exact multiset.
+
+    Scale plan: pure projection + ``explode`` — the corpus never
+    shuffles; replication multiplies bytes exactly by the mixture
+    weight, and the per-row copy count is bounded by max(epochs).
+    Unlisted domains take ``default``.  NULL domains take ``default``
+    (match them explicitly via a key in ``epochs`` is not supported —
+    CASE on NULL never matches).  Rows with NULL ``key_col`` have no
+    hash bucket: their fractional copy never fires (they still get
+    ``floor(e)`` copies).
+    """
+    if any(e < 0 for e in epochs.values()) or default < 0:
+        raise ValueError("epoch counts must be >= 0")
+    unit = 1_000_000
+    micro = {d: round(e * unit) for d, e in epochs.items()}
+    dmicro = round(default * unit)
+    e_micro = F.lit(dmicro)
+    for d, m in micro.items():
+        e_micro = F.when(F.col(domain_col) == d, F.lit(m)).otherwise(e_micro)
+    whole = (e_micro / unit).cast("long")  # floor: micro-units / 1e6
+    frac = e_micro - whole * unit
+    extra = (
+        hash_split_bucket(F.col(key_col), unit) < frac
+    ).cast("long")
+    copies = (whole + extra).alias("__copies")
+    out = df.withColumn("__copies", copies)
+    return (
+        out.filter(F.col("__copies") >= 1)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(1), F.col("__copies").cast("int"))),
+        )
+        .drop("__copies")
+    )

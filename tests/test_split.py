@@ -286,3 +286,41 @@ def test_exact_sample(spark):
 
     with _pt.raises(ValueError):
         exact_sample(df, "id", 0)
+
+
+def test_epoch_mixture_exact_multiset(spark):
+    import hashlib
+
+    from pandance_spark.functions.split import epoch_mixture
+
+    rows = [(i, "a" if i < 10 else ("b" if i < 20 else "c"))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, ["k", "dom"])
+    out = epoch_mixture(
+        df, "dom", "k", {"a": 2.5, "b": 0.25, "c": 0.0}, default=1.0
+    ).collect()
+
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    exp = []
+    for k, dom in rows:
+        em = {"a": 2_500_000, "b": 250_000, "c": 0}[dom]
+        copies = em // 1_000_000 + (1 if bucket(k) < em % 1_000_000 else 0)
+        exp += [(k, dom, e) for e in range(1, copies + 1)]
+    assert sorted((r["k"], r["dom"], r["epoch"]) for r in out) == sorted(exp)
+    # domain c fully dropped; every a-row has >= 2 epochs
+    assert all(d != "c" for _, d, _ in exp)
+
+
+def test_epoch_mixture_default_and_guards(spark):
+    import pytest as _pytest
+
+    from pandance_spark.functions.split import epoch_mixture
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "dom"])
+    out = epoch_mixture(df, "dom", "k", {"x": 3.0}).collect()
+    ks = sorted((r["k"], r["epoch"]) for r in out)
+    assert ks == [(1, 1), (1, 2), (1, 3), (2, 1)]  # default 1.0 for y
+    with _pytest.raises(ValueError):
+        epoch_mixture(df, "dom", "k", {"x": -1.0})
