@@ -1627,11 +1627,17 @@ def _q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.operators.dedup import dedup_substrings
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = docs.count()  # table cardinality: one scalar, metadata-scale
-    a = docs.select(F.col("doc_id").alias("sid"), F.col("text").alias("t0"))
+    # cardinality computed IN-plan (cross join with the 1-row count,
+    # same as the oracle's WITH n) — a builder-side count() would run
+    # an extra eager full-table job per bench rep / gate run
+    n1 = docs.agg(F.count(F.lit(1)).alias("__n"))
+    a = (
+        docs.select(F.col("doc_id").alias("sid"), F.col("text").alias("t0"))
+        .crossJoin(F.broadcast(n1))
+    )
     b = docs.select(F.col("doc_id").alias("b_id"), F.col("text").alias("t1"))
     synth = (
-        a.join(b, (F.col("sid") + 1) % n == F.col("b_id"))
+        a.join(b, (F.col("sid") + 1) % F.col("__n") == F.col("b_id"))
         .select("sid", F.concat_ws(" ", "t0", "t1").alias("text"))
     )
     return dedup_substrings(synth, "sid", "text", min_tokens=20)

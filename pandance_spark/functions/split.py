@@ -371,9 +371,13 @@ def epoch_mixture(
         e_micro = F.when(F.col(domain_col) == d, F.lit(m)).otherwise(e_micro)
     whole = (e_micro / unit).cast("long")  # floor: micro-units / 1e6
     frac = e_micro - whole * unit
-    extra = (
-        hash_split_bucket(F.col(key_col), unit) < frac
-    ).cast("long")
+    # coalesce: a NULL key has no hash bucket, so the comparison is
+    # NULL — without the coalesce `copies` would be NULL and the row
+    # silently DROPPED instead of getting its floor(e) copies
+    extra = F.coalesce(
+        (hash_split_bucket(F.col(key_col), unit) < frac).cast("long"),
+        F.lit(0),
+    )
     copies = (whole + extra).alias("__copies")
     out = df.withColumn("__copies", copies)
     return (

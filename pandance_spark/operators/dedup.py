@@ -1760,9 +1760,13 @@ def dedup_substrings(
     f^2/2 pairs on one key: ``max_occurrences`` drops shingles seen
     more than that many times (a map-side-combinable count + semi
     join), the same frequency cut Lee et al. apply to pathological
-    repeats — at 100 TB set it to a few thousand; spans covered only
-    by dropped shingles are then not reported (documented semantics,
-    not silent truncation).  The islands window partitions by
+    repeats — at 100 TB set it to a few thousand.  Under a cap, spans
+    covered only by dropped shingles are not reported, and a span
+    whose MIDDLE shingles are dropped (its interior k-gram is itself
+    hot boilerplate) is reported FRACTURED into the sub-spans the
+    surviving shingles cover — treat capped extents as a lower bound,
+    not an exact cut list (documented semantics, not silent
+    truncation).  The islands window partitions by
     (doc pair, offset): its partition size is bounded by a single
     document's length, not by corpus-wide key frequency, so no hot
     reducer.  Like ``dedup_paragraphs``, the shingle stream feeds two

@@ -702,3 +702,37 @@ def test_dedup_substrings_min_tokens_guard(spark):
     df = spark.createDataFrame([(1, "a b")], ["id", "text"])
     with _pytest.raises(ValueError):
         dedup_substrings(df, "id", "text", min_tokens=1)
+
+
+def test_dedup_substrings_cap_fractures_partially_covered_spans(spark):
+    # documented cap semantics: when a span's MIDDLE shingle is hot
+    # boilerplate and gets dropped, the span is reported fractured
+    # into the surviving sub-spans (a lower bound, not an exact cut)
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    hot = "h1 h2 h3 h4"  # the interior 4-gram, also in many other docs
+    pair = [
+        (1, f"a1 a2 a3 {hot} b1 b2 b3"),
+        (2, f"a1 a2 a3 {hot} b1 b2 b3"),
+    ]
+    noise = [(10 + i, f"x{i} {hot} y{i}") for i in range(8)]
+    df = spark.createDataFrame(pair + noise, ["id", "text"])
+    uncapped = {
+        tuple(r)
+        for r in dedup_substrings(df, "id", "text", min_tokens=4).collect()
+        if r["doc_a"] == 1 and r["doc_b"] == 2
+    }
+    assert (1, 2, 0, 0, 10) in uncapped  # the full maximal span
+    capped = {
+        tuple(r)
+        for r in dedup_substrings(
+            df, "id", "text", min_tokens=4, max_occurrences=5
+        ).collect()
+        if r["doc_a"] == 1 and r["doc_b"] == 2
+    }
+    # the exact-hot 4-gram shingle (df=10) is dropped; shingles
+    # overlapping it only partially survive, so the 10-token span
+    # comes back fractured — still present as sub-spans, never lost
+    # entirely, and never reported at full length
+    assert capped and all(s[4] < 10 for s in capped)
+    assert all(s[2] >= 0 and s[2] + s[4] <= 10 for s in capped)

@@ -324,3 +324,17 @@ def test_epoch_mixture_default_and_guards(spark):
     assert ks == [(1, 1), (1, 2), (1, 3), (2, 1)]  # default 1.0 for y
     with _pytest.raises(ValueError):
         epoch_mixture(df, "dom", "k", {"x": -1.0})
+
+
+def test_epoch_mixture_null_key_keeps_floor_copies(spark):
+    # review fix: NULL key -> no hash bucket -> the fractional copy
+    # never fires, but floor(e) copies MUST survive (coalesce, not a
+    # silent NULL-copies drop)
+    from pandance_spark.functions.split import epoch_mixture
+
+    df = spark.createDataFrame(
+        [(None, "a"), ("k1", "a")], "k string, dom string"
+    )
+    out = epoch_mixture(df, "dom", "k", {"a": 2.5}).collect()
+    null_rows = [r for r in out if r["k"] is None]
+    assert sorted(r["epoch"] for r in null_rows) == [1, 2]  # floor(2.5)
