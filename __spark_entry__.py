@@ -1128,6 +1128,26 @@ def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (operators/dedup.py
+    contamination_spans): a synthetic benchmark is cut from the corpus
+    itself — every 25th doc contributes its tokens 11..40 as an eval
+    item — and the operator must report exactly that 30-token span in
+    the source doc (GPT-3-style 13-gram granularity).  The oracle
+    replays the cross join on raw shingle strings + islands merge."""
+    from pandance_spark.operators.dedup import contamination_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 11, 30), " ").alias("btext"),
+    )
+    return contamination_spans(
+        docs, "doc_id", "text", bench, "bench_id", "btext", min_tokens=13
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain rebalancing (functions/split.py
     temperature_sample): per-source quotas ~ n^0.5, deterministic md5
@@ -1839,7 +1859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 (late): chunk_documents (2 driver greens, r4-r5) rotated
         # out for the new epoch_mix fractional-epoch upsampler
         "epoch_mix": _q_epoch_mix,
-        "mixture_sample": _q_mixture_sample,
+        # r6 (late): mixture_sample (2 driver greens, r4-r5) rotated
+        # out for the new contamination_spans — the mixing family
+        # keeps epoch_mix in-window
+        "contamination_spans": _q_contamination_spans,
         "profile_orders": _q_profile_orders,
         # as-of / interval joins (time-series extensions) + graph
         # (r5: overlap_sessions rotated out after 3 green rounds to
@@ -1898,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
         "chunk_documents": _q_chunk_documents,
+        "mixture_sample": _q_mixture_sample,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3154,6 +3178,56 @@ ORDER BY doc_id
             )
             SELECT da AS doc_a, db AS doc_b, min(pa) AS a_start,
                    min(pa) + delta AS b_start, count(*) + 19 AS n_tokens
+            FROM g GROUP BY da, db, delta, isl
+        """,
+        # cross-corpus variant: benchmark = tokens 11..40 of every
+        # 25th doc; raw-shingle join, no self-ordering predicate
+        "contamination_spans": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS arr
+              FROM documents
+            ),
+            bench AS (
+              SELECT doc_id AS bench_id, arr[11:40] AS barr
+              FROM t WHERE doc_id % 25 = 0
+            ),
+            sa AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(arr) - 12, 0)))
+                       AS i, arr
+              FROM t
+            ),
+            sha AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(arr[i:i+12], ' ') AS sh
+              FROM sa
+            ),
+            sb AS (
+              SELECT bench_id,
+                     unnest(generate_series(1, greatest(len(barr) - 12, 0)))
+                       AS i, barr
+              FROM bench
+            ),
+            shb AS (
+              SELECT bench_id, i - 1 AS pos,
+                     array_to_string(barr[i:i+12], ' ') AS sh
+              FROM sb
+            ),
+            p AS (
+              SELECT a.doc_id AS da, a.pos AS pa,
+                     b.bench_id AS db, b.pos AS pb
+              FROM sha a JOIN shb b ON a.sh = b.sh
+            ),
+            g AS (
+              SELECT da, db, pb - pa AS delta, pa,
+                     pa - row_number() OVER (PARTITION BY da, db, pb - pa
+                                             ORDER BY pa) AS isl
+              FROM p
+            )
+            SELECT da AS doc_a, db AS doc_b, min(pa) AS a_start,
+                   min(pa) + delta AS b_start, count(*) + 12 AS n_tokens
             FROM g GROUP BY da, db, delta, isl
         """,
         # integer weight sums (bucket/weight arithmetic all int64) make

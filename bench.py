@@ -232,6 +232,7 @@ def main():
         "line_dedup",
         "multimodal_gif",
         "epoch_mix",
+        "contamination_spans",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -56,6 +56,7 @@ __all__ = [
     "dedup_paragraphs",
     "semantic_dedup",
     "dedup_substrings",
+    "contamination_spans",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1776,21 +1777,7 @@ def dedup_substrings(
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    sh = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(
-                word_shingles_from_tokens(toks, min_tokens)
-            ).alias("__pos", "__sh"),
-        )
-        .select(
-            "__id",
-            "__pos",
-            F.xxhash64("__sh").alias("__h1"),
-            F.xxhash64(F.lit(hash_seed), F.col("__sh")).alias("__h2"),
-        )
-    )
+    sh = _substring_shingles(df, id_col, text_col, min_tokens, hash_seed)
     if max_occurrences is not None:
         rare = (
             sh.groupBy("__h1", "__h2")
@@ -1824,6 +1811,36 @@ def dedup_substrings(
     ).select(
         "__ida", "__idb", "__pa", (F.col("__pb") - F.col("__pa")).alias("__delta")
     )
+    return _substring_spans(pairs, min_tokens)
+
+
+def _substring_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int, hash_seed: int
+) -> DataFrame:
+    """(__id, __pos, __h1, __h2): one doubly-hashed k-token shingle per
+    position; the shingle string dies inside the projection stage."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    return (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                word_shingles_from_tokens(toks, k)
+            ).alias("__pos", "__sh"),
+        )
+        .select(
+            "__id",
+            "__pos",
+            F.xxhash64("__sh").alias("__h1"),
+            F.xxhash64(F.lit(hash_seed), F.col("__sh")).alias("__h2"),
+        )
+    )
+
+
+def _substring_spans(pairs: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of matching positions at constant offset
+    into maximal spans; window partition size is bounded by one
+    document's length (see dedup_substrings)."""
     w = Window.partitionBy("__ida", "__idb", "__delta").orderBy("__pa")
     runs = pairs.withColumn("__isl", F.col("__pa") - F.row_number().over(w))
     return (
@@ -1837,6 +1854,77 @@ def dedup_substrings(
             F.col("__idb").alias("doc_b"),
             F.col("__astart").cast("long").alias("a_start"),
             (F.col("__astart") + F.col("__delta")).cast("long").alias("b_start"),
-            (F.col("__n") + F.lit(min_tokens - 1)).cast("long").alias("n_tokens"),
+            (F.col("__n") + F.lit(k - 1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench: DataFrame,
+    bench_id: str,
+    bench_text: str,
+    min_tokens: int = 13,
+    max_occurrences: Optional[int] = None,
+    hash_seed: int = 1315423911,
+) -> DataFrame:
+    """CROSS-corpus exact substring matching: every maximal span of at
+    least ``min_tokens`` whitespace tokens that a training document
+    shares verbatim with a benchmark/eval document — the span-level
+    decontamination pass (GPT-3 App. C uses 13-gram overlap; Lee et
+    al. arXiv:2107.06499 §6 run their suffix-array machinery corpus x
+    benchmark the same way).  ``operators.contamination.
+    contamination_check`` answers "is this doc contaminated?" at the
+    document level; this operator reports WHERE, so the span (not the
+    whole document) can be excised or the document scored by
+    contaminated fraction.
+
+    Returns ``(doc_a, doc_b, a_start, b_start, n_tokens)`` — doc_a
+    from the CORPUS, doc_b from the BENCHMARK, positions 0-based in
+    token space.
+
+    Same machinery as :func:`dedup_substrings` (doubly-hashed shingle
+    equi-join + gaps-and-islands merge) with two asymmetries: the
+    join keeps ALL cross pairs (no self-ordering predicate), and
+    ``max_occurrences`` caps CORPUS-side shingle frequency only — the
+    benchmark is small by construction, and it is corpus boilerplate
+    that explodes the f_corpus x f_bench pair count.  The benchmark
+    shingle table is typically broadcast-sized; Spark/AQE picks the
+    broadcast join, so the corpus never shuffles for the match —
+    the decontamination scan stays one corpus pass at 100 TB.
+    Precondition as for ``dedup_substrings``: deterministic inputs
+    (``localCheckpoint()`` otherwise).
+    """
+    if min_tokens < 2:
+        raise ValueError("min_tokens must be >= 2")
+    ca = _substring_shingles(
+        corpus, corpus_id, corpus_text, min_tokens, hash_seed
+    )
+    if max_occurrences is not None:
+        rare = (
+            ca.groupBy("__h1", "__h2")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_occurrences)
+            .select("__h1", "__h2")
+        )
+        ca = ca.join(rare, ["__h1", "__h2"], "left_semi")
+        ca = ca.localCheckpoint(eager=True)
+    cb = _substring_shingles(bench, bench_id, bench_text, min_tokens, hash_seed)
+    a = ca.select(
+        F.col("__id").alias("__ida"), F.col("__pos").alias("__pa"),
+        "__h1", "__h2",
+    )
+    b = cb.select(
+        F.col("__id").alias("__idb"), F.col("__pos").alias("__pb"),
+        F.col("__h1").alias("__h1b"), F.col("__h2").alias("__h2b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__h1") == F.col("__h1b")) & (F.col("__h2") == F.col("__h2b")),
+        "inner",
+    ).select(
+        "__ida", "__idb", "__pa", (F.col("__pb") - F.col("__pa")).alias("__delta")
+    )
+    return _substring_spans(pairs, min_tokens)

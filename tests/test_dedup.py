@@ -736,3 +736,44 @@ def test_dedup_substrings_cap_fractures_partially_covered_spans(spark):
     # entirely, and never reported at full length
     assert capped and all(s[4] < 10 for s in capped)
     assert all(s[2] >= 0 and s[2] + s[4] <= 10 for s in capped)
+
+
+def test_contamination_spans_cross_corpus(spark):
+    from pandance_spark.operators.dedup import contamination_spans
+
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5")], ["bid", "btext"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b q1 q2 q3 q4 q5 c d"),     # full 5-token hit at pos 2
+            (2, "q1 q2 q3 q4 x y z"),          # only a 4-token prefix
+            (3, "nothing shared here at all"),
+        ],
+        ["id", "text"],
+    )
+    got = {
+        tuple(r)
+        for r in contamination_spans(
+            corpus, "id", "text", bench, "bid", "btext", min_tokens=4
+        ).collect()
+    }
+    assert got == {(1, 100, 2, 0, 5), (2, 100, 0, 0, 4)}
+
+
+def test_contamination_spans_corpus_side_cap(spark):
+    from pandance_spark.operators.dedup import contamination_spans
+
+    bench = spark.createDataFrame([(9, "h1 h2 h3 h4")], ["bid", "btext"])
+    corpus = spark.createDataFrame(
+        [(i, f"x{i} h1 h2 h3 h4 y{i}") for i in range(10)], ["id", "text"]
+    )
+    full = contamination_spans(
+        corpus, "id", "text", bench, "bid", "btext", min_tokens=4
+    )
+    assert full.count() == 10
+    capped = contamination_spans(
+        corpus, "id", "text", bench, "bid", "btext",
+        min_tokens=4, max_occurrences=5,
+    )
+    assert capped.count() == 0  # hot corpus shingle (df=10) dropped
