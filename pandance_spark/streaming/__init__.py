@@ -33,6 +33,7 @@ __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "streaming_dedup",
+    "streaming_url_dedup",
     "sessionize_stream",
     "running_user_stats",
     "streaming_near_dup_filter",
@@ -136,6 +137,36 @@ def streaming_dedup(
     events = _ensure_event_time(events, event_time_col)
     return events.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
+    )
+
+
+def streaming_url_dedup(
+    pages: DataFrame,
+    url_col: str,
+    event_time_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming crawl-frontier dedup: canonicalize each URL
+    (``functions.url.normalize_url`` — case, default ports, tracking
+    params, fragments) and keep only the FIRST page per canonical URL
+    within the watermark horizon.  The streaming twin of the batch
+    ``url_dedup`` pass: a crawler's fetch stream re-sees the same page
+    under case/tracking variants continuously, and this drops the
+    re-fetches at ingest time instead of in a nightly batch.
+
+    State is bounded by the watermark horizon (keys older than the
+    watermark are evicted), matching how frontier recency actually
+    works — a URL not seen for the horizon is legitimately re-crawled.
+    The appended ``url_norm`` column is the dedup key and survives in
+    the output for downstream per-domain capping.
+    """
+    from pandance_spark.functions.url import normalize_url
+
+    pages = _ensure_event_time(pages, event_time_col)
+    return (
+        pages.withColumn("url_norm", normalize_url(F.col(url_col)))
+        .withWatermark(event_time_col, watermark)
+        .dropDuplicatesWithinWatermark(["url_norm"])
     )
 
 

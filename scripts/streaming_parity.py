@@ -102,6 +102,7 @@ def main():
         stream_upsert_sink,
         streaming_dedup,
         streaming_near_dup_filter,
+        streaming_url_dedup,
         streaming_similarity_join,
         windowed_event_counts,
     )
@@ -488,6 +489,58 @@ def main():
     )
     record("running_user_stats", "duckdb", s8, b8, d8,
            note="final applyInPandasWithState update per user == batch agg")
+
+    # ------------------------------------------------------------------
+    # 9. streaming_url_dedup: the canonical-URL key set after stream
+    # replay == batch distinct of the same closed-form derivation ==
+    # the DuckDB closed form (survivor ROWS differ by arrival order —
+    # the key set is the operator's contract, as in op 1)
+    # ------------------------------------------------------------------
+    def noisy_url(col):
+        return F.concat(
+            F.when(col % 2 == 0, F.lit("HTTP://SITE")).otherwise(
+                F.lit("http://site")
+            ),
+            (col % 5).cast("string"),
+            F.lit(".example.com"),
+            F.when(col % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/e/"),
+            (col % 40).cast("string"),
+            F.when(col % 3 == 0, F.lit("?utm_source=x#f")).otherwise(
+                F.lit("")
+            ),
+        )
+
+    stream = read_events_stream(spark, SF_DIR).withColumn(
+        "url", noisy_url(F.col("event_id"))
+    )
+    run_stream_to_memory(
+        streaming_url_dedup(stream, "url", watermark="3650 days").select(
+            "url_norm"
+        ),
+        "parity_url_dedup",
+    )
+    cols9 = ["url_norm"]
+    s9 = canon_rows(spark.table("parity_url_dedup").collect(), cols9)
+    from pandance_spark.functions.url import normalize_url as _nurl
+
+    b9 = canon_rows(
+        ev_batch.withColumn("url", noisy_url(F.col("event_id")))
+        .select(_nurl(F.col("url")).alias("url_norm"))
+        .dropDuplicates(["url_norm"])
+        .collect(),
+        cols9,
+    )
+    d9 = canon_rows(
+        duck_rows(con.sql(
+            "SELECT DISTINCT 'http://site' || CAST(event_id % 5 AS VARCHAR)"
+            " || '.example.com/e/' || CAST(event_id % 40 AS VARCHAR)"
+            " AS url_norm FROM events"
+        )),
+        cols9,
+    )
+    record("streaming_url_dedup", "duckdb", s9, b9, d9,
+           note="canonical-URL key set == batch normalize+distinct == closed form")
 
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(

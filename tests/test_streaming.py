@@ -463,3 +463,36 @@ def test_stream_upsert_sink_map_typed_column(spark, tmp_path):
     q.stop()
     got = {r["k"]: r["attrs"] for r in spark.read.parquet(tgt).collect()}
     assert got == {1: {"a": "x"}, 2: {"b": "y"}}
+
+
+def test_streaming_url_dedup_key_set(spark, sf_dir):
+    from pandance_spark.functions.url import normalize_url
+    from pandance_spark.streaming import streaming_url_dedup
+
+    noisy = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("HTTP://A")).otherwise(
+            F.lit("http://a")
+        ),
+        F.lit(".example.com"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("event_id") % 7).cast("string"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    stream = read_events_stream(spark, sf_dir).withColumn("url", noisy)
+    out = streaming_url_dedup(stream, "url", watermark="3650 days")
+    _run_to_memory(out.select("url_norm"), "url_dedup_out", "append")
+    got = sorted(
+        r["url_norm"]
+        for r in spark.sql("SELECT url_norm FROM url_dedup_out").collect()
+    )
+    batch = load_table(spark, sf_dir, "events").withColumn("url", noisy)
+    exp = sorted(
+        r["url_norm"]
+        for r in batch.select(normalize_url(F.col("url")).alias("url_norm"))
+        .distinct()
+        .collect()
+    )
+    assert got == exp and len(got) == 7  # variants collapse to 7 pages
