@@ -1772,7 +1772,13 @@ def dedup_substrings(
     document's length, not by corpus-wide key frequency, so no hot
     reducer.  Like ``dedup_paragraphs``, the shingle stream feeds two
     join sides — ``df`` must be deterministic (``localCheckpoint()``
-    nondeterministic sources first).
+    nondeterministic sources first).  Partitioning caveat: the shingle
+    posexplode amplifies each row ~``n_tokens``-fold WITHOUT a shuffle,
+    so an input that arrives in few partitions (e.g. the output of a
+    broadcast join over a small table) serializes the amplified stage
+    on those few cores — ``repartition()`` such inputs first (file-
+    backed scans are spread automatically; at corpus scale file
+    splitting already provides the parallelism).
     """
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
