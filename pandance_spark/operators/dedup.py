@@ -1782,7 +1782,6 @@ def dedup_substrings(
     """
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     sh = _substring_shingles(df, id_col, text_col, min_tokens, hash_seed)
     if max_occurrences is not None:
         rare = (
@@ -1915,8 +1914,10 @@ def contamination_spans(
             .filter(F.col("__df") <= max_occurrences)
             .select("__h1", "__h2")
         )
+        # no checkpoint here: unlike dedup_substrings, ca feeds only
+        # ONE join side — materializing ~2.5x corpus bytes would
+        # contradict the one-corpus-pass claim for nothing
         ca = ca.join(rare, ["__h1", "__h2"], "left_semi")
-        ca = ca.localCheckpoint(eager=True)
     cb = _substring_shingles(bench, bench_id, bench_text, min_tokens, hash_seed)
     a = ca.select(
         F.col("__id").alias("__ida"), F.col("__pos").alias("__pa"),

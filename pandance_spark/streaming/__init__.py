@@ -148,8 +148,13 @@ def streaming_url_dedup(
 ) -> DataFrame:
     """Streaming crawl-frontier dedup: canonicalize each URL
     (``functions.url.normalize_url`` — case, default ports, tracking
-    params, fragments) and keep only the FIRST page per canonical URL
-    within the watermark horizon.  The streaming twin of the batch
+    params, fragments) and keep exactly ONE page per canonical URL
+    within the watermark horizon.  The canonical-URL KEY SET is the
+    operator's deterministic contract; WHICH variant row represents a
+    key follows micro-batch arrival/partition order (Spark's
+    ``dropDuplicatesWithinWatermark`` keeps the first row it
+    processes, not the earliest by event time) — callers needing
+    earliest-fetch provenance should aggregate min(ts) downstream.  The streaming twin of the batch
     ``url_dedup`` pass: a crawler's fetch stream re-sees the same page
     under case/tracking variants continuously, and this drops the
     re-fetches at ingest time instead of in a nightly batch.
