@@ -149,8 +149,70 @@ def main():
     assert uncapped == n * (n - 1) // 2, uncapped
     assert capped == 0, capped
     assert t_capped < t_uncapped, (t_capped, t_uncapped)
+
+    probe_contamination(spark)
     spark.stop()
 
+
+
+def probe_contamination(spark):
+    """200k-doc corpus vs 500-item benchmark: decontamination must be
+    ONE corpus pass with the bench side broadcast — wall should sit
+    near the corpus shingle-scan cost, and every planted item must be
+    found."""
+    import json as _json
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.operators.dedup import contamination_spans
+
+    n = 200_000
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(100)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(50000)).cast(
+                "string"
+            ),
+        ),
+    )
+    corpus = base.select(
+        "doc_id", F.array_join(toks, " ").alias("text")
+    ).localCheckpoint(eager=True)
+    bench = (
+        corpus.filter(F.col("doc_id") % 400 == 0)
+        .select(
+            F.col("doc_id").alias("bid"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 21, 30), " "
+            ).alias("btext"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t0 = _time.time()
+    spans = contamination_spans(
+        corpus, "doc_id", "text", bench, "bid", "btext", min_tokens=13
+    )
+    cnt = spans.count()
+    dt = _time.time() - t0
+    plan = spans._jdf.queryExecution().executedPlan().toString()
+    bcast = "BroadcastHashJoin" in plan
+    print(
+        _json.dumps(
+            {
+                "probe": "contamination_broadcast",
+                "corpus_docs": n,
+                "bench_items": 500,
+                "spans": cnt,
+                "sec": round(dt, 2),
+                "bench_side_broadcast": bcast,
+            }
+        )
+    )
+    assert cnt == 500, cnt  # every planted item found, nothing else
+    assert bcast, "bench side must broadcast"
 
 if __name__ == "__main__":
     main()
