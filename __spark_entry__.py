@@ -1047,6 +1047,25 @@ def _q_merge_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_intervals(iv, "span_start", "span_end", by="user_id")
 
 
+def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (functions/layout.py zorder_key — the
+    Delta/Iceberg OPTIMIZE ZORDER layout as plain Column arithmetic):
+    8-bit Morton interleave of (o_custkey, o_orderkey) ranks.  Integer
+    scaling keeps the key engine-exact; the oracle replays the
+    min/max scaling + bit interleave with DuckDB bit ops.  The layout
+    payoff (row-group range fractions after write_zordered) is
+    measured in SCALING.md."""
+    from pandance_spark.functions.layout import zorder_by
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    out = zorder_by(orders, ["o_custkey", "o_orderkey"], bits=8)
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("__zorder").alias("zkey")
+    )
+
+
 def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column health profile of the orders table
     (functions/profile.py profile_table): exact null/distinct counts,
@@ -1883,7 +1902,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay in the local multi-sf gate, which checks ALL entries.
         "q3_shipping": _q_q3_shipping,
         "q5_local_supplier": _q_q5_local_supplier,
-        "scd2_user_status": _q_scd2_user_status,
+        # r6 (late): scd2_user_status (2 driver greens, r4-r5)
+        # rotated out for the new zorder_cluster — the SCD2 family
+        # keeps scd2_apply_late in-window
+        "zorder_cluster": _q_zorder_cluster,
         "q6_forecast": _q_q6_forecast,
         # r5 rotations IN: the five entries flagged by the r4 verdict as
         # never driver-verified, plus the new scd2_apply_late
@@ -1927,6 +1949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_set": _q_overlap_set,
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
+        "scd2_user_status": _q_scd2_user_status,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3552,6 +3575,31 @@ ORDER BY doc_id
             SELECT doc_id, source,
                    unnest(generate_series(1, copies)) AS epoch
             FROM c WHERE copies >= 1
+        """,
+        # min/max scaling + Morton bit interleave replayed with
+        # DuckDB integer bit ops (integer floor division both sides)
+        "zorder_cluster": """
+            WITH mm AS (
+              SELECT min(o_custkey) AS lo1, max(o_custkey) AS hi1,
+                     min(o_orderkey) AS lo2, max(o_orderkey) AS hi2
+              FROM orders
+            ),
+            r AS (
+              SELECT o_orderkey, o_custkey,
+                     ((o_custkey - lo1) * 255) // (hi1 - lo1) AS r1,
+                     ((o_orderkey - lo2) * 255) // (hi2 - lo2) AS r2
+              FROM orders, mm
+            ),
+            b AS (
+              SELECT o_orderkey, o_custkey,
+                     unnest(generate_series(0, 7)) AS i, r1, r2
+              FROM r
+            )
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum((((r1 >> i) & 1) << (i*2))
+                            + (((r2 >> i) & 1) << (i*2+1)))
+                        AS BIGINT) AS zkey
+            FROM b GROUP BY o_orderkey, o_custkey
         """,
         # GIF is lossless: palette + LZW round trip replayed in
         # closed form (index i = (seed+7i)%256; channels j, 2j, 3j)

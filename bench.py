@@ -233,6 +233,7 @@ def main():
         "multimodal_gif",
         "epoch_mix",
         "contamination_spans",
+        "zorder_cluster",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

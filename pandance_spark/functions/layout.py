@@ -1,0 +1,150 @@
+"""Data-layout utilities: multi-column clustering for scan pruning.
+
+At 100 TB the cheapest query is the one that never reads the bytes:
+parquet row-group min/max statistics prune groups whose range cannot
+match a predicate, but they only help on columns the data is actually
+clustered by.  Sorting by ONE column makes its row-group ranges tight
+and every other column's ranges full-width; Z-ORDER (Morton-curve)
+clustering interleaves the bits of several columns' normalized values
+so row-group ranges are moderately tight on ALL of them — the layout
+behind Delta/Iceberg ``OPTIMIZE ZORDER BY``, here as plain Column
+arithmetic + a range-partitioned parquet write, no table format
+required.
+
+Engine extension beyond the reference (SURVEY.md §2.4); the scale
+evidence (per-row-group range fractions with and without Z-order) is
+measured in ``scripts/scale_probe_r06b.py`` / SCALING.md.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "zorder_by", "write_zordered"]
+
+_INTEGRAL = {"byte", "short", "int", "integer", "bigint", "long"}
+
+
+def zorder_key(
+    cols: Sequence[Column],
+    mins: Sequence[int],
+    maxs: Sequence[int],
+    bits: int = 16,
+) -> Column:
+    """Morton/Z-order key: normalize each column to ``[0, 2**bits)``
+    over its ``[min, max]`` range, then interleave the bits
+    (column j contributes bit ``i`` of its rank at output position
+    ``i * n_cols + j``).  Pure integer Column arithmetic — the
+    scaling is ``((v - min) * (2**bits - 1)) // (max - min)`` in
+    int64, so the key is exactly reproducible in any engine (the
+    driver oracle recomputes it bit-for-bit in DuckDB).
+
+    ``mins``/``maxs`` are plain Python ints (collect them once with
+    an ``agg`` — metadata-scale); values outside the range clamp to
+    the ends, so a stale range degrades pruning, never correctness.
+    ``bits * len(cols)`` must stay <= 63.
+    """
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if len(mins) != n or len(maxs) != n:
+        raise ValueError("mins/maxs must match cols")
+    if bits < 1 or bits * n > 63:
+        raise ValueError("bits * n_cols must be in [1, 63]")
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        lo = int(lo)
+        span = int(hi) - lo
+        if span < 0:
+            raise ValueError("max < min")
+        # floor(double division) must equal exact integer division:
+        # products stay below 2^53 where doubles are exact integers
+        if span * top >= (1 << 53):
+            raise ValueError(
+                "column span too wide for exact scaling at this bit "
+                "width — reduce bits or pre-bucket the column"
+            )
+        v = c.cast("long") - F.lit(lo)
+        # clamp: out-of-range values (stale min/max) pin to the ends
+        v = F.greatest(F.lit(0).cast("long"), F.least(v, F.lit(span)))
+        # integer floor division: (v * top) div span — exact int64,
+        # reproducible in any engine
+        rank = (
+            (v * F.lit(top)) / F.lit(span)
+            if span > 0
+            else F.lit(0)
+        )
+        rank = F.floor(rank).cast("long") if span > 0 else F.lit(0).cast("long")
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(rank, i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return key
+
+
+def zorder_by(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 16,
+    key_col: str = "__zorder",
+) -> DataFrame:
+    """Append the Z-order key for ``cols``: one tiny min/max aggregate
+    (a single 1-row collect, metadata-scale — same contract as the
+    band joins' 2-row bounds collect) feeds :func:`zorder_key`.
+    Integral columns only — floats/decimals need an explicit
+    fixed-point cast first so the key stays engine-exact.
+    """
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t not in _INTEGRAL:
+            raise ValueError(
+                f"zorder_by needs integral columns; {c!r} is {t} — "
+                "cast to a fixed-point long first"
+            )
+    row = df.agg(
+        *[F.min(c).alias(f"__lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    mins = [row[f"__lo{i}"] for i in range(len(cols))]
+    maxs = [row[f"__hi{i}"] for i in range(len(cols))]
+    if any(v is None for v in mins + maxs):
+        raise ValueError("zorder_by: NULL min/max (empty input or all-NULL column)")
+    return df.withColumn(
+        key_col, zorder_key([F.col(c) for c in cols], mins, maxs, bits)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: Optional[int] = None,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``:
+    ``repartitionByRange`` on the key (contiguous curve segments per
+    file — the shuffle that buys the layout) + ``sortWithinPartitions``
+    so row groups inside each file stay tight, key column dropped on
+    write.  After this, a selective predicate on ANY of ``cols``
+    prunes most row groups via parquet min/max stats — measured in
+    SCALING.md.
+    """
+    keyed = zorder_by(df, cols, bits)
+    parts = (
+        keyed.repartitionByRange(n_files, "__zorder")
+        if n_files
+        else keyed.repartitionByRange("__zorder")
+    )
+    (
+        parts.sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -151,6 +151,7 @@ def main():
     assert t_capped < t_uncapped, (t_capped, t_uncapped)
 
     probe_contamination(spark)
+    probe_zorder(spark)
     spark.stop()
 
 
@@ -213,6 +214,69 @@ def probe_contamination(spark):
     )
     assert cnt == 500, cnt  # every planted item found, nothing else
     assert bcast, "bench side must broadcast"
+
+def probe_zorder(spark):
+    """Row-group statistics under Z-order vs single-column sort:
+    avg (max-min)/(global span) per row group, both clustered columns.
+    Small fractions => min/max pruning skips most groups for a
+    selective predicate on that column."""
+    import json as _json
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.layout import write_zordered
+    from pandance_spark.sources import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    n = li.count()
+    zp, op = "/tmp/pdx_zorder_probe", "/tmp/pdx_orderkey_probe"
+    for d in (zp, op):
+        _shutil.rmtree(d, ignore_errors=True)
+    write_zordered(li, zp, ["l_orderkey", "l_partkey"], n_files=16, bits=10)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(op)
+    )
+    import duckdb
+
+    con = duckdb.connect()
+
+    def frac(path, col):
+        return con.execute(
+            f"""
+            SELECT avg((stats_max::BIGINT - stats_min::BIGINT) /
+                       (SELECT max({col})*1.0 - min({col})
+                        FROM '{path}/*.parquet'))
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema = '{col}'
+            """
+        ).fetchone()[0]
+
+    out = {}
+    for layout, path in (("zorder", zp), ("orderkey_sort", op)):
+        out[layout] = (frac(path, "l_orderkey"), frac(path, "l_partkey"))
+        print(
+            _json.dumps(
+                {
+                    "probe": "zorder_layout",
+                    "rows": n,
+                    "layout": layout,
+                    "rowgroup_range_frac_orderkey": round(out[layout][0], 3),
+                    "rowgroup_range_frac_partkey": round(out[layout][1], 3),
+                }
+            )
+        )
+    # z-order must make the SECOND column pruneable (frac < 0.5) while
+    # the single-column sort leaves it full-width (~1.0)
+    assert out["zorder"][1] < 0.5 < out["orderkey_sort"][1]
+    for d in (zp, op):
+        _shutil.rmtree(d, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
