@@ -1066,6 +1066,43 @@ def _q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-format metadata WITHOUT decode (operators/multimodal.py
+    media_metadata): even docs carry a packed MPEG-1 Layer III stream
+    (ID3v2 skip + frame-header walk), odd docs a minimal ISO BMFF MP4
+    (box walk: mvhd duration, tkhd 16.16 dims, mdat size).  Every
+    emitted statistic is an integer the oracle recomputes from the
+    packers' closed forms — the route-and-describe pass a media corpus
+    build runs before any codec is invoked."""
+    from pandance_spark.operators.multimodal import (
+        media_metadata,
+        pack_mp3_audio,
+        pack_mp4_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        def mk(d):
+            d = int(d)
+            if d % 2 == 0:
+                return pack_mp3_audio(5 + d % 20, 1 + d % 14, seed=d % 97)
+            return pack_mp4_video(
+                320 + d % 300, 240 + d % 200, 1000 + d % 5000,
+                n_bytes=32 + d % 64, seed=d % 97,
+            )
+
+        return ids.map(mk)
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return media_metadata(media).select(
+        "doc_id", "media_format", "duration_ms", "sample_rate",
+        "bitrate_kbps", "frame_count", "width", "height",
+        "payload_bytes", "ok",
+    )
+
+
 def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column health profile of the orders table
     (functions/profile.py profile_table): exact null/distinct counts,
@@ -1887,7 +1924,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out for the new contamination_spans — the mixing family
         # keeps epoch_mix in-window
         "contamination_spans": _q_contamination_spans,
-        "profile_orders": _q_profile_orders,
+        # r6 (late): profile_orders (2 driver greens, r4-r5) rotated
+        # out for multimodal_media_meta — the profiling family keeps
+        # skew_report_events in-window
+        "multimodal_media_meta": _q_multimodal_media_meta,
         # as-of / interval joins (time-series extensions) + graph
         # (r5: overlap_sessions rotated out after 3 green rounds to
         # make room for the new dedup_paragraphs)
@@ -1950,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
         "scd2_user_status": _q_scd2_user_status,
+        "profile_orders": _q_profile_orders,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3600,6 +3641,37 @@ ORDER BY doc_id
                             + (((r2 >> i) & 1) << (i*2+1)))
                         AS BIGINT) AS zkey
             FROM b GROUP BY o_orderkey, o_custkey
+        """,
+        # both packers' closed forms replayed: mp3 duration/bitrate
+        # from the header tables, mp4 from the box fields
+        "multimodal_media_meta": """
+            WITH br AS (
+              SELECT * FROM (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),
+                (6,80),(7,96),(8,112),(9,128),(10,160),(11,192),
+                (12,224),(13,256),(14,320)) AS t(idx, kbps)
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'mp3'
+                        ELSE 'mp4' END AS media_format,
+                   CASE WHEN d.doc_id % 2 = 0
+                        THEN (5 + d.doc_id % 20) * 1152 * 1000 // 44100
+                        ELSE 1000 + d.doc_id % 5000
+                   END AS duration_ms,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 44100 END
+                     ::INTEGER AS sample_rate,
+                   CASE WHEN d.doc_id % 2 = 0 THEN br.kbps END
+                     ::INTEGER AS bitrate_kbps,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 5 + d.doc_id % 20 END
+                     ::BIGINT AS frame_count,
+                   CASE WHEN d.doc_id % 2 = 1
+                        THEN 320 + d.doc_id % 300 END::INTEGER AS width,
+                   CASE WHEN d.doc_id % 2 = 1
+                        THEN 240 + d.doc_id % 200 END::INTEGER AS height,
+                   CASE WHEN d.doc_id % 2 = 1
+                        THEN 32 + d.doc_id % 64 END::BIGINT AS payload_bytes,
+                   TRUE AS ok
+            FROM documents d
+            LEFT JOIN br ON br.idx = 1 + d.doc_id % 14
         """,
         # GIF is lossless: palette + LZW round trip replayed in
         # closed form (index i = (seed+7i)%256; channels j, 2j, 3j)

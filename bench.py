@@ -234,6 +234,7 @@ def main():
         "epoch_mix",
         "contamination_spans",
         "zorder_cluster",
+        "multimodal_media_meta",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -58,6 +58,9 @@ __all__ = [
     "pack_gif_image",
     "pack_jpeg_image",
     "pack_wav_audio",
+    "pack_mp3_audio",
+    "pack_mp4_video",
+    "media_metadata",
     "decode_audio",
     "pack_avi_video",
     "sample_frames_video",
@@ -1241,6 +1244,254 @@ def byte_histogram_features(
         return pd.Series(out)
 
     return df.withColumn("features", _hist(F.col(payload_col)))
+
+
+# ---------------------------------------------------------------------------
+# Native-format METADATA extraction: MP3 (MPEG-1 Layer III) frame-header
+# walk and MP4 (ISO BMFF) box walk.  A corpus pipeline rarely needs the
+# decoded samples/frames to filter and route media — it needs duration,
+# bitrate, dims, codec class — and the container/frame headers give all
+# of that in pure Python with bounded walks.  The entropy decode itself
+# (Huffman+IMDCT for MP3, H.264 NAL for MP4 video) stays the documented
+# native-lib plug-in point.
+
+# MPEG-1 Layer III bitrate (kbps) and sample-rate tables, header index
+# -> value; index 0 ("free") and 15 ("bad") are rejected
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, 0]
+_MP3_RATES = [44100, 48000, 32000, 0]
+_MP3_MAX_FRAMES = 1_000_000  # walk cap: headers are attacker-controlled
+
+
+def pack_mp3_audio(n_frames: int, bitrate_idx: int = 9, seed: int = 0) -> bytes:
+    """Deterministic MPEG-1 Layer III stream: ``n_frames`` valid frame
+    headers (44.1 kHz, bitrate from ``bitrate_idx``) whose payloads are
+    the closed-form byte pattern ``(seed + 7i) % 256`` — parseable by
+    any MP3 tool's header walk; the audio content is noise by design
+    (the metadata probe never decodes it).  Prepends a minimal ID3v2
+    tag so the skip path is exercised."""
+    if not 1 <= bitrate_idx <= 14:
+        raise ValueError("bitrate_idx must be in [1, 14]")
+    br = _MP3_BITRATES[bitrate_idx] * 1000
+    sr = 44100
+    flen = (144 * br) // sr  # padding bit 0
+    out = bytearray()
+    # ID3v2.3 header, empty 16-byte tag body (synchsafe size)
+    out += b"ID3" + bytes([3, 0, 0, 0, 0, 0, 16]) + b"\x00" * 16
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | 0x00, 0x00])
+    body = ((seed + 7 * np.arange(flen - 4, dtype=np.int64)) % 256).astype(
+        np.uint8
+    ).tobytes()
+    for _ in range(n_frames):
+        out += hdr + body
+    return bytes(out)
+
+
+def _parse_mp3_meta(raw: bytes):
+    """(n_frames, duration_ms, mean_bitrate_kbps, sample_rate) or
+    ``None`` — a frame-header walk (ID3v2 skipped, free/bad bitrate
+    rejected, walk capped).  MPEG-1 Layer III only; anything else
+    degrades to ``None``."""
+    try:
+        pos = 0
+        n = len(raw)
+        if raw[:3] == b"ID3" and n >= 10:
+            size = 0
+            for b in raw[6:10]:
+                if b & 0x80:
+                    return None  # not synchsafe
+                size = (size << 7) | b
+            pos = 10 + size
+        frames = 0
+        br_sum = 0
+        sr_seen = None
+        while pos + 4 <= n and frames < _MP3_MAX_FRAMES:
+            h0, h1, h2 = raw[pos], raw[pos + 1], raw[pos + 2]
+            if h0 != 0xFF or (h1 & 0xFE) != 0xFA:  # MPEG-1 Layer III
+                break
+            br_idx = (h2 >> 4) & 0x0F
+            sr_idx = (h2 >> 2) & 0x03
+            pad = (h2 >> 1) & 0x01
+            br = _MP3_BITRATES[br_idx] * 1000
+            sr = _MP3_RATES[sr_idx]
+            if br == 0 or sr == 0:
+                return None
+            if sr_seen is None:
+                sr_seen = sr
+            elif sr != sr_seen:
+                return None
+            flen = (144 * br) // sr + pad
+            if flen < 4 or pos + flen > n:
+                break
+            frames += 1
+            br_sum += br
+            pos += flen
+        if frames == 0:
+            return None
+        duration_ms = frames * 1152 * 1000 // sr_seen
+        return frames, duration_ms, br_sum // frames // 1000, sr_seen
+    except (IndexError, ValueError):
+        return None
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def pack_mp4_video(
+    width: int, height: int, duration_ms: int, n_bytes: int = 64, seed: int = 0
+) -> bytes:
+    """Deterministic minimal ISO BMFF (MP4): ftyp + moov(mvhd with a
+    1000 Hz timescale + trak(tkhd with 16.16 fixed-point dims)) + an
+    ``mdat`` whose bytes follow the closed form ``(seed + 7i) % 256``.
+    Spec-shaped enough for any box walker; carries no codec stream —
+    the metadata probe is the point."""
+    mvhd = (
+        bytes(4) + bytes(8)                    # version/flags, c/m time
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + bytes(80)
+    )
+    tkhd = (
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", duration_ms) + bytes(52)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    mdat = _mp4_box(
+        b"mdat",
+        ((seed + 7 * np.arange(n_bytes, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .tobytes(),
+    )
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + mdat
+
+
+_MP4_MAX_BOXES = 10_000
+
+
+def _parse_mp4_meta(raw: bytes):
+    """(duration_ms, width, height, n_mdat_bytes) or ``None`` — an ISO
+    BMFF box walk (bounded count/depth, size-validated): mvhd gives
+    timescale+duration, first tkhd the 16.16 track dims, mdat the
+    payload size.  No codec decode — H.264/AAC stay the documented
+    plug-in point."""
+    try:
+        dur = tsc = w = h = None
+        mdat = 0
+        boxes = 0
+        stack = [(0, len(raw))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                boxes += 1
+                if boxes > _MP4_MAX_BOXES:
+                    return None
+                size = struct.unpack_from(">I", raw, pos)[0]
+                btype = raw[pos + 4 : pos + 8]
+                if size < 8 or pos + size > end:
+                    return None
+                body = pos + 8
+                if btype in (b"moov", b"trak"):
+                    stack.append((body, pos + size))
+                elif btype == b"mvhd" and size >= 8 + 20:
+                    if raw[body] == 0:  # version 0 only
+                        tsc, dur = struct.unpack_from(">II", raw, body + 12)
+                elif btype == b"tkhd" and size >= 8 + 84 and w is None:
+                    if raw[body] == 0:
+                        w_fx, h_fx = struct.unpack_from(
+                            ">II", raw, body + 76
+                        )
+                        w, h = w_fx >> 16, h_fx >> 16
+                elif btype == b"mdat":
+                    mdat += size - 8
+                pos += size
+        if dur is None or tsc in (None, 0):
+            return None
+        return dur * 1000 // tsc, w, h, mdat
+    except (struct.error, IndexError):
+        return None
+
+
+def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Route-and-describe for NATIVE media formats without decoding:
+    MP3 frame-header walk and MP4 box walk inside one ``mapInPandas``
+    Arrow stage.  Appends::
+
+        media_format : 'mp3' | 'mp4' | NULL
+        duration_ms  : long   (NULL when unknown)
+        sample_rate  : int    (mp3)
+        bitrate_kbps : int    (mp3, mean over frames)
+        frame_count  : long   (mp3 frames)
+        width, height: int    (mp4 track dims)
+        payload_bytes: long   (mp4 mdat size)
+        ok           : boolean
+
+    The filter/route decisions of a media corpus build (keep 10-60 s
+    clips, drop > 4k frames, balance per codec) need exactly these
+    columns; corrupt or foreign payloads degrade to ``ok=false`` rows.
+    Like every stage here, statistics are integers — bit-identical
+    across engines and partitionings.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("media_format", T.StringType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("bitrate_kbps", T.IntegerType(), True),
+            T.StructField("frame_count", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("payload_bytes", T.LongType(), True),
+            T.StructField("ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("fmt", "dur", "sr", "br", "fc", "w",
+                                    "h", "pb", "ok")}
+
+            def push(fmt=None, dur=None, sr=None, br=None, fc=None,
+                     w=None, h=None, pb=None, ok=False):
+                cols["fmt"].append(fmt), cols["dur"].append(dur)
+                cols["sr"].append(sr), cols["br"].append(br)
+                cols["fc"].append(fc), cols["w"].append(w)
+                cols["h"].append(h), cols["pb"].append(pb)
+                cols["ok"].append(ok)
+
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                if raw[:3] == b"ID3" or raw[:2] in (b"\xff\xfb", b"\xff\xfa"):
+                    meta = _parse_mp3_meta(raw)
+                    if meta is None:
+                        push()
+                    else:
+                        fc, dur, br, sr = meta
+                        push("mp3", dur, sr, br, fc, ok=True)
+                elif len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    meta = _parse_mp4_meta(raw)
+                    if meta is None:
+                        push()
+                    else:
+                        dur, w, h, pb = meta
+                        push("mp4", dur, w=w, h=h, pb=pb, ok=True)
+                else:
+                    push()
+            yield pdf.assign(
+                media_format=cols["fmt"],
+                duration_ms=pd.array(cols["dur"], dtype="Int64"),
+                sample_rate=pd.array(cols["sr"], dtype="Int32"),
+                bitrate_kbps=pd.array(cols["br"], dtype="Int32"),
+                frame_count=pd.array(cols["fc"], dtype="Int64"),
+                width=pd.array(cols["w"], dtype="Int32"),
+                height=pd.array(cols["h"], dtype="Int32"),
+                payload_bytes=pd.array(cols["pb"], dtype="Int64"),
+                ok=cols["ok"],
+            )
+
+    return df.mapInPandas(_probe, out_schema)
 
 
 def pack_wav_audio(

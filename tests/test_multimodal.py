@@ -684,3 +684,62 @@ def test_decode_image_gif_matches_closed_form(spark):
         assert r["sum_r"] == int(p.sum())
         assert r["sum_g"] == int(((2 * p) % 256).sum())
         assert r["sum_b"] == int(((3 * p) % 256).sum())
+
+
+def test_mp3_meta_roundtrip_and_guards():
+    from pandance_spark.operators.multimodal import (
+        _parse_mp3_meta,
+        pack_mp3_audio,
+    )
+
+    tab = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+           320, 0]
+    for n, bi in ((10, 9), (1, 1), (100, 14)):
+        fc, dur, br, sr = _parse_mp3_meta(pack_mp3_audio(n, bi, seed=5))
+        assert (fc, sr, br) == (n, 44100, tab[bi])
+        assert dur == n * 1152 * 1000 // 44100
+    assert _parse_mp3_meta(b"") is None
+    assert _parse_mp3_meta(b"ID3" + bytes(7)) is None          # truncated tag
+    assert _parse_mp3_meta(b"\xff\xfb\x00\x00") is None        # free bitrate
+    # partial trailing frame is dropped, not an error
+    assert _parse_mp3_meta(pack_mp3_audio(5, 9)[:-30])[0] == 4
+    with pytest.raises(ValueError):
+        pack_mp3_audio(1, 0)
+
+
+def test_mp4_meta_roundtrip_and_guards():
+    from pandance_spark.operators.multimodal import (
+        _parse_mp4_meta,
+        pack_mp4_video,
+    )
+
+    raw = pack_mp4_video(640, 360, 12345, n_bytes=100, seed=3)
+    assert _parse_mp4_meta(raw) == (12345, 640, 360, 100)
+    assert _parse_mp4_meta(raw[:20]) is None          # truncated box
+    assert _parse_mp4_meta(b"\x00\x00\x00\x01ftyp") is None  # size < 8
+    # declared box size beyond the buffer: reject, no overread
+    bad = bytearray(raw)
+    bad[0:4] = (1 << 30).to_bytes(4, "big")
+    assert _parse_mp4_meta(bytes(bad)) is None
+
+
+def test_media_metadata_mixed_batch(spark):
+    from pandance_spark.operators.multimodal import (
+        media_metadata,
+        pack_mp3_audio,
+        pack_mp4_video,
+    )
+
+    rows = [
+        (1, pack_mp3_audio(7, 9)),
+        (2, pack_mp4_video(320, 240, 2500, n_bytes=40)),
+        (3, b"not media at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert out[1]["media_format"] == "mp3" and out[1]["frame_count"] == 7
+    assert out[1]["duration_ms"] == 7 * 1152 * 1000 // 44100
+    assert out[2]["media_format"] == "mp4" and out[2]["width"] == 320
+    assert out[2]["payload_bytes"] == 40
+    assert not out[3]["ok"] and not out[4]["ok"]
