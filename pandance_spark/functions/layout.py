@@ -45,6 +45,10 @@ def zorder_key(
     ``mins``/``maxs`` are plain Python ints (collect them once with
     an ``agg`` — metadata-scale); values outside the range clamp to
     the ends, so a stale range degrades pruning, never correctness.
+    A NULL in ANY clustered column makes the whole key NULL (an
+    engine-independent definition — the DuckDB replay computes the
+    same NULL); ``write_zordered`` sorts NULL keys first, so NULL
+    rows cluster together at the front of the curve.
     ``bits * len(cols)`` must stay <= 63.
     """
     n = len(cols)
@@ -56,6 +60,12 @@ def zorder_key(
         raise ValueError("bits * n_cols must be in [1, 63]")
     top = (1 << bits) - 1
     key = F.lit(0).cast("long")
+    # F.least/F.greatest SKIP nulls, which would silently clamp a NULL
+    # value to the top rank — propagate NULL through the whole key
+    # instead (review fix; pinned by tests)
+    any_null = F.lit(False)
+    for c in cols:
+        any_null = any_null | c.isNull()
     for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
         lo = int(lo)
         span = int(hi) - lo
@@ -86,7 +96,7 @@ def zorder_key(
                     i * n + j,
                 )
             )
-    return key
+    return F.when(~any_null, key)
 
 
 def zorder_by(
@@ -101,21 +111,31 @@ def zorder_by(
     Integral columns only — floats/decimals need an explicit
     fixed-point cast first so the key stays engine-exact.
     """
+    types = dict(df.dtypes)
     for c in cols:
-        t = dict(df.dtypes)[c]
+        t = types[c]
         if t not in _INTEGRAL:
             raise ValueError(
                 f"zorder_by needs integral columns; {c!r} is {t} — "
                 "cast to a fixed-point long first"
             )
+    if key_col in df.columns:
+        raise ValueError(
+            f"column {key_col!r} already exists — pass a different "
+            "key_col instead of silently overwriting it"
+        )
     row = df.agg(
         *[F.min(c).alias(f"__lo{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"__hi{i}") for i, c in enumerate(cols)],
     ).first()
-    mins = [row[f"__lo{i}"] for i in range(len(cols))]
-    maxs = [row[f"__hi{i}"] for i in range(len(cols))]
-    if any(v is None for v in mins + maxs):
-        raise ValueError("zorder_by: NULL min/max (empty input or all-NULL column)")
+    # empty input / all-NULL column -> NULL bounds: degrade to a
+    # zero-span column (rank 0) instead of crashing — an empty write
+    # must still write an empty dataset, and all-NULL rows get NULL
+    # keys via zorder_key's NULL propagation anyway (review fix)
+    mins = [row[f"__lo{i}"] if row[f"__lo{i}"] is not None else 0
+            for i in range(len(cols))]
+    maxs = [row[f"__hi{i}"] if row[f"__hi{i}"] is not None else 0
+            for i in range(len(cols))]
     return df.withColumn(
         key_col, zorder_key([F.col(c) for c in cols], mins, maxs, bits)
     )
@@ -131,8 +151,9 @@ def write_zordered(
     """Write ``df`` as parquet clustered on the Z-order of ``cols``:
     ``repartitionByRange`` on the key (contiguous curve segments per
     file — the shuffle that buys the layout) + ``sortWithinPartitions``
-    so row groups inside each file stay tight, key column dropped on
-    write.  After this, a selective predicate on ANY of ``cols``
+    so row groups inside each file stay tight (NULL keys — rows with
+    a NULL in any clustered column — sort first), key column dropped
+    on write.  After this, a selective predicate on ANY of ``cols``
     prunes most row groups via parquet min/max stats — measured in
     SCALING.md.
     """

@@ -85,3 +85,35 @@ def test_write_zordered_roundtrip(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.columns == ["id", "x", "y"]  # key column dropped
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_zorder_null_and_empty_semantics(spark, tmp_path):
+    # review fixes: NULL in any clustered column -> NULL key (never
+    # silently clamped to the top rank); empty input still writes
+    from pandance_spark.functions.layout import (
+        write_zordered,
+        zorder_by,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 10)], "id int, a int"
+    )
+    out = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", zorder_key([F.col("a")], [0], [10], bits=4).alias("k")
+        ).collect()
+    }
+    assert out[2] is None
+    assert out[3] == 15 and out[1] is not None and out[1] != 15
+
+    # empty input: writes an empty dataset instead of raising
+    empty = df.filter("id > 99").select("id", "a")
+    path = os.path.join(str(tmp_path), "empty")
+    write_zordered(empty, path, ["a"], n_files=1)
+    assert spark.read.parquet(path).count() == 0
+
+    # pre-existing key column: explicit error, no silent data loss
+    with pytest.raises(ValueError):
+        zorder_by(df.withColumnRenamed("a", "__zorder"), ["__zorder"])
