@@ -582,3 +582,116 @@ def test_fuzzy_salted_equals_unsalted_on_random_skew(
     assert sorted(map(tuple, salted.select(*key).collect())) == sorted(
         map(tuple, rng.select(*key).collect())
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 5), min_size=0, max_size=30),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(2, 4),
+)
+def test_dedup_substrings_matches_bruteforce(spark, docs, k):
+    """Every maximal >=k-token shared span, and nothing else — checked
+    against an O(n^2 m^2) brute force on tiny random corpora over a
+    6-word vocab (heavy collisions by construction)."""
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    rows = [(i, " ".join(f"t{w}" for w in ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        tuple(r)
+        for r in dedup_substrings(df, "id", "text", min_tokens=k).collect()
+    }
+
+    toks = {i: t.split() for i, t in rows}
+    exp = set()
+    ids = sorted(toks)
+    for ai in ids:
+        for bi in ids:
+            if bi < ai:
+                continue
+            a, b = toks[ai], toks[bi]
+            for i in range(len(a)):
+                for j in range(len(b)):
+                    if ai == bi and j <= i:
+                        continue
+                    if a[i] != b[j]:
+                        continue
+                    same = ai == bi
+                    if (
+                        i > 0
+                        and j > 0
+                        and a[i - 1] == b[j - 1]
+                        and not (same and j - 1 == i - 1)
+                    ):
+                        continue  # extendable left -> not maximal start
+                    ln = 0
+                    while (
+                        i + ln < len(a)
+                        and j + ln < len(b)
+                        and a[i + ln] == b[j + ln]
+                        and not (same and j + ln == i + ln)
+                    ):
+                        ln += 1
+                    if ln >= k:
+                        exp.add((ai, bi, i, j, ln))
+    assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_lzw_roundtrip_property(data):
+    """GIF LZW encode/decode round-trips arbitrary bytes (code-width
+    growth and table behavior exercised by low-entropy inputs the
+    shrinker gravitates to)."""
+    from pandance_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data) + 16) == data
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    ),
+    bits=st.integers(1, 12),
+)
+def test_zorder_key_property(spark, vals, bits):
+    """Spark zorder_key == the plain-Python Morton reference for random
+    integer pairs, ranges and bit widths (the cross-engine-exactness
+    claim, fuzzed)."""
+    from pandance_spark.functions.layout import zorder_key
+
+    xs = [v[0] for v in vals]
+    ys = [v[1] for v in vals]
+    mins = [min(xs), min(ys)]
+    maxs = [max(xs), max(ys)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(vals)],
+        "i long, x long, y long",
+    )
+    got = {
+        r["i"]: r["k"]
+        for r in df.select(
+            "i",
+            zorder_key(
+                [F.col("x"), F.col("y")], mins, maxs, bits
+            ).alias("k"),
+        ).collect()
+    }
+    top = (1 << bits) - 1
+    for i, (x, y) in enumerate(vals):
+        key = 0
+        for j, (v, lo, hi) in enumerate(
+            ((x, mins[0], maxs[0]), (y, mins[1], maxs[1]))
+        ):
+            span = hi - lo
+            rank = ((v - lo) * top) // span if span else 0
+            for b in range(bits):
+                key |= ((rank >> b) & 1) << (b * 2 + j)
+        assert got[i] == key, (i, x, y, bits)
