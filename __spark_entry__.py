@@ -1204,6 +1204,46 @@ def _q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-PASS per-source corpus dashboard: doc/token counts, English
+    share, exact distinct-text count, and an integer-exact quality
+    index (group mean hashed-classifier weight, the only float op on
+    exact int sums) — every signal from a single scan + one groupBy
+    (all sums map-side combine).  The daily health check of a corpus
+    build at 100 TB: one pass, not one pass per metric."""
+    from pandance_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    w = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % 4096 * F.lit(2654435761) + F.lit(13)
+        ) % 10007,
+    )
+    s = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (
+        docs.select(
+            "source",
+            "lang",
+            F.md5(F.col("text")).alias("__th"),
+            F.size(toks).alias("__n"),
+            s.alias("__s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            F.countDistinct("__th").alias("n_distinct_texts"),
+            F.round(
+                F.sum("__s") / (10007.0 * F.sum("__n")) - F.lit(0.5), 6
+            ).alias("quality_index"),
+        )
+    )
+
+
 def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain rebalancing (functions/split.py
     temperature_sample): per-source quotas ~ n^0.5, deterministic md5
@@ -1941,7 +1981,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r1-r3) are rotated past it — they keep their oracle_sql and
         # stay in the local multi-sf gate, which checks ALL entries.
         "q3_shipping": _q_q3_shipping,
-        "q5_local_supplier": _q_q5_local_supplier,
+        # r6 (late): q5_local_supplier (2 driver greens, r4-r5)
+        # rotated out for corpus_report — the multi-join TPC-H family
+        # keeps q3/q13/q16/q18 in-window
+        "corpus_report": _q_corpus_report,
         # r6 (late): scd2_user_status (2 driver greens, r4-r5)
         # rotated out for the new zorder_cluster — the SCD2 family
         # keeps scd2_apply_late in-window
@@ -1991,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "scd2_user_status": _q_scd2_user_status,
         "profile_orders": _q_profile_orders,
+        "q5_local_supplier": _q_q5_local_supplier,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3672,6 +3716,38 @@ ORDER BY doc_id
                    TRUE AS ok
             FROM documents d
             LEFT JOIN br ON br.idx = 1 + d.doc_id % 14
+        """,
+        # per-doc integer weight sums regrouped per source; the one
+        # float expression runs on exact integer totals both sides
+        "corpus_report": """
+            WITH toks AS (
+              SELECT doc_id, source, lang, text,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     sum((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                          % 4096 * 2654435761 + 13) % 10007) AS s,
+                     count(*) AS n
+              FROM (SELECT doc_id, unnest(ts) AS tok FROM toks)
+              GROUP BY doc_id
+            ),
+            d AS (
+              SELECT k.source, k.lang, k.text, w.s, w.n
+              FROM toks k JOIN w USING (doc_id)
+            )
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS total_tokens,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_en,
+                   count(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
+                   round(sum(s) / (10007.0 * sum(n)) - 0.5, 6)
+                     AS quality_index
+            FROM d GROUP BY source
         """,
         # GIF is lossless: palette + LZW round trip replayed in
         # closed form (index i = (seed+7i)%256; channels j, 2j, 3j)

@@ -235,6 +235,7 @@ def main():
         "contamination_spans",
         "zorder_cluster",
         "multimodal_media_meta",
+        "corpus_report",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

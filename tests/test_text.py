@@ -404,3 +404,18 @@ def test_dedup_lines_first_occurrence_order(spark):
     )
     got = df.select(dedup_lines(F.col("t")).alias("d")).first()["d"]
     assert got == "nav\nbody one\nbody two\nfooter"
+
+
+def test_hashed_quality_score_plan_is_map_only(spark):
+    # the 100 TB claim: scoring is a shuffle-free scan -> the physical
+    # plan must contain NO Exchange and NO Python row UDF node
+    from pandance_spark.functions.text import hashed_quality_score
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string")).alias("t"),
+    )
+    out = df.select(hashed_quality_score(F.col("t")).alias("q"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
