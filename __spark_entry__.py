@@ -660,6 +660,47 @@ def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling (operators/multimodal.py
+    pack_gif_animation -> sample_frames_gif -> decode_image): every
+    2nd frame of a 2-5 frame animation re-emitted as P6 and decoded;
+    per-frame channel sums are closed-form (frame f pixel index =
+    (seed + 31f + 7i) % 256), so the oracle recomputes every sampled
+    frame without a codec."""
+    from pandance_spark.operators.multimodal import (
+        decode_image,
+        pack_gif_animation,
+        sample_frames_gif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_gif_animation(
+                2 + int(d) % 4, 4 + int(d) % 5, 3 + int(d) % 4,
+                int(d) % 241,
+            )
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _pack(F.col("doc_id")).alias("payload"),
+    )
+    frames = sample_frames_gif(media, every_k=2)
+    return decode_image(frames, payload_col="frame").select(
+        F.col("media_id").alias("doc_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        "decoded_width",
+        "decoded_height",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+        "ok",
+    )
+
+
 def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG round-trip (operators/multimodal.py): pack a
     spec-conformant JFIF grayscale payload per document whose image is
@@ -1933,7 +1974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the new multimodal_audio)
         # (r5: gopher_quality rotated out after 2 green rounds for the
         # new multimodal_video)
-        "lm_perplexity": _q_lm_perplexity,
+        # r6 (late): lm_perplexity (2 driver greens, r4-r5) rotated
+        # out for multimodal_gif_frames — the LM family keeps
+        # lm_perplexity_bigram in-window
+        "multimodal_gif_frames": _q_multimodal_gif_frames,
         "multimodal_audio": _q_multimodal_audio,
         "multimodal_video": _q_multimodal_video,
         # (r5: knn_graph rotated out after 2 green rounds for the new
@@ -2035,6 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_status": _q_scd2_user_status,
         "profile_orders": _q_profile_orders,
         "q5_local_supplier": _q_q5_local_supplier,
+        "lm_perplexity": _q_lm_perplexity,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3635,6 +3680,36 @@ ORDER BY doc_id
                                   for j in range(0, w*h)]) AS BIGINT) AS sum_b,
                    TRUE AS ok
             FROM p
+        """,
+        # every SAMPLED frame (even f < n_frames) recomputed from the
+        # animation packer's closed form — lossless LZW + palette
+        "multimodal_gif_frames": """
+            WITH p AS (
+              SELECT doc_id,
+                     2 + doc_id % 4 AS nf,
+                     CAST(4 + doc_id % 5 AS INTEGER) AS w,
+                     CAST(3 + doc_id % 4 AS INTEGER) AS h,
+                     doc_id % 241 AS seed
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, w, h, seed,
+                     unnest(generate_series(0, nf - 1, 2)) AS frame_index
+              FROM p
+            )
+            SELECT doc_id, frame_index,
+                   w AS decoded_width, h AS decoded_height,
+                   CAST(list_sum([(seed + 31*frame_index + 7*j) % 256
+                                  for j in range(0, w*h)]) AS BIGINT)
+                     AS sum_r,
+                   CAST(list_sum([(2 * ((seed + 31*frame_index + 7*j) % 256))
+                                  % 256 for j in range(0, w*h)]) AS BIGINT)
+                     AS sum_g,
+                   CAST(list_sum([(3 * ((seed + 31*frame_index + 7*j) % 256))
+                                  % 256 for j in range(0, w*h)]) AS BIGINT)
+                     AS sum_b,
+                   TRUE AS ok
+            FROM f
         """,
         # integer micro-units + md5 fractional membership replayed
         # exactly; generate_series replicates the whole copies

@@ -236,6 +236,7 @@ def main():
         "zorder_cluster",
         "multimodal_media_meta",
         "corpus_report",
+        "multimodal_gif_frames",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

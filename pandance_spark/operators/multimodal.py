@@ -56,6 +56,8 @@ __all__ = [
     "pack_bmp_image",
     "pack_png_image",
     "pack_gif_image",
+    "pack_gif_animation",
+    "sample_frames_gif",
     "pack_jpeg_image",
     "pack_wav_audio",
     "pack_mp3_audio",
@@ -585,30 +587,27 @@ def pack_gif_image(width: int, height: int, seed: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _parse_gif(raw: bytes) -> Optional[np.ndarray]:
-    """GIF87a/89a decode: global/local color table, extension-block
-    skip, LZW decompress, palette application, interlace reorder.
-    First image frame only (animation = repeated image blocks; a
-    training pipeline wanting frames plugs a sampler into the same
-    stage as ``sample_frames_video``).  Returns h x w x 3 uint8 or
-    ``None``."""
+def _gif_frames(raw: bytes):
+    """Generator over a GIF's image blocks: yields ``(index, h x w x 3
+    uint8)`` per frame.  Frames are decoded STANDALONE against their
+    own (or the global) palette — no canvas compositing or disposal-
+    method replay, so partial-rectangle animation frames come back as
+    their stored sub-image (documented; full compositing belongs to a
+    native decoder plugged into the same stage).  Malformed content
+    stops the walk (yields what was decodable)."""
+    if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+        return
     try:
-        if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
-            return None
-        width, height = struct.unpack_from("<HH", raw, 6)
-        if width == 0 or height == 0:
-            return None
-        if width * height > _MAX_DECODE_PIXELS:
-            return None
         packed = raw[10]
         pos = 13
-        palette = None
+        g_palette = None
         if packed & 0x80:
             size = 3 * (2 << (packed & 0x07))
             if pos + size > len(raw):
-                return None
-            palette = np.frombuffer(raw, np.uint8, size, pos).reshape(-1, 3)
+                return
+            g_palette = np.frombuffer(raw, np.uint8, size, pos).reshape(-1, 3)
             pos += size
+        idx_out = 0
         while pos < len(raw):
             block = raw[pos]
             if block == 0x21:  # extension: label + sub-blocks
@@ -618,36 +617,40 @@ def _parse_gif(raw: bytes) -> Optional[np.ndarray]:
                 pos += 1
             elif block == 0x2C:  # image descriptor
                 if pos + 10 > len(raw):
-                    return None
-                _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
+                    return
+                _, _, iw, ih, ipacked = struct.unpack_from(
+                    "<HHHHB", raw, pos + 1
+                )
                 pos += 10
                 if iw == 0 or ih == 0 or iw * ih > _MAX_DECODE_PIXELS:
-                    return None
+                    return
+                palette = g_palette
                 if ipacked & 0x80:  # local color table wins
                     size = 3 * (2 << (ipacked & 0x07))
                     if pos + size > len(raw):
-                        return None
+                        return
                     palette = np.frombuffer(
                         raw, np.uint8, size, pos
                     ).reshape(-1, 3)
                     pos += size
                 if palette is None or pos >= len(raw):
-                    return None
+                    return
                 min_code = raw[pos]
                 pos += 1
                 data = bytearray()
                 while pos < len(raw) and raw[pos] != 0:
                     ln = raw[pos]
                     if pos + 1 + ln > len(raw):
-                        return None
+                        return
                     data += raw[pos + 1 : pos + 1 + ln]
                     pos += 1 + ln
+                pos += 1  # sub-block terminator
                 idx_bytes = _lzw_decode(bytes(data), min_code, iw * ih)
                 if idx_bytes is None or len(idx_bytes) < iw * ih:
-                    return None
+                    return
                 idx = np.frombuffer(idx_bytes, np.uint8, iw * ih)
                 if int(idx.max()) >= len(palette):
-                    return None
+                    return
                 img = palette[idx].reshape(ih, iw, 3)
                 if ipacked & 0x40:  # interlaced: rows arrive by pass
                     order = [
@@ -658,14 +661,107 @@ def _parse_gif(raw: bytes) -> Optional[np.ndarray]:
                     out = np.empty_like(img)
                     out[order] = img
                     img = out
-                return img
-            elif block == 0x3B:  # trailer before any image
-                return None
+                yield idx_out, img
+                idx_out += 1
+            elif block == 0x3B:  # trailer
+                return
             else:
-                return None
-        return None
+                return
     except (ValueError, struct.error, IndexError, MemoryError):
-        return None
+        return
+
+
+def _parse_gif(raw: bytes) -> Optional[np.ndarray]:
+    """First frame of a GIF87a/89a payload (see :func:`_gif_frames`
+    for the walk/caps/interlace details), or ``None``."""
+    for _, img in _gif_frames(raw):
+        return img
+    return None
+
+
+def pack_gif_animation(
+    n_frames: int, width: int, height: int, seed: int
+) -> bytes:
+    """Deterministic multi-frame GIF89a: ``n_frames`` full-canvas
+    image blocks (each preceded by a graphic-control extension, as
+    real encoders emit), same closed-form palette as
+    :func:`pack_gif_image`; frame ``f`` pixel ``i`` has index
+    ``(seed + 31*f + 7*i) % 256`` — so every sampled frame's channel
+    sums are closed-form recomputable."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    n = width * height
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1).astype(
+        np.uint8
+    )
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette.tobytes()
+    # netscape loop extension (app extension), as real animations carry
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE, 4cs delay
+        idx = (
+            (seed + 31 * f + 7 * np.arange(n, dtype=np.int64)) % 256
+        ).astype(np.uint8)
+        lzw = _lzw_encode(idx.tobytes(), 8)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([8])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def sample_frames_gif(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling over animated GIFs — the sibling of
+    :func:`sample_frames_video` for the web's native animation
+    format: walk the image blocks (:func:`_gif_frames`), keep every
+    k-th frame, emit each as a standalone binary-PPM payload that
+    :func:`decode_image` consumes directly.  One row per kept frame:
+    ``(media_id, frame_index, frame)``; unparseable payloads produce
+    no rows (same contract as the AVI sampler).
+    """
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_index", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                for i, img in _gif_frames(raw):
+                    if i % every_k:
+                        continue
+                    h, w = img.shape[:2]
+                    ids.append(media_id)
+                    idxs.append(i)
+                    frames.append(
+                        b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_index": pd.array(idxs, dtype="Int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(_sample, out_schema)
+
 
 
 def _jpg_huff_codes(bits, vals):

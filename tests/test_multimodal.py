@@ -743,3 +743,36 @@ def test_media_metadata_mixed_batch(spark):
     assert out[2]["media_format"] == "mp4" and out[2]["width"] == 320
     assert out[2]["payload_bytes"] == 40
     assert not out[3]["ok"] and not out[4]["ok"]
+
+
+def test_gif_animation_frames_and_sampler(spark):
+    import numpy as np
+    from pandance_spark.operators.multimodal import (
+        _gif_frames,
+        decode_image,
+        pack_gif_animation,
+        sample_frames_gif,
+    )
+
+    raw = pack_gif_animation(5, 7, 4, seed=11)
+    frames = list(_gif_frames(raw))
+    assert [f for f, _ in frames] == [0, 1, 2, 3, 4]
+    n = 28
+    for f, img in frames:
+        p = (11 + 31 * f + 7 * np.arange(n)) % 256
+        exp = np.stack(
+            [p, (2 * p) % 256, (3 * p) % 256], axis=1
+        ).reshape(4, 7, 3)
+        assert (img == exp).all()
+
+    df = spark.createDataFrame(
+        [(1, raw), (2, b"junk"), (3, None)], ["media_id", "payload"]
+    )
+    out = sample_frames_gif(df, every_k=2)
+    rows = decode_image(out, payload_col="frame").collect()
+    assert sorted(r["frame_index"] for r in rows) == [0, 2, 4]
+    assert all(r["ok"] and r["decoded_width"] == 7 for r in rows)
+    with pytest.raises(ValueError):
+        sample_frames_gif(df, every_k=0)
+    with pytest.raises(ValueError):
+        pack_gif_animation(0, 4, 4, 1)
