@@ -842,6 +842,44 @@ def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(with_domain, "domain", n=10, key_col="doc_id")
 
 
+def _q_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET ingest (sources/warc.py pack_wet + warc_records): Common
+    Crawl's extracted-text layout — CONVERSION records with a plain
+    text/plain body, no HTTP wrapper — flows through the SAME stage as
+    full WARC; http_status/content_type come back NULL and the body
+    whole.  Each doc becomes one WET record whose body is its own
+    text, so the oracle replays every field in closed form."""
+    from pyspark.sql.functions import pandas_udf
+
+    from pandance_spark.sources.warc import pack_wet, warc_records
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    @pandas_udf("binary")
+    def _pack(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                pack_wet([{"uri": f"http://wet.test/{int(d)}", "body": t}])
+                for d, t in zip(ids, texts)
+            ]
+        )
+
+    media = docs.select(
+        "doc_id", _pack(F.col("doc_id"), F.col("text")).alias("payload")
+    )
+    return warc_records(media, "doc_id").select(
+        "doc_id",
+        F.col("record_index").cast("long").alias("record_index"),
+        "record_type",
+        "target_uri",
+        "http_status",
+        "http_content_type",
+        "body_text",
+        F.col("n_body_bytes").alias("n_body_bytes"),
+        "ok",
+    )
+
+
 def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC ingest round-trip (sources/warc.py): pack a deterministic
     WARC/1.0 payload per document — 1 + doc_id % 3 HTTP response
@@ -1961,7 +1999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": _q_sentence_chunks,
         "line_dedup": _q_line_dedup,
 
-        "fingerprint_dups": _q_fingerprint_dups,
+        # r6 (late): fingerprint_dups (2 driver greens, r4-r5) rotated
+        # out for wet_extract — the dedup-join family keeps
+        # dedup_substrings/dedup_incremental in-window
+        "wet_extract": _q_wet_extract,
         # (r5: ann_ivf rotated out after 3 green rounds for the new
         # html_clean; ann_quantized stays — only 1 green round)
         "ann_quantized": _q_ann_quantized,
@@ -2080,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "q5_local_supplier": _q_q5_local_supplier,
         "lm_perplexity": _q_lm_perplexity,
+        "fingerprint_dups": _q_fingerprint_dups,
         "text_stats": _q_text_stats,
         "q1_pricing": _q_q1_pricing,
         "window_topk": _q_window_topk,
@@ -3448,6 +3490,19 @@ ORDER BY doc_id
         """,
         # noise + canonical form both replayed in closed form; min /
         # min_by replicate dedup_exact's deterministic keeper
+        "wet_extract": """
+            SELECT doc_id,
+                   0::BIGINT AS record_index,
+                   'conversion' AS record_type,
+                   'http://wet.test/' || CAST(doc_id AS VARCHAR)
+                     AS target_uri,
+                   NULL::INTEGER AS http_status,
+                   NULL::VARCHAR AS http_content_type,
+                   text AS body_text,
+                   strlen(text)::BIGINT AS n_body_bytes,
+                   TRUE AS ok
+            FROM documents
+        """,
         "url_dedup": """
             WITH u AS (
               SELECT doc_id,

@@ -237,6 +237,7 @@ def main():
         "multimodal_media_meta",
         "corpus_report",
         "multimodal_gif_frames",
+        "wet_extract",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -32,7 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["pack_warc", "pack_warc_gz", "parse_warc", "warc_records"]
+__all__ = ["pack_warc", "pack_wet", "pack_warc_gz", "parse_warc",
+           "warc_records"]
 
 # hard caps — a crafted payload must degrade, never allocate
 _MAX_RECORDS = 10_000
@@ -70,6 +71,31 @@ def pack_warc(records) -> bytes:
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode("utf-8")
         out += header + http + b"\r\n\r\n"
+    return bytes(out)
+
+
+def pack_wet(records) -> bytes:
+    """Serialize ``records`` (dicts with ``uri``, ``body``, optional
+    ``date``) as WARC/1.0 CONVERSION records — the WET layout Common
+    Crawl ships extracted text in (no HTTP wrapper, ``Content-Type:
+    text/plain``).  ``warc_records`` parses these with ``http_status``
+    / ``http_content_type`` NULL and the body returned whole, so a
+    text pipeline consumes WET and WARC through the same stage."""
+    out = bytearray()
+    for i, r in enumerate(records):
+        body = r["body"]
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        header = (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:{i:08d}>\r\n"
+            f"WARC-Date: {r.get('date', '2024-01-01T00:00:00Z')}\r\n"
+            f"WARC-Target-URI: {r['uri']}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("utf-8")
+        out += header + body + b"\r\n\r\n"
     return bytes(out)
 
 

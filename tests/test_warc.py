@@ -114,3 +114,29 @@ def test_warc_non_ascii_uri_round_trips():
     recs = parse_warc(raw)
     assert recs is not None
     assert recs[0][0]["warc-target-uri"] == "http://ex.test/café"
+
+
+def test_pack_wet_roundtrip(spark):
+    from pandance_spark.sources.warc import pack_wet, parse_warc, warc_records
+
+    raw = pack_wet(
+        [
+            {"uri": "http://a.example/x", "body": "hello text"},
+            {"uri": "http://b.example/y", "body": "more words"},
+        ]
+    )
+    recs = parse_warc(raw)
+    assert [f.get("warc-type") for f, _ in recs] == ["conversion"] * 2
+    assert recs[0][1] == b"hello text"
+
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "payload"])
+    out = sorted(
+        (r["record_index"], r["record_type"], r["target_uri"],
+         r["http_status"], r["body_text"])
+        for r in warc_records(df, "doc_id").collect()
+    )
+    # conversion records: no HTTP head -> status NULL, body whole
+    assert out == [
+        (0, "conversion", "http://a.example/x", None, "hello text"),
+        (1, "conversion", "http://b.example/y", None, "more words"),
+    ]
