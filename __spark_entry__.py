@@ -1290,18 +1290,19 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int sums) — every signal from a single scan + one groupBy
     (all sums map-side combine).  The daily health check of a corpus
     build at 100 TB: one pass, not one pass per metric."""
-    from pandance_spark.functions.text import tokenize
+    from pandance_spark.functions.text import (
+        _HQ_MOD,
+        hashed_token_weights,
+        tokenize,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
-    w = F.transform(
-        toks,
-        lambda t: (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-            % 4096 * F.lit(2654435761) + F.lit(13)
-        ) % 10007,
+    s = F.aggregate(
+        hashed_token_weights(toks),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    s = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (
         docs.select(
             "source",
@@ -1317,7 +1318,8 @@ def _q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
             F.countDistinct("__th").alias("n_distinct_texts"),
             F.round(
-                F.sum("__s") / (10007.0 * F.sum("__n")) - F.lit(0.5), 6
+                F.sum("__s") / (float(_HQ_MOD) * F.sum("__n")) - F.lit(0.5),
+                6,
             ).alias("quality_index"),
         )
     )
@@ -2032,8 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png": _q_multimodal_png,
         "multimodal_jpeg": _q_multimodal_jpeg,
         # r6 (late): overlap_set (2 driver greens, r4-r5) rotated out
-        # for the new multimodal_gif — the set-similarity family keeps
-        # fingerprint_dups in-window
+        # for the new multimodal_gif — the set-similarity family's
+        # in-window coverage is dedup_substrings + dedup_incremental
+        # (fingerprint_dups later rotated out too, see wet_extract)
         "multimodal_gif": _q_multimodal_gif,
         # r6: WARC source (Common Crawl container) + URL
         # canonicalization — new in window
@@ -3866,8 +3869,11 @@ ORDER BY doc_id
               GROUP BY doc_id
             ),
             d AS (
-              SELECT k.source, k.lang, k.text, w.s, w.n
-              FROM toks k JOIN w USING (doc_id)
+              -- LEFT JOIN: a doc with NO [a-z0-9] tokens must still
+              -- count in n_docs/n_en/n_distinct_texts (review fix)
+              SELECT k.source, k.lang, k.text,
+                     coalesce(w.s, 0) AS s, coalesce(w.n, 0) AS n
+              FROM toks k LEFT JOIN w USING (doc_id)
             )
             SELECT source,
                    count(*)::BIGINT AS n_docs,

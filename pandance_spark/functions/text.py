@@ -23,6 +23,7 @@ __all__ = [
     "word_shingles",
     "quality_score",
     "hashed_quality_score",
+    "hashed_token_weights",
     "gopher_signals",
     "lang_id",
     "fingerprint_md5",
@@ -532,6 +533,21 @@ _HQ_MULT = 2654435761
 _HQ_MOD = 10007
 
 
+def hashed_token_weights(
+    toks: Column, n_buckets: int = 4096, seed: int = 13
+) -> Column:
+    """Integer weight per token (the classifier's lookup, exposed so
+    dashboards aggregate the SAME weights the scorer uses): md5 bucket
+    -> ``(bucket * _HQ_MULT + seed) % _HQ_MOD``.  All int64."""
+    return F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            % n_buckets * F.lit(_HQ_MULT) + F.lit(seed)
+        ) % _HQ_MOD,
+    )
+
+
 def hashed_quality_score(
     text: Column,
     n_buckets: int = 4096,
@@ -561,14 +577,11 @@ def hashed_quality_score(
     % _HQ_MOD`` over tokens.
     """
     toks = tokenize(text)
-    w = F.transform(
-        toks,
-        lambda t: (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-            % n_buckets * F.lit(_HQ_MULT) + F.lit(seed)
-        ) % _HQ_MOD,
+    s = F.aggregate(
+        hashed_token_weights(toks, n_buckets, seed),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    s = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + x)
     n = F.size(toks)
     mean = s / (float(_HQ_MOD) * n) - F.lit(0.5)
     return F.when(

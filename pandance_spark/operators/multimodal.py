@@ -717,17 +717,12 @@ def pack_gif_animation(
     return bytes(out)
 
 
-def sample_frames_gif(
-    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
-) -> DataFrame:
-    """Frame sampling over animated GIFs — the sibling of
-    :func:`sample_frames_video` for the web's native animation
-    format: walk the image blocks (:func:`_gif_frames`), keep every
-    k-th frame, emit each as a standalone binary-PPM payload that
-    :func:`decode_image` consumes directly.  One row per kept frame:
-    ``(media_id, frame_index, frame)``; unparseable payloads produce
-    no rows (same contract as the AVI sampler).
-    """
+def _frame_sample_stage(df, payload_col, every_k, frames_of):
+    """Shared ``mapInPandas`` skeleton for container frame samplers:
+    ``frames_of(raw) -> iterable of (frame_index, frame_bytes)``.
+    Keeps every ``every_k``-th frame; unparseable payloads yield no
+    rows.  One place owns the schema/dtype handling for every sampler
+    (GIF, AVI, future codecs plugged into the same stage)."""
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
     out_schema = T.StructType(
@@ -743,15 +738,16 @@ def sample_frames_gif(
             ids, idxs, frames = [], [], []
             for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                for i, img in _gif_frames(raw):
+                try:
+                    it = frames_of(raw)
+                except Exception:
+                    continue  # degrade, never kill the task
+                for i, frame in it:
                     if i % every_k:
                         continue
-                    h, w = img.shape[:2]
                     ids.append(media_id)
                     idxs.append(i)
-                    frames.append(
-                        b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
-                    )
+                    frames.append(frame)
             yield pd.DataFrame(
                 {
                     "media_id": pd.array(ids, dtype="Int64"),
@@ -762,6 +758,26 @@ def sample_frames_gif(
 
     return df.mapInPandas(_sample, out_schema)
 
+
+def sample_frames_gif(
+    df: DataFrame, every_k: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling over animated GIFs — the sibling of
+    :func:`sample_frames_video` for the web's native animation
+    format: walk the image blocks (:func:`_gif_frames`), keep every
+    k-th frame, emit each as a standalone binary-PPM payload that
+    :func:`decode_image` consumes directly.  One row per kept frame:
+    ``(media_id, frame_index, frame)``; unparseable payloads produce
+    no rows (same contract as the AVI sampler — both share
+    :func:`_frame_sample_stage`).
+    """
+
+    def frames_of(raw):
+        for i, img in _gif_frames(raw):
+            h, w = img.shape[:2]
+            yield i, b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+    return _frame_sample_stage(df, payload_col, every_k, frames_of)
 
 
 def _jpg_huff_codes(bits, vals):
@@ -1864,41 +1880,18 @@ def sample_frames_video(
     k-th ``00db`` frame, and emit each as a standalone BMP so
     :func:`decode_image` decodes it directly.  One output row per
     kept frame: ``(media_id, frame_index, frame)``.  Payloads that
-    don't parse produce no rows (same contract as sample_frames).
-    Swap pyav/ffmpeg into this stage for compressed codecs.
+    don't parse produce no rows (same contract as the GIF sampler —
+    both share :func:`_frame_sample_stage`).  Swap pyav/ffmpeg into
+    this stage for compressed codecs.
     """
-    if every_k < 1:
-        raise ValueError("every_k must be >= 1")
-    out_schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType()),
-            T.StructField("frame_index", T.IntegerType()),
-            T.StructField("frame", T.BinaryType()),
-        ]
-    )
 
-    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for media_id, payload in zip(pdf["media_id"], pdf[payload_col]):
-                raw = bytes(payload) if payload is not None else b""
-                try:
-                    parsed = _parse_avi(raw)
-                except Exception:
-                    parsed = None  # degrade, never kill the task
-                if parsed is None:
-                    continue
-                w, h, fr = parsed
-                for i in range(0, len(fr), every_k):
-                    ids.append(media_id)
-                    idxs.append(i)
-                    frames.append(_bmp_wrap(w, h, fr[i]))
-            yield pd.DataFrame(
-                {
-                    "media_id": pd.array(ids, dtype="Int64"),
-                    "frame_index": pd.array(idxs, dtype="Int32"),
-                    "frame": frames,
-                }
-            )
+    def frames_of(raw):
+        parsed = _parse_avi(raw)
+        if parsed is None:
+            return
+        w, h, fr = parsed
+        for i in range(len(fr)):
+            yield i, _bmp_wrap(w, h, fr[i])
 
-    return df.mapInPandas(_sample, out_schema)
+    return _frame_sample_stage(df, payload_col, every_k, frames_of)
+

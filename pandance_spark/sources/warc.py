@@ -247,7 +247,21 @@ def warc_records(
                     )
                     continue
                 for i, (fields, block) in enumerate(recs):
-                    status, ctype, body = _parse_http_response(block)
+                    # HTTP-parse only records DECLARED as HTTP by
+                    # their WARC Content-Type (plus a sniff fallback
+                    # for header-less records).  A WET conversion
+                    # record whose extracted TEXT happens to start
+                    # with 'HTTP/' must come back whole with NULL
+                    # status, not truncated at a CRLFCRLF inside the
+                    # page text (review fix; pinned by test)
+                    rec_ct = fields.get("content-type", "")
+                    if rec_ct.lower().startswith("application/http") or (
+                        "content-type" not in fields
+                        and block.startswith(b"HTTP/")
+                    ):
+                        status, ctype, body = _parse_http_response(block)
+                    else:
+                        status, ctype, body = None, None, block
                     rows.append(
                         (
                             rid,

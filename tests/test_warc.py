@@ -140,3 +140,18 @@ def test_pack_wet_roundtrip(spark):
         (0, "conversion", "http://a.example/x", None, "hello text"),
         (1, "conversion", "http://b.example/y", None, "more words"),
     ]
+
+
+def test_wet_body_starting_with_http_not_sniffed(spark):
+    # review fix: a conversion record whose TEXT begins with 'HTTP/'
+    # must come back whole (NULL status), not truncated at the first
+    # CRLFCRLF inside the page text
+    from pandance_spark.sources.warc import pack_wet, warc_records
+
+    tricky = "HTTP/1.1 200 OK\r\nSome-Header: x\r\n\r\nactual page text"
+    raw = pack_wet([{"uri": "http://t.example/h", "body": tricky}])
+    df = spark.createDataFrame([(1, raw)], ["doc_id", "payload"])
+    r = warc_records(df, "doc_id").first()
+    assert r["http_status"] is None
+    assert r["body_text"] == tricky
+    assert r["n_body_bytes"] == len(tricky.encode())
