@@ -1941,6 +1941,66 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus per-SOURCE boilerplate removal
+    (operators/dedup.py remove_boilerplate — the RefinedWeb/CCNet
+    per-domain pass; distinct from line_dedup's WITHIN-document
+    first-occurrence keep).  The fixture plants, per document: a
+    per-source promo banner (df = 25 docs/source -> removed), a
+    mostly-unique body slice (kept), a parity line on even doc_ids
+    (df ~ 12/source -> removed), a 'pair tag' shared by at most two
+    docs (df <= 2 < min_docs -> kept, proving low-df lines survive
+    even when duplicated across scopes), and a per-(source,lang)
+    locale line whose df straddles the threshold (1..~10) so some
+    scopes remove it and others keep it.  The oracle replays document
+    frequencies and the per-scope list filter with DuckDB lambdas."""
+    from pandance_spark.operators.dedup import remove_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("promo banner "), F.col("source")),
+        F.substring(F.col("text"), 1, 80),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even docs note")),
+        F.concat(
+            F.lit("pair tag "),
+            F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+        ),
+        F.concat(F.lit("locale "), F.col("lang")),
+    )
+    pages = docs.select("doc_id", "source", page.alias("text"))
+    return remove_boilerplate(
+        pages, "doc_id", "text", scope_col="source", min_docs=3
+    )
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer learned from the corpus word-frequency table
+    (functions/bpe.py: one distributed word-count pass + bounded
+    driver merge loop, the SentencePiece/subword-nmt training shape),
+    then applied corpus-wide through the Arrow-batched rank-greedy
+    encoder.  Iterative merge learning is not SQL-expressible, so
+    this entry has no DuckDB oracle (rows-only driver check); the
+    algorithm itself is pinned by tests/test_bpe.py — pure-Python
+    Sennrich replay parity, reconstruction, and determinism
+    properties.  Emits per-doc word/token counts plus an md5 digest
+    of the token stream so ANY nondeterminism across runs or
+    partitionings would surface as digest churn."""
+    from pandance_spark.functions.bpe import bpe_segment, learn_bpe
+    from pandance_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "text", num_merges=120, vocab_cap=20_000)
+    words = tokenize(F.col("text"))
+    toks = bpe_segment(words, merges)
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(toks, " ")).alias("tokens_md5"),
+    )
+
+
 def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
@@ -1969,7 +2029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: right-side hot key -> cut-collapse-detected salted band
         # join — new in window this round
         "ineq_band_autoskew": _q_ineq_band_autoskew,
-        "ineq_band_timestamps": _q_ineq_band_timestamps,
+        # r6 (late 2nd): ineq_band_timestamps (green r1-r5, 5 rounds)
+        # rotated out for the new boilerplate_lines — temporal dtype
+        # coverage stays via fuzzy_timestamps in-window plus the local
+        # gate; the ineq family keeps 4 in-window rows
+        "boilerplate_lines": _q_boilerplate_lines,
         "fuzzy_numeric": _q_fuzzy_numeric,
         # r6: hot-bucket salted fuzzy join — new in window this round
         "fuzzy_autoskew": _q_fuzzy_autoskew,
@@ -1978,7 +2042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new url_dedup — decimal dtype coverage stays in the local
         # gate and tests/test_fuzzy.py's dtype matrix
         "theta_expr_mod": _q_theta_expr_mod,
-        "theta_keywords": _q_theta_keywords,
+        # r6 (late 2nd): theta_keywords (green r1-r5, 5 rounds)
+        # rotated out for the new bpe_tokens — the theta family keeps
+        # theta_expr_mod + theta_udf_gcd in-window (the Column fast
+        # path AND the Arrow-UDF fallback both stay driver-checked)
+        "bpe_tokens": _q_bpe_tokens,
         "theta_udf_gcd": _q_theta_udf_gcd,
         # dedup / similarity extensions (r5: dedup_exact, dedup_simhash,
         # dedup_minhash, ann_topk, ann_lsh, embedding_dedup rotated OUT
@@ -2111,6 +2179,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_lsh / embedding_dedup / text_repetition / text_langid
         # rotated out after 3 straight green driver rounds r2-r4, and
         # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
+        # r6 (late 2nd): theta_keywords + ineq_band_timestamps rotated
+        # here after FIVE straight green driver rounds r1-r5 (the most
+        # stable entries in the suite) to free window slots for
+        # boilerplate_lines + bpe_tokens
+        "theta_keywords": _q_theta_keywords,
+        "ineq_band_timestamps": _q_ineq_band_timestamps,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
@@ -3590,6 +3664,58 @@ ORDER BY doc_id
                    len(arr)::BIGINT AS n_lines,
                    len(k)::BIGINT AS n_kept
             FROM kept
+        """,
+        # cross-corpus per-source boilerplate: document frequencies by
+        # (source, line) over DISTINCT (doc, line) pairs, then the
+        # per-scope removal replayed as a list_filter against the
+        # scope's boilerplate list.  concat_ws skips NULLs in BOTH
+        # engines, so the CASE line vanishes identically on odd ids.
+        "boilerplate_lines": """
+            WITH page AS (
+              SELECT doc_id, source,
+                     concat_ws(chr(10),
+                       'promo banner ' || source,
+                       substr(text, 1, 80),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'even docs note' END,
+                       'pair tag ' || (doc_id // 2),
+                       'locale ' || lang) AS t
+              FROM documents
+            ),
+            arrs AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(t, '\\n+'),
+                                 x -> x <> '') AS arr
+              FROM page
+            ),
+            lines AS (
+              SELECT DISTINCT doc_id, source, line
+              FROM (SELECT doc_id, source, unnest(arr) AS line
+                    FROM arrs)
+            ),
+            bp AS (
+              SELECT source, line
+              FROM (SELECT source, line, count(*) AS df
+                    FROM lines GROUP BY source, line)
+              WHERE df >= 3
+            ),
+            bparr AS (
+              SELECT source, list(line) AS bpl FROM bp GROUP BY source
+            ),
+            applied AS (
+              SELECT a.doc_id, a.source, a.arr,
+                     CASE WHEN b.bpl IS NULL THEN a.arr
+                          ELSE list_filter(
+                                 a.arr,
+                                 x -> NOT list_contains(b.bpl, x))
+                     END AS kept
+              FROM arrs a LEFT JOIN bparr b USING (source)
+            )
+            SELECT doc_id, source,
+                   array_to_string(kept, chr(10)) AS text_clean,
+                   len(arr)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept
+            FROM applied
         """,
         # real-codec round trip: Spark decodes the packed P6 bytes; the
         # oracle recomputes dims + per-channel sums from the generator's

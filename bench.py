@@ -238,6 +238,9 @@ def main():
         "corpus_report",
         "multimodal_gif_frames",
         "wet_extract",
+        # r6 (late, 3rd session) additions
+        "boilerplate_lines",
+        "bpe_tokens",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

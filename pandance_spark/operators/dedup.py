@@ -57,6 +57,7 @@ __all__ = [
     "semantic_dedup",
     "dedup_substrings",
     "contamination_spans",
+    "remove_boilerplate",
 ]
 
 # Mersenne prime 2^31 - 1: universal-hash modulus.  The modulus MUST be
@@ -1935,3 +1936,112 @@ def contamination_spans(
         "__ida", "__idb", "__pa", (F.col("__pb") - F.col("__pa")).alias("__delta")
     )
     return _substring_spans(pairs, min_tokens)
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str | None = None,
+    min_docs: int = 3,
+    min_frac: float | None = None,
+    sep_regex: str = r"\n+",
+    join_sep: str = "\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Cross-corpus boilerplate LINE removal (the RefinedWeb/CCNet
+    per-domain pass): a line is boilerplate when it appears in at
+    least ``min_docs`` distinct documents sharing the same
+    ``scope_col`` value (or, if ``min_frac`` is given, in at least
+    ``ceil(min_frac * docs_in_scope)`` of them); every occurrence of
+    a boilerplate line is removed from every document in that scope.
+
+    Complements the two existing passes: ``functions.text.dedup_lines``
+    is WITHIN-document (keeps the first copy inside one page) and
+    ``dedup_paragraphs`` keeps each duplicate's first corpus
+    occurrence — this operator removes ALL copies of nav menus /
+    cookie banners / footers that recur across a site, which is the
+    semantics web-corpus pipelines actually want for per-domain
+    boilerplate (no document "owns" a cookie banner).  Engine
+    extension beyond the reference (SURVEY.md §2.4); the reference
+    has no text pipeline.
+
+    ``scope_col=None`` treats the whole corpus as one scope.
+    Returns ``(id_col, [scope_col], out_col, n_lines, n_kept)`` — one
+    row per input document; empty lines are dropped before counting.
+
+    Scale plan: document frequencies come from ONE groupBy on
+    ``(scope, line)`` whose partial aggregate dedups ``(scope, line,
+    id)`` map-side, so shuffle volume is ∝ distinct lines per
+    document, never total occurrences.  The boilerplate set (lines
+    crossing the threshold) is small BY CONSTRUCTION — each entry
+    recurs across >= min_docs pages — so the per-scope
+    ``collect_list`` arrays are compact and the scope join onto the
+    corpus is AQE-broadcastable; the corpus itself is never exploded
+    for the APPLY side (removal is a pure per-row array filter), so
+    there is no doc-reassembly shuffle.  The classic alternative
+    (explode -> anti-join -> groupBy(id) rebuild) shuffles the whole
+    corpus once more; this plan shuffles only line statistics.
+    Hazard, documented: a scope whose boilerplate set is huge
+    (thousands of distinct recurring lines) replicates that array to
+    each of its doc rows and pays O(|bp|) per line in the filter —
+    at that point hash the lines into a bloom/set-index instead;
+    matching is exact on the raw line string here for oracle-grade
+    determinism.
+    """
+    if min_docs < 2 and min_frac is None:
+        raise ValueError("min_docs must be >= 2 (1 would drop every line)")
+    scope = F.col(scope_col) if scope_col else F.lit("")
+    arr_expr = F.filter(
+        F.split(F.col(text_col), sep_regex), lambda x: x != ""
+    )
+    lines = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            scope.alias("__scope"),
+            F.explode(arr_expr).alias("__line"),
+        )
+    )
+    dfreq = lines.groupBy("__scope", "__line").agg(
+        F.countDistinct("__id").alias("__df")
+    )
+    if min_frac is not None:
+        totals = (
+            _spread(df)
+            .select(scope.alias("__scope"), F.col(id_col).alias("__id"))
+            .groupBy("__scope")
+            .agg(F.countDistinct("__id").alias("__n_docs"))
+        )
+        dfreq = dfreq.join(totals, "__scope")
+        thresh = F.greatest(
+            F.lit(int(min_docs)),
+            F.ceil(F.lit(float(min_frac)) * F.col("__n_docs")),
+        )
+    else:
+        thresh = F.lit(int(min_docs))
+    bp = (
+        dfreq.filter(F.col("__df") >= thresh)
+        .groupBy("__scope")
+        .agg(F.collect_list("__line").alias("__bp"))
+    )
+    docs = _spread(df).select(
+        F.col(id_col),
+        *([F.col(scope_col)] if scope_col else []),
+        scope.alias("__scope"),
+        arr_expr.alias("__arr"),
+    )
+    joined = docs.join(bp, "__scope", "left")
+    kept = F.when(F.col("__bp").isNull(), F.col("__arr")).otherwise(
+        F.filter(
+            F.col("__arr"),
+            lambda x: ~F.array_contains(F.col("__bp"), x),
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        *([F.col(scope_col)] if scope_col else []),
+        F.array_join(kept, join_sep).alias(out_col),
+        F.size("__arr").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )

@@ -777,3 +777,95 @@ def test_contamination_spans_corpus_side_cap(spark):
         min_tokens=4, max_occurrences=5,
     )
     assert capped.count() == 0  # hot corpus shingle (df=10) dropped
+
+
+def test_remove_boilerplate_per_scope(spark):
+    from pandance_spark.operators.dedup import remove_boilerplate
+
+    rows = [
+        (1, "a.com", "NAV\nbody one\nFOOTER"),
+        (2, "a.com", "NAV\nbody two\nFOOTER"),
+        (3, "a.com", "NAV\nbody three"),
+        (4, "b.com", "NAV\nother body"),  # NAV df=1 in b.com -> kept
+        (5, "b.com", "solo page"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in remove_boilerplate(
+            df, "doc_id", "text", scope_col="domain", min_docs=3
+        ).collect()
+    }
+    assert out[1] == ("body one\nFOOTER", 3, 2)
+    assert out[3] == ("body three", 2, 1)
+    assert out[4] == ("NAV\nother body", 2, 2)  # scope isolation
+    assert out[5] == ("solo page", 1, 1)
+
+
+def test_remove_boilerplate_min_frac_and_global(spark):
+    from pandance_spark.operators.dedup import remove_boilerplate
+
+    rows = [
+        (1, "a.com", "NAV\nbody one\nFOOTER"),
+        (2, "a.com", "NAV\nbody two\nFOOTER"),
+        (3, "a.com", "NAV\nbody three"),
+        (4, "b.com", "NAV\nother body"),
+        (5, "b.com", "solo page"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    # FOOTER df=2 >= max(min_docs=2, ceil(0.5*3)=2) -> removed
+    frac = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate(
+            df, "doc_id", "text", scope_col="domain",
+            min_docs=2, min_frac=0.5,
+        ).collect()
+    }
+    assert frac[1] == "body one"
+    # global scope: NAV df=4 across corpus
+    glob = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate(
+            df, "doc_id", "text", scope_col=None, min_docs=4
+        ).collect()
+    }
+    assert glob[4] == "other body"
+    assert "domain" not in remove_boilerplate(
+        df, "doc_id", "text", scope_col=None, min_docs=4
+    ).columns
+
+
+def test_remove_boilerplate_counts_doc_once(spark):
+    from pandance_spark.operators.dedup import remove_boilerplate
+
+    # the repeated line inside ONE doc must count as df=1, not 3
+    rows = [
+        (1, "x", "dup\ndup\ndup\nbody"),
+        (2, "x", "other"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "s", "text"])
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate(
+            df, "doc_id", "text", scope_col="s", min_docs=2
+        ).collect()
+    }
+    assert out[1] == "dup\ndup\ndup\nbody"
+
+
+def test_remove_boilerplate_all_lines_removed_and_validation(spark):
+    from pandance_spark.operators.dedup import remove_boilerplate
+
+    rows = [(1, "same"), (2, "same"), (3, "same")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"])
+        for r in remove_boilerplate(
+            df, "doc_id", "text", min_docs=2
+        ).collect()
+    }
+    assert out[1] == ("", 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        remove_boilerplate(df, "doc_id", "text", min_docs=1)
