@@ -606,7 +606,7 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     error would mismatch every row."""
     from pandance_spark.operators.multimodal import decode_image, pack_png_image
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -639,7 +639,7 @@ def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF in tests (not merely self-consistent)."""
     from pandance_spark.operators.multimodal import decode_image, pack_gif_image
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -666,14 +666,24 @@ def _q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     2nd frame of a 2-5 frame animation re-emitted as P6 and decoded;
     per-frame channel sums are closed-form (frame f pixel index =
     (seed + 31f + 7i) % 256), so the oracle recomputes every sampled
-    frame without a codec."""
+    frame without a codec.
+
+    The scan is spread_partitions-wrapped: the fixture parquet is ONE
+    small file -> one partition, which serializes the pack->sample->
+    decode Python chain on a single core (measured 3.8 s -> 1.0 s at
+    sf0.1 with the spread; same hazard class as the dedup_substrings
+    one-partition explode).  Only the HEAVY codec queries (gif/
+    gif_frames/jpeg/png/media_meta/warc) carry the spread — for the
+    cheap per-row stages (decode/audio/video/wet) the extra exchange
+    plus 32-task overhead measurably exceeds the parallelism gain at
+    fixture size, so they stay scan-partitioned."""
     from pandance_spark.operators.multimodal import (
         decode_image,
         pack_gif_animation,
         sample_frames_gif,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -713,7 +723,7 @@ def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seed + 17b) % 256, edge blocks partial)."""
     from pandance_spark.operators.multimodal import decode_image, pack_jpeg_image
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -891,7 +901,7 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset, or gzip member boundary would mismatch those rows."""
     from pandance_spark.sources.warc import pack_warc, pack_warc_gz, warc_records
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -1159,7 +1169,7 @@ def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_mp4_video,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
