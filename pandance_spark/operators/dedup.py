@@ -1988,12 +1988,21 @@ def remove_boilerplate(
     at that point hash the lines into a bloom/set-index instead;
     matching is exact on the raw line string here for oracle-grade
     determinism.
+
+    NULL handling: a NULL ``scope_col`` value is a real scope (the
+    stats join is null-safe — its docs are NOT silently skipped);
+    NULL ``text_col`` counts as zero lines.  PRECONDITION shared with
+    ``dedup_paragraphs``: ``df`` is evaluated on both the stats and
+    apply sides, so a nondeterministic input (``sample()``,
+    ``monotonically_increasing_id()``) must be
+    ``localCheckpoint()``-ed first.
     """
     if min_docs < 2 and min_frac is None:
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
     scope = F.col(scope_col) if scope_col else F.lit("")
     arr_expr = F.filter(
-        F.split(F.col(text_col), sep_regex), lambda x: x != ""
+        F.split(F.coalesce(F.col(text_col), F.lit("")), sep_regex),
+        lambda x: x != "",
     )
     lines = (
         _spread(df)
@@ -2031,7 +2040,11 @@ def remove_boilerplate(
         scope.alias("__scope"),
         arr_expr.alias("__arr"),
     )
-    joined = docs.join(bp, "__scope", "left")
+    # null-safe: a NULL scope must still meet ITS boilerplate stats
+    # (plain equi-join would drop the match and skip removal there)
+    joined = docs.join(
+        bp, docs["__scope"].eqNullSafe(bp["__scope"]), "left"
+    ).drop(bp["__scope"]).drop("__scope")
     kept = F.when(F.col("__bp").isNull(), F.col("__arr")).otherwise(
         F.filter(
             F.col("__arr"),

@@ -869,3 +869,37 @@ def test_remove_boilerplate_all_lines_removed_and_validation(spark):
 
     with _pytest.raises(ValueError):
         remove_boilerplate(df, "doc_id", "text", min_docs=1)
+
+
+def test_remove_boilerplate_null_scope_and_null_text(spark):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+    from pandance_spark.operators.dedup import remove_boilerplate
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("domain", StringType()),
+        StructField("text", StringType()),
+    ])
+    rows = [
+        (1, None, "NAV\nbody one"),
+        (2, None, "NAV\nbody two"),
+        (3, None, "NAV"),
+        (4, "a.com", "NAV\nkept here"),
+        (5, "a.com", None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+        for r in remove_boilerplate(
+            df, "doc_id", "text", scope_col="domain", min_docs=3
+        ).collect()
+    }
+    # NULL is a real scope: NAV df=3 there -> removed
+    assert out[1] == ("body one", 2, 1)
+    assert out[3] == ("", 1, 0)
+    # a.com scope: NAV df=1 -> kept
+    assert out[4] == ("NAV\nkept here", 2, 2)
+    # NULL text counts as zero lines, not -1
+    assert out[5] == ("", 0, 0)
