@@ -1,4 +1,5 @@
 from pandance_spark.operators.asof import asof_join
+from pandance_spark.operators.bloom import bloom_dedup, bloom_words
 from pandance_spark.operators.cluster import (
     connected_components,
     dedup_clusters,
@@ -21,6 +22,8 @@ from pandance_spark.operators.skew import salted_join
 from pandance_spark.operators.theta import theta_join
 
 __all__ = [
+    "bloom_dedup",
+    "bloom_words",
     "fuzzy_join",
     "ineq_join",
     "theta_join",
