@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["profile_table", "skew_report"]
+__all__ = ["heavy_hitters", "profile_table", "skew_report"]
 
 
 def profile_table(
@@ -76,6 +76,85 @@ def profile_table(
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
         "__n AS n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support: float = 0.001,
+    k: Optional[int] = None,
+) -> DataFrame:
+    """EXACT counts of the values whose share exceeds ``support`` —
+    without ever shuffling the full value distribution.
+
+    The 100 TB problem: "which tokens/domains/ngrams dominate the
+    corpus" as a plain ``groupBy(col).count()`` shuffles one record
+    per distinct value per partition, and Zipfian text data is almost
+    all hapax legomena — the shuffle is dominated by values that can
+    never matter.  Two bounded passes instead:
+
+    1. **Candidates** — ``df.stat.freqItems`` (Spark's Misra-Gries
+       variant, JVM-side, ≤ 1/support counters of state per
+       partition).  Its guarantee is one-sided: the returned set is a
+       SUPERSET of every value with share > support (false positives
+       possible, false negatives not).
+    2. **Exact pass** — count ONLY the candidates (map-side combine
+       bounds the shuffle by |candidates| x partitions) alongside an
+       in-plan non-null total, then drop candidates at or below the
+       threshold.  The sketch's false positives die here, so the
+       result is exact and deterministic even though the candidate
+       set itself depends on partitioning.
+
+    Returns ``(value, cnt, share)`` — value cast to string, share of
+    NON-NULL rows rounded to 6 decimals — ordered by ``cnt`` desc then
+    value asc, truncated to ``k`` rows when given.  NULL is never
+    reported (a NULL-heavy column is :func:`skew_report`'s job).
+
+    Spark requires ``support > 1e-4``; smaller thresholds mean a
+    candidate state too large for the sketch pass — pre-aggregate or
+    raise the threshold.  The input is scanned three times (sketch,
+    candidate counts, total); at scale all three are scan+project
+    passes with no wide shuffle, which is the point.
+    """
+    if not (1e-4 < support < 1.0):
+        raise ValueError(f"support must be in (1e-4, 1), got {support}")
+    if k is not None and k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col("`" + col.replace("`", "``") + "`")
+    row = df.stat.freqItems([col], support).first()
+    cands = [v for v in (row[0] or []) if v is not None]
+    spark = df.sparkSession
+    if not cands:
+        return spark.createDataFrame(
+            [], "value string, cnt bigint, share double"
+        )
+    # small candidate sets go into the plan as an IN-list (fuses into
+    # the scan, pushes down); big ones become a broadcast semi-join so
+    # the plan text stays bounded
+    if len(cands) <= 256:
+        filtered = df.filter(c.isin(cands))
+    else:
+        cand_df = spark.createDataFrame(
+            [(v,) for v in cands], df.select(c.alias("__hh_cand")).schema
+        )
+        filtered = df.join(
+            F.broadcast(cand_df), c == F.col("__hh_cand"), "left_semi"
+        )
+    counts = filtered.groupBy(c.alias("__hh_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.agg(F.count(c).alias("__hh_total"))
+    out = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > support * F.col("__hh_total"))
+        .select(
+            F.col("__hh_value").cast("string").alias("value"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("__hh_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("value").asc())
+    )
+    return out.limit(k) if k is not None else out
 
 
 def skew_report(

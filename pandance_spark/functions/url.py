@@ -22,7 +22,7 @@ Engine extension beyond the reference (SURVEY.md §2.4).  Design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -30,6 +30,8 @@ __all__ = [
     "url_host",
     "normalize_url",
     "registered_domain",
+    "host_suffixes",
+    "blocklist_filter",
 ]
 
 # RFC 3986 appendix-B split regex (scheme, authority, path, query, frag)
@@ -146,3 +148,67 @@ def registered_domain(host: Column) -> Column:
     return F.when(n <= 2, host).otherwise(
         F.when(is_two_level & (n >= 3), last3).otherwise(last2)
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, longest first: ``a.b.co.uk`` ->
+    ``[a.b.co.uk, b.co.uk, co.uk, uk]``.  Pure Column expressions; the
+    array length is the host's label count (bounded ~5 in practice),
+    so exploding it is a small, fixed fan-out — NOT data-dependent
+    blow-up."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sfx = F.transform(
+        F.sequence(F.greatest(n, F.lit(1)), F.lit(1), F.lit(-1)),
+        lambda i: F.array_join(F.slice(parts, n - i + 1, i), "."),
+    )
+    return F.filter(sfx, lambda s: s != "")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Drop (or select) the rows whose URL host falls under a blocked
+    domain — the opt-out / spam-list pass of a crawl pipeline, with
+    registrar-style suffix semantics: a blocklist entry ``example.com``
+    blocks ``example.com`` AND every subdomain (``a.b.example.com``),
+    never the unrelated ``notexample.com``.
+
+    Plan shape for 100 TB: the block decision depends only on the
+    host, so it is computed once per DISTINCT host, not per row —
+    (1) distinct hosts (shuffle ∝ host cardinality, orders of
+    magnitude below row count), (2) explode each host's dot-suffixes
+    (bounded fan-out, :func:`host_suffixes`) and broadcast-semi-join
+    the blocklist (blocklists are 10^4..10^6 domains — broadcast
+    territory), (3) anti-join (or semi-join with ``keep_blocked=True``)
+    the corpus against the small blocked-hosts set, which AQE
+    broadcasts when it fits.  The full rows are never exploded and the
+    blocklist is never shuffled.
+
+    Rows whose URL has no parseable host never match and are KEPT by
+    the default drop mode (a malformed URL is a quality-filter
+    problem, not an opt-out match).  Blocklist entries are lowercased;
+    hosts already come lowercased from :func:`url_host`.
+    """
+    host = url_host(F.col(url_col))
+    hosts = df.select(host.alias("__bl_host")).distinct()
+    sfx = hosts.select(
+        "__bl_host",
+        F.explode(host_suffixes(F.col("__bl_host"))).alias("__bl_sfx"),
+    )
+    bl = blocklist.select(F.lower(F.col(domain_col)).alias("__bl_dom"))
+    blocked = (
+        sfx.join(
+            F.broadcast(bl),
+            F.col("__bl_sfx") == F.col("__bl_dom"),
+            "left_semi",
+        )
+        .select("__bl_host")
+        .distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    return df.join(blocked, host == F.col("__bl_host"), how)

@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_signatures",
     "simhash_candidates",
+    "hamming_candidates",
     "ngram_jaccard_join",
     "embedding_cosine_pairs",
     "build_minhash_index",
@@ -464,17 +465,41 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= ``max_hamming``.
 
-    Pigeonhole banding: split the 64 bits into ``max_hamming + 1``
-    chunks; any pair within the radius agrees exactly on >= 1 chunk, so
-    an equi-join per chunk finds all candidates, then the exact popcount
-    filter keeps true ones.  Returns (id_a, id_b, hamming).
+    Pigeonhole banding via :func:`hamming_candidates`; returns
+    (id_a, id_b, hamming).
     """
-    chunks = max_hamming + 1
-    width = 64 // chunks
     df = _spread(df)
     # checkpoint: the banding self-join evaluates both branches — the
     # signature fold must not run twice (same reason as dedup_minhash)
     sh = simhash_signatures(df, id_col, text_col, seed, portable).localCheckpoint(eager=True)
+    return hamming_candidates(sh, "id", "__sh", max_hamming)
+
+
+def hamming_candidates(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs whose 64-bit signatures differ in <= ``max_hamming``
+    bits, WITHOUT an all-pairs comparison.
+
+    Pigeonhole banding: split the 64 bits into ``max_hamming + 1``
+    chunks; any pair within the radius agrees exactly on >= 1 chunk, so
+    an equi-join per chunk finds all candidates, then the exact popcount
+    filter keeps true ones.  Returns (id_a, id_b, hamming).
+
+    Signature-agnostic — SimHash (:func:`simhash_candidates`), image
+    perceptual hashes (``multimodal.image_near_dup``), or any other
+    64-bit locality-preserving code.  The caller should checkpoint
+    ``sig`` if producing it is expensive: the self-join evaluates the
+    input twice.
+    """
+    if not (0 <= max_hamming <= 31):
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sh = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("__sh"))
     banded = sh.select(
         "id",
         "__sh",

@@ -69,6 +69,8 @@ __all__ = [
     "attach_binary_payload",
     "fake_decode_meta",
     "decode_image",
+    "image_hashes",
+    "image_near_dup",
     "resize_image",
     "fake_resize",
     "sample_frames",
@@ -1169,6 +1171,125 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(_decode, out_schema)
+
+
+def _grid_sums(gray: np.ndarray, rows: int, cols: int):
+    """Exact integer block sums + pixel counts over a rows x cols grid.
+
+    Boundaries are ``floor(i * dim / n)`` and sums come off an integral
+    image — all int64, so downstream comparisons are bit-identical
+    across platforms (no float resampling anywhere)."""
+    h, w = gray.shape
+    rb = (np.arange(rows + 1, dtype=np.int64) * h) // rows
+    cb = (np.arange(cols + 1, dtype=np.int64) * w) // cols
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    s = (
+        ii[rb[1:][:, None], cb[1:][None, :]]
+        - ii[rb[:-1][:, None], cb[1:][None, :]]
+        - ii[rb[1:][:, None], cb[:-1][None, :]]
+        + ii[rb[:-1][:, None], cb[:-1][None, :]]
+    )
+    npix = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    return s, npix
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """Row-major bool grid -> signed 64-bit int (two's complement)."""
+    v = 0
+    for i in np.flatnonzero(bits.ravel()):
+        v |= 1 << int(i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _perceptual_hashes(img: np.ndarray):
+    """(ahash, dhash) for an RGB uint8 array — integer-exact.
+
+    aHash: 8x8 block means thresholded against the global mean.
+    dHash: 8 rows x 9 cols block means, bit = mean[r,c] > mean[r,c+1].
+    All comparisons are cross-multiplied integer sums (never divided),
+    so the hashes are identical for identical PIXELS regardless of the
+    container format, platform, or partitioning — which is exactly
+    what makes them usable as dedup keys."""
+    gray = img.astype(np.int64).sum(axis=2)  # r+g+b: monotone in luma
+    s8, n8 = _grid_sums(gray, 8, 8)
+    tot_s, tot_n = int(gray.sum()), gray.size
+    abits = s8 * tot_n > tot_s * n8
+    s9, n9 = _grid_sums(gray, 8, 9)
+    dbits = s9[:, :8] * n9[:, 1:] > s9[:, 1:] * n9[:, :8]
+    return _pack_bits(abits), _pack_bits(dbits)
+
+
+def image_hashes(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Append 64-bit perceptual hashes to an image table: ``ahash``,
+    ``dhash`` (long, NULL when the payload doesn't decode) and ``ok``.
+
+    Runs inside the same ``mapInPandas`` Arrow stage as
+    :func:`decode_image` (PPM/BMP/PNG/GIF/baseline-JPEG via
+    ``_decode_any``), so only one batch of payloads is ever resident
+    per task.  The hashes are integer-exact functions of the PIXELS —
+    the same picture stored as PNG and as BMP gets the same hash, the
+    property byte-level hashing fundamentally cannot give.  Corrupt
+    payloads degrade to ``ok = false``, never a task failure.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("ahash", T.LongType(), True),
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ah, dh, oks = [], [], []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                img, _fmt = _decode_any(raw)
+                if img is None or img.size == 0:
+                    ah.append(None), dh.append(None), oks.append(False)
+                    continue
+                a, d = _perceptual_hashes(img)
+                ah.append(a), dh.append(d), oks.append(True)
+            yield pdf.assign(
+                ahash=pd.array(ah, dtype="Int64"),
+                dhash=pd.array(dh, dtype="Int64"),
+                ok=oks,
+            )
+
+    return df.mapInPandas(_hash, out_schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 2,
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash + pigeonhole-banded
+    Hamming join (``dedup.hamming_candidates`` — the same sub-quadratic
+    candidate machinery as SimHash text dedup, fed 64-bit image codes).
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.  Catches
+    what exact dedup cannot: the same picture re-encoded in a
+    different container (PNG vs BMP vs JPEG of identical pixels) or
+    perturbed by a few pixels.  Undecodable payloads are skipped.
+
+    The decode+hash stage is checkpointed before the banding self-join
+    so every payload is decoded exactly ONCE — decode is the expensive
+    part at 100 TB, the joins move only (id, 64-bit) rows.
+    """
+    hashes = (
+        image_hashes(df.select(id_col, payload_col), payload_col)
+        .filter(F.col("ok"))
+        .select(id_col, hash_col)
+        .localCheckpoint(eager=True)
+    )
+    from pandance_spark.operators.dedup import hamming_candidates
+
+    return hamming_candidates(hashes, id_col, hash_col, max_hamming)
 
 
 def fake_decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -776,3 +776,80 @@ def test_gif_animation_frames_and_sampler(spark):
         sample_frames_gif(df, every_k=0)
     with pytest.raises(ValueError):
         pack_gif_animation(0, 4, 4, 1)
+
+
+def test_image_hashes_format_independent(spark):
+    from pandance_spark.operators.multimodal import (
+        image_hashes,
+        pack_bmp_image,
+        pack_png_image,
+        pack_ppm_image,
+    )
+
+    rows = [
+        (0, pack_ppm_image(24, 16, 5)),
+        (1, pack_bmp_image(24, 16, 5)),
+        (2, pack_png_image(24, 16, 5)),
+        (3, pack_ppm_image(24, 16, 9)),
+        (4, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: (r["ahash"], r["dhash"], r["ok"])
+           for r in image_hashes(df).collect()}
+    # same pixels, three containers -> identical perceptual hashes
+    assert got[0] == got[1] == got[2]
+    assert got[0][2] is True
+    # different raster -> different hash (64-bit collision ~ impossible)
+    assert got[3][1] != got[0][1]
+    assert got[4] == (None, None, False)
+
+
+def test_image_hash_bit_math(spark):
+    from pandance_spark.operators.multimodal import _perceptual_hashes
+    import numpy as np
+
+    # left half black, right half white, 16x16
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, 8:, :] = 255
+    a, d = _perceptual_hashes(img)
+    # aHash: right-half blocks (cols 4..7 of the 8x8 grid) above mean
+    want_a = 0
+    for r in range(8):
+        for c in range(4, 8):
+            want_a |= 1 << (r * 8 + c)
+    assert a == (want_a - (1 << 64) if want_a >= (1 << 63) else want_a)
+    # dHash: monotone non-decreasing rows -> no bit set
+    assert d == 0
+    # decreasing gradient -> every dhash bit set -> all-ones (== -1)
+    grad = np.repeat(
+        np.linspace(255, 0, 18, dtype=np.uint8)[None, :, None], 16, axis=0
+    ).repeat(3, axis=2)
+    _, d2 = _perceptual_hashes(grad)
+    assert d2 == -1
+
+
+def test_image_near_dup_cross_format_and_perturbed(spark):
+    from pandance_spark.operators.multimodal import (
+        image_near_dup,
+        pack_png_image,
+        pack_ppm_image,
+    )
+
+    base = pack_ppm_image(32, 32, 7)
+    # perturb a few raster bytes (+1 mod 256) well past the header
+    perturbed = bytearray(base)
+    for off in range(200, 210):
+        perturbed[off] = (perturbed[off] + 1) % 256
+    rows = [
+        (0, base),
+        (1, pack_png_image(32, 32, 7)),   # same pixels, other codec
+        (2, bytes(perturbed)),            # near-dup
+        (3, pack_ppm_image(32, 32, 8)),   # unrelated
+        (4, b"\x00garbage"),              # undecodable -> skipped
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_near_dup(df, max_hamming=4).collect()}
+    assert out[(0, 1)] == 0
+    assert (0, 2) in out and out[(0, 2)] <= 4
+    assert not any(3 in p or 4 in p for p in out)

@@ -74,3 +74,70 @@ def test_skew_report_heavy_hitters(spark):
         skew_report(df, ["nope"])
     with pytest.raises(ValueError):
         skew_report(df, top_k=0)
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from pandance_spark.functions.profile import heavy_hitters
+
+    # Zipf-ish: value i appears 200//(i+1) times
+    rows = [(f"v{i}",) for i in range(40) for _ in range(200 // (i + 1))]
+    df = spark.createDataFrame(rows, "t string").repartition(7)
+    support = 0.02
+    got = [
+        (r["value"], r["cnt"], r["share"])
+        for r in heavy_hitters(df, "t", support=support).collect()
+    ]
+    # independent exact replay
+    from collections import Counter
+
+    cnt = Counter(r[0] for r in rows)
+    total = sum(cnt.values())
+    want = sorted(
+        [
+            (v, n, round(n / total, 6))
+            for v, n in cnt.items()
+            if n > support * total
+        ],
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want
+    assert len(got) > 3  # the threshold actually bites mid-list
+
+
+def test_heavy_hitters_nulls_and_k(spark):
+    from pandance_spark.functions.profile import heavy_hitters
+
+    rows = [("a",)] * 8 + [("b",)] * 4 + [(None,)] * 8 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "t string")
+    got = heavy_hitters(df, "t", support=0.1, k=1).collect()
+    # share over NON-null rows (13), null never reported
+    assert [(r["value"], r["cnt"], r["share"]) for r in got] == [
+        ("a", 8, round(8 / 13, 6))
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "t", support=1e-5)
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "t", k=0)
+
+
+def test_heavy_hitters_large_candidate_path(spark):
+    from pandance_spark.functions.profile import heavy_hitters
+
+    # ~300 distinct frequent-ish values forces the broadcast semi-join
+    # branch (candidate set > 256); result must stay exact
+    rows = [(f"k{i:03d}",) for i in range(300) for _ in range(3)]
+    rows += [("hot",)] * 120
+    df = spark.createDataFrame(rows, "t string").repartition(5)
+    got = heavy_hitters(df, "t", support=0.05).collect()
+    assert [(r["value"], r["cnt"]) for r in got] == [("hot", 120)]
+
+
+def test_heavy_hitters_none_found(spark):
+    from pandance_spark.functions.profile import heavy_hitters
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(100)], "t string")
+    out = heavy_hitters(df, "t", support=0.5)
+    assert out.count() == 0
+    assert out.columns == ["value", "cnt", "share"]

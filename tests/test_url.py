@@ -134,3 +134,56 @@ def test_url_dedup_composition(spark):
     out = {r["url_norm"]: r["doc_id"]
            for r in dedup_exact(df, ["url_norm"], tie_breaker="doc_id").collect()}
     assert out == {"http://example.com/a": 1, "http://example.com/b": 4}
+
+
+def test_host_suffixes(spark):
+    from pandance_spark.functions.url import host_suffixes
+
+    df = spark.createDataFrame(
+        [("a.b.co.uk",), ("example.com",), ("localhost",), ("",)],
+        "h string",
+    )
+    got = {r["h"]: r["s"] for r in df.select(
+        "h", host_suffixes(F.col("h")).alias("s")).collect()}
+    assert got["a.b.co.uk"] == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+    assert got["example.com"] == ["example.com", "com"]
+    assert got["localhost"] == ["localhost"]
+    assert got[""] == []
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from pandance_spark.functions.url import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://example.com/a"),        # exact match -> blocked
+            (2, "https://a.b.example.com/x"),   # subdomain -> blocked
+            (3, "http://notexample.com/y"),     # suffix of string, not of domain -> kept
+            (4, "http://good.org/"),            # kept
+            (5, "http://BAD.ORG:8080/z"),       # case + port -> blocked
+            (6, "not a url"),                   # unparseable host -> kept
+        ],
+        "rid int, url string",
+    )
+    bl = spark.createDataFrame([("example.com",), ("bad.org",)], "domain string")
+    kept = sorted(r["rid"] for r in blocklist_filter(df, "url", bl).collect())
+    assert kept == [3, 4, 6]
+    blocked = sorted(
+        r["rid"]
+        for r in blocklist_filter(df, "url", bl, keep_blocked=True).collect()
+    )
+    assert blocked == [1, 2, 5]
+
+
+def test_blocklist_filter_broadcasts_blocklist(spark):
+    from pandance_spark.functions.url import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(i, f"http://h{i % 20}.site{i % 5}.com/p") for i in range(200)],
+        "rid int, url string",
+    )
+    bl = spark.createDataFrame([("site0.com",), ("site3.com",)], "domain string")
+    out = blocklist_filter(df, "url", bl)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 120  # 2 of 5 site groups dropped
