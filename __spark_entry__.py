@@ -2027,11 +2027,121 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated incremental dedup (operators/bloom.py
+    bloom_dedup): batch-vs-index EXACT anti-join where a broadcast
+    word-table Bloom filter prunes the batch to its positives before
+    the authoritative check.  The fixture synthesizes a closed-form
+    URL keyspace where doc_id and doc_id+250 share a URL, indexes the
+    urls of doc_id%5<3 and replays docs with doc_id%5>=2 as the new
+    batch — so the batch is part overlap (dropped), part fresh (kept),
+    and both the fresh path (bloom-negative, never joined) and the
+    verified path (bloom-positive, exact anti-join) carry rows.  The
+    oracle is the plain ANTI JOIN the operator must equal."""
+    from pandance_spark.operators.bloom import bloom_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://s"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".ex/p/"),
+        (F.col("doc_id") % 250).cast("string"),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    index = urls.filter(F.col("doc_id") % 5 < 3).select("url")
+    batch = urls.filter(F.col("doc_id") % 5 >= 2)
+    return bloom_dedup(batch, index, "url", fpp=0.01)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-then-exact heavy hitters (functions/profile.py
+    heavy_hitters): Misra-Gries candidate pass (df.stat.freqItems,
+    bounded 1/support state, superset guarantee) followed by an exact
+    count of ONLY the candidates with an in-plan non-null total — the
+    shape that finds dominant tokens at 100 TB without shuffling the
+    Zipf tail.  Result is exact, so the oracle is the plain
+    GROUP BY / HAVING / top-k the sketch path must reproduce
+    bit-for-bit (share rounded to 6 dp on both sides)."""
+    from pandance_spark.functions.profile import heavy_hitters
+    from pandance_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", support=0.005, k=30)
+
+
+def _q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out / blocklist filtering with registrar-suffix semantics
+    (functions/url.py blocklist_filter): entry 'site0.com' blocks the
+    domain and every subdomain, never 'notsite0.com'.  Hosts are
+    decided once per DISTINCT host (suffix explode is bounded by label
+    count), the blocklist is broadcast, full rows never explode.  The
+    oracle replays the closed-form hosts and the suffix rule with
+    EXISTS + LIKE."""
+    from pandance_spark.functions.url import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://h"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("site0.com",), ("site3.com",), ("h7.site1.com",)], "domain string"
+    )
+    return blocklist_filter(urls, "url", bl)
+
+
+def _q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (operators/multimodal.py
+    image_near_dup): decode REAL PPM/BMP/PNG payloads, compute the
+    integer-exact 64-bit dHash, find pairs within Hamming radius 2 via
+    the pigeonhole band join (dedup.py hamming_candidates) — the same
+    picture stored under three different codecs collides at distance
+    0, which byte-level hashing can never see.  Fixture: doc_id < 90,
+    raster group (doc_id//3)%15 with seeds spaced 17 apart (measured
+    min cross-group dHash distance 6 > radius 2, deterministic), codec
+    = doc_id%3.  Same-group pairs are therefore EXACTLY the expected
+    output, and the oracle enumerates them from doc_id arithmetic —
+    an image-dedup query with a full SQL oracle."""
+    from pandance_spark.operators.multimodal import (
+        image_near_dup,
+        pack_bmp_image,
+        pack_png_image,
+        pack_ppm_image,
+    )
+
+    docs = spread_partitions(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    )
+    packs = [pack_ppm_image, pack_bmp_image, pack_png_image]
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: packs[int(d) % 3](24, 16, ((int(d) // 3) % 15) * 17)
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _pack(F.col("doc_id")).alias("payload"),
+    )
+    return image_near_dup(media, max_hamming=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parity operators
-        "ineq_lt_balances": _q_ineq_lt_balances,
-        "ineq_gt_strings": _q_ineq_gt_strings,
+        # r6 (3rd session): ineq_lt_balances + ineq_gt_strings (green
+        # r1-r5, 5 rounds each) rotated out for the new bloom_dedup +
+        # heavy_hitters — the ineq family keeps ineq_band_skewed +
+        # ineq_band_autoskew in-window
+        "bloom_dedup": _q_bloom_dedup,
+        "heavy_hitters": _q_heavy_hitters,
         # r6 (late): ineq_band_strings (green r2-r5) rotated out for
         # the new unicode_clean — the string-cut machinery keeps
         # in-window rows via ineq_gt_strings + ineq_band_autoskew
@@ -2044,10 +2154,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coverage stays via fuzzy_timestamps in-window plus the local
         # gate; the ineq family keeps 4 in-window rows
         "boilerplate_lines": _q_boilerplate_lines,
-        "fuzzy_numeric": _q_fuzzy_numeric,
+        # r6 (3rd session): fuzzy_numeric + fuzzy_timestamps (green
+        # r1-r5, 5 rounds each) rotated out for the new
+        # domain_blocklist + image_phash_dedup — the fuzzy family
+        # keeps fuzzy_autoskew in-window (same kernel, salted path)
+        "domain_blocklist": _q_domain_blocklist,
         # r6: hot-bucket salted fuzzy join — new in window this round
         "fuzzy_autoskew": _q_fuzzy_autoskew,
-        "fuzzy_timestamps": _q_fuzzy_timestamps,
+        "image_phash_dedup": _q_image_phash_dedup,
         # r6 (late): fuzzy_decimal (green r2-r5) rotated out for the
         # new url_dedup — decimal dtype coverage stays in the local
         # gate and tests/test_fuzzy.py's dtype matrix
@@ -2195,6 +2309,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate_lines + bpe_tokens
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
+        # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
+        # fuzzy_numeric / fuzzy_timestamps rotated here after FIVE
+        # straight green driver rounds r1-r5 to free window slots for
+        # bloom_dedup / heavy_hitters / domain_blocklist /
+        # image_phash_dedup
+        "ineq_lt_balances": _q_ineq_lt_balances,
+        "ineq_gt_strings": _q_ineq_gt_strings,
+        "fuzzy_numeric": _q_fuzzy_numeric,
+        "fuzzy_timestamps": _q_fuzzy_timestamps,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
@@ -2412,6 +2535,62 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
     )
     return {
+        # bloom_dedup is EXACT by construction, so the oracle is the
+        # plain anti-join the Bloom path must equal
+        "bloom_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://s' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.ex/p/' || CAST(doc_id % 250 AS VARCHAR) AS url
+              FROM documents
+            ),
+            idx AS (SELECT url FROM u WHERE doc_id % 5 < 3),
+            b AS (SELECT doc_id, url FROM u WHERE doc_id % 5 >= 2)
+            SELECT b.doc_id, b.url FROM b
+            WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.url = b.url)
+        """,
+        # the sketch pass only proposes candidates; the result is the
+        # exact GROUP BY / HAVING / top-k, replayed here directly
+        "heavy_hitters": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            t AS (SELECT unnest(ts) AS tok FROM toks),
+            tot AS (SELECT count(*) AS n FROM t)
+            SELECT tok AS value, count(*)::BIGINT AS cnt,
+                   round(count(*)::DOUBLE / any_value(n), 6) AS share
+            FROM t, tot GROUP BY tok
+            HAVING count(*) > 0.005 * any_value(n)
+            ORDER BY cnt DESC, value ASC LIMIT 30
+        """,
+        "domain_blocklist": """
+            WITH u AS (
+              SELECT doc_id,
+                     'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     'h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.site' || CAST(doc_id % 5 AS VARCHAR)
+                       || '.com' AS host
+              FROM documents
+            )
+            SELECT doc_id, url FROM u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM (VALUES ('site0.com'), ('site3.com'),
+                                    ('h7.site1.com')) b(d)
+              WHERE u.host = b.d OR u.host LIKE '%.' || b.d
+            )
+        """,
+        # fixture groups share EXACT pixels (same closed-form raster,
+        # three codecs), and the measured min cross-group dHash
+        # distance is 6 > radius 2 — so the pair set is pure doc_id
+        # arithmetic and every true pair has hamming 0
+        "image_phash_dedup": """
+            WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 90)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM m a JOIN m b
+              ON a.doc_id < b.doc_id
+             AND (a.doc_id // 3) % 15 = (b.doc_id // 3) % 15
+        """,
         "ineq_lt_balances": """
             SELECT c.*, s.* FROM customer c JOIN supplier s
             ON c.c_acctbal < s.s_acctbal
