@@ -241,6 +241,10 @@ def main():
         # r6 (late, 3rd session) additions
         "boilerplate_lines",
         "bpe_tokens",
+        "bloom_dedup",
+        "heavy_hitters",
+        "domain_blocklist",
+        "image_phash_dedup",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -106,13 +106,45 @@ def test_precomputed_words_reused(spark):
     assert {"__bloom_m", "__bloom_k"} <= set(words.columns)
 
 
-def test_probe_join_is_broadcast(spark):
+def test_join_path_probe_is_broadcast(spark):
+    # bitmap_max_mb=0 forces the distributed word-table strategy
     index = spark.range(0, 2000).select(F.col("id").alias("k"))
     batch = spark.range(1000, 3000).select(F.col("id").alias("k"))
-    out = bloom_dedup(batch, index, "k")
+    out = bloom_dedup(batch, index, "k", bitmap_max_mb=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the word-table probe must be a broadcast hash join, not a shuffle
     assert "BroadcastHashJoin" in plan
+    assert out.count() == 1000
+
+
+def test_bitmap_and_join_paths_agree(spark):
+    index = spark.range(0, 1500).select(
+        F.concat(F.lit("x"), (F.col("id") * 2).cast("string")).alias("k")
+    )
+    batch = spark.range(0, 1000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("k"),
+    )
+    bitmap = bloom_dedup(batch, index, "k")  # default: bitmap broadcast
+    joined = bloom_dedup(batch, index, "k", bitmap_max_mb=0)
+    want = _anti(batch, index, "k")
+    assert (
+        _rows(bitmap, ["rid", "k"])
+        == _rows(joined, ["rid", "k"])
+        == _rows(want, ["rid", "k"])
+    )
+
+
+def test_bitmap_path_bloom_phase_is_map_only(spark):
+    # the fresh branch must contain no shuffle before the union: filter
+    # on the membership UDF only (the verification join is the single
+    # exchange in the whole plan's maybe branch)
+    index = spark.range(0, 5000).select(F.col("id").alias("k"))
+    batch = spark.range(0, 1000).select((F.col("id") + 10_000).alias("k"))
+    out = bloom_dedup(batch, index, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no aggregate/distinct anywhere in the bitmap strategy
+    assert "HashAggregate" not in plan
     assert out.count() == 1000
 
 
