@@ -2133,6 +2133,20 @@ def _q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(media, max_hamming=2)
 
 
+def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (functions/split.py
+    shuffle_shards): every doc gets a (shard, pos) address from the
+    portable md5 permutation — reproducible across engines and
+    partitionings, unlike orderBy(rand()).  One shuffle (per-shard
+    rank window, reducers bounded by N/n_shards).  The oracle replays
+    the exact permutation: same md5, same bucket arithmetic, same
+    within-shard rank."""
+    from pandance_spark.functions.split import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parity operators
@@ -2260,10 +2274,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # seven entries that have been green for 3 straight rounds
         # (r1-r3) are rotated past it — they keep their oracle_sql and
         # stay in the local multi-sf gate, which checks ALL entries.
-        "q3_shipping": _q_q3_shipping,
+        # r6 (3rd session): q3_shipping (2 driver greens) rotated out
+        # for the new shuffle_shards — TPC-H keeps q6/q13/q16/q18
+        "shuffle_shards": _q_shuffle_shards,
         # r6 (late): q5_local_supplier (2 driver greens, r4-r5)
         # rotated out for corpus_report — the multi-join TPC-H family
-        # keeps q3/q13/q16/q18 in-window
+        # keeps q13/q16/q18 in-window
         "corpus_report": _q_corpus_report,
         # r6 (late): scd2_user_status (2 driver greens, r4-r5)
         # rotated out for the new zorder_cluster — the SCD2 family
@@ -2318,6 +2334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_gt_strings": _q_ineq_gt_strings,
         "fuzzy_numeric": _q_fuzzy_numeric,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
+        # r6 (3rd session): q3_shipping (2 driver greens) rotated here
+        # for the new shuffle_shards — TPC-H §2.3 coverage stays via
+        # q6/q13/q16/q18 in-window
+        "q3_shipping": _q_q3_shipping,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
@@ -2590,6 +2610,26 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b
               ON a.doc_id < b.doc_id
              AND (a.doc_id // 3) % 15 = (b.doc_id // 3) % 15
+        """,
+        # the md5 permutation replayed exactly: same hash string, same
+        # first-8-hex bucket, same within-shard rank + tie-break
+        "shuffle_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, hx,
+                     CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 8
+                          AS INT) AS shard
+              FROM h
+            )
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY shard ORDER BY hx, doc_id) - 1
+                     AS BIGINT) AS pos
+            FROM s
         """,
         "ineq_lt_balances": """
             SELECT c.*, s.* FROM customer c JOIN supplier s

@@ -245,6 +245,7 @@ def main():
         "heavy_hitters",
         "domain_blocklist",
         "image_phash_dedup",
+        "shuffle_shards",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "hash_split_bucket",
@@ -27,6 +28,7 @@ __all__ = [
     "temperature_sample",
     "exact_sample",
     "epoch_mixture",
+    "shuffle_shards",
 ]
 
 
@@ -388,3 +390,44 @@ def epoch_mixture(
         )
         .drop("__copies")
     )
+
+
+def shuffle_shards(df, key_col: str, n_shards: int, seed: int = 42):
+    """Deterministic GLOBAL training-order shuffle: every row gets a
+    ``(shard, pos)`` address that is a pure function of its key — the
+    "shuffle the corpus before training" step, reproducible across
+    runs, engines, cluster sizes and partitionings (``orderBy(rand())``
+    is none of those).
+
+    ``shard`` is the first-8-hex md5 bucket of ``seed:key`` mod
+    ``n_shards`` (balanced in expectation); ``pos`` is the row's
+    0-based rank WITHIN its shard ordered by the full md5 hex (key as
+    tie-break).  Reading shards in index order, each sorted by pos,
+    replays one fixed pseudo-random permutation of the corpus.
+
+    Scale plan: ONE shuffle (the per-shard rank window).  A single
+    global rank would serialize on one reducer; per-shard ranking
+    keeps every reducer at ~N/n_shards rows — ``n_shards`` is the
+    parallelism knob, so pick it to make a shard fit a task (training
+    shards want that anyway).  To materialize:
+    ``out.repartition("shard").sortWithinPartitions("pos")`` then
+    ``partitionBy("shard")`` on write.
+
+    NULL keys hash as the empty string (deterministic, never dropped).
+    The md5 order is portable — the DuckDB oracle replays the exact
+    permutation.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ks = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    h = F.md5(F.concat(F.lit(f"{seed}:"), ks))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    out = df.withColumn("__ss_h", h).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__ss_h").asc(), F.col(key_col).asc_nulls_first()
+    )
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__ss_h")

@@ -338,3 +338,43 @@ def test_epoch_mixture_null_key_keeps_floor_copies(spark):
     out = epoch_mixture(df, "dom", "k", {"a": 2.5}).collect()
     null_rows = [r for r in out if r["k"] is None]
     assert sorted(r["epoch"] for r in null_rows) == [1, 2]  # floor(2.5)
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    from pandance_spark.functions.split import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    a = shuffle_shards(df, "doc_id", 8)
+    b = shuffle_shards(df.repartition(13), "doc_id", 8)  # partitioning-proof
+    rows_a = sorted((r["doc_id"], r["shard"], r["pos"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["shard"], r["pos"]) for r in b.collect())
+    assert rows_a == rows_b
+    # per-shard positions are a compact 0..n_s-1 range
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for _, s, p in rows_a:
+        by_shard[s].append(p)
+    assert set(by_shard) == set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # balanced-ish: no shard has more than 3x the mean
+    assert max(len(p) for p in by_shard.values()) < 3 * 400 / 8
+    # the order is actually shuffled, not key order
+    shard0 = [d for d, s, _ in rows_a if s == 0]
+    in_pos_order = [
+        d for d, s, p in sorted(rows_a, key=lambda t: t[2]) if s == 0
+    ]
+    assert shard0 != in_pos_order or len(shard0) <= 1
+
+
+def test_shuffle_shards_null_key_kept(spark):
+    from pandance_spark.functions.split import shuffle_shards
+
+    df = spark.createDataFrame([(1,), (None,)], "k int")
+    out = shuffle_shards(df, "k", 4).collect()
+    assert len(out) == 2 and all(r["pos"] is not None for r in out)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shuffle_shards(df, "k", 0)
