@@ -34,6 +34,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_dedup",
     "streaming_url_dedup",
+    "streaming_bloom_dedup",
     "sessionize_stream",
     "running_user_stats",
     "streaming_near_dup_filter",
@@ -172,6 +173,46 @@ def streaming_url_dedup(
         pages.withColumn("url_norm", normalize_url(F.col(url_col)))
         .withWatermark(event_time_col, watermark)
         .dropDuplicatesWithinWatermark(["url_norm"])
+    )
+
+
+def streaming_bloom_dedup(
+    stream: DataFrame,
+    index: DataFrame,
+    on,
+    fpp: float = 0.01,
+    expected_items=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Stateless streaming novelty filter against a STATIC seen-index,
+    Bloom-pruned and EXACT — ``operators.bloom.bloom_dedup`` run on a
+    stream: the other half of continuous crawl-frontier dedup.
+    ``streaming_url_dedup`` drops repeats WITHIN the stream's
+    watermark horizon; this op drops what the historical corpus has
+    already seen, however old.
+
+    Per micro-batch: the map-only bitmap membership UDF (broadcast
+    once at query start, m/8 bytes bounded by filter geometry) splits
+    rows into definitely-new — forwarded with ZERO joins, the
+    overwhelming majority of a typical batch — and Bloom-positive,
+    which a stream-static LEFT ANTI join verifies against the
+    authoritative index.  Both branches are stateless (no state
+    store, no watermark), so append-mode semantics are exactly the
+    batch operator's, micro-batch by micro-batch: replaying the whole
+    stream equals one plain anti-join, which is what the parity
+    harness checks against DuckDB.
+
+    The index is static for the query's lifetime — after appending
+    the day's novel keys to the index, restart the query to rebuild
+    the bitmap (same static-side contract as
+    ``streaming_near_dup_filter``; the restart is also when you'd
+    compact the index anyway).  NULL keys never match and always pass
+    through, same as the batch anti-join.
+    """
+    from pandance_spark.operators.bloom import bloom_dedup
+
+    return bloom_dedup(
+        stream, index, on, fpp=fpp, expected_items=expected_items, seed=seed
     )
 
 

@@ -542,6 +542,43 @@ def main():
     record("streaming_url_dedup", "duckdb", s9, b9, d9,
            note="canonical-URL key set == batch normalize+distinct == closed form")
 
+    # ------------------------------------------------------------------
+    # 10. streaming_bloom_dedup: stateless novelty filter vs a static
+    # seen-index — EXACT anti-join semantics per micro-batch, so the
+    # full replay equals one batch anti-join equals the DuckDB anti
+    # join (per-ROW semantics: duplicate stream keys both pass when
+    # novel; the bitmap only prunes, never decides)
+    # ------------------------------------------------------------------
+    from pandance_spark.streaming import streaming_bloom_dedup
+
+    key_expr = F.concat(F.lit("e"), (F.col("event_id") % 800).cast("string"))
+    bloom_index = spark.range(400).selectExpr("concat('e', id) AS key")
+    stream = read_events_stream(spark, SF_DIR).withColumn("key", key_expr)
+    run_stream_to_memory(
+        streaming_bloom_dedup(
+            stream.select("event_id", "key"), bloom_index, "key"
+        ),
+        "parity_bloom_dedup",
+    )
+    cols10 = ["event_id", "key"]
+    s10 = canon_rows(spark.table("parity_bloom_dedup").collect(), cols10)
+    b10 = canon_rows(
+        ev_batch.withColumn("key", key_expr)
+        .select("event_id", "key")
+        .join(bloom_index, "key", "left_anti")
+        .collect(),
+        cols10,
+    )
+    d10 = canon_rows(
+        duck_rows(con.sql(
+            "SELECT event_id, 'e' || CAST(event_id % 800 AS VARCHAR) AS key "
+            "FROM events WHERE event_id % 800 >= 400"
+        )),
+        cols10,
+    )
+    record("streaming_bloom_dedup", "duckdb", s10, b10, d10,
+           note="stream replay == batch anti-join == closed-form anti join")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

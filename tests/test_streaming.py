@@ -496,3 +496,41 @@ def test_streaming_url_dedup_key_set(spark, sf_dir):
         .collect()
     )
     assert got == exp and len(got) == 7  # variants collapse to 7 pages
+
+
+def test_streaming_bloom_dedup_exact(spark, tmp_path):
+    from pandance_spark.streaming import streaming_bloom_dedup
+
+    # static seen-index: keys k0..k199; stream re-sees k0..k49 plus
+    # 50 novel keys, split across two files (two micro-batches)
+    index = spark.range(200).selectExpr("concat('k', id) AS key")
+    rows1 = [(i, f"k{i}") for i in range(30)] + [
+        (100 + i, f"new{i}") for i in range(20)
+    ]
+    rows2 = [(i, f"k{i}") for i in range(30, 50)] + [
+        (200 + i, f"new{20 + i}") for i in range(30)
+    ]
+    in_dir = str(tmp_path / "stream_in")
+    spark.createDataFrame(rows1, "rid long, key string").coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, "rid long, key string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema("rid long, key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    kept = streaming_bloom_dedup(stream, index, "key")
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("bloom_kept")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        r["key"] for r in spark.sql("SELECT key FROM bloom_kept").collect()
+    )
+    assert got == sorted(f"new{i}" for i in range(50))
