@@ -15,11 +15,22 @@ def entrymod():
     return importlib.import_module("__spark_entry__")
 
 
+# queries ALLOWED to ship without a DuckDB oracle (driver records a
+# weaker rows-only check) — each needs a reason here, and the set must
+# stay exact so a forgotten oracle can't hide behind the allowance:
+#   bpe_tokens: iterative Sennrich merge learning is not expressible
+#   in one SQL statement; parity is pinned instead vs a pure-Python
+#   in-order replay + Hypothesis properties (tests/test_bpe.py)
+ROWS_ONLY = {"bpe_tokens"}
+
+
 def test_every_query_has_an_oracle(entrymod):
     qs = set(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
     assert oracles - qs == set(), "oracle without a query"
-    assert qs - oracles == set(), "query without an oracle (rows-only)"
+    assert qs - oracles == ROWS_ONLY, (
+        "query without an oracle beyond the documented rows-only set"
+    )
 
 
 def test_entry_runs_and_returns_rows(spark, entrymod):
