@@ -2147,6 +2147,43 @@ def _q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, "doc_id", n_shards=8)
 
 
+def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio activity segmentation (operators/
+    multimodal.py audio_segments): frame the PCM stream, integer
+    cross-multiplied activity threshold, gaps-and-islands run merge —
+    ALL inside the decode mapInPandas stage, so a 100 TB audio corpus
+    segments with zero shuffles and only segment rows leaving the
+    stage.  The fixture packs gated WAVs (pack_wav_gated: alternating
+    silence/sawtooth blocks in closed form), so the oracle recomputes
+    per-frame energies, the threshold and the islands from doc_id
+    arithmetic alone — segmentation verified end-to-end through a
+    real RIFF decode."""
+    from pandance_spark.operators.multimodal import (
+        audio_segments,
+        pack_wav_gated,
+    )
+
+    docs = spread_partitions(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    )
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda d: pack_wav_gated(
+                800 + (int(d) % 5) * 160, 16000, int(d) * 7, 400
+            )
+        )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        _pack(F.col("doc_id")).alias("payload"),
+    )
+    return audio_segments(
+        media, frame_samples=200, threshold=5000, min_frames=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # parity operators
@@ -2285,7 +2322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out for the new zorder_cluster — the SCD2 family
         # keeps scd2_apply_late in-window
         "zorder_cluster": _q_zorder_cluster,
-        "q6_forecast": _q_q6_forecast,
+        # r6 (3rd session): q6_forecast (2 driver greens) rotated out
+        # for the new audio_segments — TPC-H keeps q13/q16/q18
+        "audio_segments": _q_audio_segments,
         # r5 rotations IN: the five entries flagged by the r4 verdict as
         # never driver-verified, plus the new scd2_apply_late
         "q13_custdist": _q_q13_custdist,
@@ -2334,10 +2373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_gt_strings": _q_ineq_gt_strings,
         "fuzzy_numeric": _q_fuzzy_numeric,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
-        # r6 (3rd session): q3_shipping (2 driver greens) rotated here
-        # for the new shuffle_shards — TPC-H §2.3 coverage stays via
-        # q6/q13/q16/q18 in-window
+        # r6 (3rd session): q3_shipping + q6_forecast (2 driver greens
+        # each) rotated here for the new shuffle_shards +
+        # audio_segments — TPC-H §2.3 coverage stays via q13/q16/q18
         "q3_shipping": _q_q3_shipping,
+        "q6_forecast": _q_q6_forecast,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
@@ -2610,6 +2650,58 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b
               ON a.doc_id < b.doc_id
              AND (a.doc_id // 3) % 15 = (b.doc_id // 3) % 15
+        """,
+        # the gated-WAV closed form replayed sample-by-sample: per-frame
+        # energies, the integer cross-multiplied threshold, and the
+        # islands run-merge — verifies the RIFF decode AND the
+        # segmentation end-to-end
+        "audio_segments": """
+            WITH d AS (
+              SELECT doc_id AS media_id,
+                     800 + (doc_id % 5) * 160 AS ns,
+                     doc_id * 7 AS seed
+              FROM documents WHERE doc_id < 120
+            ),
+            s AS (
+              SELECT media_id, seed,
+                     unnest(generate_series(0, ns - 1)) AS i
+              FROM d
+            ),
+            v AS (
+              SELECT media_id, i,
+                     CASE WHEN (i // 400) % 2 = 0 THEN 0
+                          ELSE abs(((seed + 11 * i) % 65536) - 32768)
+                     END AS a
+              FROM s
+            ),
+            f AS (
+              SELECT media_id, i // 200 AS frame,
+                     sum(a) AS fsum, count(*) AS fcount
+              FROM v GROUP BY 1, 2
+            ),
+            act AS (
+              SELECT media_id, frame, fsum
+              FROM f WHERE fsum > 5000 * fcount
+            ),
+            isl AS (
+              SELECT media_id, frame, fsum,
+                     frame - row_number() OVER (
+                       PARTITION BY media_id ORDER BY frame) AS grp
+              FROM act
+            ),
+            seg AS (
+              SELECT media_id, min(frame) AS start_frame,
+                     count(*) AS n_frames, sum(fsum) AS energy
+              FROM isl GROUP BY media_id, grp
+            )
+            SELECT media_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY media_id ORDER BY start_frame) - 1
+                     AS INT) AS seg_idx,
+                   CAST(start_frame AS BIGINT) AS start_frame,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(energy AS BIGINT) AS energy
+            FROM seg
         """,
         # the md5 permutation replayed exactly: same hash string, same
         # first-8-hex bucket, same within-shard rank + tie-break

@@ -246,6 +246,7 @@ def main():
         "domain_blocklist",
         "image_phash_dedup",
         "shuffle_shards",
+        "audio_segments",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

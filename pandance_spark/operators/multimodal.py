@@ -64,6 +64,8 @@ __all__ = [
     "pack_mp4_video",
     "media_metadata",
     "decode_audio",
+    "pack_wav_gated",
+    "audio_segments",
     "pack_avi_video",
     "sample_frames_video",
     "attach_binary_payload",
@@ -1753,6 +1755,138 @@ def pack_wav_audio(
         + struct.pack("<I", len(data))
     )
     return header + data
+
+
+def pack_wav_gated(
+    n_samples: int,
+    sample_rate: int,
+    seed: int,
+    gate_period: int,
+    n_channels: int = 1,
+) -> bytes:
+    """Deterministic WAV with alternating SILENCE / ACTIVITY blocks:
+    interleaved sample ``i`` is 0 when ``(i // gate_period) % 2 == 0``,
+    else the :func:`pack_wav_audio` sawtooth ``((seed + 11*i) % 65536)
+    - 32768``.  The closed form lets an independent engine recompute
+    per-frame energies and the segmentation itself — the fixture for
+    :func:`audio_segments`' driver oracle."""
+    total = n_samples * n_channels
+    i = np.arange(total, dtype=np.int64)
+    base = ((seed + 11 * i) % 65536) - 32768
+    pcm = np.where((i // gate_period) % 2 == 0, 0, base).astype("<i2")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
+            n_channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def audio_segments(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_samples: int = 400,
+    threshold: int = 1000,
+    min_frames: int = 1,
+) -> DataFrame:
+    """Energy-based activity segmentation over PCM WAV payloads — the
+    VAD-shaped pass an audio corpus pipeline runs before transcription
+    or silence trimming: split each clip into frames of
+    ``frame_samples`` per-channel samples, mark a frame ACTIVE when
+    its mean |sample| exceeds ``threshold`` (integer cross-multiplied:
+    ``sum|s| > threshold * values_in_frame`` — no float anywhere, so
+    results are bit-identical across engines), and emit one row per
+    maximal run of >= ``min_frames`` active frames.
+
+    Output: the input columns minus the payload, plus
+    ``(seg_idx, start_frame, n_frames, energy)`` — ``energy`` the
+    exact integer sum of |sample| over the segment, ``seg_idx``
+    0-based per clip in time order.  Undecodable payloads emit no
+    rows (filter them upstream with ``decode_audio``'s ``ok`` if the
+    distinction matters).
+
+    Scale shape: MAP-ONLY — framing, thresholding and the
+    gaps-and-islands run detection all happen in numpy inside the
+    same ``mapInPandas`` Arrow stage that decodes the payload, so a
+    100 TB audio corpus segments with zero shuffles and only
+    segment-sized rows (never frames, never samples) leave the stage.
+    The last partial frame uses its true sample count in the
+    threshold comparison.
+    """
+    if frame_samples < 1:
+        raise ValueError("frame_samples must be >= 1")
+    if min_frames < 1:
+        raise ValueError("min_frames must be >= 1")
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("seg_idx", T.IntegerType(), False),
+            T.StructField("start_frame", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                raw = bytes(payload) if payload is not None else b""
+                parsed = _parse_wav(raw)
+                if parsed is None:
+                    continue
+                _rate, n_ch, samples = parsed
+                if samples.size == 0:
+                    continue
+                absS = np.abs(samples.astype(np.int64)).sum(axis=1)
+                n = len(absS)
+                n_frames = (n + frame_samples - 1) // frame_samples
+                pad = n_frames * frame_samples - n
+                padded = np.pad(absS, (0, pad))
+                fsum = padded.reshape(n_frames, frame_samples).sum(axis=1)
+                fcount = np.full(n_frames, frame_samples, dtype=np.int64)
+                if pad:
+                    fcount[-1] = frame_samples - pad
+                active = fsum > threshold * fcount * n_ch
+                if not active.any():
+                    continue
+                # islands: starts where active rises, ends where it falls
+                d = np.diff(active.astype(np.int8), prepend=0, append=0)
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)  # exclusive
+                csum = np.concatenate(([0], np.cumsum(fsum)))
+                seg_idx = 0
+                for s, e in zip(starts, ends):
+                    if e - s < min_frames:
+                        continue
+                    out_rows.append(
+                        tuple(row[c] for c in keep_names)
+                        + (
+                            seg_idx,
+                            int(s),
+                            int(e - s),
+                            int(csum[e] - csum[s]),
+                        )
+                    )
+                    seg_idx += 1
+            yield pd.DataFrame(
+                out_rows,
+                columns=keep_names
+                + ["seg_idx", "start_frame", "n_frames", "energy"],
+            )
+
+    return df.mapInPandas(_segment, out_schema)
 
 
 def _parse_wav(raw: bytes):

@@ -853,3 +853,72 @@ def test_image_near_dup_cross_format_and_perturbed(spark):
     assert out[(0, 1)] == 0
     assert (0, 2) in out and out[(0, 2)] <= 4
     assert not any(3 in p or 4 in p for p in out)
+
+
+def test_audio_segments_gated_pattern(spark):
+    import numpy as np
+    from pandance_spark.operators.multimodal import (
+        audio_segments,
+        pack_wav_gated,
+    )
+
+    # 1600 mono samples, gate 400: [sil 400][act 400][sil 400][act 400]
+    # frame 400 -> frames 0,2 silent; 1,3 active
+    wav = pack_wav_gated(1600, 16000, seed=5, gate_period=400)
+    df = spark.createDataFrame([(1, wav)], "media_id long, payload binary")
+    segs = sorted(
+        (r["seg_idx"], r["start_frame"], r["n_frames"], r["energy"])
+        for r in audio_segments(
+            df, frame_samples=400, threshold=1000
+        ).collect()
+    )
+    i = np.arange(1600, dtype=np.int64)
+    base = np.abs(((5 + 11 * i) % 65536) - 32768)
+    act = np.where((i // 400) % 2 == 1, base, 0)
+    e1, e3 = int(act[400:800].sum()), int(act[1200:1600].sum())
+    assert segs == [(0, 1, 1, e1), (1, 3, 1, e3)]
+    # min_frames=2 filters the single-frame runs out
+    assert (
+        audio_segments(df, frame_samples=400, threshold=1000, min_frames=2)
+        .count()
+        == 0
+    )
+    # frame 200 merges each active block into a 2-frame run
+    segs2 = sorted(
+        (r["seg_idx"], r["start_frame"], r["n_frames"])
+        for r in audio_segments(
+            df, frame_samples=200, threshold=1000, min_frames=2
+        ).collect()
+    )
+    assert segs2 == [(0, 2, 2), (1, 6, 2)]
+
+
+def test_audio_segments_partial_frame_and_corrupt(spark):
+    from pandance_spark.operators.multimodal import (
+        audio_segments,
+        pack_wav_gated,
+    )
+
+    # 1000 samples, gate 400: f0 sil, f1 act, f2 (200 samples) sil
+    wav = pack_wav_gated(1000, 8000, seed=9, gate_period=400)
+    rows = [(1, wav), (2, b"not audio")]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = audio_segments(df, frame_samples=400, threshold=1000).collect()
+    assert [(r["media_id"], r["seg_idx"], r["start_frame"], r["n_frames"])
+            for r in got] == [(1, 0, 1, 1)]
+
+
+def test_audio_segments_stereo(spark):
+    from pandance_spark.operators.multimodal import (
+        audio_segments,
+        pack_wav_gated,
+    )
+
+    # stereo: gate on the interleaved index, 800 per-channel samples
+    wav = pack_wav_gated(800, 16000, seed=3, gate_period=400, n_channels=2)
+    df = spark.createDataFrame([(7, wav)], "media_id long, payload binary")
+    got = audio_segments(df, frame_samples=200, threshold=1000).collect()
+    # interleaved 1600 values: [sil 400][act 400][sil 400][act 400]
+    # = per-channel rows [sil 200][act 200][sil 200][act 200]
+    assert sorted((r["seg_idx"], r["start_frame"], r["n_frames"])
+                  for r in got) == [(0, 1, 1), (1, 3, 1)]
