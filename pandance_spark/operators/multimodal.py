@@ -1729,19 +1729,15 @@ def media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(_probe, out_schema)
 
 
-def pack_wav_audio(
-    n_samples: int, sample_rate: int, seed: int, n_channels: int = 1
-) -> bytes:
-    """Deterministic 16-bit PCM WAV payload (standard 44-byte RIFF
-    header): sample ``i`` (interleaved across channels) is
-    ``((seed + 11*i) % 65536) - 32768`` — a closed form an independent
-    engine can recompute without a codec, mirroring
-    :func:`pack_ppm_image`."""
-    total = n_samples * n_channels
-    pcm = (
-        ((seed + 11 * np.arange(total, dtype=np.int64)) % 65536) - 32768
-    ).astype("<i2")
-    data = pcm.tobytes()
+def _wav_sawtooth(total: int, seed: int) -> np.ndarray:
+    """The packers' shared closed-form signal: interleaved sample i is
+    ((seed + 11*i) % 65536) - 32768."""
+    return ((seed + 11 * np.arange(total, dtype=np.int64)) % 65536) - 32768
+
+
+def _wav_wrap(pcm: np.ndarray, sample_rate: int, n_channels: int) -> bytes:
+    """Standard 44-byte RIFF/WAVE header around int16 PCM."""
+    data = pcm.astype("<i2").tobytes()
     byte_rate = sample_rate * n_channels * 2
     header = (
         b"RIFF"
@@ -1755,6 +1751,19 @@ def pack_wav_audio(
         + struct.pack("<I", len(data))
     )
     return header + data
+
+
+def pack_wav_audio(
+    n_samples: int, sample_rate: int, seed: int, n_channels: int = 1
+) -> bytes:
+    """Deterministic 16-bit PCM WAV payload (standard 44-byte RIFF
+    header): sample ``i`` (interleaved across channels) is
+    ``((seed + 11*i) % 65536) - 32768`` — a closed form an independent
+    engine can recompute without a codec, mirroring
+    :func:`pack_ppm_image`."""
+    return _wav_wrap(
+        _wav_sawtooth(n_samples * n_channels, seed), sample_rate, n_channels
+    )
 
 
 def pack_wav_gated(
@@ -1772,22 +1781,10 @@ def pack_wav_gated(
     :func:`audio_segments`' driver oracle."""
     total = n_samples * n_channels
     i = np.arange(total, dtype=np.int64)
-    base = ((seed + 11 * i) % 65536) - 32768
-    pcm = np.where((i // gate_period) % 2 == 0, 0, base).astype("<i2")
-    data = pcm.tobytes()
-    byte_rate = sample_rate * n_channels * 2
-    header = (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(data))
-        + b"WAVEfmt "
-        + struct.pack(
-            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
-            n_channels * 2, 16,
-        )
-        + b"data"
-        + struct.pack("<I", len(data))
+    pcm = np.where(
+        (i // gate_period) % 2 == 0, 0, _wav_sawtooth(total, seed)
     )
-    return header + data
+    return _wav_wrap(pcm, sample_rate, n_channels)
 
 
 def audio_segments(
@@ -1840,8 +1837,11 @@ def audio_segments(
     def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            # column-wise zip, not iterrows: no per-row object-dtype
+            # Series in the hot decode loop (same idiom as the sibling
+            # decoders in this file)
+            keep_vals = [pdf[c] for c in keep_names]
+            for payload, *kept in zip(pdf[payload_col], *keep_vals):
                 raw = bytes(payload) if payload is not None else b""
                 parsed = _parse_wav(raw)
                 if parsed is None:
@@ -1871,7 +1871,7 @@ def audio_segments(
                     if e - s < min_frames:
                         continue
                     out_rows.append(
-                        tuple(row[c] for c in keep_names)
+                        tuple(kept)
                         + (
                             seg_idx,
                             int(s),
