@@ -1855,6 +1855,22 @@ def _q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substrings(synth, "sid", "text", min_tokens=20)
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (functions/dsir.py — Xie et al.
+    arXiv:2302.03169): top-100 raw documents whose hashed uni+bigram
+    distribution is closest to the English-target distribution, by
+    integer-micro-unit importance log-ratio.  Two bucket-count aggs,
+    one broadcast weight table, one map-side-combined score groupBy —
+    the corpus never rides through the explode.  Scores are exact
+    integer sums, so the DuckDB replay matches bit-for-bit."""
+    from pandance_spark.functions.dsir import dsir_select
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    target = docs.filter(F.col("lang") == "en")
+    picked = dsir_select(docs, target, "text", "doc_id", k=100, buckets=1024)
+    return picked.select("doc_id", "lang", "source", "score_micro")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (functions/text.py
     hashed_quality_score — the fastText/CCNet-shaped filter as a pure
@@ -2196,7 +2212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 (late): ineq_band_strings (green r2-r5) rotated out for
         # the new unicode_clean — the string-cut machinery keeps
         # in-window rows via ineq_gt_strings + ineq_band_autoskew
-        "ineq_band_skewed": _q_ineq_band_skewed,
+        # r6 (4th session): ineq_band_skewed (green r2-r5, 4 rounds)
+        # rotated out for the new dsir_select — the band-join skew
+        # machinery keeps ineq_band_autoskew in-window (same kernel,
+        # plus the salting path)
+        "dsir_select": _q_dsir_select,
         # r6: right-side hot key -> cut-collapse-detected salted band
         # join — new in window this round
         "ineq_band_autoskew": _q_ineq_band_autoskew,
@@ -2362,6 +2382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # here after FIVE straight green driver rounds r1-r5 (the most
         # stable entries in the suite) to free window slots for
         # boilerplate_lines + bpe_tokens
+        # r6 (4th session): ineq_band_skewed rotated here after FOUR
+        # straight green driver rounds r2-r5 to free a window slot for
+        # dsir_select
+        "ineq_band_skewed": _q_ineq_band_skewed,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3830,6 +3854,56 @@ ORDER BY doc_id
         """,
         # integer weight sums (bucket/weight arithmetic all int64) make
         # the score exact in both engines before the one float sigmoid
+        # DSIR replayed exactly: same tokenization, same uni+bigram
+        # features, same md5 bucket, same add-one integer-ratio ln
+        # snapped to micro-units per bucket, same integer score sums,
+        # same (score desc, doc_id asc) top-100 cut
+        "dsir_select": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            feats AS (
+              SELECT doc_id,
+                     ts || (CASE WHEN len(ts) < 2 THEN []
+                            ELSE [array_to_string(list_slice(ts, i, i+1), ' ')
+                                  for i in range(1, len(ts))] END) AS fs
+              FROM toks
+            ),
+            fb AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(f), 1, 8) AS BIGINT) % 1024
+                       AS bucket
+              FROM feats, unnest(fs) AS u(f)
+            ),
+            t AS (
+              SELECT bucket, count(*) AS t_cnt
+              FROM fb JOIN documents USING (doc_id)
+              WHERE lang = 'en' GROUP BY 1
+            ),
+            r AS (SELECT bucket, count(*) AS r_cnt FROM fb GROUP BY 1),
+            w AS (
+              SELECT coalesce(t.bucket, r.bucket) AS bucket,
+                     CAST(round(1e6 * ln(
+                       ((coalesce(t_cnt, 0) + 1)
+                         * ((SELECT coalesce(sum(r_cnt), 0) FROM r) + 1024))::DOUBLE
+                       / ((coalesce(r_cnt, 0) + 1)
+                         * ((SELECT coalesce(sum(t_cnt), 0) FROM t) + 1024))::DOUBLE
+                     )) AS BIGINT) AS w_micro
+              FROM t FULL OUTER JOIN r ON t.bucket = r.bucket
+            ),
+            s AS (
+              SELECT fb.doc_id, sum(w.w_micro) AS score_micro
+              FROM fb JOIN w USING (bucket) GROUP BY 1
+            ),
+            s2 AS (
+              SELECT d.doc_id, coalesce(s.score_micro, 0) AS score_micro
+              FROM documents d LEFT JOIN s USING (doc_id)
+            ),
+            top AS (
+              SELECT doc_id, score_micro FROM s2
+              ORDER BY score_micro DESC, doc_id ASC LIMIT 100
+            )
+            SELECT d.doc_id, d.lang, d.source, top.score_micro
+            FROM documents d JOIN top USING (doc_id)
+        """,
         "quality_classifier": """
             WITH toks AS (
               SELECT doc_id,

@@ -247,6 +247,8 @@ def main():
         "image_phash_dedup",
         "shuffle_shards",
         "audio_segments",
+        # r6 (4th session) additions
+        "dsir_select",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -4,6 +4,12 @@ from pandance_spark.functions.lm import (
     lm_cross_entropy_bigram,
     unigram_counts,
 )
+from pandance_spark.functions.dsir import (
+    dsir_scores,
+    dsir_select,
+    dsir_weights,
+    hashed_feature_counts,
+)
 from pandance_spark.functions.ranking import bm25_topk
 from pandance_spark.functions.split import (
     cap_per_group,
@@ -33,6 +39,10 @@ from pandance_spark.functions.vectors import (
 
 __all__ = [
     "bm25_topk",
+    "dsir_scores",
+    "dsir_select",
+    "dsir_weights",
+    "hashed_feature_counts",
     "bigram_counts",
     "lm_cross_entropy",
     "lm_cross_entropy_bigram",

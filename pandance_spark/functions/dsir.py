@@ -1,0 +1,191 @@
+"""Data Selection with Importance Resampling (DSIR).
+
+Extension surface (SURVEY.md §2.4 — training-data pipeline).  DSIR
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", arXiv:2302.03169) selects raw-corpus documents whose
+hashed n-gram distribution looks like a small trusted TARGET corpus:
+estimate bucketed feature distributions p (target) and q (raw), score
+each raw document by its importance log-ratio sum
+
+    log w(x) = sum over features f in x of  [ log p(f) - log q(f) ]
+
+and keep the top-weighted (or Gumbel-resampled) documents.  It is the
+published, widely replicated recipe for "give me web data shaped like
+Wikipedia/books" and slots in front of the quality classifier
+(functions/text.py hashed_quality_score) in a curation pipeline.  The
+reference engine has no analog (pandance is joins-only); this is pure
+extension surface.
+
+Spark-first shape
+-----------------
+Both distribution estimates are ONE tokenize projection + explode +
+hash aggregation with map-side partial combine — the shuffle carries
+at most ``buckets`` partial counts per input partition, never raw
+tokens.  The weight table is ``buckets`` rows (fits in a broadcast at
+any corpus size — the whole point of feature hashing), joined
+broadcast onto the exploded raw corpus; per-document scores come from
+one groupBy(id) whose map-side combine collapses each document's
+features inside its own partition (explode preserves row locality),
+so the score shuffle carries exactly one row per document.  Selection
+is ``TakeOrderedAndProject`` (top-k without a global sort).
+
+Determinism / oracle
+--------------------
+Feature bucketing is the portable md5 bucket (hash_split_bucket) and
+the per-bucket log-ratio is snapped to INTEGER MICRO-UNITS
+(round(1e6 * ln(ratio))) before any per-document summation, so
+document scores are exact integer arithmetic — bit-identical across
+engines, partitionings and summation orders.  The ratio itself is a
+single IEEE division of exact integers, so the only float op per
+bucket is one ln() — a last-ulp discrepancy between libm
+implementations would have to land within ~1e-10 of a rounding
+boundary to flip a micro-unit.
+
+At 100 TB: the raw corpus is scanned once for q and once for scoring
+(share a cached/checkpointed token projection if both run in one
+job); the target corpus is small by construction.  Nothing about the
+plan changes with corpus size — the weight table stays ``buckets``
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.split import hash_split_bucket
+from pandance_spark.functions.text import tokenize, word_shingles_from_tokens
+
+__all__ = [
+    "hashed_feature_counts",
+    "dsir_weights",
+    "dsir_scores",
+    "dsir_select",
+]
+
+
+def _feature_buckets(text, buckets: int, ngram: int):
+    """Array column of hashed feature buckets for one document: word
+    unigrams plus n-grams up to ``ngram``, each md5-bucketed into
+    [0, buckets).  Pure per-row computation — no shuffle."""
+    toks = tokenize(text)
+    feats = toks
+    for n in range(2, ngram + 1):
+        feats = F.concat(feats, word_shingles_from_tokens(toks, n))
+    return F.transform(feats, lambda t: hash_split_bucket(t, buckets))
+
+
+def hashed_feature_counts(
+    df: DataFrame, text_col: str, buckets: int = 10_000, ngram: int = 2
+) -> DataFrame:
+    """Bucketed feature counts ``(bucket, cnt)`` over a corpus.
+
+    One explode + one map-side-combining aggregation; the shuffle
+    carries at most ``buckets`` partial rows per input partition.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    if ngram < 1:
+        raise ValueError("ngram must be >= 1")
+    return (
+        df.select(
+            F.explode(_feature_buckets(F.col(text_col), buckets, ngram)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_weights(
+    target_counts: DataFrame, raw_counts: DataFrame, buckets: int = 10_000
+) -> DataFrame:
+    """Per-bucket importance log-ratio in integer micro-units.
+
+    ``(bucket, w_micro)`` where
+    ``w_micro = round(1e6 * ln( p_hat(b) / q_hat(b) ))`` with add-one
+    smoothing: ``p_hat(b) = (t_b + 1) / (T + buckets)`` and likewise
+    for q.  Both totals are computed in-plan from the same count
+    tables (no separate eager pass — the counts-vs-total consistency
+    lesson from skew_report applies here too).  Everything is
+    ``buckets`` rows end to end.
+    """
+    t_tot = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_total"))
+    r_tot = raw_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("r_total"))
+    joined = (
+        target_counts.withColumnRenamed("cnt", "t_cnt")
+        .join(raw_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    t_cnt = F.coalesce(F.col("t_cnt"), F.lit(0))
+    r_cnt = F.coalesce(F.col("r_cnt"), F.lit(0))
+    b = F.lit(buckets)
+    # one IEEE division of exact bigints, one ln, snap to micro-units
+    ratio = ((t_cnt + 1) * (F.col("r_total") + b)).cast("double") / (
+        (r_cnt + 1) * (F.col("t_total") + b)
+    ).cast("double")
+    return joined.select(
+        "bucket", F.round(F.log(ratio) * 1_000_000).cast("long").alias("w_micro")
+    )
+
+
+def dsir_scores(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 10_000,
+    ngram: int = 2,
+) -> DataFrame:
+    """Per-document DSIR importance score ``(id_col, score_micro,
+    n_features)`` — integer micro-units, exact across engines.
+
+    Documents with zero features (empty text) score 0 on no features
+    and are kept in the output so selection policy stays with the
+    caller.
+    """
+    t_counts = hashed_feature_counts(target_df, text_col, buckets, ngram)
+    r_counts = hashed_feature_counts(raw_df, text_col, buckets, ngram)
+    weights = dsir_weights(t_counts, r_counts, buckets)
+    exploded = raw_df.select(
+        F.col(id_col),
+        F.explode_outer(_feature_buckets(F.col(text_col), buckets, ngram)).alias(
+            "bucket"
+        ),
+    )
+    # weight table is <= buckets rows by construction: broadcast
+    return (
+        exploded.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("w_micro"), F.lit(0)).alias("score_micro"),
+            F.count(F.col("bucket")).alias("n_features"),
+        )
+    )
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    buckets: int = 10_000,
+    ngram: int = 2,
+) -> DataFrame:
+    """Top-``k`` raw documents by DSIR importance score.
+
+    Deterministic: integer scores, ties broken by ``id_col``.  The
+    selection compiles to ``TakeOrderedAndProject`` (no global sort);
+    the k winners broadcast-join back to the raw corpus for their
+    payload columns, so full rows never ride through the explode.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    scores = dsir_scores(raw_df, target_df, text_col, id_col, buckets, ngram)
+    top = scores.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)
+    return raw_df.join(F.broadcast(top), id_col, "inner")
