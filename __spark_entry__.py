@@ -1871,6 +1871,25 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "lang", "source", "score_micro")
 
 
+def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-pipeline attribution funnel (functions/profile.py
+    filter_funnel): per-rule first-failure drop counts in ONE corpus
+    scan — the Gopher/RefinedWeb-style removal table.  All integer
+    counts; the DuckDB oracle replays the CASE labeling and the
+    cumulative arithmetic exactly."""
+    from pandance_spark.functions.profile import filter_funnel
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        ("too_short", F.col("n_chars") >= 150),
+        ("too_long", F.col("n_chars") <= 2000),
+        ("non_english", F.col("lang") == "en"),
+        ("too_few_tokens", token_count(F.col("text")) >= 30),
+    ]
+    return filter_funnel(docs, rules)
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (functions/text.py
     hashed_quality_score — the fastText/CCNet-shaped filter as a pure
@@ -2217,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery keeps ineq_band_autoskew in-window (same kernel,
         # plus the salting path)
         "dsir_select": _q_dsir_select,
+        "filter_funnel": _q_filter_funnel,
         # r6: right-side hot key -> cut-collapse-detected salted band
         # join — new in window this round
         "ineq_band_autoskew": _q_ineq_band_autoskew,
@@ -2323,7 +2343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r5: overlap_sessions rotated out after 3 green rounds to
         # make room for the new dedup_paragraphs)
         "pagerank_supply": _q_pagerank_supply,
-        "merge_spans": _q_merge_spans,
         "dedup_paragraphs": _q_dedup_paragraphs,
         # inherited relational coverage.  The driver's correctness gate
         # reads only the FIRST 50 entries, so the TPC-H-shaped queries
@@ -2384,8 +2403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boilerplate_lines + bpe_tokens
         # r6 (4th session): ineq_band_skewed rotated here after FOUR
         # straight green driver rounds r2-r5 to free a window slot for
-        # dsir_select
+        # dsir_select; merge_spans rotated here at TWO green rounds
+        # (r4, r5 — meets the 2-3 bar) for the new filter_funnel
         "ineq_band_skewed": _q_ineq_band_skewed,
+        "merge_spans": _q_merge_spans,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3854,6 +3875,45 @@ ORDER BY doc_id
         """,
         # integer weight sums (bucket/weight arithmetic all int64) make
         # the score exact in both engines before the one float sigmoid
+        # funnel replayed exactly: same first-failure CASE labeling
+        # (NULL predicate = fail), same per-rule counts, same
+        # cumulative n_in arithmetic over the rule order
+        "filter_funnel": """
+            WITH lab AS (
+              SELECT CASE
+                WHEN NOT coalesce(n_chars >= 150, FALSE) THEN 'too_short'
+                WHEN NOT coalesce(n_chars <= 2000, FALSE) THEN 'too_long'
+                WHEN NOT coalesce(lang = 'en', FALSE) THEN 'non_english'
+                WHEN NOT coalesce(
+                  len(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                                  t -> t <> '')) >= 30, FALSE)
+                  THEN 'too_few_tokens'
+                ELSE 'kept' END AS reason
+              FROM documents
+            ),
+            c AS (SELECT reason, count(*) AS cnt FROM lab GROUP BY 1),
+            r AS (SELECT * FROM (VALUES (0, 'too_short'), (1, 'too_long'),
+                                        (2, 'non_english'),
+                                        (3, 'too_few_tokens'))
+                  AS v(stage, rule)),
+            j AS (
+              SELECT stage, rule, coalesce(c.cnt, 0) AS n_dropped
+              FROM r LEFT JOIN c ON c.reason = r.rule
+            ),
+            k AS (
+              SELECT stage, rule, n_dropped,
+                     (SELECT coalesce(sum(cnt), 0) FROM c)
+                       - coalesce(sum(n_dropped) OVER (
+                           ORDER BY stage
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS n_in
+              FROM j
+            )
+            SELECT stage, rule, n_in, n_dropped,
+                   n_in - n_dropped AS n_out
+            FROM k
+        """,
         # DSIR replayed exactly: same tokenization, same uni+bigram
         # features, same md5 bucket, same add-one integer-ratio ln
         # snapped to micro-units per bucket, same integer score sums,

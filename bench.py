@@ -249,6 +249,7 @@ def main():
         "audio_segments",
         # r6 (4th session) additions
         "dsir_select",
+        "filter_funnel",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

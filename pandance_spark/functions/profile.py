@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["heavy_hitters", "profile_table", "skew_report"]
+__all__ = [
+    "drop_reason",
+    "filter_funnel",
+    "heavy_hitters",
+    "profile_table",
+    "skew_report",
+]
 
 
 def profile_table(
@@ -228,5 +234,83 @@ def skew_report(
             "cnt",
             F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
             "rank",
+        )
+    )
+
+
+def drop_reason(rules) -> "F.Column":
+    """Per-row first-failing-rule label for an ordered filter pipeline.
+
+    ``rules`` is an ordered list of ``(name, keep_predicate)`` pairs;
+    a row is labeled with the name of the FIRST rule whose keep
+    predicate is not satisfied (NULL predicate = not satisfied, the
+    SQL filter convention), or ``'kept'`` if every rule passes.  Pure
+    Column expression — map-only, pushes into the scan pipeline.
+    """
+    rules = list(rules)
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("rule names must be distinct")
+    if "kept" in names:
+        raise ValueError("'kept' is the reserved pass label")
+    expr = None
+    for name, pred in rules:
+        fail = ~F.coalesce(pred, F.lit(False))
+        expr = F.when(fail, name) if expr is None else expr.when(fail, name)
+    return expr.otherwise(F.lit("kept"))
+
+
+def filter_funnel(df: DataFrame, rules) -> DataFrame:
+    """Attribution dashboard for an ordered filter pipeline: one row
+    per rule with ``(stage, rule, n_in, n_dropped, n_out)`` under
+    first-failure semantics (each document counts against the first
+    rule that rejects it — the standard corpus-curation funnel report,
+    cf. the per-filter removal tables in Gopher/RefinedWeb/FineWeb
+    dataset papers).
+
+    Spark-first shape: ONE scan — every row is labeled with its
+    first-failing rule by a pure CASE expression, then a map-side-
+    combining groupBy over at most ``len(rules)+1`` labels.  All
+    subsequent arithmetic (cumulative drops -> per-stage n_in/n_out)
+    happens on that rules-sized table; the row total is the SUM of
+    the label counts, so every number comes from the same scan (no
+    separate eager count of a possibly-changed source).  Rules that
+    drop nothing still appear, with ``n_dropped = 0``.
+
+    At 100 TB this is the cheapest possible shape: the corpus is read
+    once, the shuffle carries one partial row per (partition, label).
+    """
+    rules = list(rules)
+    counts = (
+        df.select(drop_reason(rules).alias("__reason"))
+        .groupBy("__reason")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = df.sparkSession
+    order = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(rules)],
+        "stage int, rule string",
+    )
+    staged = order.join(
+        counts.withColumnRenamed("__reason", "rule"), "rule", "left"
+    ).withColumn("n_dropped", F.coalesce(F.col("cnt"), F.lit(0)))
+    w_before = (
+        Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__total"))
+    return (
+        staged.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_in",
+            F.col("__total") - F.coalesce(F.sum("n_dropped").over(w_before), F.lit(0)),
+        )
+        .select(
+            "stage",
+            "rule",
+            "n_in",
+            "n_dropped",
+            (F.col("n_in") - F.col("n_dropped")).alias("n_out"),
         )
     )

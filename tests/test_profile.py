@@ -141,3 +141,75 @@ def test_heavy_hitters_none_found(spark):
     out = heavy_hitters(df, "t", support=0.5)
     assert out.count() == 0
     assert out.columns == ["value", "cnt", "share"]
+
+
+# ---------------------------------------------------------------- funnel
+from pandance_spark.functions.profile import drop_reason, filter_funnel
+
+
+def _funnel_docs(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(id=1, lang="en", n=100),   # kept
+            Row(id=2, lang="en", n=5),     # fails rule 0 (n >= 10)
+            Row(id=3, lang="de", n=100),   # fails rule 1 (lang == en)
+            Row(id=4, lang=None, n=100),   # NULL predicate -> fails rule 1
+            Row(id=5, lang="en", n=3),     # fails rule 0 (first failure wins)
+        ]
+    )
+
+
+def _rules():
+    from pyspark.sql import functions as F
+
+    return [("too_small", F.col("n") >= 10), ("non_en", F.col("lang") == "en")]
+
+
+def test_drop_reason_first_failure_and_null(spark):
+    df = _funnel_docs(spark)
+    got = {
+        r["id"]: r["reason"]
+        for r in df.select("id", drop_reason(_rules()).alias("reason")).collect()
+    }
+    assert got == {1: "kept", 2: "too_small", 3: "non_en", 4: "non_en", 5: "too_small"}
+
+
+def test_filter_funnel_counts(spark):
+    rows = {
+        r["rule"]: r for r in filter_funnel(_funnel_docs(spark), _rules()).collect()
+    }
+    assert rows["too_small"]["stage"] == 0
+    assert (rows["too_small"]["n_in"], rows["too_small"]["n_dropped"],
+            rows["too_small"]["n_out"]) == (5, 2, 3)
+    assert (rows["non_en"]["n_in"], rows["non_en"]["n_dropped"],
+            rows["non_en"]["n_out"]) == (3, 2, 1)
+
+
+def test_filter_funnel_zero_drop_rule_present(spark):
+    from pyspark.sql import functions as F
+
+    rules = [("never", F.lit(True)), ("too_small", F.col("n") >= 10)]
+    rows = {r["rule"]: r for r in filter_funnel(_funnel_docs(spark), rules).collect()}
+    assert rows["never"]["n_dropped"] == 0 and rows["never"]["n_in"] == 5
+    assert rows["too_small"]["n_dropped"] == 2
+
+
+def test_filter_funnel_empty_input(spark):
+    df = _funnel_docs(spark).filter("n < 0")
+    rows = filter_funnel(df, _rules()).collect()
+    assert [(r["n_in"], r["n_dropped"], r["n_out"]) for r in rows] == [(0, 0, 0)] * 2
+
+
+def test_drop_reason_validation():
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        drop_reason([])
+    with _pytest.raises(ValueError):
+        drop_reason([("a", F.lit(True)), ("a", F.lit(True))])
+    with _pytest.raises(ValueError):
+        drop_reason([("kept", F.lit(True))])
