@@ -1890,6 +1890,63 @@ def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_funnel(docs, rules)
 
 
+def _q_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary taxonomy tagging (functions/text.py tag_topics):
+    map-only keyword-hit classification, the dictionary compiled into
+    the plan as array literals — zero shuffle.  The struct array is
+    projected to sorted 'topic:count' CSV so the harness can hash it."""
+    from pandance_spark.functions.text import tag_topics
+
+    docs = load_table(spark, sf_dir, "documents")
+    topics = {
+        "joins": ["join", "merge", "hash"],
+        "scan_io": ["scan", "filter", "batch"],
+        "layout": ["column", "row", "table", "part"],
+        "speed": ["slow", "fast"],
+    }
+    tags = tag_topics(F.col("text"), topics)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                tags, lambda e: F.concat_ws(":", e["topic"], e["n_hits"])
+            ),
+            ",",
+        ).alias("topics"),
+        F.size(tags).cast("long").alias("n_topics"),
+    )
+
+
+def _q_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf keywords (functions/ranking.py
+    keywords_tfidf) — integer micro-unit scores, ties by term, so the
+    DuckDB replay matches bit-for-bit."""
+    from pandance_spark.functions.ranking import keywords_tfidf
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return keywords_tfidf(docs, "doc_id", "text", k=3)
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget sampling (functions/split.py
+    token_budget_cap): admit documents in deterministic md5 order
+    until the language's token budget is spent — the unit data
+    recipes are written in.  'en' and 'de' capped, other languages
+    uncapped."""
+    from pandance_spark.functions.split import token_budget_cap
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = token_budget_cap(
+        docs,
+        "lang",
+        {"en": 3000, "de": 1500},
+        "doc_id",
+        token_count(F.col("text")),
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (functions/text.py
     hashed_quality_score — the fastText/CCNet-shaped filter as a pure
@@ -2309,7 +2366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r5: knn_graph rotated out after 2 green rounds for the new
         # skew_report_events)
         "skew_report_events": _q_skew_report_events,
-        "lm_perplexity_bigram": _q_lm_perplexity_bigram,
+        # r6 (4th session): lm_perplexity_bigram rotated out at TWO
+        # green rounds (r4, r5) for the new tag_topics
+        "tag_topics": _q_tag_topics,
         "multimodal_decode": _q_multimodal_decode,
         # r6: real PNG codec (zlib inflate + scanline unfilter) and
         # baseline JPEG codec (Huffman + IDCT; DC-exact payloads) —
@@ -2342,7 +2401,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as-of / interval joins (time-series extensions) + graph
         # (r5: overlap_sessions rotated out after 3 green rounds to
         # make room for the new dedup_paragraphs)
-        "pagerank_supply": _q_pagerank_supply,
+        # r6 (4th session): pagerank_supply rotated out at TWO green
+        # rounds (r4, r5) for the new keywords_tfidf
+        "keywords_tfidf": _q_keywords_tfidf,
         "dedup_paragraphs": _q_dedup_paragraphs,
         # inherited relational coverage.  The driver's correctness gate
         # reads only the FIRST 50 entries, so the TPC-H-shaped queries
@@ -2407,6 +2468,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r4, r5 — meets the 2-3 bar) for the new filter_funnel
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
+        "lm_perplexity_bigram": _q_lm_perplexity_bigram,
+        "pagerank_supply": _q_pagerank_supply,
+        # r6 (4th session) additions waiting for a window slot
+        "token_budget": _q_token_budget,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3875,6 +3940,84 @@ ORDER BY doc_id
         """,
         # integer weight sums (bucket/weight arithmetic all int64) make
         # the score exact in both engines before the one float sigmoid
+        # topic tagging replayed exactly: same tokens, same per-topic
+        # hit counts, same sorted-topic CSV projection
+        "tag_topics": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            c AS (
+              SELECT doc_id,
+                len(list_filter(ts, t -> list_contains(
+                  ['hash','join','merge'], t))) AS joins,
+                len(list_filter(ts, t -> list_contains(
+                  ['column','part','row','table'], t))) AS layout,
+                len(list_filter(ts, t -> list_contains(
+                  ['batch','filter','scan'], t))) AS scan_io,
+                len(list_filter(ts, t -> list_contains(
+                  ['fast','slow'], t))) AS speed
+              FROM toks
+            )
+            SELECT doc_id,
+                   array_to_string(list_filter([
+                     CASE WHEN joins > 0 THEN 'joins:' || joins END,
+                     CASE WHEN layout > 0 THEN 'layout:' || layout END,
+                     CASE WHEN scan_io > 0 THEN 'scan_io:' || scan_io END,
+                     CASE WHEN speed > 0 THEN 'speed:' || speed END
+                   ], x -> x IS NOT NULL), ',') AS topics,
+                   ((joins > 0)::INT + (layout > 0)::INT
+                    + (scan_io > 0)::INT + (speed > 0)::INT)::BIGINT
+                     AS n_topics
+            FROM c
+        """,
+        # tf-idf keywords replayed exactly: same tf/df tables, same
+        # integer micro-unit idf snap, same (score desc, term) rank
+        "keywords_tfidf": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+            idf AS (
+              SELECT term,
+                     CAST(round(1e6 * ln(
+                       ((SELECT n FROM n) + 1)::DOUBLE / (count(*) + 1)
+                     )) AS BIGINT) AS idf_micro
+              FROM tf GROUP BY term
+            ),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * idf.idf_micro AS score_micro,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf_micro DESC, tf.term ASC
+                     ) AS rank
+              FROM tf JOIN idf USING (term)
+            )
+            SELECT doc_id, term, tf, score_micro, rank
+            FROM s WHERE rank <= 3
+        """,
+        # token budget replayed exactly: same token counts, same
+        # md5-order running sum, same per-language cut
+        "token_budget": """
+            WITH t AS (
+              SELECT doc_id, lang, source,
+                     len(list_filter(string_split_regex(lower(text),
+                                                        '[^a-z0-9]+'),
+                                     t -> t <> '')) AS n_tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, lang, source,
+                     sum(n_tok) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id, lang, source FROM c
+            WHERE cum <= CASE lang WHEN 'en' THEN 3000
+                                   WHEN 'de' THEN 1500 ELSE cum END
+        """,
         # funnel replayed exactly: same first-failure CASE labeling
         # (NULL predicate = fail), same per-rule counts, same
         # cumulative n_in arithmetic over the rule order

@@ -250,6 +250,9 @@ def main():
         # r6 (4th session) additions
         "dsir_select",
         "filter_funnel",
+        "tag_topics",
+        "keywords_tfidf",
+        "token_budget",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -10,13 +10,14 @@ from pandance_spark.functions.dsir import (
     dsir_weights,
     hashed_feature_counts,
 )
-from pandance_spark.functions.ranking import bm25_topk
+from pandance_spark.functions.ranking import bm25_topk, keywords_tfidf
 from pandance_spark.functions.split import (
     cap_per_group,
     pack_documents,
     stratified_sample,
     split_train_test,
     temperature_sample,
+    token_budget_cap,
 )
 from pandance_spark.functions.text import (
     char_ngram_fingerprints,
@@ -27,6 +28,7 @@ from pandance_spark.functions.text import (
     quality_score,
     redact_pii,
     repetition_profile,
+    tag_topics,
     token_count,
     tokenize,
 )
@@ -39,6 +41,9 @@ from pandance_spark.functions.vectors import (
 
 __all__ = [
     "bm25_topk",
+    "keywords_tfidf",
+    "tag_topics",
+    "token_budget_cap",
     "dsir_scores",
     "dsir_select",
     "dsir_weights",

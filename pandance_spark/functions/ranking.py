@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pandance_spark.functions.text import tokenize
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "keywords_tfidf"]
 
 
 def bm25_topk(
@@ -111,4 +111,74 @@ def bm25_topk(
     w = Window.orderBy(F.col("score").desc(), F.col("__id").asc())
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("__id").alias(id_col), "score", "rank"
+    )
+
+
+def keywords_tfidf(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` salient terms by tf-idf —
+    ``(id_col, term, tf, score_micro, rank)``.
+
+    The classic corpus-exploration / weak-labeling pass: what is each
+    document about, without a model.  Scores are exact integers:
+    ``idf_micro = round(1e6 * ln((N + 1) / (df + 1)))`` snapped per
+    term (one ln on an exact integer ratio), then
+    ``score_micro = tf * idf_micro`` — bit-reproducible across
+    engines, partitionings and summation orders, same micro-unit
+    pattern as DSIR.  Ties break by term.
+
+    Spark-first shape: ONE tokenize+explode, tf from a map-side-
+    combining groupBy (doc, term); df and N derived from the SAME
+    (doc, term) table (distinct-doc counts per term + an in-plan
+    1-row N) so every number sees one snapshot of the corpus; idf is
+    a term-keyed table joined back (broadcast when the vocabulary
+    fits, shuffle-join otherwise — Catalyst/AQE picks by size); the
+    final per-doc top-k is a rank window partitioned by document, so
+    no global sort.  Shuffle volume is proportional to distinct
+    (doc, term) pairs, never raw tokens.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pairs = (
+        docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = pairs.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    idf = (
+        pairs.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("__n") + 1).cast("double") / (F.col("df") + 1)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = pairs.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

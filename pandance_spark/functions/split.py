@@ -29,6 +29,7 @@ __all__ = [
     "exact_sample",
     "epoch_mixture",
     "shuffle_shards",
+    "token_budget_cap",
 ]
 
 
@@ -431,3 +432,54 @@ def shuffle_shards(df, key_col: str, n_shards: int, seed: int = 42):
     return out.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("long")
     ).drop("__ss_h")
+
+
+def token_budget_cap(
+    df,
+    group_col: str,
+    budgets,
+    key_col: str,
+    tokens_col: Column,
+):
+    """Cap each group at a TOKEN budget instead of a document count —
+    the unit data recipes are actually written in ("40B tokens of
+    code, 5B of forum text").  Documents are admitted in deterministic
+    md5(key) order until the group's cumulative token count would
+    exceed its budget; the first document that would cross the line
+    (and everything after it in hash order) is dropped.
+
+    ``budgets`` is an int (every group gets the same budget) or a dict
+    mapping group value -> budget; groups absent from the dict are NOT
+    capped.  ``tokens_col`` is any integer Column (a token-count
+    expression or a precomputed column), evaluated in the same pass.
+
+    One shuffle on the group key (the running-sum window); selection
+    is a pure function of (key, tokens), so the same corpus yields the
+    same sample on any engine, partitioning or cluster size.  At
+    100 TB the window's per-group sort is the cost — the same shape as
+    cap_per_group, with skewed groups bounded by the budget itself.
+    """
+    if isinstance(budgets, bool):
+        raise ValueError("budgets must be an int or a dict")
+    if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError("budget must be >= 0")
+        cut = F.lit(budgets)
+    elif isinstance(budgets, dict):
+        cut = F.lit(None).cast("long")
+        for g, b in sorted(budgets.items()):
+            if b < 0:
+                raise ValueError(f"budget for {g!r} must be >= 0")
+            cut = F.when(F.col(group_col) == F.lit(g), F.lit(b)).otherwise(cut)
+    else:
+        raise ValueError("budgets must be an int or a dict")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    cum = F.sum("__tokens").over(w)
+    return (
+        df.withColumn("__tokens", tokens_col.cast("long"))
+        .withColumn("__cum", cum)
+        .filter(F.col("__cum") <= F.coalesce(cut, F.col("__cum")))
+        .drop("__tokens", "__cum")
+    )

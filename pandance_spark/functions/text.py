@@ -34,6 +34,7 @@ __all__ = [
     "split_sentences",
     "dedup_lines",
     "fingerprint_xxhash",
+    "tag_topics",
 ]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
@@ -681,3 +682,42 @@ def dedup_lines(
         arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1)
     )
     return F.array_join(kept, join_sep)
+
+
+def tag_topics(text: Column, topics: dict) -> Column:
+    """Dictionary-based taxonomy tagging: per-document hit counts for
+    each topic's term list, as a sorted ``array<struct<topic, n_hits>>``
+    with zero-hit topics omitted.
+
+    The keyword-dictionary classifier (FlashText / curated-taxonomy
+    tagging) every corpus triages with before any model-based labeling.
+    ``topics`` maps topic name -> list of lowercase terms.  Pure Column
+    expression — the dictionary is compiled into the plan as array
+    literals, so tagging is MAP-ONLY: zero shuffle, zero joins, scales
+    to any corpus size (the dictionary is small by construction; for a
+    100k+-term gazetteer, explode tokens and broadcast-join a term ->
+    topic table instead — that path costs one shuffle on the doc key).
+
+    Matching is exact-token (the tokenize() tokens), so multi-word
+    terms are not matched — split them into their tokens or pre-fuse
+    n-grams upstream.
+    """
+    if not topics:
+        raise ValueError("topics must be non-empty")
+    for name, terms in topics.items():
+        if not terms:
+            raise ValueError(f"topic {name!r} has no terms")
+    toks = tokenize(text)
+    entries = []
+    for name in sorted(topics):
+        terms_lit = F.array(*[F.lit(t) for t in sorted(set(topics[name]))])
+        n = F.size(F.filter(toks, lambda t: F.array_contains(terms_lit, t)))
+        entries.append(
+            F.struct(F.lit(name).alias("topic"), n.cast("long").alias("n_hits"))
+        )
+    arr = F.array(*entries)
+    # NULL text propagates NULL (without the guard, size(NULL) = -1
+    # would silently produce an empty tag list instead)
+    return F.when(text.isNull(), F.lit(None)).otherwise(
+        F.filter(arr, lambda e: e["n_hits"] > 0)
+    )

@@ -76,3 +76,51 @@ def test_terms_case_normalized(spark, corpus):
     assert [(r["doc_id"], r["score"]) for r in lo] == [
         (r["doc_id"], r["score"]) for r in hi
     ]
+
+
+# ----------------------------------------------------------------- tf-idf
+def test_keywords_tfidf_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.ranking import keywords_tfidf
+
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, t="apple apple banana common"),
+            Row(id=2, t="banana common"),
+            Row(id=3, t="cherry common"),
+        ]
+    )
+    out = keywords_tfidf(docs, "id", "t", k=2).collect()
+    rows = {(r["id"], r["rank"]): (r["term"], r["tf"], r["score_micro"]) for r in out}
+    idf = lambda df: round(1e6 * math.log((3 + 1) / (df + 1)))
+    # doc 1: apple tf=2 rare -> top; banana second
+    assert rows[(1, 1)] == ("apple", 2, 2 * idf(1))
+    assert rows[(1, 2)] == ("banana", 1, idf(2))
+    # doc 3: cherry beats the everywhere-term 'common'
+    assert rows[(3, 1)] == ("cherry", 1, idf(1))
+    assert rows[(3, 2)] == ("common", 1, idf(3))
+    assert len(out) == 6
+
+
+def test_keywords_tfidf_tie_breaks_by_term(spark):
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.ranking import keywords_tfidf
+
+    docs = spark.createDataFrame([Row(id=1, t="zeta alpha"), Row(id=2, t="alpha zeta")])
+    out = keywords_tfidf(docs, "id", "t", k=1).collect()
+    assert {(r["id"], r["term"]) for r in out} == {(1, "alpha"), (2, "alpha")}
+
+
+def test_keywords_tfidf_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.ranking import keywords_tfidf
+
+    docs = spark.createDataFrame([Row(id=1, t="a")])
+    with _pytest.raises(ValueError):
+        keywords_tfidf(docs, "id", "t", k=0)

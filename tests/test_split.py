@@ -378,3 +378,67 @@ def test_shuffle_shards_null_key_kept(spark):
 
     with _pt.raises(ValueError):
         shuffle_shards(df, "k", 0)
+
+
+# ----------------------------------------------------------- token budget
+def _budget_docs(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(id=i, grp="a" if i < 6 else "b", n_tok=10) for i in range(10)]
+    )
+
+
+def test_token_budget_cap_per_group_dict(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.split import token_budget_cap
+
+    df = _budget_docs(spark)
+    kept = token_budget_cap(df, "grp", {"a": 30}, "id", F.col("n_tok"))
+    rows = kept.collect()
+    a_ids = sorted(r["id"] for r in rows if r["grp"] == "a")
+    b_ids = sorted(r["id"] for r in rows if r["grp"] == "b")
+    # group b uncapped (absent from dict)
+    assert b_ids == [6, 7, 8, 9]
+    # group a: exactly 3 docs (30 tokens / 10 each), the md5-first ones
+    exp = sorted(range(6), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+    assert a_ids == sorted(exp)
+
+
+def test_token_budget_cap_int_budget_and_boundary(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import token_budget_cap
+
+    df = spark.createDataFrame([Row(id=i, grp="g", n_tok=7) for i in range(5)])
+    # budget 21 admits exactly 3 docs (21 == 3*7 inclusive boundary)
+    kept = token_budget_cap(df, "grp", 21, "id", F.col("n_tok"))
+    assert kept.count() == 3
+    # budget smaller than the first doc admits nothing
+    assert token_budget_cap(df, "grp", 6, "id", F.col("n_tok")).count() == 0
+
+
+def test_token_budget_cap_deterministic_and_validated(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.split import token_budget_cap
+
+    df = _budget_docs(spark)
+    a = sorted(r["id"] for r in token_budget_cap(df, "grp", 40, "id", F.col("n_tok")).collect())
+    b = sorted(
+        r["id"]
+        for r in token_budget_cap(
+            df.repartition(7), "grp", 40, "id", F.col("n_tok")
+        ).collect()
+    )
+    assert a == b
+    with _pytest.raises(ValueError):
+        token_budget_cap(df, "grp", -1, "id", F.col("n_tok"))
+    with _pytest.raises(ValueError):
+        token_budget_cap(df, "grp", {"a": -5}, "id", F.col("n_tok"))
+    with _pytest.raises(ValueError):
+        token_budget_cap(df, "grp", "lots", "id", F.col("n_tok"))

@@ -419,3 +419,46 @@ def test_hashed_quality_score_plan_is_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+# ---------------------------------------------------------------- topics
+def test_tag_topics_counts_and_order(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.text import tag_topics
+
+    df = spark.createDataFrame([Row(id=1, t="join the JOIN, scan fast")])
+    out = df.select(
+        tag_topics(
+            F.col("t"),
+            {"joins": ["join", "merge"], "io": ["scan"], "never": ["xyz"]},
+        ).alias("tags")
+    ).collect()[0]["tags"]
+    # sorted by topic name, zero-hit topics omitted, case-folded tokens
+    assert [(e["topic"], e["n_hits"]) for e in out] == [("io", 1), ("joins", 2)]
+
+
+def test_tag_topics_null_and_empty_text(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.text import tag_topics
+
+    df = spark.createDataFrame([Row(id=1, t=None), Row(id=2, t="")])
+    rows = df.select(
+        F.col("id"), tag_topics(F.col("t"), {"a": ["x"]}).alias("tags")
+    ).collect()
+    got = {r["id"]: r["tags"] for r in rows}
+    assert got[1] is None  # null text propagates null (SQL convention)
+    assert got[2] == []
+
+
+def test_tag_topics_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import tag_topics
+
+    with _pytest.raises(ValueError):
+        tag_topics(F.col("t"), {})
+    with _pytest.raises(ValueError):
+        tag_topics(F.col("t"), {"a": []})
