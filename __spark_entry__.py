@@ -1947,6 +1947,21 @@ def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def _q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64 -> 8
+    (functions/vectors.py project_embedding): map-only integer
+    micro-unit sums, so every projected coordinate is bit-identical
+    to the DuckDB replay with zero float-rounding tolerance."""
+    from pandance_spark.functions.vectors import project_embedding
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        project_embedding(F.col("embedding"), in_dim=64, out_dim=8).alias("proj"),
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (functions/text.py
     hashed_quality_score — the fastText/CCNet-shaped filter as a pure
@@ -2472,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_supply": _q_pagerank_supply,
         # r6 (4th session) additions waiting for a window slot
         "token_budget": _q_token_budget,
+        "embed_project": _q_embed_project,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -2697,6 +2713,39 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
         r0 AS (SELECT node, 1.0::DOUBLE / nv.n AS r FROM verts CROSS JOIN nv),
         {",".join(its)}
         SELECT node, round(r, 9) AS rank FROM r{n_iter}
+    """
+
+
+def _embed_project_oracle() -> str:
+    """DuckDB replay of the JL projection: the ±1 sign matrix is
+    regenerated from the SAME documented closed form (md5 parity,
+    functions/vectors.py projection_signs) and inlined as a literal;
+    the integer micro-unit sums make the comparison exact with zero
+    float tolerance."""
+    import math as _math
+
+    from pandance_spark.functions.vectors import projection_signs
+
+    signs = projection_signs(64, 8)
+    scale = repr(1.0 / (1048576.0 * _math.sqrt(8)))
+    # sign rows inlined as literals (DuckDB lambdas reject subqueries)
+    outs = ",\n                   ".join(
+        "CAST(list_sum(list_transform(range(1, 65),"
+        " i -> q[i] * ["
+        + ",".join(str(x) for x in signs[j])
+        + f"][i])) AS DOUBLE) * {scale}"
+        for j in range(8)
+    )
+    return f"""
+        WITH q AS (
+          SELECT vec_id, label,
+                 [CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings
+        )
+        SELECT vec_id, label,
+               [{outs}] AS proj
+        FROM q
     """
 
 
@@ -3940,6 +3989,7 @@ ORDER BY doc_id
         """,
         # integer weight sums (bucket/weight arithmetic all int64) make
         # the score exact in both engines before the one float sigmoid
+        "embed_project": _embed_project_oracle(),
         # topic tagging replayed exactly: same tokens, same per-topic
         # hit counts, same sorted-topic CSV projection
         "tag_topics": f"""

@@ -253,6 +253,7 @@ def main():
         "tag_topics",
         "keywords_tfidf",
         "token_budget",
+        "embed_project",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -21,6 +21,8 @@ __all__ = [
     "embedding_centroids",
     "quantize_embedding",
     "dequantize_embedding",
+    "projection_signs",
+    "project_embedding",
 ]
 
 
@@ -144,3 +146,69 @@ def dequantize_embedding(qv: Column) -> Column:
     return F.transform(
         qv["codes"], lambda c: c.cast("double") * qv["scale"]
     )
+
+
+def projection_signs(in_dim: int, out_dim: int, seed: int = 42):
+    """Deterministic ±1 sign matrix for :func:`project_embedding`:
+    ``signs[j][i] = +1`` iff the first hex digit of
+    ``md5("{seed}:{i}:{j}")`` is even.  A documented closed form any
+    engine (or an oracle) can regenerate — no RNG state to ship."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_embedding(
+    v: Column, in_dim: int, out_dim: int, seed: int = 42
+) -> Column:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` via a
+    deterministic ±1 sign matrix: ``y_j = (1/sqrt(out_dim)) * sum_i
+    x_i * s_ij``.  The dimensionality-reduction front end for ANN /
+    clustering at scale — JL preserves pairwise distances within
+    (1±eps) for out_dim = O(ln n / eps^2), and a sign matrix (Achlioptas
+    2001) needs no dense Gaussian.
+
+    Pure Column expression, MAP-ONLY — zero shuffle; cost is
+    ``in_dim * out_dim`` fused multiply-adds per row inside
+    whole-stage codegen.
+
+    Exactness: inputs are snapped to integer micro-units
+    (``round(x * 2^20)``) so the per-output sums are exact integer
+    arithmetic — bit-identical across engines and summation orders;
+    the single trailing ``sum * (1 / (2^20 * sqrt(out_dim)))`` double
+    multiply is one IEEE op, identical everywhere.  Inputs must have
+    exactly ``in_dim`` elements; shorter arrays yield NULL outputs
+    (``try_element_at`` — under ANSI mode a plain element_at would
+    fail the whole job on one malformed row).
+    """
+    import math
+
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be >= 1")
+    signs = projection_signs(in_dim, out_dim, seed)
+    # snap each element once, positionally (no intermediate array —
+    # keeps every term a flat codegen-friendly expression)
+    q = [
+        F.round(
+            F.try_element_at(v, F.lit(i + 1)).cast("double") * F.lit(1048576.0)
+        ).cast("long")
+        for i in range(in_dim)
+    ]
+    scale = 1.0 / (1048576.0 * math.sqrt(out_dim))
+    outs = []
+    for j in range(out_dim):
+        acc = None
+        for i in range(in_dim):
+            term = q[i] * F.lit(signs[j][i])
+            acc = term if acc is None else acc + term
+        outs.append(acc.cast("double") * F.lit(scale))
+    return F.array(*outs)

@@ -338,3 +338,85 @@ def test_lsh_bucket_long_range_many_planes(spark):
     )
     b = df.select(lsh_bucket(F.col("v"), 16, 40, seed=1).alias("b")).first()["b"]
     assert 0 <= b < (1 << 40)
+
+
+# ------------------------------------------------------- JL projection
+def test_project_embedding_exact_and_deterministic(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.vectors import (
+        project_embedding,
+        projection_signs,
+    )
+
+    vec = [0.25 * ((i % 7) - 3) for i in range(16)]
+    df = spark.createDataFrame([Row(id=1, v=vec)])
+    out = df.select(
+        project_embedding(F.col("v"), in_dim=16, out_dim=4).alias("p")
+    ).collect()[0]["p"]
+    signs = projection_signs(16, 4)
+    q = [round(x * 1048576.0) for x in vec]
+    scale = 1.0 / (1048576.0 * math.sqrt(4))
+    exp = [float(sum(q[i] * signs[j][i] for i in range(16))) * scale for j in range(4)]
+    assert out == exp  # bit-exact, no tolerance
+    # signs closed form is md5 parity
+    assert signs[2][5] == (
+        1 if int(hashlib.md5(b"42:5:2").hexdigest()[0], 16) % 2 == 0 else -1
+    )
+
+
+def test_project_embedding_preserves_distances_approximately(spark):
+    import random
+
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.vectors import project_embedding
+
+    rnd = random.Random(7)
+    vecs = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    df = spark.createDataFrame([Row(id=i, v=v) for i, v in enumerate(vecs)])
+    proj = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", project_embedding(F.col("v"), 64, 16).alias("p")
+        ).collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ratios = [
+        d2(proj[i], proj[j]) / d2(vecs[i], vecs[j])
+        for i in range(20)
+        for j in range(i + 1, 20)
+    ]
+    # JL with k=16: distance ratios concentrate around 1
+    assert 0.2 < min(ratios) and max(ratios) < 3.0
+    assert 0.8 < sum(ratios) / len(ratios) < 1.25
+
+
+def test_project_embedding_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.vectors import project_embedding
+
+    with _pytest.raises(ValueError):
+        project_embedding(F.col("v"), in_dim=0, out_dim=4)
+    with _pytest.raises(ValueError):
+        project_embedding(F.col("v"), in_dim=4, out_dim=0)
+
+
+def test_project_embedding_short_input_yields_null(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.vectors import project_embedding
+
+    df = spark.createDataFrame([Row(id=1, v=[1.0, 2.0])])
+    out = df.select(
+        project_embedding(F.col("v"), in_dim=4, out_dim=2).alias("p")
+    ).collect()[0]["p"]
+    assert out == [None, None]
