@@ -1962,6 +1962,19 @@ def _q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (functions/split.py weighted_sample): 120 documents with odds
+    proportional to length, deterministic md5 uniforms, micro-unit
+    rank keys — TakeOrderedAndProject, no global sort."""
+    from pandance_spark.functions.split import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", F.col("n_chars"), k=120).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (functions/text.py
     hashed_quality_score — the fastText/CCNet-shaped filter as a pure
@@ -2488,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 (4th session) additions waiting for a window slot
         "token_budget": _q_token_budget,
         "embed_project": _q_embed_project,
+        "weighted_sample": _q_weighted_sample,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3990,6 +4004,23 @@ ORDER BY doc_id
         # integer weight sums (bucket/weight arithmetic all int64) make
         # the score exact in both engines before the one float sigmoid
         "embed_project": _embed_project_oracle(),
+        # A-ES sampling replayed exactly: same md5 uniform, same
+        # ln(u)/w micro-unit key (identical op order), same
+        # (key desc, id asc) top-120 cut
+        "weighted_sample": """
+            WITH t AS (
+              SELECT doc_id, lang, source, n_chars,
+                     CAST(round(
+                       (ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT)::DOUBLE + 0.5)
+                           / 4294967296.0)
+                        / n_chars::DOUBLE) * 1000000.0
+                     ) AS BIGINT) AS k
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, lang, source, n_chars FROM t
+            ORDER BY k DESC, doc_id ASC LIMIT 120
+        """,
         # topic tagging replayed exactly: same tokens, same per-topic
         # hit counts, same sorted-topic CSV projection
         "tag_topics": f"""

@@ -254,6 +254,7 @@ def main():
         "keywords_tfidf",
         "token_budget",
         "embed_project",
+        "weighted_sample",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -30,6 +30,7 @@ __all__ = [
     "epoch_mixture",
     "shuffle_shards",
     "token_budget_cap",
+    "weighted_sample",
 ]
 
 
@@ -482,4 +483,44 @@ def token_budget_cap(
         .withColumn("__cum", cum)
         .filter(F.col("__cum") <= F.coalesce(cut, F.col("__cum")))
         .drop("__tokens", "__cum")
+    )
+
+
+def weighted_sample(df, key_col: str, weight_col: Column, k: int):
+    """Weighted sampling WITHOUT replacement: ``k`` rows where each
+    row's inclusion odds are proportional to its weight — the
+    Efraimidis-Spirakis A-ES scheme (Inf. Proc. Letters 97(5), 2006):
+    draw u ~ U(0,1) per row, rank by u^(1/w), keep the top k.  The
+    curation move for "sample 1M docs, longer/higher-quality ones
+    more often" where stratified rates are too coarse.
+
+    Deterministic: u is the portable md5 fraction of the key
+    ((bucket + 0.5) / 2^32 — never 0 or 1), and the rank key is
+    ln(u)/w snapped to integer MICRO-units (monotone in u^(1/w)), ties
+    broken by key — the same sample on any engine, partitioning or
+    cluster size, and reproducible run-over-run.  Rows with
+    non-positive or NULL weight are excluded (zero-weight rows must
+    never win; NULL weight is malformed input, not a lottery ticket).
+
+    Plan: pure per-row projection + ``TakeOrderedAndProject`` (top-k
+    without a global sort) — one scan, no shuffle beyond the k-row
+    gather.  At 100 TB the cost is the scan itself.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = weight_col.cast("double")
+    # ln(u)/w is negative; LARGER is better (u^(1/w) monotone) — keep
+    # the top-k by the micro-snapped key, ties by key_col
+    rank_key = F.round(F.log(u) / w * 1_000_000).cast("long")
+    return (
+        df.withColumn("__es_key", rank_key)
+        .filter(w > 0)
+        .orderBy(F.col("__es_key").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("__es_key")
     )

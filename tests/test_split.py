@@ -442,3 +442,73 @@ def test_token_budget_cap_deterministic_and_validated(spark):
         token_budget_cap(df, "grp", {"a": -5}, "id", F.col("n_tok"))
     with _pytest.raises(ValueError):
         token_budget_cap(df, "grp", "lots", "id", F.col("n_tok"))
+
+
+# -------------------------------------------------------- weighted sample
+def test_weighted_sample_matches_hand_replay(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import weighted_sample
+
+    rows = [(i, float(1 + (i % 5))) for i in range(40)]
+    df = spark.createDataFrame([Row(id=i, w=w) for i, w in rows])
+    got = sorted(
+        r["id"] for r in weighted_sample(df, "id", F.col("w"), k=10).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return round(math.log(u) / w * 1_000_000)
+
+    exp = sorted(
+        sorted(rows, key=lambda t: (-key(*t), t[0]))[:10][i][0] for i in range(10)
+    )
+    assert got == exp
+
+
+def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(id=1, w=0.0), Row(id=2, w=-3.0), Row(id=3, w=None), Row(id=4, w=2.0)]
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", F.col("w"), k=10).collect()]
+    assert got == [4]
+
+
+def test_weighted_sample_heavier_rows_win_more(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import weighted_sample
+
+    # 200 light (w=1) + 200 heavy (w=50): heavy should dominate the sample
+    df = spark.createDataFrame(
+        [Row(id=i, w=1.0) for i in range(200)]
+        + [Row(id=200 + i, w=50.0) for i in range(200)]
+    )
+    got = [r["id"] for r in weighted_sample(df, "id", F.col("w"), k=50).collect()]
+    heavy = sum(1 for i in got if i >= 200)
+    assert heavy >= 40
+
+
+def test_weighted_sample_deterministic_and_validated(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import weighted_sample
+
+    df = spark.createDataFrame([Row(id=i, w=float(i + 1)) for i in range(30)])
+    a = sorted(r["id"] for r in weighted_sample(df, "id", F.col("w"), 7).collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(11), "id", F.col("w"), 7).collect()
+    )
+    assert a == b
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "id", F.col("w"), 0)
