@@ -45,7 +45,10 @@ At 100 TB: the raw corpus is scanned once for q and once for scoring
 (share a cached/checkpointed token projection if both run in one
 job); the target corpus is small by construction.  Nothing about the
 plan changes with corpus size — the weight table stays ``buckets``
-rows.
+rows.  Every function takes ``portable=False`` to swap the md5
+oracle bucket for xxhash64 (measured ~1.3-1.8x end-to-end,
+SCALING.md r06e) — same plan, same guarantees except cross-engine
+replay.
 """
 
 from __future__ import annotations
@@ -53,7 +56,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pandance_spark.functions.split import hash_split_bucket
+from pandance_spark.functions.split import (
+    hash_split_bucket,
+    hash_split_bucket_fast,
+)
 from pandance_spark.functions.text import tokenize, word_shingles_from_tokens
 
 __all__ = [
@@ -64,19 +70,30 @@ __all__ = [
 ]
 
 
-def _feature_buckets(text, buckets: int, ngram: int):
+def _feature_buckets(text, buckets: int, ngram: int, portable: bool = True):
     """Array column of hashed feature buckets for one document: word
-    unigrams plus n-grams up to ``ngram``, each md5-bucketed into
-    [0, buckets).  Pure per-row computation — no shuffle."""
+    unigrams plus n-grams up to ``ngram``, each bucketed into
+    [0, buckets).  Pure per-row computation — no shuffle.
+
+    ``portable=True`` buckets via md5 (cross-engine reproducible — the
+    oracle contract); ``portable=False`` via xxhash64 — cheaper per
+    feature, measured ~1.3-1.8x end-to-end at 2M docs (the explode
+    and tokenize dominate, not the hash; same trade as
+    hash_split_bucket_fast)."""
+    bucket = hash_split_bucket if portable else hash_split_bucket_fast
     toks = tokenize(text)
     feats = toks
     for n in range(2, ngram + 1):
         feats = F.concat(feats, word_shingles_from_tokens(toks, n))
-    return F.transform(feats, lambda t: hash_split_bucket(t, buckets))
+    return F.transform(feats, lambda t: bucket(t, buckets))
 
 
 def hashed_feature_counts(
-    df: DataFrame, text_col: str, buckets: int = 10_000, ngram: int = 2
+    df: DataFrame,
+    text_col: str,
+    buckets: int = 10_000,
+    ngram: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """Bucketed feature counts ``(bucket, cnt)`` over a corpus.
 
@@ -89,9 +106,9 @@ def hashed_feature_counts(
         raise ValueError("ngram must be >= 1")
     return (
         df.select(
-            F.explode(_feature_buckets(F.col(text_col), buckets, ngram)).alias(
-                "bucket"
-            )
+            F.explode(
+                _feature_buckets(F.col(text_col), buckets, ngram, portable)
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -138,6 +155,7 @@ def dsir_scores(
     id_col: str,
     buckets: int = 10_000,
     ngram: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-document DSIR importance score ``(id_col, score_micro,
     n_features)`` — integer micro-units, exact across engines.
@@ -146,14 +164,14 @@ def dsir_scores(
     and are kept in the output so selection policy stays with the
     caller.
     """
-    t_counts = hashed_feature_counts(target_df, text_col, buckets, ngram)
-    r_counts = hashed_feature_counts(raw_df, text_col, buckets, ngram)
+    t_counts = hashed_feature_counts(target_df, text_col, buckets, ngram, portable)
+    r_counts = hashed_feature_counts(raw_df, text_col, buckets, ngram, portable)
     weights = dsir_weights(t_counts, r_counts, buckets)
     exploded = raw_df.select(
         F.col(id_col),
-        F.explode_outer(_feature_buckets(F.col(text_col), buckets, ngram)).alias(
-            "bucket"
-        ),
+        F.explode_outer(
+            _feature_buckets(F.col(text_col), buckets, ngram, portable)
+        ).alias("bucket"),
     )
     # weight table is <= buckets rows by construction: broadcast
     return (
@@ -174,6 +192,7 @@ def dsir_select(
     k: int,
     buckets: int = 10_000,
     ngram: int = 2,
+    portable: bool = True,
 ) -> DataFrame:
     """Top-``k`` raw documents by DSIR importance score.
 
@@ -184,7 +203,9 @@ def dsir_select(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    scores = dsir_scores(raw_df, target_df, text_col, id_col, buckets, ngram)
+    scores = dsir_scores(
+        raw_df, target_df, text_col, id_col, buckets, ngram, portable
+    )
     top = scores.orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     ).limit(k)

@@ -123,3 +123,18 @@ def test_bucket_matches_portable_hash(spark):
 
     exp = int(hashlib.md5(b"hello").hexdigest()[:8], 16) % 1024
     assert direct == exp
+
+
+def test_fast_path_same_shape_and_signal(spark):
+    # xxhash64 bucketing: different buckets, same contract — k rows,
+    # target-like docs still win
+    target = _docs(spark, [(100 + i, "alpha beta gamma") for i in range(5)])
+    raw = _docs(
+        spark,
+        [(i, "alpha beta gamma delta") for i in range(5)]
+        + [(10 + i, "xx yy zz qq") for i in range(5)],
+    )
+    picked = dsir_select(
+        raw, target, "text", "doc_id", k=5, buckets=256, portable=False
+    )
+    assert {r["doc_id"] for r in picked.collect()} == {0, 1, 2, 3, 4}
