@@ -66,6 +66,7 @@ __all__ = [
     "hashed_feature_counts",
     "dsir_weights",
     "dsir_scores",
+    "dsir_score_column",
     "dsir_select",
 ]
 
@@ -150,12 +151,13 @@ def dsir_weights(
 
 def dsir_scores(
     raw_df: DataFrame,
-    target_df: DataFrame,
-    text_col: str,
-    id_col: str,
+    target_df: DataFrame = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     buckets: int = 10_000,
     ngram: int = 2,
     portable: bool = True,
+    weights: DataFrame = None,
 ) -> DataFrame:
     """Per-document DSIR importance score ``(id_col, score_micro,
     n_features)`` — integer micro-units, exact across engines.
@@ -163,10 +165,22 @@ def dsir_scores(
     Documents with zero features (empty text) score 0 on no features
     and are kept in the output so selection policy stays with the
     caller.
+
+    Pass ``weights`` (a ``dsir_weights`` table) to score against a
+    FIXED, previously estimated distribution — the production pattern
+    for scoring new data without re-estimating q from it; then
+    ``target_df`` is unused.  Buckets absent from the table score 0,
+    matching the estimate-from-this-corpus path where every scored
+    bucket exists by construction.
     """
-    t_counts = hashed_feature_counts(target_df, text_col, buckets, ngram, portable)
-    r_counts = hashed_feature_counts(raw_df, text_col, buckets, ngram, portable)
-    weights = dsir_weights(t_counts, r_counts, buckets)
+    if weights is None:
+        if target_df is None:
+            raise ValueError("provide target_df or a precomputed weights table")
+        t_counts = hashed_feature_counts(
+            target_df, text_col, buckets, ngram, portable
+        )
+        r_counts = hashed_feature_counts(raw_df, text_col, buckets, ngram, portable)
+        weights = dsir_weights(t_counts, r_counts, buckets)
     exploded = raw_df.select(
         F.col(id_col),
         F.explode_outer(
@@ -181,6 +195,52 @@ def dsir_scores(
             F.coalesce(F.sum("w_micro"), F.lit(0)).alias("score_micro"),
             F.count(F.col("bucket")).alias("n_features"),
         )
+    )
+
+
+def dsir_score_column(
+    text,
+    weight_map: dict,
+    buckets: int = 10_000,
+    ngram: int = 2,
+    portable: bool = True,
+):
+    """MAP-ONLY DSIR score: a struct Column ``(score_micro,
+    n_features)`` computed per row from a driver-side weight dict —
+    no explode, no join, no shuffle.
+
+    ``weight_map`` is {bucket: w_micro}, at most ``buckets`` entries
+    by construction (collect a ``dsir_weights`` table — the same
+    bounded-by-contract move as the Bloom bitmap broadcast).  The dict
+    is compiled into the plan as ONE ``from_json`` map literal that
+    Catalyst constant-folds (the const_vectors trick), so scoring is
+    a pure projection: this is what lets a STREAMING query score
+    documents statelessly, and what a 100 TB batch pass uses to avoid
+    re-shuffling the corpus when the weights are already known.
+    Buckets absent from the map score 0 (same semantics as the join
+    path); NULL text scores 0 on 0 features (same as dsir_scores).
+    """
+    import json
+
+    if len(weight_map) > buckets:
+        raise ValueError("weight_map has more entries than buckets")
+    payload = json.dumps({str(int(k)): int(v) for k, v in weight_map.items()})
+    m = F.from_json(F.lit(payload), "map<string,bigint>")
+    feats = _feature_buckets(text, buckets, ngram, portable)
+    per_feat = F.transform(
+        feats,
+        lambda b: F.coalesce(F.element_at(m, b.cast("string")), F.lit(0)),
+    )
+    score = F.coalesce(
+        F.aggregate(
+            per_feat, F.lit(0).cast("long"), lambda acc, w: acc + w
+        ),
+        F.lit(0).cast("long"),
+    )
+    n = F.coalesce(F.size(feats), F.lit(0)).cast("long")
+    return F.struct(
+        score.alias("score_micro"),
+        F.when(n < 0, F.lit(0)).otherwise(n).alias("n_features"),
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_url_dedup",
     "streaming_bloom_dedup",
+    "streaming_dsir_router",
     "sessionize_stream",
     "running_user_stats",
     "streaming_near_dup_filter",
@@ -213,6 +214,52 @@ def streaming_bloom_dedup(
 
     return bloom_dedup(
         stream, index, on, fpp=fpp, expected_items=expected_items, seed=seed
+    )
+
+
+def streaming_dsir_router(
+    stream: DataFrame,
+    weights: DataFrame,
+    text_col: str,
+    threshold_micro: int = 0,
+    buckets: int = 10_000,
+    ngram: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Stateless streaming DSIR scorer/router: every incoming document
+    gains ``score_micro``, ``n_features`` and ``keep`` (score >=
+    ``threshold_micro``) against a FIXED importance-weight table — the
+    continuous-ingest half of DSIR data selection (score at crawl
+    time, route to keep/review/drop sinks), where the batch operator
+    (functions/dsir.py) estimates the weights offline.
+
+    The weight table (a ``dsir_weights`` result, <= ``buckets`` rows
+    by construction) is collected ONCE at query build and compiled
+    into the plan as a single constant-folded map literal
+    (dsir_score_column), so each micro-batch is a PURE PROJECTION:
+    zero joins, zero shuffles, zero state — append-mode semantics are
+    exactly the batch scorer's, and replaying the whole stream equals
+    ``dsir_scores(..., weights=...)`` row for row (the parity harness
+    proves it, with a full DuckDB oracle).
+
+    Same static-side contract as streaming_bloom_dedup: re-estimate
+    weights offline, restart the query to pick them up.  Rows are
+    ANNOTATED, not dropped — routing policy (filter on ``keep``,
+    split to sinks) stays with the caller.
+    """
+    rows = weights.collect()  # bounded <= buckets rows by contract
+    wmap = {r["bucket"]: r["w_micro"] for r in rows}
+    from pandance_spark.functions.dsir import dsir_score_column
+
+    scored = dsir_score_column(
+        F.col(text_col), wmap, buckets=buckets, ngram=ngram, portable=portable
+    )
+    return (
+        stream.withColumn("__s", scored)
+        .withColumn("score_micro", F.col("__s.score_micro"))
+        .withColumn("n_features", F.col("__s.n_features"))
+        .withColumn("keep", F.col("score_micro") >= F.lit(int(threshold_micro)))
+        .drop("__s")
     )
 
 

@@ -579,6 +579,114 @@ def main():
     record("streaming_bloom_dedup", "duckdb", s10, b10, d10,
            note="stream replay == batch anti-join == closed-form anti join")
 
+    # ------------------------------------------------------------------
+    # 11. streaming_dsir_router: stateless DSIR scoring against a FIXED
+    # weight table — pure projection per micro-batch, so the stream
+    # replay equals the batch scorer equals a full DuckDB replay of
+    # features/buckets/weights/score sums (integer micro-units).
+    # ------------------------------------------------------------------
+    from pandance_spark.functions.dsir import (
+        dsir_scores,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+    from pandance_spark.streaming import streaming_dsir_router
+
+    B11 = 512
+    tgt11 = spark.range(20).selectExpr("'tok1 tok2 common' AS text")
+    raw11 = spark.range(60).selectExpr(
+        "concat('tok', id % 7, ' common') AS text"
+    )
+    w11 = dsir_weights(
+        hashed_feature_counts(tgt11, "text", B11),
+        hashed_feature_counts(raw11, "text", B11),
+        B11,
+    ).localCheckpoint()
+    text11 = F.concat(
+        F.lit("tok"), (F.col("event_id") % 7).cast("string"),
+        F.lit(" tok"), (F.col("event_id") % 3).cast("string"),
+        F.lit(" common"),
+    )
+    stream11 = read_events_stream(spark, SF_DIR).withColumn("text", text11)
+    run_stream_to_memory(
+        streaming_dsir_router(
+            stream11.select("event_id", "text"), w11, "text",
+            threshold_micro=0, buckets=B11,
+        ),
+        "parity_dsir_router",
+    )
+    cols11 = ["event_id", "score_micro", "n_features", "keep"]
+    s11 = canon_rows(
+        spark.table("parity_dsir_router")
+        .select(*cols11)
+        .collect(),
+        cols11,
+    )
+    b11_scores = dsir_scores(
+        ev_batch.withColumn("text", text11).select("event_id", "text"),
+        id_col="event_id",
+        buckets=B11,
+        weights=w11,
+    )
+    b11 = canon_rows(
+        b11_scores.withColumn("keep", F.col("score_micro") >= 0)
+        .select(*cols11)
+        .collect(),
+        cols11,
+    )
+    feat_cte = (
+        "SELECT {src}.*, unnest(ts || CASE WHEN len(ts) < 2 THEN [] ELSE "
+        "[array_to_string(list_slice(ts, i, i+1), ' ') "
+        "for i in range(1, len(ts))] END) AS f FROM "
+        "(SELECT *, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), x -> x <> '') AS ts FROM {src}) AS {src}"
+    )
+    d11 = canon_rows(
+        duck_rows(con.sql(f"""
+            WITH tgt AS (SELECT 'tok1 tok2 common' AS text
+                         FROM generate_series(1, 20)),
+            rawref AS (SELECT 'tok' || (i % 7) || ' common' AS text
+                       FROM generate_series(0, 59) AS t(i)),
+            ev AS (SELECT event_id,
+                          'tok' || (event_id % 7) || ' tok' ||
+                          (event_id % 3) || ' common' AS text
+                   FROM events),
+            ft AS ({feat_cte.format(src='tgt')}),
+            fr AS ({feat_cte.format(src='rawref')}),
+            fe AS ({feat_cte.format(src='ev')}),
+            tc AS (SELECT CAST('0x' || substr(md5(f), 1, 8) AS BIGINT)
+                            % {B11} AS bucket, count(*) AS t_cnt
+                   FROM ft GROUP BY 1),
+            rc AS (SELECT CAST('0x' || substr(md5(f), 1, 8) AS BIGINT)
+                            % {B11} AS bucket, count(*) AS r_cnt
+                   FROM fr GROUP BY 1),
+            w AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+                         CAST(round(1e6 * ln(
+                           ((coalesce(t_cnt, 0) + 1)
+                             * ((SELECT coalesce(sum(r_cnt), 0) FROM rc)
+                                + {B11}))::DOUBLE
+                           / ((coalesce(r_cnt, 0) + 1)
+                             * ((SELECT coalesce(sum(t_cnt), 0) FROM tc)
+                                + {B11}))::DOUBLE)) AS BIGINT) AS w_micro
+                  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+            s AS (SELECT fe.event_id,
+                         sum(coalesce(w.w_micro, 0)) AS score_micro,
+                         count(*) AS n_features
+                  FROM fe LEFT JOIN w
+                    ON CAST('0x' || substr(md5(fe.f), 1, 8) AS BIGINT)
+                         % {B11} = w.bucket
+                  GROUP BY 1)
+            SELECT e.event_id, coalesce(s.score_micro, 0) AS score_micro,
+                   coalesce(s.n_features, 0) AS n_features,
+                   coalesce(s.score_micro, 0) >= 0 AS keep
+            FROM ev e LEFT JOIN s USING (event_id)
+        """)),
+        cols11,
+    )
+    record("streaming_dsir_router", "duckdb", s11, b11, d11,
+           note="stateless map-literal scorer: stream replay == batch "
+                "join-path scorer == DuckDB feature/weight/score replay")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

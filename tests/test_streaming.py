@@ -534,3 +534,71 @@ def test_streaming_bloom_dedup_exact(spark, tmp_path):
         r["key"] for r in spark.sql("SELECT key FROM bloom_kept").collect()
     )
     assert got == sorted(f"new{i}" for i in range(50))
+
+
+def test_streaming_dsir_router_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.dsir import (
+        dsir_scores,
+        dsir_weights,
+        hashed_feature_counts,
+    )
+    from pandance_spark.streaming import streaming_dsir_router
+
+    B = 256
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(5)], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(5)]
+        + [(10 + i, "xx yy zz qq") for i in range(5)],
+        "doc_id long, text string",
+    )
+    weights = dsir_weights(
+        hashed_feature_counts(target, "text", B),
+        hashed_feature_counts(ref, "text", B),
+        B,
+    ).localCheckpoint()
+
+    # two micro-batches of new docs, incl. empty text
+    rows1 = [(100, "alpha beta"), (101, "xx yy")]
+    rows2 = [(102, "alpha beta gamma"), (103, "")]
+    in_dir = str(tmp_path / "dsir_in")
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    routed = streaming_dsir_router(stream, weights, "text", threshold_micro=1, buckets=B)
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("dsir_routed")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["score_micro"], r["n_features"], r["keep"])
+        for r in spark.sql("SELECT * FROM dsir_routed").collect()
+    }
+
+    batch_in = spark.createDataFrame(rows1 + rows2, "doc_id long, text string")
+    exp = {
+        r["doc_id"]: (r["score_micro"], r["n_features"])
+        for r in dsir_scores(batch_in, buckets=B, weights=weights).collect()
+    }
+    assert len(got) == 4
+    for did, (s, n, keep) in got.items():
+        assert (s, n) == exp[did], did
+        assert keep == (s >= 1)
+    # empty doc: zero features, score 0, routed (not crashed)
+    assert got[103] == (0, 0, False)
+    # target-like doc scores above the junk doc
+    assert got[102][0] > got[101][0]
