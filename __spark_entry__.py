@@ -4005,16 +4005,17 @@ ORDER BY doc_id
         # the score exact in both engines before the one float sigmoid
         "embed_project": _embed_project_oracle(),
         # A-ES sampling replayed exactly: same md5 uniform, same
-        # ln(u)/w micro-unit key (identical op order), same
-        # (key desc, id asc) top-120 cut
+        # Gumbel-form micro-unit key ln(w) - ln(-ln(u)) (identical op
+        # order), same (key desc, id asc) top-120 cut
         "weighted_sample": """
             WITH t AS (
               SELECT doc_id, lang, source, n_chars,
                      CAST(round(
-                       (ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                        1, 8) AS BIGINT)::DOUBLE + 0.5)
-                           / 4294967296.0)
-                        / n_chars::DOUBLE) * 1000000.0
+                       (ln(n_chars::DOUBLE)
+                        - ln(-ln((CAST('0x' ||
+                                substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT)::DOUBLE + 0.5)
+                               / 4294967296.0))) * 1000000.0
                      ) AS BIGINT) AS k
               FROM documents WHERE n_chars > 0
             )
@@ -4166,10 +4167,12 @@ ORDER BY doc_id
             w AS (
               SELECT coalesce(t.bucket, r.bucket) AS bucket,
                      CAST(round(1e6 * ln(
-                       ((coalesce(t_cnt, 0) + 1)
-                         * ((SELECT coalesce(sum(r_cnt), 0) FROM r) + 1024))::DOUBLE
-                       / ((coalesce(r_cnt, 0) + 1)
-                         * ((SELECT coalesce(sum(t_cnt), 0) FROM t) + 1024))::DOUBLE
+                       ((coalesce(t_cnt, 0) + 1)::DOUBLE
+                         * ((SELECT coalesce(sum(r_cnt), 0) FROM r)
+                            + 1024)::DOUBLE)
+                       / ((coalesce(r_cnt, 0) + 1)::DOUBLE
+                         * ((SELECT coalesce(sum(t_cnt), 0) FROM t)
+                            + 1024)::DOUBLE)
                      )) AS BIGINT) AS w_micro
               FROM t FULL OUTER JOIN r ON t.bucket = r.bucket
             ),

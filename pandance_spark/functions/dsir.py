@@ -140,10 +140,16 @@ def dsir_weights(
     t_cnt = F.coalesce(F.col("t_cnt"), F.lit(0))
     r_cnt = F.coalesce(F.col("r_cnt"), F.lit(0))
     b = F.lit(buckets)
-    # one IEEE division of exact bigints, one ln, snap to micro-units
-    ratio = ((t_cnt + 1) * (F.col("r_total") + b)).cast("double") / (
-        (r_cnt + 1) * (F.col("t_total") + b)
-    ).cast("double")
+    # each factor is cast to double BEFORE the multiply: a bigint
+    # product (t_cnt+1)*(r_total+B) overflows int64 once a hot bucket
+    # count times the other corpus's token total passes 2^63 — real at
+    # the 100 TB scale this module targets (ANSI mode would fail the
+    # job; non-ANSI engines would wrap silently).  Factors below 2^53
+    # keep the double products exact, so the micro-unit snap is
+    # unchanged at oracle-testable scales.
+    ratio = (
+        (t_cnt + 1).cast("double") * (F.col("r_total") + b).cast("double")
+    ) / ((r_cnt + 1).cast("double") * (F.col("t_total") + b).cast("double"))
     return joined.select(
         "bucket", F.round(F.log(ratio) * 1_000_000).cast("long").alias("w_micro")
     )

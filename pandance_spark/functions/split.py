@@ -452,7 +452,11 @@ def token_budget_cap(
     ``budgets`` is an int (every group gets the same budget) or a dict
     mapping group value -> budget; groups absent from the dict are NOT
     capped.  ``tokens_col`` is any integer Column (a token-count
-    expression or a precomputed column), evaluated in the same pass.
+    expression or a precomputed column), evaluated in the same pass;
+    a NULL token count is treated as 0 (the row is admitted and
+    consumes no budget — without the coalesce a leading NULL would
+    poison the running sum and silently drop rows even from uncapped
+    groups).
 
     One shuffle on the group key (the running-sum window); selection
     is a pure function of (key, tokens), so the same corpus yields the
@@ -479,7 +483,7 @@ def token_budget_cap(
     )
     cum = F.sum("__tokens").over(w)
     return (
-        df.withColumn("__tokens", tokens_col.cast("long"))
+        df.withColumn("__tokens", F.coalesce(tokens_col.cast("long"), F.lit(0)))
         .withColumn("__cum", cum)
         .filter(F.col("__cum") <= F.coalesce(cut, F.col("__cum")))
         .drop("__tokens", "__cum")
@@ -495,12 +499,19 @@ def weighted_sample(df, key_col: str, weight_col: Column, k: int):
     more often" where stratified rates are too coarse.
 
     Deterministic: u is the portable md5 fraction of the key
-    ((bucket + 0.5) / 2^32 — never 0 or 1), and the rank key is
-    ln(u)/w snapped to integer MICRO-units (monotone in u^(1/w)), ties
-    broken by key — the same sample on any engine, partitioning or
-    cluster size, and reproducible run-over-run.  Rows with
-    non-positive or NULL weight are excluded (zero-weight rows must
-    never win; NULL weight is malformed input, not a lottery ticket).
+    ((bucket + 0.5) / 2^32 — never 0 or 1), and the rank key is the
+    GUMBEL form of the A-ES order, ``ln(w) - ln(-ln(u))`` (monotone in
+    u^(1/w)), snapped to integer MICRO-units with ties broken by key —
+    the same sample on any engine, partitioning or cluster size, and
+    reproducible run-over-run.  The log-space key is the part that
+    makes the snap SCALE-FREE: rescaling every weight by c shifts all
+    keys by the same ln(c), so relative odds survive the snap at any
+    weight magnitude (snapping ln(u)/w directly would collapse large
+    weights onto a handful of integers and overflow on tiny ones),
+    and the key is bounded by |ln w| + 23, so the long cast can never
+    overflow for finite positive w.  Rows with non-positive, NaN,
+    infinite or NULL weight are excluded (zero-weight rows must never
+    win; non-finite weight is malformed input, not a lottery ticket).
 
     Plan: pure per-row projection + ``TakeOrderedAndProject`` (top-k
     without a global sort) — one scan, no shuffle beyond the k-row
@@ -514,12 +525,19 @@ def weighted_sample(df, key_col: str, weight_col: Column, k: int):
         + F.lit(0.5)
     ) / F.lit(4294967296.0)
     w = weight_col.cast("double")
-    # ln(u)/w is negative; LARGER is better (u^(1/w) monotone) — keep
-    # the top-k by the micro-snapped key, ties by key_col
-    rank_key = F.round(F.log(u) / w * 1_000_000).cast("long")
+    # ln(w) + standard Gumbel noise from u; LARGER is better
+    rank_key = F.round(
+        (F.log(w) - F.log(-F.log(u))) * 1_000_000
+    ).cast("long")
+    finite = (
+        w.isNotNull()
+        & ~F.isnan(w)
+        & (w > 0)
+        & (w < F.lit(float("inf")))
+    )
     return (
         df.withColumn("__es_key", rank_key)
-        .filter(w > 0)
+        .filter(finite)
         .orderBy(F.col("__es_key").desc(), F.col(key_col).asc())
         .limit(k)
         .drop("__es_key")

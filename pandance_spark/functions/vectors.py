@@ -178,37 +178,44 @@ def project_embedding(
     2001) needs no dense Gaussian.
 
     Pure Column expression, MAP-ONLY — zero shuffle; cost is
-    ``in_dim * out_dim`` fused multiply-adds per row inside
-    whole-stage codegen.
+    ``in_dim * out_dim`` multiply-adds per row, expressed as
+    ``out_dim`` fold loops so the PLAN stays O(out_dim) nodes (an
+    unrolled form would put in_dim*out_dim Catalyst nodes through
+    analysis — ~98k at 768x128, blowing past the JVM method-size
+    limit and falling out of codegen; each sign row rides in as ONE
+    constant-folded ``from_json`` literal instead, the const_vectors
+    trick).
 
     Exactness: inputs are snapped to integer micro-units
     (``round(x * 2^20)``) so the per-output sums are exact integer
     arithmetic — bit-identical across engines and summation orders;
     the single trailing ``sum * (1 / (2^20 * sqrt(out_dim)))`` double
     multiply is one IEEE op, identical everywhere.  Inputs must have
-    exactly ``in_dim`` elements; shorter arrays yield NULL outputs
-    (``try_element_at`` — under ANSI mode a plain element_at would
-    fail the whole job on one malformed row).
+    exactly ``in_dim`` elements; arrays of any other length yield
+    NULL outputs (zip_with pads the short side with NULLs, which
+    poison the fold — never a silent wrong answer).
     """
+    import json
     import math
 
     if in_dim < 1 or out_dim < 1:
         raise ValueError("in_dim and out_dim must be >= 1")
     signs = projection_signs(in_dim, out_dim, seed)
-    # snap each element once, positionally (no intermediate array —
-    # keeps every term a flat codegen-friendly expression)
-    q = [
-        F.round(
-            F.try_element_at(v, F.lit(i + 1)).cast("double") * F.lit(1048576.0)
-        ).cast("long")
-        for i in range(in_dim)
-    ]
+    q = F.transform(
+        v, lambda x: F.round(x.cast("double") * F.lit(1048576.0)).cast("long")
+    )
+    # enforce exact length: any other length must yield NULLs, and a
+    # LONGER input would otherwise zip its tail against sign-NULLs
+    # without affecting the guard, so check size explicitly
+    q = F.when(F.size(q) == in_dim, q).otherwise(F.lit(None))
     scale = 1.0 / (1048576.0 * math.sqrt(out_dim))
     outs = []
     for j in range(out_dim):
-        acc = None
-        for i in range(in_dim):
-            term = q[i] * F.lit(signs[j][i])
-            acc = term if acc is None else acc + term
-        outs.append(acc.cast("double") * F.lit(scale))
+        sj = F.from_json(F.lit(json.dumps(signs[j])), "array<bigint>")
+        total = F.aggregate(
+            F.zip_with(q, sj, lambda a, s: a * s),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+        outs.append(total.cast("double") * F.lit(scale))
     return F.array(*outs)

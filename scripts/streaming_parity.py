@@ -662,12 +662,12 @@ def main():
                    FROM fr GROUP BY 1),
             w AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
                          CAST(round(1e6 * ln(
-                           ((coalesce(t_cnt, 0) + 1)
+                           ((coalesce(t_cnt, 0) + 1)::DOUBLE
                              * ((SELECT coalesce(sum(r_cnt), 0) FROM rc)
-                                + {B11}))::DOUBLE
-                           / ((coalesce(r_cnt, 0) + 1)
+                                + {B11})::DOUBLE)
+                           / ((coalesce(r_cnt, 0) + 1)::DOUBLE
                              * ((SELECT coalesce(sum(t_cnt), 0) FROM tc)
-                                + {B11}))::DOUBLE)) AS BIGINT) AS w_micro
+                                + {B11})::DOUBLE))) AS BIGINT) AS w_micro
                   FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
             s AS (SELECT fe.event_id,
                          sum(coalesce(w.w_micro, 0)) AS score_micro,

@@ -410,13 +410,21 @@ def test_project_embedding_validation(spark):
         project_embedding(F.col("v"), in_dim=4, out_dim=0)
 
 
-def test_project_embedding_short_input_yields_null(spark):
+def test_project_embedding_wrong_length_yields_null(spark):
     from pyspark.sql import Row, functions as F
 
     from pandance_spark.functions.vectors import project_embedding
 
-    df = spark.createDataFrame([Row(id=1, v=[1.0, 2.0])])
-    out = df.select(
-        project_embedding(F.col("v"), in_dim=4, out_dim=2).alias("p")
-    ).collect()[0]["p"]
-    assert out == [None, None]
+    df = spark.createDataFrame(
+        [Row(id=1, v=[1.0, 2.0]), Row(id=2, v=[1.0, 2.0, 3.0, 4.0, 5.0])]
+    )
+    rows = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", project_embedding(F.col("v"), in_dim=4, out_dim=2).alias("p")
+        ).collect()
+    }
+    # shorter AND longer than in_dim both yield NULLs, never a silent
+    # truncated projection
+    assert rows[1] == [None, None]
+    assert rows[2] == [None, None]

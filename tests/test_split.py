@@ -462,7 +462,7 @@ def test_weighted_sample_matches_hand_replay(spark):
     def key(i, w):
         h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
         u = (h + 0.5) / 4294967296.0
-        return round(math.log(u) / w * 1_000_000)
+        return round((math.log(w) - math.log(-math.log(u))) * 1_000_000)
 
     exp = sorted(
         sorted(rows, key=lambda t: (-key(*t), t[0]))[:10][i][0] for i in range(10)
@@ -470,16 +470,50 @@ def test_weighted_sample_matches_hand_replay(spark):
     assert got == exp
 
 
-def test_weighted_sample_excludes_nonpositive_and_null_weights(spark):
+def test_weighted_sample_excludes_nonfinite_and_null_weights(spark):
     from pyspark.sql import Row, functions as F
 
     from pandance_spark.functions.split import weighted_sample
 
     df = spark.createDataFrame(
-        [Row(id=1, w=0.0), Row(id=2, w=-3.0), Row(id=3, w=None), Row(id=4, w=2.0)]
+        [
+            Row(id=1, w=0.0),
+            Row(id=2, w=-3.0),
+            Row(id=3, w=None),
+            Row(id=4, w=2.0),
+            Row(id=5, w=float("nan")),
+            Row(id=6, w=float("inf")),
+        ]
     )
     got = [r["id"] for r in weighted_sample(df, "id", F.col("w"), k=10).collect()]
     assert got == [4]
+
+
+def test_weighted_sample_scale_free_and_extreme_weights(spark):
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import weighted_sample
+
+    # the sample is invariant under rescaling ALL weights (log-space
+    # key) — including magnitudes that would collapse or overflow a
+    # direct ln(u)/w micro-snap
+    rows = [(i, float(1 + (i % 5))) for i in range(40)]
+    base = sorted(
+        r["id"]
+        for r in weighted_sample(
+            spark.createDataFrame([Row(id=i, w=w) for i, w in rows]),
+            "id", F.col("w"), k=10,
+        ).collect()
+    )
+    for scale in (1e6, 1e-300):
+        scaled = sorted(
+            r["id"]
+            for r in weighted_sample(
+                spark.createDataFrame([Row(id=i, w=w * scale) for i, w in rows]),
+                "id", F.col("w"), k=10,
+            ).collect()
+        )
+        assert scaled == base, scale
 
 
 def test_weighted_sample_heavier_rows_win_more(spark):
