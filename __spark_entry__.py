@@ -1962,6 +1962,17 @@ def _q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers per language
+    (functions/lm.py ppl_buckets): self-trained add-1 unigram LM,
+    6-dp-rounded cross-entropy ntile(3) per lang with doc_id
+    tie-break — deterministic cut, exact SQL replay."""
+    from pandance_spark.functions.lm import ppl_buckets
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return ppl_buckets(docs, "doc_id", "text", group_col="lang")
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2502,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": _q_token_budget,
         "embed_project": _q_embed_project,
         "weighted_sample": _q_weighted_sample,
+        "ppl_buckets": _q_ppl_buckets,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3330,6 +3342,31 @@ ORDER BY doc_id
                    round(avg(b), 6) AS cross_entropy,
                    round(pow(2, avg(b)), 6) AS perplexity
             FROM bits GROUP BY doc_id
+        """,
+        # CCNet tiers: the lm_perplexity oracle + the same rounded-ce
+        # ntile cut per language
+        "ppl_buckets": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+            bits AS (
+              SELECT t.doc_id,
+                     -log2((c + 1.0) / (n + (v + 1))) AS b
+              FROM tok t JOIN cnt USING (token), tot
+            ),
+            ce AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(b), 6) AS cross_entropy,
+                     round(pow(2, avg(b)), 6) AS perplexity
+              FROM bits GROUP BY doc_id
+            )
+            SELECT ce.doc_id, d.lang, ce.n_tokens, ce.cross_entropy,
+                   ce.perplexity,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY ce.cross_entropy ASC,
+                                           ce.doc_id ASC) AS bucket
+            FROM ce JOIN documents d USING (doc_id)
         """,
         "lm_perplexity_bigram": f"""
             WITH toks AS ({_TOKS_CTE}),

@@ -255,6 +255,7 @@ def main():
         "token_budget",
         "embed_project",
         "weighted_sample",
+        "ppl_buckets",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

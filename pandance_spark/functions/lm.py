@@ -29,10 +29,12 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pandance_spark.functions.text import tokenize
 
 __all__ = [
+    "ppl_buckets",
     "unigram_counts",
     "lm_cross_entropy",
     "bigram_counts",
@@ -244,3 +246,45 @@ def lm_cross_entropy_bigram(
         F.round(F.avg("__bits"), 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), F.avg("__bits")), 6).alias("perplexity"),
     )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: Optional[str] = None,
+    counts: Optional[DataFrame] = None,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents by LM
+    cross-entropy and cut into ``n_buckets`` equal-count tiers —
+    per ``group_col`` (the paper buckets per language) or globally.
+    Bucket 1 = lowest perplexity ("head" in CCNet's head/middle/tail
+    thirds at the default 3): the tier label that data recipes then
+    sample by.
+
+    Returns ``(id_col, [group_col], n_tokens, cross_entropy,
+    perplexity, bucket)``.  Determinism: the ntile orders by the
+    6-dp-ROUNDED cross-entropy with the id as tie-breaker, so the cut
+    is identical on any engine/partitioning (ordering raw doubles
+    would let sub-rounding noise flip near-boundary documents).
+
+    Plan: lm_cross_entropy's shape (broadcast vocab join + one
+    per-doc combine shuffle) plus ONE ntile window partitioned by
+    group — at 100 TB the window sorts within language partitions,
+    the same cost class as cap_per_group; skewed languages are
+    bounded by their own share of the corpus.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scored = lm_cross_entropy(docs, id_col, text_col, counts=counts)
+    if group_col is not None:
+        keyed = scored.join(
+            docs.select(id_col, group_col), id_col, "inner"
+        )
+        w = Window.partitionBy(group_col)
+    else:
+        keyed = scored
+        w = Window.partitionBy()
+    w = w.orderBy(F.col("cross_entropy").asc(), F.col(id_col).asc())
+    return keyed.withColumn("bucket", F.ntile(n_buckets).over(w))

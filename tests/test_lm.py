@@ -193,3 +193,51 @@ def test_id_col_named_token_no_collision(spark):
     assert {r["token"] for r in out} == {1, 2}
     out2 = lm_cross_entropy_bigram(df, "token", "text").collect()
     assert {r["token"] for r in out2} == {1, 2}
+
+
+# ---------------------------------------------------------------- buckets
+def test_ppl_buckets_tiers_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.lm import ppl_buckets
+
+    # 6 docs per group: 2 fluent (low self-ppl via common tokens),
+    # 2 mid, 2 gibberish (rare tokens)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(2):
+            rows.append(Row(id=f"{g}lo{i}", grp=g, t="the the the cat cat"))
+        for i in range(2):
+            rows.append(Row(id=f"{g}mid{i}", grp=g, t="the cat sat on mat"))
+        for i in range(2):
+            rows.append(Row(id=f"{g}hi{i}", grp=g, t=f"zq{g}{i} xv{g}{i} wk{g}{i}"))
+    df = spark.createDataFrame(rows)
+    out = ppl_buckets(df, "id", "t", group_col="grp", n_buckets=3)
+    got = {r["id"]: r["bucket"] for r in out.collect()}
+    for g in ("a", "b"):
+        assert got[f"{g}lo0"] == got[f"{g}lo1"] == 1
+        assert got[f"{g}hi0"] == got[f"{g}hi1"] == 3
+    # stable across partitionings
+    got2 = {
+        r["id"]: r["bucket"]
+        for r in ppl_buckets(
+            df.repartition(7), "id", "t", group_col="grp", n_buckets=3
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_ppl_buckets_global_and_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.lm import ppl_buckets
+
+    df = spark.createDataFrame(
+        [Row(id=i, t="a b c") for i in range(4)] + [Row(id=9, t="")]
+    )
+    out = ppl_buckets(df, "id", "t", n_buckets=2).collect()
+    # zero-token doc omitted (lm_cross_entropy contract); 4 docs -> 2+2
+    assert sorted(r["bucket"] for r in out) == [1, 1, 2, 2]
+    with _pytest.raises(ValueError):
+        ppl_buckets(df, "id", "t", n_buckets=0)
