@@ -138,3 +138,53 @@ def test_fast_path_same_shape_and_signal(spark):
         raw, target, "text", "doc_id", k=5, buckets=256, portable=False
     )
     assert {r["doc_id"] for r in picked.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_score_column_equals_join_path(spark):
+    from pandance_spark.functions.dsir import (
+        dsir_score_column,
+        dsir_weights,
+    )
+
+    B = 128
+    target = _docs(spark, [(100, "alpha beta gamma"), (101, "alpha beta")])
+    raw = _docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "xx yy"), (3, ""), (4, "alpha")],
+    )
+    weights = dsir_weights(
+        hashed_feature_counts(target, "text", B),
+        hashed_feature_counts(raw, "text", B),
+        B,
+    ).localCheckpoint()
+    join_path = {
+        r["doc_id"]: (r["score_micro"], r["n_features"])
+        for r in dsir_scores(raw, buckets=B, weights=weights).collect()
+    }
+    wmap = {r["bucket"]: r["w_micro"] for r in weights.collect()}
+    expr_path = {
+        r["doc_id"]: (r["s"]["score_micro"], r["s"]["n_features"])
+        for r in raw.select(
+            "doc_id",
+            dsir_score_column(F.col("text"), wmap, buckets=B).alias("s"),
+        ).collect()
+    }
+    assert join_path == expr_path
+    # and the map-literal path is a pure projection: zero exchanges
+    plan = (
+        raw.select(dsir_score_column(F.col("text"), wmap, buckets=B).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_scores_requires_target_or_weights(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        dsir_scores(df, buckets=32)
+    from pandance_spark.functions.dsir import dsir_score_column
+
+    with pytest.raises(ValueError):
+        dsir_score_column(F.col("t"), {i: 1 for i in range(33)}, buckets=32)
