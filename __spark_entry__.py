@@ -1973,6 +1973,38 @@ def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppl_buckets(docs, "doc_id", "text", group_col="lang")
 
 
+def _q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate maintained INCREMENTALLY
+    (operators/rollup.py): hourly per-event-type partials built from
+    80% of events, merged with the 20% batch — the oracle recomputes
+    the rollup from scratch, so equality proves rollup(a) ⊕ rollup(b)
+    == rollup(a ∪ b).  Bucket emitted as epoch seconds (timezone-free
+    across engines); float sums rounded 6 dp."""
+    from pandance_spark.operators.rollup import (
+        build_rollup,
+        finalize_rollup,
+        merge_rollup,
+    )
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    existing = build_rollup(
+        ev.filter(F.col("event_id") % 5 != 0), "ts", 3600, ["event_type"], "value"
+    )
+    delta = build_rollup(
+        ev.filter(F.col("event_id") % 5 == 0), "ts", 3600, ["event_type"], "value"
+    )
+    merged = finalize_rollup(merge_rollup(existing, delta), round_avg=6)
+    return merged.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+        "event_type",
+        "cnt",
+        F.round(F.col("v_sum"), 6).alias("v_sum"),
+        "v_min",
+        "v_max",
+        "v_avg",
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2514,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_project": _q_embed_project,
         "weighted_sample": _q_weighted_sample,
         "ppl_buckets": _q_ppl_buckets,
+        "rollup_incremental": _q_rollup_incremental,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3342,6 +3375,21 @@ ORDER BY doc_id
                    round(avg(b), 6) AS cross_entropy,
                    round(pow(2, avg(b)), 6) AS perplexity
             FROM bits GROUP BY doc_id
+        """,
+        # the incremental merge must equal the from-scratch GROUP BY —
+        # that equality IS the operator's claim
+        "rollup_incremental": """
+            SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                     AS BIGINT) * 3600 AS bucket_s,
+                   event_type,
+                   count(value) AS cnt,
+                   round(sum(value), 6) AS v_sum,
+                   min(value) AS v_min,
+                   max(value) AS v_max,
+                   round(sum(value) / count(value), 6) AS v_avg
+            FROM events
+            GROUP BY 1, 2
+            HAVING count(value) > 0
         """,
         # CCNet tiers: the lm_perplexity oracle + the same rounded-ce
         # ntile cut per language

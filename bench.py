@@ -256,6 +256,7 @@ def main():
         "embed_project",
         "weighted_sample",
         "ppl_buckets",
+        "rollup_incremental",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

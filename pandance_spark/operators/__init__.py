@@ -6,6 +6,12 @@ from pandance_spark.operators.cluster import (
     pagerank,
 )
 from pandance_spark.operators.contamination import contamination_check
+from pandance_spark.operators.rollup import (
+    build_rollup,
+    finalize_rollup,
+    merge_rollup,
+    time_bucket,
+)
 from pandance_spark.operators.fuzzy import fuzzy_join
 from pandance_spark.operators.ineq import ineq_join
 from pandance_spark.operators.merge import merge_upsert, table_diff
@@ -22,6 +28,10 @@ from pandance_spark.operators.skew import salted_join
 from pandance_spark.operators.theta import theta_join
 
 __all__ = [
+    "build_rollup",
+    "finalize_rollup",
+    "merge_rollup",
+    "time_bucket",
     "bloom_dedup",
     "bloom_words",
     "fuzzy_join",
