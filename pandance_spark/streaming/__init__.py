@@ -39,6 +39,7 @@ __all__ = [
     "sessionize_stream",
     "running_user_stats",
     "streaming_near_dup_filter",
+    "stream_rollup_sink",
     "stream_upsert_sink",
     "stream_scd2_sink",
     "streaming_similarity_join",
@@ -600,6 +601,130 @@ def stream_upsert_sink(
 
     # Stable default: the stream resumes after restart instead of
     # replaying source offsets (see docstring "Restart semantics").
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
+    )
+    return writer
+
+
+def _rollup_batch_handler(
+    path: str,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    num_buckets: int,
+):
+    """The foreachBatch closure behind :func:`stream_rollup_sink`,
+    exposed as a factory so the replay guard is directly testable
+    (call it with the same (batch, batch_id) twice — the second
+    application must no-op)."""
+    from pandance_spark.operators.rollup import build_rollup, merge_rollup
+
+    keys = list(keys)
+    part_cols = ["bucket"] + keys
+    data_cols = part_cols + ["cnt", "v_sum", "v_min", "v_max"]
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        spark = batch.sparkSession
+        delta = build_rollup(
+            batch, time_col, width_seconds, keys, value_col
+        ).withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in part_cols]), num_buckets),
+        )
+        delta = delta.localCheckpoint(eager=True)
+        touched = [
+            r["__bucket"] for r in delta.select("__bucket").distinct().collect()
+        ]
+        if not touched:
+            return
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            existing = None
+            if _hadoop_path_exists(spark, path):
+                existing = spark.read.parquet(path).filter(
+                    F.col("__bucket").isin(touched)
+                )
+            if existing is not None and existing.columns:
+                # replay guard: this batch id already committed into
+                # the touched partitions -> the merge already happened
+                # (the id rides in the SAME atomic job commit as the
+                # data, so it cannot witness a half-applied merge)
+                already = (
+                    existing.filter(F.col("__last_bid") == batch_id)
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+                if already:
+                    return
+                merged = merge_rollup(
+                    existing.select(*data_cols), delta.select(*data_cols)
+                )
+            else:
+                merged = delta.select(*data_cols)
+            out = merged.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(*[F.col(c) for c in part_cols]), num_buckets),
+            ).withColumn("__last_bid", F.lit(batch_id))
+            out.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+                "__bucket"
+            ).parquet(path)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+    return handle_batch
+
+
+def stream_rollup_sink(
+    events: DataFrame,
+    path: str,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    num_buckets: int = 64,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Maintain a hypertable-style continuous aggregate from a stream —
+    the streaming composition of :func:`~pandance_spark.operators.
+    rollup.merge_rollup` with the bucket-partitioned sink machinery of
+    :func:`stream_upsert_sink`.  The target at ``path`` is the partial
+    rollup (``bucket, keys..., cnt, v_sum, v_min, v_max``) partitioned
+    by ``__bucket = pmod(xxhash64(bucket, keys), num_buckets)``.
+
+    Each micro-batch aggregates itself down to partials FIRST (map-side
+    combine — raw events never reach the sink I/O), reads back only the
+    target partitions its partials hash into, merges, and dynamically
+    overwrites exactly those partitions.  Per-batch work ∝ touched
+    partitions, never the rollup (let alone the raw history).
+
+    **Replay safety.**  Unlike the upsert sink, a rollup merge is NOT
+    naturally idempotent — re-merging a delivered batch double-counts.
+    The sink therefore stamps every rewritten row with the micro-batch
+    id (``__last_bid``) in the SAME atomic job commit as the data, and
+    a redelivered batch whose touched partitions already carry its id
+    is skipped.  Combined with the stream checkpoint (which already
+    de-duplicates batch ids except across a crash inside the batch),
+    the merge applies exactly once: crash before the job commit →
+    replay merges against unchanged partitions; crash after → replay
+    sees its own id and no-ops.  Restart/existence semantics otherwise
+    match :func:`stream_upsert_sink`.
+
+    Returns the unstarted ``DataStreamWriter``; call ``.start()``.
+    """
+    handle_batch = _rollup_batch_handler(
+        path, time_col, width_seconds, keys, value_col, num_buckets
+    )
     writer = events.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",
         checkpoint_dir or path.rstrip("/") + "/_checkpoint",

@@ -687,6 +687,78 @@ def main():
            note="stateless map-literal scorer: stream replay == batch "
                 "join-path scorer == DuckDB feature/weight/score replay")
 
+    # ------------------------------------------------------------------
+    # 12. stream_rollup_sink: hypertable continuous aggregate — two
+    # micro-batch replays == batch build_rollup over all events ==
+    # DuckDB from-scratch GROUP BY; plus an after-commit redelivery of
+    # the final batch id (the non-idempotent hazard) must no-op.
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.rollup import build_rollup, finalize_rollup
+    from pandance_spark.streaming import (
+        _rollup_batch_handler,
+        stream_rollup_sink,
+    )
+
+    rsrc = os.path.join(tmp, "roll_src")
+    rtgt = os.path.join(tmp, "roll_tgt")
+    rschema = "event_id bigint, ts timestamp, event_type string, value double"
+    rlog = ev_batch.select("event_id", "ts", "event_type", "value")
+    rlog.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(rsrc)
+    rlog.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(rsrc)
+    q = stream_rollup_sink(
+        spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(rsrc),
+        rtgt, "ts", 3600, ["event_type"], "value", num_buckets=4,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    # redeliver the last committed batch id — must not double-count
+    last_bid = max(
+        r["__last_bid"]
+        for r in spark.read.parquet(rtgt).select("__last_bid").collect()
+    )
+    _rollup_batch_handler(rtgt, "ts", 3600, ["event_type"], "value", 4)(
+        rlog.filter(F.col("event_id") % 2 == 1), last_bid
+    )
+    cols12 = ["bucket_s", "event_type", "cnt", "v_sum", "v_min", "v_max", "v_avg"]
+    proj12 = lambda df: finalize_rollup(df, 6).select(  # noqa: E731
+        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+        "event_type", "cnt",
+        F.round(F.col("v_sum"), 6).alias("v_sum"),
+        "v_min", "v_max", "v_avg",
+    )
+    s12 = canon_rows(
+        proj12(
+            spark.read.parquet(rtgt).select(
+                "bucket", "event_type", "cnt", "v_sum", "v_min", "v_max"
+            )
+        ).collect(),
+        cols12,
+    )
+    b12 = canon_rows(
+        proj12(build_rollup(rlog, "ts", 3600, ["event_type"], "value")).collect(),
+        cols12,
+    )
+    d12 = canon_rows(
+        duck_rows(con.sql("""
+            SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                     AS BIGINT) * 3600 AS bucket_s,
+                   event_type, count(value) AS cnt,
+                   round(sum(value), 6) AS v_sum,
+                   min(value) AS v_min, max(value) AS v_max,
+                   round(sum(value) / count(value), 6) AS v_avg
+            FROM events GROUP BY 1, 2 HAVING count(value) > 0
+        """)),
+        cols12,
+    )
+    record("stream_rollup_sink", "duckdb", s12, b12, d12,
+           note="2-batch incremental merge == from-scratch rollup == "
+                "DuckDB GROUP BY; committed-batch redelivery no-ops "
+                "(__last_bid guard)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

@@ -602,3 +602,86 @@ def test_streaming_dsir_router_matches_batch(spark, tmp_path):
     assert got[103] == (0, 0, False)
     # target-like doc scores above the junk doc
     assert got[102][0] > got[101][0]
+
+
+def test_stream_rollup_sink_incremental_and_replay_safe(spark, tmp_path):
+    import datetime as dt
+
+    from pandance_spark.operators.rollup import build_rollup, finalize_rollup
+    from pandance_spark.streaming import (
+        _rollup_batch_handler,
+        stream_rollup_sink,
+    )
+
+    rows1 = [
+        (dt.datetime(2024, 1, 1, 0, m), "a", float(m)) for m in range(0, 50, 10)
+    ] + [(dt.datetime(2024, 1, 1, 1, 5), "b", 7.0)]
+    rows2 = [
+        (dt.datetime(2024, 1, 1, 0, 55), "a", 100.0),
+        (dt.datetime(2024, 1, 1, 2, 0), "b", 1.0),
+    ]
+    schema = "ts timestamp, k string, v double"
+    in_dir = str(tmp_path / "roll_in")
+    target = str(tmp_path / "roll_out")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = stream_rollup_sink(
+        stream, target, "ts", 3600, ["k"], "v", num_buckets=8
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def state():
+        return sorted(
+            map(
+                tuple,
+                finalize_rollup(
+                    spark.read.parquet(target).select(
+                        "bucket", "k", "cnt", "v_sum", "v_min", "v_max"
+                    ),
+                    6,
+                ).collect(),
+            )
+        )
+
+    exp = sorted(
+        map(
+            tuple,
+            finalize_rollup(
+                build_rollup(
+                    spark.createDataFrame(rows1 + rows2, schema),
+                    "ts", 3600, ["k"], "v",
+                ),
+                6,
+            ).collect(),
+        )
+    )
+    got = state()
+    assert got == exp and len(got) == 3  # hours 0,1 for a/b + hour 2
+
+    # at-least-once redelivery AFTER commit: re-apply the last batch
+    # with its committed batch id — the __last_bid guard must no-op
+    last_bid = max(
+        r["__last_bid"]
+        for r in spark.read.parquet(target).select("__last_bid").collect()
+    )
+    handler = _rollup_batch_handler(target, "ts", 3600, ["k"], "v", 8)
+    handler(spark.createDataFrame(rows2, schema), last_bid)
+    assert state() == exp  # unchanged: no double count
+
+    # a genuinely NEW batch id still merges
+    handler(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 2, 30), "b", 9.0)], schema
+        ),
+        last_bid + 1,
+    )
+    after = {(r[0], r[1]): r for r in state()}
+    h2b = after[(dt.datetime(2024, 1, 1, 2), "b")]
+    assert (h2b[2], h2b[3], h2b[4], h2b[5]) == (2, 10.0, 1.0, 9.0)
