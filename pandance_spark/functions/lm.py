@@ -76,6 +76,7 @@ def lm_cross_entropy(
     text_col: str,
     counts: Optional[DataFrame] = None,
     add_k: float = 1.0,
+    carry=(),
 ) -> DataFrame:
     """Per-document cross-entropy (and perplexity) under an add-k
     unigram LM.
@@ -99,6 +100,11 @@ def lm_cross_entropy(
     broadcast — the vocabulary table is small by construction, so the
     exploded 100 TB token stream never shuffles for it; the only wide
     shuffle is the per-document average, with map-side partial combine.
+
+    ``carry``: extra per-document columns (constant per id — e.g. a
+    language key) carried THROUGH the scoring aggregate via first(),
+    so downstream grouping needs no rejoin against the corpus (a
+    rejoin would rescan the table and add a join shuffle).
     """
     if add_k <= 0:
         raise ValueError("add_k must be > 0 (unsmoothed zeros diverge)")
@@ -115,14 +121,18 @@ def lm_cross_entropy(
     model = counts.select(
         F.col("token").alias("__token"), F.col("cnt").alias("__cnt")
     )
+    carry = list(carry)
     toks = docs.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__token")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(tokenize(F.col(text_col))).alias("__token"),
     )
     scored = (
         toks.join(F.broadcast(model), "__token", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
+            *carry,
             (
                 -F.log2(
                     (F.coalesce(F.col("__cnt"), F.lit(0)) + F.lit(add_k))
@@ -132,6 +142,7 @@ def lm_cross_entropy(
         )
     )
     return scored.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry],
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__bits"), 6).alias("cross_entropy"),
         F.round(F.pow(F.lit(2.0), F.avg("__bits")), 6).alias("perplexity"),
@@ -270,21 +281,19 @@ def ppl_buckets(
     would let sub-rounding noise flip near-boundary documents).
 
     Plan: lm_cross_entropy's shape (broadcast vocab join + one
-    per-doc combine shuffle) plus ONE ntile window partitioned by
-    group — at 100 TB the window sorts within language partitions,
-    the same cost class as cap_per_group; skewed languages are
-    bounded by their own share of the corpus.
+    per-doc combine shuffle, the group key carried THROUGH that
+    aggregate — no rejoin, no second corpus scan) plus ONE ntile
+    window partitioned by group — at 100 TB the window sorts within
+    language partitions, the same cost class as cap_per_group; skewed
+    languages are bounded by their own share of the corpus.
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
-    scored = lm_cross_entropy(docs, id_col, text_col, counts=counts)
+    carry = [group_col] if group_col is not None else []
+    keyed = lm_cross_entropy(docs, id_col, text_col, counts=counts, carry=carry)
     if group_col is not None:
-        keyed = scored.join(
-            docs.select(id_col, group_col), id_col, "inner"
-        )
         w = Window.partitionBy(group_col)
     else:
-        keyed = scored
         w = Window.partitionBy()
     w = w.orderBy(F.col("cross_entropy").asc(), F.col(id_col).asc())
     return keyed.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -58,7 +58,10 @@ def time_bucket(ts: Column, width_seconds: int) -> Column:
 
 def _check(keys, value_col):
     keys = [keys] if isinstance(keys, str) else list(keys)
-    reserved = {"bucket", "cnt", "v_sum", "v_min", "v_max"}
+    # __bucket/__last_bid are injected later by stream_rollup_sink's
+    # partition hash and replay stamp — a key by either name would be
+    # silently clobbered by withColumn
+    reserved = {"bucket", "cnt", "v_sum", "v_min", "v_max", "__bucket", "__last_bid"}
     bad = reserved.intersection(keys + [value_col])
     if bad:
         raise ValueError(f"column names collide with rollup schema: {sorted(bad)}")

@@ -27,7 +27,6 @@ from pandance_spark.plans.mem import explain_str
 __all__ = ["plan_report", "assert_scalable"]
 
 _NODE_COUNTS = {
-    "exchanges": "Exchange",
     "broadcast_hash_joins": "BroadcastHashJoin",
     "sort_merge_joins": "SortMergeJoin",
     "shuffled_hash_joins": "ShuffledHashJoin",
@@ -56,6 +55,15 @@ def plan_report(df: DataFrame) -> dict:
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     rep = {k: plan.count(pat) for k, pat in _NODE_COUNTS.items()}
+    # "exchanges" counts SHUFFLES only: BroadcastExchange moves a
+    # build side, ReusedExchange moves nothing — counting either would
+    # fail a max_exchanges budget on plans that got BETTER (e.g. a
+    # shuffle join flipping to broadcast)
+    rep["exchanges"] = len(
+        re.findall(r"(?<!Broadcast)(?<!Reused)Exchange ", plan)
+    )
+    rep["broadcast_exchanges"] = plan.count("BroadcastExchange")
+    rep["reused_exchanges"] = plan.count("ReusedExchange")
     rep["wholestage_codegen_stages"] = len(
         set(re.findall(r"\*\((\d+)\)", plan))
     )
@@ -78,30 +86,40 @@ def plan_report(df: DataFrame) -> dict:
 def assert_scalable(
     df: DataFrame,
     allow_cartesian: bool = False,
+    allow_bnlj: bool = None,
     allow_python: bool = True,
     max_exchanges: int = None,
 ) -> dict:
     """CI gate: raise ``AssertionError`` if the plan contains a scale
     hazard; returns the :func:`plan_report` on success.
 
-    - ``CartesianProduct`` / non-join-condition
-      ``BroadcastNestedLoopJoin`` are rows² at scale — fail unless
-      ``allow_cartesian`` (theta joins own that cost knowingly).
+    - ``CartesianProduct`` and ``BroadcastNestedLoopJoin`` are both
+      rows x rows COMPUTE at scale (a BNLJ's condition bounds the
+      output, not the comparisons) — fail unless allowed.
+      ``allow_cartesian`` waives both (theta joins own that cost
+      knowingly); ``allow_bnlj`` waives ONLY the BNLJ, so a
+      deliberate small-broadcast non-equi join passes while a real
+      CartesianProduct regression still fails.
     - ``BatchEvalPython`` is the row-at-a-time Python path (never
       acceptable in this codebase's hot paths); Arrow-batched stages
       pass unless ``allow_python=False``.
-    - ``max_exchanges`` caps shuffle count — pin it to today's plan
-      and a refactor that adds an accidental shuffle fails the test.
+    - ``max_exchanges`` caps SHUFFLE count (broadcast/reused
+      exchanges excluded) — pin it to today's plan and a refactor
+      that adds an accidental shuffle fails the test.
     """
     rep = plan_report(df)
     problems = []
-    if not allow_cartesian and (
-        rep["cartesian_products"] or rep["broadcast_nested_loop_joins"]
-    ):
+    if allow_bnlj is None:
+        allow_bnlj = allow_cartesian
+    if not allow_cartesian and rep["cartesian_products"]:
+        problems.append(
+            f"cartesian join in plan "
+            f"(CartesianProduct={rep['cartesian_products']})"
+        )
+    if not allow_bnlj and rep["broadcast_nested_loop_joins"]:
         problems.append(
             f"cartesian-class join in plan "
-            f"(CartesianProduct={rep['cartesian_products']}, "
-            f"BroadcastNestedLoopJoin={rep['broadcast_nested_loop_joins']})"
+            f"(BroadcastNestedLoopJoin={rep['broadcast_nested_loop_joins']})"
         )
     if rep["python_evals"]:
         problems.append(

@@ -619,7 +619,8 @@ def _rollup_batch_handler(
     """The foreachBatch closure behind :func:`stream_rollup_sink`,
     exposed as a factory so the replay guard is directly testable
     (call it with the same (batch, batch_id) twice — the second
-    application must no-op)."""
+    application must no-op; wipe some touched partitions' stamps and
+    it must heal exactly those)."""
     from pandance_spark.operators.rollup import build_rollup, merge_rollup
 
     keys = list(keys)
@@ -653,18 +654,31 @@ def _rollup_batch_handler(
                     F.col("__bucket").isin(touched)
                 )
             if existing is not None and existing.columns:
-                # replay guard: this batch id already committed into
-                # the touched partitions -> the merge already happened
-                # (the id rides in the SAME atomic job commit as the
-                # data, so it cannot witness a half-applied merge)
-                already = (
-                    existing.filter(F.col("__last_bid") == batch_id)
-                    .limit(1)
-                    .count()
-                    > 0
-                )
-                if already:
+                # replay guard, per PARTITION: the batch id is stamped
+                # into every partition the previous attempt committed,
+                # but a rename-based committer swaps partition dirs
+                # sequentially, so a crash mid-commit can leave SOME
+                # touched partitions stamped and others not.  A
+                # redelivered batch therefore merges into exactly the
+                # partitions that do NOT yet carry its id (the heal
+                # path); fully applied -> no-op.  Remaining assumption:
+                # the per-partition-directory swap itself is atomic
+                # (true of rename-based committers).
+                applied = {
+                    r["__bucket"]
+                    for r in existing.filter(F.col("__last_bid") == batch_id)
+                    .select("__bucket")
+                    .distinct()
+                    .collect()
+                }
+                pending = [t for t in touched if t not in applied]
+                if not pending:
                     return
+                if applied:
+                    delta = delta.filter(F.col("__bucket").isin(pending))
+                    existing = existing.filter(
+                        F.col("__bucket").isin(pending)
+                    )
                 merged = merge_rollup(
                     existing.select(*data_cols), delta.select(*data_cols)
                 )
@@ -711,14 +725,18 @@ def stream_rollup_sink(
     **Replay safety.**  Unlike the upsert sink, a rollup merge is NOT
     naturally idempotent — re-merging a delivered batch double-counts.
     The sink therefore stamps every rewritten row with the micro-batch
-    id (``__last_bid``) in the SAME atomic job commit as the data, and
-    a redelivered batch whose touched partitions already carry its id
-    is skipped.  Combined with the stream checkpoint (which already
-    de-duplicates batch ids except across a crash inside the batch),
-    the merge applies exactly once: crash before the job commit →
-    replay merges against unchanged partitions; crash after → replay
-    sees its own id and no-ops.  Restart/existence semantics otherwise
-    match :func:`stream_upsert_sink`.
+    id (``__last_bid``), and a redelivered batch merges into exactly
+    the touched partitions that do NOT yet carry its id: fully applied
+    → no-op; half-committed (a rename-based committer swaps partition
+    directories sequentially, so a crash mid-commit can stamp some
+    touched partitions and not others) → the replay HEALS the missing
+    partitions without double-counting the committed ones.  Combined
+    with the stream checkpoint (which already de-duplicates batch ids
+    except across a crash inside the batch), the merge applies exactly
+    once per partition; the remaining assumption is per-partition-
+    directory swap atomicity, which rename-based committers provide.
+    Restart/existence semantics otherwise match
+    :func:`stream_upsert_sink`.
 
     Returns the unstarted ``DataStreamWriter``; call ``.start()``.
     """

@@ -715,14 +715,19 @@ def main():
     ).start()
     q.processAllAvailable()
     q.stop()
-    # redeliver the last committed batch id — must not double-count
-    last_bid = max(
-        r["__last_bid"]
-        for r in spark.read.parquet(rtgt).select("__last_bid").collect()
+    # redelivery with EXPLICIT batch ids on a second target (the
+    # file source's batch->file assignment is mtime-order and can
+    # tie, so "which rows were batch N" is not recoverable from the
+    # streamed target): merge the two halves as batches 0 and 1, then
+    # REDELIVER batch 1 — the guard must no-op, and the manual target
+    # must equal the streamed one exactly
+    rtgt2 = os.path.join(tmp, "roll_tgt_manual")
+    _rollup_h = _rollup_batch_handler(
+        rtgt2, "ts", 3600, ["event_type"], "value", 4
     )
-    _rollup_batch_handler(rtgt, "ts", 3600, ["event_type"], "value", 4)(
-        rlog.filter(F.col("event_id") % 2 == 1), last_bid
-    )
+    _rollup_h(rlog.filter(F.col("event_id") % 2 == 0), 0)
+    _rollup_h(rlog.filter(F.col("event_id") % 2 == 1), 1)
+    _rollup_h(rlog.filter(F.col("event_id") % 2 == 1), 1)  # redelivered
     cols12 = ["bucket_s", "event_type", "cnt", "v_sum", "v_min", "v_max", "v_avg"]
     proj12 = lambda df: finalize_rollup(df, 6).select(  # noqa: E731
         F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
@@ -737,6 +742,18 @@ def main():
             )
         ).collect(),
         cols12,
+    )
+    m12 = canon_rows(
+        proj12(
+            spark.read.parquet(rtgt2).select(
+                "bucket", "event_type", "cnt", "v_sum", "v_min", "v_max"
+            )
+        ).collect(),
+        cols12,
+    )
+    assert m12 == s12, (
+        "manual-batch rollup (with redelivered batch) diverged from "
+        "the streamed rollup — the replay guard double-counted"
     )
     b12 = canon_rows(
         proj12(build_rollup(rlog, "ts", 3600, ["event_type"], "value")).collect(),

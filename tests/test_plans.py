@@ -31,8 +31,11 @@ def test_assert_scalable_passes_clean_join(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
     df = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
-    rep = assert_scalable(df)
+    # a broadcast join is ZERO shuffles: BroadcastExchange must not
+    # count against the exchange budget
+    rep = assert_scalable(df, max_exchanges=0)
     assert rep["broadcast_hash_joins"] == 1
+    assert rep["exchanges"] == 0 and rep["broadcast_exchanges"] >= 1
 
 
 def test_assert_scalable_flags_cartesian(spark, sf_dir):
@@ -43,6 +46,9 @@ def test_assert_scalable_flags_cartesian(spark, sf_dir):
         assert_scalable(cross)
     # the theta-join opt-in
     assert_scalable(cross, allow_cartesian=True)
+    # a deliberate small-broadcast non-equi join: allow_bnlj waives
+    # only the BNLJ while a true CartesianProduct would still fail
+    assert_scalable(cross, allow_bnlj=True)
 
 
 def test_assert_scalable_exchange_budget(spark, sf_dir):

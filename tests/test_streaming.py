@@ -606,6 +606,7 @@ def test_streaming_dsir_router_matches_batch(spark, tmp_path):
 
 def test_stream_rollup_sink_incremental_and_replay_safe(spark, tmp_path):
     import datetime as dt
+    import shutil
 
     from pandance_spark.operators.rollup import build_rollup, finalize_rollup
     from pandance_spark.streaming import (
@@ -621,28 +622,14 @@ def test_stream_rollup_sink_incremental_and_replay_safe(spark, tmp_path):
         (dt.datetime(2024, 1, 1, 2, 0), "b", 1.0),
     ]
     schema = "ts timestamp, k string, v double"
-    in_dir = str(tmp_path / "roll_in")
     target = str(tmp_path / "roll_out")
-    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
-    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
 
-    stream = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(in_dir)
-    q = stream_rollup_sink(
-        stream, target, "ts", 3600, ["k"], "v", num_buckets=8
-    ).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    def state():
+    def state(path=target):
         return sorted(
             map(
                 tuple,
                 finalize_rollup(
-                    spark.read.parquet(target).select(
+                    spark.read.parquet(path).select(
                         "bucket", "k", "cnt", "v_sum", "v_min", "v_max"
                     ),
                     6,
@@ -662,26 +649,60 @@ def test_stream_rollup_sink_incremental_and_replay_safe(spark, tmp_path):
             ).collect(),
         )
     )
+
+    # --- streamed path: two micro-batches == from-scratch rollup ---
+    in_dir = str(tmp_path / "roll_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = stream_rollup_sink(
+        stream, target, "ts", 3600, ["k"], "v", num_buckets=8
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     got = state()
-    assert got == exp and len(got) == 3  # hours 0,1 for a/b + hour 2
+    assert got == exp and len(got) == 3  # hours 0,1 for a + hours 1,2 for b
 
-    # at-least-once redelivery AFTER commit: re-apply the last batch
-    # with its committed batch id — the __last_bid guard must no-op
-    last_bid = max(
-        r["__last_bid"]
-        for r in spark.read.parquet(target).select("__last_bid").collect()
-    )
-    handler = _rollup_batch_handler(target, "ts", 3600, ["k"], "v", 8)
-    handler(spark.createDataFrame(rows2, schema), last_bid)
-    assert state() == exp  # unchanged: no double count
+    # --- replay semantics on a dedicated target with EXPLICIT batch
+    # ids (no dependence on file-source ordering) ---
+    t2 = str(tmp_path / "roll_manual")
+    h = _rollup_batch_handler(t2, "ts", 3600, ["k"], "v", 8)
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    h(b1, 0)
+    snapshot = str(tmp_path / "roll_snap")
+    shutil.copytree(t2, snapshot)  # state BEFORE batch 1
+    h(b2, 1)
+    assert state(t2) == exp
+    # full redelivery of a committed batch: no double count
+    h(b2, 1)
+    assert state(t2) == exp
+    # HALF-COMMIT heal: roll ONE of batch 1's touched partitions back
+    # to its pre-batch state (as if the committer crashed after
+    # swapping the other partitions), then redeliver — the guard must
+    # merge ONLY the rolled-back partition
+    from pyspark.sql import functions as F
 
-    # a genuinely NEW batch id still merges
-    handler(
-        spark.createDataFrame(
-            [(dt.datetime(2024, 1, 1, 2, 30), "b", 9.0)], schema
-        ),
-        last_bid + 1,
+    touched = sorted(
+        r["__bucket"]
+        for r in spark.read.parquet(t2)
+        .filter(F.col("__last_bid") == 1)
+        .select("__bucket")
+        .distinct()
+        .collect()
     )
-    after = {(r[0], r[1]): r for r in state()}
-    h2b = after[(dt.datetime(2024, 1, 1, 2), "b")]
-    assert (h2b[2], h2b[3], h2b[4], h2b[5]) == (2, 10.0, 1.0, 9.0)
+    assert len(touched) >= 2, "fixture must touch >= 2 partitions"
+    victim = touched[0]
+    import os
+
+    vdir = os.path.join(t2, f"__bucket={victim}")
+    shutil.rmtree(vdir)
+    pre = os.path.join(snapshot, f"__bucket={victim}")
+    if os.path.exists(pre):
+        shutil.copytree(pre, vdir)
+    h(b2, 1)  # redelivery heals the victim partition only
+    assert state(t2) == exp
