@@ -2005,6 +2005,49 @@ def _q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-recipe solver + apply (functions/split.py mixture_rates →
+    stratified_sample): per-source token counts from ONE aggregate,
+    rates solved driver-side over the sources-sized dict, membership
+    a pure md5 function — the corpus never shuffles for the apply."""
+    from pandance_spark.functions.split import mixture_rates, stratified_sample
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n"))
+        .collect()
+    )
+    available = {r["source"]: r["n"] for r in counts}
+    targets = {"src0": 0.4, "src1": 0.4, "src5": 0.2}
+    rates = mixture_rates(
+        {s: available.get(s, 0) for s in targets}, targets, budget=3000
+    )
+    kept = stratified_sample(docs, "source", rates, "doc_id", default_rate=0.0)
+    return kept.select("doc_id", "source")
+
+
+def _q_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier flags (functions/profile.py
+    outliers_mad): exact medians/MAD, |x - med| > 3.5 * 1.4826 * MAD.
+    Exact percentiles interpolate identically in DuckDB
+    (quantile_cont), so the flags replay bit-for-bit."""
+    from pandance_spark.functions.profile import outliers_mad
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    out = outliers_mad(ev.select("event_id", "event_type", "value"),
+                       "event_type", "value", k=3.5)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("grp_median"), 6).alias("grp_median"),
+        F.round(F.col("grp_mad"), 6).alias("grp_mad"),
+        "is_outlier",
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2547,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "ppl_buckets": _q_ppl_buckets,
         "rollup_incremental": _q_rollup_incremental,
+        "mixture_plan": _q_mixture_plan,
+        "outliers_events": _q_outliers_events,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3375,6 +3420,53 @@ ORDER BY doc_id
                    round(avg(b), 6) AS cross_entropy,
                    round(pow(2, avg(b)), 6) AS perplexity
             FROM bits GROUP BY doc_id
+        """,
+        # recipe replay: same token counts, same min(1, share*B/n)
+        # rate, same md5 membership cut
+        "mixture_plan": f"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(lower(text),
+                                                        '[^a-z0-9]+'),
+                                     t -> t <> '')) AS nt
+              FROM documents
+            ),
+            av AS (SELECT source, sum(nt) AS n FROM tok GROUP BY 1),
+            r AS (
+              SELECT av.source,
+                     CASE WHEN n = 0 THEN 1.0
+                          ELSE least(1.0, share * 3000 / n) END AS rate
+              FROM av JOIN (VALUES ('src0', 0.4), ('src1', 0.4),
+                                   ('src5', 0.2)) t(source, share)
+                   ON av.source = t.source
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                      1, 8) AS BIGINT) % 10000
+                  < CAST(round(rate * 10000) AS BIGINT)
+        """,
+        # MAD replay: same exact interpolated medians
+        # (quantile_cont == Spark percentile), same k*1.4826*MAD cut
+        # on UNROUNDED values
+        "outliers_events": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY 1
+            ),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - m), 0.5) AS d
+              FROM events e JOIN med USING (event_type) GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round(m, 6) AS grp_median,
+                   round(d, 6) AS grp_mad,
+                   CASE WHEN d = 0 THEN abs(e.value - m) > 0
+                        ELSE abs(e.value - m) > 3.5 * 1.4826 * d
+                   END AS is_outlier
+            FROM events e
+            JOIN med USING (event_type) JOIN mad USING (event_type)
         """,
         # the incremental merge must equal the from-scratch GROUP BY —
         # that equality IS the operator's claim

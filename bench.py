@@ -257,6 +257,8 @@ def main():
         "weighted_sample",
         "ppl_buckets",
         "rollup_incremental",
+        "mixture_plan",
+        "outliers_events",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -28,6 +28,7 @@ __all__ = [
     "drop_reason",
     "filter_funnel",
     "heavy_hitters",
+    "outliers_mad",
     "profile_table",
     "skew_report",
 ]
@@ -314,3 +315,55 @@ def filter_funnel(df: DataFrame, rules) -> DataFrame:
             (F.col("n_in") - F.col("n_dropped")).alias("n_out"),
         )
     )
+
+
+def outliers_mad(
+    df: DataFrame,
+    group_cols,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flagging by median absolute deviation:
+    a row is an outlier when ``|x - median| > k * 1.4826 * MAD`` (the
+    1.4826 factor makes MAD a consistent σ estimate under normality;
+    k=3.5 is the conventional cut).  Mean/stddev-based z-scores are
+    themselves dragged by the outliers they should catch — MAD is the
+    standard robust alternative for pipeline-telemetry gating (value
+    drift, feed corruption) on skewed data.
+
+    Adds ``grp_median``, ``grp_mad``, ``is_outlier``.  Degenerate
+    groups (MAD = 0: over half the values identical) flag exactly the
+    rows that differ from the median — never divide-by-zero, never
+    "everything is an outlier".
+
+    Plan: two exact-percentile aggregations (medians of values, then
+    of absolute deviations) with map-side combine, each joined back
+    broadcast — the group tables are groups-sized by construction.
+    The corpus is scanned twice (percentiles are holistic; a one-pass
+    approximation would lose the exactness the oracle checks); at
+    100 TB use a sampled or approx-percentile variant if two scans
+    matter more than exactness.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    reserved = {"grp_median", "grp_mad", "is_outlier", "__absdev"}
+    bad = reserved.intersection(df.columns)
+    if bad:
+        raise ValueError(f"column names collide with output schema: {sorted(bad)}")
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(0.5)).alias("grp_median")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.withColumn("__absdev", F.abs(v - F.col("grp_median")))
+        .groupBy(*group_cols)
+        .agg(F.percentile(F.col("__absdev"), F.lit(0.5)).alias("grp_mad"))
+    )
+    out = with_med.join(F.broadcast(mad), group_cols)
+    dev = F.abs(v - F.col("grp_median"))
+    flag = F.when(F.col("grp_mad") == 0, dev > 0).otherwise(
+        dev > F.lit(k) * F.lit(1.4826) * F.col("grp_mad")
+    )
+    return out.withColumn("is_outlier", flag)

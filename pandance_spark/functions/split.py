@@ -31,6 +31,7 @@ __all__ = [
     "shuffle_shards",
     "token_budget_cap",
     "weighted_sample",
+    "mixture_rates",
 ]
 
 
@@ -542,3 +543,36 @@ def weighted_sample(df, key_col: str, weight_col: Column, k: int):
         .limit(k)
         .drop("__es_key")
     )
+
+
+def mixture_rates(available: dict, targets: dict, budget: int) -> dict:
+    """Solve a data recipe: given per-source AVAILABLE token counts
+    and TARGET mixture shares (fractions summing to <= 1), return the
+    per-source keep rate that hits ``budget`` tokens at the target
+    proportions — ``rate_s = min(1, targets_s * budget /
+    available_s)``.  A rate that clips at 1 means the source cannot
+    fill its share (the standard under-supply situation for
+    high-quality sources); the caller sees it directly in the
+    returned dict and can re-weight.
+
+    Pure driver-side arithmetic over a sources-sized dict (the
+    per-source counts come from one map-side-combined aggregate —
+    sources are few by construction).  Feed the result to
+    ``stratified_sample`` (rates are exactly its contract) for a
+    zero-shuffle deterministic apply.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    unknown = set(targets) - set(available)
+    if unknown:
+        raise ValueError(f"targets reference unknown sources: {sorted(unknown)}")
+    total_share = sum(targets.values())
+    if total_share > 1 + 1e-9 or any(v < 0 for v in targets.values()):
+        raise ValueError("target shares must be >= 0 and sum to <= 1")
+    rates = {}
+    for s, share in targets.items():
+        n = available[s]
+        if n < 0:
+            raise ValueError(f"available[{s!r}] must be >= 0")
+        rates[s] = 1.0 if n == 0 else min(1.0, share * budget / n)
+    return rates

@@ -213,3 +213,47 @@ def test_drop_reason_validation():
         drop_reason([("a", F.lit(True)), ("a", F.lit(True))])
     with _pytest.raises(ValueError):
         drop_reason([("kept", F.lit(True))])
+
+
+# ------------------------------------------------------------- MAD outliers
+def test_outliers_mad_flags_and_degenerate_group(spark):
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.profile import outliers_mad
+
+    rows = (
+        [Row(id=i, g="n", v=float(10 + (i % 5))) for i in range(20)]  # 10..14
+        + [Row(id=99, g="n", v=1000.0)]                               # outlier
+        + [Row(id=200 + i, g="flat", v=5.0) for i in range(4)]        # MAD=0
+        + [Row(id=299, g="flat", v=5.5)]
+    )
+    out = {
+        r["id"]: r
+        for r in outliers_mad(spark.createDataFrame(rows), "g", "v").collect()
+    }
+    assert out[99]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in range(20))
+    # degenerate group: MAD 0 -> only the value differing from median
+    assert out[299]["is_outlier"] is True and out[299]["grp_mad"] == 0.0
+    assert all(not out[200 + i]["is_outlier"] for i in range(4))
+    # median/MAD hand-check for the normal group (21 values)
+    import statistics
+
+    vals = [10.0 + (i % 5) for i in range(20)] + [1000.0]
+    med = statistics.median(vals)
+    mad = statistics.median(sorted(abs(x - med) for x in vals))
+    assert out[99]["grp_median"] == med and out[99]["grp_mad"] == mad
+
+
+def test_outliers_mad_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from pandance_spark.functions.profile import outliers_mad
+
+    df = spark.createDataFrame([Row(g="a", v=1.0, grp_mad=2.0)])
+    with _pytest.raises(ValueError, match="collide"):
+        outliers_mad(df, "g", "v")
+    df2 = spark.createDataFrame([Row(g="a", v=1.0)])
+    with _pytest.raises(ValueError):
+        outliers_mad(df2, "g", "v", k=0)

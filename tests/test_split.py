@@ -546,3 +546,24 @@ def test_weighted_sample_deterministic_and_validated(spark):
     assert a == b
     with _pytest.raises(ValueError):
         weighted_sample(df, "id", F.col("w"), 0)
+
+
+# ---------------------------------------------------------- mixture rates
+def test_mixture_rates_solver():
+    import pytest as _pytest
+
+    from pandance_spark.functions.split import mixture_rates
+
+    # plenty available -> exact shares; short source clips at 1
+    r = mixture_rates({"a": 1000, "b": 10, "c": 99}, {"a": 0.5, "b": 0.5}, 100)
+    assert r == {"a": 0.05, "b": 1.0}
+    # zero-available source keeps rate 1 (harmless: nothing to keep)
+    assert mixture_rates({"a": 0}, {"a": 1.0}, 50) == {"a": 1.0}
+    with _pytest.raises(ValueError):
+        mixture_rates({"a": 10}, {"zz": 0.5}, 100)
+    with _pytest.raises(ValueError):
+        mixture_rates({"a": 10}, {"a": 1.5}, 100)
+    with _pytest.raises(ValueError):
+        mixture_rates({"a": 10}, {"a": 0.5}, -1)
+    with _pytest.raises(ValueError):
+        mixture_rates({"a": -5}, {"a": 0.5}, 100)
