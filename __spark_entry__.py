@@ -2048,6 +2048,18 @@ def _q_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language A-ES weighted picks (functions/split.py
+    weighted_sample_per_group): 15 docs per language, odds ∝ length —
+    one window shuffle on lang, same Gumbel micro-unit keys."""
+    from pandance_spark.functions.split import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, "lang", "doc_id", F.col("n_chars"), k=15
+    ).select("doc_id", "lang", "n_chars")
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2592,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_incremental": _q_rollup_incremental,
         "mixture_plan": _q_mixture_plan,
         "outliers_events": _q_outliers_events,
+        "weighted_per_lang": _q_weighted_per_lang,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3420,6 +3433,27 @@ ORDER BY doc_id
                    round(avg(b), 6) AS cross_entropy,
                    round(pow(2, avg(b)), 6) AS perplexity
             FROM bits GROUP BY doc_id
+        """,
+        # per-group A-ES: same Gumbel micro-unit key, per-lang rank
+        "weighted_per_lang": """
+            WITH t AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST(round(
+                       (ln(n_chars::DOUBLE)
+                        - ln(-ln((CAST('0x' ||
+                                substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8) AS BIGINT)::DOUBLE + 0.5)
+                               / 4294967296.0))) * 1000000.0
+                     ) AS BIGINT) AS k
+              FROM documents WHERE n_chars > 0
+            ),
+            r AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY k DESC, doc_id ASC) AS rn
+              FROM t
+            )
+            SELECT doc_id, lang, n_chars FROM r WHERE rn <= 15
         """,
         # recipe replay: same token counts, same min(1, share*B/n)
         # rate, same md5 membership cut

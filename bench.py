@@ -259,6 +259,7 @@ def main():
         "rollup_incremental",
         "mixture_plan",
         "outliers_events",
+        "weighted_per_lang",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -32,6 +32,7 @@ __all__ = [
     "token_budget_cap",
     "weighted_sample",
     "mixture_rates",
+    "weighted_sample_per_group",
 ]
 
 
@@ -576,3 +577,36 @@ def mixture_rates(available: dict, targets: dict, budget: int) -> dict:
             raise ValueError(f"available[{s!r}] must be >= 0")
         rates[s] = 1.0 if n == 0 else min(1.0, share * budget / n)
     return rates
+
+
+def weighted_sample_per_group(
+    df, group_cols, key_col: str, weight_col: Column, k: int
+):
+    """:func:`weighted_sample` within each group: ``k`` rows per group
+    with inclusion odds proportional to weight (per-language /
+    per-domain weighted picks).  Same Gumbel-form md5 rank key —
+    scale-free, engine-portable, deterministic — ranked by a window
+    per group instead of a global top-k.  ONE shuffle on the group
+    key, the cap_per_group cost class.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = weight_col.cast("double")
+    rank_key = F.round((F.log(w) - F.log(-F.log(u))) * 1_000_000).cast("long")
+    finite = w.isNotNull() & ~F.isnan(w) & (w > 0) & (w < F.lit(float("inf")))
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("__es_key").desc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(finite)
+        .withColumn("__es_key", rank_key)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__es_key", "__rn")
+    )

@@ -36,6 +36,7 @@ from pandance_spark.functions.text import (
 from pandance_spark.functions.vectors import cosine_similarity
 
 __all__ = [
+    "lsh_params",
     "dedup_exact",
     "duplicate_groups",
     "minhash_signature",
@@ -2083,3 +2084,33 @@ def remove_boilerplate(
         F.size("__arr").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
     )
+
+
+def lsh_params(num_hashes: int, threshold: float):
+    """Solve the MinHash-LSH S-curve for banding parameters: among
+    factorizations ``num_hashes = bands * rows``, pick the one whose
+    inflection ``(1/bands)^(1/rows)`` sits closest UNDER the target
+    Jaccard ``threshold`` (prefer catching near-threshold pairs over
+    missing them — candidates are verified exactly afterwards anyway,
+    so extra candidates cost compute, missed ones cost recall).
+
+    Returns ``(bands, rows_per_band, inflection)``.  Driver-side
+    closed form (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets §3.4.2) — feed ``bands`` to minhash_join/banding.
+    """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        s = (1.0 / bands) ** (1.0 / rows)
+        # distance below the target; curves above it are penalized by
+        # how far they overshoot (they'd miss near-threshold pairs)
+        score = (threshold - s) if s <= threshold else 10.0 * (s - threshold)
+        if best is None or score < best[0]:
+            best = (score, bands, rows, s)
+    return best[1], best[2], best[3]

@@ -903,3 +903,21 @@ def test_remove_boilerplate_null_scope_and_null_text(spark):
     assert out[4] == ("NAV\nkept here", 2, 2)
     # NULL text counts as zero lines, not -1
     assert out[5] == ("", 0, 0)
+
+
+def test_lsh_params_solver():
+    import pytest as _pytest
+
+    from pandance_spark.operators.dedup import lsh_params
+
+    b, r, s = lsh_params(64, 0.8)
+    assert b * r == 64 and s <= 0.8
+    # the curve sits under but near the target
+    assert 0.5 < s <= 0.8
+    # low thresholds push toward many bands
+    b2, r2, s2 = lsh_params(64, 0.05)
+    assert b2 == 64 and r2 == 1
+    with _pytest.raises(ValueError):
+        lsh_params(0, 0.5)
+    with _pytest.raises(ValueError):
+        lsh_params(64, 1.0)

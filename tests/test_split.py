@@ -567,3 +567,34 @@ def test_mixture_rates_solver():
         mixture_rates({"a": 10}, {"a": 0.5}, -1)
     with _pytest.raises(ValueError):
         mixture_rates({"a": -5}, {"a": 0.5}, 100)
+
+
+def test_weighted_sample_per_group(spark):
+    import hashlib
+    import math
+
+    from pyspark.sql import Row, functions as F
+
+    from pandance_spark.functions.split import weighted_sample_per_group
+
+    rows = [(i, "a" if i < 20 else "b", float(1 + i % 4)) for i in range(40)]
+    df = spark.createDataFrame([Row(id=i, g=g, w=w) for i, g, w in rows])
+    out = weighted_sample_per_group(df, "g", "id", F.col("w"), k=5).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["id"])
+    assert len(by_g["a"]) == 5 and len(by_g["b"]) == 5
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return round((math.log(w) - math.log(-math.log(u))) * 1_000_000)
+
+    for g, lo, hi in (("a", 0, 20), ("b", 20, 40)):
+        exp = sorted(
+            sorted(
+                ((i, w) for i, gg, w in rows if gg == g),
+                key=lambda t: (-key(*t), t[0]),
+            )[:5]
+        )
+        assert sorted(by_g[g]) == [i for i, _ in exp]
