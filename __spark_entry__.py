@@ -2060,6 +2060,81 @@ def _q_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+def _q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature recipe (functions/split.py
+    temperature_rates): per-source token counts from ONE aggregate,
+    shares ∝ n^0.5 solved driver-side (alpha=0.5 → sqrt, IEEE
+    correctly-rounded so DuckDB reproduces shares bit-for-bit; the
+    share normalizer folds in sorted-source order on both sides),
+    rates = min(1, share·budget/n), membership the same zero-shuffle
+    md5 gate as stratified_sample."""
+    from pandance_spark.functions.split import stratified_sample, temperature_rates
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.groupBy("source")
+        .agg(F.sum(token_count(F.col("text"))).alias("n"))
+        .collect()
+    )
+    available = {r["source"]: r["n"] for r in sorted(counts, key=lambda r: r["source"])}
+    rates = temperature_rates(available, alpha=0.5, budget=5000)
+    kept = stratified_sample(docs, "source", rates, "doc_id", default_rate=0.0)
+    return kept.select("doc_id", "source")
+
+
+def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per near-dup cluster (operators/cluster.py
+    keep_best): the dedup_clusters assignment re-keyed to keep the
+    LONGEST document (n_chars desc, doc_id tiebreak) instead of the
+    min id — the 'keep the best copy' pass corpus builds run.  One
+    broadcast join + ONE window shuffle on cluster_id; oracle replays
+    the exact-Jaccard transitive closure + the same argmax window."""
+    from pandance_spark.operators.cluster import dedup_clusters, keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, "doc_id", "text", threshold=0.8, num_hashes=64, bands=16, shingle_n=3
+    )
+    return keep_best(
+        docs.select("doc_id", "n_chars"), clusters, "doc_id", F.col("n_chars")
+    ).select("doc_id", "cluster_id", "n_chars", "is_best")
+
+
+def _q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-quantile continuous aggregate (operators/rollup.py
+    build_rollup_hist / merge_rollup_hist / quantile_from_hist):
+    daily per-event-type HISTOGRAM partials built from two disjoint
+    batches and merged — integer bin counts make merge == from-scratch
+    bit-for-bit, which is exactly what the oracle asserts by
+    recomputing the histogram and the p95 bin from all events in SQL.
+    hist projected as CSV (driver harness canonicalization cannot
+    hash arrays — the table_diff lesson)."""
+    from pandance_spark.operators.rollup import (
+        build_rollup_hist,
+        merge_rollup_hist,
+        quantile_from_hist,
+    )
+
+    bounds = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    h_old = build_rollup_hist(
+        ev.filter(F.col("event_id") % 4 != 0), "ts", 86400, ["event_type"], "value", bounds
+    )
+    h_new = build_rollup_hist(
+        ev.filter(F.col("event_id") % 4 == 0), "ts", 86400, ["event_type"], "value", bounds
+    )
+    merged = merge_rollup_hist(h_old, h_new)
+    q = quantile_from_hist(merged, 0.95, bounds)
+    return q.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+        "event_type",
+        F.array_join(F.transform(F.col("hist"), lambda c: c.cast("string")), ",").alias("hist_csv"),
+        "q_bin",
+        "q_upper",
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2605,6 +2680,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "outliers_events": _q_outliers_events,
         "weighted_per_lang": _q_weighted_per_lang,
+        # r6 (5th session) additions waiting for a window slot
+        "mixture_temperature": _q_mixture_temperature,
+        "keep_best": _q_keep_best,
+        "rollup_quantiles": _q_rollup_quantiles,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3501,6 +3580,118 @@ ORDER BY doc_id
                    END AS is_outlier
             FROM events e
             JOIN med USING (event_type) JOIN mad USING (event_type)
+        """,
+        # temperature recipe: sqrt shares (alpha=0.5, IEEE exact both
+        # engines), normalizer folded in sorted-source order to match
+        # the driver-side Python sum, same md5 membership gate as
+        # stratified_sample
+        "mixture_temperature": """
+            WITH tok AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(lower(text),
+                                                        '[^a-z0-9]+'),
+                                     t -> t <> '')) AS nt
+              FROM documents
+            ),
+            av AS (SELECT source, sum(nt) AS n FROM tok GROUP BY 1),
+            z AS (
+              SELECT sum(sqrt(CAST(n AS DOUBLE)) ORDER BY source) AS z
+              FROM av WHERE n > 0
+            ),
+            r AS (
+              SELECT av.source,
+                     CASE WHEN n = 0 THEN 1.0
+                          ELSE least(1.0, (sqrt(CAST(n AS DOUBLE)) / z.z)
+                                          * 5000 / n)
+                     END AS rate
+              FROM av, z
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                      1, 8) AS BIGINT) % 10000
+                  < CAST(round(rate * 10000) AS BIGINT)
+        """,
+        # keep_best: the dedup_clusters transitive-closure replay plus
+        # the same longest-wins argmax window (n_chars DESC, doc_id ASC)
+        "keep_best": _SHINGLES_CTE.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """
+, ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.8
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM ex
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ex
+),
+walk(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+lab AS (SELECT node AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY node)
+SELECT l.doc_id, l.cluster_id, d.n_chars,
+       CAST(row_number() OVER (PARTITION BY l.cluster_id
+                               ORDER BY d.n_chars DESC, l.doc_id ASC) = 1
+            AS INT) AS is_best
+FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+""",
+        # histogram partials recomputed FROM SCRATCH over all events —
+        # equality with the Spark side's merged-from-two-batches rollup
+        # is exactly the mergeability claim; all arithmetic integer or
+        # IEEE-identical
+        "rollup_quantiles": """
+            WITH bl(u) AS (VALUES (5.0), (10.0), (20.0), (40.0),
+                                  (80.0), (160.0), (320.0)),
+            ev AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                       AS BIGINT) * 86400 AS bucket_s,
+                     event_type, value,
+                     (SELECT count(*) FROM bl WHERE value > u) AS bin
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            h AS (
+              SELECT bucket_s, event_type, bin, count(*) AS c
+              FROM ev GROUP BY 1, 2, 3
+            ),
+            g AS (
+              SELECT be.bucket_s, be.event_type, bins.i AS bin,
+                     coalesce(h.c, 0) AS c
+              FROM (SELECT DISTINCT bucket_s, event_type FROM ev) be
+              CROSS JOIN range(8) bins(i)
+              LEFT JOIN h ON h.bucket_s = be.bucket_s
+                         AND h.event_type = be.event_type
+                         AND h.bin = bins.i
+            ),
+            w AS (
+              SELECT *,
+                     sum(c) OVER (PARTITION BY bucket_s, event_type
+                                  ORDER BY bin) AS cum,
+                     sum(c) OVER (PARTITION BY bucket_s, event_type)
+                       AS total
+              FROM g
+            ),
+            q AS (
+              SELECT bucket_s, event_type,
+                     string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)
+                       AS hist_csv,
+                     CAST(sum(CASE WHEN cum < ceil(0.95 * total)
+                                   THEN 1 ELSE 0 END) AS INT) AS q_bin
+              FROM w GROUP BY 1, 2
+            )
+            SELECT bucket_s, event_type, hist_csv, q_bin,
+                   CASE WHEN q_bin < 7
+                        THEN CAST([5.0, 10.0, 20.0, 40.0, 80.0, 160.0,
+                                   320.0][q_bin + 1] AS DOUBLE)
+                   END AS q_upper
+            FROM q
         """,
         # the incremental merge must equal the from-scratch GROUP BY —
         # that equality IS the operator's claim

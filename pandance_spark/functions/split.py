@@ -32,6 +32,8 @@ __all__ = [
     "token_budget_cap",
     "weighted_sample",
     "mixture_rates",
+    "temperature_shares",
+    "temperature_rates",
     "weighted_sample_per_group",
 ]
 
@@ -577,6 +579,44 @@ def mixture_rates(available: dict, targets: dict, budget: int) -> dict:
             raise ValueError(f"available[{s!r}] must be >= 0")
         rates[s] = 1.0 if n == 0 else min(1.0, share * budget / n)
     return rates
+
+
+def temperature_shares(available: dict, alpha: float) -> dict:
+    """Temperature-scaled mixture shares (mT5 arXiv:2010.11934 §3.1 /
+    XLM-R arXiv:1911.02116 §3.1): sample source ``s`` with probability
+    ``p_s ∝ n_s^alpha``.  ``alpha=1`` is proportional-to-size (big
+    sources dominate), ``alpha=0`` is uniform (small sources
+    over-sampled); production multilingual recipes sit at 0.2-0.7.
+
+    This is the TOKEN-budget solver counterpart of
+    :func:`temperature_sample` (which applies row quotas fully
+    in-plan): recipes are written in tokens, and the dict form
+    composes with :func:`mixture_rates` / :func:`stratified_sample` /
+    ``epoch_mix``.  Pure driver-side arithmetic over the sources-sized
+    dict.  Sources
+    with zero available tokens get share 0 (they cannot contribute).
+    Feed the result to :func:`mixture_rates` to turn shares + a token
+    budget into per-source keep rates.
+    """
+    if not 0 <= alpha <= 1:
+        raise ValueError("alpha must be in [0, 1]")
+    if any(n < 0 for n in available.values()):
+        raise ValueError("available counts must be >= 0")
+    pw = {s: float(n) ** alpha for s, n in available.items() if n > 0}
+    z = sum(pw.values())
+    return {s: (pw.get(s, 0.0) / z if z else 0.0) for s in available}
+
+
+def temperature_rates(available: dict, alpha: float, budget: int) -> dict:
+    """:func:`temperature_shares` composed with :func:`mixture_rates`:
+    the complete mT5-style recipe solve from per-source token counts
+    to per-source keep rates for a ``budget``-token mixture.  Clipped
+    rates (exactly 1.0) mark sources whose temperature share exceeds
+    what they can supply — the standard signal to either re-weight or
+    allow repetition (see ``epoch_mix`` for fractional epochs).
+    """
+    shares = temperature_shares(available, alpha)
+    return mixture_rates(available, shares, budget)
 
 
 def weighted_sample_per_group(

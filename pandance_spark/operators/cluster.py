@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["connected_components", "dedup_clusters", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "keep_best",
+    "pagerank",
+]
 
 
 def connected_components(
@@ -275,6 +280,54 @@ def dedup_clusters(
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score: Column,
+    descending: bool = True,
+) -> DataFrame:
+    """Quality-aware keeper selection over a near-dup clustering:
+    re-pick each cluster's canonical document as the one MAXIMIZING
+    ``score`` (ties broken by smallest ``id_col`` so the choice is
+    deterministic under any partitioning), instead of
+    :func:`dedup_clusters`' min-id keeper.
+
+    This is the pass real corpus builds run after clustering — "keep
+    the longest / highest-quality copy, not whichever URL was crawled
+    first" (e.g. RefinedWeb keeps by quality signals, not arrival
+    order).  ``filter(is_best = 1)`` IS the deduplicated corpus under
+    the quality policy.
+
+    Inputs: ``df`` holding ``id_col`` plus whatever columns ``score``
+    reads; ``clusters`` a ``(id_col, cluster_id, ...)`` frame, e.g.
+    :func:`dedup_clusters` output or any precomputed assignment.
+
+    Plan shape: one broadcast-eligible equi-join on ``id_col`` (the
+    cluster table carries two thin columns) + ONE window shuffle on
+    ``cluster_id``; the corpus is never exploded and never self-joined.
+    At 100 TB: singleton clusters — the overwhelming majority — hash
+    to their own window partitions, so the shuffle is uniform unless a
+    single near-dup cluster is itself pathological, in which case the
+    window ranks only that cluster's rows (bounded by the dup group
+    size, the same bound every dedup path here has).
+    """
+    direction = F.desc if descending else F.asc
+    ranked = (
+        df.join(clusters.select(id_col, "cluster_id"), id_col)
+        .withColumn("__kb_score", score)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        direction("__kb_score"), F.col(id_col).asc()
+    )
+    return (
+        ranked.withColumn(
+            "is_best", (F.row_number().over(w) == 1).cast("int")
+        )
+        .drop("__kb_score")
     )
 
 

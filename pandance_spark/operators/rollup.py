@@ -41,6 +41,10 @@ __all__ = [
     "build_rollup",
     "merge_rollup",
     "finalize_rollup",
+    "hist_bin",
+    "build_rollup_hist",
+    "merge_rollup_hist",
+    "quantile_from_hist",
 ]
 
 
@@ -123,6 +127,153 @@ def merge_rollup(existing: DataFrame, delta: DataFrame) -> DataFrame:
             F.sum("v_sum").alias("v_sum"),
             F.min("v_min").alias("v_min"),
             F.max("v_max").alias("v_max"),
+        )
+    )
+
+
+def _check_bounds(bounds) -> list:
+    bounds = [float(b) for b in bounds]
+    if len(bounds) < 1:
+        raise ValueError("need at least one bin boundary")
+    if any(b2 <= b1 for b1, b2 in zip(bounds, bounds[1:])):
+        raise ValueError("bounds must be strictly increasing")
+    return bounds
+
+
+def hist_bin(value: Column, bounds: Sequence[float]) -> Column:
+    """Bin index of ``value`` against fixed ascending ``bounds``:
+    ``0`` for ``value <= bounds[0]``, ``i`` for ``bounds[i-1] < value
+    <= bounds[i]``, ``len(bounds)`` above the last bound — i.e. the
+    number of bounds strictly below the value.  A pure Column
+    expression over an array literal (whole-stage codegen; no UDF),
+    and closed-form replayable in any engine with list functions.
+    """
+    bounds = _check_bounds(bounds)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.size(F.filter(arr, lambda b: value.cast("double") > b))
+
+
+def build_rollup_hist(
+    df: DataFrame,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    bounds: Sequence[float],
+) -> DataFrame:
+    """Mergeable HISTOGRAM partials — the TimescaleDB
+    ``percentile_agg`` / ``uddsketch`` pattern with a fixed,
+    caller-chosen bin grid: per (bucket, keys) a ``hist`` array of
+    per-bin counts (``len(bounds)+1`` bins from :func:`hist_bin`).
+    Integer counts are exactly commutative/associative, so
+
+        merge_rollup_hist(h(a), h(b)) == build_rollup_hist(a ∪ b)
+
+    holds BIT-FOR-BIT (unlike float sums), and approximate quantiles
+    with error bounded by the grid come from :func:`quantile_from_hist`
+    at read time — continuous p99 dashboards over event streams
+    without ever rescanning history.
+
+    One map-side-combined groupBy (each bin is an independent
+    conditional-count aggregate, so partials combine before the
+    shuffle); shuffle carries ``len(bounds)+1`` longs per (bucket,
+    keys) per input partition, never raw events.  NULL/NaN values
+    carry no information and are excluded (same convention as
+    ``build_rollup``); all-NULL groups are dropped to keep the algebra
+    closed under merge.
+    """
+    keys = _check(keys, value_col)
+    bounds = _check_bounds(bounds)
+    nbins = len(bounds) + 1
+    v = F.col("__v")
+    ok = v.isNotNull() & ~F.isnan(v.cast("double"))
+    idx = hist_bin(v, bounds)
+    return (
+        df.select(
+            time_bucket(F.col(time_col), width_seconds).alias("bucket"),
+            *[F.col(k) for k in keys],
+            F.col(value_col).alias("__v"),
+        )
+        .filter(ok)
+        .withColumn("__bin", idx)
+        .groupBy("bucket", *keys)
+        .agg(
+            *[
+                F.sum((F.col("__bin") == i).cast("long")).alias(f"__h{i}")
+                for i in range(nbins)
+            ]
+        )
+        .select(
+            "bucket",
+            *keys,
+            F.array(*[F.col(f"__h{i}") for i in range(nbins)]).alias("hist"),
+        )
+    )
+
+
+def merge_rollup_hist(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental maintenance for histogram partials: union + one
+    groupBy over aggregate-sized tables, bins summed element-wise via
+    posexplode + per-(group, bin) sum + re-assembly in bin order.
+    Each group holds at most a handful of partial rows (typically 2),
+    and the tables are aggregate-sized to begin with, so the explode
+    is bounded by groups × bins, never by event volume.  Exact:
+    integer addition — merge equals from-scratch bit-for-bit."""
+    group_cols = [c for c in existing.columns if c != "hist"]
+    if set(existing.columns) != set(delta.columns):
+        raise ValueError(
+            f"rollup schemas differ: {sorted(existing.columns)} vs "
+            f"{sorted(delta.columns)}"
+        )
+    both = existing.unionByName(delta)
+    return (
+        both.select(*group_cols, F.posexplode("hist").alias("__i", "__c"))
+        .groupBy(*group_cols, "__i")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("__i", "__c"))).alias("__ic"))
+        .select(
+            *group_cols,
+            F.transform(F.col("__ic"), lambda s: s["__c"]).alias("hist"),
+        )
+    )
+
+
+def quantile_from_hist(
+    rollup: DataFrame, q: float, bounds: Sequence[float]
+) -> DataFrame:
+    """Approximate quantile at read time from histogram partials:
+    adds ``q_bin`` (index of the bin holding the ceil(q·n)-th value)
+    and ``q_upper`` (that bin's upper bound; the true quantile is
+    ≤ ``q_upper`` and > the previous bound).  Values above the last
+    bound report ``q_upper = NULL`` (unbounded top bin) — choose the
+    grid to cover the operating range.  Pure integer/array arithmetic
+    — no float interpolation, so any engine replays it exactly.
+    The partials stay in place; this is a projection."""
+    if not 0 < q <= 1:
+        raise ValueError("q must be in (0, 1]")
+    bounds = _check_bounds(bounds)
+    total = F.aggregate(F.col("hist"), F.lit(0).cast("long"), lambda a, c: a + c)
+    rank = F.ceil(F.lit(q) * total).cast("long")
+    # running cumulative counts, then: q_bin = #bins whose cum < rank
+    cum = F.transform(
+        F.col("hist"),
+        lambda c, i: F.aggregate(
+            F.slice(F.col("hist"), 1, i + 1),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    qbin = F.size(F.filter(cum, lambda c: c < rank))
+    uppers = F.array(*[F.lit(b) for b in bounds])
+    return (
+        rollup.withColumn("q_bin", qbin)
+        .withColumn(
+            "q_upper",
+            F.when(
+                F.col("q_bin") < len(bounds),
+                F.element_at(uppers, F.col("q_bin") + 1),
+            ),
         )
     )
 

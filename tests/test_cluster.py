@@ -187,3 +187,50 @@ def test_pagerank_extra_nodes_and_validation(spark):
         pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         pagerank(df, damping=1.0)
+
+
+def test_keep_best_picks_max_score_with_deterministic_ties(spark):
+    from pandance_spark.operators.cluster import keep_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (5, 3)], "id int, q int"
+    )
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)], "id int, cluster_id int"
+    )
+    got = {r["id"]: r["is_best"] for r in keep_best(df, cl, "id", F.col("q")).collect()}
+    # cluster 1: ids 2 and 3 tie at q=50 -> smaller id wins; singletons keep
+    assert got == {1: 0, 2: 1, 3: 0, 4: 1, 5: 1}
+
+
+def test_keep_best_ascending(spark):
+    from pandance_spark.operators.cluster import keep_best
+
+    df = spark.createDataFrame([(1, 10), (2, 50)], "id int, q int")
+    cl = spark.createDataFrame([(1, 1), (2, 1)], "id int, cluster_id int")
+    got = {
+        r["id"]: r["is_best"]
+        for r in keep_best(df, cl, "id", F.col("q"), descending=False).collect()
+    }
+    assert got == {1: 1, 2: 0}
+
+
+def test_keep_best_composes_with_dedup_clusters(spark):
+    from pandance_spark.operators.cluster import dedup_clusters, keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today!"),
+            (3, "completely different text about spark data engines"),
+        ],
+        "doc_id int, text string",
+    ).withColumn("n_chars", F.length("text"))
+    cl = dedup_clusters(docs, "doc_id", "text", threshold=0.5)
+    out = keep_best(docs, cl, "doc_id", F.col("n_chars"))
+    best = {r["doc_id"]: r["is_best"] for r in out.collect()}
+    # docs 1,2 are near-dups; 2 is longer and must be the keeper
+    assert best[2] == 1 and best[1] == 0 and best[3] == 1
+    # exactly one keeper per cluster
+    assert out.groupBy("cluster_id").agg(F.sum("is_best").alias("s")) \
+              .filter("s <> 1").count() == 0

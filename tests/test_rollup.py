@@ -80,3 +80,88 @@ def test_schema_validation(spark):
     r = build_rollup(df, "ts", 3600, ["k"], "v")
     with pytest.raises(ValueError, match="schemas differ"):
         merge_rollup(r, r.drop("v_max"))
+
+
+# ---------------------------------------------------------------- hist
+
+
+def _hist(spark):
+    # minutes 0..59 with value == minute index, all in one hour bucket
+    return _ev(spark, [(0, m, "a", float(m)) for m in range(60)])
+
+
+def test_hist_bin_edges(spark):
+    from pandance_spark.operators.rollup import hist_bin
+
+    df = spark.createDataFrame(
+        [Row(v=v) for v in [-1.0, 10.0, 10.5, 20.0, 99.0]]
+    )
+    got = [r["b"] for r in df.select(hist_bin(F.col("v"), [10.0, 20.0]).alias("b")).collect()]
+    # <=10 -> 0, (10,20] -> 1, >20 -> 2 ; boundary values land LOW
+    assert got == [0, 0, 1, 1, 2]
+    with pytest.raises(ValueError, match="strictly increasing"):
+        hist_bin(F.col("v"), [10.0, 10.0])
+    with pytest.raises(ValueError, match="at least one"):
+        hist_bin(F.col("v"), [])
+
+
+def test_hist_merge_equals_from_scratch(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_hist,
+        merge_rollup_hist,
+    )
+
+    bounds = [10.0, 20.0, 40.0]
+    ev = _hist(spark)
+    scratch = build_rollup_hist(ev, "ts", 3600, ["k"], "v", bounds)
+    a = build_rollup_hist(ev.filter("v < 25"), "ts", 3600, ["k"], "v", bounds)
+    b = build_rollup_hist(ev.filter("v >= 25"), "ts", 3600, ["k"], "v", bounds)
+    merged = merge_rollup_hist(a, b)
+    assert sorted(map(tuple, scratch.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # bit-exact integer counts: 0..10 | 11..20 | 21..40 | 41..59
+    assert scratch.collect()[0]["hist"] == [11, 10, 20, 19]
+
+
+def test_hist_nulls_and_nans_excluded(spark):
+    from pandance_spark.operators.rollup import build_rollup_hist
+
+    ev = _ev(spark, [(0, 0, "a", 5.0), (0, 1, "a", None),
+                     (0, 2, "a", float("nan")), (1, 0, "b", None)])
+    rows = build_rollup_hist(ev, "ts", 3600, ["k"], "v", [10.0]).collect()
+    # all-null group b dropped; a counts only the real value
+    assert len(rows) == 1
+    assert rows[0]["k"] == "a" and rows[0]["hist"] == [1, 0]
+
+
+def test_quantile_from_hist(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_hist,
+        quantile_from_hist,
+    )
+
+    bounds = [10.0, 20.0, 40.0]
+    h = build_rollup_hist(_hist(spark), "ts", 3600, ["k"], "v", bounds)
+    # hist [11,10,20,19]; median rank 30 -> cum 11,21 -> bin 2
+    r = quantile_from_hist(h, 0.5, bounds).collect()[0]
+    assert (r["q_bin"], r["q_upper"]) == (2, 40.0)
+    # q=1 -> last value (59) -> open top bin, upper NULL
+    r = quantile_from_hist(h, 1.0, bounds).collect()[0]
+    assert (r["q_bin"], r["q_upper"]) == (3, None)
+    # tiny q -> first bin
+    r = quantile_from_hist(h, 0.01, bounds).collect()[0]
+    assert (r["q_bin"], r["q_upper"]) == (0, 10.0)
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_from_hist(h, 0.0, bounds)
+
+
+def test_hist_merge_schema_validation(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_hist,
+        merge_rollup_hist,
+    )
+
+    h = build_rollup_hist(_hist(spark), "ts", 3600, ["k"], "v", [10.0])
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_rollup_hist(h, h.withColumnRenamed("k", "kk"))

@@ -598,3 +598,29 @@ def test_weighted_sample_per_group(spark):
             )[:5]
         )
         assert sorted(by_g[g]) == [i for i, _ in exp]
+
+
+def test_temperature_shares_and_rates():
+    from pandance_spark.functions.split import (
+        mixture_rates,
+        temperature_rates,
+        temperature_shares,
+    )
+
+    av = {"a": 900, "b": 100}
+    # alpha=1 -> proportional; alpha=0 -> uniform over non-empty sources
+    assert temperature_shares(av, 1.0) == {"a": 0.9, "b": 0.1}
+    assert temperature_shares(av, 0.0) == {"a": 0.5, "b": 0.5}
+    # alpha=0.5 flattens: sqrt(900)=30, sqrt(100)=10 -> 0.75/0.25
+    assert temperature_shares(av, 0.5) == {"a": 0.75, "b": 0.25}
+    # zero-token source contributes no share
+    sh = temperature_shares({"a": 100, "z": 0}, 0.5)
+    assert sh["z"] == 0.0 and sh["a"] == 1.0
+    # rates compose through mixture_rates exactly
+    r = temperature_rates(av, 0.5, budget=200)
+    assert r == mixture_rates(av, {"a": 0.75, "b": 0.25}, 200)
+    assert r["a"] == pytest.approx(150 / 900) and r["b"] == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_shares(av, 1.5)
+    with pytest.raises(ValueError, match=">= 0"):
+        temperature_shares({"a": -1}, 0.5)
