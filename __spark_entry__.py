@@ -2135,6 +2135,63 @@ def _q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (functions/analytics.py funnel_steps +
+    funnel_summary): view → click → purchase with the chained
+    strictly-after rule, matched by a JVM-side left fold over each
+    user's time-sorted events (no UDF, one user-key shuffle); the
+    oracle replays it as chained first-occurrence mins."""
+    from pandance_spark.functions.analytics import funnel_steps, funnel_summary
+
+    steps = ["view", "click", "purchase"]
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    # first ~36h only: over the full month every user completes the
+    # funnel (degenerate); the short window makes the summary
+    # discriminate between steps
+    ev = ev.filter(F.col("ts") < F.lit("2024-01-02 12:00:00").cast("timestamp"))
+    per_user = funnel_steps(ev, "user_id", "ts", "event_type", steps)
+    return funnel_summary(per_user, steps)
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (functions/analytics.py
+    cohort_retention): cohort = first-event week, one user-key shuffle,
+    per-user distinct weeks from the same groupBy (no count-distinct
+    over raw events); integer period arithmetic replays exactly."""
+    from pandance_spark.functions.analytics import cohort_retention
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    return cohort_retention(ev, "user_id", "ts", 604800)
+
+
+def _q_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-per-day continuous aggregate (operators/rollup.py
+    build_rollup_distinct): DataSketches HLL partials built from two
+    disjoint batches, merged, estimated at read.  Sketch estimates are
+    engine-specific (no DuckDB replay), so this entry is rows-only by
+    contract; the merge≈from-scratch property and the error bound are
+    pinned by tests/test_rollup.py instead."""
+    from pandance_spark.operators.rollup import (
+        build_rollup_distinct,
+        finalize_rollup_distinct,
+        merge_rollup_distinct,
+    )
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    a = build_rollup_distinct(
+        ev.filter(F.col("event_id") % 2 == 0), "ts", 86400, ["event_type"], "user_id"
+    )
+    b = build_rollup_distinct(
+        ev.filter(F.col("event_id") % 2 == 1), "ts", 86400, ["event_type"], "user_id"
+    )
+    m = finalize_rollup_distinct(merge_rollup_distinct(a, b))
+    return m.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+        "event_type",
+        "approx_distinct",
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2684,6 +2741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": _q_mixture_temperature,
         "keep_best": _q_keep_best,
         "rollup_quantiles": _q_rollup_quantiles,
+        "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
+        "rollup_distinct_users": _q_rollup_distinct_users,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3642,6 +3702,57 @@ SELECT l.doc_id, l.cluster_id, d.n_chars,
             AS INT) AS is_best
 FROM lab l JOIN documents d ON l.doc_id = d.doc_id
 """,
+        # chained first-occurrence mins: t1 = first view, t2 = first
+        # click strictly after t1, t3 = first purchase strictly after
+        # t2 — provably equivalent to the Spark side's time-sorted fold
+        # (an advance requires strictly increasing time, so tie order
+        # cannot matter)
+        "funnel_conversion": """
+            WITH ew AS (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+              FROM events
+              WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-02 12:00:00'
+            ),
+            t1 AS (
+              SELECT user_id, min(ts) AS t
+              FROM ew WHERE event_type = 'view' GROUP BY 1
+            ),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM ew e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM ew e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            )
+            SELECT 1 AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM t1) AS users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM t2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        """,
+        # integer week arithmetic; per-user distinct weeks then the
+        # cohort matrix — exact replay
+        "cohort_retention": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800)
+                       AS BIGINT) AS p
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            pu AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY 1),
+            d AS (
+              SELECT DISTINCT p.user_id, p.p, pu.cohort
+              FROM p JOIN pu USING (user_id)
+            )
+            SELECT cohort * 604800 AS cohort_s,
+                   p - cohort AS offset,
+                   count(*) AS users
+            FROM d GROUP BY 1, 2
+        """,
         # histogram partials recomputed FROM SCRATCH over all events —
         # equality with the Spark side's merged-from-two-batches rollup
         # is exactly the mergeability claim; all arithmetic integer or

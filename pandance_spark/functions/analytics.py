@@ -1,0 +1,172 @@
+"""Ordered-event product analytics: funnels and cohort retention.
+
+The two classic event-stream questions a relational engine's users ask
+after sessionization: "how far do users get through this ordered list
+of steps?" (funnel) and "of the users who arrived in period X, how
+many came back in period X+n?" (cohort retention).
+
+Spark-first shape
+-----------------
+Both operators make ONE pass over the event table and shuffle once on
+the user key; everything downstream happens on user-sized or
+aggregate-sized tables.  The funnel's sequential matching — step i
+counts only when it happens STRICTLY AFTER the matched time of step
+i-1 — is a left fold over each user's time-sorted events expressed
+with ``aggregate``/higher-order functions, entirely JVM-side (no UDF,
+no window over raw events).  Per-user state is one (reached, ts)
+struct; per-user memory is the user's own event list, the same bound
+``sessionize`` carries.
+
+At 100 TB: the user-key shuffle is the cost, and it is the *minimum*
+cost for per-user sequence semantics; heavy users bound a task by
+their own event count, never by the corpus.  The funnel summary and
+the cohort matrix are aggregate-sized (≤ steps, ≤ horizon²/width²
+rows).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "funnel_summary", "cohort_retention"]
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user furthest step reached, IN ORDER: a user has reached
+    step ``i`` iff an event with ``step_col == steps[i]`` occurred
+    strictly after the event that matched step ``i-1`` (the standard
+    chained-first-occurrence funnel — equivalent to ``t_1 = min ts of
+    step 1; t_i = min ts of step i with ts > t_{i-1}``; the fold is
+    tie-order-independent because an advance requires strictly
+    increasing time).
+
+    Returns one row per user that emitted at least one funnel event:
+    ``(user_col, steps_reached int in [0, len(steps)], last_step)``.
+
+    Events with NULL time and events whose step is not in ``steps``
+    are ignored (they cannot advance or block the funnel).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("steps must be distinct")
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+
+    ev = df.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__t"),
+        F.col(step_col).alias("__s"),
+    ).filter(F.col("__t").isNotNull() & F.col("__s").isin(steps))
+
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__t").alias("t"), F.col("__s").alias("s")))
+        ).alias("__evs")
+    )
+
+    init = F.struct(
+        F.lit(0).alias("reached"),
+        F.lit(None).cast(ev.schema["__t"].dataType).alias("t"),
+    )
+
+    def advance(acc, e):
+        # least() keeps the index in bounds for ANSI element_at even
+        # when the funnel is already complete (the reached<k conjunct
+        # then blocks the advance)
+        need = F.element_at(steps_arr, F.least(acc["reached"] + 1, F.lit(k)))
+        adv = (
+            (acc["reached"] < k)
+            & (e["s"] == need)
+            & (acc["t"].isNull() | (e["t"] > acc["t"]))
+        )
+        return F.when(
+            adv,
+            F.struct((acc["reached"] + 1).alias("reached"), e["t"].alias("t")),
+        ).otherwise(acc)
+
+    state = F.aggregate("__evs", init, advance)
+    return per_user.select(
+        user_col,
+        state["reached"].alias("steps_reached"),
+        F.when(
+            state["reached"] > 0, F.element_at(steps_arr, state["reached"])
+        ).alias("last_step"),
+    )
+
+
+def funnel_summary(per_user: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Collapse :func:`funnel_steps` output into the funnel table:
+    one row per step with the number of users reaching AT LEAST that
+    step — ``(step_idx 1-based, step, users)``.  A groupBy over the
+    (≤ steps+1)-row reached distribution plus a running sum; the user
+    table is touched once.
+    """
+    steps = list(steps)
+    dist = per_user.groupBy("steps_reached").agg(F.count("*").alias("n"))
+    idx = F.explode(F.array(*[F.lit(i + 1) for i in range(len(steps))])).alias(
+        "step_idx"
+    )
+    grid = dist.sparkSession.range(1).select(idx)
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        grid.join(dist, dist["steps_reached"] >= grid["step_idx"], "left")
+        .groupBy("step_idx")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users"))
+        .select(
+            "step_idx",
+            F.element_at(names, F.col("step_idx").cast("int")).alias("step"),
+            "users",
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    width_seconds: int,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event (``floor(epoch/width)``); for every (cohort,
+    period offset) the count of cohort members active in that period.
+    Returns ``(cohort_s epoch-seconds, offset long >= 0, users)``.
+
+    ONE shuffle on the user key: per user, min period + the distinct
+    period set come from the same groupBy (``collect_set`` is bounded
+    by horizon/width periods per user, not by event count); the
+    explode that follows emits at most that many rows per user, and
+    the final groupBy needs no count-distinct — per-user periods are
+    already unique.  The raw event table is never shuffled on
+    anything but the user key and never scanned twice.
+    """
+    if width_seconds < 1:
+        raise ValueError("width_seconds must be >= 1")
+    w = int(width_seconds)
+    per_user = (
+        df.select(
+            F.col(user_col),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / w).cast("long").alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull() & F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min("__p").alias("__cohort"), F.collect_set("__p").alias("__ps"))
+    )
+    return (
+        per_user.select("__cohort", F.explode("__ps").alias("__p"))
+        .groupBy(
+            (F.col("__cohort") * w).alias("cohort_s"),
+            (F.col("__p") - F.col("__cohort")).alias("offset"),
+        )
+        .agg(F.count("*").alias("users"))
+    )

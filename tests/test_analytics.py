@@ -1,0 +1,142 @@
+"""Funnels and cohort retention (functions/analytics.py)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandance_spark.functions.analytics import (
+    cohort_retention,
+    funnel_steps,
+    funnel_summary,
+)
+
+T = dt.datetime
+STEPS = ["view", "click", "purchase"]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id int, ts timestamp, step string")
+
+
+def test_funnel_order_matters(spark):
+    ev = _ev(
+        spark,
+        [
+            # full funnel in order
+            (1, T(2024, 1, 1, 0, 0), "view"),
+            (1, T(2024, 1, 1, 0, 5), "click"),
+            (1, T(2024, 1, 1, 0, 9), "purchase"),
+            # click before view doesn't count; later click does
+            (2, T(2024, 1, 1, 0, 0), "click"),
+            (2, T(2024, 1, 1, 0, 2), "view"),
+            (2, T(2024, 1, 1, 0, 4), "click"),
+            # purchase first: stuck at view
+            (3, T(2024, 1, 1, 0, 0), "purchase"),
+            (3, T(2024, 1, 1, 0, 1), "view"),
+            # irrelevant step only: excluded from output
+            (5, T(2024, 1, 1, 0, 0), "signup"),
+        ],
+    )
+    got = {
+        r["user_id"]: (r["steps_reached"], r["last_step"])
+        for r in funnel_steps(ev, "user_id", "ts", "step", STEPS).collect()
+    }
+    assert got == {1: (3, "purchase"), 2: (2, "click"), 3: (1, "view")}
+
+
+def test_funnel_strictly_after_ties_do_not_advance(spark):
+    ev = _ev(
+        spark,
+        [
+            (4, T(2024, 1, 1, 0, 0), "view"),
+            (4, T(2024, 1, 1, 0, 0), "click"),  # same instant: no advance
+            (6, T(2024, 1, 1, 0, 0), "view"),
+            (6, T(2024, 1, 1, 0, 1), "click"),
+            (6, T(2024, 1, 1, 0, 1), "purchase"),  # tied with click: no
+        ],
+    )
+    got = {
+        r["user_id"]: r["steps_reached"]
+        for r in funnel_steps(ev, "user_id", "ts", "step", STEPS).collect()
+    }
+    assert got == {4: 1, 6: 2}
+
+
+def test_funnel_summary_cumulative(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, T(2024, 1, 1), "view"),
+            (2, T(2024, 1, 1), "view"),
+            (2, T(2024, 1, 2), "click"),
+        ],
+    )
+    fu = funnel_steps(ev, "user_id", "ts", "step", STEPS)
+    rows = {
+        r["step_idx"]: (r["step"], r["users"])
+        for r in funnel_summary(fu, STEPS).collect()
+    }
+    assert rows == {1: ("view", 2), 2: ("click", 1), 3: ("purchase", 0)}
+
+
+def test_funnel_validation(spark):
+    ev = _ev(spark, [(1, T(2024, 1, 1), "view")])
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_steps(ev, "user_id", "ts", "step", [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_steps(ev, "user_id", "ts", "step", ["a", "a"])
+
+
+def test_cohort_retention_matrix(spark):
+    w = 3600  # hourly cohorts
+    ev = _ev(
+        spark,
+        [
+            # u1 first in hour 0, active hours 0 and 2 (twice: distinct)
+            (1, T(2024, 1, 1, 0, 10), "x"),
+            (1, T(2024, 1, 1, 2, 10), "x"),
+            (1, T(2024, 1, 1, 2, 50), "x"),
+            # u2 first in hour 0 only
+            (2, T(2024, 1, 1, 0, 30), "x"),
+            # u3 first in hour 2
+            (3, T(2024, 1, 1, 2, 0), "x"),
+        ],
+    )
+    got = {
+        (r["cohort_s"], r["offset"]): r["users"]
+        for r in cohort_retention(ev, "user_id", "ts", w).collect()
+    }
+    h0 = int(T(2024, 1, 1, 0).replace(tzinfo=dt.timezone.utc).timestamp())
+    h2 = h0 + 2 * w
+    assert got == {(h0, 0): 2, (h0, 2): 1, (h2, 0): 1}
+    with pytest.raises(ValueError, match="width_seconds"):
+        cohort_retention(ev, "user_id", "ts", 0)
+
+
+def test_rollup_distinct_merge_within_error(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_distinct,
+        finalize_rollup_distinct,
+        merge_rollup_distinct,
+    )
+
+    ev = spark.range(20000).select(
+        F.timestamp_seconds(F.col("id") % 3600).alias("ts"),
+        (F.col("id") % 1000).alias("uid"),
+        F.lit("a").alias("k"),
+    )
+    scratch = finalize_rollup_distinct(
+        build_rollup_distinct(ev, "ts", 3600, ["k"], "uid")
+    ).collect()[0]["approx_distinct"]
+    a = build_rollup_distinct(ev.filter("id % 2 = 0"), "ts", 3600, ["k"], "uid")
+    b = build_rollup_distinct(ev.filter("id % 2 = 1"), "ts", 3600, ["k"], "uid")
+    merged = finalize_rollup_distinct(merge_rollup_distinct(a, b)).collect()[0][
+        "approx_distinct"
+    ]
+    # both within the lg_k=12 error bound of exact and of each other
+    assert abs(scratch - 1000) / 1000 < 0.05
+    assert abs(merged - 1000) / 1000 < 0.05
+    assert abs(merged - scratch) / 1000 < 0.04
+    with pytest.raises(ValueError, match="lg_k"):
+        build_rollup_distinct(ev, "ts", 3600, ["k"], "uid", lg_k=2)
