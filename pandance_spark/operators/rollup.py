@@ -215,13 +215,13 @@ def build_rollup_hist(
 
 
 def merge_rollup_hist(existing: DataFrame, delta: DataFrame) -> DataFrame:
-    """Incremental maintenance for histogram partials: union + one
-    groupBy over aggregate-sized tables, bins summed element-wise via
-    posexplode + per-(group, bin) sum + re-assembly in bin order.
-    Each group holds at most a handful of partial rows (typically 2),
-    and the tables are aggregate-sized to begin with, so the explode
-    is bounded by groups × bins, never by event volume.  Exact:
-    integer addition — merge equals from-scratch bit-for-bit."""
+    """Incremental maintenance for histogram partials: union + ONE
+    groupBy over aggregate-sized tables; each group's few partial rows
+    (typically 2) are collected and folded element-wise with
+    ``zip_with`` addition — a single Exchange, no explode, and the
+    per-group list is bounded by partial rows per group, never event
+    volume.  Exact: integer addition — merge equals from-scratch
+    bit-for-bit."""
     group_cols = [c for c in existing.columns if c != "hist"]
     if set(existing.columns) != set(delta.columns):
         raise ValueError(
@@ -229,16 +229,18 @@ def merge_rollup_hist(existing: DataFrame, delta: DataFrame) -> DataFrame:
             f"{sorted(delta.columns)}"
         )
     both = existing.unionByName(delta)
+    zeros = F.transform(
+        F.element_at(F.col("__hs"), 1), lambda _: F.lit(0).cast("long")
+    )
+    summed = F.aggregate(
+        F.col("__hs"),
+        zeros,
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+    )
     return (
-        both.select(*group_cols, F.posexplode("hist").alias("__i", "__c"))
-        .groupBy(*group_cols, "__i")
-        .agg(F.sum("__c").alias("__c"))
-        .groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list(F.struct("__i", "__c"))).alias("__ic"))
-        .select(
-            *group_cols,
-            F.transform(F.col("__ic"), lambda s: s["__c"]).alias("hist"),
-        )
+        both.groupBy(*group_cols)
+        .agg(F.collect_list("hist").alias("__hs"))
+        .select(*group_cols, summed.alias("hist"))
     )
 
 
