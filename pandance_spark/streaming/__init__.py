@@ -40,6 +40,7 @@ __all__ = [
     "running_user_stats",
     "streaming_near_dup_filter",
     "stream_rollup_sink",
+    "stream_rollup_hist_sink",
     "stream_upsert_sink",
     "stream_scd2_sink",
     "streaming_similarity_join",
@@ -615,23 +616,40 @@ def _rollup_batch_handler(
     keys: Sequence[str],
     value_col: str,
     num_buckets: int,
+    build_fn=None,
+    merge_fn=None,
+    metric_cols: Optional[Sequence[str]] = None,
 ):
     """The foreachBatch closure behind :func:`stream_rollup_sink`,
     exposed as a factory so the replay guard is directly testable
     (call it with the same (batch, batch_id) twice — the second
     application must no-op; wipe some touched partitions' stamps and
-    it must heal exactly those)."""
+    it must heal exactly those).
+
+    ``build_fn(batch, time_col, width_seconds, keys, value_col)`` /
+    ``merge_fn(existing, delta)`` / ``metric_cols`` parametrize the
+    partial algebra — the default is the plain (cnt, sum, min, max)
+    rollup; :func:`stream_rollup_hist_sink` passes the histogram
+    variant.  The replay-guard / touched-partition machinery is
+    identical for any mergeable-partial algebra."""
     from pandance_spark.operators.rollup import build_rollup, merge_rollup
 
+    if build_fn is None:
+        build_fn = build_rollup
+    if merge_fn is None:
+        merge_fn = merge_rollup
     keys = list(keys)
     part_cols = ["bucket"] + keys
-    data_cols = part_cols + ["cnt", "v_sum", "v_min", "v_max"]
+    data_cols = part_cols + list(
+        metric_cols if metric_cols is not None
+        else ["cnt", "v_sum", "v_min", "v_max"]
+    )
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
         spark = batch.sparkSession
-        delta = build_rollup(
+        delta = build_fn(
             batch, time_col, width_seconds, keys, value_col
         ).withColumn(
             "__bucket",
@@ -679,7 +697,7 @@ def _rollup_batch_handler(
                     existing = existing.filter(
                         F.col("__bucket").isin(pending)
                     )
-                merged = merge_rollup(
+                merged = merge_fn(
                     existing.select(*data_cols), delta.select(*data_cols)
                 )
             else:
@@ -742,6 +760,56 @@ def stream_rollup_sink(
     """
     handle_batch = _rollup_batch_handler(
         path, time_col, width_seconds, keys, value_col, num_buckets
+    )
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
+    )
+    return writer
+
+
+def stream_rollup_hist_sink(
+    events: DataFrame,
+    path: str,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    bounds: Sequence[float],
+    num_buckets: int = 64,
+    checkpoint_dir: Optional[str] = None,
+):
+    """:func:`stream_rollup_sink` with HISTOGRAM partials — a
+    continuously maintained p95/p99 dashboard (`quantile_from_hist` at
+    read time) over an event stream.  Same touched-partition dynamic
+    overwrite and per-partition batch-id replay guard; because the
+    histogram algebra is INTEGER-exact, replaying the stream equals
+    the batch-built rollup bit-for-bit, and the DuckDB oracle can
+    replay it too (unlike float v_sum partials, which carry last-ulp
+    order noise, or HLL sketches, which are engine-specific).
+
+    Returns the unstarted ``DataStreamWriter``; call ``.start()``.
+    """
+    from pandance_spark.operators.rollup import (
+        build_rollup_hist,
+        merge_rollup_hist,
+    )
+
+    bounds = [float(b) for b in bounds]
+
+    def build(batch, tc, w, ks, vc):
+        return build_rollup_hist(batch, tc, w, ks, vc, bounds)
+
+    handle_batch = _rollup_batch_handler(
+        path,
+        time_col,
+        width_seconds,
+        keys,
+        value_col,
+        num_buckets,
+        build_fn=build,
+        merge_fn=merge_rollup_hist,
+        metric_cols=["hist"],
     )
     writer = events.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",

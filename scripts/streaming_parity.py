@@ -776,6 +776,98 @@ def main():
                 "DuckDB GROUP BY; committed-batch redelivery no-ops "
                 "(__last_bid guard)")
 
+    # ------------------------------------------------------------------
+    # 13. stream_rollup_hist_sink: histogram-partial continuous
+    # aggregate — INTEGER bin counts, so streamed == batch == DuckDB
+    # holds bit-for-bat with no rounding anywhere; redelivery of the
+    # final batch id must no-op.
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.rollup import build_rollup_hist
+    from pandance_spark.streaming import stream_rollup_hist_sink
+
+    hb = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+    htgt = os.path.join(tmp2 := tempfile.mkdtemp(prefix="pdx_hroll_"), "tgt")
+    q = stream_rollup_hist_sink(
+        spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(rsrc),
+        htgt, "ts", 3600, ["event_type"], "value", hb, num_buckets=4,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    # explicit-batch redelivery target
+    from pandance_spark.operators.rollup import merge_rollup_hist
+
+    htgt2 = os.path.join(tmp2, "tgt_manual")
+    _h = _rollup_batch_handler(
+        htgt2, "ts", 3600, ["event_type"], "value", 4,
+        build_fn=lambda b, tc, w, ks, vc: build_rollup_hist(b, tc, w, ks, vc, hb),
+        merge_fn=merge_rollup_hist,
+        metric_cols=["hist"],
+    )
+    _h(rlog.filter(F.col("event_id") % 2 == 0), 0)
+    _h(rlog.filter(F.col("event_id") % 2 == 1), 1)
+    _h(rlog.filter(F.col("event_id") % 2 == 1), 1)  # redelivered
+    cols13 = ["bucket_s", "event_type", "hist_csv"]
+    proj13 = lambda df: df.select(  # noqa: E731
+        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+        "event_type",
+        F.array_join(
+            F.transform(F.col("hist"), lambda c: c.cast("string")), ","
+        ).alias("hist_csv"),
+    )
+    s13 = canon_rows(
+        proj13(spark.read.parquet(htgt).select("bucket", "event_type", "hist")).collect(),
+        cols13,
+    )
+    m13 = canon_rows(
+        proj13(spark.read.parquet(htgt2).select("bucket", "event_type", "hist")).collect(),
+        cols13,
+    )
+    assert m13 == s13, (
+        "manual-batch hist rollup (with redelivered batch) diverged "
+        "from the streamed one — the replay guard double-counted"
+    )
+    b13 = canon_rows(
+        proj13(build_rollup_hist(rlog, "ts", 3600, ["event_type"], "value", hb)).collect(),
+        cols13,
+    )
+    d13 = canon_rows(
+        duck_rows(con.sql("""
+            WITH bl(u) AS (VALUES (5.0), (10.0), (20.0), (40.0),
+                                  (80.0), (160.0), (320.0)),
+            ev AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                       AS BIGINT) * 3600 AS bucket_s,
+                     event_type,
+                     (SELECT count(*) FROM bl WHERE value > u) AS bin
+              FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            h AS (
+              SELECT bucket_s, event_type, bin, count(*) AS c
+              FROM ev GROUP BY 1, 2, 3
+            ),
+            g AS (
+              SELECT be.bucket_s, be.event_type, bins.i AS bin,
+                     coalesce(h.c, 0) AS c
+              FROM (SELECT DISTINCT bucket_s, event_type FROM ev) be
+              CROSS JOIN range(8) bins(i)
+              LEFT JOIN h ON h.bucket_s = be.bucket_s
+                         AND h.event_type = be.event_type
+                         AND h.bin = bins.i
+            )
+            SELECT bucket_s, event_type,
+                   string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)
+                     AS hist_csv
+            FROM g GROUP BY 1, 2
+        """)),
+        cols13,
+    )
+    record("stream_rollup_hist_sink", "duckdb", s13, b13, d13,
+           note="histogram partials: streamed == batch == DuckDB "
+                "BIT-FOR-BIT (integer bin counts, no rounding); "
+                "committed-batch redelivery no-ops")
+    shutil.rmtree(tmp2, ignore_errors=True)
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

@@ -706,3 +706,74 @@ def test_stream_rollup_sink_incremental_and_replay_safe(spark, tmp_path):
         shutil.copytree(pre, vdir)
     h(b2, 1)  # redelivery heals the victim partition only
     assert state(t2) == exp
+
+
+def test_stream_rollup_hist_sink_bit_exact_and_replay_safe(spark, tmp_path):
+    import datetime as dt
+
+    from pandance_spark.operators.rollup import build_rollup_hist
+    from pandance_spark.streaming import (
+        _rollup_batch_handler,
+        stream_rollup_hist_sink,
+    )
+
+    bounds = [10.0, 20.0]
+    rows1 = [
+        (dt.datetime(2024, 1, 1, 0, m), "a", float(m)) for m in range(0, 50, 5)
+    ] + [(dt.datetime(2024, 1, 1, 1, 5), "b", 7.0)]
+    rows2 = [
+        (dt.datetime(2024, 1, 1, 0, 55), "a", 100.0),
+        (dt.datetime(2024, 1, 1, 2, 0), "b", 1.0),
+    ]
+    schema = "ts timestamp, k string, v double"
+    target = str(tmp_path / "hroll_out")
+
+    def state(path=target):
+        return sorted(
+            (r["bucket"], r["k"], list(r["hist"]))
+            for r in spark.read.parquet(path)
+            .select("bucket", "k", "hist")
+            .collect()
+        )
+
+    exp = sorted(
+        (r["bucket"], r["k"], list(r["hist"]))
+        for r in build_rollup_hist(
+            spark.createDataFrame(rows1 + rows2, schema),
+            "ts", 3600, ["k"], "v", bounds,
+        ).collect()
+    )
+
+    in_dir = str(tmp_path / "hroll_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = stream_rollup_hist_sink(
+        stream, target, "ts", 3600, ["k"], "v", bounds, num_buckets=8
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # streamed == from-scratch BIT-FOR-BIT (integer bin counts)
+    assert state() == exp
+
+    # replay: redelivering a committed batch must not double-count
+    from pandance_spark.operators.rollup import merge_rollup_hist
+
+    t2 = str(tmp_path / "hroll_manual")
+    h = _rollup_batch_handler(
+        t2, "ts", 3600, ["k"], "v", 8,
+        build_fn=lambda b, tc, w, ks, vc: build_rollup_hist(b, tc, w, ks, vc, bounds),
+        merge_fn=merge_rollup_hist,
+        metric_cols=["hist"],
+    )
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    h(b1, 0)
+    h(b2, 1)
+    assert state(t2) == exp
+    h(b2, 1)  # full redelivery -> no-op
+    assert state(t2) == exp
