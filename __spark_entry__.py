@@ -2192,6 +2192,60 @@ def _q_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change application (operators/merge.py apply_changes):
+    snapshot = orders with key % 7 != 0; the feed carries an early
+    losing upsert (ver 1, keys % 10 == 0, price * 0.25), the winning
+    upsert (ver 2, keys % 5 == 0, price * 0.5) and a late delete
+    (ver 3, keys % 11 == 0) — ordering, insert-of-unseen-keys and
+    delete-wins are all exercised; the oracle states the closed-form
+    net effect (power-of-two multipliers keep it bit-exact)."""
+    from pandance_spark.operators.merge import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    # power-of-two multipliers only: round(x*1.1, 2) sits on decimal
+    # half-boundaries where Spark and DuckDB round binary doubles
+    # differently — *0.5/*0.25 are EXACT, so no rounding is needed
+    # anywhere and the comparison is bit-for-bit
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("tp"),
+    )
+    snap = base.filter(F.col("k") % 7 != 0)
+    up1 = base.filter(F.col("k") % 10 == 0).select(
+        "k", "st", (F.col("tp") * 0.25).alias("tp"),
+        F.lit("U").alias("op"), F.lit(1).alias("ver"),
+    )
+    up2 = base.filter(F.col("k") % 5 == 0).select(
+        "k", "st", (F.col("tp") * 0.5).alias("tp"),
+        F.lit("U").alias("op"), F.lit(2).alias("ver"),
+    )
+    dels = base.filter(F.col("k") % 11 == 0).select(
+        "k", "st", "tp", F.lit("D").alias("op"), F.lit(3).alias("ver"),
+    )
+    changes = up1.unionByName(up2).unionByName(dels)
+    return apply_changes(snap, changes, ["k"], "ver")
+
+
+def _q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (operators/rollup.py fill_gaps):
+    15-minute buckets per event type, last observation per bucket
+    (latest ts, value tie-break), LOCF across the gaps — TimescaleDB's
+    time_bucket_gapfill + locf as one groupBy + generated grid +
+    grid-sized window."""
+    from pandance_spark.operators.rollup import fill_gaps
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    out = fill_gaps(ev, "ts", 900, ["event_type"], "value")
+    return out.select(
+        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+        "event_type",
+        "value",
+        "is_filled",
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement
     (functions/split.py weighted_sample): 120 documents with odds
@@ -2744,6 +2798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": _q_funnel_conversion,
         "cohort_retention": _q_cohort_retention,
         "rollup_distinct_users": _q_rollup_distinct_users,
+        "cdc_apply": _q_cdc_apply,
+        "gap_fill_events": _q_gap_fill_events,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3733,6 +3789,61 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             SELECT 2, 'click', (SELECT count(*) FROM t2)
             UNION ALL
             SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        """,
+        # closed-form net effect of the synthesized CDC feed: untouched
+        # snapshot keys pass through; %5 keys carry the ver-2 upsert
+        # price (the ver-1 %10 upsert always loses); %11 keys are
+        # deleted last and vanish; %5 keys absent from the snapshot
+        # are inserts
+        "cdc_apply": """
+            WITH base AS (
+              SELECT o_orderkey AS k, o_orderstatus AS st,
+                     o_totalprice AS tp
+              FROM orders
+            )
+            SELECT k, st, tp FROM base
+            WHERE k % 7 <> 0 AND k % 5 <> 0 AND k % 11 <> 0
+            UNION ALL
+            SELECT k, st, tp * 0.5 AS tp FROM base
+            WHERE k % 5 = 0 AND k % 11 <> 0
+        """,
+        # grid replay: per-bucket last observation (ts desc, value
+        # desc), per-type generate_series grid, IGNORE NULLS window
+        "gap_fill_events": """
+            WITH obs AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900)
+                       AS BIGINT) * 900 AS b,
+                     event_type, value,
+                     row_number() OVER (
+                       PARTITION BY CAST(floor(epoch(CAST(ts AS
+                         TIMESTAMP)) / 900) AS BIGINT), event_type
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, value DESC
+                     ) AS rn
+              FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            last_obs AS (
+              SELECT b, event_type, value FROM obs WHERE rn = 1
+            ),
+            span AS (
+              SELECT event_type, min(b) AS lo, max(b) AS hi
+              FROM last_obs GROUP BY 1
+            ),
+            grid AS (
+              SELECT s.event_type, gs.g AS b
+              FROM span s,
+                   LATERAL (SELECT unnest(generate_series(s.lo, s.hi,
+                                                          900)) AS g) gs
+            )
+            SELECT g.b AS bucket_s, g.event_type,
+                   last_value(o.value IGNORE NULLS) OVER (
+                     PARTITION BY g.event_type ORDER BY g.b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   o.value IS NULL AS is_filled
+            FROM grid g
+            LEFT JOIN last_obs o
+              ON o.b = g.b AND o.event_type = g.event_type
         """,
         # integer week arithmetic; per-user distinct weeks then the
         # cohort matrix — exact replay

@@ -260,6 +260,15 @@ def main():
         "mixture_plan",
         "outliers_events",
         "weighted_per_lang",
+        # r6 (5th session) additions
+        "mixture_temperature",
+        "keep_best",
+        "rollup_quantiles",
+        "funnel_conversion",
+        "cohort_retention",
+        "rollup_distinct_users",
+        "cdc_apply",
+        "gap_fill_events",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

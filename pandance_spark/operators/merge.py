@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "table_diff"]
+__all__ = ["merge_upsert", "apply_changes", "table_diff"]
 
 
 def merge_upsert(
@@ -89,6 +89,80 @@ def merge_upsert(
         return F.when(in_t, tcol).otherwise(scol).alias(c)
 
     return j.filter(keep).select(*[_pick(c) for c in target.columns])
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change feed to a snapshot — the Delta
+    ``APPLY CHANGES`` / Debezium-consumer pattern: ``changes`` carries
+    upserts and deletes (``op_col`` equal to ``delete_op`` marks a
+    delete; anything else is an upsert) ordered per key by
+    ``order_col`` (a version / LSN / commit timestamp).  The NET
+    effect per key is the latest change:
+
+    - latest change is an upsert  → that row replaces/creates the key;
+    - latest change is a delete   → the key is removed;
+    - key untouched by the feed   → the snapshot row passes through.
+
+    Plan shape: ONE window shuffle on the key over the (usually much
+    smaller) change feed picks each key's latest change, then the
+    snapshot anti-joins the touched-key set and unions the surviving
+    upserts — the snapshot itself is never window-sorted and shuffles
+    only for the join, which AQE broadcasts when the feed is small:
+    at 100 TB the cost is one pass over the snapshot plus work ∝ the
+    feed, the same floor a lakehouse MERGE pays.
+
+    Ties on ``order_col`` within a key break deterministically on a
+    value hash of the change row (so re-running with a different
+    partitioning cannot flip the winner); give changes unique
+    per-key versions to make the tie-break irrelevant.
+
+    ``changes`` must carry every snapshot column plus ``op_col``;
+    delete rows only need the keys and ``order_col`` populated.
+    Returns the new snapshot with the original column order.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    for c in keys + [order_col]:
+        if c not in changes.columns:
+            raise ValueError(f"changes is missing column {c!r}")
+    if op_col not in changes.columns:
+        raise ValueError(f"changes is missing op column {op_col!r}")
+    missing = set(snapshot.columns) - set(changes.columns)
+    if missing:
+        raise ValueError(
+            f"changes is missing snapshot columns: {sorted(missing)}"
+        )
+
+    from pyspark.sql import Window
+
+    tie = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in snapshot.columns]
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), tie.desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # NULL op counts as an upsert ("anything else"), not a silent drop
+    is_delete = F.coalesce(F.col(op_col) == delete_op, F.lit(False))
+    survivors = latest.filter(~is_delete).select(*snapshot.columns)
+    untouched = snapshot.join(
+        latest.select(*keys), keys, "left_anti"
+    )
+    return untouched.unionByName(survivors)
 
 
 def table_diff(

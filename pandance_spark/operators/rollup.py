@@ -48,6 +48,7 @@ __all__ = [
     "build_rollup_distinct",
     "merge_rollup_distinct",
     "finalize_rollup_distinct",
+    "fill_gaps",
 ]
 
 
@@ -364,3 +365,88 @@ def finalize_rollup(rollup: DataFrame, round_avg: int = 9) -> DataFrame:
     return rollup.withColumn(
         "v_avg", F.round(F.col("v_sum") / F.col("cnt"), round_avg)
     )
+
+
+def fill_gaps(
+    df: DataFrame,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    locf: bool = True,
+) -> DataFrame:
+    """TimescaleDB's ``time_bucket_gapfill`` (+ ``locf``) for a sparse
+    per-key series: emit EVERY ``width_seconds`` bucket between each
+    key's first and last observation, carrying the last observed value
+    forward across the gaps (``locf=False`` leaves gap rows NULL).
+    Returns ``(bucket, *keys, value, is_filled)`` where ``value`` on an
+    observed bucket is the bucket's LAST observation (latest
+    ``time_col``; ties on time broken by largest value so the pick is
+    deterministic under any partitioning).
+
+    Plan shape: ONE groupBy on (bucket, keys) reduces observations to
+    per-bucket last values; one per-key min/max aggregate sizes the
+    grid; the grid itself is ``sequence``+``explode`` — generated,
+    never shuffled — and the gap join is an equi-join on (bucket,
+    keys) that AQE broadcasts when the observed side is small.  The
+    LOCF window runs over the GRID (buckets × keys rows, bounded by
+    horizon/width — never raw observations).
+
+    At 100 TB of raw events the cost is the first groupBy (the same
+    reduction ``build_rollup`` pays); everything after operates on
+    grid-sized tables.  A key's grid length is its own observation
+    span — a years-long key costs its own span, not the corpus's.
+    """
+    keys = _check(keys, value_col)
+    # only KEY columns survive into the output schema alongside
+    # value/is_filled (the value column is re-aliased internally, so a
+    # value_col literally named "value" is fine)
+    bad = {"value", "is_filled"}.intersection(keys)
+    if bad:
+        raise ValueError(
+            f"column names collide with fill_gaps output: {sorted(bad)}"
+        )
+    if width_seconds < 1:
+        raise ValueError("width_seconds must be >= 1")
+    w = int(width_seconds)
+
+    v = F.col(value_col)
+    obs = (
+        df.filter(v.isNotNull() & F.col(time_col).isNotNull())
+        .select(
+            time_bucket(F.col(time_col), w).alias("bucket"),
+            *[F.col(k) for k in keys],
+            F.col(time_col).alias("__t"),
+            v.alias("__v"),
+        )
+        .groupBy("bucket", *keys)
+        .agg(F.max(F.struct(F.col("__t"), F.col("__v"))).alias("__last"))
+        .select("bucket", *keys, F.col("__last.__v").alias("__obs"))
+    )
+    span = obs.groupBy(*keys).agg(
+        F.min("bucket").alias("__lo"), F.max("bucket").alias("__hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"interval {w} seconds")
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(obs, ["bucket"] + keys, "left")
+    out = joined.withColumn("is_filled", F.col("__obs").isNull())
+    if locf:
+        from pyspark.sql import Window
+
+        lw = (
+            Window.partitionBy(*keys)
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.withColumn(
+            "value", F.last("__obs", ignorenulls=True).over(lw)
+        )
+    else:
+        out = out.withColumn("value", F.col("__obs"))
+    return out.select("bucket", *keys, "value", "is_filled")

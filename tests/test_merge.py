@@ -105,3 +105,42 @@ def test_table_diff(spark):
         for r in table_diff(old, new, "k", compare_cols=["s"]).collect()
     }
     assert got2 == {2: "changed", 4: "removed", 5: "added"}
+
+
+def test_apply_changes_net_effect(spark):
+    from pandance_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    ch = spark.createDataFrame(
+        [
+            # k=1: upsert v1 then delete v2 -> gone
+            (1, "a", 11.0, "U", 1), (1, "a", 12.0, "D", 2),
+            # k=2: delete v1 then upsert v2 -> the upsert wins
+            (2, "b", 0.0, "D", 1), (2, "b", 21.0, "U", 2),
+            # k=4: pure insert
+            (4, "d", 40.0, "U", 1),
+            # k=3 untouched
+        ],
+        "k int, s string, v double, op string, ver int",
+    )
+    got = sorted(
+        map(tuple, apply_changes(snap, ch, ["k"], "ver").collect())
+    )
+    assert got == [(2, "b", 21.0), (3, "c", 30.0), (4, "d", 40.0)]
+
+
+def test_apply_changes_null_op_is_upsert_and_validation(spark):
+    from pandance_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame([(1, 1.0)], "k int, v double")
+    ch = spark.createDataFrame([(1, 2.0, None, 1)],
+                               "k int, v double, op string, ver int")
+    assert apply_changes(snap, ch, ["k"], "ver").collect()[0]["v"] == 2.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="missing column"):
+        apply_changes(snap, ch.drop("ver"), ["k"], "ver")
+    with _pt.raises(ValueError, match="missing snapshot columns"):
+        apply_changes(snap.withColumn("extra", snap.k), ch, ["k"], "ver")

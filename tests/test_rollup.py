@@ -165,3 +165,40 @@ def test_hist_merge_schema_validation(spark):
     h = build_rollup_hist(_hist(spark), "ts", 3600, ["k"], "v", [10.0])
     with pytest.raises(ValueError, match="schemas differ"):
         merge_rollup_hist(h, h.withColumnRenamed("k", "kk"))
+
+
+def test_fill_gaps_locf(spark):
+    from pandance_spark.operators.rollup import fill_gaps
+
+    ev = _ev(spark, [
+        (0, 0, "a", 1.0),          # hour 0 observed
+        # hours 1-2: gap
+        (3, 0, "a", 4.0),          # hour 3 observed
+        (3, 30, "a", 5.0),         # later obs in same bucket wins
+        (1, 0, "b", 9.0),          # b spans a single bucket
+    ])
+    rows = {
+        (r["bucket"].hour, r["k"]): (r["value"], r["is_filled"])
+        for r in fill_gaps(ev, "ts", 3600, ["k"], "v").collect()
+    }
+    assert rows == {
+        (0, "a"): (1.0, False),
+        (1, "a"): (1.0, True),
+        (2, "a"): (1.0, True),
+        (3, "a"): (5.0, False),
+        (1, "b"): (9.0, False),
+    }
+
+
+def test_fill_gaps_no_locf_and_validation(spark):
+    from pandance_spark.operators.rollup import fill_gaps
+
+    ev = _ev(spark, [(0, 0, "a", 1.0), (2, 0, "a", 3.0)])
+    rows = {
+        r["bucket"].hour: (r["value"], r["is_filled"])
+        for r in fill_gaps(ev, "ts", 3600, ["k"], "v", locf=False).collect()
+    }
+    assert rows == {0: (1.0, False), 1: (None, True), 2: (3.0, False)}
+    with pytest.raises(ValueError, match="fill_gaps output"):
+        fill_gaps(ev.withColumnRenamed("k", "value"), "ts", 3600,
+                  ["value"], "v")
