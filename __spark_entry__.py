@@ -3852,7 +3852,8 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
               SELECT user_id,
                      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800)
                        AS BIGINT) AS p
-              FROM events WHERE user_id IS NOT NULL
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
             ),
             pu AS (SELECT user_id, min(p) AS cohort FROM p GROUP BY 1),
             d AS (

@@ -52,8 +52,10 @@ def funnel_steps(
     Returns one row per user that emitted at least one funnel event:
     ``(user_col, steps_reached int in [0, len(steps)], last_step)``.
 
-    Events with NULL time and events whose step is not in ``steps``
-    are ignored (they cannot advance or block the funnel).
+    Events with a NULL user or NULL time, and events whose step is not
+    in ``steps``, are ignored (an anonymous event cannot be attributed
+    to a funnel, and a timeless one cannot be ordered — same convention
+    as :func:`cohort_retention`).
     """
     steps = list(steps)
     if not steps:
@@ -67,7 +69,11 @@ def funnel_steps(
         F.col(user_col),
         F.col(ts_col).alias("__t"),
         F.col(step_col).alias("__s"),
-    ).filter(F.col("__t").isNotNull() & F.col("__s").isin(steps))
+    ).filter(
+        F.col(user_col).isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__s").isin(steps)
+    )
 
     per_user = ev.groupBy(user_col).agg(
         F.array_sort(

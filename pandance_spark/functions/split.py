@@ -614,9 +614,16 @@ def temperature_rates(available: dict, alpha: float, budget: int) -> dict:
     rates (exactly 1.0) mark sources whose temperature share exceeds
     what they can supply — the standard signal to either re-weight or
     allow repetition (see ``epoch_mix`` for fractional epochs).
+    Zero-available sources get rate 0.0 (their share is 0 — they are
+    EMPTY, not under-supplied, and must not trip the clip signal or
+    keep their token-less rows).
     """
     shares = temperature_shares(available, alpha)
-    return mixture_rates(available, shares, budget)
+    nonempty = {s: n for s, n in available.items() if n > 0}
+    rates = mixture_rates(
+        nonempty, {s: shares[s] for s in nonempty}, budget
+    )
+    return {s: rates.get(s, 0.0) for s in available}
 
 
 def weighted_sample_per_group(

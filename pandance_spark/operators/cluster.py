@@ -315,7 +315,9 @@ def keep_best(
     window ranks only that cluster's rows (bounded by the dup group
     size, the same bound every dedup path here has).
     """
-    direction = F.desc if descending else F.asc
+    # NULLS LAST in BOTH directions: a row with a missing score must
+    # never beat a scored row (F.asc alone puts NULLs first)
+    direction = F.desc_nulls_last if descending else F.asc_nulls_last
     ranked = (
         df.join(clusters.select(id_col, "cluster_id"), id_col)
         .withColumn("__kb_score", score)

@@ -143,9 +143,18 @@ def apply_changes(
 
     from pyspark.sql import Window
 
+    # the tie hash covers EVERY change column (incl. op and version —
+    # a delete and an upsert tying on order_col must not hash equal)
+    # with an explicit NULL sentinel: concat_ws SKIPS nulls, which
+    # would make ('x', NULL) and (NULL, 'x') collide
+    tie_cols = list(dict.fromkeys(snapshot.columns + [op_col, order_col]))
     tie = F.md5(
         F.concat_ws(
-            "\x1f", *[F.col(c).cast("string") for c in snapshot.columns]
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in tie_cols
+            ],
         )
     )
     w = Window.partitionBy(*keys).orderBy(

@@ -68,8 +68,12 @@ def _check(keys, value_col):
     keys = [keys] if isinstance(keys, str) else list(keys)
     # __bucket/__last_bid are injected later by stream_rollup_sink's
     # partition hash and replay stamp — a key by either name would be
-    # silently clobbered by withColumn
-    reserved = {"bucket", "cnt", "v_sum", "v_min", "v_max", "__bucket", "__last_bid"}
+    # silently clobbered by withColumn; hist/sketch are the metric
+    # columns of the histogram and HLL rollup variants
+    reserved = {
+        "bucket", "cnt", "v_sum", "v_min", "v_max",
+        "hist", "sketch", "__bucket", "__last_bid",
+    }
     bad = reserved.intersection(keys + [value_col])
     if bad:
         raise ValueError(f"column names collide with rollup schema: {sorted(bad)}")
@@ -238,10 +242,28 @@ def merge_rollup_hist(existing: DataFrame, delta: DataFrame) -> DataFrame:
         zeros,
         lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
     )
+    # bin grids must agree: zip_with NULL-pads a shorter array, which
+    # would corrupt counts silently — fail the job instead.  The
+    # assert is folded INTO the output expression (a dropped guard
+    # column would be pruned away by Catalyst and never evaluate);
+    # assert_true yields NULL on success, so the when() passes summed
+    # through.  Runs over aggregate-sized rows — negligible cost.
+    same_len = F.forall(
+        F.col("__hs"),
+        lambda h: F.size(h) == F.size(F.element_at(F.col("__hs"), 1)),
+    )
+    guarded = F.when(
+        F.assert_true(
+            same_len,
+            F.lit("merge_rollup_hist: inputs were built with different "
+                  "bin grids (hist arrays differ in length)"),
+        ).isNull(),
+        summed,
+    )
     return (
         both.groupBy(*group_cols)
         .agg(F.collect_list("hist").alias("__hs"))
-        .select(*group_cols, summed.alias("hist"))
+        .select(*group_cols, guarded.alias("hist"))
     )
 
 

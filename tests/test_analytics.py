@@ -140,3 +140,19 @@ def test_rollup_distinct_merge_within_error(spark):
     assert abs(merged - scratch) / 1000 < 0.04
     with pytest.raises(ValueError, match="lg_k"):
         build_rollup_distinct(ev, "ts", 3600, ["k"], "uid", lg_k=2)
+
+
+def test_funnel_ignores_null_users(spark):
+    ev = _ev(
+        spark,
+        [
+            (None, T(2024, 1, 1, 0, 0), "view"),
+            (None, T(2024, 1, 1, 0, 1), "click"),
+            (7, T(2024, 1, 1, 0, 0), "view"),
+        ],
+    )
+    got = {
+        r["user_id"]: r["steps_reached"]
+        for r in funnel_steps(ev, "user_id", "ts", "step", STEPS).collect()
+    }
+    assert got == {7: 1}

@@ -234,3 +234,23 @@ def test_keep_best_composes_with_dedup_clusters(spark):
     # exactly one keeper per cluster
     assert out.groupBy("cluster_id").agg(F.sum("is_best").alias("s")) \
               .filter("s <> 1").count() == 0
+
+
+def test_keep_best_null_scores_never_win(spark):
+    from pandance_spark.operators.cluster import keep_best
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, None), (4, 5)],
+        "id int, q int",
+    )
+    cl = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "id int, cluster_id int"
+    )
+    for desc in (True, False):
+        got = {
+            r["id"]: r["is_best"]
+            for r in keep_best(df, cl, "id", F.col("q"), descending=desc).collect()
+        }
+        # scored rows beat NULL-scored rows in both directions
+        assert got[1] == 1 and got[2] == 0, (desc, got)
+        assert got[4] == 1 and got[3] == 0, (desc, got)

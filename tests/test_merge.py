@@ -144,3 +144,21 @@ def test_apply_changes_null_op_is_upsert_and_validation(spark):
         apply_changes(snap, ch.drop("ver"), ["k"], "ver")
     with _pt.raises(ValueError, match="missing snapshot columns"):
         apply_changes(snap.withColumn("extra", snap.k), ch, ["k"], "ver")
+
+
+def test_apply_changes_delete_upsert_tie_is_deterministic(spark):
+    from pandance_spark.operators.merge import apply_changes
+
+    snap = spark.createDataFrame([(1, None)], "k int, v double")
+    # same key, same version, same payload; only op differs — the tie
+    # hash must separate them, and do so identically however the data
+    # is partitioned
+    ch = spark.createDataFrame(
+        [(1, None, "U", 1), (1, None, "D", 1)],
+        "k int, v double, op string, ver int",
+    )
+    results = set()
+    for parts in (1, 7):
+        out = apply_changes(snap, ch.repartition(parts), ["k"], "ver")
+        results.add(tuple(sorted(map(tuple, out.collect()))))
+    assert len(results) == 1, results

@@ -202,3 +202,31 @@ def test_fill_gaps_no_locf_and_validation(spark):
     with pytest.raises(ValueError, match="fill_gaps output"):
         fill_gaps(ev.withColumnRenamed("k", "value"), "ts", 3600,
                   ["value"], "v")
+
+
+def test_hist_merge_rejects_different_bin_grids(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_hist,
+        merge_rollup_hist,
+    )
+
+    ev = _hist(spark)
+    a = build_rollup_hist(ev, "ts", 3600, ["k"], "v", [10.0, 20.0])
+    b = build_rollup_hist(ev, "ts", 3600, ["k"], "v", [10.0, 20.0, 40.0])
+    with pytest.raises(Exception, match="different"):
+        merge_rollup_hist(a, b).collect()
+
+
+def test_rollup_reserved_names_cover_new_variants(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_distinct,
+        build_rollup_hist,
+    )
+
+    ev = _hist(spark)
+    with pytest.raises(ValueError, match="collide"):
+        build_rollup_hist(ev.withColumnRenamed("k", "hist"), "ts", 3600,
+                          ["hist"], "v", [10.0])
+    with pytest.raises(ValueError, match="collide"):
+        build_rollup_distinct(ev.withColumnRenamed("k", "sketch"), "ts",
+                              3600, ["sketch"], "v")

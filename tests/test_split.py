@@ -624,3 +624,10 @@ def test_temperature_shares_and_rates():
         temperature_shares(av, 1.5)
     with pytest.raises(ValueError, match=">= 0"):
         temperature_shares({"a": -1}, 0.5)
+
+
+def test_temperature_rates_empty_source_gets_zero():
+    from pandance_spark.functions.split import temperature_rates
+
+    r = temperature_rates({"a": 1000, "z": 0}, 0.5, 500)
+    assert r["z"] == 0.0 and 0 < r["a"] <= 1.0
