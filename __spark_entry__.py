@@ -2192,6 +2192,41 @@ def _q_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-style main-content extraction (functions/text.py
+    extract_main_text): each document is wrapped in a deterministic
+    page shell — nav bar, heading, the real text as a paragraph, a
+    related-links box, a link-only footer — and the block heuristic
+    (min 40 cleaned chars, link density <= 0.3) must recover the
+    article and drop the chrome.  Pure projection, zero shuffle; the
+    oracle replays the identical RE2-portable per-block pipeline."""
+    from pandance_spark.functions.text import extract_main_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><body><div class="nav"><a href="/">Home page</a> | '
+            '<a href="/t">Topics index</a> | '
+            '<a href="/c">Contact form</a></div><h1>'
+        ),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><div class="related"><a href="/m">Read more stories '
+            'like this</a> <a href="/s">Subscribe for weekly updates'
+            "</a></div><footer><a href=\"/p\">Privacy</a> "
+            '<a href="/i">Imprint</a></footer></body></html>'
+        ),
+    )
+    main = extract_main_text(page, min_chars=40, max_link_density=0.3)
+    return docs.select(
+        "doc_id",
+        main.alias("main_text"),
+        F.length(main).alias("n_chars_main"),
+    )
+
+
 def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change application (operators/merge.py apply_changes):
     snapshot = orders with key % 7 != 0; the feed carries an early
@@ -2800,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_users": _q_rollup_distinct_users,
         "cdc_apply": _q_cdc_apply,
         "gap_fill_events": _q_gap_fill_events,
+        "main_text_extract": _q_main_text,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3059,6 +3095,67 @@ def _embed_project_oracle() -> str:
                [{outs}] AS proj
         FROM q
     """
+
+
+def _main_text_clean_sql(var: str) -> str:
+    """The per-block clean pipeline (tag strip -> entity decode ->
+    whitespace collapse -> trim) as DuckDB SQL over ``var`` — the
+    exact chain functions/text.py:_clean_block runs in Spark."""
+    return (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        f"regexp_replace({var}, '<[^>]*>', ' ', 'gs'),"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),"
+        " '\\s+', ' ', 'g'))"
+    )
+
+
+_MAIN_TEXT_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><div class="nav"><a href="/">Home page</a> | '
+             || '<a href="/t">Topics index</a> | '
+             || '<a href="/c">Contact form</a></div><h1>' || lang
+             || '</h1><p>' || text
+             || '</p><div class="related"><a href="/m">Read more stories '
+             || 'like this</a> <a href="/s">Subscribe for weekly updates'
+             || '</a></div><footer><a href="/p">Privacy</a> '
+             || '<a href="/i">Imprint</a></footer></body></html>' AS html
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             string_split(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html,
+                       '<script\\b[^>]*>.*?</script\\s*>', ' ', 'gis'),
+                     '<style\\b[^>]*>.*?</style\\s*>', ' ', 'gis'),
+                   '<!--.*?-->', ' ', 'gs'),
+                 '</?(p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|aside|header|footer|nav|blockquote|br)\\b[^>]*>',
+                 chr(10), 'gis'),
+               chr(10)) AS lines
+      FROM h
+    ),
+    k AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 list_filter(lines, l ->
+                   length({_main_text_clean_sql('l')}) >= 40
+                   AND coalesce(list_sum(list_transform(
+                         regexp_extract_all(l,
+                           '<a\\b[^>]*>([^<]*)</a\\s*>', 1, 'is'),
+                         s -> length(s))), 0)
+                       <= 0.3 * length({_main_text_clean_sql('l')})),
+                 l -> {_main_text_clean_sql('l')}),
+               chr(10)) AS main_text
+      FROM b
+    )
+    SELECT doc_id, main_text, length(main_text) AS n_chars_main FROM k
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3790,6 +3887,9 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             UNION ALL
             SELECT 3, 'purchase', (SELECT count(*) FROM t3)
         """,
+        # readability block heuristic replayed per line with list
+        # lambdas — same clean chain, same thresholds, same anchor regex
+        "main_text_extract": _MAIN_TEXT_ORACLE,
         # closed-form net effect of the synthesized CDC feed: untouched
         # snapshot keys pass through; %5 keys carry the ver-2 upsert
         # price (the ver-1 %10 upsert always loses); %11 keys are

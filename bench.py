@@ -269,6 +269,7 @@ def main():
         "rollup_distinct_users",
         "cdc_apply",
         "gap_fill_events",
+        "main_text_extract",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

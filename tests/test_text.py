@@ -462,3 +462,43 @@ def test_tag_topics_validation(spark):
         tag_topics(F.col("t"), {})
     with _pytest.raises(ValueError):
         tag_topics(F.col("t"), {"a": []})
+
+
+def test_extract_main_text_drops_nav_and_linkboxes(spark):
+    from pandance_spark.functions.text import extract_main_text
+
+    html = (
+        '<html><head><style>p{}</style></head><body>'
+        '<div class="nav"><a href="/">Home</a> | <a href="/a">About</a></div>'
+        "<p>This is the real article content, long enough to clear the "
+        "minimum character threshold, with <a href='/r'>one link</a> "
+        "inside the prose.</p>"
+        '<div class="rel"><a href="/x">Read more stories here</a>'
+        '<a href="/y">Subscribe to the newsletter now</a></div>'
+        "<script>track();</script><!-- c --></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "id int, h string")
+    out = df.select(
+        extract_main_text(F.col("h")).alias("t")
+    ).collect()[0]["t"]
+    assert "real article content" in out and "one link" in out
+    assert "Home" not in out and "Read more" not in out
+    assert "track();" not in out
+
+
+def test_extract_main_text_thresholds_and_validation(spark):
+    from pandance_spark.functions.text import extract_main_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>short</p><p>" + "long enough content " * 5 + "</p>")],
+        "id int, h string",
+    )
+    out = df.select(
+        extract_main_text(F.col("h"), min_chars=20).alias("t")
+    ).collect()[0]["t"]
+    assert "short" not in out and "long enough" in out
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_chars"):
+        extract_main_text(F.col("h"), min_chars=0)
+    with _pt.raises(ValueError, match="max_link_density"):
+        extract_main_text(F.col("h"), max_link_density=1.5)
