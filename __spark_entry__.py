@@ -1507,6 +1507,45 @@ def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with the grouping id —
+    completes the multi-dimensional aggregate surface next to
+    rollup_orders and pivot_status; both engines compute the identical
+    2^2 grouping-set lattice and GROUPING() bit vector."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def _q_moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving aggregate via a RANGE window frame (time-
+    interval frames, not row counts): per order, the count and mean
+    price of all same-priority orders in the preceding week.  The
+    frame runs on epoch-day longs so the two engines share exact
+    integer frame bounds, and the mean is emitted in INTEGER 1e-4
+    units (floor of an exact int64 cent sum) — float rounding modes
+    on .5 boundaries differ between engines, integer division does
+    not.  ONE window shuffle on the priority key."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    return orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        n.alias("n_7d"),
+        F.floor(F.sum(cents).over(w) * 100 / n).cast("long").alias("avg_7d_e4"),
+    )
+
+
 def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     pivoted = (
@@ -2836,6 +2875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": _q_cdc_apply,
         "gap_fill_events": _q_gap_fill_events,
         "main_text_extract": _q_main_text,
+        "cube_orders": _q_cube_orders,
+        "moving_avg_orders": _q_moving_avg_orders,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3890,6 +3931,33 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # readability block heuristic replayed per line with list
         # lambdas — same clean chain, same thresholds, same anchor regex
         "main_text_extract": _MAIN_TEXT_ORACLE,
+        # identical 2^2 grouping lattice; GROUPING() bit vector has the
+        # first column as MSB in both engines
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT)
+                     AS gid,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        # integer epoch-day RANGE frame + integer 1e-4-unit mean —
+        # exact frame bounds and exact arithmetic both sides
+        "moving_avg_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   count(*) OVER w AS n_7d,
+                   CAST(floor(sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) OVER w * 100.0
+                              / count(*) OVER w)
+                        AS BIGINT) AS avg_7d_e4
+            FROM orders
+            WINDOW w AS (
+              PARTITION BY o_orderpriority
+              ORDER BY CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+            )
+        """,
         # closed-form net effect of the synthesized CDC feed: untouched
         # snapshot keys pass through; %5 keys carry the ver-2 upsert
         # price (the ver-1 %10 upsert always loses); %11 keys are

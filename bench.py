@@ -270,6 +270,8 @@ def main():
         "cdc_apply",
         "gap_fill_events",
         "main_text_extract",
+        "cube_orders",
+        "moving_avg_orders",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
