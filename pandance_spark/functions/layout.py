@@ -23,7 +23,14 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_by", "write_zordered"]
+__all__ = [
+    "zorder_key",
+    "zorder_by",
+    "write_zordered",
+    "plan_output_partitions",
+    "write_sized",
+    "compact_files",
+]
 
 _INTEGRAL = {"byte", "short", "int", "integer", "bigint", "long"}
 
@@ -168,4 +175,76 @@ def write_zordered(
         .drop("__zorder")
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def plan_output_partitions(
+    df: DataFrame,
+    target_bytes: int = 128 << 20,
+    min_partitions: int = 1,
+) -> int:
+    """Number of output partitions that lands files near
+    ``target_bytes``, from Catalyst's optimized-plan size estimate
+    (``stats().sizeInBytes`` — no execution, no sampling job).
+
+    The estimate is an IN-MEMORY width; callers targeting on-disk
+    parquet sizes should inflate ``target_bytes`` by their expected
+    compression ratio (see :func:`write_sized`).  On scan-rooted
+    frames the estimate is file-size-accurate; after joins it can be
+    a conservative product — checkpoint first or pass an explicit
+    count when planning post-join writes.
+    """
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    if min_partitions < 1:
+        raise ValueError("min_partitions must be >= 1")
+    import math
+
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return max(min_partitions, math.ceil(size / target_bytes))
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    compression_ratio: float = 3.0,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet in files near ``target_file_bytes`` on disk — the
+    small-files fix: a 100 TB table written from 100k over-parallel
+    tasks yields millions of KB-scale files whose open/footer overhead
+    then dominates every scan; a compaction pass targeting ~128 MB
+    restores scan efficiency (the number every lakehouse OPTIMIZE
+    defaults to).  Partition count = Catalyst size estimate /
+    (target × assumed parquet ``compression_ratio``); returns it.
+
+    The repartition is a round-robin shuffle — one pass over the data,
+    the floor any compaction pays.  For pruning-friendly layouts
+    compose with :func:`write_zordered` instead (range partitioning
+    buys clustering; this buys file sizing only).
+    """
+    n = plan_output_partitions(
+        df, int(target_file_bytes * compression_ratio)
+    )
+    df.repartition(n).write.mode(mode).parquet(path)
+    return n
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 << 20,
+    compression_ratio: float = 3.0,
+) -> int:
+    """Read a (possibly fragmented) parquet directory and rewrite it
+    size-targeted — the standalone compaction job.  Reading first
+    makes the Catalyst estimate scan-rooted, i.e. as accurate as the
+    source footers; returns the file count written."""
+    return write_sized(
+        spark.read.parquet(src_path),
+        dst_path,
+        target_file_bytes,
+        compression_ratio,
     )

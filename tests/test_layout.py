@@ -117,3 +117,39 @@ def test_zorder_null_and_empty_semantics(spark, tmp_path):
     # pre-existing key column: explicit error, no silent data loss
     with pytest.raises(ValueError):
         zorder_by(df.withColumnRenamed("a", "__zorder"), ["__zorder"])
+
+
+def test_plan_output_partitions_and_write_sized(spark, tmp_path):
+    from pandance_spark.functions.layout import (
+        compact_files,
+        plan_output_partitions,
+        write_sized,
+    )
+    import os
+
+    df = spark.range(200_000).selectExpr(
+        "id", "CAST(id AS STRING) AS s", "id * 2.5 AS v"
+    )
+    # fragment the source: many tiny files
+    frag = str(tmp_path / "frag")
+    df.repartition(64).write.parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag >= 32
+
+    src = spark.read.parquet(frag)
+    n_planned = plan_output_partitions(src, target_bytes=1 << 20)
+    assert n_planned >= 1
+    # compaction collapses the fragments into the planned count
+    dst = str(tmp_path / "compact")
+    n = compact_files(spark, frag, dst, target_file_bytes=1 << 20,
+                      compression_ratio=1.0)
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == n and n < n_frag
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        plan_output_partitions(src, target_bytes=0)
+    with pytest.raises(ValueError, match="min_partitions"):
+        plan_output_partitions(src, min_partitions=0)
+    # write_sized returns the partition count it used
+    out2 = str(tmp_path / "sized")
+    assert write_sized(src, out2, 1 << 20, 1.0) == n
