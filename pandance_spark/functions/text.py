@@ -556,10 +556,25 @@ def _link_chars(line: Column) -> Column:
     )
 
 
+def _stopword_density(text: Column, stopwords) -> Column:
+    """Fraction of a cleaned block's tokens that are stopwords —
+    jusText's linguistic prose signal.  Token = maximal [a-z]+ run of
+    the lowercased text; empty blocks score 0."""
+    toks = F.filter(
+        F.split(F.lower(text), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
 def extract_main_text(
     html: Column,
     min_chars: int = 40,
     max_link_density: float = 0.3,
+    stopwords=None,
+    min_stopword_density: float = 0.2,
 ) -> Column:
     """Readability-style MAIN-CONTENT extraction (the jusText/Arc90
     core heuristic, simplified to a closed form): split the page into
@@ -569,6 +584,12 @@ def extract_main_text(
     join the survivors.  Navigation bars, related-links boxes, footers
     and share buttons are short and/or link-dense — exactly what the
     two thresholds drop; article paragraphs survive.
+
+    With a ``stopwords`` list the full jusText criterion applies:
+    surviving blocks must ALSO have stopword density (stopword tokens /
+    tokens) of at least ``min_stopword_density`` — this is what drops
+    link-free non-prose chrome (copyright footers, byline stubs,
+    spec tables) that length and link density alone let through.
 
     Pure Column expressions end to end (regexes are RE2-portable — no
     backreferences or lookaround — so the DuckDB oracle replays the
@@ -582,19 +603,27 @@ def extract_main_text(
         raise ValueError("min_chars must be >= 1")
     if not 0 <= max_link_density <= 1:
         raise ValueError("max_link_density must be in [0, 1]")
+    if not 0 <= min_stopword_density <= 1:
+        raise ValueError("min_stopword_density must be in [0, 1]")
     x = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
     x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
     x = F.regexp_replace(x, _BLOCK_TAG_RE, "\n")
     lines = F.split(x, "\n")
-    keep = F.filter(
-        lines,
-        lambda l: (F.length(_clean_block(l)) >= F.lit(int(min_chars)))
-        & (
+
+    def good(l):
+        cond = (F.length(_clean_block(l)) >= F.lit(int(min_chars))) & (
             _link_chars(l).cast("double")
             <= F.lit(float(max_link_density)) * F.length(_clean_block(l))
-        ),
-    )
+        )
+        if stopwords is not None:
+            cond = cond & (
+                _stopword_density(_clean_block(l), list(stopwords))
+                >= F.lit(float(min_stopword_density))
+            )
+        return cond
+
+    keep = F.filter(lines, good)
     return F.array_join(F.transform(keep, _clean_block), "\n")
 
 

@@ -502,3 +502,31 @@ def test_extract_main_text_thresholds_and_validation(spark):
         extract_main_text(F.col("h"), min_chars=0)
     with _pt.raises(ValueError, match="max_link_density"):
         extract_main_text(F.col("h"), max_link_density=1.5)
+
+
+def test_extract_main_text_stopword_density(spark):
+    from pandance_spark.functions.text import extract_main_text
+
+    sw = ["the", "a", "of", "to", "and", "is", "in", "that", "it", "all"]
+    html = (
+        "<p>Copyright 2024 MegaCorp Industries GmbH Worldwide Rights "
+        "Reserved Trademark Registered</p>"
+        "<p>The point of this paragraph is that it reads as prose and "
+        "carries all the usual function words a sentence needs.</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "id int, h string")
+    out = df.select(
+        extract_main_text(
+            F.col("h"), min_chars=40, stopwords=sw
+        ).alias("t")
+    ).collect()[0]["t"]
+    # the stopword-free legalese block drops; the prose block stays
+    assert "Copyright" not in out and "reads as prose" in out
+    # without stopwords the legalese survives (length + no links)
+    out2 = df.select(
+        extract_main_text(F.col("h"), min_chars=40).alias("t")
+    ).collect()[0]["t"]
+    assert "Copyright" in out2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_stopword_density"):
+        extract_main_text(F.col("h"), stopwords=sw, min_stopword_density=2.0)
