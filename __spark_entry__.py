@@ -2266,6 +2266,51 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated card-number PII (functions/text.py
+    luhn_valid/find_card_numbers/redact_card_numbers): each order's
+    text embeds a LUHN-VALID 16-digit PAN (check digit brute-forced
+    in-plan by the same validator — no positional-parity math to get
+    wrong twice) and an invalid sibling (+1 mod 10); detection must
+    return exactly the valid one, redaction must touch only it.
+    Pure integer/regex Column expressions, zero shuffle."""
+    from pandance_spark.functions.text import (
+        find_card_numbers,
+        luhn_valid,
+        redact_card_numbers,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = F.concat(
+        F.lit("4"),
+        F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 14, "0"),
+    )
+    check = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda d: luhn_valid(F.concat(base, d.cast("string"))),
+        ),
+        1,
+    )
+    good = F.concat(base, check.cast("string"))
+    bad = F.concat(base, ((check + 1) % 10).cast("string"))
+    spaced = F.concat_ws(
+        " ",
+        F.substring(good, 1, 4),
+        F.substring(good, 5, 4),
+        F.substring(good, 9, 4),
+        F.substring(good, 13, 4),
+    )
+    text = F.concat(
+        F.lit("order ref "), bad, F.lit(" card "), spaced, F.lit(" end")
+    )
+    return orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.array_join(find_card_numbers(text), ",").alias("found"),
+        redact_card_numbers(text).alias("redacted"),
+    )
+
+
 def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change application (operators/merge.py apply_changes):
     snapshot = orders with key % 7 != 0; the feed carries an early
@@ -2877,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_text_extract": _q_main_text,
         "cube_orders": _q_cube_orders,
         "moving_avg_orders": _q_moving_avg_orders,
+        "pii_cards": _q_pii_cards,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -3196,6 +3242,70 @@ _MAIN_TEXT_ORACLE = f"""
       FROM b
     )
     SELECT doc_id, main_text, length(main_text) AS n_chars_main FROM k
+"""
+
+
+def _luhn_sum_sql(d: str) -> str:
+    """Luhn digit sum of a digits-only SQL string expression ``d`` —
+    the DuckDB twin of functions/text.py:luhn_valid's fold."""
+    dig = f"CAST(substring({d}, i.i, 1) AS INT)"
+    return (
+        f"list_sum(list_transform(generate_series(1, length({d})), "
+        f"i -> CASE WHEN (length({d}) - i) % 2 = 1 "
+        f"THEN CASE WHEN 2 * {dig.replace('i.i', 'i')} > 9 "
+        f"THEN 2 * {dig.replace('i.i', 'i')} - 9 "
+        f"ELSE 2 * {dig.replace('i.i', 'i')} END "
+        f"ELSE {dig.replace('i.i', 'i')} END))"
+    )
+
+
+_PII_CARDS_ORACLE = f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             '4' || lpad(CAST(o_orderkey % 100000000 AS VARCHAR),
+                         14, '0') AS b
+      FROM orders
+    ),
+    pan AS (
+      SELECT k, b,
+             list_filter(generate_series(0, 9),
+                         d -> {_luhn_sum_sql("(b || CAST(d AS VARCHAR))")}
+                              % 10 = 0)[1] AS chk
+      FROM base
+    ),
+    txt AS (
+      SELECT k,
+             b || CAST(chk AS VARCHAR) AS good,
+             b || CAST((chk + 1) % 10 AS VARCHAR) AS bad,
+             substring(b || CAST(chk AS VARCHAR), 1, 4) || ' ' ||
+             substring(b || CAST(chk AS VARCHAR), 5, 4) || ' ' ||
+             substring(b || CAST(chk AS VARCHAR), 9, 4) || ' ' ||
+             substring(b || CAST(chk AS VARCHAR), 13, 4) AS spaced
+      FROM pan
+    ),
+    doc AS (
+      SELECT k, 'order ref ' || bad || ' card ' || spaced || ' end' AS t
+      FROM txt
+    ),
+    det AS (
+      SELECT k, t,
+             list_filter(
+               regexp_extract_all(t, '\\d(?:[\\d\\- ]{{11,20}})?\\d'),
+               s -> length(regexp_replace(s, '[^0-9]', '', 'g')) >= 13
+                AND length(regexp_replace(s, '[^0-9]', '', 'g')) <= 19
+                AND {_luhn_sum_sql("regexp_replace(s, '[^0-9]', '', 'g')")}
+                    % 10 = 0) AS valid_cands
+      FROM doc
+    )
+    SELECT k,
+           array_to_string(
+             list_transform(valid_cands,
+                            s -> regexp_replace(s, '[^0-9]', '', 'g')),
+             ',') AS found,
+           list_reduce(
+             list_prepend(t, valid_cands),
+             (acc, s) -> replace(acc, s, '[CARD]')) AS redacted
+    FROM det
 """
 
 
@@ -3931,6 +4041,9 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # readability block heuristic replayed per line with list
         # lambdas — same clean chain, same thresholds, same anchor regex
         "main_text_extract": _MAIN_TEXT_ORACLE,
+        # Luhn fold replayed per candidate; check digit brute-forced
+        # in SQL by the same validator
+        "pii_cards": _PII_CARDS_ORACLE,
         # identical 2^2 grouping lattice; GROUPING() bit vector has the
         # first column as MSB in both engines
         "cube_orders": """

@@ -272,6 +272,7 @@ def main():
         "main_text_extract",
         "cube_orders",
         "moving_avg_orders",
+        "pii_cards",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

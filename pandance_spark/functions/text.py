@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "strip_html",
     "extract_main_text",
+    "luhn_valid",
+    "find_card_numbers",
+    "redact_card_numbers",
     "tokenize",
     "token_count",
     "bpe_token_count",
@@ -126,6 +129,65 @@ def redact_pii(text: Column, patterns=None, replacement: str = "[PII]") -> Colum
 def pii_count(text: Column, pattern: str) -> Column:
     """Number of matches of a PII pattern in the document."""
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+# candidate payment-card shapes: 13-19 digits with optional space/dash
+# separators (RE2-portable); Luhn then separates real card numbers
+# from order ids / phone fragments that match the same shape
+PII_CARD_CANDIDATE = r"\d(?:[\d\- ]{11,20})?\d"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digits-only string as pure integer Column
+    arithmetic (no UDF): doubling every second digit from the right
+    (with the 9-subtraction), valid iff the sum is ≡ 0 (mod 10).
+    Engine-exact — DuckDB replays it with the same per-position
+    lambda, so checksum-VALIDATED detection is oracle-checkable."""
+    n = F.length(digits)
+    digit = lambda i: F.substring(digits, i, F.lit(1)).cast("int")  # noqa: E731
+
+    def term(acc, i):
+        d = digit(i)
+        doubled = d * 2
+        dd = F.when(doubled > 9, doubled - 9).otherwise(doubled)
+        return acc + F.when(((n - i) % 2) == 1, dd).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return (n > 0) & (total % 10 == 0)
+
+
+def find_card_numbers(text: Column) -> Column:
+    """Array of Luhn-VALID payment-card numbers in the document
+    (digits only, 13-19 digits) — the checksum cuts the false-positive
+    rate of shape-only regexes from 'every long number' to ~10%
+    residual.  Pure Column expressions: regex candidates → separator
+    strip → length gate → Luhn; zero shuffle, zero UDF."""
+    cands = F.regexp_extract_all(text, F.lit(PII_CARD_CANDIDATE), F.lit(0))
+    norm = F.transform(
+        cands, lambda s: F.regexp_replace(s, "[^0-9]", "")
+    )
+    return F.filter(
+        norm,
+        lambda d: (F.length(d) >= 13) & (F.length(d) <= 19) & luhn_valid(d),
+    )
+
+
+def redact_card_numbers(text: Column, replacement: str = "[CARD]") -> Column:
+    """Redact ONLY Luhn-valid card candidates: the validated candidate
+    strings (separators intact) are folded over the text with literal
+    replaces, so order ids sharing the 16-digit shape survive."""
+    cands = F.regexp_extract_all(text, F.lit(PII_CARD_CANDIDATE), F.lit(0))
+    valid = F.filter(
+        cands,
+        lambda s: (F.length(F.regexp_replace(s, "[^0-9]", "")) >= 13)
+        & (F.length(F.regexp_replace(s, "[^0-9]", "")) <= 19)
+        & luhn_valid(F.regexp_replace(s, "[^0-9]", "")),
+    )
+    return F.aggregate(
+        valid,
+        text,
+        lambda acc, s: F.replace(acc, s, F.lit(replacement)),
+    )
 
 
 def distinct_token_ratio(text: Column) -> Column:

@@ -530,3 +530,39 @@ def test_extract_main_text_stopword_density(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="min_stopword_density"):
         extract_main_text(F.col("h"), stopwords=sw, min_stopword_density=2.0)
+
+
+def test_luhn_card_detection(spark):
+    from pandance_spark.functions.text import (
+        find_card_numbers,
+        redact_card_numbers,
+    )
+
+    rows = [
+        # 4111111111111111 is the classic Luhn-valid test PAN;
+        # ...1112 fails the checksum; the 16-digit order id also fails
+        (1, "pay with 4111 1111 1111 1111 please"),
+        (2, "not a card: 4111 1111 1111 1112"),
+        (3, "amex 378282246310005 and junk 1234567890123456"),
+        (4, "no numbers here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    found = {
+        r["id"]: list(r["c"])
+        for r in df.select(
+            "id", find_card_numbers(F.col("t")).alias("c")
+        ).collect()
+    }
+    assert found[1] == ["4111111111111111"]
+    assert found[2] == []
+    assert found[3] == ["378282246310005"]
+    assert found[4] == []
+    red = {
+        r["id"]: r["t2"]
+        for r in df.select(
+            "id", redact_card_numbers(F.col("t")).alias("t2")
+        ).collect()
+    }
+    assert red[1] == "pay with [CARD] please"
+    assert red[2] == "not a card: 4111 1111 1111 1112"  # untouched
+    assert "[CARD]" in red[3] and "1234567890123456" in red[3]
