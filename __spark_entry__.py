@@ -2269,29 +2269,30 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated card-number PII (functions/text.py
     luhn_valid/find_card_numbers/redact_card_numbers): each order's
-    text embeds a LUHN-VALID 16-digit PAN (check digit brute-forced
-    in-plan by the same validator — no positional-parity math to get
-    wrong twice) and an invalid sibling (+1 mod 10); detection must
-    return exactly the valid one, redaction must touch only it.
-    Pure integer/regex Column expressions, zero shuffle."""
+    text embeds a LUHN-VALID 16-digit PAN (check digit in closed form
+    from the same luhn_sum primitive: (10 - sum(base||'0')) % 10) and
+    an invalid sibling (+1 mod 10); detection must return exactly the
+    valid one, redaction must touch only it.  Pure integer/regex
+    Column expressions, zero shuffle.  Every-100th order: the fixture
+    plants TWO card candidates in EVERY row, so the interpreted
+    higher-order folds (Spark does not codegen HOFs) run ~5x per row
+    here — real corpora have rare candidates, where the folds almost
+    never run; the subset keeps a pathological fixture from dominating
+    the bench."""
     from pandance_spark.functions.text import (
         find_card_numbers,
-        luhn_valid,
+        luhn_sum,
         redact_card_numbers,
     )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 100 == 0
+    )
     base = F.concat(
         F.lit("4"),
         F.lpad((F.col("o_orderkey") % 100000000).cast("string"), 14, "0"),
     )
-    check = F.element_at(
-        F.filter(
-            F.sequence(F.lit(0), F.lit(9)),
-            lambda d: luhn_valid(F.concat(base, d.cast("string"))),
-        ),
-        1,
-    )
+    check = (10 - luhn_sum(F.concat(base, F.lit("0"))) % 10) % 10
     good = F.concat(base, check.cast("string"))
     bad = F.concat(base, ((check + 1) % 10).cast("string"))
     spaced = F.concat_ws(
@@ -3265,12 +3266,11 @@ _PII_CARDS_ORACLE = f"""
              '4' || lpad(CAST(o_orderkey % 100000000 AS VARCHAR),
                          14, '0') AS b
       FROM orders
+      WHERE o_orderkey % 100 = 0
     ),
     pan AS (
       SELECT k, b,
-             list_filter(generate_series(0, 9),
-                         d -> {_luhn_sum_sql("(b || CAST(d AS VARCHAR))")}
-                              % 10 = 0)[1] AS chk
+             (10 - {_luhn_sum_sql("(b || '0')")} % 10) % 10 AS chk
       FROM base
     ),
     txt AS (

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "strip_html",
     "extract_main_text",
+    "luhn_sum",
     "luhn_valid",
     "find_card_numbers",
     "redact_card_numbers",
@@ -137,12 +138,14 @@ def pii_count(text: Column, pattern: str) -> Column:
 PII_CARD_CANDIDATE = r"\d(?:[\d\- ]{11,20})?\d"
 
 
-def luhn_valid(digits: Column) -> Column:
-    """Luhn checksum over a digits-only string as pure integer Column
+def luhn_sum(digits: Column) -> Column:
+    """Luhn digit sum of a digits-only string as pure integer Column
     arithmetic (no UDF): doubling every second digit from the right
-    (with the 9-subtraction), valid iff the sum is ≡ 0 (mod 10).
-    Engine-exact — DuckDB replays it with the same per-position
-    lambda, so checksum-VALIDATED detection is oracle-checkable."""
+    with the 9-subtraction.  Exposed separately from
+    :func:`luhn_valid` so check DIGITS can be computed in closed form
+    (``(10 - luhn_sum(base || '0') % 10) % 10``) instead of trying ten
+    candidates — the higher-order fold is interpreted, not codegen'd,
+    so each avoided fold matters at corpus scale."""
     n = F.length(digits)
     digit = lambda i: F.substring(digits, i, F.lit(1)).cast("int")  # noqa: E731
 
@@ -152,8 +155,15 @@ def luhn_valid(digits: Column) -> Column:
         dd = F.when(doubled > 9, doubled - 9).otherwise(doubled)
         return acc + F.when(((n - i) % 2) == 1, dd).otherwise(d)
 
-    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
-    return (n > 0) & (total % 10 == 0)
+    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum validity: ``luhn_sum ≡ 0 (mod 10)`` over a
+    non-empty digits-only string.  Engine-exact — DuckDB replays the
+    same per-position lambda, so checksum-VALIDATED detection is
+    oracle-checkable."""
+    return (F.length(digits) > 0) & (luhn_sum(digits) % 10 == 0)
 
 
 def find_card_numbers(text: Column) -> Column:
