@@ -695,3 +695,39 @@ def test_zorder_key_property(spark, vals, bits):
             for b in range(bits):
                 key |= ((rank >> b) & 1) << (b * 2 + j)
         assert got[i] == key, (i, x, y, bits)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=1, max_size=19),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_luhn_valid_matches_python_reference(spark, digit_strings):
+    """Spark's interpreted Luhn fold == the textbook Python Luhn, on
+    arbitrary digit strings (one DataFrame per example, all strings
+    batched)."""
+    from pandance_spark.functions.text import luhn_valid
+
+    def py_luhn(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return total % 10 == 0
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(digit_strings)], "i int, s string"
+    )
+    got = {
+        r["i"]: r["ok"]
+        for r in df.select("i", luhn_valid(F.col("s")).alias("ok")).collect()
+    }
+    want = {i: py_luhn(s) for i, s in enumerate(digit_strings)}
+    assert got == want
