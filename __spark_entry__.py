@@ -2266,6 +2266,31 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range enrichment (operators/overlap.py range_lookup —
+    the GeoIP/CIDR shape): every event's portable md5-derived 32-bit
+    pseudo-IP looked up against 64 contiguous /6-style blocks; span
+    banding keeps it an equi-join (never facts x ranges), AQE
+    broadcasts the dim.  Each IP matches exactly one block, so the
+    output is events-sized."""
+    from pandance_spark.operators.overlap import range_lookup
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    ip = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    facts = ev.select("event_id", ip.alias("ip"))
+    stride = 1 << 26
+    dims = spark.range(64).select(
+        (F.col("id") * stride).alias("lo"),
+        ((F.col("id") + 1) * stride - 1).alias("hi"),
+        F.concat(F.lit("blk"), F.col("id").cast("string")).alias("blk"),
+    )
+    return range_lookup(facts, dims, "ip", "lo", "hi").select(
+        "event_id", "ip", "blk"
+    )
+
+
 def _q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated card-number PII (functions/text.py
     luhn_valid/find_card_numbers/redact_card_numbers): each order's
@@ -2924,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": _q_cube_orders,
         "moving_avg_orders": _q_moving_avg_orders,
         "pii_cards": _q_pii_cards,
+        "ip_range_lookup": _q_ip_range_lookup,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -4044,6 +4070,24 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # Luhn fold replayed per candidate; check digit brute-forced
         # in SQL by the same validator
         "pii_cards": _PII_CARDS_ORACLE,
+        # plain BETWEEN join over the same md5 pseudo-IPs and the same
+        # closed-form block table
+        "ip_range_lookup": """
+            WITH f AS (
+              SELECT event_id,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                         1, 8) AS BIGINT) AS ip
+              FROM events
+            ),
+            d AS (
+              SELECT i * 67108864 AS lo,
+                     (i + 1) * 67108864 - 1 AS hi,
+                     'blk' || CAST(i AS VARCHAR) AS blk
+              FROM range(64) t(i)
+            )
+            SELECT f.event_id, f.ip, d.blk
+            FROM f JOIN d ON f.ip BETWEEN d.lo AND d.hi
+        """,
         # identical 2^2 grouping lattice; GROUPING() bit vector has the
         # first column as MSB in both engines
         "cube_orders": """

@@ -273,6 +273,7 @@ def main():
         "cube_orders",
         "moving_avg_orders",
         "pii_cards",
+        "ip_range_lookup",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

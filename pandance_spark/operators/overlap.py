@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from pandance_spark._kernel import QUANTILE_UNSUPPORTED as _QUANTILE_UNSUPPORTED
 from pandance_spark._kernel import as_instant, is_timestamp_type
 
-__all__ = ["overlap_join", "merge_intervals"]
+__all__ = ["overlap_join", "range_lookup", "merge_intervals"]
 
 
 def overlap_join(
@@ -200,3 +200,47 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def range_lookup(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    start_col: str,
+    end_col: str,
+    suffixes: Tuple[str, str] = ("_x", "_y"),
+    strategy: str = "auto",
+    num_bands: int = 64,
+) -> DataFrame:
+    """Point-in-range enrichment — the GeoIP/CIDR/tariff-table shape:
+    each fact row's ``value_col`` looked up against a dimension of
+    closed ``[start_col, end_col]`` ranges.  A point is a degenerate
+    interval, so this is :func:`overlap_join` with the fact side's
+    start == end — the span banding gives the scalable plan (facts
+    hash to their value's band, ranges explode only to the bands they
+    cover), and AQE broadcasts a dimension-sized range table.
+
+    At 100 TB of facts against a ~1M-row range dim, the fact side
+    shuffles once on band id (or not at all when the exploded dim
+    broadcasts); nothing is ever facts × ranges.  Matches every
+    covering range (overlapping dims return multiple rows — dedupe
+    the dim first if ranges must be disjoint).
+    """
+    if value_col not in facts.columns:
+        raise ValueError(f"column {value_col!r} not found in facts")
+    probe = "__rl_point"
+    if probe in facts.columns:
+        raise ValueError(f"column {probe!r} already exists in facts")
+    out = overlap_join(
+        facts.withColumn(probe, F.col(value_col)),
+        ranges,
+        value_col,
+        probe,
+        start_col,
+        end_col,
+        suffixes=suffixes,
+        strategy=strategy,
+        num_bands=num_bands,
+    )
+    drop = probe if probe in out.columns else probe + suffixes[0]
+    return out.drop(drop)

@@ -193,3 +193,31 @@ def test_sessionize_single_exchange_plan(spark):
     plan = sessionize(df, "u", "ts", dt.timedelta(minutes=30))._jdf.queryExecution().executedPlan().toString()
     # lag + running sum share one shuffle
     assert plan.count("Exchange") == 1
+
+
+def test_range_lookup_point_in_range(spark):
+    from pandance_spark.operators.overlap import range_lookup
+
+    facts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 25), (4, 99)], "id int, v int"
+    )
+    dims = spark.createDataFrame(
+        [(0, 9, "low"), (10, 19, "mid"), (20, 50, "high")],
+        "lo int, hi int, label string",
+    )
+    got = {
+        (r["id"], r["label"])
+        for r in range_lookup(facts, dims, "v", "lo", "hi").collect()
+    }
+    # boundaries inclusive; 99 matches nothing (inner join)
+    assert got == {(1, "low"), (2, "mid"), (3, "high")}
+
+    # overlapping dims -> multiple matches
+    dims2 = spark.createDataFrame(
+        [(0, 10, "a"), (5, 15, "b")], "lo int, hi int, label string"
+    )
+    got2 = {
+        (r["id"], r["label"])
+        for r in range_lookup(facts, dims2, "v", "lo", "hi").collect()
+    }
+    assert got2 == {(1, "a"), (1, "b"), (2, "a"), (2, "b")}
