@@ -3316,7 +3316,7 @@ _PII_CARDS_ORACLE = f"""
     det AS (
       SELECT k, t,
              list_filter(
-               regexp_extract_all(t, '\\d(?:[\\d\\- ]{{11,20}})?\\d'),
+               regexp_extract_all(t, '\\d[\\d\\- ]*\\d'),
                s -> length(regexp_replace(s, '[^0-9]', '', 'g')) >= 13
                 AND length(regexp_replace(s, '[^0-9]', '', 'g')) <= 19
                 AND {_luhn_sum_sql("regexp_replace(s, '[^0-9]', '', 'g')")}

@@ -160,6 +160,21 @@ def spread_partitions(df: DataFrame) -> DataFrame:
     return df
 
 
+def plan_size_bytes(df: DataFrame):
+    """Catalyst size estimate of the optimized plan, in bytes (no job
+    runs); ``None`` when statistics are unavailable.  The ONE home of
+    the private ``queryExecution().optimizedPlan().stats()`` py4j
+    chain — strategy pickers (ineq/fuzzy), the GEMM gate (dedup) and
+    output-partition planning (layout) all call this, so a Spark
+    upgrade that moves the API breaks exactly one site."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def parse_bytes_conf(spark, key: str, default: int) -> int:
     """Spark byte-size conf value ('10m', '256kb', plain bytes) as int."""
     try:

@@ -200,7 +200,13 @@ def plan_output_partitions(
         raise ValueError("min_partitions must be >= 1")
     import math
 
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    from pandance_spark._kernel import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    if size is None:
+        # no statistics (e.g. a pure in-memory relation on an exotic
+        # plan): fall back to the floor rather than crash a write job
+        return min_partitions
     return max(min_partitions, math.ceil(size / target_bytes))
 
 

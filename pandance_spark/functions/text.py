@@ -132,12 +132,6 @@ def pii_count(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
 
 
-# candidate payment-card shapes: 13-19 digits with optional space/dash
-# separators (RE2-portable); Luhn then separates real card numbers
-# from order ids / phone fragments that match the same shape
-PII_CARD_CANDIDATE = r"\d(?:[\d\- ]{11,20})?\d"
-
-
 def luhn_sum(digits: Column) -> Column:
     """Luhn digit sum of a digits-only string as pure integer Column
     arithmetic (no UDF): doubling every second digit from the right
@@ -166,37 +160,102 @@ def luhn_valid(digits: Column) -> Column:
     return (F.length(digits) > 0) & (luhn_sum(digits) % 10 == 0)
 
 
+def _valid_pan_windows(digits: Column) -> Column:
+    """All distinct Luhn-valid 13-19-digit windows of a digits-only
+    string — how a PAN embedded in a longer digit run (phone + card,
+    ref + card sharing separators) is still found."""
+    n = F.length(digits)
+
+    # NB: a two-parameter lambda would make F.transform pass
+    # (element, index) and silently bind the window width to the array
+    # index — capture w in a closure instead (pinned by tests)
+    def window_at(w: int):
+        return lambda i: F.substring(digits, i, F.lit(w))
+
+    wins = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    n >= w,
+                    F.transform(
+                        F.sequence(F.lit(1), n - (w - 1)), window_at(w)
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+                for w in range(13, 20)
+            ]
+        )
+    )
+    return F.array_distinct(F.filter(wins, luhn_valid))
+
+
+# digit runs longer than this many digits skip the embedded-PAN window
+# scan (interpreted folds; a run this long is a data table, not prose)
+_PAN_SCAN_MAX_DIGITS = 40
+
+
+def _card_runs(text: Column) -> Column:
+    """Maximal digit[-space-dash] runs with their normalized digits —
+    struct(raw, d) per run.  MAXIMAL spans (no length cap): a capped
+    pattern truncates 19-digit separated PANs and lets an adjacent
+    digit run merge a PAN out of its length gate — both silent
+    misses (review finding, pinned by tests)."""
+    runs = F.regexp_extract_all(text, F.lit(r"\d[\d\- ]*\d"), F.lit(0))
+    return F.transform(
+        runs,
+        lambda s: F.struct(
+            s.alias("raw"),
+            F.regexp_replace(s, "[^0-9]", "").alias("d"),
+        ),
+    )
+
+
+def _run_pans(run: Column) -> Column:
+    """Luhn-valid PANs inside one run struct: the run itself when its
+    13-19 digits validate, else every valid window when the run is
+    20-40 digits (merged spans)."""
+    d = run["d"]
+    n = F.length(d)
+    return (
+        F.when(
+            (n >= 13) & (n <= 19) & luhn_valid(d), F.array(d)
+        )
+        .when(
+            (n >= 20) & (n <= _PAN_SCAN_MAX_DIGITS), _valid_pan_windows(d)
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
 def find_card_numbers(text: Column) -> Column:
-    """Array of Luhn-VALID payment-card numbers in the document
-    (digits only, 13-19 digits) — the checksum cuts the false-positive
-    rate of shape-only regexes from 'every long number' to ~10%
-    residual.  Pure Column expressions: regex candidates → separator
-    strip → length gate → Luhn; zero shuffle, zero UDF."""
-    cands = F.regexp_extract_all(text, F.lit(PII_CARD_CANDIDATE), F.lit(0))
-    norm = F.transform(
-        cands, lambda s: F.regexp_replace(s, "[^0-9]", "")
-    )
-    return F.filter(
-        norm,
-        lambda d: (F.length(d) >= 13) & (F.length(d) <= 19) & luhn_valid(d),
-    )
+    """Array of distinct Luhn-VALID payment-card numbers in the
+    document (digits only, 13-19 digits) — the checksum cuts the
+    false-positive rate of shape-only regexes from 'every long number'
+    to ~10% residual.  Candidates are MAXIMAL digit/space/dash runs;
+    a run of 20-40 digits (a PAN sharing separators with a phone or
+    order ref) is window-scanned so embedded PANs are still found —
+    at the cost of also surfacing chance Luhn-valid windows of the
+    merged run (~10% of windows; over-DETECTION is the safe direction
+    for PII, and run-level redaction never leaks either way).  Runs
+    beyond 40 digits are skipped (documented bound — data tables, not
+    prose).  Pure Column expressions; zero shuffle, zero UDF."""
+    pans = F.flatten(F.transform(_card_runs(text), _run_pans))
+    return F.array_distinct(pans)
 
 
 def redact_card_numbers(text: Column, replacement: str = "[CARD]") -> Column:
-    """Redact ONLY Luhn-valid card candidates: the validated candidate
-    strings (separators intact) are folded over the text with literal
-    replaces, so order ids sharing the 16-digit shape survive."""
-    cands = F.regexp_extract_all(text, F.lit(PII_CARD_CANDIDATE), F.lit(0))
-    valid = F.filter(
-        cands,
-        lambda s: (F.length(F.regexp_replace(s, "[^0-9]", "")) >= 13)
-        & (F.length(F.regexp_replace(s, "[^0-9]", "")) <= 19)
-        & luhn_valid(F.regexp_replace(s, "[^0-9]", "")),
+    """Redact every digit run that CONTAINS a Luhn-valid PAN (the
+    whole run is replaced — partial redaction of a merged
+    phone+card span would leak the remainder); runs without a valid
+    PAN, e.g. order ids sharing the 16-digit shape, survive
+    untouched.  Normalization runs once per run (struct candidates),
+    and the fold replaces raw run strings literally."""
+    hit_runs = F.filter(
+        _card_runs(text), lambda r: F.size(_run_pans(r)) > 0
     )
     return F.aggregate(
-        valid,
+        hit_runs,
         text,
-        lambda acc, s: F.replace(acc, s, F.lit(replacement)),
+        lambda acc, r: F.replace(acc, r["raw"], F.lit(replacement)),
     )
 
 
@@ -677,26 +736,39 @@ def extract_main_text(
         raise ValueError("max_link_density must be in [0, 1]")
     if not 0 <= min_stopword_density <= 1:
         raise ValueError("min_stopword_density must be in [0, 1]")
+    if stopwords is not None and not list(stopwords):
+        raise ValueError(
+            "stopwords must be a non-empty list (an empty list makes "
+            "every block's density 0 and silently drops the whole "
+            "corpus); pass stopwords=None to disable the criterion"
+        )
     x = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     x = F.regexp_replace(x, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
     x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
     x = F.regexp_replace(x, _BLOCK_TAG_RE, "\n")
-    lines = F.split(x, "\n")
+    # clean each block ONCE: the lambdas are interpreted (no codegen),
+    # so re-deriving the cleaned text per criterion would multiply the
+    # regex/replace work ~4x (review finding) — stage struct(raw, t)
+    pairs = F.transform(
+        F.split(x, "\n"),
+        lambda l: F.struct(l.alias("raw"), _clean_block(l).alias("t")),
+    )
 
-    def good(l):
-        cond = (F.length(_clean_block(l)) >= F.lit(int(min_chars))) & (
-            _link_chars(l).cast("double")
-            <= F.lit(float(max_link_density)) * F.length(_clean_block(l))
+    def good(p):
+        t = p["t"]
+        cond = (F.length(t) >= F.lit(int(min_chars))) & (
+            _link_chars(p["raw"]).cast("double")
+            <= F.lit(float(max_link_density)) * F.length(t)
         )
         if stopwords is not None:
             cond = cond & (
-                _stopword_density(_clean_block(l), list(stopwords))
+                _stopword_density(t, list(stopwords))
                 >= F.lit(float(min_stopword_density))
             )
         return cond
 
-    keep = F.filter(lines, good)
-    return F.array_join(F.transform(keep, _clean_block), "\n")
+    keep = F.filter(pairs, good)
+    return F.array_join(F.transform(keep, lambda p: p["t"]), "\n")
 
 
 # Knuth's multiplicative constant (2654435761 = 2^32 * golden ratio):

@@ -136,13 +136,13 @@ def ineq_join(
 
 
 def _plan_size_bytes(df: DataFrame) -> Optional[int]:
-    """Catalyst size estimate of the optimized plan, in bytes (no job)."""
-    try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        return None
+    """Catalyst size estimate of the optimized plan, in bytes (no job).
+    Thin alias over the shared ``_kernel.plan_size_bytes`` (one home
+    for the private py4j chain); kept under this name because fuzzy
+    and dedup import it from here."""
+    from pandance_spark._kernel import plan_size_bytes
+
+    return plan_size_bytes(df)
 
 
 # Max bytes of the SMALLER side for which a nested-loop join is still

@@ -566,3 +566,55 @@ def test_luhn_card_detection(spark):
     assert red[1] == "pay with [CARD] please"
     assert red[2] == "not a card: 4111 1111 1111 1112"  # untouched
     assert "[CARD]" in red[3] and "1234567890123456" in red[3]
+
+
+def test_card_detection_merged_and_long_spans(spark):
+    """Review findings: adjacent digit runs merging with a PAN, and
+    19-digit separated PANs exceeding a capped candidate span, must
+    both still be found AND redacted."""
+    from pandance_spark.functions.text import (
+        find_card_numbers,
+        redact_card_numbers,
+    )
+
+    rows = [
+        # order ref merges with the PAN into one 21-digit run
+        (1, "ref 12345 4111111111111111 end"),
+        # phone fragment + card share separators
+        (2, "call 555 1234 4111 1111 1111 1111 now"),
+        # 19-digit PAN grouped 4-4-4-4-3 (23 chars with separators);
+        # 411111111111111110 earns the valid check digit 2
+        (3, "card 4111 1111 1111 1111 102 end"),
+        # a 16-digit NON-card id adjacent to nothing: untouched
+        (4, "id 1234567890123456 only"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    found = {
+        r["id"]: list(r["c"])
+        for r in df.select("id", find_card_numbers(F.col("t")).alias("c")).collect()
+    }
+    # the true PAN is found; merged runs may also surface chance
+    # Luhn-valid windows (over-detection — the safe direction for PII)
+    assert "4111111111111111" in found[1]
+    assert "4111111111111111" in found[2]
+    # the full 19-digit PAN is found (its Luhn-valid 16-digit prefix
+    # window may legitimately appear too)
+    assert "4111111111111111102" in found[3]
+    assert found[4] == []
+    red = {
+        r["id"]: r["t2"]
+        for r in df.select("id", redact_card_numbers(F.col("t")).alias("t2")).collect()
+    }
+    # whole runs containing a PAN are redacted (no partial leakage)
+    assert "4111" not in red[1] and "12345" not in red[1]
+    assert "4111" not in red[2]
+    assert "4111" not in red[3]
+    assert red[4] == "id 1234567890123456 only"
+
+
+def test_extract_main_text_rejects_empty_stopwords(spark):
+    from pandance_spark.functions.text import extract_main_text
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        extract_main_text(F.col("t"), stopwords=[])
