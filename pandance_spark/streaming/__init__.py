@@ -36,6 +36,7 @@ __all__ = [
     "streaming_url_dedup",
     "streaming_bloom_dedup",
     "streaming_dsir_router",
+    "streaming_funnel",
     "sessionize_stream",
     "running_user_stats",
     "streaming_near_dup_filter",
@@ -417,6 +418,92 @@ def running_user_stats(
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered-event funnel — the stateful twin of
+    ``functions.analytics.funnel_steps``: per-user state is the
+    (steps_reached, matched-time) pair, advanced by each micro-batch's
+    time-sorted events under the same chained strictly-after rule; one
+    updated row per touched user per batch.
+
+    The incremental fold equals the batch fold when each user's
+    events arrive in time-ordered batches (batch N+1 carries no event
+    older than batch N's newest for that user) — the per-key ordering
+    a time-partitioned log gives; cross-batch stragglers older than an
+    already-matched step are ignored exactly as the batch fold would
+    ignore them, but a straggler older than the CURRENT frontier that
+    the batch fold would have matched is missed — bound staleness with
+    the source's watermark.  State is two scalars per user: bounded by
+    the user population, not event volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps)
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("steps_reached", T.IntegerType()),
+            T.StructField("last_step", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("reached", T.IntegerType()),
+            T.StructField("t_us", T.LongType()),
+        ]
+    )
+    k = len(steps)
+
+    def update(key, pdfs, state: GroupState):
+        (user,) = key
+        reached, t_us = state.get if state.exists else (0, -(2**62))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, s in zip(pdf[ts_col], pdf[step_col]):
+                if reached >= k:
+                    break
+                ev_us = int(ts.value) // 1000
+                if s == steps[reached] and ev_us > t_us:
+                    reached += 1
+                    t_us = ev_us
+        state.update((reached, t_us))
+        yield pd.DataFrame(
+            {
+                user_col: [user],
+                "steps_reached": [reached],
+                "last_step": [steps[reached - 1] if reached > 0 else None],
+            }
+        )
+
+    events = _ensure_event_time(events, ts_col)
+    filtered = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(step_col).isin(steps)
+    )
+    return (
+        filtered.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

@@ -868,6 +868,86 @@ def main():
                 "committed-batch redelivery no-ops")
     shutil.rmtree(tmp2, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # 14. streaming_funnel (applyInPandasWithState): two TIME-ORDERED
+    # micro-batches (the documented ordering contract) == the batch
+    # fold == DuckDB's chained first-occurrence mins.  36h window so
+    # the funnel discriminates (over the full month everyone
+    # completes).
+    # ------------------------------------------------------------------
+    from pandance_spark.functions.analytics import funnel_steps
+    from pandance_spark.streaming import streaming_funnel
+
+    fsteps = ["view", "click", "purchase"]
+    cutoff = "2024-01-02 12:00:00"
+    split = "2024-01-01 18:00:00"
+    fwin = ev_batch.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    fsrc = os.path.join(tmp, "funnel_src")
+    fschema = "user_id bigint, ts timestamp, event_type string"
+    flog = fwin.select("user_id", "ts", "event_type")
+    flog.filter(F.col("ts") < F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(fsrc)
+    flog.filter(F.col("ts") >= F.lit(split).cast("timestamp")).coalesce(
+        1
+    ).write.mode("append").parquet(fsrc)
+    run_stream_to_memory(
+        streaming_funnel(
+            spark.readStream.schema(fschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fsrc),
+            "user_id", "ts", "event_type", fsteps,
+        ),
+        "parity_funnel",
+        output_mode="update",
+    )
+    cols14 = ["user_id", "steps_reached", "last_step"]
+    s14 = canon_rows(
+        spark.sql(
+            "SELECT user_id, max(steps_reached) AS steps_reached, "
+            "max_by(last_step, steps_reached) AS last_step "
+            "FROM parity_funnel GROUP BY user_id"
+        ).collect(),
+        cols14,
+    )
+    b14 = canon_rows(
+        funnel_steps(fwin, "user_id", "ts", "event_type", fsteps).collect(),
+        cols14,
+    )
+    d14 = canon_rows(
+        duck_rows(con.sql(f"""
+            WITH ew AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE ts < TIMESTAMP '{cutoff}' AND user_id IS NOT NULL
+                AND event_type IN ('view', 'click', 'purchase')
+            ),
+            t1 AS (SELECT user_id, min(ts) AS t FROM ew
+                   WHERE event_type = 'view' GROUP BY 1),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t FROM ew e
+                   JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+                   WHERE e.event_type = 'click' GROUP BY 1),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t FROM ew e
+                   JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+            SELECT u.user_id,
+                   CASE WHEN t3.t IS NOT NULL THEN 3
+                        WHEN t2.t IS NOT NULL THEN 2
+                        WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END
+                     AS steps_reached,
+                   CASE WHEN t3.t IS NOT NULL THEN 'purchase'
+                        WHEN t2.t IS NOT NULL THEN 'click'
+                        WHEN t1.t IS NOT NULL THEN 'view' END AS last_step
+            FROM (SELECT DISTINCT user_id FROM ew) u
+            LEFT JOIN t1 ON u.user_id = t1.user_id
+            LEFT JOIN t2 ON u.user_id = t2.user_id
+            LEFT JOIN t3 ON u.user_id = t3.user_id
+        """)),
+        cols14,
+    )
+    record("streaming_funnel", "duckdb", s14, b14, d14,
+           note="stateful per-user funnel over two time-ordered "
+                "micro-batches == batch fold == chained-min SQL")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

@@ -777,3 +777,67 @@ def test_stream_rollup_hist_sink_bit_exact_and_replay_safe(spark, tmp_path):
     assert state(t2) == exp
     h(b2, 1)  # full redelivery -> no-op
     assert state(t2) == exp
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    from pandance_spark.functions.analytics import funnel_steps
+    from pandance_spark.streaming import streaming_funnel
+
+    T = dt.datetime
+    steps = ["view", "click", "purchase"]
+    rows = [
+        # u1 completes across the batch split
+        (1, T(2024, 1, 1, 0, 0), "view"),
+        (1, T(2024, 1, 1, 0, 5), "click"),
+        (1, T(2024, 1, 1, 1, 10), "purchase"),
+        # u2: click before view never counts; the later click does
+        (2, T(2024, 1, 1, 0, 0), "click"),
+        (2, T(2024, 1, 1, 0, 2), "view"),
+        (2, T(2024, 1, 1, 1, 4), "click"),
+        # u3: stuck at view; irrelevant step ignored
+        (3, T(2024, 1, 1, 0, 1), "view"),
+        (3, T(2024, 1, 1, 1, 0), "signup"),
+    ]
+    schema = "user_id long, ts timestamp, step string"
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        r["user_id"]: (r["steps_reached"], r["last_step"])
+        for r in funnel_steps(batch, "user_id", "ts", "step", steps).collect()
+    }
+
+    # two TIME-ORDERED files -> two micro-batches (the documented
+    # ordering contract)
+    in_dir = str(tmp_path / "fun_in")
+    early = [r for r in rows if r[1].hour == 0]
+    late = [r for r in rows if r[1].hour == 1]
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = streaming_funnel(stream, "user_id", "ts", "step", steps)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last update per user is the final state
+    # steps_reached is monotone per user, so the final state is the
+    # max — independent of the memory sink's row order
+    got_rows = spark.sql(
+        "SELECT user_id, max_by(last_step, steps_reached) AS last_step, "
+        "max(steps_reached) AS steps_reached "
+        "FROM funnel_stream GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["steps_reached"], r["last_step"]) for r in got_rows}
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError, match="distinct"):
+        streaming_funnel(stream, "user_id", "ts", "step", ["a", "a"])
