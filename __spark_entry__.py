@@ -2266,6 +2266,59 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q21_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (the hardest relational pattern in the suite:
+    EXISTS + NOT EXISTS correlated subqueries on the same table)
+    adapted to the synthetic schema — suppliers who were the ONLY one
+    with a returned line ('R') on a finished multi-supplier order.
+    Spark side decorrelates by hand: one semi join (another supplier
+    exists on the order) + one anti join (no OTHER supplier returned),
+    both compound equi+inequality conditions; the oracle keeps the
+    correlated-subquery form and DuckDB's decorrelation must agree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def _q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-range enrichment (operators/overlap.py range_lookup —
     the GeoIP/CIDR shape): every event's portable md5-derived 32-bit
@@ -2950,6 +3003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_orders": _q_moving_avg_orders,
         "pii_cards": _q_pii_cards,
         "ip_range_lookup": _q_ip_range_lookup,
+        "q21_blame": _q21_blame,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -4070,6 +4124,31 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # Luhn fold replayed per candidate; check digit brute-forced
         # in SQL by the same validator
         "pii_cards": _PII_CARDS_ORACLE,
+        # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
+        # must agree with the hand-decorrelated Spark plan
+        "q21_blame": """
+            SELECT s.s_name,
+                   count(DISTINCT l1.l_orderkey) AS numwait
+            FROM lineitem l1
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                         AND o.o_orderstatus = 'F'
+            JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R'
+              )
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name ASC
+            LIMIT 20
+        """,
         # plain BETWEEN join over the same md5 pseudo-IPs and the same
         # closed-form block table
         "ip_range_lookup": """

@@ -274,6 +274,7 @@ def main():
         "moving_avg_orders",
         "pii_cards",
         "ip_range_lookup",
+        "q21_blame",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
