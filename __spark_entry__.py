@@ -2266,6 +2266,19 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly users-to-date curve (functions/analytics.py
+    cumulative_users): one user-key shuffle for first-seen periods,
+    then window work on the period-sized grid; empty periods carried
+    at 0 so the curve is hole-free.  Hourly, because every synthetic
+    user appears within the first days — daily would be a 2-row
+    fixture."""
+    from pandance_spark.functions.analytics import cumulative_users
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    return cumulative_users(ev, "user_id", "ts", 3600)
+
+
 def _q21_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21's shape (the hardest relational pattern in the suite:
     EXISTS + NOT EXISTS correlated subqueries on the same table)
@@ -3004,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_cards": _q_pii_cards,
         "ip_range_lookup": _q_ip_range_lookup,
         "q21_blame": _q21_blame,
+        "cumulative_users": _q_cumulative_users,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -4124,6 +4138,29 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # Luhn fold replayed per candidate; check digit brute-forced
         # in SQL by the same validator
         "pii_cards": _PII_CARDS_ORACLE,
+        # first-seen day per user + generate_series grid + running sum
+        "cumulative_users": """
+            WITH f AS (
+              SELECT user_id,
+                     min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600)
+                           AS BIGINT)) AS d
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              GROUP BY 1
+            ),
+            per AS (SELECT d, count(*) AS new_users FROM f GROUP BY 1),
+            span AS (SELECT min(d) AS lo, max(d) AS hi FROM per),
+            grid AS (
+              SELECT unnest(generate_series(lo, hi, 1)) AS d FROM span
+            )
+            SELECT g.d * 3600 AS period_s,
+                   coalesce(p.new_users, 0) AS new_users,
+                   sum(coalesce(p.new_users, 0)) OVER (
+                     ORDER BY g.d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_users
+            FROM grid g LEFT JOIN per p ON p.d = g.d
+        """,
         # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
         # must agree with the hand-decorrelated Spark plan
         "q21_blame": """

@@ -275,6 +275,7 @@ def main():
         "pii_cards",
         "ip_range_lookup",
         "q21_blame",
+        "cumulative_users",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

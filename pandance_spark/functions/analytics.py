@@ -31,7 +31,12 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_summary", "cohort_retention"]
+__all__ = [
+    "funnel_steps",
+    "funnel_summary",
+    "cohort_retention",
+    "cumulative_users",
+]
 
 
 def funnel_steps(
@@ -133,6 +138,62 @@ def funnel_summary(per_user: DataFrame, steps: Sequence[str]) -> DataFrame:
             "step_idx",
             F.element_at(names, F.col("step_idx").cast("int")).alias("step"),
             "users",
+        )
+    )
+
+
+def cumulative_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    width_seconds: int,
+) -> DataFrame:
+    """Users-to-date curve: per period, the count of NEW users (first
+    event in that period) and the running cumulative distinct-user
+    count — the growth dashboard a naive ``COUNT(DISTINCT)`` per
+    period cannot produce without rescanning history per period.
+
+    ONE shuffle on the user key (min period per user), then all window
+    work happens on the PERIOD-sized table (horizon/width rows):
+    periods with no new users still appear (carried by the same
+    sequence-grid trick as ``fill_gaps``) so the curve has no holes.
+    Returns ``(period_s epoch-seconds, new_users, cum_users)``.
+    """
+    if width_seconds < 1:
+        raise ValueError("width_seconds must be >= 1")
+    w = int(width_seconds)
+    firsts = (
+        df.select(
+            F.col(user_col),
+            F.floor(F.unix_timestamp(F.col(ts_col)) / w)
+            .cast("long")
+            .alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull() & F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min("__p").alias("__first"))
+        .groupBy("__first")
+        .agg(F.count("*").alias("new_users"))
+    )
+    span = firsts.agg(
+        F.min("__first").alias("__lo"), F.max("__first").alias("__hi")
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__first")
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("__first").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(firsts, "__first", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("new_users").over(cum))
+        .select(
+            (F.col("__first") * w).alias("period_s"),
+            "new_users",
+            "cum_users",
         )
     )
 

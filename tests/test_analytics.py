@@ -156,3 +156,31 @@ def test_funnel_ignores_null_users(spark):
         for r in funnel_steps(ev, "user_id", "ts", "step", STEPS).collect()
     }
     assert got == {7: 1}
+
+
+def test_cumulative_users_curve(spark):
+    from pandance_spark.functions.analytics import cumulative_users
+
+    ev = _ev(
+        spark,
+        [
+            (1, T(2024, 1, 1, 0, 0), "x"),   # day 0: u1, u2 new
+            (2, T(2024, 1, 1, 5, 0), "x"),
+            (1, T(2024, 1, 3, 0, 0), "x"),   # day 2: u1 returns (not new)
+            (3, T(2024, 1, 3, 1, 0), "x"),   # day 2: u3 new; day 1 is a gap
+        ],
+    )
+    rows = [
+        (r["period_s"], r["new_users"], r["cum_users"])
+        for r in cumulative_users(ev, "user_id", "ts", 86400)
+        .orderBy("period_s")
+        .collect()
+    ]
+    d0 = int(T(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert rows == [
+        (d0, 2, 2),
+        (d0 + 86400, 0, 2),      # gap day carried at 0
+        (d0 + 2 * 86400, 1, 3),
+    ]
+    with pytest.raises(ValueError, match="width_seconds"):
+        cumulative_users(ev, "user_id", "ts", 0)
