@@ -461,7 +461,9 @@ def streaming_funnel(
 
     out_schema = T.StructType(
         [
-            T.StructField(user_col, T.LongType()),
+            # derive the key's type from the input — funnels are keyed
+            # by string UUIDs as often as by bigints
+            T.StructField(user_col, events.schema[user_col].dataType),
             T.StructField("steps_reached", T.IntegerType()),
             T.StructField("last_step", T.StringType()),
         ]
@@ -477,15 +479,24 @@ def streaming_funnel(
     def update(key, pdfs, state: GroupState):
         (user,) = key
         reached, t_us = state.get if state.exists else (0, -(2**62))
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for ts, s in zip(pdf[ts_col], pdf[step_col]):
-                if reached >= k:
-                    break
-                ev_us = int(ts.value) // 1000
-                if s == steps[reached] and ev_us > t_us:
-                    reached += 1
-                    t_us = ev_us
+        if reached < k:
+            # one concat+sort across ALL Arrow chunks: a group's batch
+            # arrives as an iterator of chunks with no cross-chunk time
+            # order — sorting per chunk would fold out of order and
+            # undercount (review finding, pinned by test); a completed
+            # funnel skips the work entirely
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                allpdf = (
+                    pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                ).sort_values(ts_col)
+                for ts, s in zip(allpdf[ts_col], allpdf[step_col]):
+                    if reached >= k:
+                        break
+                    ev_us = int(ts.value) // 1000
+                    if s == steps[reached] and ev_us > t_us:
+                        reached += 1
+                        t_us = ev_us
         state.update((reached, t_us))
         yield pd.DataFrame(
             {

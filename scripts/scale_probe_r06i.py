@@ -95,9 +95,11 @@ def main():
         t0 = time.time()
         hits = docs.select(
             F.size(find_card_numbers(F.col("text"))).alias("k"),
-            redact_card_numbers(F.col("text")).alias("r"),
+            # consume the redacted text too, or column pruning removes
+            # it and the probe measures only detection (review finding)
+            F.length(redact_card_numbers(F.col("text"))).alias("rl"),
         )
-        found = hits.filter("k > 0").count()
+        found = hits.filter("k > 0 AND rl > 0").count()
         wall = time.time() - t0
         print(f"  {label}: {n:>9,} docs -> {found:,} docs with a valid PAN "
               f"in {wall:.2f}s (expected {n // 100:,}; Luhn folds ran on "

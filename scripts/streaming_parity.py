@@ -919,6 +919,7 @@ def main():
             WITH ew AS (
               SELECT user_id, event_type, ts FROM events
               WHERE ts < TIMESTAMP '{cutoff}' AND user_id IS NOT NULL
+                AND ts IS NOT NULL
                 AND event_type IN ('view', 'click', 'purchase')
             ),
             t1 AS (SELECT user_id, min(ts) AS t FROM ew

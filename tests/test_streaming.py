@@ -841,3 +841,51 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="distinct"):
         streaming_funnel(stream, "user_id", "ts", "step", ["a", "a"])
+
+
+def test_streaming_funnel_string_keys_and_chunked_batches(spark, tmp_path):
+    import datetime as dt
+
+    from pandance_spark.streaming import streaming_funnel
+
+    T = dt.datetime
+    steps = ["view", "click", "purchase"]
+    # REVERSE time order in the file + 2-row Arrow chunks: per-chunk
+    # sorting would fold later events first and undercount (review
+    # finding); string user ids exercise the derived key schema
+    rows = [
+        ("u-1", T(2024, 1, 1, 0, 8), "purchase"),
+        ("u-1", T(2024, 1, 1, 0, 6), "click"),
+        ("u-1", T(2024, 1, 1, 0, 4), "view"),
+        ("u-1", T(2024, 1, 1, 0, 2), "click"),   # pre-view click: noise
+        ("u-1", T(2024, 1, 1, 0, 0), "view"),
+    ]
+    schema = "uid string, ts timestamp, step string"
+    in_dir = str(tmp_path / "fun_chunks")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = streaming_funnel(stream, "uid", "ts", "step", steps)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("funnel_chunks")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["uid"]: (r["steps_reached"], r["last_step"])
+            for r in spark.sql(
+                "SELECT uid, max(steps_reached) AS steps_reached, "
+                "max_by(last_step, steps_reached) AS last_step "
+                "FROM funnel_chunks GROUP BY uid"
+            ).collect()
+        }
+        assert got == {"u-1": (3, "purchase")}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
