@@ -2266,6 +2266,17 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-step transition matrix (functions/analytics.py
+    step_transitions): one user-key window shuffle, lead() pairs,
+    steps²-sized output; (time, step) ordering makes same-timestamp
+    adjacency deterministic in both engines."""
+    from pandance_spark.functions.analytics import step_transitions
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    return step_transitions(ev, "user_id", "ts", "event_type")
+
+
 def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly users-to-date curve (functions/analytics.py
     cumulative_users): one user-key shuffle for first-seen periods,
@@ -3018,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_range_lookup": _q_ip_range_lookup,
         "q21_blame": _q21_blame,
         "cumulative_users": _q_cumulative_users,
+        "step_transitions": _q_step_transitions,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -4138,6 +4150,26 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # Luhn fold replayed per candidate; check digit brute-forced
         # in SQL by the same validator
         "pii_cards": _PII_CARDS_ORACLE,
+        # identical lead() window: (ts, step) ordering both sides
+        "step_transitions": """
+            WITH ev AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type AS s
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+            ),
+            p AS (
+              SELECT user_id, s,
+                     lead(s) OVER (PARTITION BY user_id
+                                   ORDER BY t ASC, s ASC) AS nxt
+              FROM ev
+            )
+            SELECT s AS from_step, nxt AS to_step,
+                   count(*) AS n_transitions,
+                   count(DISTINCT user_id) AS n_users
+            FROM p WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
+        """,
         # first-seen day per user + generate_series grid + running sum
         "cumulative_users": """
             WITH f AS (

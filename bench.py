@@ -276,6 +276,7 @@ def main():
         "ip_range_lookup",
         "q21_blame",
         "cumulative_users",
+        "step_transitions",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -36,6 +36,7 @@ __all__ = [
     "funnel_summary",
     "cohort_retention",
     "cumulative_users",
+    "step_transitions",
 ]
 
 
@@ -139,6 +140,50 @@ def funnel_summary(per_user: DataFrame, steps: Sequence[str]) -> DataFrame:
             F.element_at(names, F.col("step_idx").cast("int")).alias("step"),
             "users",
         )
+    )
+
+
+def step_transitions(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+) -> DataFrame:
+    """Per-user next-step transition counts — the Sankey / Markov-chain
+    source table: for each consecutive event pair in a user's
+    time-ordered stream, one (from_step, to_step) observation;
+    ``n_transitions`` counts pairs, ``n_users`` distinct users making
+    the transition.  Consecutive means adjacent after sorting by
+    (time, step) — the step tie-break makes same-timestamp adjacency
+    deterministic under any partitioning.
+
+    ONE window shuffle on the user key (the minimum for per-user
+    sequence semantics), then an aggregate over the transition pairs;
+    the output is steps²-sized.  NULL users/times are excluded (the
+    module convention).
+    """
+    from pyspark.sql import Window
+
+    ev = df.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__t"),
+        F.col(step_col).alias("__s"),
+    ).filter(
+        F.col(user_col).isNotNull()
+        & F.col("__t").isNotNull()
+        & F.col("__s").isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("__t").asc(), F.col("__s").asc()
+    )
+    pairs = ev.withColumn("__next", F.lead("__s").over(w)).filter(
+        F.col("__next").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("__s").alias("from_step"), F.col("__next").alias("to_step")
+    ).agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct(user_col).alias("n_users"),
     )
 
 

@@ -184,3 +184,27 @@ def test_cumulative_users_curve(spark):
     ]
     with pytest.raises(ValueError, match="width_seconds"):
         cumulative_users(ev, "user_id", "ts", 0)
+
+
+def test_step_transitions_matrix(spark):
+    from pandance_spark.functions.analytics import step_transitions
+
+    ev = _ev(
+        spark,
+        [
+            (1, T(2024, 1, 1, 0, 0), "view"),
+            (1, T(2024, 1, 1, 0, 1), "click"),
+            (1, T(2024, 1, 1, 0, 2), "view"),
+            (2, T(2024, 1, 1, 0, 0), "view"),
+            (2, T(2024, 1, 1, 0, 1), "click"),
+            (None, T(2024, 1, 1, 0, 2), "view"),  # excluded
+        ],
+    )
+    got = {
+        (r["from_step"], r["to_step"]): (r["n_transitions"], r["n_users"])
+        for r in step_transitions(ev, "user_id", "ts", "step").collect()
+    }
+    assert got == {
+        ("view", "click"): (2, 2),
+        ("click", "view"): (1, 1),
+    }
