@@ -2266,6 +2266,25 @@ def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ab_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout (functions/analytics.py ab_summary): users
+    assigned to arms by a portable md5 coin, conversion = any purchase
+    event; exact integer counts + rounded rate/z (sqrt is IEEE-exact
+    so both engines agree)."""
+    from pandance_spark.functions.analytics import ab_summary
+    from pandance_spark.functions.split import hash_split_bucket
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    ev = ev.withColumn(
+        "arm",
+        F.when(hash_split_bucket(F.col("user_id"), 2) == 0, "control")
+        .otherwise("treatment"),
+    )
+    return ab_summary(
+        ev, "user_id", "arm", F.col("event_type") == "purchase"
+    )
+
+
 def _q_step_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-step transition matrix (functions/analytics.py
     step_transitions): one user-key window shuffle, lead() pairs,
@@ -3030,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_blame": _q21_blame,
         "cumulative_users": _q_cumulative_users,
         "step_transitions": _q_step_transitions,
+        "ab_summary": _q_ab_summary,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
@@ -4150,6 +4170,37 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # Luhn fold replayed per candidate; check digit brute-forced
         # in SQL by the same validator
         "pii_cards": _PII_CARDS_ORACLE,
+        # md5 arm coin + unit-level any-success + pooled-z replay
+        "ab_summary": """
+            WITH u AS (
+              SELECT user_id,
+                     CASE WHEN CAST('0x' || substr(md5(CAST(user_id
+                            AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                          THEN 'control' ELSE 'treatment' END AS arm,
+                     max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS conv
+              FROM events WHERE user_id IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            a AS (
+              SELECT arm, count(*) AS n_units,
+                     sum(conv) AS n_converted
+              FROM u GROUP BY 1
+            ),
+            t AS (
+              SELECT sum(n_units) AS tn, sum(n_converted) AS tc FROM a
+            )
+            SELECT arm, n_units, n_converted,
+                   round(n_converted * 1.0 / n_units, 6) AS rate,
+                   round(
+                     CASE WHEN (tc * 1.0 / tn) * (1 - tc * 1.0 / tn)
+                               * (1.0 / n_units + 1.0 / tn) > 0
+                          THEN (n_converted * 1.0 / n_units - tc * 1.0 / tn)
+                               / sqrt((tc * 1.0 / tn) * (1 - tc * 1.0 / tn)
+                                      * (1.0 / n_units + 1.0 / tn))
+                          ELSE 0.0 END, 6) AS z_vs_pooled
+            FROM a, t
+        """,
         # identical lead() window: (ts, step) ordering both sides
         "step_transitions": """
             WITH ev AS (

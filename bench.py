@@ -277,6 +277,7 @@ def main():
         "q21_blame",
         "cumulative_users",
         "step_transitions",
+        "ab_summary",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -37,6 +37,7 @@ __all__ = [
     "cohort_retention",
     "cumulative_users",
     "step_transitions",
+    "ab_summary",
 ]
 
 
@@ -140,6 +141,56 @@ def funnel_summary(per_user: DataFrame, steps: Sequence[str]) -> DataFrame:
             F.element_at(names, F.col("step_idx").cast("int")).alias("step"),
             "users",
         )
+    )
+
+
+def ab_summary(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    success: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Experiment-arm summary with the two-proportion z statistic:
+    per arm, distinct units, converted units (``success`` true for ANY
+    of the unit's rows — unit-level conversion, the correct grain when
+    events repeat per user), conversion rate, and each arm's z-score
+    against the POOLED rate of all arms (the standard first-look
+    readout; for pairwise contrasts feed the counts to your stats
+    stack).
+
+    Two aggregates: unit-level any-success (one shuffle on the unit
+    key), then the arms-sized rollup; z computed in-plan from exact
+    integer counts (rate/z rounded to ``round_to`` for cross-engine
+    comparison — sqrt is IEEE-exact, so both engines agree at any
+    sane rounding).
+    """
+    units = (
+        df.select(F.col(unit_col), F.col(arm_col), success.alias("__s"))
+        .filter(F.col(unit_col).isNotNull() & F.col(arm_col).isNotNull())
+        .groupBy(unit_col, arm_col)
+        .agg(F.max(F.coalesce(F.col("__s"), F.lit(False))).alias("__conv"))
+    )
+    arms = units.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.col("__conv").cast("long")).alias("n_converted"),
+    )
+    tot = arms.agg(
+        F.sum("n_units").alias("__tn"), F.sum("n_converted").alias("__tc")
+    )
+    j = arms.crossJoin(F.broadcast(tot))
+    p_arm = F.col("n_converted") / F.col("n_units")
+    p_pool = F.col("__tc") / F.col("__tn")
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_units") + 1.0 / F.col("__tn"))
+    )
+    z = F.when(se > 0, (p_arm - p_pool) / se).otherwise(F.lit(0.0))
+    return j.select(
+        arm_col,
+        "n_units",
+        "n_converted",
+        F.round(p_arm, round_to).alias("rate"),
+        F.round(z, round_to).alias("z_vs_pooled"),
     )
 
 

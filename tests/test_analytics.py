@@ -208,3 +208,27 @@ def test_step_transitions_matrix(spark):
         ("view", "click"): (2, 2),
         ("click", "view"): (1, 1),
     }
+
+
+def test_ab_summary_counts_and_z(spark):
+    from pandance_spark.functions.analytics import ab_summary
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", True), (1, "a", False),   # unit 1 converts (any-row)
+            (2, "a", False),
+            (3, "b", True),
+            (4, "b", True),
+            (None, "a", True),                 # excluded
+        ],
+        "uid int, arm string, ok boolean",
+    )
+    got = {
+        r["arm"]: (r["n_units"], r["n_converted"], r["rate"])
+        for r in ab_summary(ev, "uid", "arm", F.col("ok")).collect()
+    }
+    assert got == {"a": (2, 1, 0.5), "b": (2, 2, 1.0)}
+    # z is symmetric-ish around the pooled rate: signs differ
+    rows = {r["arm"]: r["z_vs_pooled"] for r in
+            ab_summary(ev, "uid", "arm", F.col("ok")).collect()}
+    assert rows["a"] < 0 < rows["b"]
