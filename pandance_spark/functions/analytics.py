@@ -175,6 +175,9 @@ def ab_summary(
         F.count(F.lit(1)).alias("n_units"),
         F.sum(F.col("__conv").cast("long")).alias("n_converted"),
     )
+    # arms-sized and it feeds BOTH the total aggregate and the join —
+    # checkpoint so the event table is scanned once
+    arms = arms.localCheckpoint(eager=True)
     tot = arms.agg(
         F.sum("n_units").alias("__tn"), F.sum("n_converted").alias("__tc")
     )
@@ -271,6 +274,10 @@ def cumulative_users(
         .groupBy("__first")
         .agg(F.count("*").alias("new_users"))
     )
+    # period-sized (horizon/width rows) and it feeds BOTH the span
+    # aggregate and the grid join — checkpoint so the raw event table
+    # is scanned once, not once per branch
+    firsts = firsts.localCheckpoint(eager=True)
     span = firsts.agg(
         F.min("__first").alias("__lo"), F.max("__first").alias("__hi")
     )
