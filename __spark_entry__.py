@@ -3032,7 +3032,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "outliers_events": _q_outliers_events,
         "weighted_per_lang": _q_weighted_per_lang,
-        # r6 (5th session) additions waiting for a window slot
+        # r6 (5th session) additions waiting for a window slot.
+        # r7 rotation plan: the window's multi-green veterans
+        # (theta_expr_mod, theta_udf_gcd, semantic_dedup, html_clean,
+        # skew_report_events, multimodal_audio/video/decode,
+        # q13/q16/q18, exact_sample — each 2+ green rounds after r6)
+        # can rotate here; prioritize INTO the window the entries with
+        # the strongest new semantics: funnel_conversion,
+        # cohort_retention, cdc_apply, gap_fill_events, rollup_quantiles,
+        # keep_best, mixture_temperature, main_text_extract, pii_cards,
+        # q21_blame, ip_range_lookup, cumulative_users,
+        # step_transitions, ab_summary, cube_orders, moving_avg_orders,
+        # rollup_distinct_users (rows-only).
         "mixture_temperature": _q_mixture_temperature,
         "keep_best": _q_keep_best,
         "rollup_quantiles": _q_rollup_quantiles,
