@@ -1907,7 +1907,9 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     target = docs.filter(F.col("lang") == "en")
     picked = dsir_select(docs, target, "text", "doc_id", k=100, buckets=1024)
-    return picked.select("doc_id", "lang", "source", "score_micro")
+    return picked.select("doc_id", "lang", "source", "score_micro").orderBy(
+        F.desc("score_micro"), "doc_id"
+    )
 
 
 def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,7 +1928,7 @@ def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("non_english", F.col("lang") == "en"),
         ("too_few_tokens", token_count(F.col("text")) >= 30),
     ]
-    return filter_funnel(docs, rules)
+    return filter_funnel(docs, rules).orderBy("stage")
 
 
 def _q_tag_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4194,8 +4196,9 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
               GROUP BY 1, 2
             ),
             a AS (
+              -- CAST: sum(BIGINT) is HUGEINT -> float64 via pandas
               SELECT arm, count(*) AS n_units,
-                     sum(conv) AS n_converted
+                     CAST(sum(conv) AS BIGINT) AS n_converted
               FROM u GROUP BY 1
             ),
             t AS (
@@ -4249,10 +4252,11 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             )
             SELECT g.d * 3600 AS period_s,
                    coalesce(p.new_users, 0) AS new_users,
-                   sum(coalesce(p.new_users, 0)) OVER (
+                   -- CAST: sum(BIGINT) is HUGEINT -> float64 via pandas
+                   CAST(sum(coalesce(p.new_users, 0)) OVER (
                      ORDER BY g.d
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum_users
+                   ) AS BIGINT) AS cum_users
             FROM grid g LEFT JOIN per p ON p.d = g.d
         """,
         # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
@@ -5287,17 +5291,22 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
               FROM r LEFT JOIN c ON c.reason = r.rule
             ),
             k AS (
+              -- sum() over BIGINT is HUGEINT in DuckDB -> float64 via
+              -- the pandas conversion path; cast every derived count
+              -- back to BIGINT so canonicalization matches Spark's
               SELECT stage, rule, n_dropped,
-                     (SELECT coalesce(sum(cnt), 0) FROM c)
+                     CAST((SELECT coalesce(sum(cnt), 0) FROM c)
                        - coalesce(sum(n_dropped) OVER (
                            ORDER BY stage
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING), 0) AS n_in
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                       AS n_in
               FROM j
             )
             SELECT stage, rule, n_in, n_dropped,
-                   n_in - n_dropped AS n_out
+                   CAST(n_in - n_dropped AS BIGINT) AS n_out
             FROM k
+            ORDER BY stage
         """,
         # DSIR replayed exactly: same tokenization, same uni+bigram
         # features, same md5 bucket, same add-one integer-ratio ln
@@ -5337,7 +5346,12 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
               FROM t FULL OUTER JOIN r ON t.bucket = r.bucket
             ),
             s AS (
-              SELECT fb.doc_id, sum(w.w_micro) AS score_micro
+              -- sum(BIGINT) is HUGEINT in DuckDB, which the pandas
+              -- conversion path turns into float64 ("450.0" vs "450"
+              -- after canonicalization) — cast back to BIGINT so the
+              -- harness sees the same integer the Spark side emits
+              SELECT fb.doc_id,
+                     CAST(sum(w.w_micro) AS BIGINT) AS score_micro
               FROM fb JOIN w USING (bucket) GROUP BY 1
             ),
             s2 AS (
@@ -5350,6 +5364,7 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             )
             SELECT d.doc_id, d.lang, d.source, top.score_micro
             FROM documents d JOIN top USING (doc_id)
+            ORDER BY top.score_micro DESC, d.doc_id ASC
         """,
         "quality_classifier": """
             WITH toks AS (
