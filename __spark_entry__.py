@@ -2833,200 +2833,108 @@ def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # parity operators
-        # r6 (3rd session): ineq_lt_balances + ineq_gt_strings (green
-        # r1-r5, 5 rounds each) rotated out for the new bloom_dedup +
-        # heavy_hitters — the ineq family keeps ineq_band_skewed +
-        # ineq_band_autoskew in-window
+        # ------------------------------------------------------------------
+        # DRIVER WINDOW (first 50 entries — the driver's correctness gate
+        # reads only these; ALL 143 entries stay in the local multi-sf
+        # gate).  r7 rotation: 17 multi-green veterans rotated out (each
+        # 2-6 straight green driver rounds, families keep coverage via
+        # the local gate and sibling window rows) for the 17 r6-built
+        # queries the driver has never checked (VERDICT r6 "What's
+        # missing" #1/#3, items 9/10), incl. the two r6 red rows
+        # dsir_select/filter_funnel with their HUGEINT-cast oracle fix,
+        # and bpe_tokens (err: no_oracle — a permanently dead slot)
+        # swapped for oracle-checkable token_budget.  Rotation history
+        # through r6 lives in git (this comment block pre-f3c2378).
+        # ------------------------------------------------------------------
+        # carried over: 1-green r6 entries + the 2 red rows (need their
+        # first green) + never-checked table_diff-style first-greens
         "bloom_dedup": _q_bloom_dedup,
         "heavy_hitters": _q_heavy_hitters,
-        # r6 (late): ineq_band_strings (green r2-r5) rotated out for
-        # the new unicode_clean — the string-cut machinery keeps
-        # in-window rows via ineq_gt_strings + ineq_band_autoskew
-        # r6 (4th session): ineq_band_skewed (green r2-r5, 4 rounds)
-        # rotated out for the new dsir_select — the band-join skew
-        # machinery keeps ineq_band_autoskew in-window (same kernel,
-        # plus the salting path)
         "dsir_select": _q_dsir_select,
         "filter_funnel": _q_filter_funnel,
-        # r6: right-side hot key -> cut-collapse-detected salted band
-        # join — new in window this round
         "ineq_band_autoskew": _q_ineq_band_autoskew,
-        # r6 (late 2nd): ineq_band_timestamps (green r1-r5, 5 rounds)
-        # rotated out for the new boilerplate_lines — temporal dtype
-        # coverage stays via fuzzy_timestamps in-window plus the local
-        # gate; the ineq family keeps 4 in-window rows
         "boilerplate_lines": _q_boilerplate_lines,
-        # r6 (3rd session): fuzzy_numeric + fuzzy_timestamps (green
-        # r1-r5, 5 rounds each) rotated out for the new
-        # domain_blocklist + image_phash_dedup — the fuzzy family
-        # keeps fuzzy_autoskew in-window (same kernel, salted path)
         "domain_blocklist": _q_domain_blocklist,
-        # r6: hot-bucket salted fuzzy join — new in window this round
         "fuzzy_autoskew": _q_fuzzy_autoskew,
         "image_phash_dedup": _q_image_phash_dedup,
-        # r6 (late): fuzzy_decimal (green r2-r5) rotated out for the
-        # new url_dedup — decimal dtype coverage stays in the local
-        # gate and tests/test_fuzzy.py's dtype matrix
-        "theta_expr_mod": _q_theta_expr_mod,
-        # r6 (late 2nd): theta_keywords (green r1-r5, 5 rounds)
-        # rotated out for the new bpe_tokens — the theta family keeps
-        # theta_expr_mod + theta_udf_gcd in-window (the Column fast
-        # path AND the Arrow-UDF fallback both stay driver-checked)
-        "bpe_tokens": _q_bpe_tokens,
-        "theta_udf_gcd": _q_theta_udf_gcd,
-        # dedup / similarity extensions (r5: dedup_exact, dedup_simhash,
-        # dedup_minhash, ann_topk, ann_lsh, embedding_dedup rotated OUT
-        # after 3 straight green driver rounds r2-r4 — minhash's exact-
-        # Jaccard oracle family stays exercised via dedup_incremental;
-        # dedup_incremental CHANGED this round — now exercises
-        # add_to_minhash_index — so it stays in; semantic_dedup is NEW)
-        # r6 (late): dedup_ngram_jaccard (green r1-r5) and
-        # dedup_clusters (green r2-r5) rotated out for the new
-        # dedup_substrings (Lee-et-al-style exact substring spans) and
-        # quality_classifier — both families keep other in-window rows
-        # (jaccard_topk/fingerprint_dups; pagerank_supply)
         "dedup_substrings": _q_dedup_substrings,
         "quality_classifier": _q_quality_classifier,
         "unicode_clean": _q_unicode_clean,
-        "dedup_incremental": _q_dedup_incremental,
-        # r6 (late): jaccard_topk + edit_distance (2 driver greens
-        # each, r4-r5 — the policy floor) rotated out for the new
-        # sentence_chunks + line_dedup text-pipeline passes
         "sentence_chunks": _q_sentence_chunks,
         "line_dedup": _q_line_dedup,
-
-        # r6 (late): fingerprint_dups (2 driver greens, r4-r5) rotated
-        # out for wet_extract — the dedup-join family keeps
-        # dedup_substrings/dedup_incremental in-window
         "wet_extract": _q_wet_extract,
-        # (r5: ann_ivf rotated out after 3 green rounds for the new
-        # html_clean; ann_quantized stays — only 1 green round)
-        "ann_quantized": _q_ann_quantized,
-        "semantic_dedup": _q_semantic_dedup,
-        "html_clean": _q_html_clean,
-        # text analysis / multimodal (r5: text_repetition, text_langid
-        # rotated out after 3 green rounds; multimodal_decode is NEW —
-        # real PPM codec round-trip)
-        # (r5: text_fingerprints rotated out after 3 green rounds for
-        # the new multimodal_audio)
-        # (r5: gopher_quality rotated out after 2 green rounds for the
-        # new multimodal_video)
-        # r6 (late): lm_perplexity (2 driver greens, r4-r5) rotated
-        # out for multimodal_gif_frames — the LM family keeps
-        # lm_perplexity_bigram in-window
         "multimodal_gif_frames": _q_multimodal_gif_frames,
-        "multimodal_audio": _q_multimodal_audio,
-        "multimodal_video": _q_multimodal_video,
-        # (r5: knn_graph rotated out after 2 green rounds for the new
-        # skew_report_events)
-        "skew_report_events": _q_skew_report_events,
-        # r6 (4th session): lm_perplexity_bigram rotated out at TWO
-        # green rounds (r4, r5) for the new tag_topics
         "tag_topics": _q_tag_topics,
-        "multimodal_decode": _q_multimodal_decode,
-        # r6: real PNG codec (zlib inflate + scanline unfilter) and
-        # baseline JPEG codec (Huffman + IDCT; DC-exact payloads) —
-        # new in window this round
         "multimodal_png": _q_multimodal_png,
         "multimodal_jpeg": _q_multimodal_jpeg,
-        # r6 (late): overlap_set (2 driver greens, r4-r5) rotated out
-        # for the new multimodal_gif — the set-similarity family's
-        # in-window coverage is dedup_substrings + dedup_incremental
-        # (fingerprint_dups later rotated out too, see wet_extract)
         "multimodal_gif": _q_multimodal_gif,
-        # r6: WARC source (Common Crawl container) + URL
-        # canonicalization — new in window
         "warc_extract": _q_warc_extract,
         "url_normalize": _q_url_normalize,
         "url_dedup": _q_url_dedup,
         "cap_per_domain": _q_cap_per_domain,
-        # training-pipeline composition
-        # r6 (late): chunk_documents (2 driver greens, r4-r5) rotated
-        # out for the new epoch_mix fractional-epoch upsampler
         "epoch_mix": _q_epoch_mix,
-        # r6 (late): mixture_sample (2 driver greens, r4-r5) rotated
-        # out for the new contamination_spans — the mixing family
-        # keeps epoch_mix in-window
         "contamination_spans": _q_contamination_spans,
-        # r6 (late): profile_orders (2 driver greens, r4-r5) rotated
-        # out for multimodal_media_meta — the profiling family keeps
-        # skew_report_events in-window
         "multimodal_media_meta": _q_multimodal_media_meta,
-        # as-of / interval joins (time-series extensions) + graph
-        # (r5: overlap_sessions rotated out after 3 green rounds to
-        # make room for the new dedup_paragraphs)
-        # r6 (4th session): pagerank_supply rotated out at TWO green
-        # rounds (r4, r5) for the new keywords_tfidf
         "keywords_tfidf": _q_keywords_tfidf,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        # inherited relational coverage.  The driver's correctness gate
-        # reads only the FIRST 50 entries, so the TPC-H-shaped queries
-        # (never driver-verified through r3) sit inside that window and
-        # seven entries that have been green for 3 straight rounds
-        # (r1-r3) are rotated past it — they keep their oracle_sql and
-        # stay in the local multi-sf gate, which checks ALL entries.
-        # r6 (3rd session): q3_shipping (2 driver greens) rotated out
-        # for the new shuffle_shards — TPC-H keeps q6/q13/q16/q18
         "shuffle_shards": _q_shuffle_shards,
-        # r6 (late): q5_local_supplier (2 driver greens, r4-r5)
-        # rotated out for corpus_report — the multi-join TPC-H family
-        # keeps q13/q16/q18 in-window
         "corpus_report": _q_corpus_report,
-        # r6 (late): scd2_user_status (2 driver greens, r4-r5)
-        # rotated out for the new zorder_cluster — the SCD2 family
-        # keeps scd2_apply_late in-window
         "zorder_cluster": _q_zorder_cluster,
-        # r6 (3rd session): q6_forecast (2 driver greens) rotated out
-        # for the new audio_segments — TPC-H keeps q13/q16/q18
         "audio_segments": _q_audio_segments,
-        # r5 rotations IN: the five entries flagged by the r4 verdict as
-        # never driver-verified, plus the new scd2_apply_late
+        "table_diff": _q_table_diff,
+        # r7 rotations IN — the r6 analytics/maintenance/PII layer,
+        # never driver-checked: pii_cards + main_text_extract (every
+        # crawl pipeline), cdc_apply + gap_fill_events (every warehouse
+        # user), the funnel/cohort/cumulative/transitions/ab analytics
+        # family, keep_best + rollup_quantiles (the canonical 100 TB
+        # dedup-then-report chain, VERDICT item 9), q21_blame (hand-
+        # decorrelated EXISTS/NOT-EXISTS, VERDICT item 10), cube/RANGE-
+        # frame relational shapes, mixture_temperature, token_budget
+        "pii_cards": _q_pii_cards,
+        "main_text_extract": _q_main_text,
+        "cdc_apply": _q_cdc_apply,
+        "gap_fill_events": _q_gap_fill_events,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_conversion": _q_funnel_conversion,
+        "moving_avg_orders": _q_moving_avg_orders,
+        "rollup_quantiles": _q_rollup_quantiles,
+        "keep_best": _q_keep_best,
+        "q21_blame": _q21_blame,
+        "ip_range_lookup": _q_ip_range_lookup,
+        "cumulative_users": _q_cumulative_users,
+        "step_transitions": _q_step_transitions,
+        "ab_summary": _q_ab_summary,
+        "cube_orders": _q_cube_orders,
+        "mixture_temperature": _q_mixture_temperature,
+        "token_budget": _q_token_budget,
+        # --- entries 51+ (outside the driver window; locally gated) ---
+        # r7 rotations OUT: bpe_tokens (no_oracle slot), theta_expr_mod
+        # + theta_udf_gcd (6 greens each r1-r6, the most stable rows in
+        # the suite), dedup_incremental + ann_quantized (3 greens),
+        # semantic_dedup / html_clean / multimodal_audio / _video /
+        # _decode / skew_report_events / dedup_paragraphs / q13 / q16 /
+        # q18 / exact_sample / scd2_apply_late (2 greens each r5-r6)
+        "bpe_tokens": _q_bpe_tokens,
+        "theta_expr_mod": _q_theta_expr_mod,
+        "theta_udf_gcd": _q_theta_udf_gcd,
+        "dedup_incremental": _q_dedup_incremental,
+        "ann_quantized": _q_ann_quantized,
+        "semantic_dedup": _q_semantic_dedup,
+        "html_clean": _q_html_clean,
+        "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video": _q_multimodal_video,
+        "multimodal_decode": _q_multimodal_decode,
+        "skew_report_events": _q_skew_report_events,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "q13_custdist": _q_q13_custdist,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q18_big_orders": _q_q18_big_orders,
         "exact_sample": _q_exact_sample,
-        "table_diff": _q_table_diff,
         "scd2_apply_late": _q_scd2_apply_late,
-        # --- entries 51+ (outside the driver window; locally gated;
-        # r6: text_stats (green r1-r5), q1_pricing, window_topk,
-        # semi_join and anti_join (each green 4 rounds), sessionize
-        # (green 3 rounds: r1, r4, r5) and bm25_topk (green 3 rounds:
-        # r3, r4, r5) rotated out — the only
-        # window slots free for table_diff + scd2_apply_late (r5 left
-        # them at positions 51-52 where the driver gate could not see
-        # them; table_diff needs its first green driver row) and the
-        # new r6 queries.  The 13 r5 first-green entries +
-        # ann_quantized + the 4 new r6 queries (ineq_band_autoskew,
-        # multimodal_png, multimodal_jpeg, fuzzy_autoskew) all sit
-        # inside the window;
-        # text_stats/text_normalize/multimodal_meta/stratified_sample
-        # rotated here after 2-3 straight green driver rounds to make
-        # room for the r4 additions above; text_stats moved BACK inside
-        # when it gained the n_bpe_tokens column — changed queries
-        # belong in the driver window, text_quality rotated out
-        # instead; pii_redact rotated out for ann_quantized;
-        # embedding_centroids / asof_nearest rotated out for
-        # profile_orders / merge_spans; contamination rotated out for
-        # lm_perplexity_bigram; asof_click_view rotated out for
-        # pagerank_supply; r5: dedup_exact / dedup_simhash / ann_topk /
-        # ann_lsh / embedding_dedup / text_repetition / text_langid
-        # rotated out after 3 straight green driver rounds r2-r4, and
-        # q13/q16/q18/exact_sample/table_diff moved INTO the window) ---
-        # r6 (late 2nd): theta_keywords + ineq_band_timestamps rotated
-        # here after FIVE straight green driver rounds r1-r5 (the most
-        # stable entries in the suite) to free window slots for
-        # boilerplate_lines + bpe_tokens
-        # r6 (4th session): ineq_band_skewed rotated here after FOUR
-        # straight green driver rounds r2-r5 to free a window slot for
-        # dsir_select; merge_spans rotated here at TWO green rounds
-        # (r4, r5 — meets the 2-3 bar) for the new filter_funnel
+        # earlier rotations (r2-r6) — see git history for per-round notes
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "pagerank_supply": _q_pagerank_supply,
-        # r6 (4th session) additions waiting for a window slot
-        "token_budget": _q_token_budget,
         "embed_project": _q_embed_project,
         "weighted_sample": _q_weighted_sample,
         "ppl_buckets": _q_ppl_buckets,
@@ -3034,49 +2942,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "outliers_events": _q_outliers_events,
         "weighted_per_lang": _q_weighted_per_lang,
-        # r6 (5th session) additions waiting for a window slot.
-        # r7 rotation plan: the window's multi-green veterans
-        # (theta_expr_mod, theta_udf_gcd, semantic_dedup, html_clean,
-        # skew_report_events, multimodal_audio/video/decode,
-        # q13/q16/q18, exact_sample — each 2+ green rounds after r6)
-        # can rotate here; prioritize INTO the window the entries with
-        # the strongest new semantics: funnel_conversion,
-        # cohort_retention, cdc_apply, gap_fill_events, rollup_quantiles,
-        # keep_best, mixture_temperature, main_text_extract, pii_cards,
-        # q21_blame, ip_range_lookup, cumulative_users,
-        # step_transitions, ab_summary, cube_orders, moving_avg_orders,
-        # rollup_distinct_users (rows-only).
-        "mixture_temperature": _q_mixture_temperature,
-        "keep_best": _q_keep_best,
-        "rollup_quantiles": _q_rollup_quantiles,
-        "funnel_conversion": _q_funnel_conversion,
-        "cohort_retention": _q_cohort_retention,
         "rollup_distinct_users": _q_rollup_distinct_users,
-        "cdc_apply": _q_cdc_apply,
-        "gap_fill_events": _q_gap_fill_events,
-        "main_text_extract": _q_main_text,
-        "cube_orders": _q_cube_orders,
-        "moving_avg_orders": _q_moving_avg_orders,
-        "pii_cards": _q_pii_cards,
-        "ip_range_lookup": _q_ip_range_lookup,
-        "q21_blame": _q21_blame,
-        "cumulative_users": _q_cumulative_users,
-        "step_transitions": _q_step_transitions,
-        "ab_summary": _q_ab_summary,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
-        # r6 (3rd session): ineq_lt_balances / ineq_gt_strings /
-        # fuzzy_numeric / fuzzy_timestamps rotated here after FIVE
-        # straight green driver rounds r1-r5 to free window slots for
-        # bloom_dedup / heavy_hitters / domain_blocklist /
-        # image_phash_dedup
         "ineq_lt_balances": _q_ineq_lt_balances,
         "ineq_gt_strings": _q_ineq_gt_strings,
         "fuzzy_numeric": _q_fuzzy_numeric,
         "fuzzy_timestamps": _q_fuzzy_timestamps,
-        # r6 (3rd session): q3_shipping + q6_forecast (2 driver greens
-        # each) rotated here for the new shuffle_shards +
-        # audio_segments — TPC-H §2.3 coverage stays via q13/q16/q18
         "q3_shipping": _q_q3_shipping,
         "q6_forecast": _q_q6_forecast,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,

@@ -289,6 +289,13 @@ def main():
     # only evict the query's own cached inputs.
     REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
+    # comma-separated allowlist for fast local iteration, e.g.
+    # SPARK_GRAFT_BENCH_ONLY=multimodal_png,workload_f python bench.py
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        allowed = {s.strip() for s in only.split(",") if s.strip()}
+        headline = [n for n in headline if n in allowed]
+
     import statistics
 
     timings = {}
@@ -372,6 +379,8 @@ def main():
         ("workload_t", workload_t),
         ("dedup_incremental_search", dedup_incremental_search),
     ):
+        if only and name not in allowed:
+            continue
         # sweep BEFORE the builder caches its inputs (never between the
         # cache and the timed join, which would evict them)
         _barrier()
@@ -386,19 +395,54 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": REPS,
-                "spread": spread,
-            }
-        )
+    full = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": REPS,
+        "spread": spread,
+    }
+    # The harness that runs this keeps only a small TAIL of stdout and
+    # parses the last JSON line it finds there: a 117-query timings
+    # line is ~6 KB, so its start falls outside the tail and the parse
+    # fails (BENCH_r05/r06 "parsed": null).  stdout therefore gets ONE
+    # COMPACT line (total + the five BASELINE.md workloads — the graded
+    # comparables) that always fits; the complete per-query dict goes
+    # to stderr and to a JSON artifact next to this script.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL_last.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(full, fh)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(full, separators=(",", ":")), file=sys.stderr, flush=True)
+    short = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            k: timings[k]
+            for k in (
+                "workload_f",
+                "workload_f_x10",
+                "workload_i",
+                "workload_t",
+                "dedup_incremental_search",
+            )
+            if k in timings
+        },
+        "sf": sf,
+        "reps": REPS,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(short, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":
