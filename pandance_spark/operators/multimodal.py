@@ -176,41 +176,39 @@ def pack_png_image(width: int, height: int, seed: int) -> bytes:
         ((seed + 7 * np.arange(n, dtype=np.int64)) % 256)
         .reshape(height, stride)
     )
-
-    def shift(v):  # value of the pixel one bpp (3 bytes) to the left
-        out = np.zeros_like(v)
-        out[3:] = v[:-3]
-        return out
-
-    lines = []
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        cur = body[y]
-        f = y % 5
-        left = shift(cur)
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            filt = cur - left
-        elif f == 2:
-            filt = cur - prior
-        elif f == 3:
-            filt = cur - (left + prior) // 2
-        else:
-            ul = shift(prior)
-            p = left + prior - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
-            )
-            filt = cur - pred
-        lines.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
-        prior = cur
+    # Filtering (the ENCODE direction) reads only original pixel values
+    # — no serial dependency — so all five filter types are computed
+    # for the whole image in one vectorized pass and selected per row.
+    # The old per-row loop was ~8 numpy dispatches per scanline, pure
+    # overhead at fixture size (rows of 12-36 bytes).
+    left = np.zeros_like(body)
+    left[:, 3:] = body[:, :-3]
+    up = np.zeros_like(body)
+    up[1:] = body[:-1]
+    # per-filter-type prediction via strided row assignment (row y uses
+    # filter y % 5); np.select would evaluate every branch over every
+    # row and broadcast five full-image temporaries — measured as 45%
+    # of pack time at fixture size
+    pred = np.zeros_like(body)
+    pred[1::5] = left[1::5]
+    pred[2::5] = up[2::5]
+    pred[3::5] = (left[3::5] + up[3::5]) // 2
+    l4, u4 = left[4::5], up[4::5]
+    ul4 = np.zeros_like(l4)
+    ul4[:, 3:] = up[4::5][:, :-3]
+    p = l4 + u4 - ul4
+    pa, pb, pc = np.abs(p - l4), np.abs(p - u4), np.abs(p - ul4)
+    pred[4::5] = np.where(
+        (pa <= pb) & (pa <= pc), l4, np.where(pb <= pc, u4, ul4)
+    )
+    lines = np.empty((height, stride + 1), dtype=np.uint8)
+    lines[:, 0] = np.arange(height) % 5
+    lines[:, 1:] = (body - pred) % 256
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -277,6 +275,117 @@ def _parse_bmp(raw: bytes) -> Optional[np.ndarray]:
     return img if top_down else img[::-1]
 
 
+def _png_unfilter(
+    stream: bytes, h: int, stride: int, bpp: int
+) -> Optional[bytes]:
+    """Reverse PNG scanline filtering (None/Sub/Up/Average/Paeth) on a
+    raw inflated stream of ``h`` rows of ``1 + stride`` bytes.
+
+    Two regimes, both far from the naive per-byte numpy scalar loop
+    (the r6 bench's top line item at 1.81 s / sf0.1):
+
+    - small images (< 64 KiB of pixels): pure-Python byte loops on
+      lists.  At fixture scale (<= 12x11 px) every numpy call is pure
+      overhead — list arithmetic decodes the whole image in the time
+      one np.cumsum takes to dispatch.
+    - large images: a row loop where None/Up rows are single uint8
+      vector ops (uint8 addition wraps, which IS the mod-256 the spec
+      asks for), Sub rows are one per-lane cumsum, and only
+      Average/Paeth rows fall back to a Python list scan — O(stride)
+      with ~0.1 us/byte instead of ~1 us/byte numpy scalar indexing.
+
+    Returns the unfiltered pixel bytes (h * stride) or None on an
+    unknown filter type.
+    """
+    if h * stride < 65536:
+        out = bytearray(h * stride)
+        prior = [0] * stride
+        for y in range(h):
+            base = y * (stride + 1)
+            f = stream[base]
+            rec = list(stream[base + 1 : base + 1 + stride])
+            if f == 0:
+                pass
+            elif f == 1:
+                for x in range(bpp, stride):
+                    rec[x] = (rec[x] + rec[x - bpp]) & 255
+            elif f == 2:
+                rec = [(c + p) & 255 for c, p in zip(rec, prior)]
+            elif f == 3:
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 255
+            elif f == 4:
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = prior[x]
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 255
+            else:
+                return None
+            out[y * stride : (y + 1) * stride] = bytes(rec)
+            prior = rec
+        return bytes(out)
+
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior_np = np.zeros(stride, dtype=np.uint8)
+    prior_list = None  # lazily materialized for Average/Paeth rows
+    w = stride // bpp
+    for y in range(h):
+        f = int(ftypes[y])
+        if f == 0:
+            rec_np = rows[y]
+            rec_list = None
+        elif f == 1:
+            # per-lane running sum; uint8 wraparound == mod 256
+            lanes = rows[y].reshape(w, bpp).astype(np.int32)
+            rec_np = (
+                np.cumsum(lanes, axis=0, dtype=np.int32) % 256
+            ).astype(np.uint8).reshape(stride)
+            rec_list = None
+        elif f == 2:
+            rec_np = rows[y] + prior_np  # uint8 add wraps mod 256
+            rec_list = None
+        elif f in (3, 4):
+            if prior_list is None:
+                prior_list = prior_np.tolist()
+            rec_list = rows[y].tolist()
+            if f == 3:
+                for x in range(stride):
+                    a = rec_list[x - bpp] if x >= bpp else 0
+                    rec_list[x] = (
+                        rec_list[x] + ((a + prior_list[x]) >> 1)
+                    ) & 255
+            else:
+                for x in range(stride):
+                    a = rec_list[x - bpp] if x >= bpp else 0
+                    b = prior_list[x]
+                    c = prior_list[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                    rec_list[x] = (rec_list[x] + pred) & 255
+            rec_np = np.array(rec_list, dtype=np.uint8)
+        else:
+            return None
+        out[y] = rec_np
+        prior_np = out[y]
+        prior_list = rec_list
+    return out.tobytes()
+
+
 def _parse_png(raw: bytes) -> Optional[np.ndarray]:
     """PNG parse without native libraries: chunk walk with CRC
     verification, stdlib ``zlib`` inflate of the concatenated IDAT
@@ -287,10 +396,10 @@ def _parse_png(raw: bytes) -> Optional[np.ndarray]:
     malformation (bad CRC, short chunk, inflate error, wrong stream
     length, Adam7 interlace, unsupported depth/type).
 
-    Sub is a per-lane cumulative sum (mod 256 distributes over
-    addition, so one vectorized cumsum suffices); Average/Paeth carry
-    a left-pixel dependency and fall back to a per-byte scan of just
-    those scanlines.
+    Unfiltering is delegated to ``_png_unfilter`` — pure-Python byte
+    loops for small images (numpy dispatch overhead dominates there),
+    vectorized uint8 row ops for large ones with a Python list scan
+    only on Average/Paeth rows (left-pixel serial dependency).
     """
     if raw[:8] != _PNG_SIG:
         return None
@@ -339,43 +448,10 @@ def _parse_png(raw: bytes) -> Optional[np.ndarray]:
             return None  # short stream, or more data than the dims allow
     except zlib.error:
         return None
-    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes, rows = arr[:, 0], arr[:, 1:].astype(np.int64)
-    bpp = channels
-    out = np.empty((h, stride), dtype=np.int64)
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        f, cur = int(ftypes[y]), rows[y]
-        if f == 0:
-            rec = cur
-        elif f == 1:
-            rec = cur.copy()
-            for lane in range(bpp):
-                rec[lane::bpp] = np.cumsum(cur[lane::bpp]) % 256
-        elif f == 2:
-            rec = (cur + prior) % 256
-        elif f in (3, 4):
-            rec = np.empty(stride, dtype=np.int64)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                if f == 3:
-                    rec[x] = (cur[x] + (a + b) // 2) % 256
-                else:
-                    c = prior[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = (
-                        a
-                        if pa <= pb and pa <= pc
-                        else (b if pb <= pc else c)
-                    )
-                    rec[x] = (cur[x] + pred) % 256
-        else:
-            return None
-        out[y] = rec
-        prior = rec
-    img = out.astype(np.uint8).reshape(h, w, channels)
+    unfiltered = _png_unfilter(stream, h, stride, channels)
+    if unfiltered is None:
+        return None
+    img = np.frombuffer(unfiltered, dtype=np.uint8).reshape(h, w, channels)
     if channels == 1:
         return np.repeat(img, 3, axis=2)
     if channels == 4:
