@@ -1021,10 +1021,13 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
     """Baseline JPEG decode (ITU-T T.81): marker walk, DQT/DHT/SOF0/
     SOS/DRI parsing, canonical Huffman entropy decode with restart
     support, dequantize, orthonormal IDCT, level shift.  Supports
-    8-bit baseline with 1x1 sampling for every component (grayscale
-    replicated to RGB; 3-component scans converted JFIF YCbCr -> RGB).
-    Progressive (SOF2), subsampled, arithmetic or 12-bit streams
-    return None, as does any malformed structure."""
+    8-bit baseline with arbitrary 1/2/4 sampling factors — 4:4:4,
+    4:2:2 and the dominant camera/libjpeg 4:2:0 layout — with
+    nearest-neighbor chroma upsampling (grayscale replicated to RGB;
+    3-component scans converted JFIF YCbCr -> RGB).  Progressive
+    (SOF2), arithmetic or 12-bit streams return None, as does any
+    malformed structure.  Pinned against a FOREIGN libjpeg-encoded
+    4:2:0 photo in tests (not merely round-tripping our own packer)."""
     try:
         if raw[:2] != b"\xff\xd8":
             return None
@@ -1081,9 +1084,10 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
                 comps = []
                 for c in range(nc):
                     cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                    if samp != 0x11:  # only 1x1 sampling
+                    hi, vi = samp >> 4, samp & 0xF
+                    if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                         return None
-                    comps.append({"id": cid, "tq": tq})
+                    comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # non-baseline frame types
@@ -1106,15 +1110,25 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
         else:
             return None
 
-        bx, by = (w + 7) // 8, (h + 7) // 8
+        # MCU geometry from the per-component sampling factors: an MCU
+        # covers 8*hmax x 8*vmax image pixels and carries hi*vi data
+        # units of each component (T.81 A.2.3).  1x1-everything (our
+        # packer, 4:4:4 encoders) reduces to one block per component.
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+            return None  # non-integer chroma upsampling ratio
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         planes = [
-            np.zeros((by * 8, bx * 8), dtype=np.float64) for _ in comps
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+            for c in comps
         ]
         reader = _JpgBitReader(raw, pos)
         preds = [0] * len(comps)
         mcu = 0
-        for yb in range(by):
-            for xb in range(bx):
+        for yb in range(mcuy):
+            for xb in range(mcux):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     # align and consume the RST marker
                     reader.align()
@@ -1131,35 +1145,50 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
                     q = qt.get(comp["tq"])
                     if dct is None or act is None or q is None:
                         return None
-                    cat = _jpg_decode_symbol(reader, dct)
-                    diff = _jpg_extend(reader.read_bits(cat), cat)
-                    preds[ci] += diff
-                    coefs = np.zeros(64, dtype=np.int64)
-                    coefs[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        sym = _jpg_decode_symbol(reader, act)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 0xF
-                        k += run
-                        if k > 63 or size == 0:
-                            return None
-                        coefs[k] = _jpg_extend(reader.read_bits(size), size)
-                        k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_JPG_ZIGZAG] = (coefs * q).astype(np.float64)
-                    pix = _JPG_DCT_C.T @ block.reshape(8, 8) @ _JPG_DCT_C
-                    planes[ci][
-                        yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8
-                    ] = pix
-        out = [
-            np.clip(np.rint(p[:h, :w] + 128.0), 0, 255).astype(np.uint8)
-            for p in planes
-        ]
+                    for vv in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            cat = _jpg_decode_symbol(reader, dct)
+                            diff = _jpg_extend(reader.read_bits(cat), cat)
+                            preds[ci] += diff
+                            coefs = np.zeros(64, dtype=np.int64)
+                            coefs[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                sym = _jpg_decode_symbol(reader, act)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, size = sym >> 4, sym & 0xF
+                                k += run
+                                if k > 63 or size == 0:
+                                    return None
+                                coefs[k] = _jpg_extend(
+                                    reader.read_bits(size), size
+                                )
+                                k += 1
+                            block = np.zeros(64, dtype=np.float64)
+                            block[_JPG_ZIGZAG] = (coefs * q).astype(np.float64)
+                            pix = (
+                                _JPG_DCT_C.T @ block.reshape(8, 8) @ _JPG_DCT_C
+                            )
+                            py = (yb * comp["v"] + vv) * 8
+                            px = (xb * comp["h"] + hh) * 8
+                            planes[ci][py : py + 8, px : px + 8] = pix
+        out = []
+        for ci, comp in enumerate(comps):
+            # crop to the component's own sample dims, then replicate
+            # (nearest-neighbor chroma upsampling) back to image dims
+            cw = (w * comp["h"] + hmax - 1) // hmax
+            ch = (h * comp["v"] + vmax - 1) // vmax
+            plane = np.clip(
+                np.rint(planes[ci][:ch, :cw] + 128.0), 0, 255
+            ).astype(np.uint8)
+            fy, fx = vmax // comp["v"], hmax // comp["h"]
+            if fy > 1 or fx > 1:
+                plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+            out.append(plane[:h, :w])
         if len(out) == 1:
             return np.repeat(out[0][:, :, None], 3, axis=2)
         yy, cb, cr = (o.astype(np.float64) for o in out)

@@ -542,6 +542,36 @@ def test_decode_image_jpeg_corrupt_and_progressive_degrade(spark):
     assert out[3]["ok"] is True and out[3]["decoded_format"] == "jpeg"
 
 
+def test_parse_jpeg_foreign_libjpeg_420_pinned():
+    """Decode a FOREIGN-encoded baseline 4:2:0 JPEG (libjpeg-produced
+    photo shipped with Apache Spark's MLlib test data — public,
+    Apache-2.0) so `_parse_jpeg` correctness doesn't rest on
+    round-tripping its own packer (which is DC-only, 1x1-sampled).
+    This exercises real Annex-K-divergent Huffman tables, AC runs,
+    APP/EXIF segment skipping and 2x2 chroma subsampling.  Pins are
+    total AND center-crop per-channel sums (total sums alone could
+    mask spatially-compensating errors)."""
+    import os
+
+    from pandance_spark.operators.multimodal import _parse_jpeg
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "foreign_libjpeg_420.jpg")
+    img = _parse_jpeg(open(path, "rb").read())
+    assert img is not None and img.shape == (200, 300, 3)
+    assert [int(img[:, :, c].sum()) for c in range(3)] == [
+        7946201, 7759297, 7408465,
+    ]
+    crop = img[75:125, 125:175]
+    assert [int(crop[:, :, c].sum()) for c in range(3)] == [
+        180578, 162914, 144023,
+    ]
+    # plausibility of the color transform: a daylight photo decodes to
+    # mid-range means on every channel, not saturated or inverted
+    means = img.reshape(-1, 3).mean(axis=0)
+    assert all(80 < m < 180 for m in means)
+
+
 def test_decode_image_bomb_headers_degrade(spark):
     # attacker-controlled headers declaring huge dims must degrade to
     # ok=false, never allocate (decode-side _MAX_DECODE_PIXELS cap)
