@@ -122,10 +122,43 @@ def duplicate_groups(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
-def _hashed_shingles(text: Column, shingle_n: int) -> Column:
-    """Per-row array of 31-bit-folded xxhash64 shingle hashes."""
+def _shingle_hash(s: Column, portable: bool = False) -> Column:
+    """31-bit-folded shingle hash.  ``portable=False``: xxhash64 mod p
+    (fast, engine-specific).  ``portable=True``: md5-derived, exactly
+    reproducible in any engine with md5 — two 32-bit halves folded as
+    ``((hi % p) * (2^32 % p) + lo) % p`` (note ``2^32 % p == 2`` for
+    the Mersenne prime), every intermediate < 2^33 so the arithmetic
+    is exact BIGINT in Spark, DuckDB and anything else."""
+    if not portable:
+        return F.pmod(F.xxhash64(s), F.lit(_PRIME))
+    hx = F.md5(s)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    p = F.lit(_PRIME)
+    return F.pmod(F.pmod(hi, p) * F.lit((1 << 32) % _PRIME) + lo, p)
+
+
+def _band_hash(slice_col: Column, portable: bool = False) -> Column:
+    """Hash of one LSH band's signature slice.  ``portable=False``:
+    Spark's Murmur3 ``hash`` of the array.  ``portable=True``: first 8
+    hex chars of md5 over the comma-joined decimal slot values — the
+    canonical string form both Spark's CAST(long AS STRING) and
+    DuckDB's BIGINT::VARCHAR produce."""
+    if not portable:
+        return F.hash(slice_col)
+    joined = F.concat_ws(
+        ",", F.transform(slice_col, lambda x: x.cast("string"))
+    )
+    return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+
+
+def _hashed_shingles(
+    text: Column, shingle_n: int, portable: bool = False
+) -> Column:
+    """Per-row array of 31-bit-folded shingle hashes (see
+    :func:`_shingle_hash` for the portable variant)."""
     shingles = word_shingles(text, shingle_n)
-    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)))
+    return F.transform(shingles, lambda s: _shingle_hash(s, portable))
 
 
 def _signature_from_hashed(hashed: Column, num_hashes: int, seed: int) -> Column:
@@ -172,6 +205,7 @@ def _banded_keys(
     shingle_n: int,
     seed: int,
     carry: Sequence[str] = (),
+    portable: bool = False,
 ) -> DataFrame:
     """(id, band, bhash[, carry...]) LSH band keys — pure per-row work.
 
@@ -193,10 +227,13 @@ def _banded_keys(
         *carry,
         F.transform(
             word_shingles_from_tokens(F.col("__toks"), shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
+            lambda s: _shingle_hash(s, portable),
         ).alias("__hashed"),
     )
-    return _bands_from_hashed(hashed_df, id_col, num_hashes, bands, seed, carry=carry)
+    return _bands_from_hashed(
+        hashed_df, id_col, num_hashes, bands, seed, carry=carry,
+        portable=portable,
+    )
 
 
 def _bands_from_hashed(
@@ -206,9 +243,12 @@ def _bands_from_hashed(
     bands: int,
     seed: int,
     carry: Sequence[str] = (),
+    portable: bool = False,
 ) -> DataFrame:
     """Signature + LSH band explode from a pre-staged ``__hashed``
-    column (31-bit-folded shingle hashes)."""
+    column (31-bit-folded shingle hashes).  The affine signature fold
+    is engine-agnostic integer arithmetic; ``portable`` only switches
+    the band-slice hash (see :func:`_band_hash`)."""
     carry = list(carry)
     rows_per_band = num_hashes // bands
     with_sig = hashed_df.select(
@@ -224,8 +264,12 @@ def _bands_from_hashed(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.hash(
-                            F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                        _band_hash(
+                            F.slice(
+                                F.col("__sig"), i * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            portable,
                         ).alias("bhash"),
                     )
                     for i in range(bands)

@@ -275,6 +275,7 @@ def streaming_near_dup_filter(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Drop streaming documents that near-duplicate a STATIC reference
     corpus — the incremental-ingest complement of ``dedup_minhash``:
@@ -301,9 +302,10 @@ def streaming_near_dup_filter(
     a corpus-scale reference, or dedup in batch instead).
     """
     from pandance_spark.operators.dedup import (
+        _band_hash,
         _banded_keys,
+        _shingle_hash,
         _signature_from_hashed,
-        _PRIME,
     )
     from pandance_spark.functions.text import (
         tokenize,
@@ -323,7 +325,7 @@ def streaming_near_dup_filter(
         "__hashed",
         F.transform(
             word_shingles_from_tokens(F.col("__toks"), shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_PRIME)),
+            lambda s: _shingle_hash(s, portable),
         ),
     )
     sig = tok.select(
@@ -335,8 +337,9 @@ def streaming_near_dup_filter(
     with_bands = sig.select(
         *orig_cols,
         *[
-            F.hash(
-                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+            _band_hash(
+                F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band),
+                portable,
             ).alias(f"__bh{i}")
             for i in range(bands)
         ],
@@ -345,7 +348,8 @@ def streaming_near_dup_filter(
     # in every micro-batch — uncached, each of the `bands` joins would
     # re-run the reference scan + tokenize + signature pipeline
     ref_banded = _banded_keys(
-        reference, id_col, text_col, num_hashes, bands, shingle_n, seed
+        reference, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        portable=portable,
     ).persist()
     out = with_bands
     for i in range(bands):
@@ -1028,6 +1032,7 @@ def streaming_similarity_join(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Stream-stream near-duplicate candidates: pairs of documents
     arriving within ``window`` of each other whose MinHash-LSH bands
@@ -1048,7 +1053,7 @@ def streaming_similarity_join(
     docs = _ensure_event_time(docs, ts_col)
     banded = _banded_keys(
         docs, id_col, text_col, num_hashes, bands, shingle_n, seed,
-        carry=[ts_col],
+        carry=[ts_col], portable=portable,
     )
     a = banded.select(
         F.col(id_col).alias("id_a"),

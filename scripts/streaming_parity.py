@@ -298,10 +298,60 @@ def main():
 
     # ------------------------------------------------------------------
     # 5. streaming_similarity_join: stream-stream LSH candidates ==
-    # the same band expressions self-joined in batch (xxhash64 bands
-    # are engine-specific -> no DuckDB form; oracle = spark-batch)
+    # the same band expressions self-joined in batch, AND (r6 verdict
+    # item 7) a full DuckDB replay: with portable=True every hash in
+    # the pipeline is md5-derived exact-integer arithmetic, so DuckDB
+    # recomputes the identical 64-slot MinHash signatures and band
+    # hashes from the raw text
     # ------------------------------------------------------------------
-    from pandance_spark.operators.dedup import _banded_keys
+    from pandance_spark.operators.dedup import _banded_keys, _hash_params
+
+    def banded_cte(prefix: str, src_sql: str) -> str:
+        """DuckDB CTE chain computing the EXACT portable LSH band keys
+        pandance_spark emits for (doc_id, text) rows of ``src_sql``:
+        tokenize -> 3-shingles -> md5-folded 31-bit shingle hash
+        (((hi % p) * (2^32 % p) + lo) % p, 2^32 % p == 2) -> 64-slot
+        affine-min signature (empty set -> all-p sentinel) -> per-band
+        md5 hash of the comma-joined slot values."""
+        params = _hash_params(64, 42)
+        vals = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(params))
+        P = prefix
+        return f"""
+{P}src AS ({src_sql}),
+{P}toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS ts
+  FROM {P}src
+),
+{P}sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) < 3 THEN []
+              ELSE [array_to_string(list_slice(ts, i, i+2), ' ')
+                    for i in range(1, len(ts)-1)] END AS ss
+  FROM {P}toks
+),
+{P}hsh AS (
+  SELECT doc_id,
+         ((CAST('0x' || substr(md5(u.s), 1, 8) AS BIGINT) % 2147483647) * 2
+           + CAST('0x' || substr(md5(u.s), 9, 8) AS BIGINT)) % 2147483647 AS h
+  FROM {P}sh, unnest({P}sh.ss) AS u(s)
+),
+{P}params(k, a, b) AS (VALUES {vals}),
+{P}slot AS (
+  SELECT s.doc_id, p.k,
+         coalesce(min((p.a * h.h + p.b) % 2147483647), 2147483647) AS m
+  FROM {P}sh s CROSS JOIN {P}params p
+  LEFT JOIN {P}hsh h ON h.doc_id = s.doc_id
+  GROUP BY 1, 2
+),
+{P}sig AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM {P}slot GROUP BY 1),
+{P}band AS (
+  SELECT doc_id, bi.band,
+         CAST('0x' || substr(md5(array_to_string(
+           list_slice(sig, bi.band * 4 + 1, bi.band * 4 + 4), ',')), 1, 8)
+           AS BIGINT) AS bhash
+  FROM {P}sig, (SELECT unnest(range(16)) AS band) bi
+)"""
 
     docs = load_table(spark, SF_DIR, "documents").limit(80).collect()
     base = dt.datetime(2024, 1, 1)
@@ -318,7 +368,7 @@ def main():
     run_stream_to_memory(
         streaming_similarity_join(
             stream, "doc_id", "text", ts_col="ts",
-            window="10 minutes", watermark="2 hours",
+            window="10 minutes", watermark="2 hours", portable=True,
         ).select("id_a", "id_b", "band"),
         "parity_sim",
     )
@@ -326,7 +376,7 @@ def main():
     s = canon_rows(spark.table("parity_sim").collect(), cols)
     banded = _banded_keys(
         spark.createDataFrame(rows, doc_schema),
-        "doc_id", "text", 64, 16, 3, 42, carry=["ts"],
+        "doc_id", "text", 64, 16, 3, 42, carry=["ts"], portable=True,
     )
     a = banded.select(
         F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"), "band", "bhash"
@@ -344,8 +394,25 @@ def main():
         "inner",
     ).select("id_a", "id_b", "band")
     b = canon_rows(batch_pairs.collect(), cols)
-    record("streaming_similarity_join", "spark-batch", s, b, None,
-           note="xxhash64 LSH bands are engine-specific; no SQL form")
+    sim_sql = (
+        "WITH "
+        + banded_cte("s_", f"SELECT doc_id, text FROM read_parquet('{src}/*.parquet')")
+        + f""",
+s_ts AS (SELECT doc_id, CAST(ts AS TIMESTAMP) AS ts
+         FROM read_parquet('{src}/*.parquet'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band
+FROM s_band a
+JOIN s_band b ON a.band = b.band AND a.bhash = b.bhash
+             AND a.doc_id < b.doc_id
+JOIN s_ts ta ON ta.doc_id = a.doc_id
+JOIN s_ts tb ON tb.doc_id = b.doc_id
+WHERE abs(epoch(ta.ts) - epoch(tb.ts)) <= 600
+"""
+    )
+    d = canon_rows(duck_rows(con.sql(sim_sql)), cols)
+    record("streaming_similarity_join", "duckdb", s, b, d,
+           note="portable=True: md5-derived shingle/band hashes let "
+                "DuckDB recompute the identical MinHash-LSH pipeline")
 
     # ------------------------------------------------------------------
     # 6. streaming_near_dup_filter: stream-static anti-join survivors ==
@@ -360,13 +427,18 @@ def main():
     batch_docs.coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
     run_stream_to_memory(
-        streaming_near_dup_filter(stream, ref, "doc_id", "text").select("doc_id"),
+        streaming_near_dup_filter(
+            stream, ref, "doc_id", "text", portable=True
+        ).select("doc_id"),
         "parity_ndf",
     )
     cols = ["doc_id"]
     s = canon_rows(spark.table("parity_ndf").collect(), cols)
-    sb = _banded_keys(batch_docs, "doc_id", "text", 64, 16, 3, 42)
-    rb = _banded_keys(ref, "doc_id", "text", 64, 16, 3, 42).select("band", "bhash").distinct()
+    sb = _banded_keys(batch_docs, "doc_id", "text", 64, 16, 3, 42, portable=True)
+    rb = (
+        _banded_keys(ref, "doc_id", "text", 64, 16, 3, 42, portable=True)
+        .select("band", "bhash").distinct()
+    )
     survivors = (
         sb.join(rb, ["band", "bhash"], "left_anti")
         .select("doc_id").distinct()
@@ -376,8 +448,32 @@ def main():
         )
     )
     b = canon_rows(survivors.collect(), cols)
-    record("streaming_near_dup_filter", "spark-batch", s, b, None,
-           note="survivor = no band collides with the static reference")
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    ndf_sql = (
+        "WITH "
+        + banded_cte(
+            "n_", f"SELECT doc_id, text FROM read_parquet('{src}/*.parquet')"
+        )
+        + ", "
+        + banded_cte(
+            "r_",
+            f"SELECT doc_id, text FROM read_parquet('{docs_pq}') "
+            "WHERE doc_id % 3 = 0",
+        ).lstrip()
+        + """
+SELECT DISTINCT s.doc_id
+FROM n_src s
+WHERE NOT EXISTS (
+  SELECT 1 FROM n_band bs JOIN r_band br
+    ON bs.band = br.band AND bs.bhash = br.bhash
+  WHERE bs.doc_id = s.doc_id
+)
+"""
+    )
+    d = canon_rows(duck_rows(con.sql(ndf_sql)), cols)
+    record("streaming_near_dup_filter", "duckdb", s, b, d,
+           note="portable=True: survivor = no md5-LSH band collides "
+                "with the static reference; DuckDB replays both sides")
 
     # ------------------------------------------------------------------
     # 7. sessionize_stream (session_window agg, append mode): a far-
