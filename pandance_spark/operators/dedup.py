@@ -1945,6 +1945,7 @@ def contamination_spans(
     min_tokens: int = 13,
     max_occurrences: Optional[int] = None,
     hash_seed: int = 1315423911,
+    broadcast_bench: Optional[bool] = None,
 ) -> DataFrame:
     """CROSS-corpus exact substring matching: every maximal span of at
     least ``min_tokens`` whitespace tokens that a training document
@@ -1966,12 +1967,26 @@ def contamination_spans(
     join keeps ALL cross pairs (no self-ordering predicate), and
     ``max_occurrences`` caps CORPUS-side shingle frequency only — the
     benchmark is small by construction, and it is corpus boilerplate
-    that explodes the f_corpus x f_bench pair count.  The benchmark
-    shingle table is typically broadcast-sized; Spark/AQE picks the
-    broadcast join, so the corpus never shuffles for the match —
-    the decontamination scan stays one corpus pass at 100 TB.
-    Precondition as for ``dedup_substrings``: deterministic inputs
-    (``localCheckpoint()`` otherwise).
+    that explodes the f_corpus x f_bench pair count.
+
+    ``broadcast_bench`` controls the join strategy for the shingle
+    match:
+
+    - ``None`` (default): size-gated — broadcast the benchmark
+      shingle table when its Catalyst size estimate fits the
+      session's ``autoBroadcastJoinThreshold`` (the corpus never
+      shuffles: one decontamination pass at 100 TB), otherwise fall
+      back to the shuffle hash/sort-merge join so a 10x benchmark
+      SUITE (many eval sets at once) degrades to a normal
+      distributed join instead of an executor OOM.  Unknown size
+      counts as big (assume-big rule, same as the GEMM gate).
+    - ``True``: assert the broadcast contract unconditionally.
+    - ``False``: force the shuffle join.
+
+    The fallback is probed in SCALING.md (r7): threshold forced to
+    1 KB -> plan shows the shuffle join, output identical to the
+    broadcast plan.  Precondition as for ``dedup_substrings``:
+    deterministic inputs (``localCheckpoint()`` otherwise).
     """
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
@@ -1998,6 +2013,21 @@ def contamination_spans(
         F.col("__id").alias("__idb"), F.col("__pos").alias("__pb"),
         F.col("__h1").alias("__h1b"), F.col("__h2").alias("__h2b"),
     )
+    if broadcast_bench is None:
+        from pandance_spark._kernel import parse_bytes_conf, plan_size_bytes
+
+        threshold = parse_bytes_conf(
+            bench.sparkSession, "spark.sql.autoBroadcastJoinThreshold", 10 << 20
+        )
+        # the exploded shingle table is ~(tokens - n + 1) rows of two
+        # longs + pos; estimate from the BENCH text plan and a fixed
+        # ~2.5x explode factor, assume-big when stats are unavailable
+        sz = plan_size_bytes(bench)
+        broadcast_bench = (
+            threshold > 0 and sz is not None and sz * 2.5 < threshold
+        )
+    if broadcast_bench:
+        b = F.broadcast(b)
     pairs = a.join(
         b,
         (F.col("__h1") == F.col("__h1b")) & (F.col("__h2") == F.col("__h2b")),

@@ -1,0 +1,84 @@
+"""r7 probe (VERDICT item 8): contamination_spans broadcast-overflow
+fallback.
+
+Claim: when the benchmark shingle table exceeds the broadcast
+threshold, the operator degrades to a distributed shuffle join with
+IDENTICAL output — so span-level decontamination survives a benchmark
+SUITE 10x+ bigger than one eval set instead of OOMing an executor.
+
+Probe: run the same corpus x benchmark at sf0.01 under (a) the default
+size gate with a normal 10 MB threshold (expected: broadcast plan),
+(b) the gate with the threshold forced to 1 KB (expected: shuffle
+join engaged by the gate itself), and (c) broadcast_bench=False.  The
+executed-plan join node is captured for each and the three outputs
+compared row-for-row.
+
+Usage: python scripts/scale_probe_r07_contamination.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def join_nodes(df) -> set:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return set(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    from pandance_spark.operators.dedup import contamination_spans
+    from pandance_spark.sources import load_table
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("contamination_fallback_probe")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("bench_text")
+    )
+
+    def run(threshold, forced):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(threshold))
+        out = contamination_spans(
+            corpus, "doc_id", "text", bench, "bench_id", "bench_text",
+            min_tokens=8, broadcast_bench=forced,
+        )
+        rows = sorted(tuple(r) for r in out.collect())
+        return rows, join_nodes(out)
+
+    a_rows, a_nodes = run(10 << 20, None)
+    b_rows, b_nodes = run(1024, None)
+    c_rows, c_nodes = run(10 << 20, False)
+    print("default-gate (10MB):", a_nodes, len(a_rows), "spans")
+    print("gate @1KB threshold:", b_nodes, len(b_rows), "spans")
+    # (c) broadcast_bench=False removes the planner HINT; with a tiny
+    # bench and a normal threshold AQE may still convert the shuffle
+    # join back to broadcast at runtime — that's the desired layered
+    # behavior (our gate decides by size, AQE re-optimizes by size)
+    print("no-hint (AQE free): ", c_nodes, len(c_rows), "spans")
+    assert "BroadcastHashJoin" in a_nodes, "size gate should broadcast a tiny bench"
+    assert "BroadcastHashJoin" not in b_nodes or b_nodes & {
+        "SortMergeJoin", "ShuffledHashJoin"
+    }, "1KB threshold should engage the shuffle fallback"
+    assert a_rows == b_rows == c_rows, "fallback output must be identical"
+    print("PROBE OK: fallback engages and matches bit-for-bit")
+
+
+if __name__ == "__main__":
+    main()
