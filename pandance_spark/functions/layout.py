@@ -223,7 +223,9 @@ def write_sized(
     then dominates every scan; a compaction pass targeting ~128 MB
     restores scan efficiency (the number every lakehouse OPTIMIZE
     defaults to).  Partition count = Catalyst size estimate /
-    (target × assumed parquet ``compression_ratio``); returns it.
+    (target × assumed parquet ``compression_ratio``); returns that
+    PLANNED partition count (empty partitions or committer behavior
+    can yield fewer actual files).
 
     The repartition is a round-robin shuffle — one pass over the data,
     the floor any compaction pays.  For pruning-friendly layouts
@@ -247,7 +249,9 @@ def compact_files(
     """Read a (possibly fragmented) parquet directory and rewrite it
     size-targeted — the standalone compaction job.  Reading first
     makes the Catalyst estimate scan-rooted, i.e. as accurate as the
-    source footers; returns the file count written."""
+    source footers.  Returns the PLANNED output partition count —
+    empty partitions or committer behavior can yield fewer actual
+    files; count the directory if an exact file tally matters."""
     return write_sized(
         spark.read.parquet(src_path),
         dst_path,

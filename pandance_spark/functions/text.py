@@ -736,7 +736,12 @@ def extract_main_text(
         raise ValueError("max_link_density must be in [0, 1]")
     if not 0 <= min_stopword_density <= 1:
         raise ValueError("min_stopword_density must be in [0, 1]")
-    if stopwords is not None and not list(stopwords):
+    # materialize ONCE up front: a generator input would be exhausted
+    # by this emptiness guard and the later per-word filter would see
+    # an empty stopword list — exactly the silent-drop the guard exists
+    # to prevent (r6 advice)
+    stopwords = list(stopwords) if stopwords is not None else None
+    if stopwords is not None and not stopwords:
         raise ValueError(
             "stopwords must be a non-empty list (an empty list makes "
             "every block's density 0 and silently drops the whole "

@@ -304,7 +304,11 @@ def keep_best(
 
     Inputs: ``df`` holding ``id_col`` plus whatever columns ``score``
     reads; ``clusters`` a ``(id_col, cluster_id, ...)`` frame, e.g.
-    :func:`dedup_clusters` output or any precomputed assignment.
+    :func:`dedup_clusters` output or any precomputed assignment.  A
+    ``df`` row absent from ``clusters`` is treated as its own
+    SINGLETON cluster (cluster_id = its id) rather than silently
+    dropped — a partial assignment (e.g. clusters computed on last
+    week's snapshot) must never shrink the corpus (r6 advice).
 
     Plan shape: one broadcast-eligible equi-join on ``id_col`` (the
     cluster table carries two thin columns) + ONE window shuffle on
@@ -319,7 +323,10 @@ def keep_best(
     # never beat a scored row (F.asc alone puts NULLs first)
     direction = F.desc_nulls_last if descending else F.asc_nulls_last
     ranked = (
-        df.join(clusters.select(id_col, "cluster_id"), id_col)
+        df.join(clusters.select(id_col, "cluster_id"), id_col, "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
         .withColumn("__kb_score", score)
     )
     w = Window.partitionBy("cluster_id").orderBy(

@@ -155,6 +155,12 @@ def hist_bin(value: Column, bounds: Sequence[float]) -> Column:
     number of bounds strictly below the value.  A pure Column
     expression over an array literal (whole-stage codegen; no UDF),
     and closed-form replayable in any engine with list functions.
+
+    NaN lands in the TOP bin ``len(bounds)`` (Spark orders NaN greater
+    than every double, so ``NaN > b`` holds for all bounds) — callers
+    binning raw data should filter NaN first, as
+    :func:`build_rollup_hist` does; NULL yields bin 0 (comparisons
+    with NULL are false under ``F.filter``).
     """
     bounds = _check_bounds(bounds)
     arr = F.array(*[F.lit(b) for b in bounds])
