@@ -2861,6 +2861,202 @@ def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --------------------------------------------------------------------------
+# r7: scalar-subquery decorrelation suite (TPC-H Q17/Q15/Q20/Q22/Q2
+# shapes adapted to the synthetic schema).  Each Spark side is the
+# hand-decorrelated plan (aggregate join / semi chain / broadcast
+# scalar); each oracle keeps the ORIGINAL correlated-subquery SQL so
+# DuckDB's decorrelator must independently agree — the same evidence
+# pattern as q21_blame.  Money sums follow the repo convention:
+# per-row cents snap (round(x*100) as BIGINT) wherever a sum feeds a
+# comparison/argmax (integer-exact across engines), round(sum, 2)
+# where the sum is display-only.
+# --------------------------------------------------------------------------
+
+
+def _q_q17_avg_qty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — per-group-average correlated scalar subquery:
+    lines with quantity below HALF their part's average quantity
+    (small-order fraction per brand).  Spark decorrelates into one
+    map-side-combined per-part aggregate joined back to the scan (the
+    aggregate is parts-sized -> AQE broadcasts it); the oracle keeps
+    the correlated `l_quantity < (SELECT 0.5*avg(...) WHERE same
+    part)` form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    gate = li.groupBy(F.col("l_partkey").alias("g_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_gate")
+    )
+    return (
+        li.join(gate, F.col("l_partkey") == F.col("g_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_gate"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — revenue view + correlated global-max scalar:
+    the supplier(s) whose 1996-H1 discounted revenue equals the
+    maximum over all suppliers.  Revenue is snapped to integer CENTS
+    per line BEFORE summation (round(x*100) as long), so the argmax
+    comparison is exact integer arithmetic in any engine — a float
+    `revenue = max(revenue)` would hinge on summation order.  Spark
+    decorrelates via one revenue aggregate + a broadcast 1-row max
+    cross join; the oracle keeps the correlated `WHERE total_revenue
+    = (SELECT max(...) FROM revenue)` form over the same CTE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+    )
+    top = rev.agg(F.max("revenue_cents").alias("max_cents"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("revenue_cents") == F.col("max_cents"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_q20_semi_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — nested IN subqueries as a semi-join chain:
+    suppliers who shipped more than 80 units of some green-ish part
+    (name filter pushes to the part scan).  Spark: part filter ->
+    per-(supp, part) shipped-quantity aggregate -> HAVING -> LEFT SEMI
+    into supplier; the heavy lineitem aggregate shuffles once on its
+    natural (suppkey, partkey) key.  The oracle keeps the nested
+    `s_suppkey IN (SELECT ... WHERE l_partkey IN (SELECT ...) GROUP BY
+    ... HAVING ...)` form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    green = part.filter(F.col("p_name").like("%a%")).select("p_partkey")
+    shippers = (
+        li.join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 80.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q_q22_idle_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global-scalar subquery + NOT EXISTS: customers
+    richer than the average POSITIVE account balance who never placed
+    a whale order (> 400k), rolled up per nation.  Spark: the scalar
+    average is a 1-row broadcast cross join (never a shuffle), the
+    NOT EXISTS an anti join with the whale filter pushed to the
+    orders scan; balances snap to cents per row so the per-nation
+    sums are integer-exact.  The oracle keeps the correlated
+    `c_acctbal > (SELECT avg(...)) AND NOT EXISTS (SELECT ... same
+    customer AND o_totalprice > 400000)` form."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    idle = (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_totalprice") > 400000.0).select(
+                "o_custkey"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return (
+        idle.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "total_bal_cents"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — per-group-min correlated subquery with a join
+    fence: for parts sold into one region, the supplier(s) achieving
+    the MINIMUM line price for that part.  The min is an exact
+    SELECTION over stored doubles (no arithmetic), so float equality
+    against it matches the same rows in every engine.  Spark
+    decorrelates into a per-part min aggregate joined back; the
+    oracle keeps the correlated `price = (SELECT min(...) WHERE same
+    part within the region)` form.  Ties: every minimal supplier
+    row is returned, mirroring Q2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rsupp = (
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            region.filter(F.col("r_name") == "EUROPE"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    offers = li.join(
+        F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "s_suppkey", "s_name", "l_extendedprice")
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            F.col("l_extendedprice").alias("best_price"),
+        )
+        .distinct()
+        .orderBy("l_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -2960,6 +3156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": _q_q18_big_orders,
         "exact_sample": _q_exact_sample,
         "scd2_apply_late": _q_scd2_apply_late,
+        # r7 additions waiting for a window slot: the scalar-subquery
+        # decorrelation suite (Q17/Q15/Q20/Q22/Q2 shapes) — Spark side
+        # hand-decorrelated, oracles keep the original correlated SQL
+        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q20_semi_chain": _q_q20_semi_chain,
+        "q22_idle_value": _q_q22_idle_value,
+        "q2_min_cost": _q_q2_min_cost,
         # earlier rotations (r2-r6) — see git history for per-round notes
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
@@ -4163,6 +4367,85 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         """,
         # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
         # must agree with the hand-decorrelated Spark plan
+        # r7 decorrelation suite: every oracle keeps the ORIGINAL
+        # correlated-subquery form — DuckDB's decorrelator must agree
+        # with the hand-decorrelated Spark plan
+        "q17_avg_qty_gate": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_quantity < (
+              SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey
+            )
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                         * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.revenue_cents
+            FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.revenue_cents = (SELECT max(revenue_cents) FROM revenue)
+            ORDER BY s.s_suppkey
+        """,
+        "q20_semi_chain": """
+            SELECT s.s_suppkey, s.s_name, n.n_name
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE s.s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%a%'
+              )
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(l_quantity) > 80.0
+            )
+            ORDER BY s.s_suppkey
+        """,
+        "q22_idle_value": """
+            SELECT n.n_name, count(*) AS n_customers,
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_bal_cents
+            FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE c.c_acctbal > (
+              SELECT avg(c2.c_acctbal) FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+            )
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 400000.0
+            )
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "q2_min_cost": """
+            WITH offers AS (
+              SELECT l.l_partkey, s.s_suppkey, s.s_name, l.l_extendedprice
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE'
+            )
+            SELECT DISTINCT o.l_partkey, o.s_suppkey, o.s_name,
+                   o.l_extendedprice AS best_price
+            FROM offers o
+            WHERE o.l_extendedprice = (
+              SELECT min(o2.l_extendedprice) FROM offers o2
+              WHERE o2.l_partkey = o.l_partkey
+            )
+            ORDER BY o.l_partkey, o.s_suppkey
+            LIMIT 100
+        """,
         "q21_blame": """
             SELECT s.s_name,
                    count(DISTINCT l1.l_orderkey) AS numwait

@@ -278,6 +278,12 @@ def main():
         "cumulative_users",
         "step_transitions",
         "ab_summary",
+        # r7 additions: scalar-subquery decorrelation suite
+        "q17_avg_qty_gate",
+        "q15_top_supplier",
+        "q20_semi_chain",
+        "q22_idle_value",
+        "q2_min_cost",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
