@@ -2876,6 +2876,32 @@ def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment search (operators/dedup.py
+    containment_join): every 11th document's first HALF is treated as
+    a quote/benchmark prompt and searched against the full corpus for
+    documents holding >= 80% of its 3-gram shingles — the inclusion
+    measure Jaccard misses when a short text sits inside a long one.
+    Spark: corpus shingles explode once (freq + index + sets share a
+    checkpoint), only query PREFIXES probe the index (pigeonhole
+    bound), exact set verification.  The oracle replays exact
+    containment over string shingle sets all-pairs (cheap at oracle
+    scale)."""
+    from pandance_spark.operators.dedup import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    quotes = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("quote_id"),
+        F.expr("substring(text, 1, cast(floor(n_chars / 2.0) as int))").alias(
+            "qtext"
+        ),
+    )
+    return containment_join(
+        quotes, docs, "quote_id", "qtext", "doc_id", "text",
+        shingle_n=3, threshold=0.8,
+    ).orderBy("query_id", "corpus_id")
+
+
 def _q_q17_avg_qty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape — per-group-average correlated scalar subquery:
     lines with quantity below HALF their part's average quantity
@@ -3159,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 additions waiting for a window slot: the scalar-subquery
         # decorrelation suite (Q17/Q15/Q20/Q22/Q2 shapes) — Spark side
         # hand-decorrelated, oracles keep the original correlated SQL
+        "containment_quotes": _q_containment_quotes,
         "q17_avg_qty_gate": _q_q17_avg_qty_gate,
         "q15_top_supplier": _q_q15_top_supplier,
         "q20_semi_chain": _q_q20_semi_chain,
@@ -4367,6 +4394,54 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         """,
         # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
         # must agree with the hand-decorrelated Spark plan
+        # exact asymmetric containment replayed over STRING shingle
+        # sets all-pairs (the Spark side's 64-bit shingle hashing is
+        # collision-free at oracle scale); same substring fixture,
+        # floor() pinned on both sides (DuckDB double->int CAST rounds,
+        # Spark truncates)
+        "containment_quotes": """
+            WITH q AS (
+              SELECT doc_id AS query_id,
+                     substr(text, 1, CAST(floor(n_chars / 2.0) AS INT)) AS t
+              FROM documents WHERE doc_id % 11 = 0
+            ),
+            qt AS (
+              SELECT query_id,
+                     list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                                 x -> x <> '') AS ts
+              FROM q
+            ),
+            qs AS (
+              SELECT query_id,
+                     list_distinct(CASE WHEN len(ts) < 3 THEN [] ELSE
+                       [array_to_string(list_slice(ts, i, i+2), ' ')
+                        for i in range(1, len(ts)-1)] END) AS s
+              FROM qt
+            ),
+            ct AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS ts
+              FROM documents
+            ),
+            cs AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ts) < 3 THEN [] ELSE
+                       [array_to_string(list_slice(ts, i, i+2), ' ')
+                        for i in range(1, len(ts)-1)] END) AS s
+              FROM ct
+            ),
+            ex AS (
+              SELECT q.query_id, c.doc_id AS corpus_id,
+                     round(len(list_intersect(q.s, c.s))::DOUBLE
+                           / len(q.s), 6) AS containment
+              FROM qs q, cs c
+              WHERE len(q.s) > 0
+            )
+            SELECT query_id, corpus_id, containment
+            FROM ex WHERE containment >= 0.8
+            ORDER BY query_id, corpus_id
+        """,
         # r7 decorrelation suite: every oracle keeps the ORIGINAL
         # correlated-subquery form — DuckDB's decorrelator must agree
         # with the hand-decorrelated Spark plan

@@ -278,6 +278,8 @@ def main():
         "cumulative_users",
         "step_transitions",
         "ab_summary",
+        # r7 additions
+        "containment_quotes",
         # r7 additions: scalar-subquery decorrelation suite
         "q17_avg_qty_gate",
         "q15_top_supplier",

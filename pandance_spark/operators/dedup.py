@@ -47,6 +47,7 @@ __all__ = [
     "simhash_candidates",
     "hamming_candidates",
     "ngram_jaccard_join",
+    "containment_join",
     "embedding_cosine_pairs",
     "build_minhash_index",
     "dedup_against_index",
@@ -1933,6 +1934,127 @@ def _substring_spans(pairs: DataFrame, k: int) -> DataFrame:
             (F.col("__n") + F.lit(k - 1)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def containment_join(
+    query: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    query_text: str,
+    corpus_id: Optional[str] = None,
+    corpus_text: Optional[str] = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT asymmetric n-gram CONTAINMENT join: for every query
+    document A, the corpus documents B holding at least ``threshold``
+    of A's distinct word ``shingle_n``-grams —
+    ``|A ∩ B| / |A| >= t``.  The quote/inclusion detector: Jaccard
+    misses a tweet quoted inside a long article (the union dwarfs the
+    overlap); containment of the SHORT side is the right measure for
+    "B contains A" — benchmark-prompt search, quote attribution,
+    boilerplate-inside-page detection.
+
+    Returns ``(query_id, corpus_id, containment)`` with containment
+    rounded to 6 dp and ``>= threshold``; queries with no shingles
+    produce no rows.
+
+    Spark-first shape (the asymmetric twin of
+    :func:`ngram_jaccard_join`'s AllPairs prefix filter): overlap
+    ``>= ceil(t*|A|)`` means at least one of A's first
+    ``|A| - ceil(t*|A|) + 1`` shingles under ANY fixed total order
+    must land in B (pigeonhole) — so only QUERY PREFIXES are exploded
+    against the full corpus shingle index.  The order used is
+    ascending CORPUS document frequency (rarest first), so prefix
+    probes hit the short postings lists; a query shingle absent from
+    the corpus has df 0, sorts first, and generates zero candidates.
+    Shuffles: corpus explode + frequency aggregate (linear in corpus
+    shingles — the same pass ``contamination_check`` pays), one
+    prefix equi-join (work ∝ collisions, never |Q| x |C|), then two
+    set-fetch joins for exact verification.  At 100 TB the corpus
+    side streams once; the query side is typically benchmark-sized
+    and every per-query structure is |A|-bounded.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    cid = corpus_id or query_id
+    ctext = corpus_text or query_text
+
+    def _doc_shingles(df, id_src, id_out, text_src):
+        toks = df.select(
+            F.col(id_src).alias(id_out),
+            tokenize(F.col(text_src)).alias("__toks"),
+        )
+        return toks.select(
+            id_out,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles_from_tokens(F.col("__toks"), shingle_n),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("sh"),
+        )
+
+    # corpus pass: exploded shingles feed BOTH the df-frequency
+    # aggregate and the inverted index / set build — checkpoint so the
+    # tokenize/shingle/hash pipeline runs once (Exchange reuse across
+    # branches is not guaranteed)
+    craw = _doc_shingles(corpus, cid, "corpus_id", ctext).localCheckpoint(
+        eager=True
+    )
+    freq = craw.groupBy("sh").agg(F.count("*").alias("__df"))
+    csets = craw.groupBy("corpus_id").agg(
+        F.collect_set("sh").alias("__cset")
+    )
+    qraw = _doc_shingles(query, query_id, "query_id", query_text)
+    # query sets ordered by (corpus df asc, hash): absent shingles get
+    # df 0 via the left join's coalesce
+    qsets = (
+        qraw.join(freq, "sh", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .groupBy("query_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__df", "sh"))).alias("__arr")
+        )
+        .select(
+            "query_id",
+            F.transform("__arr", lambda x: x["sh"]).alias("__qset"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # rounded-output semantics: round(c, 6) >= t admits exact c down to
+    # t - 5e-7 — prune with the effective threshold or boundary pairs
+    # silently vanish (same rule as ngram_jaccard_join)
+    t_eff = max(float(threshold) - 5e-7, 1e-9)
+    n = F.size("__qset")
+    prefix_len = F.greatest(
+        n - F.ceil(n * F.lit(t_eff)) + 1, F.lit(1)
+    ).cast("int")
+    probes = qsets.select(
+        "query_id",
+        F.explode(F.slice("__qset", F.lit(1), prefix_len)).alias("sh"),
+    )
+    cands = (
+        probes.join(craw, "sh")
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(qsets, "query_id")
+        .join(csets, "corpus_id")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("__qset", "__cset"))
+                / F.size("__qset"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+    )
+    return verified.select("query_id", "corpus_id", "containment")
 
 
 def contamination_spans(

@@ -921,3 +921,71 @@ def test_lsh_params_solver():
         lsh_params(0, 0.5)
     with _pytest.raises(ValueError):
         lsh_params(64, 1.0)
+
+
+def test_containment_join_exact_vs_bruteforce(spark):
+    """containment_join must equal the brute-force |A∩B|/|A| over
+    string shingle sets (the prefix filter is an optimization, never a
+    semantics change)."""
+    from pandance_spark.operators.dedup import containment_join
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "a completely different document about spark query planning"),
+        (3, "quick brown fox jumps over the lazy dog"),
+        (4, "spark query planning with adaptive execution and planning"),
+    ]
+    query_rows = [
+        (10, "quick brown fox jumps over"),          # inside 1 and 3
+        (11, "spark query planning"),                 # inside 2 and 4
+        (12, "nothing shared with anything here xyz"),
+        (13, "ab"),                                   # < shingle_n tokens
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    query = spark.createDataFrame(query_rows, "qid long, text string")
+
+    got = {
+        (r["query_id"], r["corpus_id"]): r["containment"]
+        for r in containment_join(
+            query, corpus, "qid", "text", "doc_id", "text",
+            shingle_n=3, threshold=0.5,
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = [w for w in t.lower().split() if w]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expect = {}
+    for qid, qt in query_rows:
+        qs = shingles(qt)
+        if not qs:
+            continue
+        for cid, ct in corpus_rows:
+            c = round(len(qs & shingles(ct)) / len(qs), 6)
+            if c >= 0.5:
+                expect[(qid, cid)] = c
+    assert got == expect
+    assert (10, 1) in got and (10, 3) in got and got[(10, 3)] == 1.0
+    assert all(q != 13 for q, _ in got)  # shingle-less query -> no rows
+
+
+def test_containment_join_threshold_boundary(spark):
+    """A pair landing exactly ON the threshold must survive the prefix
+    pruning (rounded-output semantics, t_eff rule)."""
+    from pandance_spark.operators.dedup import containment_join
+
+    # query has 4 distinct 2-shingles; corpus doc shares exactly 2 -> 0.5
+    query = spark.createDataFrame(
+        [(1, "a b c d e")], "qid long, text string"
+    )  # shingles: ab bc cd de
+    corpus = spark.createDataFrame(
+        [(7, "a b c x y z")], "doc_id long, text string"
+    )  # shares: ab bc
+    out = containment_join(
+        query, corpus, "qid", "text", "doc_id", "text",
+        shingle_n=2, threshold=0.5,
+    ).collect()
+    assert len(out) == 1 and out[0]["containment"] == 0.5
