@@ -45,6 +45,7 @@ __all__ = [
     "stream_upsert_sink",
     "stream_scd2_sink",
     "streaming_similarity_join",
+    "streaming_contamination_router",
 ]
 
 
@@ -364,6 +365,111 @@ def streaming_near_dup_filter(
             "left_anti",
         )
     return out.select(*orig_cols)
+
+
+def streaming_contamination_router(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    bench_text_col: Optional[str] = None,
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+    portable: bool = True,
+    seed: int = 9176,
+    max_bench_mb: int = 64,
+) -> DataFrame:
+    """Stateless streaming decontamination router: every incoming
+    document gains ``n_shared`` (distinct word ``shingle_n``-grams it
+    shares with the WHOLE benchmark suite) and ``contaminated``
+    (``n_shared >= min_overlap``) — ``operators.contamination.
+    contamination_check``'s doc-level question answered at crawl time,
+    so eval-leaking pages are routed to quarantine before they ever
+    land in the training store.
+
+    Plan shape: the benchmark's distinct shingle hashes are collected
+    ONCE at query build (driver gate: 8 bytes x n <= ``max_bench_mb``
+    MB — eval suites are MBs of text by nature; for a corpus-sized
+    "benchmark" run batch ``contamination_check`` instead) and
+    broadcast as one sorted int64 array.  Each micro-batch is then a
+    pure projection: per-row shingle hashing in Column expressions and
+    one Arrow-batched pandas UDF doing a vectorized
+    ``np.searchsorted`` membership count — zero joins, zero shuffles,
+    zero state.  Replaying the stream equals running the same
+    expressions in batch row for row.
+
+    ``portable=True`` (default) hashes shingles with the md5-derived
+    64-bit fold so an external engine can replay the counts exactly
+    (the parity harness's DuckDB oracle recomputes them from raw
+    text); ``portable=False`` uses xxhash64 (faster, engine-specific).
+    Counts are over 64-bit hashes, so a cross-shingle collision needs
+    ~2^32 distinct shingles to become likely — negligible against any
+    real eval suite.  Rows are ANNOTATED, not dropped; routing stays
+    with the caller.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pandance_spark.functions.text import (
+        tokenize,
+        word_shingles_from_tokens,
+    )
+    from pandance_spark.operators.dedup import _token_hash64
+
+    btext = bench_text_col or text_col
+
+    def shingle_hashes(text):
+        toks = tokenize(text)
+        return F.array_distinct(
+            F.transform(
+                word_shingles_from_tokens(toks, shingle_n),
+                lambda s: _token_hash64(s, seed, portable),
+            )
+        )
+
+    bench_hashes = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(btext))).alias("__h")
+        )
+        .distinct()
+        .collect()
+    )
+    n = len(bench_hashes)
+    if n * 8 > max_bench_mb * (1 << 20):
+        raise ValueError(
+            f"benchmark shingle set is {n} hashes (~{n * 8 >> 20} MB) — "
+            f"above the {max_bench_mb} MB driver gate; run batch "
+            "contamination_check for corpus-sized references"
+        )
+    arr = np.sort(np.array([r["__h"] for r in bench_hashes], dtype=np.int64))
+    bc = docs_stream.sparkSession.sparkContext.broadcast(arr)
+
+    # call-form pandas_udf: the decorator inspects annotations, which
+    # are strings under `from __future__ import annotations` here
+    def _n_shared_fn(hs):
+        ref = bc.value
+        if ref.size == 0:
+            return pd.Series(np.zeros(len(hs), dtype=np.int32))
+        out = np.empty(len(hs), dtype=np.int32)
+        for i, row in enumerate(hs):
+            if row is None or len(row) == 0:
+                out[i] = 0
+                continue
+            v = np.asarray(row, dtype=np.int64)
+            idx = np.searchsorted(ref, v)
+            idx[idx >= ref.size] = ref.size - 1
+            out[i] = int((ref[idx] == v).sum())
+        return pd.Series(out)
+
+    _n_shared = F.pandas_udf(_n_shared_fn, "int")
+
+    return (
+        docs_stream.withColumn(
+            "n_shared", _n_shared(shingle_hashes(F.col(text_col)))
+        )
+        .withColumn(
+            "contaminated", F.col("n_shared") >= F.lit(int(min_overlap))
+        )
+    )
 
 
 def running_user_stats(

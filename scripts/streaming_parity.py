@@ -1045,6 +1045,79 @@ WHERE NOT EXISTS (
            note="stateful per-user funnel over two time-ordered "
                 "micro-batches == batch fold == chained-min SQL")
 
+    # ------------------------------------------------------------------
+    # 15. streaming_contamination_router (r7): stateless per-row exact
+    # shared-shingle count vs a broadcast benchmark shingle set ==
+    # the same expressions in batch == DuckDB's string-shingle
+    # intersect counts (portable md5 hashing, 3-shingles so the short
+    # fixture docs actually overlap)
+    # ------------------------------------------------------------------
+    from pandance_spark.streaming import streaming_contamination_router
+
+    docs_all15 = load_table(spark, SF_DIR, "documents")
+    bench15 = docs_all15.filter(F.col("doc_id") % 13 == 0).select(
+        F.col("doc_id").alias("bid"),
+        F.expr(
+            "substring(text, 1, cast(floor(n_chars / 2.0) as int))"
+        ).alias("btext"),
+    )
+    batch15 = docs_all15.select("doc_id", "text")
+    src = os.path.join(tmp, "contam_src")
+    batch15.coalesce(1).write.parquet(src)
+    stream15 = spark.readStream.schema("doc_id long, text string").parquet(src)
+    run_stream_to_memory(
+        streaming_contamination_router(
+            stream15, bench15, "text", bench_text_col="btext",
+            shingle_n=3, min_overlap=2,
+        ).select("doc_id", "n_shared", "contaminated"),
+        "parity_contam",
+    )
+    cols = ["doc_id", "n_shared", "contaminated"]
+    s15 = canon_rows(spark.table("parity_contam").collect(), cols)
+    b15 = canon_rows(
+        streaming_contamination_router(
+            batch15, bench15, "text", bench_text_col="btext",
+            shingle_n=3, min_overlap=2,
+        ).select("doc_id", "n_shared", "contaminated").collect(),
+        cols,
+    )
+    docs_pq15 = os.path.join(SF_DIR, "documents.parquet")
+    d15 = canon_rows(duck_rows(con.sql(f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet('{docs_pq15}')),
+        bsrc AS (
+          SELECT substr(text, 1, CAST(floor(n_chars / 2.0) AS INT)) AS t
+          FROM read_parquet('{docs_pq15}') WHERE doc_id % 13 = 0
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(ts) < 3 THEN [] ELSE
+                   [array_to_string(list_slice(ts, i, i+2), ' ')
+                    for i in range(1, len(ts)-1)] END) AS s
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS ts FROM d)
+        ),
+        bset AS (
+          SELECT DISTINCT u.sg FROM (
+            SELECT CASE WHEN len(ts) < 3 THEN [] ELSE
+                     [array_to_string(list_slice(ts, i, i+2), ' ')
+                      for i in range(1, len(ts)-1)] END AS ss
+            FROM (SELECT list_filter(string_split_regex(lower(t),
+                                                        '[^a-z0-9]+'),
+                                     x -> x <> '') AS ts FROM bsrc)
+          ), unnest(ss) AS u(sg)
+        ),
+        blist AS (SELECT list(sg) AS bs FROM bset)
+        SELECT d.doc_id,
+               CAST(len(list_intersect(sh.s, blist.bs)) AS INT) AS n_shared,
+               len(list_intersect(sh.s, blist.bs)) >= 2 AS contaminated
+        FROM sh JOIN d USING (doc_id), blist
+    """)), cols)
+    record("streaming_contamination_router", "duckdb", s15, b15, d15,
+           note="stateless broadcast-set router: stream == batch == "
+                "DuckDB string-shingle intersect counts (portable md5)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

@@ -889,3 +889,42 @@ def test_streaming_funnel_string_keys_and_chunked_batches(spark, tmp_path):
         assert got == {"u-1": (3, "purchase")}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_contamination_router_gate_and_empty(spark, tmp_path):
+    """Driver gate rejects an oversized benchmark shingle set; empty
+    benchmark and shingle-less docs annotate as clean."""
+    import pytest as _pytest
+
+    from pandance_spark.streaming import streaming_contamination_router
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "x")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "bid long, btext string"
+    )
+    with _pytest.raises(ValueError, match="driver gate"):
+        streaming_contamination_router(
+            docs, bench, "text", bench_text_col="btext",
+            shingle_n=2, max_bench_mb=0,
+        )
+    out = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in streaming_contamination_router(
+            docs, bench, "text", bench_text_col="btext",
+            shingle_n=2, min_overlap=1,
+        ).collect()
+    }
+    # doc 1 shares both bench 2-shingles; doc 2 has no shingles
+    assert out[1] == (2, True) and out[2] == (0, False)
+    # empty benchmark -> everything clean
+    empty = bench.filter("bid < 0")
+    out2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in streaming_contamination_router(
+            docs, empty, "text", bench_text_col="btext", shingle_n=2
+        ).collect()
+    }
+    assert out2 == {1: False, 2: False}
