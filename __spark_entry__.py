@@ -2905,19 +2905,18 @@ def _q_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_q17_avg_qty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape — per-group-average correlated scalar subquery:
     lines with quantity below HALF their part's average quantity
-    (small-order fraction per brand).  Spark decorrelates into one
-    map-side-combined per-part aggregate joined back to the scan (the
-    aggregate is parts-sized -> AQE broadcasts it); the oracle keeps
-    the correlated `l_quantity < (SELECT 0.5*avg(...) WHERE same
-    part)` form."""
+    (small-order fraction per brand).  Spark decorrelates with a
+    WINDOW average over the part key — ONE lineitem scan and ONE
+    shuffle, strictly better than the aggregate-join-back form
+    (which scans the big table twice); the oracle keeps the
+    correlated `l_quantity < (SELECT 0.5*avg(...) WHERE same part)`
+    form."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    gate = li.groupBy(F.col("l_partkey").alias("g_partkey")).agg(
-        (F.avg("l_quantity") * 0.5).alias("qty_gate")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        li.join(gate, F.col("l_partkey") == F.col("g_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_gate"))
+        li.withColumn("__gate", F.avg("l_quantity").over(w) * 0.5)
+        .filter(F.col("l_quantity") < F.col("__gate"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
@@ -2953,6 +2952,10 @@ def _q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("revenue_cents")
         )
+        # supplier-sized after the aggregate; checkpoint so the revenue
+        # view and its global max share ONE lineitem scan (Exchange
+        # reuse across the two branches is not guaranteed)
+        .localCheckpoint(eager=True)
     )
     top = rev.agg(F.max("revenue_cents").alias("max_cents"))
     return (
@@ -3042,10 +3045,12 @@ def _q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MINIMUM line price for that part.  The min is an exact
     SELECTION over stored doubles (no arithmetic), so float equality
     against it matches the same rows in every engine.  Spark
-    decorrelates into a per-part min aggregate joined back; the
-    oracle keeps the correlated `price = (SELECT min(...) WHERE same
-    part within the region)` form.  Ties: every minimal supplier
-    row is returned, mirroring Q2."""
+    decorrelates with a WINDOW min over the part key — one offer-
+    stream scan and one shuffle (an aggregate-join-back would rescan
+    the lineitem-sized offer stream); the oracle keeps the correlated
+    `price = (SELECT min(...) WHERE same part within the region)`
+    form.  Ties: every minimal supplier row is returned, mirroring
+    Q2."""
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -3061,15 +3066,10 @@ def _q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = li.join(
         F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("l_partkey", "s_suppkey", "s_name", "l_extendedprice")
-    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("l_extendedprice").alias("min_price")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
-        offers.join(
-            best,
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("l_extendedprice") == F.col("min_price")),
-        )
+        offers.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
         .select(
             "l_partkey",
             "s_suppkey",
