@@ -2876,6 +2876,47 @@ def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q_rollup_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k sketch partials (operators/rollup.py): daily
+    per-event-type bottom-32 sketches over distinct user_ids, built on
+    a 75/25 split and MERGED — unlike HLL, the bottom-k merge is
+    EXACT, so the DuckDB oracle recomputes the sketch, the KMV
+    distinct estimate ((k-1)/u_k, one double division) and the
+    5-smallest-hash user sample from scratch and must match
+    bit-for-bit.  Groups below k prove the exact-count path; bigger
+    groups the estimator path."""
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        finalize_rollup_bottomk,
+        merge_rollup_bottomk,
+    )
+
+    k = 32
+    ev = spread_partitions(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    a = build_rollup_bottomk(
+        ev.filter(F.col("event_id") % 4 != 0), "ts", 86400,
+        ["event_type"], "user_id", k=k,
+    )
+    b = build_rollup_bottomk(
+        ev.filter(F.col("event_id") % 4 == 0), "ts", 86400,
+        ["event_type"], "user_id", k=k,
+    )
+    fin = finalize_rollup_bottomk(
+        merge_rollup_bottomk(a, b, k=k), k=k, sample_size=5
+    )
+    return fin.select(
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "event_type",
+        F.size("bk").cast("long").alias("k_held"),
+        "distinct_est",
+        F.array_join(
+            F.transform("sample", lambda v: v.cast("string")), ","
+        ).alias("sample_ids"),
+    ).orderBy("bucket_s", "event_type")
+
+
 def _q_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment search (operators/dedup.py
     containment_join): every 11th document's first HALF is treated as
@@ -3185,6 +3226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 additions waiting for a window slot: the scalar-subquery
         # decorrelation suite (Q17/Q15/Q20/Q22/Q2 shapes) — Spark side
         # hand-decorrelated, oracles keep the original correlated SQL
+        "rollup_bottomk": _q_rollup_bottomk,
         "containment_quotes": _q_containment_quotes,
         "q17_avg_qty_gate": _q_q17_avg_qty_gate,
         "q15_top_supplier": _q_q15_top_supplier,
@@ -4394,6 +4436,49 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         """,
         # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
         # must agree with the hand-decorrelated Spark plan
+        # KMV bottom-k replayed exactly: same md5 60-bit hash order,
+        # same row_number cut, same (k-1)/u_k estimate (31.0 * 2^60 is
+        # a 5-significant-bit double — exact in both engines), same
+        # 5-smallest sample.  The Spark side MERGES two partial builds,
+        # so equality also proves the merge algebra == from-scratch.
+        "rollup_bottomk": """
+            WITH base AS (
+              SELECT DISTINCT
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                       AS BIGINT) * 86400 AS bucket_s,
+                     event_type, user_id AS v
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            h AS (
+              SELECT bucket_s, event_type, v,
+                     CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+              FROM base
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bucket_s, event_type
+                       ORDER BY h, v) AS rn
+              FROM h
+            ),
+            bk AS (
+              SELECT bucket_s, event_type,
+                     count(*) AS k_held,
+                     max(h) AS hk,
+                     list(v ORDER BY h, v) AS vs
+              FROM r WHERE rn <= 32
+              GROUP BY 1, 2
+            )
+            SELECT bucket_s, event_type,
+                   CAST(k_held AS BIGINT) AS k_held,
+                   CAST(CASE WHEN k_held < 32 THEN k_held
+                        ELSE round(31.0 * 1152921504606846976.0
+                                   / CAST(hk + 1 AS DOUBLE))
+                        END AS BIGINT) AS distinct_est,
+                   array_to_string(list_slice(vs, 1, 5), ',') AS sample_ids
+            FROM bk
+            ORDER BY bucket_s, event_type
+        """,
         # exact asymmetric containment replayed over STRING shingle
         # sets all-pairs (the Spark side's 64-bit shingle hashing is
         # collision-free at oracle scale); same substring fixture,

@@ -280,6 +280,7 @@ def main():
         "ab_summary",
         # r7 additions
         "containment_quotes",
+        "rollup_bottomk",
         # r7 additions: scalar-subquery decorrelation suite
         "q17_avg_qty_gate",
         "q15_top_supplier",

@@ -48,6 +48,9 @@ __all__ = [
     "build_rollup_distinct",
     "merge_rollup_distinct",
     "finalize_rollup_distinct",
+    "build_rollup_bottomk",
+    "merge_rollup_bottomk",
+    "finalize_rollup_bottomk",
     "fill_gaps",
 ]
 
@@ -382,6 +385,147 @@ def finalize_rollup_distinct(rollup: DataFrame) -> DataFrame:
     projection; the partials stay mergeable."""
     return rollup.withColumn(
         "approx_distinct", F.hll_sketch_estimate("sketch").cast("long")
+    )
+
+
+def _kmv_hash(col: Column, portable: bool = True) -> Column:
+    """60-bit non-negative hash for KMV order statistics.
+    ``portable=True``: the first 15 hex chars of md5 over the value's
+    canonical string — bit-identical in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(v), 1, 15) AS BIGINT)``); 60 bits fit a
+    signed long with no overflow games.  ``portable=False``: xxhash64
+    folded non-negative (faster, engine-specific)."""
+    if not portable:
+        return F.pmod(F.xxhash64(col), F.lit(1 << 60))
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def build_rollup_bottomk(
+    df: DataFrame,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    id_col: str,
+    k: int = 64,
+    portable: bool = True,
+) -> DataFrame:
+    """Mergeable KMV BOTTOM-K partials — the third member of the
+    sketch-partial family (sum algebra: :func:`build_rollup`;
+    histogram: :func:`build_rollup_hist`; HLL: :func:`
+    build_rollup_distinct`): per (bucket, keys) the k smallest
+    ``(hash, value)`` pairs over the DISTINCT values of ``id_col``
+    under a fixed 60-bit hash order.
+
+    One sketch, two read-time products (:func:`finalize_rollup_bottomk`):
+
+    - ``distinct_est`` — the KMV/bottom-k estimator (Bar-Yossef et al.
+      2002): exact when the group holds < k distinct values (the
+      sketch IS the value set), else ``(k-1) / u_k`` with ``u_k`` the
+      k-th smallest normalized hash (~1/sqrt(k) RSE).
+    - ``sample`` — the stored values are a uniform without-replacement
+      sample of the group's distinct values (hash order is independent
+      of the data), usable directly for "show me 5 example user_ids
+      per anomalous bucket".
+
+    Unlike HLL, the merge is EXACT and order/batch-shape independent:
+    bottom-k of a union equals bottom-k of the unioned bottom-k's, so
+
+        merge_rollup_bottomk(b(a), b(b)) == build_rollup_bottomk(a ∪ b)
+
+    holds BIT-FOR-BIT (pinned by unit test), and with
+    ``portable=True`` (md5) an external engine replays sketches,
+    estimates and samples exactly — this family is fully
+    oracle-checkable where HLL is rows-only.
+
+    Plan shape: distinct on (bucket, keys, value) (map-side combined),
+    then one row_number window per group capped at k — shuffle volume
+    is distinct values for the build, k rows per group thereafter.
+    """
+    keys = _check(keys, id_col)
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    base = (
+        df.select(
+            time_bucket(F.col(time_col), width_seconds).alias("bucket"),
+            *[F.col(c) for c in keys],
+            F.col(id_col).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .withColumn("__h", _kmv_hash(F.col("v"), portable))
+    )
+    w = Window.partitionBy("bucket", *keys).orderBy("__h", "v")
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy("bucket", *keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__h").alias("h"), "v"))
+            ).alias("bk")
+        )
+    )
+
+
+def merge_rollup_bottomk(
+    existing: DataFrame, delta: DataFrame, k: int = 64
+) -> DataFrame:
+    """Incremental maintenance for bottom-k partials: explode both
+    sides, distinct, re-rank, re-slice — aggregate-sized work (at most
+    2k rows per group enter the window).  Exactly equals the
+    from-scratch build over the combined input."""
+    if set(existing.columns) != set(delta.columns):
+        raise ValueError(
+            f"rollup schemas differ: {sorted(existing.columns)} vs "
+            f"{sorted(delta.columns)}"
+        )
+    from pyspark.sql import Window
+
+    group_cols = [c for c in existing.columns if c != "bk"]
+    exploded = (
+        existing.unionByName(delta)
+        .select(*group_cols, F.explode("bk").alias("e"))
+        .select(*group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("v"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h", "v")
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__h").alias("h"), "v"))
+            ).alias("bk")
+        )
+    )
+
+
+def finalize_rollup_bottomk(
+    rollup: DataFrame, k: int = 64, sample_size: int = 5
+) -> DataFrame:
+    """Read-time products from bottom-k partials: ``distinct_est``
+    (exact below k, KMV ``(k-1)/u_k`` above — one double division,
+    replayable bit-for-bit) and ``sample`` (the ``sample_size``
+    hash-smallest values).  A projection; partials stay mergeable."""
+    n = F.size("bk")
+    # u_k = (h_k + 1) / 2^60, h_k the k-th smallest 60-bit hash
+    hk = F.element_at("bk", k)["h"]
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60))
+            / (hk + F.lit(1)).cast("double")
+        ).cast("long")
+    )
+    return rollup.withColumn("distinct_est", est).withColumn(
+        "sample",
+        F.transform(
+            F.slice("bk", 1, sample_size), lambda e: e["v"]
+        ),
     )
 
 

@@ -230,3 +230,63 @@ def test_rollup_reserved_names_cover_new_variants(spark):
     with pytest.raises(ValueError, match="collide"):
         build_rollup_distinct(ev.withColumnRenamed("k", "sketch"), "ts",
                               3600, ["sketch"], "v")
+
+
+def test_bottomk_merge_equals_scratch_bitforbit(spark):
+    """Bottom-k of a union == bottom-k of the unioned bottom-k's —
+    EXACT, unlike HLL's mode-promotion ≈."""
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        merge_rollup_bottomk,
+    )
+
+    rows = [
+        (i, "t%d" % (i % 3), dt.datetime(2024, 1, 1, i % 48 // 2, 0, 0))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "uid long, typ string, ts timestamp")
+    a = df.filter("uid % 2 = 0")
+    b = df.filter("uid % 2 = 1")
+    k = 16
+    scratch = build_rollup_bottomk(df, "ts", 3600, ["typ"], "uid", k=k)
+    merged = merge_rollup_bottomk(
+        build_rollup_bottomk(a, "ts", 3600, ["typ"], "uid", k=k),
+        build_rollup_bottomk(b, "ts", 3600, ["typ"], "uid", k=k),
+        k=k,
+    )
+    sc = sorted(
+        (r["bucket"], r["typ"], [(e["h"], e["v"]) for e in r["bk"]])
+        for r in scratch.collect()
+    )
+    mg = sorted(
+        (r["bucket"], r["typ"], [(e["h"], e["v"]) for e in r["bk"]])
+        for r in merged.collect()
+    )
+    assert sc == mg
+
+
+def test_bottomk_estimate_and_sample(spark):
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        finalize_rollup_bottomk,
+    )
+
+    # one bucket, 2000 distinct ids: k=64 estimate within ~3 RSE
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    out = finalize_rollup_bottomk(
+        build_rollup_bottomk(df, "ts", 3600, [], "uid", k=64), k=64
+    ).collect()
+    assert len(out) == 1
+    est = out[0]["distinct_est"]
+    assert 2000 * 0.6 < est < 2000 * 1.6  # ~12.5% RSE at k=64
+    assert len(out[0]["sample"]) == 5
+    assert all(0 <= v < 2000 for v in out[0]["sample"])
+
+    # below-k group: estimate EXACT, sketch is the whole value set
+    small = spark.createDataFrame(rows[:40], "uid long, ts timestamp")
+    o2 = finalize_rollup_bottomk(
+        build_rollup_bottomk(small, "ts", 3600, [], "uid", k=64), k=64
+    ).collect()[0]
+    assert o2["distinct_est"] == 40
+    assert sorted(e["v"] for e in o2["bk"]) == list(range(40))
