@@ -80,6 +80,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+
+def _codec_fixture_docs(spark: SparkSession, sf_dir: str):
+    """documents table partitioned for the pack->decode codec fixtures:
+    two Python stages over tiny payloads need a few hundred rows per
+    task to amortize the ~15-30 ms/task Arrow + worker overhead
+    (measured 1.09 s -> 0.50 s at sf0.1 going 32 -> 8 partitions) —
+    ONE home for the cap heuristic so retuning it is a single edit."""
+    return spread_partitions(
+        load_table(spark, sf_dir, "documents"),
+        cap=max(4, spark.sparkContext.defaultParallelism // 4),
+    )
+
+
 def _q_ineq_lt_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
@@ -606,13 +619,7 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     error would mismatch every row."""
     from pandance_spark.operators.multimodal import decode_image, pack_png_image
 
-    # tiny payloads through two Python stages: cap partitions so each
-    # task carries a few hundred rows (amortizes ~15-30 ms/task Arrow +
-    # worker overhead; measured 1.09 s -> 0.50 s at sf0.1 on PNG)
-    docs = spread_partitions(
-        load_table(spark, sf_dir, "documents"),
-        cap=max(4, spark.sparkContext.defaultParallelism // 4),
-    )
+    docs = _codec_fixture_docs(spark, sf_dir)
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -645,13 +652,7 @@ def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     GIF in tests (not merely self-consistent)."""
     from pandance_spark.operators.multimodal import decode_image, pack_gif_image
 
-    # tiny payloads through two Python stages: cap partitions so each
-    # task carries a few hundred rows (amortizes ~15-30 ms/task Arrow +
-    # worker overhead; measured 1.09 s -> 0.50 s at sf0.1 on PNG)
-    docs = spread_partitions(
-        load_table(spark, sf_dir, "documents"),
-        cap=max(4, spark.sparkContext.defaultParallelism // 4),
-    )
+    docs = _codec_fixture_docs(spark, sf_dir)
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -695,13 +696,7 @@ def _q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames_gif,
     )
 
-    # tiny payloads through two Python stages: cap partitions so each
-    # task carries a few hundred rows (amortizes ~15-30 ms/task Arrow +
-    # worker overhead; measured 1.09 s -> 0.50 s at sf0.1 on PNG)
-    docs = spread_partitions(
-        load_table(spark, sf_dir, "documents"),
-        cap=max(4, spark.sparkContext.defaultParallelism // 4),
-    )
+    docs = _codec_fixture_docs(spark, sf_dir)
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -741,13 +736,7 @@ def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seed + 17b) % 256, edge blocks partial)."""
     from pandance_spark.operators.multimodal import decode_image, pack_jpeg_image
 
-    # tiny payloads through two Python stages: cap partitions so each
-    # task carries a few hundred rows (amortizes ~15-30 ms/task Arrow +
-    # worker overhead; measured 1.09 s -> 0.50 s at sf0.1 on PNG)
-    docs = spread_partitions(
-        load_table(spark, sf_dir, "documents"),
-        cap=max(4, spark.sparkContext.defaultParallelism // 4),
-    )
+    docs = _codec_fixture_docs(spark, sf_dir)
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:
@@ -1193,13 +1182,7 @@ def _q_multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_mp4_video,
     )
 
-    # tiny payloads through two Python stages: cap partitions so each
-    # task carries a few hundred rows (amortizes ~15-30 ms/task Arrow +
-    # worker overhead; measured 1.09 s -> 0.50 s at sf0.1 on PNG)
-    docs = spread_partitions(
-        load_table(spark, sf_dir, "documents"),
-        cap=max(4, spark.sparkContext.defaultParallelism // 4),
-    )
+    docs = _codec_fixture_docs(spark, sf_dir)
 
     @F.pandas_udf("binary")
     def _pack(ids: pd.Series) -> pd.Series:

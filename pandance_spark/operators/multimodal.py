@@ -275,6 +275,28 @@ def _parse_bmp(raw: bytes) -> Optional[np.ndarray]:
     return img if top_down else img[::-1]
 
 
+def _unfilter_row_py(rec, prior, f, bpp, stride):
+    """Reverse one Average (f=3) or Paeth (f=4) scanline in place over
+    Python lists — the serial left-pixel recurrence both _png_unfilter
+    regimes share (ONE implementation so the two regimes can never
+    disagree at the size threshold)."""
+    if f == 3:
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 255
+    else:
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            p = a + b - c
+            pa = p - a if p >= a else a - p
+            pb = p - b if p >= b else b - p
+            pc = p - c if p >= c else c - p
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            rec[x] = (rec[x] + pred) & 255
+
+
 def _png_unfilter(
     stream: bytes, h: int, stride: int, bpp: int
 ) -> Optional[bytes]:
@@ -311,21 +333,8 @@ def _png_unfilter(
                     rec[x] = (rec[x] + rec[x - bpp]) & 255
             elif f == 2:
                 rec = [(c + p) & 255 for c, p in zip(rec, prior)]
-            elif f == 3:
-                for x in range(stride):
-                    a = rec[x - bpp] if x >= bpp else 0
-                    rec[x] = (rec[x] + ((a + prior[x]) >> 1)) & 255
-            elif f == 4:
-                for x in range(stride):
-                    a = rec[x - bpp] if x >= bpp else 0
-                    b = prior[x]
-                    c = prior[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa = p - a if p >= a else a - p
-                    pb = p - b if p >= b else b - p
-                    pc = p - c if p >= c else c - p
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    rec[x] = (rec[x] + pred) & 255
+            elif f in (3, 4):
+                _unfilter_row_py(rec, prior, f, bpp, stride)
             else:
                 return None
             out[y * stride : (y + 1) * stride] = bytes(rec)
@@ -358,25 +367,7 @@ def _png_unfilter(
             if prior_list is None:
                 prior_list = prior_np.tolist()
             rec_list = rows[y].tolist()
-            if f == 3:
-                for x in range(stride):
-                    a = rec_list[x - bpp] if x >= bpp else 0
-                    rec_list[x] = (
-                        rec_list[x] + ((a + prior_list[x]) >> 1)
-                    ) & 255
-            else:
-                for x in range(stride):
-                    a = rec_list[x - bpp] if x >= bpp else 0
-                    b = prior_list[x]
-                    c = prior_list[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa = p - a if p >= a else a - p
-                    pb = p - b if p >= b else b - p
-                    pc = p - c if p >= c else c - p
-                    pred = (
-                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                    )
-                    rec_list[x] = (rec_list[x] + pred) & 255
+            _unfilter_row_py(rec_list, prior_list, f, bpp, stride)
             rec_np = np.array(rec_list, dtype=np.uint8)
         else:
             return None
@@ -1087,6 +1078,13 @@ def _parse_jpeg(raw: bytes) -> Optional[np.ndarray]:
                     hi, vi = samp >> 4, samp & 0xF
                     if hi not in (1, 2, 4) or vi not in (1, 2, 4):
                         return None
+                    if nc == 1:
+                        # single-component scans are NON-INTERLEAVED
+                        # (T.81 A.2.2): one data unit per MCU in raster
+                        # order, whatever factors the SOF declares —
+                        # decoding them with interleaved 2x2 MCU tiling
+                        # would silently block-scramble the image
+                        hi = vi = 1
                     comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):

@@ -67,16 +67,18 @@ def time_bucket(ts: Column, width_seconds: int) -> Column:
     )
 
 
-def _check(keys, value_col):
+def _check(keys, value_col, extra=()):
     keys = [keys] if isinstance(keys, str) else list(keys)
     # __bucket/__last_bid are injected later by stream_rollup_sink's
     # partition hash and replay stamp — a key by either name would be
     # silently clobbered by withColumn; hist/sketch are the metric
-    # columns of the histogram and HLL rollup variants
+    # columns of the histogram and HLL rollup variants.  ``extra``
+    # adds variant-specific names (the bottom-k family reserves short
+    # common names like 'v'/'k', which must not poison the others)
     reserved = {
         "bucket", "cnt", "v_sum", "v_min", "v_max",
         "hist", "sketch", "__bucket", "__last_bid",
-    }
+    } | set(extra)
     bad = reserved.intersection(keys + [value_col])
     if bad:
         raise ValueError(f"column names collide with rollup schema: {sorted(bad)}")
@@ -443,7 +445,10 @@ def build_rollup_bottomk(
     then one row_number window per group capped at k — shuffle volume
     is distinct values for the build, k rows per group thereafter.
     """
-    keys = _check(keys, id_col)
+    keys = _check(
+        keys, id_col,
+        extra=("bk", "v", "k", "__h", "__rn", "distinct_est", "sample"),
+    )
     if k < 2:
         raise ValueError("k must be >= 2")
     from pyspark.sql import Window
@@ -468,7 +473,29 @@ def build_rollup_bottomk(
                 F.collect_list(F.struct(F.col("__h").alias("h"), "v"))
             ).alias("bk")
         )
+        # the sketch parameter rides in the partial so merge/finalize
+        # can refuse a mismatched k instead of silently computing a
+        # truncated-sketch "exact" count (r7 review)
+        .withColumn("k", F.lit(int(k)))
     )
+
+
+def _assert_k(df: DataFrame, k: int) -> DataFrame:
+    """Fail the job if any partial row carries a different sketch k
+    than the caller passed — a k=32-built sketch finalized at k=64
+    would silently report distinct_est = 32 for an arbitrarily large
+    group (every truncated group takes the exact-count branch)."""
+    chk = F.assert_true(
+        F.col("k") == F.lit(int(k)),
+        F.concat(
+            F.lit("bottom-k sketch built with k="),
+            F.col("k").cast("string"),
+            F.lit(f", operated on with k={int(k)}"),
+        ),
+    )
+    # routed through a filter, not a dropped column — Catalyst prunes
+    # an unused projection and the assert would never evaluate
+    return df.filter(chk.isNull())
 
 
 def merge_rollup_bottomk(
@@ -487,7 +514,7 @@ def merge_rollup_bottomk(
 
     group_cols = [c for c in existing.columns if c != "bk"]
     exploded = (
-        existing.unionByName(delta)
+        _assert_k(existing, k).unionByName(_assert_k(delta, k))
         .select(*group_cols, F.explode("bk").alias("e"))
         .select(*group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("v"))
         .distinct()
@@ -511,7 +538,10 @@ def finalize_rollup_bottomk(
     """Read-time products from bottom-k partials: ``distinct_est``
     (exact below k, KMV ``(k-1)/u_k`` above — one double division,
     replayable bit-for-bit) and ``sample`` (the ``sample_size``
-    hash-smallest values).  A projection; partials stay mergeable."""
+    hash-smallest values).  A projection; partials stay mergeable.
+    Fails fast if ``k`` differs from the build-time k stored in the
+    partials."""
+    rollup = _assert_k(rollup, k)
     n = F.size("bk")
     # u_k = (h_k + 1) / 2^60, h_k the k-th smallest 60-bit hash
     hk = F.element_at("bk", k)["h"]

@@ -401,6 +401,8 @@ def streaming_contamination_router(
     64-bit fold so an external engine can replay the counts exactly
     (the parity harness's DuckDB oracle recomputes them from raw
     text); ``portable=False`` uses xxhash64 (faster, engine-specific).
+    ``seed`` only affects the xxhash64 path — md5 is unseeded, so
+    under the default ``portable=True`` it is inert.
     Counts are over 64-bit hashes, so a cross-shingle collision needs
     ~2^32 distinct shingles to become likely — negligible against any
     real eval suite.  Rows are ANNOTATED, not dropped; routing stays
@@ -426,20 +428,20 @@ def streaming_contamination_router(
             )
         )
 
-    bench_hashes = (
-        benchmark.select(
-            F.explode(shingle_hashes(F.col(btext))).alias("__h")
-        )
-        .distinct()
-        .collect()
-    )
-    n = len(bench_hashes)
+    distinct_hashes = benchmark.select(
+        F.explode(shingle_hashes(F.col(btext))).alias("__h")
+    ).distinct()
+    # gate BEFORE collecting: a distributed count is cheap, whereas a
+    # collect() of a corpus-sized "benchmark" would OOM the driver
+    # before any after-the-fact size check could run (r7 review)
+    n = distinct_hashes.count()
     if n * 8 > max_bench_mb * (1 << 20):
         raise ValueError(
             f"benchmark shingle set is {n} hashes (~{n * 8 >> 20} MB) — "
             f"above the {max_bench_mb} MB driver gate; run batch "
             "contamination_check for corpus-sized references"
         )
+    bench_hashes = distinct_hashes.collect()
     arr = np.sort(np.array([r["__h"] for r in bench_hashes], dtype=np.int64))
     bc = docs_stream.sparkSession.sparkContext.broadcast(arr)
 

@@ -32,6 +32,20 @@ def join_nodes(df) -> set:
     return set(re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan))
 
 
+def shingle_join_types(df) -> set:
+    """Join node types for the SHINGLE-MATCH join specifically (its
+    keys are the __h1/__h2 hash pair) — the operator has other joins
+    (span grouping) whose types must not mask the one under test."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return set(
+        m.group(1)
+        for m in re.finditer(
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+            r"[^\n]*__h1", plan,
+        )
+    )
+
+
 def main():
     from pyspark.sql import SparkSession, functions as F
 
@@ -60,7 +74,7 @@ def main():
             min_tokens=8, broadcast_bench=forced,
         )
         rows = sorted(tuple(r) for r in out.collect())
-        return rows, join_nodes(out)
+        return rows, shingle_join_types(out)
 
     a_rows, a_nodes = run(10 << 20, None)
     b_rows, b_nodes = run(1024, None)
@@ -72,10 +86,14 @@ def main():
     # join back to broadcast at runtime — that's the desired layered
     # behavior (our gate decides by size, AQE re-optimizes by size)
     print("no-hint (AQE free): ", c_nodes, len(c_rows), "spans")
-    assert "BroadcastHashJoin" in a_nodes, "size gate should broadcast a tiny bench"
-    assert "BroadcastHashJoin" not in b_nodes or b_nodes & {
+    # assertions target the SHINGLE join's own node type, so another
+    # join elsewhere in the plan cannot mask a gate regression
+    assert a_nodes == {"BroadcastHashJoin"}, (
+        f"size gate should broadcast a tiny bench's shingle join: {a_nodes}"
+    )
+    assert "BroadcastHashJoin" not in b_nodes and b_nodes & {
         "SortMergeJoin", "ShuffledHashJoin"
-    }, "1KB threshold should engage the shuffle fallback"
+    }, f"1KB threshold must shuffle the shingle join: {b_nodes}"
     assert a_rows == b_rows == c_rows, "fallback output must be identical"
     print("PROBE OK: fallback engages and matches bit-for-bit")
 

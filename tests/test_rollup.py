@@ -290,3 +290,25 @@ def test_bottomk_estimate_and_sample(spark):
     ).collect()[0]
     assert o2["distinct_est"] == 40
     assert sorted(e["v"] for e in o2["bk"]) == list(range(40))
+
+
+def test_bottomk_k_mismatch_fails_fast(spark):
+    """A k=16-built sketch finalized/merged at k=64 must raise, not
+    silently report a truncated-sketch 'exact' count (r7 review)."""
+    import pytest as _pytest
+
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        finalize_rollup_bottomk,
+        merge_rollup_bottomk,
+    )
+
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, 0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    sk = build_rollup_bottomk(df, "ts", 3600, [], "uid", k=16)
+    with _pytest.raises(Exception, match="built with k=16"):
+        finalize_rollup_bottomk(sk, k=64).collect()
+    with _pytest.raises(Exception, match="built with k=16"):
+        merge_rollup_bottomk(sk, sk, k=64).collect()
+    # matching k still fine
+    assert finalize_rollup_bottomk(sk, k=16).collect()[0]["distinct_est"] > 0
