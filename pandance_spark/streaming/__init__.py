@@ -42,6 +42,7 @@ __all__ = [
     "streaming_near_dup_filter",
     "stream_rollup_sink",
     "stream_rollup_hist_sink",
+    "stream_rollup_bottomk_sink",
     "stream_upsert_sink",
     "stream_scd2_sink",
     "streaming_similarity_join",
@@ -1020,6 +1021,63 @@ def stream_rollup_hist_sink(
         build_fn=build,
         merge_fn=merge_rollup_hist,
         metric_cols=["hist"],
+    )
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
+    )
+    return writer
+
+
+def stream_rollup_bottomk_sink(
+    events: DataFrame,
+    path: str,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    id_col: str,
+    k: int = 64,
+    num_buckets: int = 64,
+    checkpoint_dir: Optional[str] = None,
+):
+    """:func:`stream_rollup_sink` with KMV BOTTOM-K partials — a
+    continuously maintained distinct-count curve PLUS a rolling
+    uniform sample of the ids behind it (``finalize_rollup_bottomk``
+    at read time): "distinct users per hour, and show me five of
+    them" over an event stream.
+
+    Same touched-partition dynamic overwrite and per-partition
+    batch-id replay guard as the other sinks — and this algebra is the
+    strongest of the family: the bottom-k merge is IDEMPOTENT
+    (bottom-k of X ∪ X = bottom-k of X), so even a hypothetical
+    double-merge converges to the same sketch, and with the md5 hash
+    order the maintained table equals the batch build bit-for-bit AND
+    replays in any engine (the parity harness's DuckDB oracle
+    recomputes sketches, estimates and samples from raw events).
+
+    Returns the unstarted ``DataStreamWriter``; call ``.start()``.
+    """
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        merge_rollup_bottomk,
+    )
+
+    def build(batch, tc, w, ks, vc):
+        return build_rollup_bottomk(batch, tc, w, ks, vc, k=k)
+
+    def merge(existing, delta):
+        return merge_rollup_bottomk(existing, delta, k=k)
+
+    handle_batch = _rollup_batch_handler(
+        path,
+        time_col,
+        width_seconds,
+        keys,
+        id_col,
+        num_buckets,
+        build_fn=build,
+        merge_fn=merge,
+        metric_cols=["bk", "k"],
     )
     writer = events.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",

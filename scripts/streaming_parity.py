@@ -1118,6 +1118,85 @@ WHERE NOT EXISTS (
            note="stateless broadcast-set router: stream == batch == "
                 "DuckDB string-shingle intersect counts (portable md5)")
 
+    # ------------------------------------------------------------------
+    # 16. stream_rollup_bottomk_sink (r7): continuously maintained KMV
+    # bottom-k sketches == batch build == DuckDB md5-order replay —
+    # the exactly-mergeable (and idempotent) member of the sink family
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.rollup import build_rollup_bottomk
+    from pandance_spark.streaming import stream_rollup_bottomk_sink
+
+    K16 = 16
+    ev16 = ev_batch.select("user_id", "ts", "event_type").filter(
+        F.col("user_id").isNotNull()
+    )
+    src16 = os.path.join(tmp, "bk_src")
+    ev16.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src16)
+    ev16.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src16)
+    tgt16 = os.path.join(tmp, "bk_tgt")
+    stream16 = spark.readStream.schema(ev16.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src16)
+    q16 = stream_rollup_bottomk_sink(
+        stream16, tgt16, "ts", 86400, ["event_type"], "user_id",
+        k=K16, num_buckets=8,
+    ).start()
+    try:
+        q16.processAllAvailable()
+    finally:
+        q16.stop()
+    cols = ["bucket_s", "event_type", "sketch"]
+
+    def bk_rows(df):
+        return [
+            {
+                "bucket_s": int(r["bucket"].timestamp()),
+                "event_type": r["event_type"],
+                "sketch": ",".join(
+                    f"{e['h']}:{e['v']}" for e in r["bk"]
+                ),
+            }
+            for r in df.select("bucket", "event_type", "bk").collect()
+        ]
+
+    s16 = canon_rows(bk_rows(spark.read.parquet(tgt16)), cols)
+    b16 = canon_rows(
+        bk_rows(
+            build_rollup_bottomk(ev16, "ts", 86400, ["event_type"],
+                                 "user_id", k=K16)
+        ),
+        cols,
+    )
+    d16 = canon_rows(duck_rows(con.sql(f"""
+        WITH base AS (
+          SELECT DISTINCT
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                   AS bucket_s,
+                 event_type, user_id AS v
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        h AS (
+          SELECT bucket_s, event_type, v,
+                 CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS h
+          FROM base
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY bucket_s, event_type ORDER BY h, v) AS rn
+          FROM h
+        )
+        SELECT bucket_s, event_type,
+               string_agg(h || ':' || v, ',' ORDER BY h, v) AS sketch
+        FROM r WHERE rn <= {K16}
+        GROUP BY 1, 2
+    """)), cols)
+    record("stream_rollup_bottomk_sink", "duckdb", s16, b16, d16,
+           note="maintained KMV sketches == batch build == DuckDB "
+                "md5-order replay (exactly-mergeable, idempotent)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

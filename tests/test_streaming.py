@@ -928,3 +928,80 @@ def test_streaming_contamination_router_gate_and_empty(spark, tmp_path):
         ).collect()
     }
     assert out2 == {1: False, 2: False}
+
+
+def test_stream_rollup_bottomk_sink_bit_exact_and_replay_safe(spark, tmp_path):
+    import datetime as dt
+
+    from pandance_spark.operators.rollup import build_rollup_bottomk
+    from pandance_spark.streaming import (
+        _rollup_batch_handler,
+        stream_rollup_bottomk_sink,
+    )
+
+    K = 8
+    rows1 = [
+        (dt.datetime(2024, 1, 1, 0, m % 60), "a", m) for m in range(30)
+    ] + [(dt.datetime(2024, 1, 1, 1, 5), "b", 7)]
+    rows2 = [
+        (dt.datetime(2024, 1, 1, 0, 55), "a", 500),
+        (dt.datetime(2024, 1, 1, 0, 56), "a", 3),   # dup id across batches
+        (dt.datetime(2024, 1, 1, 2, 0), "b", 1),
+    ]
+    schema = "ts timestamp, typ string, uid long"
+    target = str(tmp_path / "bkroll_out")
+
+    def state(path=target):
+        return sorted(
+            (r["bucket"], r["typ"], [(e["h"], e["v"]) for e in r["bk"]])
+            for r in spark.read.parquet(path)
+            .select("bucket", "typ", "bk")
+            .collect()
+        )
+
+    exp = sorted(
+        (r["bucket"], r["typ"], [(e["h"], e["v"]) for e in r["bk"]])
+        for r in build_rollup_bottomk(
+            spark.createDataFrame(rows1 + rows2, schema),
+            "ts", 3600, ["typ"], "uid", k=K,
+        ).collect()
+    )
+
+    in_dir = str(tmp_path / "bkroll_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = stream_rollup_bottomk_sink(
+        stream, target, "ts", 3600, ["typ"], "uid", k=K, num_buckets=8
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # streamed == from-scratch BIT-FOR-BIT (exactly mergeable sketch)
+    assert state() == exp
+
+    # replay: redelivering a committed batch must no-op (and the
+    # bottom-k merge is idempotent even WITHOUT the guard, so this is
+    # doubly safe)
+    from pandance_spark.operators.rollup import merge_rollup_bottomk
+
+    t2 = str(tmp_path / "bkroll_manual")
+    h = _rollup_batch_handler(
+        t2, "ts", 3600, ["typ"], "uid", 8,
+        build_fn=lambda b, tc, w, ks, vc: build_rollup_bottomk(
+            b, tc, w, ks, vc, k=K
+        ),
+        merge_fn=lambda e, d: merge_rollup_bottomk(e, d, k=K),
+        metric_cols=["bk", "k"],
+    )
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    h(b1, 0)
+    h(b2, 1)
+    base_state = state(t2)
+    assert base_state == exp
+    h(b2, 1)  # redelivery
+    assert state(t2) == exp
