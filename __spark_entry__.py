@@ -3063,6 +3063,51 @@ def _q_q22_idle_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — HAVING against a correlated GLOBAL-fraction
+    scalar: parts whose total line value (for one nation's suppliers)
+    exceeds 0.1% of the overall total (nation names in the
+    synthetic schema are NATION_<k>).  Value snaps to integer cents
+    per line, so both the per-part sums and the global gate are exact
+    integer arithmetic.  Spark computes the per-part aggregate ONCE
+    (checkpointed — it feeds both the output and the global total, so
+    lineitem is scanned once), broadcasts the 1-row total and filters;
+    the oracle keeps the `HAVING sum(...) > 0.001 * (SELECT sum(...))`
+    correlated form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    nsupp = (
+        supp.join(
+            nation.filter(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("value_cents")
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") * 0.001
+        )
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "l_partkey")
+    )
+
+
 def _q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape — per-group-min correlated subquery with a join
     fence: for parts sold into one region, the supplier(s) achieving
@@ -3216,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_semi_chain": _q_q20_semi_chain,
         "q22_idle_value": _q_q22_idle_value,
         "q2_min_cost": _q_q2_min_cost,
+        "q11_important_stock": _q_q11_important_stock,
         # earlier rotations (r2-r6) — see git history for per-round notes
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
@@ -4569,6 +4615,23 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             )
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        "q11_important_stock": """
+            WITH v AS (
+              SELECT l.l_partkey,
+                     CAST(sum(CAST(round(l.l_extendedprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS value_cents
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              WHERE n.n_name = 'NATION_7'
+              GROUP BY l.l_partkey
+            )
+            SELECT l_partkey, value_cents
+            FROM v
+            WHERE CAST(value_cents AS DOUBLE)
+                  > CAST((SELECT sum(value_cents) FROM v) AS DOUBLE) * 0.001
+            ORDER BY value_cents DESC, l_partkey
         """,
         "q2_min_cost": """
             WITH offers AS (

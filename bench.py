@@ -287,6 +287,7 @@ def main():
         "q20_semi_chain",
         "q22_idle_value",
         "q2_min_cost",
+        "q11_important_stock",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
