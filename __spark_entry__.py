@@ -2859,6 +2859,59 @@ def _q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _q_image_meta_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image triage (operators/multimodal.py
+    image_metadata): one payload per document cycling through all six
+    recognized formats (PNG/JPEG/GIF/BMP/PPM/WebP) plus a corrupt
+    case; format and dimensions come from FILE HEADERS only — no
+    inflate, no entropy decode — the routing pass a 100 TB crawl runs
+    before ever decoding a pixel.  Dims are closed-form in doc_id, so
+    the oracle recomputes the whole table without touching bytes;
+    corrupt payloads must degrade to ok=false rows."""
+    from pandance_spark.operators.multimodal import (
+        image_metadata,
+        pack_bmp_image,
+        pack_gif_image,
+        pack_jpeg_image,
+        pack_png_image,
+        pack_ppm_image,
+        pack_webp_meta,
+    )
+
+    docs = _codec_fixture_docs(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def _pack(ids: pd.Series) -> pd.Series:
+        def mk(d):
+            d = int(d)
+            w, h, seed = 4 + d % 9, 5 + d % 7, d % 241
+            m = d % 7
+            if m == 0:
+                return pack_png_image(w, h, seed)
+            if m == 1:
+                return pack_jpeg_image(w, h, seed)
+            if m == 2:
+                return pack_gif_image(w, h, seed)
+            if m == 3:
+                return pack_bmp_image(w, h, seed)
+            if m == 4:
+                return pack_ppm_image(w, h, seed)
+            if m == 5:
+                return pack_webp_meta(
+                    100 + d % 500, 50 + d % 300, lossless=bool(d % 2)
+                )
+            return b"\x00corrupt payload"
+
+        return ids.map(mk)
+
+    media = docs.select("doc_id", _pack(F.col("doc_id")).alias("payload"))
+    return (
+        image_metadata(media)
+        .select("doc_id", "img_format", "width", "height", "ok")
+        .orderBy("doc_id")
+    )
+
+
 def _q_rollup_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k sketch partials (operators/rollup.py): daily
     per-event-type bottom-32 sketches over distinct user_ids, built on
@@ -3255,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decorrelation suite (Q17/Q15/Q20/Q22/Q2 shapes) — Spark side
         # hand-decorrelated, oracles keep the original correlated SQL
         "rollup_bottomk": _q_rollup_bottomk,
+        "image_meta_triage": _q_image_meta_triage,
         "containment_quotes": _q_containment_quotes,
         "q17_avg_qty_gate": _q_q17_avg_qty_gate,
         "q15_top_supplier": _q_q15_top_supplier,
@@ -4465,6 +4519,27 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         """,
         # the ORIGINAL correlated-subquery form — DuckDB's decorrelation
         # must agree with the hand-decorrelated Spark plan
+        # header triage replayed from the packers' CLOSED FORM — the
+        # oracle never touches bytes; any header-walk slip (wrong
+        # endianness, off-by-one in the VP8L bit fields, corrupt not
+        # degrading) mismatches its rows
+        "image_meta_triage": """
+            SELECT doc_id,
+                   CASE doc_id % 7
+                     WHEN 0 THEN 'png'  WHEN 1 THEN 'jpeg'
+                     WHEN 2 THEN 'gif'  WHEN 3 THEN 'bmp'
+                     WHEN 4 THEN 'ppm'  WHEN 5 THEN 'webp'
+                   END AS img_format,
+                   CASE WHEN doc_id % 7 = 6 THEN NULL
+                        WHEN doc_id % 7 = 5 THEN CAST(100 + doc_id % 500 AS INT)
+                        ELSE CAST(4 + doc_id % 9 AS INT) END AS width,
+                   CASE WHEN doc_id % 7 = 6 THEN NULL
+                        WHEN doc_id % 7 = 5 THEN CAST(50 + doc_id % 300 AS INT)
+                        ELSE CAST(5 + doc_id % 7 AS INT) END AS height,
+                   doc_id % 7 <> 6 AS ok
+            FROM documents
+            ORDER BY doc_id
+        """,
         # KMV bottom-k replayed exactly: same md5 60-bit hash order,
         # same row_number cut, same (k-1)/u_k estimate (31.0 * 2^60 is
         # a 5-significant-bit double — exact in both engines), same

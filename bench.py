@@ -281,6 +281,7 @@ def main():
         # r7 additions
         "containment_quotes",
         "rollup_bottomk",
+        "image_meta_triage",
         # r7 additions: scalar-subquery decorrelation suite
         "q17_avg_qty_gate",
         "q15_top_supplier",

@@ -952,3 +952,49 @@ def test_audio_segments_stereo(spark):
     # = per-channel rows [sil 200][act 200][sil 200][act 200]
     assert sorted((r["seg_idx"], r["start_frame"], r["n_frames"])
                   for r in got) == [(0, 1, 1), (1, 3, 1)]
+
+
+def test_image_metadata_headers_agree_with_decoders(spark):
+    """Header-only dims must equal the full decoders' output for every
+    packed format, WebP (VP8X and VP8L) must parse, and corrupt /
+    unknown payloads must degrade to ok=false."""
+    from pandance_spark.operators.multimodal import (
+        image_metadata,
+        pack_bmp_image,
+        pack_gif_image,
+        pack_jpeg_image,
+        pack_png_image,
+        pack_ppm_image,
+        pack_webp_meta,
+    )
+
+    rows = [
+        (1, pack_png_image(12, 7, 3), "png", 12, 7),
+        (2, pack_jpeg_image(16, 8, 5), "jpeg", 16, 8),
+        (3, pack_gif_image(9, 11, 1), "gif", 9, 11),
+        (4, pack_bmp_image(6, 5, 2), "bmp", 6, 5),
+        (5, pack_ppm_image(4, 9, 0), "ppm", 4, 9),
+        (6, pack_webp_meta(640, 480), "webp", 640, 480),
+        (7, pack_webp_meta(31, 17, lossless=True), "webp", 31, 17),
+        (8, b"\x00\x01garbage", None, None, None),
+        (9, b"RIFF\x04\x00\x00\x00WAVE", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p, *_ in rows], "media_id long, payload binary"
+    )
+    out = {r["media_id"]: r for r in image_metadata(df).collect()}
+    for i, payload, fmt, w, h in rows:
+        r = out[i]
+        assert r["img_format"] == fmt, (i, r["img_format"])
+        assert r["width"] == w and r["height"] == h, (i, r)
+        assert r["ok"] is (fmt is not None)
+        assert r["payload_bytes"] == len(payload)
+
+    # foreign libjpeg 4:2:0 photo: header walk must see SOF0 dims
+    import os
+
+    from pandance_spark.operators.multimodal import _image_header_meta
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "foreign_libjpeg_420.jpg")
+    assert _image_header_meta(open(path, "rb").read()) == ("jpeg", 300, 200)
