@@ -3304,9 +3304,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": _q_q18_big_orders,
         "exact_sample": _q_exact_sample,
         "scd2_apply_late": _q_scd2_apply_late,
+        # r8 rotation plan: after r7's driver run, the window's
+        # carryovers (bloom_dedup, heavy_hitters, ineq_band_autoskew,
+        # boilerplate_lines, domain_blocklist, fuzzy_autoskew,
+        # image_phash_dedup, dedup_substrings, quality_classifier,
+        # unicode_clean, sentence_chunks, line_dedup, wet_extract, ...)
+        # will hold 2 straight greens each — rotate out as many as
+        # needed for the 9 r7 additions below (q17/q15/q20/q22/q2/q11
+        # decorrelation suite, containment_quotes, rollup_bottomk,
+        # image_meta_triage), which are all locally green at both SFs
+        # with dtype-audited oracles.  Keep dsir_select/filter_funnel
+        # IN until their first driver green confirms the HUGEINT-cast
+        # fix.
         # r7 additions waiting for a window slot: the scalar-subquery
-        # decorrelation suite (Q17/Q15/Q20/Q22/Q2 shapes) — Spark side
-        # hand-decorrelated, oracles keep the original correlated SQL
+        # decorrelation suite (Q17/Q15/Q20/Q22/Q2/Q11 shapes) — Spark
+        # side hand-decorrelated, oracles keep the original correlated
+        # SQL
         "rollup_bottomk": _q_rollup_bottomk,
         "image_meta_triage": _q_image_meta_triage,
         "containment_quotes": _q_containment_quotes,
