@@ -731,3 +731,105 @@ def test_luhn_valid_matches_python_reference(spark, digit_strings):
     }
     want = {i: py_luhn(s) for i, s in enumerate(digit_strings)}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    qtexts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=10).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1, max_size=5,
+    ),
+    ctexts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=14).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1, max_size=5,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 1.0]),
+)
+def test_containment_matches_brute_force(spark, qtexts, ctexts, threshold):
+    """containment_join over a tiny alphabet (maximal shingle
+    collisions between docs — the hardest case for prefix pruning)
+    equals the brute-force |A∩B|/|A| on string shingle sets."""
+    from pandance_spark.operators.dedup import containment_join
+
+    query = spark.createDataFrame(
+        list(enumerate(qtexts)), "qid long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100 + j, t) for j, t in enumerate(ctexts)], "cid long, text string"
+    )
+    got = {
+        (r["query_id"], r["corpus_id"]): r["containment"]
+        for r in containment_join(
+            query, corpus, "qid", "text", "cid", "text",
+            shingle_n=2, threshold=threshold,
+        ).collect()
+    }
+
+    def sh(t):
+        toks = [w for w in t.lower().split() if w]
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    expected = {}
+    for qid, qt in enumerate(qtexts):
+        qs = sh(qt)
+        if not qs:
+            continue
+        for j, ct in enumerate(ctexts):
+            c = round(len(qs & sh(ct)) / len(qs), 6)
+            if c >= threshold:
+                expected[(qid, 100 + j)] = c
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    uids=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    split=st.integers(1, 6),
+    k=st.sampled_from([2, 4, 8]),
+)
+def test_bottomk_merge_property(spark, uids, split, k):
+    """For ANY partition of the input into batches, merging the
+    per-batch bottom-k sketches equals the from-scratch build —
+    including duplicate ids across batches."""
+    import datetime as dt
+
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        merge_rollup_bottomk,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(u, ts) for u in uids]
+    schema = "uid long, ts timestamp"
+    full = spark.createDataFrame(rows, schema)
+
+    def sketch(df):
+        return sorted(
+            (r["bucket"], [(e["h"], e["v"]) for e in r["bk"]])
+            for r in build_rollup_bottomk(
+                df, "ts", 3600, [], "uid", k=k
+            ).collect()
+        )
+
+    scratch = sketch(full)
+    parts = [
+        spark.createDataFrame(
+            [(u, ts) for i, u in enumerate(uids) if i % split == m] or
+            [(None, None)], schema,
+        ).filter("uid IS NOT NULL")
+        for m in range(split)
+    ]
+    merged = build_rollup_bottomk(parts[0], "ts", 3600, [], "uid", k=k)
+    for p in parts[1:]:
+        merged = merge_rollup_bottomk(
+            merged, build_rollup_bottomk(p, "ts", 3600, [], "uid", k=k), k=k
+        )
+    got = sorted(
+        (r["bucket"], [(e["h"], e["v"]) for e in r["bk"]])
+        for r in merged.collect()
+    )
+    assert got == scratch
