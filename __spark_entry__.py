@@ -3116,6 +3116,72 @@ def _q_q22_idle_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS semi join under a date window: orders
+    from one quarter having at least one line shipped AFTER the order
+    date (the late-commit check), counted per priority.  Spark: the
+    correlated EXISTS becomes one LEFT SEMI join with a compound
+    equi+inequality condition (the comparison happens inside the
+    order's line group after the equi shuffle, never orders x lines);
+    the oracle keeps the correlated EXISTS form."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    late = li.select(
+        F.col("l_orderkey").alias("lk"), F.col("l_shipdate").alias("sd")
+    )
+    return (
+        window.join(
+            late,
+            (F.col("o_orderkey") == F.col("lk"))
+            & (F.col("sd") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-aggregate ratio: the PROMO parts'
+    share of one month's discounted revenue.  Both numerator and
+    denominator snap to integer cents per line BEFORE summation, so
+    the only float op is the final single division (rounded 6 dp) —
+    the ratio is reproducible under any summation order.  One
+    broadcast part join, one aggregate; no subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+            ).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.round(
+                F.col("promo_cents").cast("double") * 100.0
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
 def _q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — HAVING against a correlated GLOBAL-fraction
     scalar: parts whose total line value (for one nation's suppliers)
@@ -3329,6 +3395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_value": _q_q22_idle_value,
         "q2_min_cost": _q_q2_min_cost,
         "q11_important_stock": _q_q11_important_stock,
+        "q4_late_orders": _q_q4_late_orders,
+        "q14_promo_share": _q_q14_promo_share,
         # earlier rotations (r2-r6) — see git history for per-round notes
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
@@ -4703,6 +4771,37 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             )
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        "q4_late_orders": """
+            SELECT o.o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
+        "q14_promo_share": """
+            WITH m AS (
+              SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS cents,
+                     p.p_type
+              FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l.l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents
+                             ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents
+                                   ELSE 0 END) AS DOUBLE) * 100.0
+                         / CAST(sum(cents) AS DOUBLE), 6)
+                     AS promo_share_pct
+            FROM m
         """,
         "q11_important_stock": """
             WITH v AS (

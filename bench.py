@@ -289,6 +289,8 @@ def main():
         "q22_idle_value",
         "q2_min_cost",
         "q11_important_stock",
+        "q4_late_orders",
+        "q14_promo_share",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
