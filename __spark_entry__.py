@@ -3376,7 +3376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image_phash_dedup, dedup_substrings, quality_classifier,
         # unicode_clean, sentence_chunks, line_dedup, wet_extract, ...)
         # will hold 2 straight greens each — rotate out as many as
-        # needed for the 9 r7 additions below (q17/q15/q20/q22/q2/q11
+        # needed for the 11 r7 additions below (q17/q15/q20/q22/q2/q11/q4/q14
         # decorrelation suite, containment_quotes, rollup_bottomk,
         # image_meta_triage), which are all locally green at both SFs
         # with dtype-audited oracles.  Keep dsir_select/filter_funnel
