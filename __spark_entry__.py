@@ -3083,18 +3083,25 @@ def _q_q22_idle_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is a 1-row broadcast cross join (never a shuffle), the
     NOT EXISTS an anti join with the whale filter pushed to the
     orders scan; balances snap to cents per row so the per-nation
-    sums are integer-exact.  The oracle keeps the correlated
-    `c_acctbal > (SELECT avg(...)) AND NOT EXISTS (SELECT ... same
+    sums are integer-exact.  The richer-than-average gate is an EXACT
+    integer cross-multiplication (c_cents * n_pos > sum_cents) on
+    both engines — a raw double avg() differs between Spark's
+    distributed partial sums and DuckDB's serial fold, so a balance
+    within an ulp of the average could flip the filter (r7 advice).
+    The oracle keeps the correlated `NOT EXISTS (SELECT ... same
     customer AND o_totalprice > 400000)` form."""
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "c_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
     orders = load_table(spark, sf_dir, "orders")
     nation = load_table(spark, sf_dir, "nation")
     avg_pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.sum("c_cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     idle = (
         cust.crossJoin(F.broadcast(avg_pos))
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(F.col("c_cents") * F.col("n_pos") > F.col("sum_cents"))
         .join(
             orders.filter(F.col("o_totalprice") > 400000.0).select(
                 "o_custkey"
@@ -3108,9 +3115,7 @@ def _q_q22_idle_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
-                "total_bal_cents"
-            ),
+            F.sum("c_cents").alias("total_bal_cents"),
         )
         .orderBy("n_name")
     )
@@ -4761,9 +4766,11 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
                         AS BIGINT) AS total_bal_cents
             FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
-            WHERE c.c_acctbal > (
-              SELECT avg(c2.c_acctbal) FROM customer c2
-              WHERE c2.c_acctbal > 0.0
+            WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * (
+              SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0
+            ) > (
+              SELECT sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+              FROM customer c2 WHERE c2.c_acctbal > 0.0
             )
             AND NOT EXISTS (
               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

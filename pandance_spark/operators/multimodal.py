@@ -1773,7 +1773,10 @@ def pack_webp_meta(width: int, height: int, lossless: bool = False) -> bytes:
             chunk += b"\x00"
     else:
         body = (
-            bytes([0x10, 0, 0, 0])  # flags: no alpha/anim/ICC
+            # flags byte layout (MSB first): Rsv(2)|ICC|Alpha|EXIF|XMP|
+            # Anim|Rsv — 0x00 = featureless canvas (no ALPH/ANIM/ICCP
+            # chunks follow, so no feature bit may be set)
+            bytes([0x00, 0, 0, 0])
             + (width - 1).to_bytes(3, "little")
             + (height - 1).to_bytes(3, "little")
         )
@@ -1798,6 +1801,13 @@ def _image_header_meta(raw: bytes):
             while pos + 4 <= len(raw):
                 if raw[pos] != 0xFF:
                     return None
+                # T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+                # before a marker id — skip them or the walk misreads
+                # the fill byte as a marker and a bogus length after it
+                while pos + 4 <= len(raw) and raw[pos + 1] == 0xFF:
+                    pos += 1
+                if pos + 4 > len(raw):
+                    return None
                 m = raw[pos + 1]
                 if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
                     pos += 2
@@ -1820,7 +1830,12 @@ def _image_header_meta(raw: bytes):
             if len(raw) < 26:
                 return None
             w, h = struct.unpack_from("<ii", raw, 18)
-            return ("bmp", w, abs(h))  # negative h = top-down DIB
+            # negative h = top-down DIB (legal); negative/zero width or
+            # zero height is malformed — degrade to ok=false, never
+            # emit a negative dimension
+            if w <= 0 or h == 0:
+                return None
+            return ("bmp", w, abs(h))
         if raw[:2] == b"P6":
             meta = _parse_ppm_header(raw)
             if meta is None:

@@ -432,17 +432,20 @@ def streaming_contamination_router(
     distinct_hashes = benchmark.select(
         F.explode(shingle_hashes(F.col(btext))).alias("__h")
     ).distinct()
-    # gate BEFORE collecting: a distributed count is cheap, whereas a
-    # collect() of a corpus-sized "benchmark" would OOM the driver
-    # before any after-the-fact size check could run (r7 review)
-    n = distinct_hashes.count()
-    if n * 8 > max_bench_mb * (1 << 20):
+    # gate WITHOUT a second scan: collect at most cap+1 rows via LIMIT
+    # (Spark's CollectLimit early-terminates, so a corpus-sized
+    # "benchmark" stops producing rows at the cap instead of OOMing
+    # the driver) and fail if the cap is hit — the tokenize/shingle/
+    # distinct pipeline runs exactly once (r7 advice: the previous
+    # count()-then-collect() shape scanned the benchmark twice)
+    cap = max_bench_mb * (1 << 20) // 8
+    bench_hashes = distinct_hashes.limit(cap + 1).collect()
+    if len(bench_hashes) > cap:
         raise ValueError(
-            f"benchmark shingle set is {n} hashes (~{n * 8 >> 20} MB) — "
-            f"above the {max_bench_mb} MB driver gate; run batch "
+            f"benchmark shingle set exceeds {cap} hashes "
+            f"(~{max_bench_mb} MB driver gate); run batch "
             "contamination_check for corpus-sized references"
         )
-    bench_hashes = distinct_hashes.collect()
     arr = np.sort(np.array([r["__h"] for r in bench_hashes], dtype=np.int64))
     bc = docs_stream.sparkSession.sparkContext.broadcast(arr)
 

@@ -998,3 +998,44 @@ def test_image_metadata_headers_agree_with_decoders(spark):
     path = os.path.join(os.path.dirname(__file__), "data",
                         "foreign_libjpeg_420.jpg")
     assert _image_header_meta(open(path, "rb").read()) == ("jpeg", 300, 200)
+
+
+def test_image_header_meta_edge_contracts():
+    """r8 advice pins: (1) JPEG 0xFF fill-byte padding before a marker
+    is legal (T.81 B.1.1.2) and must not derail the walk; (2) a BMP
+    header with a negative/zero width degrades to None (ok=false),
+    never a negative dimension; (3) pack_webp_meta's VP8X flags byte
+    is 0x00 — no feature bit (Alpha et al.) may be set when no
+    feature chunk follows."""
+    import struct
+
+    from pandance_spark.operators.multimodal import (
+        _image_header_meta,
+        pack_jpeg_image,
+        pack_webp_meta,
+    )
+
+    # (1) inject fill bytes between SOI and the first marker, and
+    # again before the next one — dims must still parse
+    raw = pack_jpeg_image(16, 8, 5)
+    assert raw[:2] == b"\xff\xd8"
+    padded = raw[:2] + b"\xff\xff\xff" + raw[2:]
+    assert _image_header_meta(padded) == ("jpeg", 16, 8)
+
+    # (2) malformed BMP widths/heights → None, matching the fuzz
+    # invariant meta[1] >= 0
+    def bmp(w, h):
+        hdr = bytearray(26)
+        hdr[:2] = b"BM"
+        struct.pack_into("<ii", hdr, 18, w, h)
+        return bytes(hdr)
+
+    assert _image_header_meta(bmp(-3, 5)) is None
+    assert _image_header_meta(bmp(0, 5)) is None
+    assert _image_header_meta(bmp(6, 0)) is None
+    assert _image_header_meta(bmp(6, -5)) == ("bmp", 6, 5)  # top-down
+
+    # (3) VP8X flags byte: Rsv(2)|ICC|Alpha|EXIF|XMP|Anim|Rsv
+    payload = pack_webp_meta(640, 480)
+    vp8x = payload.index(b"VP8X")
+    assert payload[vp8x + 8] == 0x00
