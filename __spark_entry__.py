@@ -3275,6 +3275,335 @@ def _q_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bidirectional nation-pair trade volume: line
+    revenue shipped between NATION_1 and NATION_2 (either direction)
+    over two years, by (supp_nation, cust_nation, ship year).  Spark:
+    supplier and customer are pre-filtered to the TWO nations BEFORE
+    any fact join (2/25 selectivity pushed below the shuffle), nation
+    broadcast into each; the asymmetric pair predicate is applied
+    after the two dimension joins meet.  lineitem->orders stays an
+    equi shuffle join (both fact-sized at 100 TB; AQE may still
+    broadcast the nation-filtered order side).  Revenue snaps to
+    integer cents per line.  The oracle keeps TPC-H Q7's original
+    flat 6-table form with the OR pair predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    s = (
+        supp.join(
+            F.broadcast(
+                nation.filter(F.col("n_name").isin(pair)).select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        cust.join(
+            F.broadcast(
+                nation.filter(F.col("n_name").isin(pair)).select(
+                    F.col("n_nationkey").alias("c_nk"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all ECONOMY parts
+    sold to AMERICA-region customers over two order years, the
+    revenue fraction supplied by NATION_3, by order year.  Spark:
+    region and nation broadcast into customer/supplier; the ECONOMY
+    part filter (1/6) prunes lineitem via its join; numerator and
+    denominator are ONE conditional aggregate over the same joined
+    rows (the original query's nested all_nations subquery folds into
+    a CASE — no second scan).  Cents snap per line; the single float
+    op is the final division (6 dp).  The oracle keeps the original
+    nested-subquery + CASE form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    amer_cust = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    region.filter(F.col("r_name") == "AMERICA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select(F.col("n_nationkey").alias("c_nk"))
+            ),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
+        .select("c_custkey")
+    )
+    s_nat = (
+        supp.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    econ = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    return (
+        li.join(econ, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(amer_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", cents).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.round(
+                F.col("nation_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by (supplier nation, order
+    year) for parts whose name contains 'widget'.  The synthetic
+    schema has no partsupp, so supply cost is proxied at 10% of
+    p_retailprice per unit (documented adaptation; the SHAPE — a
+    5-way fact/dim join with a profit expression mixing two tables'
+    columns, grouped nation x year — is Q9's).  The per-line profit
+    is computed with the IDENTICAL association order on both engines,
+    then snapped to cents before summation.  Oracle keeps the
+    original nested 'profit' subquery form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    widget = part.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s_nat = (
+        supp.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("s_nk"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - (0.1 * F.col("p_retailprice")) * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        li.join(widget, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(amount_cents).alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def _q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: the top 20 customers
+    by revenue lost to returns ('R' lines) on one quarter's orders.
+    Spark: the quarter filter prunes orders at the scan, the return
+    flag prunes lineitem at the scan, customer joins AFTER the
+    order-line aggregate would be wrong (revenue groups on customer
+    attributes) so the group is on the joined rows with nation
+    broadcast; deterministic top-20 via (revenue DESC, custkey ASC)
+    on both engines.  Cents snap per line."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-04-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — two-way conditional counts over an order-line
+    join: for 1997 lines in two return classes ('A'/'R' standing in
+    for the synthetic schema's missing l_shipmode) shipped more than
+    45 days after their order date, count critical- vs normal-
+    priority orders per class.  One equi shuffle join, both CASE
+    branches over the same rows (no second scan); the lateness
+    comparison is exact timestamp arithmetic, no floats anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs across two tables: revenue from
+    lines matching any of three (brand, size range, quantity range)
+    branches.  Spark: the disjunction's per-table SUPERSETS are
+    derived by hand and pushed below the join — part pre-filters to
+    the 3 brands x size<=15 (tiny -> broadcast), lineitem to
+    quantity<=30 at the scan — then the exact OR applies on the
+    joined rows.  Catalyst can't always factor cross-table
+    disjunctions itself; deriving the union bounds keeps the 100 TB
+    scan pruned.  Oracle keeps the original pure OR-of-ANDs with no
+    derived filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    part_f = part.filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#24")
+        & F.col("p_size").between(1, 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.filter(F.col("l_quantity").between(1, 30))
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
@@ -3402,6 +3731,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_stock": _q_q11_important_stock,
         "q4_late_orders": _q_q4_late_orders,
         "q14_promo_share": _q_q14_promo_share,
+        # r8 additions — TPC-H 22/22 completion (VERDICT r7 item 2):
+        # Q7/Q8/Q9/Q10/Q12/Q19 shapes; Q19 exercises cross-table
+        # disjunctive pushdown (hand-derived per-table supersets)
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q12_late_lines": _q_q12_late_lines,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         # earlier rotations (r2-r6) — see git history for per-round notes
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
@@ -4809,6 +5147,132 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                          / CAST(sum(cents) AS DOUBLE), 6)
                      AS promo_share_pct
             FROM m
+        """,
+        "q7_volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS cents
+              FROM supplier s, lineitem l, orders o, customer c,
+                   nation n1, nation n2
+              WHERE s.s_suppkey = l.l_suppkey
+                AND o.o_orderkey = l.l_orderkey
+                AND c.c_custkey = o.o_custkey
+                AND s.s_nationkey = n1.n_nationkey
+                AND c.c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            ) shipping
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            SELECT o_year,
+                   CAST(sum(CASE WHEN nation = 'NATION_3' THEN cents
+                            ELSE 0 END) AS BIGINT) AS nation_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents,
+                   round(CAST(sum(CASE WHEN nation = 'NATION_3'
+                                   THEN cents ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+            FROM (
+              SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100) AS BIGINT) AS cents,
+                     n2.n_name AS nation
+              FROM part p, supplier s, lineitem l, orders o, customer c,
+                   nation n1, region r, nation n2
+              WHERE p.p_partkey = l.l_partkey
+                AND s.s_suppkey = l.l_suppkey
+                AND l.l_orderkey = o.o_orderkey
+                AND o.o_custkey = c.c_custkey
+                AND c.c_nationkey = n1.n_nationkey
+                AND n1.n_regionkey = r.r_regionkey
+                AND r.r_name = 'AMERICA'
+                AND s.s_nationkey = n2.n_nationkey
+                AND p.p_type = 'ECONOMY'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            ) all_nations
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT nation, o_year,
+                   CAST(sum(amount_cents) AS BIGINT) AS profit_cents
+            FROM (
+              SELECT n.n_name AS nation,
+                     CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                 - (0.1 * p.p_retailprice) * l.l_quantity)
+                                * 100) AS BIGINT) AS amount_cents
+              FROM part p, supplier s, lineitem l, orders o, nation n
+              WHERE s.s_suppkey = l.l_suppkey
+                AND p.p_partkey = l.l_partkey
+                AND o.o_orderkey = l.l_orderkey
+                AND s.s_nationkey = n.n_nationkey
+                AND p.p_name LIKE '%widget%'
+            ) profit
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer c, orders o, lineitem l, nation n
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND o.o_orderdate >= TIMESTAMP '1996-04-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND l.l_returnflag = 'R'
+              AND c.c_nationkey = n.n_nationkey
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue_cents DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "q12_late_lines": """
+            SELECT l.l_returnflag,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM orders o, lineitem l
+            WHERE o.o_orderkey = l.l_orderkey
+              AND l.l_returnflag IN ('A', 'R')
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_returnflag
+            ORDER BY l.l_returnflag
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_lines
+            FROM lineitem l, part p
+            WHERE (p.p_partkey = l.l_partkey
+                   AND p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_partkey = l.l_partkey
+                   AND p.p_brand = 'Brand#23'
+                   AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_partkey = l.l_partkey
+                   AND p.p_brand = 'Brand#24'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "q11_important_stock": """
             WITH v AS (
