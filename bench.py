@@ -371,13 +371,42 @@ def main():
             reps.append(time.time() - t0)
         return reps
 
+    respreads = {}
+
+    def _measure(name, fn, barrier_ok=True) -> list:
+        """Spread guard (r7 verdict item 3): a box-load spike during
+        one rep can leave a 13 s spread on a 2 s query and poison the
+        round-over-round comparison.  If a triple's spread exceeds
+        2x its median, re-run it (up to 2 retries, barrier+settle
+        between) and report over the REPS SMALLEST reps pooled across
+        attempts — external load only ever ADDS time, so the fastest
+        reps are the honest ones; a genuine regression shows up in
+        every attempt and survives the pooling."""
+        reps = _timed_reps(fn)
+        attempts = 1
+        while (
+            REPS > 1
+            and attempts < 3
+            and (max(reps) - min(reps)) > 2 * statistics.median(reps)
+        ):
+            # no barrier for the baseline workloads: it would evict
+            # their cached createDataFrame inputs mid-measurement
+            if barrier_ok:
+                _barrier()
+            time.sleep(1)
+            reps = sorted(reps + _timed_reps(fn))[:REPS]
+            attempts += 1
+        if attempts > 1:
+            respreads[name] = attempts
+        return reps
+
     for name in headline:
         try:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
         _barrier()
-        reps = _timed_reps(lambda: qs[name](spark, SF_DIR))
+        reps = _measure(name, lambda: qs[name](spark, SF_DIR))
         timings[name] = round(statistics.median(reps), 3)
         spread[name] = round(max(reps) - min(reps), 3)
 
@@ -398,7 +427,7 @@ def main():
         # cache and the timed join, which would evict them)
         _barrier()
         join_fn = builder(spark)  # input setup excluded from the timing
-        reps = _timed_reps(join_fn)
+        reps = _measure(name, join_fn, barrier_ok=False)
         timings[name] = round(statistics.median(reps), 3)
         spread[name] = round(max(reps) - min(reps), 3)
 
@@ -416,6 +445,7 @@ def main():
         "sf": sf,
         "reps": REPS,
         "spread": spread,
+        "respreads": respreads,
     }
     # The harness that runs this keeps only a small TAIL of stdout and
     # parses the last JSON line it finds there: a 117-query timings

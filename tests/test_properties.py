@@ -833,3 +833,46 @@ def test_bottomk_merge_property(spark, uids, split, k):
         for r in merged.collect()
     )
     assert got == scratch
+
+
+@settings(**_SETTINGS)
+@given(
+    uids=st.lists(st.integers(0, 500), min_size=3, max_size=60),
+    k=st.sampled_from([2, 4, 8]),
+)
+def test_bottomk_merge_associativity(spark, uids, k):
+    """merge is ASSOCIATIVE, not just partition-invariant: for a
+    3-way split, merge(merge(a,b),c) == merge(a,merge(b,c))
+    bit-for-bit — the property that lets a tree/shuffle reducer
+    combine partials in whatever order the scheduler delivers them."""
+    import datetime as dt
+
+    from pandance_spark.operators.rollup import (
+        build_rollup_bottomk,
+        merge_rollup_bottomk,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "uid long, ts timestamp"
+    sketches = [
+        build_rollup_bottomk(
+            spark.createDataFrame(
+                [(u, ts) for i, u in enumerate(uids) if i % 3 == m]
+                or [(uids[0], ts)],
+                schema,
+            ),
+            "ts", 3600, [], "uid", k=k,
+        )
+        for m in range(3)
+    ]
+    a, b, c = sketches
+
+    def canon(df):
+        return sorted(
+            (r["bucket"], [(e["h"], e["v"]) for e in r["bk"]])
+            for r in df.collect()
+        )
+
+    left = merge_rollup_bottomk(merge_rollup_bottomk(a, b, k=k), c, k=k)
+    right = merge_rollup_bottomk(a, merge_rollup_bottomk(b, c, k=k), k=k)
+    assert canon(left) == canon(right)
