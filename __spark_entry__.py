@@ -3796,60 +3796,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
         # DRIVER WINDOW (first 50 entries — the driver's correctness gate
-        # reads only these; ALL 143 entries stay in the local multi-sf
-        # gate).  r7 rotation: 17 multi-green veterans rotated out (each
-        # 2-6 straight green driver rounds, families keep coverage via
-        # the local gate and sibling window rows) for the 17 r6-built
-        # queries the driver has never checked (VERDICT r6 "What's
-        # missing" #1/#3, items 9/10), incl. the two r6 red rows
-        # dsir_select/filter_funnel with their HUGEINT-cast oracle fix,
-        # and bpe_tokens (err: no_oracle — a permanently dead slot)
-        # swapped for oracle-checkable token_budget.  Rotation history
-        # through r6 lives in git (this comment block pre-f3c2378).
+        # reads only these; ALL entries below stay in the local multi-sf
+        # gate).  r8 rotation (VERDICT r7 item 1): 28 multi-green veterans
+        # rotated out (2+ straight driver greens each; their families keep
+        # window coverage via sibling rows and the local gate) for the 19
+        # never-driver-checked queries (the r7 decorrelation/TPC-H suite,
+        # containment_quotes, rollup_bottomk, image_meta_triage, and the
+        # r6 selection/analytics stragglers) plus the 9 r8-built queries
+        # (TPC-H completion Q7-Q19, warc_files ingestion, sparse PII,
+        # composed decontamination).  All 50 verified green at sf0.001 +
+        # sf0.01 with dtype-audited oracles before this commit; rotation
+        # history through r7 lives in git (pre-d8f53fd comment blocks).
+        # NOTE rollup_distinct_users has no oracle BY CONTRACT (HLL
+        # estimates are engine-specific; pinned in tests) — the driver
+        # records its weaker rows-only check.
         # ------------------------------------------------------------------
-        # carried over: 1-green r6 entries + the 2 red rows (need their
-        # first green) + never-checked table_diff-style first-greens
-        "bloom_dedup": _q_bloom_dedup,
-        "heavy_hitters": _q_heavy_hitters,
+        # carried: the two r6-red->r7-green rows (2nd green confirms the
+        # HUGEINT-cast fix held), SURVEY.md 2.1 core operators, the perf-
+        # pinned PNG row
         "dsir_select": _q_dsir_select,
         "filter_funnel": _q_filter_funnel,
-        "ineq_band_autoskew": _q_ineq_band_autoskew,
-        "boilerplate_lines": _q_boilerplate_lines,
-        "domain_blocklist": _q_domain_blocklist,
         "fuzzy_autoskew": _q_fuzzy_autoskew,
-        "image_phash_dedup": _q_image_phash_dedup,
-        "dedup_substrings": _q_dedup_substrings,
-        "quality_classifier": _q_quality_classifier,
-        "unicode_clean": _q_unicode_clean,
-        "sentence_chunks": _q_sentence_chunks,
-        "line_dedup": _q_line_dedup,
-        "wet_extract": _q_wet_extract,
-        "multimodal_gif_frames": _q_multimodal_gif_frames,
-        "tag_topics": _q_tag_topics,
+        "ineq_band_autoskew": _q_ineq_band_autoskew,
         "multimodal_png": _q_multimodal_png,
-        "multimodal_jpeg": _q_multimodal_jpeg,
-        "multimodal_gif": _q_multimodal_gif,
-        "warc_extract": _q_warc_extract,
-        "url_normalize": _q_url_normalize,
-        "url_dedup": _q_url_dedup,
-        "cap_per_domain": _q_cap_per_domain,
-        "epoch_mix": _q_epoch_mix,
-        "contamination_spans": _q_contamination_spans,
-        "multimodal_media_meta": _q_multimodal_media_meta,
-        "keywords_tfidf": _q_keywords_tfidf,
-        "shuffle_shards": _q_shuffle_shards,
-        "corpus_report": _q_corpus_report,
-        "zorder_cluster": _q_zorder_cluster,
-        "audio_segments": _q_audio_segments,
-        "table_diff": _q_table_diff,
-        # r7 rotations IN — the r6 analytics/maintenance/PII layer,
-        # never driver-checked: pii_cards + main_text_extract (every
-        # crawl pipeline), cdc_apply + gap_fill_events (every warehouse
-        # user), the funnel/cohort/cumulative/transitions/ab analytics
-        # family, keep_best + rollup_quantiles (the canonical 100 TB
-        # dedup-then-report chain, VERDICT item 9), q21_blame (hand-
-        # decorrelated EXISTS/NOT-EXISTS, VERDICT item 10), cube/RANGE-
-        # frame relational shapes, mixture_temperature, token_budget
+        # r7 rotation-ins holding for their 2nd green
         "pii_cards": _q_pii_cards,
         "main_text_extract": _q_main_text,
         "cdc_apply": _q_cdc_apply,
@@ -3867,13 +3837,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": _q_cube_orders,
         "mixture_temperature": _q_mixture_temperature,
         "token_budget": _q_token_budget,
+        # never-driver-checked until now (VERDICT r7 item 1 list)
+        "rollup_bottomk": _q_rollup_bottomk,
+        "image_meta_triage": _q_image_meta_triage,
+        "containment_quotes": _q_containment_quotes,
+        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q20_semi_chain": _q_q20_semi_chain,
+        "q22_idle_value": _q_q22_idle_value,
+        "q2_min_cost": _q_q2_min_cost,
+        "q11_important_stock": _q_q11_important_stock,
+        "q4_late_orders": _q_q4_late_orders,
+        "q14_promo_share": _q_q14_promo_share,
+        "embed_project": _q_embed_project,
+        "weighted_sample": _q_weighted_sample,
+        "ppl_buckets": _q_ppl_buckets,
+        "rollup_incremental": _q_rollup_incremental,
+        "mixture_plan": _q_mixture_plan,
+        "outliers_events": _q_outliers_events,
+        "weighted_per_lang": _q_weighted_per_lang,
+        "rollup_distinct_users": _q_rollup_distinct_users,
+        # r8-built queries (first driver check)
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q12_late_lines": _q_q12_late_lines,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "warc_files": _q_warc_files,
+        "pii_cards_sparse": _q_pii_cards_sparse,
+        "decontam_composed": _q_decontam_composed,
         # --- entries 51+ (outside the driver window; locally gated) ---
-        # r7 rotations OUT: bpe_tokens (no_oracle slot), theta_expr_mod
-        # + theta_udf_gcd (6 greens each r1-r6, the most stable rows in
-        # the suite), dedup_incremental + ann_quantized (3 greens),
-        # semantic_dedup / html_clean / multimodal_audio / _video /
-        # _decode / skew_report_events / dedup_paragraphs / q13 / q16 /
-        # q18 / exact_sample / scd2_apply_late (2 greens each r5-r6)
+        # r8 rotations OUT: the 28 carryovers with 2+ straight greens
+        # (bloom_dedup, heavy_hitters, the multimodal codec family,
+        # url/layout/maintenance rows, dedup_substrings, ...)
+        "bloom_dedup": _q_bloom_dedup,
+        "heavy_hitters": _q_heavy_hitters,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "domain_blocklist": _q_domain_blocklist,
+        "image_phash_dedup": _q_image_phash_dedup,
+        "dedup_substrings": _q_dedup_substrings,
+        "quality_classifier": _q_quality_classifier,
+        "unicode_clean": _q_unicode_clean,
+        "sentence_chunks": _q_sentence_chunks,
+        "line_dedup": _q_line_dedup,
+        "wet_extract": _q_wet_extract,
+        "multimodal_gif_frames": _q_multimodal_gif_frames,
+        "tag_topics": _q_tag_topics,
+        "multimodal_jpeg": _q_multimodal_jpeg,
+        "multimodal_gif": _q_multimodal_gif,
+        "warc_extract": _q_warc_extract,
+        "url_normalize": _q_url_normalize,
+        "url_dedup": _q_url_dedup,
+        "cap_per_domain": _q_cap_per_domain,
+        "epoch_mix": _q_epoch_mix,
+        "contamination_spans": _q_contamination_spans,
+        "multimodal_media_meta": _q_multimodal_media_meta,
+        "keywords_tfidf": _q_keywords_tfidf,
+        "shuffle_shards": _q_shuffle_shards,
+        "corpus_report": _q_corpus_report,
+        "zorder_cluster": _q_zorder_cluster,
+        "audio_segments": _q_audio_segments,
+        "table_diff": _q_table_diff,
         "bpe_tokens": _q_bpe_tokens,
         "theta_expr_mod": _q_theta_expr_mod,
         "theta_udf_gcd": _q_theta_udf_gcd,
@@ -3891,61 +3916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_big_orders": _q_q18_big_orders,
         "exact_sample": _q_exact_sample,
         "scd2_apply_late": _q_scd2_apply_late,
-        # r8 rotation plan: after r7's driver run, the window's
-        # carryovers (bloom_dedup, heavy_hitters, ineq_band_autoskew,
-        # boilerplate_lines, domain_blocklist, fuzzy_autoskew,
-        # image_phash_dedup, dedup_substrings, quality_classifier,
-        # unicode_clean, sentence_chunks, line_dedup, wet_extract, ...)
-        # will hold 2 straight greens each — rotate out as many as
-        # needed for the 11 r7 additions below (q17/q15/q20/q22/q2/q11/q4/q14
-        # decorrelation suite, containment_quotes, rollup_bottomk,
-        # image_meta_triage), which are all locally green at both SFs
-        # with dtype-audited oracles.  Keep dsir_select/filter_funnel
-        # IN until their first driver green confirms the HUGEINT-cast
-        # fix.
-        # r7 additions waiting for a window slot: the scalar-subquery
-        # decorrelation suite (Q17/Q15/Q20/Q22/Q2/Q11 shapes) — Spark
-        # side hand-decorrelated, oracles keep the original correlated
-        # SQL
-        "rollup_bottomk": _q_rollup_bottomk,
-        "image_meta_triage": _q_image_meta_triage,
-        "containment_quotes": _q_containment_quotes,
-        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q20_semi_chain": _q_q20_semi_chain,
-        "q22_idle_value": _q_q22_idle_value,
-        "q2_min_cost": _q_q2_min_cost,
-        "q11_important_stock": _q_q11_important_stock,
-        "q4_late_orders": _q_q4_late_orders,
-        "q14_promo_share": _q_q14_promo_share,
-        # r8 additions — TPC-H 22/22 completion (VERDICT r7 item 2):
-        # Q7/Q8/Q9/Q10/Q12/Q19 shapes; Q19 exercises cross-table
-        # disjunctive pushdown (hand-derived per-table supersets)
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "q8_market_share": _q_q8_market_share,
-        "q9_product_profit": _q_q9_product_profit,
-        "q10_returned_items": _q_q10_returned_items,
-        "q12_late_lines": _q_q12_late_lines,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        # r8: binaryFile -> warc_records crawl-directory ingestion
-        "warc_files": _q_warc_files,
-        # r8: PII detection at realistic (~1%) candidate density
-        "pii_cards_sparse": _q_pii_cards_sparse,
-        # r8: containment x contamination_spans agreement on planted spans
-        "decontam_composed": _q_decontam_composed,
-        # earlier rotations (r2-r6) — see git history for per-round notes
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
         "pagerank_supply": _q_pagerank_supply,
-        "embed_project": _q_embed_project,
-        "weighted_sample": _q_weighted_sample,
-        "ppl_buckets": _q_ppl_buckets,
-        "rollup_incremental": _q_rollup_incremental,
-        "mixture_plan": _q_mixture_plan,
-        "outliers_events": _q_outliers_events,
-        "weighted_per_lang": _q_weighted_per_lang,
-        "rollup_distinct_users": _q_rollup_distinct_users,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
         "ineq_lt_balances": _q_ineq_lt_balances,

@@ -291,6 +291,16 @@ def main():
         "q11_important_stock",
         "q4_late_orders",
         "q14_promo_share",
+        # r8 additions
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q12_late_lines",
+        "q19_disjunctive_revenue",
+        "warc_files",
+        "pii_cards_sparse",
+        "decontam_composed",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
