@@ -89,11 +89,23 @@ def main():
             elif st in INTEGRAL_SPARK and pt == "object":
                 flag = "int-spark vs object-pandas (Decimal leak)"
             if flag:
-                # NULL-driven int->float is only a real mismatch if the
-                # SPARK side has no nulls (then spark hashes ints while
-                # the oracle hashes floats)
+                # NULL-driven int->float is BENIGN: the driver converts
+                # BOTH sides through pandas, so a null-containing int
+                # column goes float64 on the Spark side too and the
+                # hashes agree (r7 evidence: multimodal_media_meta /
+                # wet_extract driver-green with exactly this pattern).
+                # The HAZARD is a null-FREE column where Spark stays
+                # int64 ("450") against an oracle float64 ("450.0") —
+                # the r6 dsir_select/filter_funnel reds — or null
+                # counts that differ between engines.
                 nnull = sdf.where(sdf[c].isNull()).count()
                 onull = int(odf[c].isna().sum())
+                if nnull > 0 and nnull == onull and pt.startswith("float"):
+                    print(
+                        f"INFO {name}.{c}: spark={st} pandas={pt} "
+                        f"(null-driven, {nnull} nulls both sides — benign)"
+                    )
+                    continue
                 print(
                     f"FLAG {name}.{c}: spark={st} pandas={pt} "
                     f"({flag}; spark_nulls={nnull} oracle_nulls={onull})"

@@ -13,4 +13,8 @@ python scripts/check_correctness.py /root/testdata/sf0.01
 python scripts/check_correctness.py /root/testdata/sf0.1 \
     text_langid train_split cap_per_lang price_quantiles ineq_gt_strings \
     ineq_band_strings dedup_exact text_stats multimodal_meta
+# standing oracle-dtype gate (r7 verdict item 8): the pandas
+# canonicalization class of mismatch (HUGEINT/DECIMAL -> float64)
+# is invisible to the fetchall-based gate above — audit every oracle
+python scripts/audit_oracle_dtypes.py /root/testdata/sf0.01
 echo "multi-sf gate: all green"
