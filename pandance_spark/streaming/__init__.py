@@ -47,6 +47,7 @@ __all__ = [
     "stream_scd2_sink",
     "streaming_similarity_join",
     "streaming_contamination_router",
+    "streaming_token_budget_router",
 ]
 
 
@@ -1245,3 +1246,102 @@ def streaming_similarity_join(
         & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"INTERVAL {window}")),
         "inner",
     ).select("id_a", "ts_a", "id_b", "ts_b", "band")
+
+
+def streaming_token_budget_router(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str,
+    tokens_col: str,
+    budgets,
+) -> DataFrame:
+    """Stateful per-group token-budget ADMISSION at ingest time: each
+    group (language / source / domain) spends a token budget as its
+    documents arrive; a document is admitted iff the group's
+    cumulative token count AFTER it stays within the budget.  The
+    arrival-order twin of ``functions.split.token_budget_cap`` — the
+    batch op selects in md5(key) order for engine-independent
+    sampling, but an INGEST cap must spend the budget in the order
+    data arrives ("stop taking forum text at 5B tokens").
+
+    ``budgets`` is an int (every group) or a dict mapping group value
+    -> budget; groups absent from the dict are uncapped (always
+    admitted, cum still tracked).  NULL token counts spend 0, exactly
+    like the batch op's coalesce.  Rows are ANNOTATED
+    ``(id, group, tokens, cum_tokens, admitted)``, never dropped —
+    routing stays with the caller (same contract as
+    ``streaming_dsir_router``).
+
+    Within a micro-batch the fold is in ascending ``id_col`` order
+    (deterministic tie-break); across batches it is arrival order, so
+    the incremental fold equals a batch cumulative-sum fold whenever
+    batches deliver each group's rows in ascending id order — the
+    ordering a log with a monotone document id gives (same documented
+    contract as ``streaming_funnel``).  State per group is ONE long
+    (tokens seen so far): bounded by the group population, not
+    document volume; the budget comparison is exact int64 arithmetic,
+    replayable by any engine's windowed SUM.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if isinstance(budgets, bool) or not isinstance(budgets, (int, dict)):
+        raise ValueError("budgets must be an int or a dict")
+    if isinstance(budgets, int) and budgets < 0:
+        raise ValueError("budget must be >= 0")
+    if isinstance(budgets, dict):
+        for g, b in budgets.items():
+            if b < 0:
+                raise ValueError(f"budget for {g!r} must be >= 0")
+
+    def _budget_for(g):
+        if isinstance(budgets, int):
+            return budgets
+        return budgets.get(g)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField(group_col, docs.schema[group_col].dataType),
+            T.StructField("tokens", T.LongType()),
+            T.StructField("cum_tokens", T.LongType()),
+            T.StructField("admitted", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+
+    def update(key, pdfs, state):
+        (g,) = key
+        seen = state.get[0] if state.exists else 0
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        # stable sort: equal ids keep arrival order (same contract as
+        # the funnel's per-batch time sort)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        toks = pdf[tokens_col].fillna(0).astype("int64")
+        cum = toks.cumsum() + seen
+        b = _budget_for(g)
+        admitted = (
+            cum <= b if b is not None
+            else pd.Series(True, index=cum.index)
+        )
+        state.update((int(seen) + int(toks.sum()),))
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: g,
+                "tokens": toks,
+                "cum_tokens": cum,
+                "admitted": admitted,
+            }
+        )
+
+    return docs.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1197,6 +1197,79 @@ WHERE NOT EXISTS (
            note="maintained KMV sketches == batch build == DuckDB "
                 "md5-order replay (exactly-mergeable, idempotent)")
 
+    # ------------------------------------------------------------------
+    # 17. streaming_token_budget_router (r8): stateful per-lang token
+    # budget admission over two doc_id-ordered micro-batches == a
+    # batch windowed cumsum == DuckDB's SUM OVER (PARTITION BY lang
+    # ORDER BY doc_id).  n_chars stands in for the token count;
+    # budgets cap two langs, the rest run uncapped.
+    # ------------------------------------------------------------------
+    from pandance_spark.streaming import streaming_token_budget_router
+
+    docs17 = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("tokens")
+    )
+    budgets17 = {"en": 150_000, "de": 40_000}
+    src17 = os.path.join(tmp, "tb_src")
+    mid17 = docs17.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    docs17.filter(F.col("doc_id") <= mid17).coalesce(1).write.parquet(src17)
+    docs17.filter(F.col("doc_id") > mid17).coalesce(1).write.mode(
+        "append"
+    ).parquet(src17)
+    stream17 = spark.readStream.schema(
+        "doc_id long, lang string, tokens long"
+    ).option("maxFilesPerTrigger", 1).parquet(src17)
+    run_stream_to_memory(
+        streaming_token_budget_router(
+            stream17, "lang", "doc_id", "tokens", budgets17
+        ),
+        "parity_tb",
+        output_mode="update",
+    )
+    cols17 = ["doc_id", "lang", "tokens", "cum_tokens", "admitted"]
+    s17 = canon_rows(spark.table("parity_tb").collect(), cols17)
+    from pyspark.sql import Window as W17
+
+    cum17 = F.sum(F.coalesce(F.col("tokens"), F.lit(0))).over(
+        W17.partitionBy("lang").orderBy("doc_id")
+    )
+    cap17 = (
+        F.when(F.col("lang") == "en", F.lit(budgets17["en"]))
+        .when(F.col("lang") == "de", F.lit(budgets17["de"]))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    b17 = canon_rows(
+        docs17.select(
+            "doc_id", "lang",
+            F.coalesce(F.col("tokens"), F.lit(0)).alias("tokens"),
+            cum17.alias("cum_tokens"),
+            F.coalesce(cum17 <= cap17, F.lit(True)).alias("admitted"),
+        ).collect(),
+        cols17,
+    )
+    d17 = canon_rows(duck_rows(con.sql(f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(coalesce(n_chars, 0) AS BIGINT) AS tokens
+          FROM read_parquet('{docs_pq15}')
+        ),
+        c AS (
+          SELECT doc_id, lang, tokens,
+                 sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING)
+                   AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, lang, tokens, cum_tokens,
+               CASE lang WHEN 'en' THEN cum_tokens <= {budgets17["en"]}
+                         WHEN 'de' THEN cum_tokens <= {budgets17["de"]}
+                         ELSE TRUE END AS admitted
+        FROM c
+    """)), cols17)
+    record("streaming_token_budget_router", "duckdb", s17, b17, d17,
+           note="arrival-order budget admission == batch cumsum == "
+                "DuckDB windowed SUM (id-ordered micro-batches)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

@@ -1005,3 +1005,84 @@ def test_stream_rollup_bottomk_sink_bit_exact_and_replay_safe(spark, tmp_path):
     assert base_state == exp
     h(b2, 1)  # redelivery
     assert state(t2) == exp
+
+
+def test_streaming_token_budget_router_matches_batch_cumsum(spark, tmp_path):
+    """Ingest-time budget admission: two id-ordered micro-batches ==
+    the batch windowed-cumsum fold; dict budgets cap 'en' and 'de'
+    differently, a group absent from the dict is uncapped; NULL
+    token counts spend 0."""
+    from pyspark.sql import Window, functions as F
+
+    from pandance_spark.streaming import streaming_token_budget_router
+
+    rows = [
+        # (doc_id, lang, tokens) — en budget 100, de budget 50, fr uncapped
+        (1, "en", 40), (2, "en", 40), (3, "en", 20),   # cum 100 — all in
+        (4, "en", 1),                                  # 101 — rejected
+        (5, "de", 30), (6, "de", None), (7, "de", 20), # null spends 0
+        (8, "de", 1),                                  # 51 — rejected
+        (9, "fr", 999), (10, "fr", 999),               # uncapped
+        (11, "en", 0),                                 # 0 tokens but cum=101
+    ]
+    schema = "doc_id long, lang string, tokens long"
+    budgets = {"en": 100, "de": 50}
+    batch = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum(F.coalesce(F.col("tokens"), F.lit(0))).over(w)
+    cap = (
+        F.when(F.col("lang") == "en", F.lit(100))
+        .when(F.col("lang") == "de", F.lit(50))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    want = {
+        r["doc_id"]: (r["cum_tokens"], r["admitted"])
+        for r in batch.select(
+            "doc_id",
+            cum.alias("cum_tokens"),
+            F.coalesce(cum <= cap, F.lit(True)).alias("admitted"),
+        ).collect()
+    }
+
+    in_dir = str(tmp_path / "tb_in")
+    early = [r for r in rows if r[0] <= 6]
+    late = [r for r in rows if r[0] > 6]
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    out = streaming_token_budget_router(
+        stream, "lang", "doc_id", "tokens", budgets
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tb_stream")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["admitted"])
+        for r in spark.table("tb_stream").collect()
+    }
+    assert got == want
+    # every input row is annotated, none dropped
+    assert set(got) == {r[0] for r in rows}
+
+    # int budget form + validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_token_budget_router(stream, "lang", "doc_id", "tokens", True)
+    with pytest.raises(ValueError):
+        streaming_token_budget_router(stream, "lang", "doc_id", "tokens", -1)
+    with pytest.raises(ValueError):
+        streaming_token_budget_router(
+            stream, "lang", "doc_id", "tokens", {"en": -5}
+        )
