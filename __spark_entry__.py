@@ -2773,13 +2773,13 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/bpe.py: one distributed word-count pass + bounded
     driver merge loop, the SentencePiece/subword-nmt training shape),
     then applied corpus-wide through the Arrow-batched rank-greedy
-    encoder.  Iterative merge learning is not SQL-expressible, so
-    this entry has no DuckDB oracle (rows-only driver check); the
-    algorithm itself is pinned by tests/test_bpe.py — pure-Python
-    Sennrich replay parity, reconstruction, and determinism
-    properties.  Emits per-doc word/token counts plus an md5 digest
-    of the token stream so ANY nondeterminism across runs or
-    partitionings would surface as digest churn."""
+    encoder.  FULL DuckDB oracle since r8: the deterministic merge
+    loop unrolls into 120 materialized CTE steps (see
+    ``_bpe_oracle``), so training AND application are replayed
+    end-to-end by an independent engine — the md5 of every doc's
+    token stream must agree bit-for-bit.  The algorithm is further
+    pinned by tests/test_bpe.py (pure-Python Sennrich replay parity,
+    reconstruction, determinism)."""
     from pandance_spark.functions.bpe import bpe_segment, learn_bpe
     from pandance_spark.functions.text import tokenize
 
@@ -4296,6 +4296,107 @@ _PII_CARDS_ORACLE = f"""
     FROM det
 """
 
+def _bpe_oracle(num_merges: int = 120, vocab_cap: int = 20_000) -> str:
+    """Full-SQL replay of BPE TRAINING + application (upgrades
+    bpe_tokens from rows-only to a real DuckDB oracle).  The learning
+    loop is deterministic (highest weighted pair count, ties to the
+    lexicographically smallest pair, stop below count 2 — see
+    functions/bpe.py learn_bpe), so it unrolls into ``num_merges``
+    chained CTE steps.  Each step counts adjacent symbol pairs over
+    the capped vocab and applies the winning merge via a
+    delimiter-guarded replace(): symbols are stored as
+    ``'||' || join(syms, '||') || '||'`` and the pattern
+    ``'|'+a+'||'+b+'|'`` consumes ONE guard bar from each flanking
+    boundary, so abutting matches still fire while partial-symbol
+    matches cannot — and replace() is left-to-right non-overlapping
+    in BOTH engines, which is exactly Sennrich's merge-pass order.
+    Words outside the vocab cap (usually none at these SFs) are
+    encoded by an identical replay chain seeded from the anti-join,
+    mirroring rank-greedy application (equivalent to in-order replay;
+    pinned in tests/test_bpe.py).  '|' cannot collide: symbols are
+    [a-z0-9]+ plus '</w>'."""
+    rep = (
+        "replace(s, '|' || (SELECT a FROM b{k}) || '||' || "
+        "(SELECT b FROM b{k}) || '|', '|' || "
+        "(SELECT a || b FROM b{k}) || '|')"
+    )
+    # AS MATERIALIZED is load-bearing: each s{k}/e{k} is referenced
+    # by TWO later CTEs, and DuckDB's default CTE inlining would blow
+    # the 120-step chain up exponentially (observed as 'too many open
+    # files' on the base parquet before the planner even finished)
+    step = (
+        "p{k} AS MATERIALIZED (SELECT pr.a AS a, pr.b AS b, "
+        "sum(cnt) AS tot FROM ("
+        "SELECT cnt, unnest([{{'a': l[i], 'b': l[i+1]}} "
+        "for i in range(1, len(l))]) AS pr FROM (SELECT cnt, "
+        "list_filter(string_split(s, '|'), x -> x <> '') AS l "
+        "FROM s{j})) GROUP BY 1, 2),\n"
+        "b{k} AS MATERIALIZED (SELECT a, b FROM p{k} WHERE tot >= 2 "
+        "ORDER BY tot DESC, a, b LIMIT 1),\n"
+        "s{k} AS MATERIALIZED (SELECT word, cnt, CASE WHEN "
+        "(SELECT count(*) FROM b{k}) = 0 THEN s ELSE " + rep +
+        " END AS s FROM s{j}),\n"
+        "e{k} AS MATERIALIZED (SELECT word, CASE WHEN "
+        "(SELECT count(*) FROM b{k}) = 0 THEN s ELSE " + rep +
+        " END AS s FROM e{j})"
+    )
+    chars = (
+        "'||' || array_to_string([substr(word, i, 1) "
+        "for i in range(1, len(word) + 1)] || ['</w>'], '||') || '||'"
+    )
+    steps = ",\n".join(
+        step.format(k=k, j=k - 1) for k in range(1, num_merges + 1)
+    )
+    n = num_merges
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM documents
+        ),
+        vocab AS MATERIALIZED (
+          SELECT word, count(*) AS cnt
+          FROM (SELECT unnest(ts) AS word FROM toks)
+          GROUP BY word ORDER BY cnt DESC, word LIMIT {vocab_cap}
+        ),
+        s0 AS MATERIALIZED (SELECT word, cnt, {chars} AS s FROM vocab),
+        e0 AS MATERIALIZED (
+          SELECT word, {chars} AS s
+          FROM (SELECT DISTINCT unnest(ts) AS word FROM toks)
+          WHERE word NOT IN (SELECT word FROM vocab)
+        ),
+        {steps},
+        enc AS (
+          SELECT word, list_filter(string_split(s, '|'), x -> x <> '')
+                   AS syms
+          FROM s{n}
+          UNION ALL
+          SELECT word, list_filter(string_split(s, '|'), x -> x <> '')
+          FROM e{n}
+        ),
+        docw AS (
+          SELECT doc_id, i, ts[i] AS word
+          FROM (SELECT doc_id, ts,
+                       unnest(generate_series(1, len(ts))) AS i
+                FROM toks)
+        ),
+        perdoc AS (
+          SELECT d.doc_id,
+                 sum(len(e.syms)) AS n_tokens,
+                 string_agg(array_to_string(e.syms, ' '), ' '
+                            ORDER BY d.i) AS stream
+          FROM docw d JOIN enc e USING (word)
+          GROUP BY d.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.ts) AS BIGINT) AS n_words,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               md5(coalesce(p.stream, '')) AS tokens_md5
+        FROM toks t LEFT JOIN perdoc p USING (doc_id)
+    """
+
+
 _PII_SPARSE_ORACLE = f"""
     WITH base AS (
       SELECT o_orderkey AS k, o_totalprice,
@@ -5090,6 +5191,7 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # in SQL by the same validator
         "pii_cards": _PII_CARDS_ORACLE,
         "pii_cards_sparse": _PII_SPARSE_ORACLE,
+        "bpe_tokens": _bpe_oracle(),
         # md5 arm coin + unit-level any-success + pooled-z replay
         "ab_summary": """
             WITH u AS (

@@ -21,9 +21,12 @@ within each batch, so hot words (Zipf head) are encoded once per
 batch, not once per occurrence.
 
 Engine extension beyond the reference (SURVEY.md §2.4); the
-reference has no tokenizer surface.  Non-SQL-expressible (iterative
-merge learning) — driver correctness is the rows-only check plus
-the pure-Python reference parity tests in tests/test_bpe.py.
+reference has no tokenizer surface.  The merge loop is deterministic
+(count-desc / lexicographic tie-break / fixed stop rule), which makes
+it SQL-replayable by unrolling: the ``bpe_tokens`` driver query has a
+full DuckDB oracle (``__spark_entry__._bpe_oracle``) that replays
+training and application as 120 materialized CTE steps, alongside the
+pure-Python reference parity tests in tests/test_bpe.py.
 """
 from __future__ import annotations
 
