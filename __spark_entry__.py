@@ -3834,7 +3834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": _q_cumulative_users,
         "step_transitions": _q_step_transitions,
         "ab_summary": _q_ab_summary,
-        "cube_orders": _q_cube_orders,
+        # r8 late swap: bpe_tokens returns to the window now that its
+        # formerly-dead rows-only slot carries a FULL training-replay
+        # oracle (cube_orders, 1 green, rotates to the local gate)
+        "bpe_tokens": _q_bpe_tokens,
         "mixture_temperature": _q_mixture_temperature,
         "token_budget": _q_token_budget,
         # never-driver-checked until now (VERDICT r7 item 1 list)
@@ -3899,7 +3902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_cluster": _q_zorder_cluster,
         "audio_segments": _q_audio_segments,
         "table_diff": _q_table_diff,
-        "bpe_tokens": _q_bpe_tokens,
+        "cube_orders": _q_cube_orders,
         "theta_expr_mod": _q_theta_expr_mod,
         "theta_udf_gcd": _q_theta_udf_gcd,
         "dedup_incremental": _q_dedup_incremental,
