@@ -24,7 +24,9 @@ def entrymod():
 #   rollup_distinct_users: DataSketches HLL estimates are
 #     engine-specific — DuckDB cannot replay sketch bytes; the
 #     merge≈from-scratch property is pinned by tests/test_rollup.py
-ROWS_ONLY = {"bpe_tokens", "rollup_distinct_users"}
+# bpe_tokens left this set in r8 (full training-replay oracle); only
+# the HLL rollup remains engine-specific by contract
+ROWS_ONLY = {"rollup_distinct_users"}
 
 
 def test_every_query_has_an_oracle(entrymod):
