@@ -945,6 +945,37 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script routing (functions/text.py script_counts /
+    dominant_script): the multilingual pipeline's FIRST pass — split a
+    crawl by script before any per-language heuristic or model runs.
+    The testdata documents are ASCII regardless of their lang label,
+    so the fixture synthesizes deterministic mixed-script text per
+    doc_id (Latin/Han/Cyrillic/Hangul/Arabic blocks repeated by
+    id-derived counts — same closed-form-payload pattern as the codec
+    fixtures); the oracle rebuilds the text and recounts every script
+    with the same regex ranges.  Both engines count codepoints, so
+    counts and the alphabetical-tie dominant pick replay exactly.
+    Pure Column projection: zero shuffle, zero UDF."""
+    from pandance_spark.functions.text import dominant_script, script_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("the quick "), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.repeat(F.lit("漢字"), (F.col("doc_id") % 4).cast("int")),
+        F.repeat(F.lit("слово "), (F.col("doc_id") % 5).cast("int")),
+        F.repeat(F.lit("한글"), (F.col("doc_id") % 3).cast("int")),
+        F.repeat(F.lit("عرب"), (F.col("doc_id") % 2).cast("int")),
+    )
+    cols = [
+        cnt.cast("long").alias(f"n_{name}")
+        for name, cnt in script_counts(text)
+    ]
+    return docs.select(
+        "doc_id", *cols, dominant_script(text).alias("script")
+    ).orderBy("doc_id")
+
+
 def _q_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-DIRECTORY ingestion (VERDICT r7 item 4): write
     real ``.warc.gz`` files — 8 shards x 15 records in Common Crawl's
@@ -3868,6 +3899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_lines": _q_q12_late_lines,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "warc_files": _q_warc_files,
+        # r8: unicode-script routing (synth mixed-script fixture)
+        "script_detect": _q_script_detect,
         "pii_cards_sparse": _q_pii_cards_sparse,
         "decontam_composed": _q_decontam_composed,
         # --- entries 51+ (outside the driver window; locally gated) ---
@@ -7151,6 +7184,50 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # closed form of _q_warc_files' writer: 8 shards x 15 records,
         # record i -> uri files.test/<i:04d>, body 'f<i> ' x (1+i%5),
         # plus ONE all-NULL ok=false row for the corrupt shard
+        # mixed-script fixture replay: same literal-codepoint regex
+        # ranges, both engines count codepoints; alphabetical tie-break
+        "script_detect": """
+            WITH t AS (
+              SELECT doc_id,
+                     repeat('the quick ', CAST(doc_id % 3 + 1 AS INT)) ||
+                     repeat('漢字', CAST(doc_id % 4 AS INT)) ||
+                     repeat('слово ', CAST(doc_id % 5 AS INT)) ||
+                     repeat('한글', CAST(doc_id % 3 AS INT)) ||
+                     repeat('عرب', CAST(doc_id % 2 AS INT)) AS s
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                 CAST(length(s) - length(regexp_replace(s, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+                 CAST(length(s) - length(regexp_replace(s, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+                 CAST(length(s) - length(regexp_replace(s, '[ऀ-ॿ]', '', 'g')) AS BIGINT) AS n_devanagari,
+                 CAST(length(s) - length(regexp_replace(s, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+                 CAST(length(s) - length(regexp_replace(s, '[一-鿿]', '', 'g')) AS BIGINT) AS n_han,
+                 CAST(length(s) - length(regexp_replace(s, '[가-힯]', '', 'g')) AS BIGINT) AS n_hangul,
+                 CAST(length(s) - length(regexp_replace(s, '[぀-ヿ]', '', 'g')) AS BIGINT) AS n_kana,
+                 CAST(length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin
+              FROM t
+            ),
+            g AS (
+              SELECT *, greatest(n_arabic, n_cyrillic, n_devanagari,
+                                 n_greek, n_han, n_hangul, n_kana,
+                                 n_latin) AS best
+              FROM c
+            )
+            SELECT doc_id, n_arabic, n_cyrillic, n_devanagari, n_greek,
+                   n_han, n_hangul, n_kana, n_latin,
+                   CASE WHEN best = 0 THEN 'none'
+                    WHEN n_arabic = best THEN 'arabic'
+                    WHEN n_cyrillic = best THEN 'cyrillic'
+                    WHEN n_devanagari = best THEN 'devanagari'
+                    WHEN n_greek = best THEN 'greek'
+                    WHEN n_han = best THEN 'han'
+                    WHEN n_hangul = best THEN 'hangul'
+                    WHEN n_kana = best THEN 'kana'
+                    WHEN n_latin = best THEN 'latin'
+                   END AS script
+            FROM g ORDER BY doc_id
+        """,
         "warc_files": """
             WITH ids AS (
               SELECT CAST(i AS BIGINT) AS i FROM range(0, 120) t(i)

@@ -301,6 +301,7 @@ def main():
         "warc_files",
         "pii_cards_sparse",
         "decontam_composed",
+        "script_detect",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

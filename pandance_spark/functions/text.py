@@ -459,6 +459,54 @@ def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
     return staged.select(*df.columns, winner.alias(out_col))
 
 
+# Unicode script ranges as LITERAL character classes (the codepoints
+# are embedded in the pattern string, so the same bytes compile under
+# Java regex AND RE2 — no \\u/\\x{...} dialect split).  BMP base
+# blocks only: the route-first pass, not a full confusables table.
+_SCRIPT_PATTERNS = {
+    "arabic": "[؀-ۿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "han": "[一-鿿]",
+    "hangul": "[가-힯]",
+    "kana": "[぀-ヿ]",
+    "latin": "[A-Za-z]",
+}
+
+
+def script_counts(text: Column):
+    """(script, count-expr) pairs: how many characters of ``text``
+    fall in each major Unicode script block.  The multilingual
+    pipeline's route-first signal — BEFORE any stopword-panel or
+    model language ID runs, a 100 TB crawl splits by script so the
+    Latin-only heuristics (``lang_id``) never scan CJK pages.  Each
+    count is one regexp_replace length-diff; both Spark and DuckDB
+    count codepoints, so the numbers replay exactly."""
+    return [
+        (
+            name,
+            F.length(text)
+            - F.length(F.regexp_replace(text, pat, "")),
+        )
+        for name, pat in sorted(_SCRIPT_PATTERNS.items())
+    ]
+
+
+def dominant_script(text: Column) -> Column:
+    """Script with the greatest character count; ties break to the
+    alphabetically first script name; no script characters at all
+    (digits/punctuation-only, empty) -> 'none'.  NULL text -> NULL
+    (regexp_replace propagates it)."""
+    scores = script_counts(text)
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("none")
+    for name, s in reversed(scores):
+        result = F.when((best > 0) & (s == best), name).otherwise(result)
+    # propagate NULL input (the when-chain would otherwise emit 'none')
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(result)
+
+
 def top_tokens(df, text_col: str, k: int = 100, by_doc_freq: bool = False):
     """Global top-``k`` tokens: ``(token, n)`` ordered by count desc,
     token asc (deterministic at the cut).  ``by_doc_freq`` counts each

@@ -618,3 +618,44 @@ def test_extract_main_text_rejects_empty_stopwords(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="non-empty"):
         extract_main_text(F.col("t"), stopwords=[])
+
+
+def test_dominant_script_routing(spark):
+    """Script routing edge contract: per-block detection, alphabetical
+    tie-break, 'none' for scriptless text, NULL propagation."""
+    from pandance_spark.functions.text import dominant_script, script_counts
+
+    rows = [
+        (1, "漢字テスト"),        # han 2, kana 3 -> kana wins
+        (2, "hello мир"),         # latin 5, cyrillic 3 -> latin
+        (3, "aЯ"),                # 1-1 tie -> cyrillic (alphabetical)
+        (4, "1234 !!"),           # none
+        (5, ""),                  # none
+        (6, None),                # NULL
+        (7, "مرحبا"),             # arabic
+        (8, "한글만"),            # hangul
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", dominant_script(F.col("t")).alias("s")
+        ).collect()
+    }
+    assert got == {
+        1: "kana", 2: "latin", 3: "cyrillic", 4: "none",
+        5: "none", 6: None, 7: "arabic", 8: "hangul",
+    }
+    counts = {
+        name: r
+        for name, r in zip(
+            [n for n, _ in script_counts(F.col("t"))],
+            df.filter("id = 1")
+            .select(*[c.alias(n) for n, c in script_counts(F.col("t"))])
+            .collect()[0],
+        )
+    }
+    assert counts["han"] == 2 and counts["kana"] == 3
+    assert counts["latin"] == 0
