@@ -945,6 +945,36 @@ def _q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mojibake_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (functions/text.py fix_mojibake): the classic
+    UTF-8-read-as-cp1252 double encoding, repaired by a COMPUTED
+    replacement table that also generates the DuckDB oracle's replace
+    chain — the two engines cannot drift.  Fixture plants 'cafÃ©' /
+    'naÃ¯ve' / 'â€”' runs per doc_id (every 7th doc is pure ASCII,
+    exercising the identity path); the oracle applies the same chain
+    unconditionally — repairing clean text is the identity, so the
+    Spark-side RLIKE pregate needs no SQL twin.  Pure projection."""
+    from pandance_spark.functions.text import fix_mojibake
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = F.concat(
+        F.repeat(F.lit("caf\u00c3\u00a9 "), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.repeat(F.lit("na\u00c3\u00afve "), (F.col("doc_id") % 4).cast("int")),
+        F.repeat(F.lit("\u00e2\u20ac\u201ddash "), (F.col("doc_id") % 2).cast("int")),
+        F.lit("clean tail"),
+    )
+    raw = F.when(F.col("doc_id") % 7 == 0, F.lit("pure ascii only")).otherwise(
+        planted
+    )
+    fixed = fix_mojibake(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_raw"),
+        F.length(fixed).cast("long").alias("n_fixed"),
+        F.md5(fixed).alias("fixed_md5"),
+    ).orderBy("doc_id")
+
+
 def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script routing (functions/text.py script_counts /
     dominant_script): the multilingual pipeline's FIRST pass — split a
@@ -3901,6 +3931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_files": _q_warc_files,
         # r8: unicode-script routing (synth mixed-script fixture)
         "script_detect": _q_script_detect,
+        # r8: cp1252 double-encoding repair (computed table = oracle)
+        "mojibake_clean": _q_mojibake_clean,
         "pii_cards_sparse": _q_pii_cards_sparse,
         "decontam_composed": _q_decontam_composed,
         # --- entries 51+ (outside the driver window; locally gated) ---
@@ -4489,6 +4521,37 @@ _PII_SPARSE_ORACLE = f"""
     SELECT k, found, redacted FROM res
     WHERE found <> '' OR redacted <> t
 """
+
+
+def _mojibake_oracle() -> str:
+    """Replace-chain replay generated from the SAME computed table as
+    fix_mojibake (functions/text.py) — identical order, identical
+    pairs; applying the chain to clean text is the identity, so the
+    Spark-side RLIKE pregate needs no SQL counterpart."""
+    from pandance_spark.functions.text import _mojibake_table
+
+    expr = "s"
+    for moji, ch in _mojibake_table():
+        m = moji.replace("'", "''")
+        c = ch.replace("'", "''")
+        expr = f"replace({expr}, '{m}', '{c}')"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN 'pure ascii only'
+                 ELSE repeat('caf\u00c3\u00a9 ', CAST(doc_id % 3 + 1 AS INT)) ||
+                      repeat('na\u00c3\u00afve ', CAST(doc_id % 4 AS INT)) ||
+                      repeat('\u00e2\u20ac\u201ddash ', CAST(doc_id % 2 AS INT)) ||
+                      'clean tail'
+                 END AS s
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(s) AS BIGINT) AS n_raw,
+               CAST(length({expr}) AS BIGINT) AS n_fixed,
+               md5({expr}) AS fixed_md5
+        FROM t ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7186,6 +7249,7 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # plus ONE all-NULL ok=false row for the corrupt shard
         # mixed-script fixture replay: same literal-codepoint regex
         # ranges, both engines count codepoints; alphabetical tie-break
+        "mojibake_clean": _mojibake_oracle(),
         "script_detect": """
             WITH t AS (
               SELECT doc_id,

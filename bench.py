@@ -302,6 +302,7 @@ def main():
         "pii_cards_sparse",
         "decontam_composed",
         "script_detect",
+        "mojibake_clean",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

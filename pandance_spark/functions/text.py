@@ -507,6 +507,45 @@ def dominant_script(text: Column) -> Column:
     return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(result)
 
 
+def _mojibake_table():
+    """(mojibake, repaired) pairs for the classic UTF-8-read-as-cp1252
+    double encoding ('cafÃ©' -> 'café', 'â€”' -> '—'): every Latin-1
+    supplement char plus the common cp1252 punctuation, built by
+    round-tripping each target through encode('utf-8')/
+    decode('cp1252') — the table is COMPUTED, so the Spark chain and
+    the generated DuckDB oracle can never drift.  Targets whose UTF-8
+    bytes hit cp1252's five unmapped slots (0x81 8D 8F 90 9D) are
+    skipped (their mojibake form is not representable).  Ordered
+    3-byte-first then lexicographic: 3-char patterns start with 'â',
+    2-char ones with 'Ã'/'Â', so the order is deterministic rather
+    than load-bearing."""
+    targets = [chr(c) for c in range(0xA0, 0x100)] + list("–—‘’“”…€•™„‚")
+    out = []
+    for ch in targets:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        out.append((moji, ch))
+    out.sort(key=lambda p: (-len(p[0]), p[0]))
+    return out
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-as-cp1252 double-encoded text via the fixed
+    replacement table (:func:`_mojibake_table`) — the cheap,
+    fully-replayable subset of what ftfy does, applied as chained
+    ``replace`` calls (left-to-right, identical in Spark and DuckDB).
+    A row with none of the three mojibake lead bytes ('Ã', 'Â', 'â')
+    exits at one cheap RLIKE instead of running the ~100-replace
+    chain (unlike the PII fold, the chain really does scan the string
+    ~100x, so the pregate pays for itself).  NULL propagates."""
+    fixed = text
+    for moji, ch in _mojibake_table():
+        fixed = F.replace(fixed, F.lit(moji), F.lit(ch))
+    return F.when(text.rlike("[ÃÂâ]"), fixed).otherwise(text)
+
+
 def top_tokens(df, text_col: str, k: int = 100, by_doc_freq: bool = False):
     """Global top-``k`` tokens: ``(token, n)`` ordered by count desc,
     token asc (deterministic at the cut).  ``by_doc_freq`` counts each

@@ -659,3 +659,39 @@ def test_dominant_script_routing(spark):
     }
     assert counts["han"] == 2 and counts["kana"] == 3
     assert counts["latin"] == 0
+
+
+def test_fix_mojibake_repairs_and_passes_clean(spark):
+    """cp1252 double-encoding repair: latin-1 supplement and cp1252
+    punctuation both repair; clean text (incl. genuine non-mojibake
+    accents) is untouched; NULL propagates; the computed table's
+    unmapped-byte targets are absent rather than wrong."""
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import _mojibake_table, fix_mojibake
+
+    tbl = dict(_mojibake_table())
+    # unmapped cp1252 bytes (0x9d ends the UTF-8 form of U+201D) must
+    # be skipped, not mangled
+    assert "â€�".replace("�", "\x9d") not in tbl
+    rows = [
+        (1, "cafÃ© naÃ¯ve"),
+        (2, "â€”dash â‚¬5 â€œq"),
+        (3, "plain ascii"),
+        (4, "café déjà vu"),   # already-correct accents stay
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", fix_mojibake(F.col("t")).alias("f")).collect()
+    }
+    assert got == {
+        1: "café naïve",
+        2: "—dash €5 “q",
+        3: "plain ascii",
+        4: "café déjà vu",
+        5: None,
+        6: "",
+    }
