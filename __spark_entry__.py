@@ -3935,6 +3935,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_clean": _q_mojibake_clean,
         "pii_cards_sparse": _q_pii_cards_sparse,
         "decontam_composed": _q_decontam_composed,
+        # r9 rotation plan: after r8's driver run, the 22 first-time
+        # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
+        # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
+        # greens each — rotate the multi-green rows out for the r8
+        # additions still outside the window (script_detect,
+        # mojibake_clean, cube_orders return leg) plus whatever r9
+        # builds; keep fuzzy/ineq autoskew + multimodal_png as the
+        # standing core/perf pins.
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,

@@ -876,3 +876,28 @@ def test_bottomk_merge_associativity(spark, uids, k):
     left = merge_rollup_bottomk(merge_rollup_bottomk(a, b, k=k), c, k=k)
     right = merge_rollup_bottomk(a, merge_rollup_bottomk(b, c, k=k), k=k)
     assert canon(left) == canon(right)
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(
+            ["café", "naïve", "—", "“quote”"[:1], "plain", "ascii", "ü", "€"]
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_mojibake_roundtrip_property(spark, words):
+    """fix(corrupt(s)) == s for any text whose non-ASCII chars are
+    table targets: corrupting via encode('utf-8').decode('cp1252')
+    and repairing via fix_mojibake is the identity."""
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import fix_mojibake
+
+    s = " ".join(words)
+    corrupted = s.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame([(corrupted,)], "t string")
+    got = df.select(fix_mojibake(F.col("t")).alias("f")).collect()[0]["f"]
+    assert got == s
