@@ -987,7 +987,7 @@ def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same regex ranges.  Both engines count codepoints, so
     counts and the alphabetical-tie dominant pick replay exactly.
     Pure Column projection: zero shuffle, zero UDF."""
-    from pandance_spark.functions.text import dominant_script, script_counts
+    from pandance_spark.functions.text import with_dominant_script
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     text = F.concat(
@@ -997,13 +997,9 @@ def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("한글"), (F.col("doc_id") % 3).cast("int")),
         F.repeat(F.lit("عرب"), (F.col("doc_id") % 2).cast("int")),
     )
-    cols = [
-        cnt.cast("long").alias(f"n_{name}")
-        for name, cnt in script_counts(text)
-    ]
-    return docs.select(
-        "doc_id", *cols, dominant_script(text).alias("script")
-    ).orderBy("doc_id")
+    return with_dominant_script(
+        docs.select("doc_id", text.alias("__t")), "__t"
+    ).drop("__t").orderBy("doc_id")
 
 
 def _q_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
