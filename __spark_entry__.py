@@ -1002,6 +1002,58 @@ def _q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("__t").orderBy("doc_id")
 
 
+def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 corpus cleaning (functions/text.py c4_clean — Raffel et al.
+    2020 §2.2): the canonical web-corpus heuristic filter the repo's
+    quality panel lacked as a NAMED pass.  The punctuation-free corpus
+    is structured in the query: 'table'/'value' become line breaks
+    with terminal marks (the sentence_chunks pattern), then page-level
+    hazards are planted on deterministic doc_id residues — a
+    javascript notice (line rule), 'lorem ipsum' (page rule), a curly
+    brace (page rule), and the badword 'verboten' on a line that
+    PASSES every line rule, proving page rules see the original text.
+    The oracle replays the same two regex passes + concat and
+    re-applies every rule with DuckDB list lambdas.  Map-only: zero
+    shuffle, zero UDF."""
+    from pandance_spark.functions.text import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.regexp_replace(F.col("text"), "\\btable\\b", "table.\n")
+    page = F.regexp_replace(page, "\\bvalue\\b", "value?\n")
+    did = F.col("doc_id")
+    page = F.concat(
+        page,
+        F.when(
+            did % 7 == 0,
+            F.lit("\nplease enable javascript to view this page."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0, F.lit("\nlorem ipsum dolor sit amet sample.")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0, F.lit("\nconfig { enabled } block here.")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.lit("\nthis page contains verboten content here."),
+        ).otherwise(F.lit("")),
+    )
+    out = c4_clean(
+        docs.select("doc_id", page.alias("page")),
+        "page",
+        badwords=("verboten",),
+    )
+    return out.select(
+        "doc_id",
+        "text_c4",
+        "n_lines_kept",
+        "n_lines_dropped",
+        "n_sentences",
+        "c4_keep",
+        "c4_drop_reason",
+    )
+
+
 def _q_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-DIRECTORY ingestion (VERDICT r7 item 4): write
     real ``.warc.gz`` files — 8 shards x 15 records in Common Crawl's
@@ -3931,6 +3983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_clean": _q_mojibake_clean,
         "pii_cards_sparse": _q_pii_cards_sparse,
         "decontam_composed": _q_decontam_composed,
+        # r8 session-2 additions (locally gated; rotate into the
+        # driver window at session-final rotation)
+        "c4_filters": _q_c4_filters,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7295,6 +7350,76 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                     WHEN n_latin = best THEN 'latin'
                    END AS script
             FROM g ORDER BY doc_id
+        """,
+        # the same two regex line-break passes + residue-planted hazard
+        # lines, then every C4 rule replayed with DuckDB list lambdas
+        "c4_filters": """
+            WITH pages AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '\\btable\\b',
+                                      'table.' || chr(10), 'g'),
+                       '\\bvalue\\b', 'value?' || chr(10), 'g')
+                     || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                          'please enable javascript to view this page.'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                          'lorem ipsum dolor sit amet sample.'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                          'config { enabled } block here.'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                          'this page contains verboten content here.'
+                          ELSE '' END AS page
+              FROM documents
+            ),
+            kept AS (
+              SELECT doc_id, page,
+                     len(string_split(page, chr(10))) AS n_total,
+                     list_transform(
+                       list_filter(string_split(page, chr(10)), l ->
+                         regexp_matches(trim(l), '[.!?"]$')
+                         AND len(list_filter(
+                               regexp_split_to_array(trim(l), '\\s+'),
+                               w -> w <> '')) >= 5
+                         AND NOT contains(lower(l), 'javascript')),
+                       l -> trim(l)) AS kl
+              FROM pages
+            ),
+            agg AS (
+              SELECT doc_id, page, n_total,
+                     -- array_to_string([]) is NULL in DuckDB; Spark
+                     -- array_join gives '' — coalesce to match
+                     COALESCE(array_to_string(kl, chr(10)), '') AS text_c4,
+                     len(kl) AS n_kept
+              FROM kept
+            ),
+            scored AS (
+              SELECT doc_id, text_c4,
+                     CAST(n_kept AS BIGINT) AS n_lines_kept,
+                     CAST(n_total - n_kept AS BIGINT) AS n_lines_dropped,
+                     CAST(length(text_c4) -
+                          length(regexp_replace(text_c4, '[.!?]', '', 'g'))
+                          AS BIGINT) AS n_sentences,
+                     CASE
+                       WHEN contains(lower(page), 'lorem ipsum')
+                         THEN 'lorem_ipsum'
+                       WHEN contains(page, '{') THEN 'curly_brace'
+                       WHEN regexp_matches(lower(page), '\\b(verboten)\\b')
+                         THEN 'bad_words'
+                       WHEN length(text_c4) -
+                            length(regexp_replace(text_c4, '[.!?]', '', 'g'))
+                            < 3
+                         THEN 'too_few_sentences'
+                       ELSE NULL
+                     END AS c4_drop_reason
+              FROM agg
+            )
+            SELECT doc_id, text_c4, n_lines_kept, n_lines_dropped,
+                   n_sentences,
+                   (c4_drop_reason IS NULL) AS c4_keep, c4_drop_reason
+            FROM scored
         """,
         "warc_files": """
             WITH ids AS (

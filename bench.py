@@ -303,6 +303,7 @@ def main():
         "decontam_composed",
         "script_detect",
         "mojibake_clean",
+        "c4_filters",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

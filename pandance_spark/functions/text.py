@@ -40,6 +40,8 @@ __all__ = [
     "dedup_lines",
     "fingerprint_xxhash",
     "tag_topics",
+    "c4_kept_lines",
+    "c4_clean",
 ]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
@@ -1091,4 +1093,105 @@ def tag_topics(text: Column, topics: dict) -> Column:
     # would silently produce an empty tag list instead)
     return F.when(text.isNull(), F.lit(None)).otherwise(
         F.filter(arr, lambda e: e["n_hits"] > 0)
+    )
+
+
+# --- C4 corpus cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning", §2.2) ---------------------------------------------
+# The canonical web-corpus heuristic filter set.  Line rules: keep only
+# lines ending in a terminal punctuation mark, with at least
+# ``min_words`` words, and not mentioning "javascript".  Page rules:
+# drop pages containing "lorem ipsum", a curly brace, or any badword,
+# and pages whose retained text has fewer than ``min_sentences``
+# sentence terminators.  Everything below is a pure Column expression
+# (map-only, whole-stage codegen, zero shuffle) and every regex is
+# RE2-portable so an independent engine can replay it byte-identically.
+
+# ASCII terminal punctuation (C4 also accepts the closing quotation
+# mark; the ASCII double quote stands in for its Unicode variants)
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """The C4 LINE filter: split ``text`` on newlines and keep the
+    (trimmed) lines that end in terminal punctuation, contain at least
+    ``min_words`` whitespace-separated words, and do not contain
+    "javascript" (case-insensitive).  Returns the array of kept lines.
+    """
+
+    def _keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        words = F.filter(F.split(t, "\\s+"), lambda w: w != F.lit(""))
+        return (
+            t.rlike(_C4_TERMINAL_RE)
+            & (F.size(words) >= F.lit(int(min_words)))
+            & ~F.lower(t).contains("javascript")
+        )
+
+    # explicit one-arg lambda: passing F.trim directly would bind the
+    # HOF's element INDEX to trim()'s optional trim-chars argument
+    return F.transform(
+        F.filter(F.split(text, "\n"), _keep), lambda ln: F.trim(ln)
+    )
+
+
+def c4_clean(
+    df,
+    text_col: str,
+    badwords=(),
+    min_words: int = 5,
+    min_sentences: int = 3,
+):
+    """Apply the full C4 cleaning pass to ``df[text_col]``.
+
+    Adds columns:
+
+    - ``text_c4``      — retained lines joined by newline
+    - ``n_lines_kept`` / ``n_lines_dropped`` (long)
+    - ``n_sentences``  — terminal-mark count (``.!?``) in the retained
+      text, C4's sentence proxy (long)
+    - ``c4_keep``      — page survives (boolean)
+    - ``c4_drop_reason`` — first matching page rule in the fixed order
+      ``lorem_ipsum`` > ``curly_brace`` > ``bad_words`` >
+      ``too_few_sentences``, else NULL
+
+    Page-level content rules (lorem ipsum / brace / badwords) test the
+    ORIGINAL page text — a page advertising placeholder or code content
+    is dropped even if the offending line would have been filtered —
+    while the sentence floor tests the RETAINED text, per the paper's
+    pipeline order.  Map-only: at 100 TB this runs at parquet-scan
+    speed with zero shuffle and full predicate pushdown upstream.
+    """
+    text = F.col(text_col)
+    kept = c4_kept_lines(text, min_words=min_words)
+    text_c4 = F.array_join(kept, "\n")
+    n_kept = F.size(kept)
+    n_total = F.size(F.split(text, "\n"))
+    # global replace is Spark's default; the DuckDB replay needs 'g'
+    n_sent = F.length(text_c4) - F.length(
+        F.regexp_replace(text_c4, "[.!?]", "")
+    )
+    low = F.lower(text)
+    lorem = low.contains("lorem ipsum")
+    brace = text.contains("{")
+    if badwords:
+        pat = "\\b(" + "|".join(sorted(set(badwords))) + ")\\b"
+        bad = low.rlike(pat)
+    else:
+        bad = F.lit(False)
+    reason = (
+        F.when(lorem, F.lit("lorem_ipsum"))
+        .when(brace, F.lit("curly_brace"))
+        .when(bad, F.lit("bad_words"))
+        .when(n_sent < F.lit(int(min_sentences)), F.lit("too_few_sentences"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return df.select(
+        "*",
+        text_c4.alias("text_c4"),
+        n_kept.cast("long").alias("n_lines_kept"),
+        (n_total - n_kept).cast("long").alias("n_lines_dropped"),
+        n_sent.cast("long").alias("n_sentences"),
+        reason.isNull().alias("c4_keep"),
+        reason.alias("c4_drop_reason"),
     )

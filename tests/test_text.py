@@ -695,3 +695,56 @@ def test_fix_mojibake_repairs_and_passes_clean(spark):
         5: None,
         6: "",
     }
+
+
+def test_c4_clean_rules(spark):
+    from pandance_spark.functions.text import c4_clean
+
+    rows = [
+        # survives: 3 terminal-punct lines, each >=5 words
+        (1, "alpha beta gamma delta one.\nalpha beta gamma delta two!\n"
+            "alpha beta gamma delta three?"),
+        # line rules: short line, no-terminal line, javascript line all
+        # dropped; page then fails the sentence floor
+        (2, "too short line.\nno terminal punctuation here at all\n"
+            "please enable javascript to see this page.\n"
+            "alpha beta gamma delta keeper one.\n"
+            "alpha beta gamma delta keeper two."),
+        # page rules fire on ORIGINAL text in fixed precedence
+        (3, "Lorem Ipsum dolor sit amet here.\nalpha beta gamma delta x.\n"
+            "alpha beta gamma delta y.\nalpha beta gamma delta z."),
+        (4, "code { snippet } inline.\nalpha beta gamma delta x.\n"
+            "alpha beta gamma delta y.\nalpha beta gamma delta z."),
+        (5, "this page has verboten words in it.\n"
+            "alpha beta gamma delta x.\nalpha beta gamma delta y.\n"
+            "alpha beta gamma delta z."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "page"])
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(df, "page", badwords=("verboten",)).collect()
+    }
+    assert out[1]["c4_keep"] and out[1]["c4_drop_reason"] is None
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_sentences"] == 3
+    assert out[2]["c4_drop_reason"] == "too_few_sentences"
+    assert out[2]["n_lines_kept"] == 2 and out[2]["n_lines_dropped"] == 3
+    assert "javascript" not in out[2]["text_c4"]
+    assert out[3]["c4_drop_reason"] == "lorem_ipsum"
+    assert out[4]["c4_drop_reason"] == "curly_brace"
+    assert out[5]["c4_drop_reason"] == "bad_words"
+    # badword line passed every LINE rule yet the page dropped
+    assert "verboten" in out[5]["text_c4"]
+
+
+def test_c4_clean_empty_and_quote_lines(spark):
+    from pandance_spark.functions.text import c4_clean
+
+    rows = [
+        (1, '"a quoted line of five words."\n\n   \nshort.'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "page"])
+    r = c4_clean(df, "page", min_sentences=1).collect()[0]
+    # closing-quote terminal accepted; blank/whitespace lines dropped
+    assert r["n_lines_kept"] == 1
+    assert r["text_c4"].startswith('"a quoted')
+    assert r["c4_keep"]
