@@ -1054,6 +1054,55 @@ def _q_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (functions/url.py extract_links): anchor
+    targets pulled from raw HTML, resolved against the page URL
+    (absolute / protocol-relative / absolute-path / relative forms),
+    keyed by registrable domain — the edge list that feeds per-domain
+    caps and link-graph analytics.  The fixture wraps each document in
+    a page carrying one link of every resolution form (plus a
+    javascript: and a fragment-only target that must be filtered, and
+    one uppercase single-quoted tag exercising the (?is) attribute
+    regex); the oracle replays extraction, filtering, resolution and
+    the registered-domain pick in SQL over the same generated pages.
+    Map-only until the caller aggregates."""
+    from pandance_spark.functions.url import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.concat(
+        F.lit("http://www.site"),
+        (did % 50).cast("string"),
+        F.lit(".example/dir/page"),
+        did.cast("string"),
+        F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="http://shop.brand'),
+        (did % 6).cast("string"),
+        F.lit('.co.uk/p.html">x</a>'),
+        F.lit("<A HREF='/a"),
+        (did % 3).cast("string"),
+        F.lit(".html'>y</A>"),
+        F.lit('<a class="z" href="rel'),
+        (did % 4).cast("string"),
+        F.lit('.html">z</a>'),
+        F.lit('<a href="//cdn'),
+        (did % 5).cast("string"),
+        F.lit('.example/c.js">c</a>'),
+        F.when(
+            did % 2 == 0, F.lit('<a href="javascript:void(0)">j</a>')
+        ).otherwise(F.lit("")),
+        F.lit('<a href="#top">t</a></body></html>'),
+    )
+    pages = docs.select(
+        "doc_id", base.alias("page_url"), html.alias("html")
+    )
+    return extract_links(pages, "html", "page_url")
+
+
 def _q_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-DIRECTORY ingestion (VERDICT r7 item 4): write
     real ``.warc.gz`` files — 8 shards x 15 records in Common Crawl's
@@ -3986,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 session-2 additions (locally gated; rotate into the
         # driver window at session-final rotation)
         "c4_filters": _q_c4_filters,
+        "html_links": _q_html_links,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7420,6 +7470,82 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    n_sentences,
                    (c4_drop_reason IS NULL) AS c4_keep, c4_drop_reason
             FROM scored
+        """,
+        # extraction regex, scheme filter, resolution CASE and the
+        # registrable-domain pick all replayed over the same pages
+        "html_links": """
+            WITH pages AS (
+              SELECT doc_id,
+                     'www.site' || CAST(doc_id % 50 AS VARCHAR) ||
+                       '.example' AS auth,
+                     '<html><body><p>' || text ||
+                     '</p><a href="http://shop.brand' ||
+                       CAST(doc_id % 6 AS VARCHAR) ||
+                       '.co.uk/p.html">x</a>' ||
+                     '<A HREF=''/a' || CAST(doc_id % 3 AS VARCHAR) ||
+                       '.html''>y</A>' ||
+                     '<a class="z" href="rel' ||
+                       CAST(doc_id % 4 AS VARCHAR) || '.html">z</a>' ||
+                     '<a href="//cdn' || CAST(doc_id % 5 AS VARCHAR) ||
+                       '.example/c.js">c</a>' ||
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       '<a href="javascript:void(0)">j</a>'
+                       ELSE '' END ||
+                     '<a href="#top">t</a></body></html>' AS html
+              FROM documents
+            ),
+            hrefs AS (
+              SELECT doc_id, auth,
+                     list_filter(
+                       list_transform(
+                         regexp_extract_all(html,
+                           '(?is)<a\\b[^>]*?href\\s*=\\s*["'']([^"'']*)["'']',
+                           1),
+                         u -> trim(u)),
+                       t -> t <> '' AND NOT regexp_matches(t,
+                         '(?i)^(javascript:|mailto:|tel:|data:|#)'))
+                       AS hs
+              FROM pages
+            ),
+            exploded AS (
+              SELECT doc_id, auth,
+                     unnest(list_transform(hs,
+                       (t, i) -> struct_pack(idx := i - 1, t := t))) AS e
+              FROM hrefs
+            ),
+            edges AS (
+              SELECT doc_id,
+                     CAST(e.idx AS BIGINT) AS link_idx,
+                     CASE
+                       WHEN regexp_matches(e.t,
+                                           '(?i)^[a-z][a-z0-9+.-]*:')
+                         THEN e.t
+                       WHEN starts_with(e.t, '//')
+                         THEN 'http:' || e.t
+                       WHEN starts_with(e.t, '/')
+                         THEN 'http://' || auth || e.t
+                       ELSE 'http://' || auth || '/dir/' || e.t
+                     END AS link_url
+              FROM exploded
+            ),
+            hosts AS (
+              SELECT doc_id, link_idx, link_url,
+                     string_split(
+                       lower(regexp_extract(link_url,
+                         '^[a-z][a-z0-9+.-]*://([^/]*)', 1)),
+                       '.') AS labels
+              FROM edges
+            )
+            SELECT doc_id, link_idx, link_url,
+                   CASE
+                     WHEN len(labels) <= 2
+                       THEN array_to_string(labels, '.')
+                     WHEN labels[-2] || '.' || labels[-1] = 'co.uk'
+                       THEN labels[-3] || '.' || labels[-2] || '.' ||
+                            labels[-1]
+                     ELSE labels[-2] || '.' || labels[-1]
+                   END AS link_domain
+            FROM hosts
         """,
         "warc_files": """
             WITH ids AS (

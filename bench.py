@@ -304,6 +304,7 @@ def main():
         "script_detect",
         "mojibake_clean",
         "c4_filters",
+        "html_links",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -32,6 +32,9 @@ __all__ = [
     "registered_domain",
     "host_suffixes",
     "blocklist_filter",
+    "href_targets",
+    "resolve_href",
+    "extract_links",
 ]
 
 # RFC 3986 appendix-B split regex (scheme, authority, path, query, frag)
@@ -212,3 +215,89 @@ def blocklist_filter(
     )
     how = "left_semi" if keep_blocked else "left_anti"
     return df.join(blocked, host == F.col("__bl_host"), how)
+
+
+# --- outlink extraction (crawl link graph) ------------------------------
+# The step between HTML cleaning and the URL layer: pull anchor targets
+# out of raw pages, resolve them against the page URL, and key them by
+# registrable domain.  Pure regexp/array Column expressions — the whole
+# pass fuses into the parquet scan (zero shuffle until the caller
+# aggregates the edge list), and the regexes are RE2-portable (no
+# lookarounds/backrefs) so an independent engine replays them exactly.
+
+# href value of an anchor tag; [^>]*? keeps the match inside the tag,
+# the captured value is everything between one kind of quote
+_HREF_RE = r"""(?is)<a\b[^>]*?href\s*=\s*["']([^"']*)["']"""
+# schemes that are not crawlable links
+_NONLINK_RE = r"(?i)^(javascript:|mailto:|tel:|data:|#)"
+
+
+def href_targets(html: Column) -> Column:
+    """Array of crawlable href values from anchor tags: trimmed,
+    fragment-only and javascript:/mailto:/tel:/data: targets removed.
+    Unquoted href attributes are not matched (a documented
+    simplification — quoted attributes dominate real crawls and an
+    unquoted variant needs no new machinery, only a second pattern).
+    """
+    raw = F.regexp_extract_all(html, F.lit(_HREF_RE), F.lit(1))
+    return F.filter(
+        F.transform(raw, lambda u: F.trim(u)),
+        lambda t: (t != F.lit("")) & ~t.rlike(_NONLINK_RE),
+    )
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """RFC 3986 reference resolution for the forms that dominate real
+    pages: absolute URLs pass through, ``//host/...`` inherits the
+    base scheme, ``/path`` inherits scheme+authority, and relative
+    paths append to the base URL's directory.  Dot-segment
+    normalization (``../``) is intentionally NOT performed — like
+    :func:`normalize_url`, path semantics are preserved as written.
+    """
+    t = F.trim(href)
+    scheme = F.lower(_part(base, 1))
+    auth = F.lower(_part(base, 2))
+    base_dir = F.regexp_replace(_part(base, 3), "[^/]*$", "")
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    return (
+        F.when(t.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), t)
+        .when(t.startswith("//"), F.concat(scheme, F.lit(":"), t))
+        .when(
+            t.startswith("/"), F.concat(scheme, F.lit("://"), auth, t)
+        )
+        .otherwise(F.concat(scheme, F.lit("://"), auth, base_dir, t))
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    base_col: str,
+    keep_cols=("doc_id",),
+) -> DataFrame:
+    """Explode pages into the outlink edge list: one row per crawlable
+    anchor, with the resolved absolute URL and its registrable domain.
+
+    Output columns: ``keep_cols`` + ``link_idx`` (0-based position of
+    the link in the page, long), ``link_url``, ``link_domain``.
+
+    100 TB shape: extraction + resolution are map-only over the page
+    scan; the result is the standard edge list that feeds per-domain
+    caps (:func:`~pandance_spark.functions.split.cap_per_group`),
+    blocklists, and link-graph analytics (e.g.
+    :func:`~pandance_spark.operators.cluster.pagerank`) — each of
+    which decides its own shuffle key downstream.
+    """
+    hrefs = href_targets(F.col(html_col))
+    edges = df.select(
+        *keep_cols,
+        F.col(base_col).alias("__base"),
+        F.posexplode(hrefs).alias("link_idx", "__href"),
+    )
+    url = resolve_href(F.col("__base"), F.col("__href"))
+    return edges.select(
+        *keep_cols,
+        F.col("link_idx").cast("long"),
+        url.alias("link_url"),
+        registered_domain(url_host(url)).alias("link_domain"),
+    )

@@ -187,3 +187,53 @@ def test_blocklist_filter_broadcasts_blocklist(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() == 120  # 2 of 5 site groups dropped
+
+
+def test_href_targets_and_resolution(spark):
+    from pandance_spark.functions.url import extract_links
+
+    html = (
+        '<a href="https://other.example/x">a</a>'
+        "<A HREF='//cdn.example/c.js'>b</A>"
+        '<a data-x="1" href="/abs.html">c</a>'
+        '<a href="sub/rel.html">d</a>'
+        '<a href="  spaced.html ">e</a>'
+        '<a href="#frag">f</a>'
+        '<a href="javascript:void(0)">g</a>'
+        '<a href="mailto:x@y.z">h</a>'
+        '<a href="">i</a>'
+        "<a name='no-href'>j</a>"
+    )
+    df = spark.createDataFrame(
+        [(1, html, "http://www.shop.brand.co.uk/dir/sub/page.html")],
+        ["doc_id", "html", "page_url"],
+    )
+    rows = extract_links(df, "html", "page_url").collect()
+    urls = [r["link_url"] for r in rows]
+    assert urls == [
+        "https://other.example/x",
+        "http://cdn.example/c.js",
+        "http://www.shop.brand.co.uk/abs.html",
+        "http://www.shop.brand.co.uk/dir/sub/sub/rel.html",
+        "http://www.shop.brand.co.uk/dir/sub/spaced.html",
+    ]
+    assert [r["link_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["link_domain"] for r in rows] == [
+        "other.example",
+        "cdn.example",
+        "brand.co.uk",
+        "brand.co.uk",
+        "brand.co.uk",
+    ]
+
+
+def test_resolve_href_root_base(spark):
+    from pandance_spark.functions.url import extract_links
+
+    # base with empty path: relative links resolve against '/'
+    df = spark.createDataFrame(
+        [(1, '<a href="r.html">r</a>', "http://host.example")],
+        ["doc_id", "html", "page_url"],
+    )
+    rows = extract_links(df, "html", "page_url").collect()
+    assert rows[0]["link_url"] == "http://host.example/r.html"
