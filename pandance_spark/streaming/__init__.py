@@ -48,6 +48,7 @@ __all__ = [
     "streaming_similarity_join",
     "streaming_contamination_router",
     "streaming_token_budget_router",
+    "streaming_c4_gate",
 ]
 
 
@@ -1344,4 +1345,38 @@ def streaming_token_budget_router(
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_c4_gate(
+    stream: DataFrame,
+    text_col: str,
+    badwords=(),
+    min_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """Stateless C4 admission gate at ingest (Raffel et al. 2020
+    §2.2): every arriving page gains the full ``c4_clean`` panel —
+    retained text, line counts, sentence count, ``c4_keep`` and the
+    first-matching drop reason — before it ever lands in the lake, so
+    the downstream corpus only stores pages that passed (or routes
+    rejects to a review sink; rows are ANNOTATED, never dropped,
+    routing stays with the caller).
+
+    The BATCH column graph (functions/text.py ``c4_clean``) is reused
+    verbatim: pure Column projection, zero joins, zero shuffles, zero
+    state — replaying the whole stream equals the batch pass row for
+    row, and the rules are ANSI-replayable (parity op 18 carries a
+    full DuckDB oracle).  Rule changes (badword list, thresholds) are
+    plan constants — restart the query to pick them up, the same
+    static-side contract as ``streaming_dsir_router``.
+    """
+    from pandance_spark.functions.text import c4_clean
+
+    return c4_clean(
+        stream,
+        text_col,
+        badwords=badwords,
+        min_words=min_words,
+        min_sentences=min_sentences,
     )

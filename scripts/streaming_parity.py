@@ -1270,6 +1270,108 @@ WHERE NOT EXISTS (
            note="arrival-order budget admission == batch cumsum == "
                 "DuckDB windowed SUM (id-ordered micro-batches)")
 
+    # ------------------------------------------------------------------
+    # 18. streaming_c4_gate (r8): stateless C4 admission at ingest ==
+    # batch c4_clean == DuckDB list-lambda replay.  The page fixture
+    # (line breaks + planted hazards) is MATERIALIZED to parquet so all
+    # three engines consume identical bytes.
+    # ------------------------------------------------------------------
+    from pandance_spark.functions.text import c4_clean
+    from pandance_spark.streaming import streaming_c4_gate
+
+    docs18 = load_table(spark, SF_DIR, "documents")
+    page18 = F.concat(
+        F.regexp_replace(F.col("text"), r"\btable\b", "table.\n"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("\nlorem ipsum filler text.")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\ncode { x }")).otherwise(
+            F.lit("")
+        ),
+    )
+    src18 = os.path.join(tmp, "c4_src")
+    pages18 = docs18.select("doc_id", page18.alias("page"))
+    mid18 = pages18.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    pages18.filter(F.col("doc_id") <= mid18).coalesce(1).write.parquet(src18)
+    pages18.filter(F.col("doc_id") > mid18).coalesce(1).write.mode(
+        "append"
+    ).parquet(src18)
+    stream18 = (
+        spark.readStream.schema("doc_id long, page string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src18)
+    )
+    run_stream_to_memory(
+        streaming_c4_gate(stream18, "page", badwords=("merge",)),
+        "parity_c4",
+    )
+    cols18 = [
+        "doc_id", "text_c4", "n_lines_kept", "n_lines_dropped",
+        "n_sentences", "c4_keep", "c4_drop_reason",
+    ]
+    s18 = canon_rows(
+        spark.table("parity_c4").drop("page").collect(), cols18
+    )
+    b18 = canon_rows(
+        c4_clean(
+            spark.read.parquet(src18), "page", badwords=("merge",)
+        ).drop("page").collect(),
+        cols18,
+    )
+    d18 = canon_rows(duck_rows(con.sql(f"""
+        WITH kept AS (
+          SELECT doc_id, page,
+                 len(string_split(page, chr(10))) AS n_total,
+                 list_transform(
+                   list_filter(string_split(page, chr(10)), l ->
+                     regexp_matches(trim(l), '[.!?"]$')
+                     AND len(list_filter(
+                           regexp_split_to_array(trim(l), '\\s+'),
+                           w -> w <> '')) >= 5
+                     AND NOT contains(lower(l), 'javascript')),
+                   l -> trim(l)) AS kl
+          FROM read_parquet('{src18}/*.parquet')
+        ),
+        agg AS (
+          SELECT doc_id, page, n_total,
+                 COALESCE(array_to_string(kl, chr(10)), '') AS text_c4,
+                 len(kl) AS n_kept
+          FROM kept
+        )
+        SELECT doc_id, text_c4,
+               CAST(n_kept AS BIGINT) AS n_lines_kept,
+               CAST(n_total - n_kept AS BIGINT) AS n_lines_dropped,
+               CAST(length(text_c4) -
+                    length(regexp_replace(text_c4, '[.!?]', '', 'g'))
+                    AS BIGINT) AS n_sentences,
+               (CASE
+                  WHEN contains(lower(page), 'lorem ipsum')
+                    THEN 'lorem_ipsum'
+                  WHEN contains(page, '{{') THEN 'curly_brace'
+                  WHEN regexp_matches(lower(page), '\\b(merge)\\b')
+                    THEN 'bad_words'
+                  WHEN length(text_c4) -
+                       length(regexp_replace(text_c4, '[.!?]', '', 'g'))
+                       < 3
+                    THEN 'too_few_sentences'
+                END) IS NULL AS c4_keep,
+               CASE
+                 WHEN contains(lower(page), 'lorem ipsum')
+                   THEN 'lorem_ipsum'
+                 WHEN contains(page, '{{') THEN 'curly_brace'
+                 WHEN regexp_matches(lower(page), '\\b(merge)\\b')
+                   THEN 'bad_words'
+                 WHEN length(text_c4) -
+                      length(regexp_replace(text_c4, '[.!?]', '', 'g'))
+                      < 3
+                   THEN 'too_few_sentences'
+               END AS c4_drop_reason
+        FROM agg
+    """)), cols18)
+    record("streaming_c4_gate", "duckdb", s18, b18, d18,
+           note="stateless C4 admission == batch c4_clean == DuckDB "
+                "list-lambda replay (materialized page fixture)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

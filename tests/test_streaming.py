@@ -1086,3 +1086,40 @@ def test_streaming_token_budget_router_matches_batch_cumsum(spark, tmp_path):
         streaming_token_budget_router(
             stream, "lang", "doc_id", "tokens", {"en": -5}
         )
+
+
+def test_streaming_c4_gate_matches_batch(spark, tmp_path):
+    from pandance_spark.functions.text import c4_clean
+    from pandance_spark.streaming import streaming_c4_gate
+
+    rows = [
+        (1, "alpha beta gamma delta one.\nalpha beta two!\n"
+            "alpha beta gamma delta epsilon three?"),
+        (2, "enable javascript to read this page.\n"
+            "lorem ipsum dolor sit amet."),
+        (3, "a b { c }"),
+        (4, "alpha beta gamma delta one.\nalpha beta gamma delta two!\n"
+            "alpha beta gamma delta three?"),
+    ]
+    src = str(tmp_path / "pages")
+    df = spark.createDataFrame(rows, ["doc_id", "page"])
+    df.filter("doc_id <= 2").coalesce(1).write.parquet(src)
+    df.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, page string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run_to_memory(streaming_c4_gate(stream, "page"), "c4_gate", "append")
+    got = {
+        r["doc_id"]: r for r in spark.table("c4_gate").collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in c4_clean(spark.read.parquet(src), "page").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    for k in got:
+        assert got[k].asDict() == want[k].asDict()
+    assert got[4]["c4_keep"] and got[2]["c4_drop_reason"] == "lorem_ipsum"
+    assert got[3]["c4_drop_reason"] == "curly_brace"
