@@ -1103,6 +1103,32 @@ def _q_html_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages, "html", "page_url")
 
 
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift gate (functions/profile.py psi_drift): the
+    Population Stability Index per feature over fixed histogram grids
+    — 'did this crawl's length/token distribution move vs the last
+    accepted snapshot?'.  ref = even doc_ids, cur = odd (a split with
+    real but small drift); features: n_chars and the whitespace token
+    count, each on its own grid.  The oracle replays hist_bin as a
+    list_filter count, the eps-floored fractions, and the ln term.
+    One scan per side for all features; the only shuffle carries
+    (feature, bin) — cardinality independent of corpus size."""
+    from pandance_spark.functions.profile import psi_drift
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    feats = {
+        "n_chars": (F.col("n_chars"), [100.0, 200.0, 300.0, 400.0]),
+        "n_tokens": (
+            token_count(F.col("text")),
+            [20.0, 40.0, 60.0, 80.0],
+        ),
+    }
+    return psi_drift(ref, cur, feats)
+
+
 def _q_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-DIRECTORY ingestion (VERDICT r7 item 4): write
     real ``.warc.gz`` files — 8 shards x 15 records in Common Crawl's
@@ -4036,6 +4062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver window at session-final rotation)
         "c4_filters": _q_c4_filters,
         "html_links": _q_html_links,
+        "corpus_drift": _q_corpus_drift,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7470,6 +7497,51 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    n_sentences,
                    (c4_drop_reason IS NULL) AS c4_keep, c4_drop_reason
             FROM scored
+        """,
+        # hist_bin replayed as a list_filter count; eps-floored
+        # fractions and the ln term recomputed per (feature, bin)
+        "corpus_drift": """
+            WITH binned AS (
+              SELECT 'n_chars' AS feature,
+                     len(list_filter([100.0, 200.0, 300.0, 400.0],
+                         b -> CAST(n_chars AS DOUBLE) > b)) AS bin,
+                     CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END
+                       AS side
+              FROM documents
+              UNION ALL
+              SELECT 'n_tokens' AS feature,
+                     len(list_filter([20.0, 40.0, 60.0, 80.0],
+                         b -> CAST(len(list_filter(
+                                regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+'),
+                                t -> t <> '')) AS DOUBLE) > b)) AS bin,
+                     CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END
+                       AS side
+              FROM documents
+            ),
+            counts AS (
+              SELECT feature, CAST(bin AS BIGINT) AS bin,
+                     sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_ref,
+                     sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_cur
+              FROM binned GROUP BY 1, 2
+            ),
+            tot AS (
+              SELECT *,
+                     sum(n_ref) OVER (PARTITION BY feature) AS t_ref,
+                     sum(n_cur) OVER (PARTITION BY feature) AS t_cur
+              FROM counts
+            )
+            SELECT feature, bin, n_ref, n_cur,
+                   round(greatest(n_ref / t_ref, 1e-6), 9) AS p_ref,
+                   round(greatest(n_cur / t_cur, 1e-6), 9) AS p_cur,
+                   round((greatest(n_cur / t_cur, 1e-6) -
+                          greatest(n_ref / t_ref, 1e-6)) *
+                         ln(greatest(n_cur / t_cur, 1e-6) /
+                            greatest(n_ref / t_ref, 1e-6)), 9)
+                     AS psi_term
+            FROM tot
         """,
         # extraction regex, scheme filter, resolution CASE and the
         # registrable-domain pick all replayed over the same pages

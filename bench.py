@@ -305,6 +305,7 @@ def main():
         "mojibake_clean",
         "c4_filters",
         "html_links",
+        "corpus_drift",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -30,6 +30,7 @@ __all__ = [
     "heavy_hitters",
     "outliers_mad",
     "profile_table",
+    "psi_drift",
     "skew_report",
 ]
 
@@ -367,3 +368,84 @@ def outliers_mad(
         dev > F.lit(k) * F.lit(1.4826) * F.col("grp_mad")
     )
     return out.withColumn("is_outlier", flag)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: dict,
+    eps: float = 1e-6,
+):
+    """Distribution drift between two corpus snapshots — the
+    Population Stability Index, per feature, over fixed histogram
+    grids: the standard release gate for a training-data pipeline
+    ("did this crawl's length/quality/language mix move?").
+
+    ``features`` maps feature name -> ``(Column, bounds)`` where
+    ``bounds`` is the ascending bin grid passed to
+    :func:`~pandance_spark.operators.rollup.hist_bin` (``len(bounds)+1``
+    bins).  Returns one row per (feature, bin):
+
+    ``feature, bin, n_ref, n_cur, p_ref, p_cur, psi_term`` with
+    ``p = max(n/total, eps)`` (the classic zero-protection) and
+    ``psi_term = (p_cur - p_ref) * ln(p_cur / p_ref)``, both rounded
+    to 9 dp.  ``SUM(psi_term)`` per feature is the PSI
+    (rule of thumb: < 0.1 stable, 0.1-0.25 moderate, > 0.25 major).
+
+    Spark-first shape: each side is scanned ONCE for ALL features (a
+    union of per-feature bin projections fuses into the scan;
+    conditional-count aggregation is map-side combined), one shuffle
+    on (feature, bin) whose cardinality is features x bins —
+    independent of corpus size — and the per-feature totals come from
+    a window over that tiny aggregate.  NULL/NaN rows are excluded per
+    feature (hist_bin's NaN-top/NULL-0 quirks never reach the
+    histogram), so a feature's total is its non-null count.
+    """
+    from pandance_spark.operators.rollup import hist_bin
+
+    if not features:
+        raise ValueError("features must be non-empty")
+    sides = []
+    for side, df in (("ref", ref), ("cur", cur)):
+        parts = []
+        for name in sorted(features):
+            col, bounds = features[name]
+            v = col.cast("double")
+            parts.append(
+                df.select(
+                    F.lit(name).alias("feature"),
+                    F.when(
+                        v.isNotNull() & ~F.isnan(v), hist_bin(v, bounds)
+                    ).alias("bin"),
+                    F.lit(side).alias("side"),
+                ).filter(F.col("bin").isNotNull())
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        sides.append(u)
+    counts = (
+        sides[0]
+        .unionAll(sides[1])
+        .groupBy("feature", "bin")
+        .agg(
+            F.sum((F.col("side") == "ref").cast("long")).alias("n_ref"),
+            F.sum((F.col("side") == "cur").cast("long")).alias("n_cur"),
+        )
+    )
+    w = Window.partitionBy("feature")
+    t_ref = F.sum("n_ref").over(w)
+    t_cur = F.sum("n_cur").over(w)
+    p_ref = F.greatest(F.col("n_ref") / t_ref, F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / t_cur, F.lit(float(eps)))
+    return counts.select(
+        "feature",
+        F.col("bin").cast("long"),
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_cur, 9).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias(
+            "psi_term"
+        ),
+    )

@@ -257,3 +257,37 @@ def test_outliers_mad_validation(spark):
     df2 = spark.createDataFrame([Row(g="a", v=1.0)])
     with _pytest.raises(ValueError):
         outliers_mad(df2, "g", "v", k=0)
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.profile import psi_drift
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], ["v"]
+    )
+    feats = {"v": (F.col("v"), [2.0, 5.0, 8.0])}
+    # identical snapshots: every psi_term is exactly 0
+    same = psi_drift(ref, ref, feats).collect()
+    assert same and all(r["psi_term"] == 0.0 for r in same)
+    assert all(r["n_ref"] == r["n_cur"] for r in same)
+    # shifted snapshot: positive PSI, totals normalize per side
+    cur = spark.createDataFrame(
+        [(float(i % 10) + 4.0,) for i in range(50)], ["v"]
+    )
+    rows = psi_drift(ref, cur, feats).collect()
+    psi = sum(r["psi_term"] for r in rows)
+    assert psi > 0.1
+    assert abs(sum(r["p_ref"] for r in rows) - 1.0) < 1e-6
+    # zero-protection: a bin empty on one side uses the eps floor, so
+    # the term is finite
+    assert all(math.isfinite(r["psi_term"]) for r in rows)
+    # NULL/NaN excluded
+    withnull = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),)], ["v"]
+    )
+    r2 = psi_drift(withnull, withnull, feats).collect()
+    assert sum(r["n_ref"] for r in r2) == 1
