@@ -2667,11 +2667,7 @@ def _q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     here — real corpora have rare candidates, where the folds almost
     never run; the subset keeps a pathological fixture from dominating
     the bench."""
-    from pandance_spark.functions.text import (
-        find_card_numbers,
-        luhn_sum,
-        redact_card_numbers,
-    )
+    from pandance_spark.functions.text import luhn_sum, scan_card_numbers
 
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 100 == 0
@@ -2693,10 +2689,19 @@ def _q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.concat(
         F.lit("order ref "), bad, F.lit(" card "), spaced, F.lit(" end")
     )
-    return orders.select(
-        F.col("o_orderkey").alias("k"),
-        F.array_join(find_card_numbers(text), ",").alias("found"),
-        redact_card_numbers(text).alias("redacted"),
+    from pandance_spark._kernel import stage_expr
+
+    # staged: found + redacted share ONE machinery evaluation (field
+    # extraction would otherwise split the struct into two copies)
+    staged = stage_expr(
+        orders.select(F.col("o_orderkey").alias("k"), text.alias("t")),
+        scan_card_numbers(F.col("t")),
+        "s",
+    )
+    return staged.select(
+        "k",
+        F.array_join("s.found", ",").alias("found"),
+        F.col("s.redacted").alias("redacted"),
     )
 
 
@@ -2713,11 +2718,7 @@ def _q_pii_cards_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     where detection fired OR redaction changed the text: a false
     positive on any clean row surfaces as an extra row and fails the
     oracle compare."""
-    from pandance_spark.functions.text import (
-        find_card_numbers,
-        luhn_sum,
-        redact_card_numbers,
-    )
+    from pandance_spark.functions.text import luhn_sum, scan_card_numbers
 
     orders = load_table(spark, sf_dir, "orders")
     base = F.concat(
@@ -2745,15 +2746,23 @@ def _q_pii_cards_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" cents"),
     )
     text = F.when(F.col("o_orderkey") % 97 == 0, planted).otherwise(clean)
-    out = orders.select(
-        F.col("o_orderkey").alias("k"),
-        text.alias("t"),
-        F.array_join(find_card_numbers(text), ",").alias("found"),
-        redact_card_numbers(text).alias("redacted"),
+    from pandance_spark._kernel import stage_expr
+    from pandance_spark.functions.text import _PAN_PREGATE_RE
+
+    # cheap codegen'd pregate BELOW the stage barrier (99% of rows
+    # never reach the interpreted machinery), then the scan staged so
+    # the row filter and the output share ONE evaluation
+    pre = orders.select(
+        F.col("o_orderkey").alias("k"), text.alias("t")
+    ).filter(F.col("t").rlike(_PAN_PREGATE_RE))
+    staged = stage_expr(pre, scan_card_numbers(F.col("t")), "s")
+    return staged.filter(
+        (F.size("s.found") > 0) | (F.col("s.redacted") != F.col("t"))
+    ).select(
+        "k",
+        F.array_join("s.found", ",").alias("found"),
+        F.col("s.redacted").alias("redacted"),
     )
-    return out.filter(
-        (F.col("found") != "") | (F.col("redacted") != F.col("t"))
-    ).select("k", "found", "redacted")
 
 
 def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

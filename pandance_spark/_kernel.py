@@ -70,6 +70,7 @@ __all__ = [
     "spread_partitions",
     "likely_shuffle_join",
     "sampled_hot_keys",
+    "stage_expr",
 ]
 
 _NUMERIC_TYPES = (
@@ -493,3 +494,26 @@ def validate_tol_value(tol) -> None:
     f = float(tol)
     if math.isnan(f) or math.isinf(f) or f < 0:
         raise ValueError("tolerance must be finite and non-negative")
+
+
+def stage_expr(df: DataFrame, expr: Column, name: str) -> DataFrame:
+    """Materialize an expensive Column ONCE per row behind a Generate
+    barrier: ``explode(array(expr))`` turns the value into a physical
+    attribute of the plan, so downstream filters and projections
+    reference the attribute instead of re-inlining the expression
+    tree.  A plain aliased projection is NOT enough for two reasons:
+    predicate pushdown substitutes aliases into filter conditions
+    unconditionally (CollapseProject's expensive-expression guard does
+    not apply to it), and common-subexpression elimination skips any
+    expression containing lambda variables — so a higher-order-
+    function pipeline referenced by both a filter and the output
+    evaluates per reference, not per row.  The single-element explode
+    is row-preserving (a NULL expr yields one NULL-valued row) and its
+    Generate node is a pushdown fence.
+
+    Use for interpreted HOF pipelines (PAN scan, per-script counts)
+    whose result feeds BOTH a row filter and the output; keep cheap
+    codegen'd pre-filters BELOW the stage so the barrier never blocks
+    scan-level pruning of the corpus itself.
+    """
+    return df.withColumn(name, F.explode(F.array(expr)))

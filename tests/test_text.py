@@ -748,3 +748,51 @@ def test_c4_clean_empty_and_quote_lines(spark):
     assert r["n_lines_kept"] == 1
     assert r["text_c4"].startswith('"a quoted')
     assert r["c4_keep"]
+
+
+def test_scan_card_numbers_agrees_with_find_and_redact(spark):
+    from pandance_spark.functions.text import (
+        find_card_numbers,
+        redact_card_numbers,
+        scan_card_numbers,
+    )
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),          # valid, spaced
+        (2, "ref 4111111111111112 only"),            # invalid check
+        (3, "no digits at all"),
+        (4, "short 12345 run"),
+        (5, None),
+        (6, "phone 0301 555 0100 and card 4111-1111-1111-1111 merged "
+            "run 0301555010041111111111111111"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    t = F.col("t")
+    out = df.select(
+        "k",
+        scan_card_numbers(t).alias("s"),
+        find_card_numbers(t).alias("f"),
+        redact_card_numbers(t).alias("r"),
+    ).collect()
+    for row in out:
+        if row["s"] is None:
+            assert row["t" if "t" in row else "f"] is None or row["f"] is None
+            continue
+        assert row["s"]["found"] == row["f"], row["k"]
+        assert row["s"]["redacted"] == row["r"], row["k"]
+
+
+def test_stage_expr_preserves_rows_and_nulls(spark):
+    from pandance_spark._kernel import stage_expr
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], ["k", "v"]
+    )
+    staged = stage_expr(df, F.upper(F.col("v")), "u")
+    rows = {r["k"]: r["u"] for r in staged.collect()}
+    assert rows == {1: "A", 2: None, 3: "C"}
+    # the staged attribute is a Generate output: filters on it do not
+    # re-inline the expression below the barrier
+    plan = staged.filter(F.col("u") == "A")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Generate" in plan
