@@ -1129,6 +1129,54 @@ def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ref, cur, feats)
 
 
+def _q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (functions/lm.py oov_stats): the
+    per-document OOV report that sizes a tokenizer against a corpus.
+    Vocabulary = distinct tokens of the first 30 documents (the
+    'tokenizer training set'); every document gains one planted
+    pseudo-token tok<doc_id%37>, so documents whose residue falls
+    outside the training set's 0-29 range carry exactly one OOV token
+    — nonzero rates with a closed form.  The oracle replays tokenize,
+    the vocab CTE, the left join and the per-doc counts.  Plan:
+    broadcast membership join (vocab is bounded), map-side-combined
+    per-doc aggregate — one shuffle carrying one row per document."""
+    from pandance_spark.functions.lm import oov_stats
+    from pandance_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" tok"),
+        (F.col("doc_id") % 37).cast("string"),
+    )
+    aug = docs.select("doc_id", t2.alias("t2"))
+    vocab = (
+        aug.filter(F.col("doc_id") < 30)
+        .select(F.explode(tokenize(F.col("t2"))).alias("token"))
+        .distinct()
+    )
+    return oov_stats(aug, "t2", vocab)
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus
+    (operators/contamination.py novelty_stats — the inverse of
+    contamination): reference = even doc_ids, measured over ALL
+    documents, so every even document must report novelty 0.0 (it IS
+    reference material) and odd documents report the fraction of
+    their distinct 3-gram shingles the reference never saw.  The
+    oracle replays shingling with list comprehensions and the
+    membership join.  Plan: shuffle equi-join on the shingle string
+    with map-side-distinct reference and per-doc map-side-combined
+    counters — the corpus-vs-corpus shape contamination_check's
+    broadcast path cannot serve."""
+    from pandance_spark.operators.contamination import novelty_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 2 == 0)
+    return novelty_stats(docs, "text", reference, shingle_n=3)
+
+
 def _q_warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-DIRECTORY ingestion (VERDICT r7 item 4): write
     real ``.warc.gz`` files — 8 shards x 15 records in Common Crawl's
@@ -4072,6 +4120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _q_c4_filters,
         "html_links": _q_html_links,
         "corpus_drift": _q_corpus_drift,
+        "vocab_oov": _q_vocab_oov,
+        "ngram_novelty": _q_ngram_novelty,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7506,6 +7556,73 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    n_sentences,
                    (c4_drop_reason IS NULL) AS c4_keep, c4_drop_reason
             FROM scored
+        """,
+        # shingling replayed with list comprehensions; even docs are
+        # the reference so their novelty must be exactly 0
+        "ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(ts) < 3 THEN [] ELSE
+                       [array_to_string(list_slice(ts, i, i+2), ' ')
+                        for i in range(1, len(ts)-1)]
+                     END) AS s
+              FROM toks
+            ),
+            ref AS (
+              SELECT DISTINCT unnest(s) AS sh_str
+              FROM sh WHERE doc_id % 2 = 0
+            ),
+            dsh AS (
+              SELECT doc_id, unnest(s) AS sh_str FROM sh
+            ),
+            j AS (
+              SELECT d.doc_id, (r.sh_str IS NOT NULL) AS seen
+              FROM dsh d LEFT JOIN ref r USING (sh_str)
+            )
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_shingles,
+                   SUM(CASE WHEN seen THEN 0 ELSE 1 END)::BIGINT
+                     AS n_novel,
+                   round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
+                         COUNT(*), 9) AS novelty_rate
+            FROM j GROUP BY doc_id
+        """,
+        # tokenize, vocab CTE, membership join and per-doc counts all
+        # replayed; planted tok<residue> gives the closed-form OOV
+        "vocab_oov": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' tok' || CAST(doc_id % 37 AS VARCHAR)
+                       AS t2
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(t2), '[^a-z0-9]+'),
+                       t -> t <> '')) AS tok
+              FROM aug
+            ),
+            vocab AS (
+              SELECT DISTINCT tok FROM toks WHERE doc_id < 30
+            ),
+            j AS (
+              SELECT t.doc_id, (v.tok IS NOT NULL) AS inv
+              FROM toks t LEFT JOIN vocab v USING (tok)
+            )
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   SUM(CASE WHEN inv THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+                   round(SUM(CASE WHEN inv THEN 0 ELSE 1 END) * 1.0 /
+                         COUNT(*), 9) AS oov_rate
+            FROM j GROUP BY doc_id
         """,
         # hist_bin replayed as a list_filter count; eps-floored
         # fractions and the ln term recomputed per (feature, bin)

@@ -306,6 +306,8 @@ def main():
         "c4_filters",
         "html_links",
         "corpus_drift",
+        "vocab_oov",
+        "ngram_novelty",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -34,6 +34,7 @@ from pyspark.sql.window import Window
 from pandance_spark.functions.text import tokenize
 
 __all__ = [
+    "oov_stats",
     "ppl_buckets",
     "unigram_counts",
     "lm_cross_entropy",
@@ -297,3 +298,56 @@ def ppl_buckets(
         w = Window.partitionBy()
     w = w.orderBy(F.col("cross_entropy").asc(), F.col(id_col).asc())
     return keyed.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def oov_stats(
+    docs: DataFrame,
+    text_col: str,
+    vocab: DataFrame,
+    token_col: str = "token",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per document: ``n_tokens``,
+    ``n_oov`` (tokens absent from ``vocab``) and ``oov_rate``
+    (rounded to 9 dp; 0.0 for tokenless documents) — the standard
+    report for sizing a tokenizer against a corpus (a vocabulary that
+    OOVs a language or domain silently shreds it into bytes).
+
+    ``vocab`` is one ``token_col`` row per vocabulary entry (e.g. a
+    ``unigram_counts``/``learn_bpe`` product).  Spark-first shape:
+    tokenize + explode fuse into the scan; the vocab side is
+    tokenizer-sized (bounded, ~1M rows) so Catalyst broadcasts the
+    membership join — no corpus shuffle for the lookup; the per-doc
+    aggregate partially combines map-side (a document's exploded
+    tokens stay within their input partition), so the one real
+    shuffle carries one counter row per document.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokenize(F.col(text_col))).alias("__t"),
+    )
+    v = vocab.select(
+        F.col(token_col).alias("__t"), F.lit(True).alias("__in_v")
+    ).distinct()
+    joined = toks.join(F.broadcast(v), "__t", "left")
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.count("__t").alias("n_tokens"),
+            F.sum(
+                (F.col("__t").isNotNull() & F.col("__in_v").isNull())
+                .cast("long")
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.when(F.col("n_tokens") > 0,
+                       F.col("n_oov") / F.col("n_tokens"))
+                .otherwise(F.lit(0.0)),
+                9,
+            ).alias("oov_rate"),
+        )
+    )

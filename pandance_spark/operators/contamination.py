@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from pandance_spark.functions.text import tokenize, word_shingles_from_tokens
 
-__all__ = ["contamination_check"]
+__all__ = ["contamination_check", "novelty_stats"]
 
 
 def contamination_check(
@@ -82,4 +82,83 @@ def contamination_check(
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def novelty_stats(
+    docs: DataFrame,
+    text_col: str,
+    reference: DataFrame,
+    ref_text_col: Optional[str] = None,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus — the
+    inverse of :func:`contamination_check`: the fraction of a
+    document's DISTINCT word ``shingle_n``-grams that the reference
+    has never seen.  Low novelty means the document is recombined
+    reference material (near-dup tails, templated spam, memorization
+    candidates); high novelty marks genuinely new content worth
+    keeping — the standard freshness signal when growing a corpus
+    snapshot over snapshot.
+
+    Returns ``(id_col, n_shingles, n_novel, novelty_rate)`` with the
+    rate rounded to 9 dp (0.0 for shingle-less documents).
+
+    Spark-first shape: unlike the benchmark side of
+    ``contamination_check`` (MB-sized, broadcast), the reference here
+    is another CORPUS — so this is a shuffle equi-join on the shingle
+    STRING (Spark hash-partitions internally; a pre-hash would only
+    trade portability for nothing).  The reference side deduplicates
+    map-side (partial distinct before the exchange); the doc side
+    explodes distinct-per-document shingles, so join input is bounded
+    by distinct shingles, not token count; the final per-doc aggregate
+    combines map-side to one counter row per document.
+    """
+    rcol = ref_text_col or text_col
+    rsh = (
+        reference.select(
+            F.explode(
+                F.array_distinct(
+                    word_shingles_from_tokens(
+                        tokenize(F.col(rcol)), shingle_n
+                    )
+                )
+            ).alias("__sh")
+        )
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    dsh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(
+            F.array_distinct(
+                word_shingles_from_tokens(
+                    tokenize(F.col(text_col)), shingle_n
+                )
+            )
+        ).alias("__sh"),
+    )
+    j = dsh.join(rsh, "__sh", "left")
+    return (
+        j.groupBy("__id")
+        .agg(
+            F.count("__sh").alias("n_shingles"),
+            F.sum(
+                (F.col("__sh").isNotNull() & F.col("__seen").isNull())
+                .cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_novel") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("novelty_rate"),
+        )
     )

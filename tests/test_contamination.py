@@ -59,3 +59,32 @@ def test_benchmark_side_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # corpus side never shuffles
     assert out.count() == 3  # docs 0, 1, 2 overlap the bench bigrams
+
+
+def test_novelty_stats_reference_and_novel_docs(spark):
+    from pandance_spark.operators.contamination import novelty_stats
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),    # pure reference: 0.0
+            (2, "the quick brown cat sleeps"),   # 1 of 3 shingles seen
+            (3, "entirely novel text appears here"),  # all novel
+            (4, "too short"),                    # shingle-less
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in novelty_stats(docs, "text", ref).collect()}
+    assert out[1]["novelty_rate"] == 0.0 and out[1]["n_novel"] == 0
+    assert out[2]["n_shingles"] == 3 and out[2]["n_novel"] == 2
+    assert out[3]["n_novel"] == out[3]["n_shingles"] == 3
+    assert out[3]["novelty_rate"] == 1.0
+    assert (out[4]["n_shingles"], out[4]["novelty_rate"]) == (0, 0.0)
+    # repeated shingles within a doc count once (distinct semantics)
+    rep = spark.createDataFrame(
+        [(9, "a b c a b c a b c")], ["doc_id", "text"]
+    )
+    r = novelty_stats(rep, "text", ref).collect()[0]
+    assert r["n_shingles"] == 3  # 'a b c','b c a','c a b'

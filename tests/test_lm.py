@@ -241,3 +241,31 @@ def test_ppl_buckets_global_and_validation(spark):
     assert sorted(r["bucket"] for r in out) == [1, 1, 2, 2]
     with _pytest.raises(ValueError):
         ppl_buckets(df, "id", "t", n_buckets=0)
+
+
+def test_oov_stats_counts_and_edge_cases(spark):
+    from pandance_spark.functions.lm import oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple durian durian"),
+            (3, "!!! ..."),          # tokenless
+            (4, None),               # NULL text
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("apple",), ("banana",), ("cherry",), ("apple",)], ["token"]
+    )
+    out = {r["doc_id"]: r for r in oov_stats(docs, "text", vocab).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (3, 0)
+    assert out[1]["oov_rate"] == 0.0
+    # duplicate OOV tokens each count; duplicate vocab rows collapse
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (3, 2)
+    assert abs(out[2]["oov_rate"] - 2 / 3) < 1e-9
+    # tokenless and NULL documents still report, rate 0
+    for k in (3, 4):
+        assert (out[k]["n_tokens"], out[k]["n_oov"], out[k]["oov_rate"]) \
+            == (0, 0, 0.0)
