@@ -1158,6 +1158,57 @@ def _q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_stats(aug, "t2", vocab)
 
 
+def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-columnar-format ingestion: write a deterministic orders
+    projection as ORC (snappy, Spark's native writer), read the
+    DIRECTORY back with ``read_any(..., fmt="orc")``, and aggregate —
+    proving the sources layer round-trips a non-parquet columnar lake
+    format end-to-end (schema, nulls, decimals-as-doubles, predicate
+    pushdown into the ORC scan).  The temp directory is idempotent
+    per-sf (atomic rename, the warc_files pattern).  The oracle
+    computes the same aggregate from the parquet the ORC was written
+    from — any writer/reader corruption surfaces as a value drift."""
+    import os
+    import tempfile
+
+    from pandance_spark.sources import read_any
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(
+        tempfile.gettempdir(), f"pandance_orc_roundtrip_{tag}_v1"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        # a NULL-heavy column exercises ORC null encoding
+        F.when(
+            F.col("o_orderkey") % 30 == 0, F.col("o_orderpriority")
+        ).alias("prio_sparse"),
+    )
+    if not os.path.isdir(root):
+        stage = root + ".stage"
+        proj.coalesce(4).write.mode("overwrite").orc(stage)
+        try:
+            os.rename(stage, root)
+        except OSError:
+            pass  # concurrent publisher won; reuse theirs
+    back = read_any(spark, root, fmt="orc")
+    return (
+        back.filter(F.col("o_custkey") > 0)  # pushed into the ORC scan
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.count("prio_sparse").alias("n_prio"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4122,6 +4173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift": _q_corpus_drift,
         "vocab_oov": _q_vocab_oov,
         "ngram_novelty": _q_ngram_novelty,
+        "orc_roundtrip": _q_orc_roundtrip,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7556,6 +7608,21 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    n_sentences,
                    (c4_drop_reason IS NULL) AS c4_keep, c4_drop_reason
             FROM scored
+        """,
+        # the oracle aggregates the parquet the ORC was written from;
+        # any writer/reader corruption shows up as value drift
+        "orc_roundtrip": """
+            SELECT o_orderstatus,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                     ::BIGINT AS sum_cents,
+                   SUM(CASE WHEN o_orderkey % 30 = 0 THEN 1 ELSE 0 END)
+                     ::BIGINT AS n_prio,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM orders
+            WHERE o_orderkey % 10 = 0 AND o_custkey > 0
+            GROUP BY o_orderstatus
         """,
         # shingling replayed with list comprehensions; even docs are
         # the reference so their novelty must be exactly 0

@@ -308,6 +308,7 @@ def main():
         "corpus_drift",
         "vocab_oov",
         "ngram_novelty",
+        "orc_roundtrip",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
