@@ -1209,6 +1209,29 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embed_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top scalar path (functions/vectors.py
+    pc1_projection — Mu & Viswanath 2018): each embedding's projection
+    onto the corpus' dominant principal component, the quantity the
+    post-processing subtracts.  Engineered engine-exact end to end:
+    2^20 micro-unit snap, EXACT integer first/second moments (so the
+    covariance is independent of partitioning), driver power iteration
+    with per-step 9-dp rounding (a binary double is never an exact
+    multiple of 1e-10 — tie-free), and an integer dot against
+    round(pc1*1e9).  The oracle replays ALL of it in SQL: pair-moment
+    aggregation, the covariance formula, 30 unrolled matvec+normalize
+    CTE steps, the deterministic sign pick, and the integer
+    projection.  Plan: two moment aggregates over (i, j) keys —
+    map-side-combined to <= dim(dim+1)/2 rows per partition — then a
+    map-only projection with the component as a literal."""
+    from pandance_spark.functions.vectors import pc1_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pc1_projection(
+        emb, "embedding", 64, keep_cols=("vec_id", "label"), iters=30
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4174,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_oov": _q_vocab_oov,
         "ngram_novelty": _q_ngram_novelty,
         "orc_roundtrip": _q_orc_roundtrip,
+        "embed_pc1": _q_embed_pc1,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -4768,6 +4792,99 @@ _PII_SPARSE_ORACLE = f"""
     SELECT k, found, redacted FROM res
     WHERE found <> '' OR redacted <> t
 """
+
+
+def _pc1_oracle(dim: int = 64, iters: int = 30) -> str:
+    """Full SQL replay of pc1_projection (functions/vectors.py): exact
+    integer pair moments of the 2^20-snapped embeddings, the
+    covariance assembled with the SAME float-division order the
+    driver uses, ``iters`` unrolled power-iteration steps (matvec via
+    list_dot_product, per-step round to 9 dp — tie-free, see the
+    operator docstring), the first-max-abs sign pick, and the integer
+    projection against round(pc1*1e9).  Single-row iteration CTEs are
+    MATERIALIZED so the y-vector is computed once per step."""
+    d1 = dim + 1
+    steps = []
+    prev = "it0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"y{k} AS MATERIALIZED (SELECT m, list_transform(m, r -> "
+            f"list_dot_product(r, x)) AS y FROM {prev}),\n"
+            f"it{k} AS MATERIALIZED (SELECT m, list_transform(y, v -> "
+            f"round(v / sqrt(list_dot_product(y, y)), 9)) AS x FROM y{k})"
+        )
+        prev = f"it{k}"
+    chain = ",\n".join(steps)
+    return f"""
+        WITH q AS (
+          SELECT vec_id, label,
+                 [CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)
+                  for x in embedding] AS q
+          FROM embeddings WHERE len(embedding) = {dim}
+        ),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+        pos AS (
+          SELECT unnest(range(1, {d1})) AS i,
+                 unnest(list_transform(range(1, {d1}), k -> q[k])) AS qi
+          FROM q
+        ),
+        mom1 AS (SELECT i, SUM(qi) AS si FROM pos GROUP BY i),
+        pe AS (
+          SELECT unnest(flatten([[{{'i': i, 'j': j, 'p': q[i] * q[j]}}
+                   for j in range(i, {d1})] for i in range(1, {d1})]))
+            AS e
+          FROM q
+        ),
+        mom2 AS (
+          SELECT e.i AS i, e.j AS j, SUM(e.p) AS pp
+          FROM pe GROUP BY 1, 2
+        ),
+        momf AS (
+          SELECT i, j, pp FROM mom2
+          UNION ALL
+          SELECT j AS i, i AS j, pp FROM mom2 WHERE i < j
+        ),
+        cov AS (
+          SELECT f.i, f.j,
+                 (f.pp::DOUBLE / nn.n::DOUBLE -
+                  (a.si::DOUBLE / nn.n::DOUBLE) *
+                  (b.si::DOUBLE / nn.n::DOUBLE)) /
+                 (1048576.0 * 1048576.0) AS c
+          FROM momf f, nn, mom1 a, mom1 b
+          WHERE a.i = f.i AND b.i = f.j
+        ),
+        crows AS (
+          SELECT i, list(c ORDER BY j) AS r FROM cov GROUP BY i
+        ),
+        it0 AS (
+          SELECT list(r ORDER BY i) AS m,
+                 list_transform(range(1, {d1}),
+                                k -> round(1.0 / sqrt({dim}), 9)) AS x
+          FROM crows
+        ),
+        {chain},
+        sgn AS (
+          SELECT CASE WHEN x[list_indexof(
+                   list_transform(x, v -> abs(v)),
+                   list_max(list_transform(x, v -> abs(v))))] < 0
+                 THEN list_transform(x, v -> -v) ELSE x END AS x
+          FROM {prev}
+        ),
+        pvec AS (
+          SELECT [CAST(round(v * 1e9) AS BIGINT) for v in x] AS p
+          FROM sgn
+        ),
+        spmu AS (
+          SELECT SUM(mom1.si * pvec.p[mom1.i]) AS sp
+          FROM mom1, pvec
+        )
+        SELECT q.vec_id, q.label,
+               round((list_sum(list_transform(range(1, {d1}),
+                        i -> q.q[i] * pvec.p[i]))::DOUBLE -
+                      spmu.sp::DOUBLE / nn.n::DOUBLE) /
+                     (1048576.0 * 1e9), 9) AS pc1_proj
+        FROM q, pvec, spmu, nn
+    """
 
 
 def _mojibake_oracle() -> str:
@@ -7609,6 +7726,9 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    (c4_drop_reason IS NULL) AS c4_keep, c4_drop_reason
             FROM scored
         """,
+        # exact integer moments -> covariance -> 30 unrolled power
+        # steps -> sign pick -> integer projection, all replayed
+        "embed_pc1": _pc1_oracle(64, 30),
         # the oracle aggregates the parquet the ORC was written from;
         # any writer/reader corruption shows up as value drift
         "orc_roundtrip": """

@@ -309,6 +309,7 @@ def main():
         "vocab_oov",
         "ngram_novelty",
         "orc_roundtrip",
+        "embed_pc1",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -23,6 +23,10 @@ __all__ = [
     "dequantize_embedding",
     "projection_signs",
     "project_embedding",
+    "quantized_moments",
+    "top_component",
+    "pc1_projection",
+    "remove_top_component",
 ]
 
 
@@ -219,3 +223,202 @@ def project_embedding(
         )
         outs.append(total.cast("double") * F.lit(scale))
     return F.array(*outs)
+
+
+# --- dominant principal component (all-but-the-top) ---------------------
+# Mu & Viswanath 2018 ("All-but-the-Top") subtract the corpus mean and
+# the top principal component(s) from embeddings before similarity
+# work.  Everything below is engineered for ENGINE-EXACT replay: inputs
+# snap to 2^20 micro-units (the project_embedding convention), first
+# and second moments are EXACT integer sums, and the driver-side power
+# iteration rounds every iterate to 9 dp — a binary double is never an
+# exact multiple of 1e-10, so the rounding is tie-free and any engine
+# that replays the same iteration count reproduces the component
+# bit-for-bit.
+
+_PC1_DP = 9
+
+
+def _power_iteration(cov, iters: int, dp: int = _PC1_DP):
+    """Dominant eigenvector of ``cov`` (list of row lists) by power
+    iteration with per-step ``dp``-rounding; sequential inner sums
+    (plain Python loops) so a SQL replay with sequential folds agrees.
+    Deterministic sign: the coordinate of largest magnitude (first
+    index on ties) is made positive."""
+    import math
+
+    d = len(cov)
+    x = [round(1.0 / math.sqrt(d), dp)] * d
+    for _ in range(iters):
+        y = []
+        for r in cov:
+            acc = 0.0
+            for a, b in zip(r, x):
+                acc += a * b
+            y.append(acc)
+        nrm = 0.0
+        for v in y:
+            nrm += v * v
+        nrm = math.sqrt(nrm)
+        if nrm == 0.0:
+            return x
+        x = [round(v / nrm, dp) for v in y]
+    k = max(range(d), key=lambda i: abs(x[i]))
+    if x[k] < 0:
+        x = [-v for v in x]
+    return x
+
+
+def quantized_moments(df, vec_col: str, dim: int):
+    """Exact integer first/second moments of the 2^20-snapped vectors:
+    ``(n, s, P)`` with ``s[i] = Σ q_i`` and ``P[(i, j)] = Σ q_i q_j``
+    (upper triangle, 0-based).  Vectors whose length differs from
+    ``dim`` are excluded (the project_embedding NULL-guard rule).
+
+    Spark-first shape: one two-level posexplode produces (i, j, q_i,
+    q_j) pair rows; the groupBy keys are the ``dim*(dim+1)/2`` index
+    pairs, so map-side partial aggregation collapses each input
+    partition to at most that many rows before the shuffle — the
+    shuffle never carries per-vector data.  Sums accumulate as
+    ``decimal(38,0)`` (exact at any corpus size; the collected driver
+    values become Python ints)."""
+    q = F.transform(
+        _as_double_array(F.col(vec_col)),
+        lambda x: F.round(x * F.lit(1048576.0)).cast("long"),
+    )
+    q = F.when(F.size(q) == dim, q).otherwise(F.lit(None))
+    qdf = df.select(q.alias("__q")).filter(F.col("__q").isNotNull())
+    base = qdf.select(
+        F.posexplode("__q").alias("__i", "__qi"), F.col("__q")
+    )
+    pairs = base.select(
+        "__i",
+        "__qi",
+        F.posexplode(
+            F.slice("__q", F.col("__i") + 1, F.lit(dim))
+        ).alias("__jo", "__qj"),
+    )
+    pmom = (
+        pairs.groupBy("__i", "__jo")
+        .agg(
+            F.sum(
+                (F.col("__qi") * F.col("__qj")).cast("decimal(38,0)")
+            ).alias("__p")
+        )
+        .collect()
+    )
+    smom = (
+        base.groupBy("__i")
+        .agg(
+            F.sum(F.col("__qi").cast("decimal(38,0)")).alias("__s"),
+            F.count("*").alias("__n"),
+        )
+        .collect()
+    )
+    if not smom:
+        raise ValueError(f"no vectors of length {dim} in {vec_col!r}")
+    n = int(smom[0]["__n"])
+    s = [0] * dim
+    for r in smom:
+        s[r["__i"]] = int(r["__s"])
+    P = {}
+    for r in pmom:
+        P[(r["__i"], r["__i"] + r["__jo"])] = int(r["__p"])
+    return n, s, P
+
+
+def top_component(df, vec_col: str, dim: int, iters: int = 30):
+    """Corpus mean (micro-units) and dominant principal component of
+    an embedding column.  Returns ``(n, s, pc1)`` where ``pc1`` is the
+    9-dp-rounded unit eigenvector (Python floats).  The covariance is
+    assembled on the driver from the EXACT integer moments —
+    ``C[i][j] = (P/n - (s_i/n)(s_j/n)) / 2^40`` with each division a
+    single IEEE op any engine reproduces — so the whole estimate is
+    independent of partitioning and summation order."""
+    n, s, P = quantized_moments(df, vec_col, dim)
+    S2 = 1048576.0 * 1048576.0
+    fn = float(n)
+    cov = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        si = float(s[i]) / fn
+        for j in range(i, dim):
+            c = (float(P[(i, j)]) / fn - si * (float(s[j]) / fn)) / S2
+            cov[i][j] = c
+            cov[j][i] = c
+    return n, s, _power_iteration(cov, iters)
+
+
+def pc1_projection(
+    df,
+    vec_col: str,
+    dim: int,
+    keep_cols=("vec_id",),
+    iters: int = 30,
+):
+    """Per-row scalar projection onto the corpus' dominant principal
+    component (the quantity "all-but-the-top" removes):
+    ``pc1_proj = (v - mean) · pc1`` rounded to 9 dp, computed in
+    integer space — ``q · p`` with ``p = round(pc1 * 1e9)`` is an
+    exact fold (1e9 recovers the 9-dp iterate integers tie-free), and
+    only the final centering/rescale touches doubles.  Map-only after
+    the two moment aggregates; the component rides in as a literal."""
+    n, s, pc1 = top_component(df, vec_col, dim, iters)
+    p = [int(round(v * 1e9)) for v in pc1]
+    spmu = sum(pi * si for pi, si in zip(p, s))  # exact Python int
+    import json
+
+    q = F.transform(
+        _as_double_array(F.col(vec_col)),
+        lambda x: F.round(x * F.lit(1048576.0)).cast("long"),
+    )
+    q = F.when(F.size(q) == dim, q).otherwise(F.lit(None))
+    plit = F.from_json(F.lit(json.dumps(p)), "array<bigint>")
+    dq = F.aggregate(
+        F.zip_with(q, plit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    t = (dq.cast("double") - F.lit(float(spmu) / float(n))) / F.lit(
+        1048576.0 * 1.0e9
+    )
+    return df.select(*keep_cols, F.round(t, _PC1_DP).alias("pc1_proj"))
+
+
+def remove_top_component(
+    df, vec_col: str, dim: int, out_col: str = "vec_abtt", iters: int = 30
+):
+    """All-but-the-top embedding post-processing (Mu & Viswanath
+    2018): subtract the corpus mean and the projection onto the
+    dominant principal component — the cheap fix for the anisotropy
+    that makes raw embedding cosines saturate.  Adds ``out_col``
+    (array<double>).  Map-only per row once the component literal is
+    estimated; float output (pipeline use — the ORACLE-exact scalar
+    path is :func:`pc1_projection`)."""
+    import json
+
+    from pandance_spark._kernel import stage_expr
+
+    n, s, pc1 = top_component(df, vec_col, dim, iters)
+    mu = [si / float(n) / 1048576.0 for si in s]
+    mulit = F.from_json(F.lit(json.dumps(mu)), "array<double>")
+    pclit = F.from_json(F.lit(json.dumps(pc1)), "array<double>")
+    centered = F.zip_with(
+        _as_double_array(F.col(vec_col)), mulit, lambda a, b: a - b
+    )
+    t = F.aggregate(
+        F.zip_with(centered, pclit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # stage (centered, t): t captured inside the output lambda would
+    # otherwise re-evaluate per ELEMENT (captured subtrees evaluate per
+    # lambda call), and centered feeds both t and the output
+    staged = stage_expr(
+        df, F.struct(centered.alias("c"), t.alias("t")), "__abtt"
+    )
+    out = F.zip_with(
+        F.col("__abtt.c"),
+        pclit,
+        lambda c, w: c - F.col("__abtt.t") * w,
+    )
+    return staged.withColumn(out_col, out).drop("__abtt")

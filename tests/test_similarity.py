@@ -428,3 +428,67 @@ def test_project_embedding_wrong_length_yields_null(spark):
     # truncated projection
     assert rows[1] == [None, None]
     assert rows[2] == [None, None]
+
+
+def test_top_component_matches_numpy_and_partitioning(spark):
+    import numpy as np
+
+    from pandance_spark.functions.vectors import (
+        pc1_projection,
+        top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: strong direction u plus noise
+    u = rng.randn(16)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.randn(300) * 3.0, u) + 0.3 * rng.randn(300, 16)
+    X = np.clip(X / 10.0, -0.5, 0.5)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    n, s, pc1 = top_component(df, "embedding", 16, iters=40)
+    assert n == 300
+    # unit-norm to rounding precision
+    assert abs(sum(v * v for v in pc1) - 1.0) < 1e-6
+    # agrees with numpy PCA on the quantized data up to sign
+    Q = np.round(X * 1048576.0)
+    C = np.cov(Q.T, bias=True) / 1048576.0**2
+    w, V = np.linalg.eigh(C)
+    ref = V[:, -1]
+    cos = abs(float(np.dot(ref, pc1)))
+    assert cos > 0.9999, cos
+    # bit-identical under repartitioning (exact integer moments)
+    _, _, pc1b = top_component(df.repartition(13), "embedding", 16, iters=40)
+    assert pc1 == pc1b
+    # projections: mean ~ 0 (centered), variance ~ top eigenvalue
+    proj = [
+        r["pc1_proj"]
+        for r in pc1_projection(df, "embedding", 16, iters=40).collect()
+    ]
+    assert abs(sum(proj) / len(proj)) < 1e-6
+    assert abs(np.var(proj) - w[-1]) / w[-1] < 1e-3
+
+
+def test_remove_top_component_kills_pc1(spark):
+    import numpy as np
+
+    from pandance_spark.functions.vectors import (
+        remove_top_component,
+        top_component,
+    )
+
+    rng = np.random.RandomState(3)
+    u = rng.randn(8)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.randn(200) * 2.0, u) + 0.2 * rng.randn(200, 8)
+    X = np.clip(X / 8.0, -0.5, 0.5)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _, _, pc1 = top_component(df, "embedding", 8)
+    out = remove_top_component(df, "embedding", 8).collect()
+    M = np.array([r["vec_abtt"] for r in out])
+    # corrected vectors are orthogonal to the removed component
+    resid = M @ np.array(pc1)
+    assert float(np.abs(resid).max()) < 1e-6
+    # and centered
+    assert float(np.abs(M.mean(axis=0)).max()) < 1e-6
