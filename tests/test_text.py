@@ -796,3 +796,43 @@ def test_stage_expr_preserves_rows_and_nulls(spark):
     plan = staged.filter(F.col("u") == "A")._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "Generate" in plan
+
+
+def test_word_shingle_hashes_align_with_string_shingles(spark):
+    from pandance_spark.functions.text import (
+        word_shingle_hashes,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y"),            # fewer than n tokens
+        (3, None),             # NULL propagates
+        (4, "a b c a b c"),    # repeated shingles repeat in order
+        (5, "c d e f g"),      # overlaps doc 1 on 'c d e'
+    ]
+    df = spark.createDataFrame(rows, ["k", "t"])
+    out = {
+        r["k"]: r
+        for r in df.select(
+            "k",
+            word_shingle_hashes(F.col("t"), 3).alias("h"),
+            word_shingles(F.col("t"), 3).alias("s"),
+        ).collect()
+    }
+    # same cardinality and positional alignment as string shingles
+    for k in (1, 2, 4, 5):
+        assert len(out[k]["h"]) == len(out[k]["s"]), k
+    assert out[3]["h"] is None
+    assert out[2]["h"] == []
+    # equal shingles hash equal (within and across documents)
+    h4, s4 = out[4]["h"], out[4]["s"]
+    assert s4[0] == s4[3] and h4[0] == h4[3]
+    shared = set(out[1]["s"]) & set(out[5]["s"])
+    assert "c d e" in shared
+    m1 = dict(zip(out[1]["s"], out[1]["h"]))
+    m5 = dict(zip(out[5]["s"], out[5]["h"]))
+    for sh in shared:
+        assert m1[sh] == m5[sh]
+    # distinct shingles get distinct hashes on this fixture
+    assert len(set(out[1]["h"])) == len(out[1]["h"])
