@@ -1232,6 +1232,25 @@ def _q_embed_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing coverage curve (functions/lm.py
+    vocab_coverage_curve): rank tokens by frequency (count desc,
+    token asc — Zipf-tail ties are real and the order is pinned) with
+    cumulative occurrence coverage per rank.  Planted per-doc pseudo
+    tokens tok<doc_id%37> give the curve a genuine tail under the
+    31-word corpus head.  One map-side-combined token aggregate; the
+    window sorts only the vocabulary-sized result."""
+    from pandance_spark.functions.lm import vocab_coverage_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" tok"),
+        (F.col("doc_id") % 37).cast("string"),
+    )
+    return vocab_coverage_curve(docs.select(t2.alias("t2")), "t2")
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4198,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "orc_roundtrip": _q_orc_roundtrip,
         "embed_pc1": _q_embed_pc1,
+        "vocab_coverage": _q_vocab_coverage,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7780,6 +7800,41 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
+        """,
+        # rank = (count desc, token asc) row_number + running-sum
+        # window, both replayed; same planted-tail fixture as vocab_oov
+        "vocab_coverage": """
+            WITH aug AS (
+              SELECT text || ' tok' || CAST(doc_id % 37 AS VARCHAR)
+                       AS t2
+              FROM documents
+            ),
+            toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(t2), '[^a-z0-9]+'),
+                       t -> t <> '')) AS tok
+              FROM aug
+            ),
+            counts AS (
+              SELECT tok, COUNT(*)::BIGINT AS n_occurrences
+              FROM toks GROUP BY tok
+            ),
+            ranked AS (
+              SELECT ROW_NUMBER() OVER
+                       (ORDER BY n_occurrences DESC, tok ASC)
+                       ::BIGINT AS rank,
+                     tok AS token, n_occurrences,
+                     SUM(n_occurrences) OVER
+                       (ORDER BY n_occurrences DESC, tok ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_occurrences
+              FROM counts
+            )
+            SELECT rank, token, n_occurrences,
+                   CAST(cum_occurrences AS BIGINT) AS cum_occurrences,
+                   round(cum_occurrences * 1.0 /
+                         (SELECT SUM(n_occurrences) FROM counts), 9)
+                     AS coverage
+            FROM ranked
         """,
         # tokenize, vocab CTE, membership join and per-doc counts all
         # replayed; planted tok<residue> gives the closed-form OOV

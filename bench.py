@@ -310,6 +310,7 @@ def main():
         "ngram_novelty",
         "orc_roundtrip",
         "embed_pc1",
+        "vocab_coverage",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

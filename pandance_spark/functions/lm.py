@@ -35,6 +35,7 @@ from pandance_spark.functions.text import tokenize
 
 __all__ = [
     "oov_stats",
+    "vocab_coverage_curve",
     "ppl_buckets",
     "unigram_counts",
     "lm_cross_entropy",
@@ -351,3 +352,56 @@ def oov_stats(
             ).alias("oov_rate"),
         )
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    text_col: str,
+    top_v: Optional[int] = None,
+) -> DataFrame:
+    """Token-frequency coverage curve for tokenizer sizing: rank
+    tokens by corpus frequency and report, per rank, the cumulative
+    fraction of all token OCCURRENCES a vocabulary of that size would
+    cover — read off "what V covers 99%?" directly.  Deterministic
+    rank order: count desc, token asc (ties are real in Zipf tails).
+
+    Returns ``(rank, token, n_occurrences, cum_occurrences,
+    coverage)`` with coverage rounded to 9 dp; ``top_v`` truncates the
+    curve (the full head is what matters — the tail is the OOV mass).
+
+    Spark-first: one tokenize+explode aggregation (map-side combined,
+    shuffle carries one partial per token per partition), then a
+    single-partition window over the VOCABULARY-sized aggregate — the
+    window never sees corpus rows, so the one-partition sort is over
+    distinct tokens only (cap with ``top_v`` upstream of the sort at
+    truly huge vocabularies).
+    """
+    counts = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("__tot"))
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("__t").asc()
+    )
+    curve = counts.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("__t").alias("token"),
+        "n_occurrences",
+        F.sum("n_occurrences")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_occurrences"),
+    ).crossJoin(F.broadcast(total))
+    out = curve.select(
+        "rank",
+        "token",
+        "n_occurrences",
+        "cum_occurrences",
+        F.round(F.col("cum_occurrences") / F.col("__tot"), 9).alias(
+            "coverage"
+        ),
+    )
+    if top_v is not None:
+        out = out.filter(F.col("rank") <= int(top_v))
+    return out

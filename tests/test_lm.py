@@ -269,3 +269,21 @@ def test_oov_stats_counts_and_edge_cases(spark):
     for k in (3, 4):
         assert (out[k]["n_tokens"], out[k]["n_oov"], out[k]["oov_rate"]) \
             == (0, 0, 0.0)
+
+
+def test_vocab_coverage_curve_ranks_and_coverage(spark):
+    from pandance_spark.functions.lm import vocab_coverage_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], ["doc_id", "text"]
+    )
+    rows = vocab_coverage_curve(docs, "text").collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c", "z"]
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+    assert [r["n_occurrences"] for r in rows] == [4, 3, 1, 1]
+    assert [r["cum_occurrences"] for r in rows] == [4, 7, 8, 9]
+    assert abs(rows[-1]["coverage"] - 1.0) < 1e-12
+    assert abs(rows[0]["coverage"] - 4 / 9) < 1e-9
+    # ties break on token asc: c before z
+    top2 = vocab_coverage_curve(docs, "text", top_v=2).collect()
+    assert [r["token"] for r in top2] == ["a", "b"]
