@@ -1251,6 +1251,59 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage_curve(docs.select(t2.alias("t2")), "t2")
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-policy gate (functions/url.py parse_robots +
+    robots_filter): 50 synthetic hosts each publish a robots.txt
+    (wildcard group with a disallow/allow-override pair and a
+    host-varying /tmp<k%3> rule; even hosts add an exclusive
+    specialbot group), and every document contributes one URL across
+    five path classes — longest-match, allow-beats-disallow-on-tie,
+    no-rule-allowed and empty-root paths all exercised under
+    agent='*'.  The oracle replays the ENTIRE pipeline in SQL: line
+    explode with ordinality, the lag/running-sum group recovery, the
+    agent-precedence pick and the max(struct) longest-match.  Shape:
+    line parse is one explode + one host window; the URL decision is
+    a host-keyed join + one map-side-combinable max per URL."""
+    from pandance_spark.functions.url import parse_robots, robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 50
+    host = F.concat(F.lit("site"), k.cast("string"), F.lit(".example"))
+    robots = F.concat(
+        F.lit(
+            "# policy\nUser-agent: *\nDisallow: /private\n"
+            "Allow: /private/ok\nDisallow: /tmp"
+        ),
+        (k % 3).cast("string"),
+        F.when(
+            k % 2 == 0,
+            F.lit("\n\nUser-agent: specialbot\nDisallow: /"),
+        ).otherwise(F.lit("")),
+    )
+    hosts_df = docs.select(
+        host.alias("host"), robots.alias("robots")
+    ).distinct()
+    rules = parse_robots(hosts_df, "robots", "host")
+    m5 = F.col("doc_id") % 5
+    path = (
+        F.when(m5 == 0, F.lit("/private/x"))
+        .when(m5 == 1, F.lit("/private/ok/page"))
+        .when(m5 == 2, F.lit("/public/y"))
+        .when(
+            m5 == 3,
+            F.concat(
+                F.lit("/tmp"), (F.col("doc_id") % 3).cast("string"),
+                F.lit("/z"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    urls = docs.select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("u")
+    )
+    return robots_filter(urls, "u", rules, agent="*")
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4218,6 +4271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": _q_orc_roundtrip,
         "embed_pc1": _q_embed_pc1,
         "vocab_coverage": _q_vocab_coverage,
+        "robots_gate": _q_robots_gate,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7800,6 +7854,115 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
+        """,
+        # the whole pipeline replayed: ordinal line explode, lag +
+        # running-sum group recovery, agent precedence, max(struct)
+        # longest-match with allow-beats-disallow tie order
+        "robots_gate": """
+            WITH hosts AS (
+              SELECT DISTINCT
+                     'site' || CAST(doc_id % 50 AS VARCHAR) ||
+                       '.example' AS host,
+                     '# policy' || chr(10) ||
+                     'User-agent: *' || chr(10) ||
+                     'Disallow: /private' || chr(10) ||
+                     'Allow: /private/ok' || chr(10) ||
+                     'Disallow: /tmp' ||
+                       CAST((doc_id % 50) % 3 AS VARCHAR) ||
+                     CASE WHEN (doc_id % 50) % 2 = 0 THEN
+                       chr(10) || chr(10) ||
+                       'User-agent: specialbot' || chr(10) ||
+                       'Disallow: /'
+                     ELSE '' END AS robots
+              FROM documents
+            ),
+            lines AS (
+              SELECT host,
+                     unnest(list_transform(
+                       string_split(robots, chr(10)),
+                       (x, i) -> struct_pack(idx := i, raw := x))) AS e
+              FROM hosts
+            ),
+            tagged AS (
+              SELECT host, e.idx AS idx,
+                     trim(regexp_replace(e.raw, '#.*', '')) AS c
+              FROM lines
+            ),
+            cls AS (
+              SELECT host, idx,
+                     regexp_matches(c, '(?i)^user-agent\\s*:') AS ia,
+                     lower(trim(regexp_extract(c,
+                       '(?i)^user-agent\\s*:\\s*(.*)$', 1))) AS agent,
+                     CASE WHEN regexp_matches(c, '(?i)^allow\\s*:')
+                            THEN 'allow'
+                          WHEN regexp_matches(c, '(?i)^disallow\\s*:')
+                            THEN 'disallow' END AS rule,
+                     trim(regexp_extract(c,
+                       '(?i)^(dis)?allow\\s*:\\s*(.*)$', 2)) AS path
+              FROM tagged
+            ),
+            lagged AS (
+              SELECT *,
+                     CASE WHEN ia AND NOT COALESCE(
+                            LAG(ia) OVER (PARTITION BY host
+                                          ORDER BY idx), FALSE)
+                          THEN 1 ELSE 0 END AS ng
+              FROM cls
+            ),
+            grp AS (
+              SELECT *,
+                     SUM(ng) OVER (PARTITION BY host ORDER BY idx
+                                   ROWS UNBOUNDED PRECEDING) AS gid
+              FROM lagged
+            ),
+            agents AS (
+              SELECT host, gid, agent FROM grp
+              WHERE ia AND agent <> ''
+            ),
+            rles AS (
+              SELECT host, gid, rule, path FROM grp
+              WHERE rule IS NOT NULL AND path <> ''
+            ),
+            rules AS (
+              SELECT a.host, a.agent, r.rule, r.path
+              FROM agents a JOIN rles r USING (host, gid)
+            ),
+            star AS (SELECT * FROM rules WHERE agent = '*'),
+            urls AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 50 AS VARCHAR) ||
+                       '.example' AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '/private/x'
+                       WHEN 1 THEN '/private/ok/page'
+                       WHEN 2 THEN '/public/y'
+                       WHEN 3 THEN '/tmp' ||
+                         CAST(doc_id % 3 AS VARCHAR) || '/z'
+                       ELSE '' END AS path
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, host,
+                     'http://' || host || path AS url,
+                     CASE WHEN path = '' THEN '/' ELSE path END AS up
+              FROM urls
+            ),
+            matched AS (
+              SELECT u.doc_id, u.url,
+                     MAX(struct_pack(
+                       l := length(s.path),
+                       a := CASE WHEN s.rule = 'allow'
+                                 THEN 1 ELSE 0 END,
+                       p := s.path)) AS w
+              FROM u JOIN star s ON u.host = s.host
+                AND starts_with(u.up, s.path)
+              GROUP BY u.doc_id, u.url
+            )
+            SELECT u.doc_id, u.url,
+                   COALESCE(m.w.a = 1, TRUE) AS allowed,
+                   m.w.p AS rule_path
+            FROM u LEFT JOIN matched m
+              ON u.doc_id = m.doc_id AND u.url = m.url
         """,
         # rank = (count desc, token asc) row_number + running-sum
         # window, both replayed; same planted-tail fixture as vocab_oov

@@ -311,6 +311,7 @@ def main():
         "orc_roundtrip",
         "embed_pc1",
         "vocab_coverage",
+        "robots_gate",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

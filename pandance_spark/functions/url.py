@@ -35,6 +35,8 @@ __all__ = [
     "href_targets",
     "resolve_href",
     "extract_links",
+    "parse_robots",
+    "robots_filter",
 ]
 
 # RFC 3986 appendix-B split regex (scheme, authority, path, query, frag)
@@ -300,4 +302,164 @@ def extract_links(
         F.col("link_idx").cast("long"),
         url.alias("link_url"),
         registered_domain(url_host(url)).alias("link_domain"),
+    )
+
+
+# --- robots.txt crawl policy --------------------------------------------
+# Crawl governance: parse robots.txt payloads into a rules table and
+# filter candidate URLs by the longest-match rule, entirely
+# relationally.  The across-line group structure (consecutive
+# User-agent lines share the rules that follow) is recovered with
+# window functions — no per-file sequential fold — so parsing scales
+# like any other exploded-line pipeline and an independent SQL engine
+# replays it exactly.  Documented simplifications: path rules are
+# PREFIX matches (the RFC 9309 core; * and $ wildcards are not
+# implemented), and an empty Disallow (allow-everything) is dropped at
+# parse time.
+
+
+def parse_robots(
+    df: DataFrame, text_col: str, host_col: str
+) -> DataFrame:
+    """Parse one robots.txt payload per row into
+    ``(host, agent, rule, path)`` — one row per (user-agent, rule)
+    pair, with consecutive ``User-agent:`` lines sharing the rule
+    block that follows (the RFC 9309 group rule).
+
+    Group recovery is relational: a group starts at an agent line
+    whose previous line is not an agent line (lag), ``group_id`` is
+    the running count of group starts, and agent rows inner-join rule
+    rows on (host, group_id) — rules before any User-agent line are
+    dropped by the join, comments (``#``) and empty Disallows at
+    classification.  One line explode + one host-keyed window + one
+    equi-join, all engine-replayable.
+    """
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__idx", "__raw"
+        ),
+    )
+    clean = F.trim(F.regexp_replace(F.col("__raw"), "#.*", ""))
+    is_agent = clean.rlike(r"(?i)^user-agent\s*:")
+    agent_val = F.lower(
+        F.trim(
+            F.regexp_extract(clean, r"(?i)^user-agent\s*:\s*(.*)$", 1)
+        )
+    )
+    rule_type = (
+        F.when(clean.rlike(r"(?i)^allow\s*:"), F.lit("allow"))
+        .when(clean.rlike(r"(?i)^disallow\s*:"), F.lit("disallow"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    path_val = F.trim(
+        F.regexp_extract(clean, r"(?i)^(dis)?allow\s*:\s*(.*)$", 2)
+    )
+    w = Window.partitionBy("host").orderBy("__idx")
+    tagged = lines.select(
+        "host",
+        "__idx",
+        is_agent.alias("__ia"),
+        agent_val.alias("__agent"),
+        rule_type.alias("__rule"),
+        path_val.alias("__path"),
+    ).withColumn(
+        "__new_group",
+        (
+            F.col("__ia")
+            & ~F.coalesce(F.lag("__ia").over(w), F.lit(False))
+        ).cast("int"),
+    ).withColumn(
+        "__gid",
+        F.sum("__new_group").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = tagged.filter(F.col("__ia") & (F.col("__agent") != "")).select(
+        "host", "__gid", F.col("__agent").alias("agent")
+    )
+    rules = tagged.filter(
+        F.col("__rule").isNotNull() & (F.col("__path") != "")
+    ).select(
+        "host", "__gid", F.col("__rule").alias("rule"),
+        F.col("__path").alias("path"),
+    )
+    return agents.join(rules, ["host", "__gid"]).select(
+        "host", "agent", "rule", "path"
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    agent: str = "*",
+    keep_cols=("doc_id",),
+) -> DataFrame:
+    """Crawl-policy decision per URL against a ``parse_robots`` rules
+    table: RFC 9309 longest-match — among the agent's applicable rules
+    whose path is a prefix of the URL path, the LONGEST path wins,
+    ``allow`` beating ``disallow`` on equal length; no matching rule
+    means allowed.  Agent precedence is exclusive: if a host has any
+    group for exactly ``agent``, only those rules apply, else the
+    ``*`` group (the spec's most-specific-group rule, restricted to
+    exact-vs-wildcard — documented).
+
+    Output: ``keep_cols`` + ``url``, ``allowed`` (boolean),
+    ``rule_path`` (the winning rule's path, NULL when no rule
+    matched).
+
+    Shape: rules are per-host small — the join is host-keyed (AQE
+    broadcasts a small rules side); the longest-match pick is one
+    max(struct) aggregate per URL, map-side combinable.  Prefix match
+    cannot explode: a URL meets at most the host's rule count.
+    """
+    keep_cols = list(keep_cols)
+    u = urls.select(
+        *keep_cols,
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        F.when(
+            F.regexp_extract(F.col(url_col), _URL_RE, 3) == "",
+            F.lit("/"),
+        )
+        .otherwise(F.regexp_extract(F.col(url_col), _URL_RE, 3))
+        .alias("__path"),
+    )
+    r = rules.filter(
+        F.col("agent").isin(agent, "*")
+        if agent != "*"
+        else (F.col("agent") == "*")
+    ).withColumn(
+        "__prio", F.when(F.col("agent") == agent, 2).otherwise(1)
+    )
+    best_prio = r.groupBy("host").agg(F.max("__prio").alias("__bp"))
+    applicable = r.join(best_prio, "host").filter(
+        F.col("__prio") == F.col("__bp")
+    )
+    j = u.join(applicable, "host", "left").filter(
+        F.col("path").isNotNull()
+        & F.col("__path").startswith(F.col("path"))
+    )
+    won = j.groupBy(*keep_cols, "url").agg(
+        F.max(
+            F.struct(
+                F.length("path").alias("l"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+                F.col("path").alias("p"),
+            )
+        ).alias("__w")
+    )
+    return (
+        u.join(won, keep_cols + ["url"], "left")
+        .select(
+            *keep_cols,
+            "url",
+            F.coalesce(F.col("__w.a") == 1, F.lit(True)).alias(
+                "allowed"
+            ),
+            F.col("__w.p").alias("rule_path"),
+        )
     )

@@ -237,3 +237,83 @@ def test_resolve_href_root_base(spark):
     )
     rows = extract_links(df, "html", "page_url").collect()
     assert rows[0]["link_url"] == "http://host.example/r.html"
+
+
+def _robots_fixture(spark):
+    txt = (
+        "# crawl policy\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"              # empty disallow dropped
+        "\n"
+        "User-agent: SpecialBot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: a-bot\n"
+        "User-agent: b-bot\n"       # multi-agent group
+        "Disallow: /shared\n"
+    )
+    return spark.createDataFrame(
+        [("h.example", txt)], ["host", "robots"]
+    )
+
+
+def test_parse_robots_groups(spark):
+    from pandance_spark.functions.url import parse_robots
+
+    rules = {
+        (r["agent"], r["rule"], r["path"])
+        for r in parse_robots(
+            _robots_fixture(spark), "robots", "host"
+        ).collect()
+    }
+    assert rules == {
+        ("*", "disallow", "/private"),
+        ("*", "allow", "/private/ok"),
+        ("specialbot", "disallow", "/"),
+        ("a-bot", "disallow", "/shared"),
+        ("b-bot", "disallow", "/shared"),
+    }
+
+
+def test_robots_filter_longest_match_and_precedence(spark):
+    from pandance_spark.functions.url import parse_robots, robots_filter
+
+    rules = parse_robots(_robots_fixture(spark), "robots", "host")
+    urls = spark.createDataFrame(
+        [
+            (1, "http://h.example/private/x"),       # disallow /private
+            (2, "http://h.example/private/ok/page"), # allow wins (longer)
+            (3, "http://h.example/public"),          # no rule -> allowed
+            (4, "http://h.example"),                 # empty path -> '/'
+            (5, "http://other.example/private/x"),   # unknown host -> allowed
+        ],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in robots_filter(urls, "url", rules, agent="*").collect()
+    }
+    assert not out[1]["allowed"] and out[1]["rule_path"] == "/private"
+    assert out[2]["allowed"] and out[2]["rule_path"] == "/private/ok"
+    assert out[3]["allowed"] and out[3]["rule_path"] is None
+    assert out[4]["allowed"]
+    assert out[5]["allowed"] and out[5]["rule_path"] is None
+    # exact-agent group is exclusive: specialbot loses everything
+    sp = {
+        r["doc_id"]: r
+        for r in robots_filter(
+            urls, "url", rules, agent="specialbot"
+        ).collect()
+    }
+    assert not sp[1]["allowed"] and sp[1]["rule_path"] == "/"
+    assert not sp[3]["allowed"]
+    # agent without its own group falls back to *
+    fb = {
+        r["doc_id"]: r
+        for r in robots_filter(
+            urls, "url", rules, agent="crawlbot"
+        ).collect()
+    }
+    assert not fb[1]["allowed"] and fb[2]["allowed"] and fb[3]["allowed"]
