@@ -1304,6 +1304,25 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(urls, "u", rules, agent="*")
 
 
+def _q_emit_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pack emission (functions/split.py emit_packs): packs
+    from pack_documents (budget 2000, 8 md5 buckets) materialized as
+    one row per pack with key-ordered doc_ids, sizes, EXCLUSIVE
+    offsets (attention-mask reset points), totals and fill.  The
+    oracle replays the md5 bucket, the exclusive-cumsum pack id, the
+    ordered list aggregation and the per-index offset sums.  One
+    window shuffle (pack assignment) + one pack-key aggregate; lists
+    are pack-bounded, never corpus-bounded."""
+    from pandance_spark.functions.split import emit_packs
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return emit_packs(sized, "doc_id", "n_tokens", budget=2000, n_buckets=8)
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4272,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pc1": _q_embed_pc1,
         "vocab_coverage": _q_vocab_coverage,
         "robots_gate": _q_robots_gate,
+        "emit_packs": _q_emit_packs,
         # r9 rotation plan: after r8's driver run, the 22 first-time
         # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
         # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
@@ -7854,6 +7874,48 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
+        """,
+        # md5 bucket + exclusive-cumsum pack id + ordered lists +
+        # per-index offset sums, all replayed
+        "emit_packs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            assigned AS (
+              SELECT doc_id, n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8) AS BIGINT) % 8
+                       AS pack_bucket
+              FROM toks
+            ),
+            packed AS (
+              SELECT doc_id, n_tokens, pack_bucket,
+                     CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                         PARTITION BY pack_bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) / 2000.0) AS BIGINT)
+                       AS pack_id
+              FROM assigned
+            ),
+            g AS (
+              SELECT pack_bucket, pack_id,
+                     list(doc_id ORDER BY doc_id) AS doc_ids,
+                     list(n_tokens ORDER BY doc_id) AS sizes
+              FROM packed GROUP BY pack_bucket, pack_id
+            )
+            SELECT pack_bucket, pack_id,
+                   CAST(len(doc_ids) AS BIGINT) AS n_docs,
+                   doc_ids, sizes,
+                   [CAST(COALESCE(list_sum(list_slice(sizes, 1, i - 1)),
+                                  0) AS BIGINT)
+                    for i in range(1, len(sizes) + 1)] AS offsets,
+                   CAST(list_sum(sizes) AS BIGINT) AS total_tokens,
+                   round(list_sum(sizes) / 2000.0, 9) AS fill
+            FROM g
         """,
         # the whole pipeline replayed: ordinal line explode, lag +
         # running-sum group recovery, agent precedence, max(struct)

@@ -24,6 +24,7 @@ __all__ = [
     "cap_per_group",
     "stratified_sample",
     "pack_documents",
+    "emit_packs",
     "chunk_documents",
     "temperature_sample",
     "exact_sample",
@@ -656,4 +657,56 @@ def weighted_sample_per_group(
         .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= k)
         .drop("__es_key", "__rn")
+    )
+
+
+def emit_packs(df, key_col: str, size_col: str, budget: int, n_buckets: int = 1024):
+    """Materialize TRAINING PACKS from :func:`pack_documents`
+    assignments: one row per (pack_bucket, pack_id) carrying the
+    key-ordered document list and the boundary metadata a
+    packed-sequence trainer consumes — ``doc_ids``, per-doc ``sizes``,
+    EXCLUSIVE ``offsets`` (where each document starts inside the
+    pack's token stream; the attention-mask reset points),
+    ``n_docs``, ``total_tokens`` and ``fill`` (total/budget, 9 dp;
+    boundary documents may straddle past 1.0 — the documented
+    approximate-packing contract).
+
+    One groupBy on the pack key after pack_documents' single window
+    shuffle; the collect_list is pack-bounded (~budget tokens), never
+    corpus-bounded.  Offsets come from ONE linear fold over the sizes
+    (struct accumulator), not a per-index re-sum.
+    """
+    packed = pack_documents(df, key_col, size_col, budget, n_buckets)
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(key_col).alias("k"),
+                F.col(size_col).cast("long").alias("s"),
+            )
+        )
+    )
+    g = packed.groupBy("pack_bucket", "pack_id").agg(
+        entries.alias("__e")
+    )
+    sizes = F.transform(F.col("__e"), lambda e: e["s"])
+    offs = F.aggregate(
+        sizes,
+        F.struct(
+            F.array().cast("array<bigint>").alias("offs"),
+            F.lit(0).cast("long").alias("run"),
+        ),
+        lambda acc, s: F.struct(
+            F.concat(acc["offs"], F.array(acc["run"])).alias("offs"),
+            (acc["run"] + s).alias("run"),
+        ),
+    )
+    return g.select(
+        "pack_bucket",
+        "pack_id",
+        F.size("__e").cast("long").alias("n_docs"),
+        F.transform(F.col("__e"), lambda e: e["k"]).alias("doc_ids"),
+        sizes.alias("sizes"),
+        offs["offs"].alias("offsets"),
+        offs["run"].alias("total_tokens"),
+        F.round(offs["run"] / F.lit(float(budget)), 9).alias("fill"),
     )

@@ -631,3 +631,36 @@ def test_temperature_rates_empty_source_gets_zero():
 
     r = temperature_rates({"a": 1000, "z": 0}, 0.5, 500)
     assert r["z"] == 0.0 and 0 < r["a"] <= 1.0
+
+
+def test_emit_packs_boundaries(spark):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.split import emit_packs
+
+    rows = [(i, 10 * (1 + i % 3)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = emit_packs(df, "doc_id", "n_tokens", budget=50, n_buckets=4)
+    packs = out.collect()
+    sizes_total = sum(r["total_tokens"] for r in packs)
+    assert sizes_total == sum(s for _, s in rows)
+    assert sum(r["n_docs"] for r in packs) == 40
+    for r in packs:
+        # keys sorted, offsets are the exclusive prefix sums
+        assert r["doc_ids"] == sorted(r["doc_ids"])
+        run = 0
+        for s, o in zip(r["sizes"], r["offsets"]):
+            assert o == run
+            run += s
+        assert run == r["total_tokens"]
+        assert abs(r["fill"] - run / 50.0) < 1e-9
+        # every doc STARTS within the budget (exclusive cumsum < budget
+        # defines the pack; only the tail doc may straddle past it)
+        assert all(o < 50 for o in r["offsets"])
+    # pack ids within a bucket are contiguous from 0
+    from collections import defaultdict
+    by_bucket = defaultdict(list)
+    for r in packs:
+        by_bucket[r["pack_bucket"]].append(r["pack_id"])
+    for ids in by_bucket.values():
+        assert sorted(ids) == list(range(len(ids)))
