@@ -901,3 +901,120 @@ def test_mojibake_roundtrip_property(spark, words):
     df = spark.createDataFrame([(corrupted,)], "t string")
     got = df.select(fix_mojibake(F.col("t")).alias("f")).collect()[0]["f"]
     assert got == s
+
+
+@settings(**_SETTINGS)
+@given(
+    lines=st.lists(
+        st.one_of(
+            st.text(alphabet=list('abc XYZ.!?"{}#'), max_size=12),
+            st.sampled_from(
+                [
+                    "please use javascript here.",
+                    "lorem ipsum dolor sit amet.",
+                    "a b c d e f.",
+                    "   ",
+                ]
+            ),
+        ),
+        max_size=8,
+    ),
+    min_words=st.integers(1, 6),
+    min_sentences=st.integers(1, 4),
+)
+def test_c4_clean_matches_python_reference(
+    spark, lines, min_words, min_sentences
+):
+    """c4_clean vs a line-by-line Python reimplementation of the
+    documented rules, on arbitrary text including rule-triggering
+    fragments, blank lines and punctuation-only lines."""
+    import re
+
+    from pandance_spark.functions.text import c4_clean
+
+    page = "\n".join(lines)
+    row = c4_clean(
+        spark.createDataFrame([(1, page)], ["k", "page"]),
+        "page",
+        badwords=("abc",),
+        min_words=min_words,
+        min_sentences=min_sentences,
+    ).collect()[0]
+
+    kept = []
+    for ln in page.split("\n"):
+        t = ln.strip()
+        words = [w for w in re.split(r"\s+", t) if w != ""]
+        if (
+            re.search(r'[.!?"]$', t)
+            and len(words) >= min_words
+            and "javascript" not in t.lower()
+        ):
+            kept.append(t)
+    text_c4 = "\n".join(kept)
+    n_sent = len(re.findall(r"[.!?]", text_c4))
+    low = page.lower()
+    if "lorem ipsum" in low:
+        reason = "lorem_ipsum"
+    elif "{" in page:
+        reason = "curly_brace"
+    elif re.search(r"\babc\b", low):
+        reason = "bad_words"
+    elif n_sent < min_sentences:
+        reason = "too_few_sentences"
+    else:
+        reason = None
+    assert row["text_c4"] == text_c4
+    assert row["n_lines_kept"] == len(kept)
+    assert row["n_lines_dropped"] == len(page.split("\n")) - len(kept)
+    assert row["n_sentences"] == n_sent
+    assert row["c4_drop_reason"] == reason
+    assert row["c4_keep"] == (reason is None)
+
+
+@settings(**_SETTINGS)
+@given(
+    hrefs=st.lists(
+        st.one_of(
+            st.from_regex(r"https?://[a-z]{1,6}\.example/[a-z]{0,6}", fullmatch=True),
+            st.from_regex(r"//[a-z]{1,6}\.example/[a-z]{0,6}", fullmatch=True),
+            st.from_regex(r"/[a-z]{0,8}", fullmatch=True),
+            st.from_regex(r"[a-z]{1,8}\.html", fullmatch=True),
+            st.sampled_from(
+                ["#frag", "javascript:void(0)", "mailto:a@b.c", "", "  "]
+            ),
+        ),
+        max_size=6,
+    ),
+)
+def test_extract_links_resolution_properties(spark, hrefs):
+    """Every emitted link is absolute with the base scheme preserved
+    for relative forms; filtered schemes never appear; link_idx is
+    dense 0..n-1 in page order."""
+    from pandance_spark.functions.url import extract_links
+
+    html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    base = "http://www.host.example/dir/page.html"
+    df = spark.createDataFrame([(1, html, base)], ["k", "html", "page_url"])
+    rows = extract_links(df, "html", "page_url", keep_cols=("k",)).collect()
+    crawlable = [
+        h.strip()
+        for h in hrefs
+        if h.strip()
+        and not h.strip().lower().startswith(
+            ("#", "javascript:", "mailto:", "tel:", "data:")
+        )
+    ]
+    assert len(rows) == len(crawlable)
+    assert [r["link_idx"] for r in rows] == list(range(len(rows)))
+    for r, h in zip(rows, crawlable):
+        u = r["link_url"]
+        if h.startswith(("http://", "https://")):
+            assert u == h
+        elif h.startswith("//"):
+            assert u == "http:" + h
+        elif h.startswith("/"):
+            assert u == "http://www.host.example" + h
+        else:
+            assert u == "http://www.host.example/dir/" + h
+        assert u.startswith(("http://", "https://"))
