@@ -4220,26 +4220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carried: the two r6-red->r7-green rows (2nd green confirms the
         # HUGEINT-cast fix held), SURVEY.md 2.1 core operators, the perf-
         # pinned PNG row
-        "dsir_select": _q_dsir_select,
-        "filter_funnel": _q_filter_funnel,
         "fuzzy_autoskew": _q_fuzzy_autoskew,
         "ineq_band_autoskew": _q_ineq_band_autoskew,
         "multimodal_png": _q_multimodal_png,
         # r7 rotation-ins holding for their 2nd green
         "pii_cards": _q_pii_cards,
         "main_text_extract": _q_main_text,
-        "cdc_apply": _q_cdc_apply,
-        "gap_fill_events": _q_gap_fill_events,
-        "cohort_retention": _q_cohort_retention,
-        "funnel_conversion": _q_funnel_conversion,
-        "moving_avg_orders": _q_moving_avg_orders,
         "rollup_quantiles": _q_rollup_quantiles,
         "keep_best": _q_keep_best,
-        "q21_blame": _q21_blame,
-        "ip_range_lookup": _q_ip_range_lookup,
-        "cumulative_users": _q_cumulative_users,
-        "step_transitions": _q_step_transitions,
-        "ab_summary": _q_ab_summary,
         # r8 late swap: bpe_tokens returns to the window now that its
         # formerly-dead rows-only slot carries a FULL training-replay
         # oracle (cube_orders, 1 green, rotates to the local gate)
@@ -4292,15 +4280,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "robots_gate": _q_robots_gate,
         "emit_packs": _q_emit_packs,
-        # r9 rotation plan: after r8's driver run, the 22 first-time
-        # rows (19 never-checked + q7/q8/q9/q10/q12/q19-class r8 builds)
-        # hold 1 green and the 17 r7-ins + dsir/filter_funnel hold 2-3
-        # greens each — rotate the multi-green rows out for the r8
-        # additions still outside the window (script_detect,
-        # mojibake_clean, cube_orders return leg) plus whatever r9
-        # builds; keep fuzzy/ineq autoskew + multimodal_png as the
-        # standing core/perf pins.
+        # r9 rotation plan: this r8 window carries ~40 FIRST-time rows
+        # (the 19 r7-built never-checked, the 9 r8 session-1 builds and
+        # the 12 session-2 builds).  After r8's driver run they hold 1
+        # green each — rotate them out in r9 for the 12 one-green r7
+        # veterans rotated out this session (dsir_select ...
+        # ab_summary, below) so every query accumulates greens evenly;
+        # keep fuzzy/ineq autoskew + multimodal_png as the standing
+        # core/perf pins, and re-check pii_cards (staged PAN scan) and
+        # bpe_tokens (new full training oracle) once more before they
+        # retire to the local gate.
         # --- entries 51+ (outside the driver window; locally gated) ---
+        # r8 session-2 rotations OUT: 12 one-green r7 veterans made
+        # room for the 12 never-driver-checked session-2 builds (the
+        # displaced pii_cards_sparse/decontam_composed + 10 new)
+        "dsir_select": _q_dsir_select,
+        "filter_funnel": _q_filter_funnel,
+        "cdc_apply": _q_cdc_apply,
+        "gap_fill_events": _q_gap_fill_events,
+        "cohort_retention": _q_cohort_retention,
+        "funnel_conversion": _q_funnel_conversion,
+        "moving_avg_orders": _q_moving_avg_orders,
+        "q21_blame": _q21_blame,
+        "ip_range_lookup": _q_ip_range_lookup,
+        "cumulative_users": _q_cumulative_users,
+        "step_transitions": _q_step_transitions,
+        "ab_summary": _q_ab_summary,
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,
         # url/layout/maintenance rows, dedup_substrings, ...)
