@@ -1323,6 +1323,75 @@ def _q_emit_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emit_packs(sized, "doc_id", "n_tokens", budget=2000, n_buckets=8)
 
 
+def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-side page metadata + sitemap extraction (functions/url.py
+    html_meta / sitemap_urls): every document becomes an HTML page
+    with a title (first 4 corpus words), a residue-dependent canonical
+    link, a robots meta tag cycling through
+    noindex/nofollow/none/absent, and a sibling sitemap payload with
+    1-3 <loc> entries (one carrying &amp;).  The oracle replays every
+    regex and the entity decode.  Map-only; first-match-wins pinned by
+    planting a SECOND title that must be ignored."""
+    from pandance_spark.functions.url import html_meta, sitemap_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    title = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4))
+    robots_meta = (
+        F.when(did % 6 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(did % 6 == 1, F.lit("<meta name='robots' content='nofollow'>"))
+        .when(
+            did % 6 == 2,
+            F.lit('<meta name="robots" content="noindex, nofollow">'),
+        )
+        .when(did % 6 == 3, F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    canonical = F.when(
+        did % 4 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="http://c.example/p'),
+            (did % 7).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head><title> "),
+        title,
+        F.lit(" </title>"),
+        robots_meta,
+        canonical,
+        F.lit("<title>ignored second title</title></head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    sitemap = F.concat(
+        F.lit('<urlset><url><loc> http://s.example/a'),
+        (did % 5).cast("string"),
+        F.lit("?x=1&amp;y=2 </loc></url>"),
+        F.when(
+            did % 3 > 0,
+            F.concat(
+                F.lit("<url><loc>http://s.example/b"),
+                (did % 11).cast("string"),
+                F.lit("</loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    meta = html_meta(html)
+    locs = sitemap_urls(sitemap)
+    return docs.select(
+        "doc_id",
+        meta["title"].alias("title"),
+        meta["canonical"].alias("canonical"),
+        meta["noindex"].alias("noindex"),
+        meta["nofollow"].alias("nofollow"),
+        F.size(locs).cast("long").alias("n_sitemap_urls"),
+        F.element_at(locs, 1).alias("first_loc"),
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4306,6 +4375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": _q_cumulative_users,
         "step_transitions": _q_step_transitions,
         "ab_summary": _q_ab_summary,
+        # r8 session-2, built after the window filled (first check in r9)
+        "page_meta": _q_page_meta,
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,
         # url/layout/maintenance rows, dedup_substrings, ...)
@@ -7879,6 +7950,71 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
+        """,
+        # every regex + the &amp; decode replayed; the planted second
+        # title pins first-match-wins
+        "page_meta": """
+            WITH pages AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(
+                       string_split(text, ' '), 1, 4), ' ') AS title0,
+                     CASE doc_id % 6
+                       WHEN 0 THEN
+                         '<meta name="robots" content="noindex">'
+                       WHEN 1 THEN
+                         '<meta name=''robots'' content=''nofollow''>'
+                       WHEN 2 THEN
+                         '<meta name="robots" ' ||
+                         'content="noindex, nofollow">'
+                       WHEN 3 THEN
+                         '<meta name="robots" content="all">'
+                       ELSE '' END AS rmeta,
+                     CASE WHEN doc_id % 4 = 0 THEN
+                       '<link rel="canonical" href="http://c.example/p'
+                       || CAST(doc_id % 7 AS VARCHAR) || '">'
+                     ELSE '' END AS clink
+              FROM documents
+            ),
+            built AS (
+              SELECT doc_id,
+                     '<html><head><title> ' || title0 || ' </title>' ||
+                     rmeta || clink ||
+                     '<title>ignored second title</title></head>'
+                       AS html,
+                     '<urlset><url><loc> http://s.example/a' ||
+                       CAST(doc_id % 5 AS VARCHAR) ||
+                       '?x=1&amp;y=2 </loc></url>' ||
+                     CASE WHEN doc_id % 3 > 0 THEN
+                       '<url><loc>http://s.example/b' ||
+                       CAST(doc_id % 11 AS VARCHAR) || '</loc></url>'
+                     ELSE '' END || '</urlset>' AS sitemap
+              FROM pages
+            ),
+            ext AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_extract(html,
+                       '(?is)<title\\b[^>]*>([^<]*)</title', 1),
+                       '\\s+', ' ', 'g')) AS title,
+                     regexp_extract(html,
+                       '(?is)<link\\b[^>]*?rel\\s*=\\s*["'']canonical' ||
+                       '["''][^>]*?href\\s*=\\s*["'']([^"'']*)["'']',
+                       1) AS canonical,
+                     lower(regexp_extract(html,
+                       '(?is)<meta\\b[^>]*?name\\s*=\\s*["'']robots' ||
+                       '["''][^>]*?content\\s*=\\s*["'']([^"'']*)["'']',
+                       1)) AS robots,
+                     list_transform(
+                       regexp_extract_all(sitemap,
+                         '(?is)<loc\\s*>\\s*([^<]*?)\\s*</loc\\s*>', 1),
+                       u -> replace(u, '&amp;', '&')) AS locs
+              FROM built
+            )
+            SELECT doc_id, title, canonical,
+                   contains(robots, 'noindex') AS noindex,
+                   contains(robots, 'nofollow') AS nofollow,
+                   CAST(len(locs) AS BIGINT) AS n_sitemap_urls,
+                   locs[1] AS first_loc
+            FROM ext
         """,
         # md5 bucket + exclusive-cumsum pack id + ordered lists +
         # per-index offset sums, all replayed

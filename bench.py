@@ -312,6 +312,8 @@ def main():
         "embed_pc1",
         "vocab_coverage",
         "robots_gate",
+        "emit_packs",
+        "page_meta",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -37,6 +37,8 @@ __all__ = [
     "extract_links",
     "parse_robots",
     "robots_filter",
+    "html_meta",
+    "sitemap_urls",
 ]
 
 # RFC 3986 appendix-B split regex (scheme, authority, path, query, frag)
@@ -462,4 +464,52 @@ def robots_filter(
             ),
             F.col("__w.p").alias("rule_path"),
         )
+    )
+
+
+# --- page metadata & sitemaps -------------------------------------------
+
+_TITLE_RE = r"(?is)<title\b[^>]*>([^<]*)</title"
+_CANON_RE = (
+    r"""(?is)<link\b[^>]*?rel\s*=\s*["']canonical["'][^>]*?"""
+    r"""href\s*=\s*["']([^"']*)["']"""
+)
+_META_ROBOTS_RE = (
+    r"""(?is)<meta\b[^>]*?name\s*=\s*["']robots["'][^>]*?"""
+    r"""content\s*=\s*["']([^"']*)["']"""
+)
+_LOC_RE = r"(?is)<loc\s*>\s*([^<]*?)\s*</loc\s*>"
+
+
+def html_meta(html: Column) -> Column:
+    """Crawl-side page metadata as a struct: ``title`` (trimmed,
+    whitespace-collapsed), ``canonical`` (href of the canonical link,
+    '' when absent), ``noindex``/``nofollow`` (from the robots meta
+    tag).  First match wins throughout (document order, the browser
+    rule).  Attribute order is fixed rel-before-href / name-before-
+    content (the overwhelmingly common serialization; a reversed-
+    attribute variant needs only a second pattern).  Pure regexp
+    Column expressions — map-only, RE2-portable."""
+    title = F.trim(
+        F.regexp_replace(F.regexp_extract(html, _TITLE_RE, 1), r"\s+", " ")
+    )
+    canon = F.regexp_extract(html, _CANON_RE, 1)
+    robots = F.lower(F.regexp_extract(html, _META_ROBOTS_RE, 1))
+    return F.struct(
+        title.alias("title"),
+        canon.alias("canonical"),
+        robots.contains("noindex").alias("noindex"),
+        robots.contains("nofollow").alias("nofollow"),
+    )
+
+
+def sitemap_urls(xml: Column) -> Column:
+    """``<loc>`` targets of a sitemap / sitemap-index payload, in
+    document order (array<string>, entity-decoded ``&amp;`` only —
+    the one entity RFC-required in sitemap URLs).  Works for both
+    urlset and sitemapindex files; pair with ``normalize_url`` +
+    ``blocklist_filter`` downstream.  Map-only."""
+    locs = F.regexp_extract_all(xml, F.lit(_LOC_RE), F.lit(1))
+    return F.transform(
+        locs, lambda u: F.replace(u, F.lit("&amp;"), F.lit("&"))
     )

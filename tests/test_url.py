@@ -317,3 +317,37 @@ def test_robots_filter_longest_match_and_precedence(spark):
         ).collect()
     }
     assert not fb[1]["allowed"] and fb[2]["allowed"] and fb[3]["allowed"]
+
+
+def test_html_meta_and_sitemap_urls(spark):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.url import html_meta, sitemap_urls
+
+    html = (
+        "<html><head><TITLE>  My   Page \n Title </TITLE>"
+        "<meta NAME='robots' content='NOINDEX, nofollow'>"
+        '<link rel="canonical" href="http://c.example/x">'
+        "<title>second ignored</title></head></html>"
+    )
+    sm = (
+        "<sitemapindex><sitemap><loc> http://a.example/s?x=1&amp;y=2 "
+        "</loc></sitemap><sitemap><loc>http://b.example/</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([(html, sm)], ["h", "s"])
+    r = df.select(
+        html_meta(F.col("h")).alias("m"),
+        sitemap_urls(F.col("s")).alias("u"),
+    ).collect()[0]
+    assert r["m"]["title"] == "My Page Title"
+    assert r["m"]["canonical"] == "http://c.example/x"
+    assert r["m"]["noindex"] and r["m"]["nofollow"]
+    assert r["u"] == ["http://a.example/s?x=1&y=2", "http://b.example/"]
+    # absent tags degrade to ''/False/empty
+    r2 = spark.createDataFrame([("<p>no head</p>", "<x/>")], ["h", "s"]) \
+        .select(html_meta(F.col("h")).alias("m"),
+                sitemap_urls(F.col("s")).alias("u")).collect()[0]
+    assert r2["m"]["title"] == "" and r2["m"]["canonical"] == ""
+    assert not r2["m"]["noindex"] and not r2["m"]["nofollow"]
+    assert r2["u"] == []
