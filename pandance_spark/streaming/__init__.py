@@ -49,6 +49,7 @@ __all__ = [
     "streaming_contamination_router",
     "streaming_token_budget_router",
     "streaming_c4_gate",
+    "streaming_robots_router",
 ]
 
 
@@ -1380,3 +1381,84 @@ def streaming_c4_gate(
         min_words=min_words,
         min_sentences=min_sentences,
     )
+
+
+def streaming_robots_router(
+    stream: DataFrame,
+    url_col: str,
+    rules: DataFrame,
+    agent: str = "*",
+    max_rules: int = 500_000,
+) -> DataFrame:
+    """Stateless crawl-policy router at ingest: every arriving URL is
+    annotated ``allowed``/``rule_path`` against a FIXED
+    ``parse_robots`` rules table — frontier admission at crawl time,
+    where the batch operator (functions/url.py ``robots_filter``)
+    decides the same policy offline.
+
+    The rules table is collected ONCE at query build (bounded by
+    contract: per-host rule lists are small; ``max_rules`` hard-caps
+    the literal — raise deliberately for giant rule sets) after the
+    same exclusive agent-precedence pick as the batch operator, and
+    compiled into the plan as ONE constant-folded host -> [(path,
+    allow)] map literal.  Each micro-batch is then a PURE PROJECTION:
+    per URL, filter the host's rule list by prefix and take the
+    (length, allow) maximum — zero joins, zero shuffles, zero state;
+    replaying the stream equals ``robots_filter`` row for row (parity
+    op 19, full DuckDB oracle).  Same static-side contract as
+    ``streaming_dsir_router``: re-parse robots, restart the query.
+    """
+    import json
+
+    from pandance_spark.functions.url import _URL_RE, url_host
+
+    r = rules.filter(
+        F.col("agent").isin(agent, "*")
+        if agent != "*"
+        else (F.col("agent") == "*")
+    ).withColumn(
+        "__prio", F.when(F.col("agent") == agent, 2).otherwise(1)
+    )
+    from pyspark.sql.window import Window
+
+    best = r.withColumn(
+        "__bp", F.max("__prio").over(Window.partitionBy("host"))
+    ).filter(F.col("__prio") == F.col("__bp"))
+    rows = best.select("host", "rule", "path").collect()
+    if len(rows) > max_rules:
+        raise ValueError(
+            f"rules table has {len(rows)} rows after precedence — "
+            f"above the {max_rules} literal cap; shard the frontier "
+            "by host and route each shard with its own rule subset"
+        )
+    table = {}
+    for row in rows:
+        table.setdefault(row["host"], []).append(
+            {"path": row["path"], "allow": 1 if row["rule"] == "allow" else 0}
+        )
+    # longest-first, allow-first inside the literal so the FIRST
+    # prefix match is the longest-match winner with allow beating
+    # disallow, deterministically regardless of dict order
+    payload = {
+        h: sorted(v, key=lambda e: (-len(e["path"]), -e["allow"]))
+        for h, v in table.items()
+    }
+    maplit = F.from_json(
+        F.lit(json.dumps(payload)),
+        "map<string,array<struct<path:string,allow:int>>>",
+    )
+    url = F.col(url_col)
+    path = F.regexp_extract(url, _URL_RE, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    matched = F.filter(
+        F.element_at(maplit, url_host(url)),
+        lambda e: path.startswith(e["path"]),
+    )
+    # entries are (len desc, allow desc)-sorted: the first prefix
+    # match IS the longest-match winner with allow beating disallow
+    # (try_element_at: no-match and unknown-host rows yield NULL
+    # rather than the ANSI out-of-bounds error)
+    win = F.try_element_at(matched, F.lit(1))
+    return stream.withColumn(
+        "allowed", F.coalesce(win["allow"] == 1, F.lit(True))
+    ).withColumn("rule_path", win["path"])

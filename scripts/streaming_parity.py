@@ -1372,6 +1372,110 @@ WHERE NOT EXISTS (
            note="stateless C4 admission == batch c4_clean == DuckDB "
                 "list-lambda replay (materialized page fixture)")
 
+    # ------------------------------------------------------------------
+    # 19. streaming_robots_router (r8): stateless crawl-policy routing
+    # against a FIXED parse_robots rules table == batch robots_filter
+    # == DuckDB longest-match replay over the same (hardcoded-fixture)
+    # rules.  Parsing itself is oracle-checked by the robots_gate
+    # driver query; this op's contract is the ROUTING.
+    # ------------------------------------------------------------------
+    from pandance_spark.functions.url import parse_robots, robots_filter
+    from pandance_spark.streaming import streaming_robots_router
+
+    robots19 = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+        "User-agent: specialbot\nDisallow: /\n"
+    )
+    hosts19 = spark.createDataFrame(
+        [
+            ("a.example", robots19),
+            ("b.example", "User-agent: *\nDisallow: /x"),
+        ],
+        ["host", "robots"],
+    )
+    rules19 = parse_robots(hosts19, "robots", "host")
+    docs19 = load_table(spark, SF_DIR, "documents").select("doc_id")
+    urls19 = docs19.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("http://a.example"))
+            .otherwise(F.lit("http://b.example")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/private/z"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("/private/ok/z"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("/x/page"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("/pub"))
+            .otherwise(F.lit("")),
+        ).alias("u"),
+    )
+    src19 = os.path.join(tmp, "robots_urls")
+    mid19 = urls19.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    urls19.filter(F.col("doc_id") <= mid19).coalesce(1).write.parquet(src19)
+    urls19.filter(F.col("doc_id") > mid19).coalesce(1).write.mode(
+        "append"
+    ).parquet(src19)
+    stream19 = (
+        spark.readStream.schema("doc_id long, u string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src19)
+    )
+    run_stream_to_memory(
+        streaming_robots_router(stream19, "u", rules19), "parity_robots"
+    )
+    cols19 = ["doc_id", "u", "allowed", "rule_path"]
+    s19 = canon_rows(spark.table("parity_robots").collect(), cols19)
+    b19 = canon_rows(
+        robots_filter(urls19, "u", rules19, keep_cols=("doc_id",))
+        .withColumnRenamed("url", "u")
+        .collect(),
+        cols19,
+    )
+    d19 = canon_rows(duck_rows(con.sql(f"""
+        WITH rules(host, rule, path) AS (VALUES
+          ('a.example', 'disallow', '/private'),
+          ('a.example', 'allow', '/private/ok'),
+          ('b.example', 'disallow', '/x')
+        ),
+        u AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http://a.example'
+                      ELSE 'http://b.example' END ||
+                 CASE doc_id % 5
+                   WHEN 0 THEN '/private/z'
+                   WHEN 1 THEN '/private/ok/z'
+                   WHEN 2 THEN '/x/page'
+                   WHEN 3 THEN '/pub'
+                   ELSE '' END AS u
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        ),
+        parts AS (
+          SELECT doc_id, u,
+                 regexp_extract(u, '^[a-z]+://([^/]*)', 1) AS host,
+                 CASE WHEN regexp_extract(u, '^[a-z]+://[^/]*(/.*)$', 1)
+                           = '' THEN '/'
+                      ELSE regexp_extract(u,
+                             '^[a-z]+://[^/]*(/.*)$', 1) END AS up
+          FROM u
+        ),
+        matched AS (
+          SELECT p.doc_id, p.u,
+                 MAX(struct_pack(
+                   l := length(r.path),
+                   a := CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END,
+                   p := r.path)) AS w
+          FROM parts p JOIN rules r
+            ON p.host = r.host AND starts_with(p.up, r.path)
+          GROUP BY p.doc_id, p.u
+        )
+        SELECT p.doc_id, p.u,
+               COALESCE(m.w.a = 1, TRUE) AS allowed,
+               m.w.p AS rule_path
+        FROM parts p LEFT JOIN matched m
+          ON p.doc_id = m.doc_id
+    """)), cols19)
+    record("streaming_robots_router", "duckdb", s19, b19, d19,
+           note="stateless crawl-policy routing == batch robots_filter "
+                "== DuckDB longest-match replay (fixture rules)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

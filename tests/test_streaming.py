@@ -1123,3 +1123,70 @@ def test_streaming_c4_gate_matches_batch(spark, tmp_path):
         assert got[k].asDict() == want[k].asDict()
     assert got[4]["c4_keep"] and got[2]["c4_drop_reason"] == "lorem_ipsum"
     assert got[3]["c4_drop_reason"] == "curly_brace"
+
+
+def test_streaming_robots_router_matches_batch(spark, tmp_path):
+    from pandance_spark.functions.url import parse_robots, robots_filter
+    from pandance_spark.streaming import streaming_robots_router
+
+    robots = (
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+        "User-agent: specialbot\nDisallow: /\n"
+    )
+    hosts = spark.createDataFrame(
+        [("a.example", robots), ("b.example", "User-agent: *\nDisallow: /x")],
+        ["host", "robots"],
+    )
+    rules = parse_robots(hosts, "robots", "host")
+    urls = [
+        (1, "http://a.example/private/x"),
+        (2, "http://a.example/private/ok/y"),
+        (3, "http://a.example/pub"),
+        (4, "http://b.example/x/sub"),
+        (5, "http://b.example/y"),
+        (6, "http://nowhere.example/z"),
+        (7, "http://a.example"),
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "u"])
+    src = str(tmp_path / "urls")
+    df.filter("doc_id <= 4").coalesce(1).write.parquet(src)
+    df.filter("doc_id > 4").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, u string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    _run_to_memory(
+        streaming_robots_router(stream, "u", rules), "robots_stream",
+        "append",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["rule_path"])
+        for r in spark.table("robots_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["allowed"], r["rule_path"])
+        for r in robots_filter(
+            df, "u", rules, agent="*", keep_cols=("doc_id",)
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == (False, "/private") and got[2] == (True, "/private/ok")
+    assert got[3] == (True, None) and got[6] == (True, None)
+    assert got[4] == (False, "/x")
+    # exclusive agent group routes everything away for specialbot
+    _run_to_memory(
+        streaming_robots_router(
+            spark.readStream.schema("doc_id long, u string")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            "u", rules, agent="specialbot",
+        ),
+        "robots_stream_sb", "append",
+    )
+    sb = {
+        r["doc_id"]: r["allowed"]
+        for r in spark.table("robots_stream_sb").collect()
+    }
+    assert not sb[1] and not sb[2] and not sb[3] and not sb[7]
+    # hosts without a specialbot group fall back to their * rules
+    assert sb[5] and not sb[4] and sb[6]
