@@ -1392,6 +1392,22 @@ def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-interleaved training order (functions/split.py
+    interleave_sources): documents ranked within their source by
+    doc_id, globally ordered by (rank, source) — the round-robin
+    mixing order that keeps every source present at its natural
+    proportion from the first training batch.  The oracle replays
+    both row_number windows.  Sources are size-skewed in the corpus,
+    so exhausted sources dropping out of the rotation is exercised."""
+    from pandance_spark.functions.split import interleave_sources
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return interleave_sources(docs, "source", "doc_id")
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4377,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_summary": _q_ab_summary,
         # r8 session-2, built after the window filled (first check in r9)
         "page_meta": _q_page_meta,
+        "interleave_sources": _q_interleave_sources,
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,
         # url/layout/maintenance rows, dedup_substrings, ...)
@@ -7950,6 +7967,21 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
+        """,
+        # both row_number windows replayed with identical tie orders
+        "interleave_sources": """
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER
+                       (PARTITION BY source ORDER BY doc_id) - 1
+                       AS BIGINT) AS source_rank
+              FROM documents
+            )
+            SELECT doc_id, source, source_rank,
+                   CAST(ROW_NUMBER() OVER
+                     (ORDER BY source_rank, source) - 1
+                     AS BIGINT) AS order_idx
+            FROM ranked
         """,
         # every regex + the &amp; decode replayed; the planted second
         # title pins first-match-wins

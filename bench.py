@@ -314,6 +314,7 @@ def main():
         "robots_gate",
         "emit_packs",
         "page_meta",
+        "interleave_sources",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -25,6 +25,7 @@ __all__ = [
     "stratified_sample",
     "pack_documents",
     "emit_packs",
+    "interleave_sources",
     "chunk_documents",
     "temperature_sample",
     "exact_sample",
@@ -709,4 +710,35 @@ def emit_packs(df, key_col: str, size_col: str, budget: int, n_buckets: int = 10
         offs["offs"].alias("offsets"),
         offs["run"].alias("total_tokens"),
         F.round(offs["run"] / F.lit(float(budget)), 9).alias("fill"),
+    )
+
+
+def interleave_sources(df, source_col: str, key_col: str):
+    """Deterministic SOURCE-INTERLEAVED training order: rank rows
+    within each source by ``key_col``, then order globally by
+    (rank, source) — round-robin across sources, so a consumer
+    reading packs/shards in ``order_idx`` order sees every source at
+    its natural proportion from the first batch onward instead of
+    source-sized runs (the classic mixing failure when datasets are
+    concatenated).  Adds ``source_rank`` (0-based within source) and
+    ``order_idx`` (0-based global).
+
+    Two windows: one partitioned shuffle on source (rank), one global
+    rank over (rank, source).  The global window is the honest cost —
+    a total training order IS a total order; at 100 TB assign
+    ``order_idx`` per (rank-block, source) arithmetic instead when
+    sources have known sizes, or write ``sort_within_partitions``
+    shards keyed by (rank, source) and let the consumer merge.
+    ``key_col`` must be unique within a source (same contract as
+    pack_documents).
+    """
+    from pyspark.sql.window import Window
+
+    ws = Window.partitionBy(source_col).orderBy(F.col(key_col))
+    ranked = df.withColumn(
+        "source_rank", (F.row_number().over(ws) - 1).cast("long")
+    )
+    wg = Window.orderBy(F.col("source_rank"), F.col(source_col))
+    return ranked.withColumn(
+        "order_idx", (F.row_number().over(wg) - 1).cast("long")
     )

@@ -32,6 +32,10 @@ QS = [
     "ngram_novelty",
     "embed_pc1",
     "orc_roundtrip",
+    "vocab_coverage",
+    "robots_gate",
+    "emit_packs",
+    "page_meta",
 ]
 
 

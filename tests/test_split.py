@@ -664,3 +664,24 @@ def test_emit_packs_boundaries(spark):
         by_bucket[r["pack_bucket"]].append(r["pack_id"])
     for ids in by_bucket.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_interleave_sources_round_robin(spark):
+    from pandance_spark.functions.split import interleave_sources
+
+    rows = (
+        [(i, "big") for i in range(6)]
+        + [(100 + i, "small") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = interleave_sources(df, "source", "doc_id").orderBy("order_idx")
+    got = [(r["source"], r["source_rank"]) for r in out.collect()]
+    # round-robin while both sources live (big before small per rank,
+    # alphabetical), then big alone once small exhausts
+    assert got == [
+        ("big", 0), ("small", 0),
+        ("big", 1), ("small", 1),
+        ("big", 2), ("big", 3), ("big", 4), ("big", 5),
+    ]
+    idx = [r["order_idx"] for r in out.collect()]
+    assert idx == list(range(8))
