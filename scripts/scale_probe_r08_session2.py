@@ -36,6 +36,7 @@ QS = [
     "robots_gate",
     "emit_packs",
     "page_meta",
+    "interleave_sources",
 ]
 
 
