@@ -1018,3 +1018,81 @@ def test_extract_links_resolution_properties(spark, hrefs):
         else:
             assert u == "http://www.host.example/dir/" + h
         assert u.startswith(("http://", "https://"))
+
+
+@settings(**_SETTINGS)
+@given(
+    spec=st.lists(  # groups: (agent names, rules: (allow?, path))
+        st.tuples(
+            st.lists(
+                st.sampled_from(["*", "botA", "botB"]),
+                min_size=1,
+                max_size=2,
+                unique=True,
+            ),
+            st.lists(
+                st.tuples(
+                    st.booleans(),
+                    st.sampled_from(
+                        ["/", "/a", "/a/b", "/ab", "/b", "/a/b/c", ""]
+                    ),
+                ),
+                max_size=3,
+            ),
+        ),
+        max_size=3,
+    ),
+    paths=st.lists(
+        st.sampled_from(
+            ["/", "/a", "/a/b", "/a/b/c", "/ab", "/abx", "/b/z", "/c", ""]
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    agent=st.sampled_from(["*", "botA", "botC"]),
+)
+def test_robots_pipeline_matches_python_reference(spark, spec, paths, agent):
+    """parse_robots + robots_filter vs a direct Python implementation
+    of the documented semantics (group sharing, empty-rule drop,
+    exclusive agent precedence, longest-match with allow-on-tie)."""
+    from pandance_spark.functions.url import parse_robots, robots_filter
+
+    lines = []
+    for agents, rules in spec:
+        for a in agents:
+            lines.append(f"User-agent: {a}")
+        for allow, path in rules:
+            lines.append(("Allow: " if allow else "Disallow: ") + path)
+        lines.append("")
+    robots = "\n".join(lines)
+    hosts = spark.createDataFrame([("h.example", robots)], ["host", "robots"])
+    rules_df = parse_robots(hosts, "robots", "host")
+
+    # python reference: expand groups -> (agent, allow, path)
+    ref_rules = []
+    for agents, rules in spec:
+        for a in agents:
+            for allow, path in rules:
+                if path != "":
+                    ref_rules.append((a.lower(), allow, path))
+    urls = [
+        (i, "http://h.example" + p) for i, p in enumerate(paths)
+    ]
+    df = spark.createDataFrame(urls, ["doc_id", "u"])
+    got = {
+        r["doc_id"]: (r["allowed"], r["rule_path"])
+        for r in robots_filter(df, "u", rules_df, agent=agent).collect()
+    }
+    if agent != "*" and any(a == agent for a, _, _ in ref_rules):
+        appl = [(al, p) for a, al, p in ref_rules if a == agent]
+    else:
+        appl = [(al, p) for a, al, p in ref_rules if a == "*"]
+    for i, p in enumerate(paths):
+        up = p if p else "/"
+        matches = [(len(pa), al, pa) for al, pa in appl if up.startswith(pa)]
+        if matches:
+            l, al, pa = max(matches)
+            want = (bool(al), pa)
+        else:
+            want = (True, None)
+        assert got[i] == want, (robots, agent, p, got[i], want)
