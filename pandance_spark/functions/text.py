@@ -1238,7 +1238,10 @@ def c4_clean(
     else:
         bad = F.lit(False)
     reason = (
-        F.when(lorem, F.lit("lorem_ipsum"))
+        # a NULL page would otherwise null every rule out and fall
+        # through to keep=true — flag it explicitly
+        F.when(text.isNull(), F.lit("null_text"))
+        .when(lorem, F.lit("lorem_ipsum"))
         .when(brace, F.lit("curly_brace"))
         .when(bad, F.lit("bad_words"))
         .when(n_sent < F.lit(int(min_sentences)), F.lit("too_few_sentences"))

@@ -836,3 +836,11 @@ def test_word_shingle_hashes_align_with_string_shingles(spark):
         assert m1[sh] == m5[sh]
     # distinct shingles get distinct hashes on this fixture
     assert len(set(out[1]["h"])) == len(out[1]["h"])
+
+
+def test_c4_clean_null_page_is_dropped(spark):
+    from pandance_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, page string")
+    r = c4_clean(df, "page").collect()[0]
+    assert r["c4_drop_reason"] == "null_text" and not r["c4_keep"]
