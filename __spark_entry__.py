@@ -1408,6 +1408,36 @@ def _q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_sources(docs, "source", "doc_id")
 
 
+def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching (functions/split.py
+    length_buckets): documents bucketed by power-of-two token count,
+    batched 32 per bucket in doc_id order, then the padding report per
+    (bucket, batch) — n_docs, max/sum tokens and the padding fraction
+    a pad-to-batch-max runner would waste.  The oracle replays the
+    log2 bucket (exact at powers of two), the row_number batch
+    assignment and the aggregate."""
+    from pandance_spark.functions.split import length_buckets
+    from pandance_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    b = length_buckets(sized, "doc_id", "n_tokens", batch_size=32)
+    return b.groupBy("len_bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(
+            1.0
+            - F.sum("n_tokens")
+            / (F.count("*") * F.max("n_tokens")),
+            9,
+        ).alias("padding_frac"),
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4394,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8 session-2, built after the window filled (first check in r9)
         "page_meta": _q_page_meta,
         "interleave_sources": _q_interleave_sources,
+        "length_batches": _q_length_batches,
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,
         # url/layout/maintenance rows, dedup_substrings, ...)
@@ -7967,6 +7998,39 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(SUM(CASE WHEN seen THEN 0 ELSE 1 END) * 1.0 /
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
+        """,
+        # log2 bucket (exact at powers of two), row_number batching
+        # and the padding aggregate all replayed
+        "length_batches": """
+            WITH sized AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            bucketed AS (
+              SELECT doc_id, n_tokens,
+                     CAST(greatest(ceil(log2(greatest(
+                       CAST(n_tokens AS DOUBLE), 1.0))), 5) AS BIGINT)
+                       AS len_bucket
+              FROM sized
+            ),
+            batched AS (
+              SELECT *,
+                     CAST(floor((ROW_NUMBER() OVER (
+                       PARTITION BY len_bucket ORDER BY doc_id) - 1)
+                       / 32.0) AS BIGINT) AS batch_id
+              FROM bucketed
+            )
+            SELECT len_bucket, batch_id,
+                   COUNT(*)::BIGINT AS n_docs,
+                   MAX(n_tokens) AS max_tokens,
+                   SUM(n_tokens)::BIGINT AS sum_tokens,
+                   round(1.0 - SUM(n_tokens) * 1.0 /
+                         (COUNT(*) * MAX(n_tokens)), 9)
+                     AS padding_frac
+            FROM batched GROUP BY len_bucket, batch_id
         """,
         # both row_number windows replayed with identical tie orders
         "interleave_sources": """

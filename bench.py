@@ -315,6 +315,7 @@ def main():
         "emit_packs",
         "page_meta",
         "interleave_sources",
+        "length_batches",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -26,6 +26,7 @@ __all__ = [
     "pack_documents",
     "emit_packs",
     "interleave_sources",
+    "length_buckets",
     "chunk_documents",
     "temperature_sample",
     "exact_sample",
@@ -741,4 +742,45 @@ def interleave_sources(df, source_col: str, key_col: str):
     wg = Window.orderBy(F.col("source_rank"), F.col(source_col))
     return ranked.withColumn(
         "order_idx", (F.row_number().over(wg) - 1).cast("long")
+    )
+
+
+def length_buckets(
+    df,
+    key_col: str,
+    size_col: str,
+    batch_size: int,
+    min_bucket: int = 5,
+):
+    """Length-bucketed BATCHING for inference/scoring runs: assign each
+    row a power-of-two length bucket (``len_bucket = max(ceil(log2(
+    size)), min_bucket)`` — exact at powers of two in any IEEE engine)
+    and a deterministic ``batch_id`` within the bucket (key order,
+    ``batch_size`` rows per batch).  Batching similar lengths together
+    is the standard padding-waste fix: a batch pads to ITS OWN max,
+    not the corpus max, so bucket width bounds waste at ~2x worst
+    case.  Sizes < 1 (empty docs) land in the minimum bucket.
+
+    One window shuffle on the bucket key; at 100 TB add a hash
+    sub-bucket below the window (the ``pack_documents`` pattern) so no
+    single bucket serializes through one partition.  ``key_col`` must
+    be unique (same determinism contract as pack_documents).
+    """
+    from pyspark.sql.window import Window
+
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    s = F.greatest(F.col(size_col).cast("double"), F.lit(1.0))
+    bucket = F.greatest(
+        F.ceil(F.log2(s)), F.lit(int(min_bucket))
+    ).cast("long")
+    w = Window.partitionBy("len_bucket").orderBy(F.col(key_col))
+    return (
+        df.withColumn("len_bucket", bucket)
+        .withColumn(
+            "batch_id",
+            F.floor(
+                (F.row_number().over(w) - 1) / F.lit(int(batch_size))
+            ).cast("long"),
+        )
     )

@@ -685,3 +685,33 @@ def test_interleave_sources_round_robin(spark):
     ]
     idx = [r["order_idx"] for r in out.collect()]
     assert idx == list(range(8))
+
+
+def test_length_buckets_assignment(spark):
+    from pandance_spark.functions.split import length_buckets
+
+    rows = [
+        (1, 0),     # clamps to min bucket
+        (2, 1),     # log2(1)=0 -> min bucket
+        (3, 31),    # ceil(log2(31))=5
+        (4, 32),    # exactly 2^5 -> 5
+        (5, 33),    # -> 6
+        (6, 64),    # -> 6
+        (7, 65),    # -> 7
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = {
+        r["doc_id"]: r["len_bucket"]
+        for r in length_buckets(df, "doc_id", "n", batch_size=2).collect()
+    }
+    assert out == {1: 5, 2: 5, 3: 5, 4: 5, 5: 6, 6: 6, 7: 7}
+    # batches: bucket 5 has docs 1,2,3,4 -> batches [0,0,1,1] in id order
+    b = {
+        r["doc_id"]: r["batch_id"]
+        for r in length_buckets(df, "doc_id", "n", batch_size=2).collect()
+    }
+    assert (b[1], b[2], b[3], b[4]) == (0, 0, 1, 1)
+    assert (b[5], b[6]) == (0, 0) and b[7] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        length_buckets(df, "doc_id", "n", batch_size=0)
