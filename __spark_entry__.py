@@ -1438,6 +1438,36 @@ def _q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation (operators/dedup.py minhash_eval):
+    recall/precision of the 64/16 MinHash-LSH candidate generator vs
+    EXACT n-gram Jaccard truth, on the corpus plus one mutated copy
+    per document (every 9th token dropped — similarities straddle the
+    0.6 threshold, so truth is a non-trivial subset of the copy
+    pairs).  portable=True makes every hash in the candidate path
+    md5-derived, so the oracle replays the ENTIRE evaluation: string-
+    shingle brute-force truth AND the affine-min signature + band-md5
+    LSH, pair for pair.  The one-row report is the go/no-go a
+    pipeline owner reads before trusting approximate dedup at 100 TB."""
+    from pandance_spark.operators.dedup import minhash_eval
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dropped = F.array_join(
+        F.filter(
+            F.split(F.col("text"), " "), lambda x, i: i % 9 != 0
+        ),
+        " ",
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        dropped.alias("text"),
+    )
+    aug = docs.unionAll(variants)
+    return minhash_eval(
+        aug, "doc_id", "text", threshold=0.6, portable=True
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -4425,6 +4455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": _q_page_meta,
         "interleave_sources": _q_interleave_sources,
         "length_batches": _q_length_batches,
+        "minhash_eval": _q_minhash_eval,
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,
         # url/layout/maintenance rows, dedup_substrings, ...)
@@ -5010,6 +5041,106 @@ _PII_SPARSE_ORACLE = f"""
     SELECT k, found, redacted FROM res
     WHERE found <> '' OR redacted <> t
 """
+
+
+def _minhash_eval_oracle(threshold: float = 0.6) -> str:
+    """Full SQL replay of the minhash_eval query: the mutated-copy
+    fixture, string-shingle brute-force Jaccard truth, AND the
+    portable md5 LSH candidate path (31-bit folded shingle hashes,
+    64-slot affine-min signatures, per-band md5) — the same chain the
+    streaming-parity harness replays, here driving the recall/
+    precision report."""
+    from pandance_spark.operators.dedup import _hash_params
+
+    params = _hash_params(64, 42)
+    vals = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(params))
+    t = threshold
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(list_filter(string_split(text, ' '),
+                   (x, i) -> (i - 1) % 9 <> 0), ' ') AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             s -> s <> '') AS ts
+          FROM aug
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN []
+                      ELSE [array_to_string(list_slice(ts, i, i+2), ' ')
+                            for i in range(1, len(ts)-1)] END AS ss
+          FROM toks
+        ),
+        sets AS (
+          SELECT doc_id, list_distinct(ss) AS s FROM sh
+        ),
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sets a, sets b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_distinct(list_concat(a.s, b.s))) > 0
+            AND round(len(list_intersect(a.s, b.s)) * 1.0 /
+                      len(list_distinct(list_concat(a.s, b.s))), 6)
+                >= {t}
+        ),
+        hsh AS (
+          SELECT doc_id,
+                 ((CAST('0x' || substr(md5(u.s), 1, 8) AS BIGINT)
+                     % 2147483647) * 2
+                   + CAST('0x' || substr(md5(u.s), 9, 8) AS BIGINT))
+                 % 2147483647 AS h
+          FROM sh, unnest(sh.ss) AS u(s)
+        ),
+        params(k, a, b) AS (VALUES {vals}),
+        slot AS (
+          SELECT s.doc_id, p.k,
+                 coalesce(min((p.a * h.h + p.b) % 2147483647),
+                          2147483647) AS m
+          FROM sh s CROSS JOIN params p
+          LEFT JOIN hsh h ON h.doc_id = s.doc_id
+          GROUP BY 1, 2
+        ),
+        sig AS (
+          SELECT doc_id, list(m ORDER BY k) AS sig FROM slot GROUP BY 1
+        ),
+        band AS (
+          SELECT doc_id, bi.band,
+                 CAST('0x' || substr(md5(array_to_string(
+                   list_slice(sig, bi.band * 4 + 1, bi.band * 4 + 4),
+                   ',')), 1, 8) AS BIGINT) AS bhash
+          FROM sig, (SELECT unnest(range(16)) AS band) bi
+        ),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM band x JOIN band y
+            ON x.band = y.band AND x.bhash = y.bhash
+               AND x.doc_id < y.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b FROM cand
+          INTERSECT
+          SELECT id_a, id_b FROM truth
+        )
+        SELECT (SELECT COUNT(*) FROM aug)::BIGINT AS n_docs,
+               (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+               (SELECT COUNT(*) FROM cand)::BIGINT AS n_candidates,
+               (SELECT COUNT(*) FROM ver)::BIGINT AS n_verified,
+               round(CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                 THEN (SELECT COUNT(*) FROM ver) * 1.0 /
+                      (SELECT COUNT(*) FROM truth)
+                 ELSE 1.0 END, 9) AS recall,
+               round(CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+                 THEN (SELECT COUNT(*) FROM ver) * 1.0 /
+                      (SELECT COUNT(*) FROM cand)
+                 ELSE 0.0 END, 9) AS precision
+    """
 
 
 def _pc1_oracle(dim: int = 64, iters: int = 30) -> str:
@@ -7999,6 +8130,9 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                          COUNT(*), 9) AS novelty_rate
             FROM j GROUP BY doc_id
         """,
+        # string-shingle brute-force truth + the full portable md5 LSH
+        # chain (signatures, band hashes, collision pairs) replayed
+        "minhash_eval": _minhash_eval_oracle(0.6),
         # log2 bucket (exact at powers of two), row_number batching
         # and the padding aggregate all replayed
         "length_batches": """

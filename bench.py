@@ -316,6 +316,7 @@ def main():
         "page_meta",
         "interleave_sources",
         "length_batches",
+        "minhash_eval",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -310,6 +310,7 @@ def minhash_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: ids whose signatures collide in >= 1 band.
 
@@ -327,7 +328,8 @@ def minhash_candidates(
     # branches can race to compute the same RDD.  The checkpoint is
     # rows x bands x ~16B — far smaller than the corpus.
     banded = _banded_keys(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        portable=portable,
     ).localCheckpoint(eager=True)
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnsRenamed({id_col: "id_b", "band": "band_b", "bhash": "bhash_b"})
@@ -2310,3 +2312,67 @@ def lsh_params(num_hashes: int, threshold: float):
         if best is None or score < best[0]:
             best = (score, bands, rows, s)
     return best[1], best[2], best[3]
+
+
+def minhash_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Dedup-quality EVALUATION harness: measure the MinHash-LSH
+    candidate generator against exact ground truth on the same corpus
+    — the report a pipeline owner reads before trusting approximate
+    dedup at scale.  Ground truth is :func:`ngram_jaccard_join`
+    (exact, prefix-filtered — itself scalable, so the harness runs on
+    real samples, not toy ones); candidates are
+    :func:`minhash_candidates` with the same shingle size.
+
+    Returns ONE row: ``n_docs, n_true, n_candidates, n_verified,
+    recall, precision`` (9 dp; 1.0/0.0 conventions for empty
+    denominators).  ``n_verified`` counts candidate pairs whose exact
+    Jaccard clears the threshold, so ``recall = n_verified / n_true``
+    is the fraction of true near-dup pairs the LSH surfaced and
+    ``precision = n_verified / n_candidates`` is the verification
+    yield (the cost knob: low precision = wasted exact-verify work —
+    re-band before scaling up).  With ``portable=True`` every hash in
+    the candidate path is md5-derived, so an independent engine can
+    replay the WHOLE evaluation including the LSH (the driver oracle
+    does).
+    """
+    truth = ngram_jaccard_join(
+        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+    )
+    cands = minhash_candidates(
+        df, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        portable=portable,
+    )
+    verified = cands.join(truth, ["id_a", "id_b"], "inner")
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    n_true = truth.select(F.count("*").alias("n_true"))
+    n_cand = cands.select(F.count("*").alias("n_candidates"))
+    n_ver = verified.select(F.count("*").alias("n_verified"))
+    rep = n_docs.crossJoin(n_true).crossJoin(n_cand).crossJoin(n_ver)
+    return rep.select(
+        "n_docs",
+        "n_true",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.when(F.col("n_true") > 0,
+                   F.col("n_verified") / F.col("n_true"))
+            .otherwise(F.lit(1.0)),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_candidates") > 0,
+                   F.col("n_verified") / F.col("n_candidates"))
+            .otherwise(F.lit(0.0)),
+            9,
+        ).alias("precision"),
+    )

@@ -989,3 +989,27 @@ def test_containment_join_threshold_boundary(spark):
         shingle_n=2, threshold=0.5,
     ).collect()
     assert len(out) == 1 and out[0]["containment"] == 0.5
+
+
+def test_minhash_eval_report(spark):
+    from pandance_spark.operators.dedup import minhash_eval
+
+    base = [
+        (i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} "
+            f"eta{i} theta{i}")
+        for i in range(20)
+    ]
+    # exact copies: always true pairs AND always LSH candidates
+    copies = [(100 + i, t) for i, t in base[:8]]
+    df = spark.createDataFrame(base + copies, ["doc_id", "text"])
+    r = minhash_eval(df, "doc_id", "text", threshold=0.9).collect()[0]
+    assert r["n_docs"] == 28
+    assert r["n_true"] == 8
+    # identical signatures collide in every band: perfect recall here
+    assert r["n_verified"] == 8 and r["recall"] == 1.0
+    assert r["n_candidates"] >= 8
+    assert 0.0 < r["precision"] <= 1.0
+    # empty-truth convention: unrelated docs, recall reported 1.0
+    solo = spark.createDataFrame(base[:5], ["doc_id", "text"])
+    r2 = minhash_eval(solo, "doc_id", "text", threshold=0.9).collect()[0]
+    assert r2["n_true"] == 0 and r2["recall"] == 1.0
