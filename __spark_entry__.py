@@ -29,7 +29,7 @@ from collections.abc import Callable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pandance_spark import fuzzy_join, ineq_join, theta_join
@@ -1312,7 +1312,14 @@ def _q_emit_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the md5 bucket, the exclusive-cumsum pack id, the
     ordered list aggregation and the per-index offset sums.  One
     window shuffle (pack assignment) + one pack-key aggregate; lists
-    are pack-bounded, never corpus-bounded."""
+    are pack-bounded, never corpus-bounded.
+
+    DRIVER CONTRACT (r8 red, same class as r5 table_diff): the pack
+    rows must not expose ArrayType columns — the driver's pandas
+    canonicalizer dies on unhashable lists.  The operator keeps
+    returning pack-ordered arrays; the QUERY joins each into one CSV
+    string (lists are key-ordered inside emit_packs, so the CSV is
+    deterministic)."""
     from pandance_spark.functions.split import emit_packs
     from pandance_spark.functions.text import token_count
 
@@ -1320,7 +1327,23 @@ def _q_emit_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    return emit_packs(sized, "doc_id", "n_tokens", budget=2000, n_buckets=8)
+    packs = emit_packs(sized, "doc_id", "n_tokens", budget=2000, n_buckets=8)
+
+    def _csv(col: str) -> Column:
+        return F.array_join(
+            F.transform(F.col(col), lambda x: x.cast("string")), ","
+        ).alias(col + "_csv")
+
+    return packs.select(
+        "pack_bucket",
+        "pack_id",
+        "n_docs",
+        _csv("doc_ids"),
+        _csv("sizes"),
+        _csv("offsets"),
+        "total_tokens",
+        "fill",
+    )
 
 
 def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2615,14 +2638,32 @@ def _q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss ±1 random projection 64 -> 8
     (functions/vectors.py project_embedding): map-only integer
     micro-unit sums, so every projected coordinate is bit-identical
-    to the DuckDB replay with zero float-rounding tolerance."""
+    to the DuckDB replay with zero float-rounding tolerance.
+
+    DRIVER CONTRACT (r8 red, same class as r5 table_diff): the result
+    must not expose ArrayType columns — the driver's pandas
+    canonicalizer sort_values dies on unhashable lists.  The operator
+    keeps returning arrays; the QUERY projects each coordinate back
+    to its exact integer micro-unit sum (proj_j * 2^20 * sqrt(8) is an
+    integer by construction; one IEEE multiply + round recovers it
+    identically in both engines) and joins them into one CSV string."""
+    import math as _math
+
     from pandance_spark.functions.vectors import project_embedding
 
     emb = load_table(spark, sf_dir, "embeddings")
+    proj = project_embedding(F.col("embedding"), in_dim=64, out_dim=8)
+    inv_scale = 1048576.0 * _math.sqrt(8)
     return emb.select(
         "vec_id",
         "label",
-        project_embedding(F.col("embedding"), in_dim=64, out_dim=8).alias("proj"),
+        F.array_join(
+            F.transform(
+                proj,
+                lambda x: F.round(x * F.lit(inv_scale)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("proj_csv"),
     )
 
 
@@ -4348,97 +4389,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # DRIVER WINDOW (first 50 entries — the driver's correctness gate
         # reads only these; ALL entries below stay in the local multi-sf
-        # gate).  r8 rotation (VERDICT r7 item 1): 28 multi-green veterans
-        # rotated out (2+ straight driver greens each; their families keep
-        # window coverage via sibling rows and the local gate) for the 19
-        # never-driver-checked queries (the r7 decorrelation/TPC-H suite,
-        # containment_quotes, rollup_bottomk, image_meta_triage, and the
-        # r6 selection/analytics stragglers) plus the 9 r8-built queries
-        # (TPC-H completion Q7-Q19, warc_files ingestion, sparse PII,
-        # composed decontamination).  All 50 verified green at sf0.001 +
-        # sf0.01 with dtype-audited oracles before this commit; rotation
-        # history through r7 lives in git (pre-d8f53fd comment blocks).
-        # NOTE rollup_distinct_users has no oracle BY CONTRACT (HLL
-        # estimates are engine-specific; pinned in tests) — the driver
-        # records its weaker rows-only check.
+        # gate).  r9 rotation, executing the plan committed in r8: the
+        # ~40 first-time r8 rows earned their green and rotate to the
+        # local gate; back in come the 12 one-green r7 veterans
+        # (dsir_select ... ab_summary), the 4 built-after-the-window
+        # session-2 queries (page_meta, interleave_sources,
+        # length_batches, minhash_eval), and the theta rows (last
+        # driver-green r6 — VERDICT r8 asked for a re-pin).  The two r8
+        # REDS (embed_project, emit_packs — ArrayType columns crashed
+        # the driver canonicalizer) are FIXED (CSV projections, oracle
+        # updated) and stay for their first clean green; the class is
+        # now pinned repo-wide by
+        # tests/test_contract.py::test_no_unsortable_columns_in_any_query_result.
+        # Standing pins: fuzzy/ineq autoskew + multimodal_png; re-checks
+        # before retirement: pii_cards, bpe_tokens.
+        # Rotation history through r8 lives in git (pre-e6e7f76 blocks).
         # ------------------------------------------------------------------
-        # carried: the two r6-red->r7-green rows (2nd green confirms the
-        # HUGEINT-cast fix held), SURVEY.md 2.1 core operators, the perf-
-        # pinned PNG row
         "fuzzy_autoskew": _q_fuzzy_autoskew,
         "ineq_band_autoskew": _q_ineq_band_autoskew,
         "multimodal_png": _q_multimodal_png,
-        # r7 rotation-ins holding for their 2nd green
+        # final re-checks before retiring to the local gate
         "pii_cards": _q_pii_cards,
-        "main_text_extract": _q_main_text,
-        "rollup_quantiles": _q_rollup_quantiles,
-        "keep_best": _q_keep_best,
-        # r8 late swap: bpe_tokens returns to the window now that its
-        # formerly-dead rows-only slot carries a FULL training-replay
-        # oracle (cube_orders, 1 green, rotates to the local gate)
         "bpe_tokens": _q_bpe_tokens,
-        "mixture_temperature": _q_mixture_temperature,
-        "token_budget": _q_token_budget,
-        # never-driver-checked until now (VERDICT r7 item 1 list)
-        "rollup_bottomk": _q_rollup_bottomk,
-        "image_meta_triage": _q_image_meta_triage,
-        "containment_quotes": _q_containment_quotes,
-        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q20_semi_chain": _q_q20_semi_chain,
-        "q22_idle_value": _q_q22_idle_value,
-        "q2_min_cost": _q_q2_min_cost,
-        "q11_important_stock": _q_q11_important_stock,
-        "q4_late_orders": _q_q4_late_orders,
-        "q14_promo_share": _q_q14_promo_share,
+        # theta re-pin (VERDICT r8 §2.1: out of window two rounds) —
+        # both execution paths: pure-Catalyst Column callable and the
+        # Arrow pandas_udf scalar-callable fallback
+        "theta_expr_mod": _q_theta_expr_mod,
+        "theta_udf_gcd": _q_theta_udf_gcd,
+        # r8 REDS, fixed this round (driver-sortable projections)
         "embed_project": _q_embed_project,
-        "weighted_sample": _q_weighted_sample,
-        "ppl_buckets": _q_ppl_buckets,
-        "rollup_incremental": _q_rollup_incremental,
-        "mixture_plan": _q_mixture_plan,
-        "outliers_events": _q_outliers_events,
-        "weighted_per_lang": _q_weighted_per_lang,
-        "rollup_distinct_users": _q_rollup_distinct_users,
-        # r8-built queries (first driver check)
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "q8_market_share": _q_q8_market_share,
-        "q9_product_profit": _q_q9_product_profit,
-        "q10_returned_items": _q_q10_returned_items,
-        "q12_late_lines": _q_q12_late_lines,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "warc_files": _q_warc_files,
-        # r8: unicode-script routing (synth mixed-script fixture)
-        "script_detect": _q_script_detect,
-        # r8: cp1252 double-encoding repair (computed table = oracle)
-        "mojibake_clean": _q_mojibake_clean,
-        "pii_cards_sparse": _q_pii_cards_sparse,
-        "decontam_composed": _q_decontam_composed,
-        # r8 session-2 additions (locally gated; rotate into the
-        # driver window at session-final rotation)
-        "c4_filters": _q_c4_filters,
-        "html_links": _q_html_links,
-        "corpus_drift": _q_corpus_drift,
-        "vocab_oov": _q_vocab_oov,
-        "ngram_novelty": _q_ngram_novelty,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "embed_pc1": _q_embed_pc1,
-        "vocab_coverage": _q_vocab_coverage,
-        "robots_gate": _q_robots_gate,
         "emit_packs": _q_emit_packs,
-        # r9 rotation plan: this r8 window carries ~40 FIRST-time rows
-        # (the 19 r7-built never-checked, the 9 r8 session-1 builds and
-        # the 12 session-2 builds).  After r8's driver run they hold 1
-        # green each — rotate them out in r9 for the 12 one-green r7
-        # veterans rotated out this session (dsir_select ...
-        # ab_summary, below) so every query accumulates greens evenly;
-        # keep fuzzy/ineq autoskew + multimodal_png as the standing
-        # core/perf pins, and re-check pii_cards (staged PAN scan) and
-        # bpe_tokens (new full training oracle) once more before they
-        # retire to the local gate.
-        # --- entries 51+ (outside the driver window; locally gated) ---
-        # r8 session-2 rotations OUT: 12 one-green r7 veterans made
-        # room for the 12 never-driver-checked session-2 builds (the
-        # displaced pii_cards_sparse/decontam_composed + 10 new)
+        # the 12 one-green r7 veterans, back for their 2nd green
         "dsir_select": _q_dsir_select,
         "filter_funnel": _q_filter_funnel,
         "cdc_apply": _q_cdc_apply,
@@ -4451,11 +4432,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": _q_cumulative_users,
         "step_transitions": _q_step_transitions,
         "ab_summary": _q_ab_summary,
-        # r8 session-2, built after the window filled (first check in r9)
+        # r8 session-2 builds that never got a driver check (the window
+        # was full when they landed)
         "page_meta": _q_page_meta,
         "interleave_sources": _q_interleave_sources,
         "length_batches": _q_length_batches,
         "minhash_eval": _q_minhash_eval,
+        # ------------------------------------------------------------------
+        # r9 NEW BUILDS land here (between the core-25 above and the
+        # backfill below) so each new query takes a window slot as it
+        # ships and the backfill rows fall out in order.
+        # ------------------------------------------------------------------
+        # backfill: one-green r8 rows holding the remaining slots for a
+        # 2nd green until r9 builds displace them
+        "script_detect": _q_script_detect,
+        "mojibake_clean": _q_mojibake_clean,
+        "pii_cards_sparse": _q_pii_cards_sparse,
+        "decontam_composed": _q_decontam_composed,
+        "c4_filters": _q_c4_filters,
+        "html_links": _q_html_links,
+        "corpus_drift": _q_corpus_drift,
+        "vocab_oov": _q_vocab_oov,
+        "ngram_novelty": _q_ngram_novelty,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "embed_pc1": _q_embed_pc1,
+        "vocab_coverage": _q_vocab_coverage,
+        "robots_gate": _q_robots_gate,
+        "warc_files": _q_warc_files,
+        "containment_quotes": _q_containment_quotes,
+        "rollup_bottomk": _q_rollup_bottomk,
+        "image_meta_triage": _q_image_meta_triage,
+        "mixture_temperature": _q_mixture_temperature,
+        "token_budget": _q_token_budget,
+        "weighted_sample": _q_weighted_sample,
+        "ppl_buckets": _q_ppl_buckets,
+        "rollup_incremental": _q_rollup_incremental,
+        "mixture_plan": _q_mixture_plan,
+        "outliers_events": _q_outliers_events,
+        "weighted_per_lang": _q_weighted_per_lang,
+        # --- entries 51+ (outside the driver window; locally gated) ---
+        # r9 rotations OUT: the r8 first-timers with their green banked
+        # (TPC-H Q2-Q22 completions, rollup_distinct_users rows-only,
+        # 2-green veterans main_text_extract/rollup_quantiles/keep_best)
+        "main_text_extract": _q_main_text,
+        "rollup_quantiles": _q_rollup_quantiles,
+        "keep_best": _q_keep_best,
+        "rollup_distinct_users": _q_rollup_distinct_users,
+        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q20_semi_chain": _q_q20_semi_chain,
+        "q22_idle_value": _q_q22_idle_value,
+        "q2_min_cost": _q_q2_min_cost,
+        "q11_important_stock": _q_q11_important_stock,
+        "q4_late_orders": _q_q4_late_orders,
+        "q14_promo_share": _q_q14_promo_share,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q12_late_lines": _q_q12_late_lines,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         # r8 rotations OUT: the 28 carryovers with 2+ straight greens
         # (bloom_dedup, heavy_hitters, the multimodal codec family,
         # url/layout/maintenance rows, dedup_substrings, ...)
@@ -4488,8 +4524,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _q_audio_segments,
         "table_diff": _q_table_diff,
         "cube_orders": _q_cube_orders,
-        "theta_expr_mod": _q_theta_expr_mod,
-        "theta_udf_gcd": _q_theta_udf_gcd,
         "dedup_incremental": _q_dedup_incremental,
         "ann_quantized": _q_ann_quantized,
         "semantic_dedup": _q_semantic_dedup,
@@ -4740,12 +4774,16 @@ def _embed_project_oracle() -> str:
 
     signs = projection_signs(64, 8)
     scale = repr(1.0 / (1048576.0 * _math.sqrt(8)))
-    # sign rows inlined as literals (DuckDB lambdas reject subqueries)
+    inv_scale = repr(1048576.0 * _math.sqrt(8))
+    # sign rows inlined as literals (DuckDB lambdas reject subqueries).
+    # Driver contract: no array columns in the result — replay the
+    # double round-trip (sum * scale, then * inv_scale and round) so
+    # the CSV is byte-identical to the Spark projection.
     outs = ",\n                   ".join(
-        "CAST(list_sum(list_transform(range(1, 65),"
+        "CAST(CAST(round(CAST(list_sum(list_transform(range(1, 65),"
         " i -> q[i] * ["
         + ",".join(str(x) for x in signs[j])
-        + f"][i])) AS DOUBLE) * {scale}"
+        + f"][i])) AS DOUBLE) * {scale} * {inv_scale}) AS BIGINT) AS VARCHAR)"
         for j in range(8)
     )
     return f"""
@@ -4756,7 +4794,7 @@ def _embed_project_oracle() -> str:
           FROM embeddings
         )
         SELECT vec_id, label,
-               [{outs}] AS proj
+               concat_ws(',', {outs}) AS proj_csv
         FROM q
     """
 
@@ -8280,10 +8318,13 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             )
             SELECT pack_bucket, pack_id,
                    CAST(len(doc_ids) AS BIGINT) AS n_docs,
-                   doc_ids, sizes,
-                   [CAST(COALESCE(list_sum(list_slice(sizes, 1, i - 1)),
-                                  0) AS BIGINT)
-                    for i in range(1, len(sizes) + 1)] AS offsets,
+                   COALESCE(array_to_string(doc_ids, ','), '') AS doc_ids_csv,
+                   COALESCE(array_to_string(sizes, ','), '') AS sizes_csv,
+                   COALESCE(array_to_string(
+                     [CAST(COALESCE(list_sum(list_slice(sizes, 1, i - 1)),
+                                    0) AS BIGINT)
+                      for i in range(1, len(sizes) + 1)], ','), '')
+                     AS offsets_csv,
                    CAST(list_sum(sizes) AS BIGINT) AS total_tokens,
                    round(list_sum(sizes) / 2000.0, 9) AS fill
             FROM g

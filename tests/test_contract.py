@@ -76,3 +76,36 @@ def test_all_queries_run_under_ntz_mode(spark, entrymod):
             spark.conf.set("spark.sql.timestampType", prev)
         else:
             spark.conf.unset("spark.sql.timestampType")
+
+
+def test_no_unsortable_columns_in_any_query_result(spark, entrymod):
+    """Driver-sortability contract (VERDICT r8 item 3): the driver's
+    pandas canonicalizer runs ``sort_values`` over every result and
+    dies on unhashable cells (``TypeError: unhashable type: 'list'``)
+    — this burned window slots THREE times (r5 table_diff, r8
+    embed_project + emit_packs) because the local harness stringifies
+    list cells before sorting and the driver does not.  Pin the
+    contract for EVERY queries() entry (not just the first-50 window
+    — rotation must not be able to reintroduce the class): no
+    ArrayType or MapType anywhere in a result schema, top-level or
+    nested inside a struct.  Operators may return arrays; the QUERY
+    layer must project them to scalars (array_join CSV, md5, size...).
+
+    Schema-only: building the plan needs no job, so scanning all ~180
+    queries stays cheap."""
+    from pyspark.sql import types as T
+
+    def unsortable(dt):
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(unsortable(f.dataType) for f in dt.fields)
+        return False
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        bad = [f.name for f in df.schema.fields if unsortable(f.dataType)]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"driver-unsortable columns: {offenders}"
