@@ -436,8 +436,17 @@ def psi_drift(
     w = Window.partitionBy("feature")
     t_ref = F.sum("n_ref").over(w)
     t_cur = F.sum("n_cur").over(w)
-    p_ref = F.greatest(F.col("n_ref") / t_ref, F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / t_cur, F.lit(float(eps)))
+    # a side with ZERO non-null rows for a feature makes its total 0;
+    # n/0 is NULL under default config (and the greatest() clamp would
+    # silently hide it) but raises DIVIDE_BY_ZERO under ANSI mode
+    # (Spark 4.x default) — guard the ratio explicitly so an empty
+    # side degrades to the eps floor in BOTH modes (ADVICE r8)
+    p_ref = F.greatest(
+        F.when(t_ref > 0, F.col("n_ref") / t_ref), F.lit(float(eps))
+    )
+    p_cur = F.greatest(
+        F.when(t_cur > 0, F.col("n_cur") / t_cur), F.lit(float(eps))
+    )
     return counts.select(
         "feature",
         F.col("bin").cast("long"),

@@ -1187,9 +1187,13 @@ def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
         )
 
     # explicit one-arg lambda: passing F.trim directly would bind the
-    # HOF's element INDEX to trim()'s optional trim-chars argument
+    # HOF's element INDEX to trim()'s optional trim-chars argument.
+    # Split on \r?\n (not bare \n): Java's '$' matches BEFORE a final
+    # '\r' while RE2's does not, and F.trim strips only spaces — a
+    # CRLF corpus would otherwise diverge from a strict-RE2 replay
+    # and keep stray '\r' bytes in text_c4
     return F.transform(
-        F.filter(F.split(text, "\n"), _keep), lambda ln: F.trim(ln)
+        F.filter(F.split(text, "\\r?\\n"), _keep), lambda ln: F.trim(ln)
     )
 
 
@@ -1224,7 +1228,7 @@ def c4_clean(
     kept = c4_kept_lines(text, min_words=min_words)
     text_c4 = F.array_join(kept, "\n")
     n_kept = F.size(kept)
-    n_total = F.size(F.split(text, "\n"))
+    n_total = F.size(F.split(text, "\\r?\\n"))
     # global replace is Spark's default; the DuckDB replay needs 'g'
     n_sent = F.length(text_c4) - F.length(
         F.regexp_replace(text_c4, "[.!?]", "")
@@ -1233,7 +1237,22 @@ def c4_clean(
     lorem = low.contains("lorem ipsum")
     brace = text.contains("{")
     if badwords:
-        pat = "\\b(" + "|".join(sorted(set(badwords))) + ")\\b"
+        # escape each badword (re.escape output is Java- and
+        # RE2-safe: only non-alphanumerics gain a backslash) so a
+        # list entry with regex metacharacters ('c++', 'a$$', '(')
+        # can neither mis-match nor blow up pattern compilation at
+        # action time.  \b only where the badword's EDGE is a word
+        # character — after a non-word edge ('+', '$') \b could never
+        # match, silently disabling the word (no lookarounds: RE2
+        # portability)
+        import re as _re
+
+        def _lit(w: str) -> str:
+            pre = "\\b" if _re.match(r"\w", w[0]) else ""
+            suf = "\\b" if _re.match(r"\w", w[-1]) else ""
+            return pre + _re.escape(w) + suf
+
+        pat = "(" + "|".join(_lit(w) for w in sorted(set(badwords)) if w) + ")"
         bad = low.rlike(pat)
     else:
         bad = F.lit(False)

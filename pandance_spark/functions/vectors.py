@@ -298,11 +298,17 @@ def quantized_moments(df, vec_col: str, dim: int):
             F.slice("__q", F.col("__i") + 1, F.lit(dim))
         ).alias("__jo", "__qj"),
     )
+    # cast each FACTOR to decimal before multiplying: a long*long
+    # product of two ~2^20-scaled micro-unit values can silently wrap
+    # int64 under non-ANSI mode when input magnitudes exceed the
+    # ~unit convention (ADVICE r8); decimal(19,0)x(19,0) -> (38,0)
+    # keeps the product exact for any |x| < ~9.5e12
     pmom = (
         pairs.groupBy("__i", "__jo")
         .agg(
             F.sum(
-                (F.col("__qi") * F.col("__qj")).cast("decimal(38,0)")
+                F.col("__qi").cast("decimal(19,0)")
+                * F.col("__qj").cast("decimal(19,0)")
             ).alias("__p")
         )
         .collect()
@@ -373,10 +379,17 @@ def pc1_projection(
     )
     q = F.when(F.size(q) == dim, q).otherwise(F.lit(None))
     plit = F.from_json(F.lit(json.dumps(p)), "array<bigint>")
+    # decimal factors: q ~ 2^20*|x| and p ~ 1e9, so the long product
+    # wraps int64 once |x| exceeds ~8.8e3 — cast BEFORE multiplying
+    # and accumulate in decimal(38,0) (exact; ADVICE r8)
     dq = F.aggregate(
-        F.zip_with(q, plit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
+        F.zip_with(
+            q,
+            plit,
+            lambda a, b: a.cast("decimal(19,0)") * b.cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: (acc + t).cast("decimal(38,0)"),
     )
     t = (dq.cast("double") - F.lit(float(spmu) / float(n))) / F.lit(
         1048576.0 * 1.0e9

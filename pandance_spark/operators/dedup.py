@@ -2352,6 +2352,15 @@ def minhash_eval(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed,
         portable=portable,
     )
+    # truth and cands each feed TWO consumers (their count aggregate
+    # and the verified join); without a barrier Spark re-evaluates the
+    # exact all-pairs join and the LSH plan once per consumer —
+    # doubling the two most expensive stages of the harness
+    # (ADVICE r8).  localCheckpoint materializes each exactly once;
+    # both are pair-lists (bounded by true/candidate pair counts), not
+    # corpus-sized.
+    truth = truth.localCheckpoint(eager=False)
+    cands = cands.localCheckpoint(eager=False)
     verified = cands.join(truth, ["id_a", "id_b"], "inner")
     n_docs = df.select(F.count("*").alias("n_docs"))
     n_true = truth.select(F.count("*").alias("n_true"))

@@ -291,3 +291,33 @@ def test_psi_drift_identical_and_shifted(spark):
     )
     r2 = psi_drift(withnull, withnull, feats).collect()
     assert sum(r["n_ref"] for r in r2) == 1
+
+
+def test_psi_drift_empty_side_under_ansi(spark):
+    """A snapshot with zero non-null rows for a feature used to hit
+    n/0 — NULL silently clamped to eps under default config but
+    DIVIDE_BY_ZERO under ANSI mode (Spark 4.x default; ADVICE r8).
+    The guarded ratio must degrade to the eps floor in BOTH modes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.profile import psi_drift
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(60)], ["v"])
+    empty_cur = spark.createDataFrame([(None,)], "v double")
+    feats = {"v": (F.col("v"), [2.0, 5.0, 8.0])}
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            rows = psi_drift(ref, empty_cur, feats).collect()
+            assert rows, mode
+            # cur side empty for the feature: p_cur is the eps floor
+            assert all(r["p_cur"] == 1e-06 for r in rows), mode
+            assert all(math.isfinite(r["psi_term"]) for r in rows), mode
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")

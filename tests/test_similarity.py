@@ -492,3 +492,49 @@ def test_remove_top_component_kills_pc1(spark):
     assert float(np.abs(resid).max()) < 1e-6
     # and centered
     assert float(np.abs(M.mean(axis=0)).max()) < 1e-6
+
+
+def test_pc1_projection_large_magnitudes_exact(spark):
+    """Inputs far above the ~unit micro-unit convention (|x| ~ 1e5)
+    used to wrap int64 in the q*p fold (q ~ 2^20*|x| times p ~ 1e9
+    passes 2^63 at |x| ~ 9e3; ADVICE r8).  The decimal-factor fold
+    must reproduce the exact Python-int replay at any magnitude."""
+    import numpy as np
+
+    from pandance_spark.functions.vectors import (
+        pc1_projection,
+        top_component,
+    )
+
+    rng = np.random.RandomState(11)
+    u = rng.randn(8)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.randn(80) * 3.0, u) + 0.3 * rng.randn(80, 8)
+    X = X * 1.0e5  # far beyond the unit convention
+    rows = [(i, [float(v) for v in X[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    n, s, pc1 = top_component(df, "embedding", 8, iters=40)
+    # exact driver-side replay of the documented arithmetic
+    p = [int(round(v * 1e9)) for v in pc1]
+    spmu = sum(pi * si for pi, si in zip(p, s))
+    got = {
+        r["vec_id"]: r["pc1_proj"]
+        for r in pc1_projection(df, "embedding", 8, iters=40).collect()
+    }
+    import decimal
+
+    def round_half_up(v: float, dp: int = 9) -> float:
+        # Spark F.round is HALF_UP; Python round() is half-even — at
+        # 1e5 magnitudes the 9-dp grid CAN hit representable ties
+        return float(
+            decimal.Decimal(repr(v)).quantize(
+                decimal.Decimal(1).scaleb(-dp),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+
+    for i in range(80):
+        q = [int(round(x * 1048576.0)) for x in X[i]]
+        dq = sum(a * b for a, b in zip(q, p))  # exact Python int
+        t = (float(dq) - spmu / n) / (1048576.0 * 1.0e9)
+        assert got[i] == round_half_up(t), (i, got[i], t)

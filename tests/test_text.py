@@ -844,3 +844,51 @@ def test_c4_clean_null_page_is_dropped(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, page string")
     r = c4_clean(df, "page").collect()[0]
     assert r["c4_drop_reason"] == "null_text" and not r["c4_keep"]
+
+
+def test_c4_clean_crlf_pages(spark):
+    """CRLF corpus (ADVICE r8): Java's '$' matches BEFORE a trailing
+    '\\r' while RE2's does not, and trim() strips only spaces — the
+    line split must eat the '\\r' so kept lines are byte-identical to
+    a strict-RE2 replay and text_c4 carries no stray carriage
+    returns."""
+    from pandance_spark.functions.text import c4_clean
+
+    crlf = (
+        "alpha beta gamma delta one.\r\n"
+        "alpha beta gamma delta two!\r\n"
+        "alpha beta gamma delta three?"
+    )
+    df = spark.createDataFrame([(1, crlf)], ["doc_id", "page"])
+    r = c4_clean(df, "page").collect()[0]
+    assert r["c4_keep"] and r["n_lines_kept"] == 3
+    assert "\r" not in r["text_c4"]
+    assert r["text_c4"].split("\n") == [
+        "alpha beta gamma delta one.",
+        "alpha beta gamma delta two!",
+        "alpha beta gamma delta three?",
+    ]
+    assert r["n_lines_dropped"] == 0
+
+
+def test_c4_clean_badwords_with_regex_metachars(spark):
+    """Badwords are LITERALS (ADVICE r8): entries with regex
+    metacharacters must neither crash pattern compilation at action
+    time ('(') nor silently never match ('a$$', 'c++')."""
+    from pandance_spark.functions.text import c4_clean
+
+    rows = [
+        (1, "this mentions c++ language here today.\n"
+            "alpha beta gamma delta x.\nalpha beta gamma delta y.\n"
+            "alpha beta gamma delta z."),
+        (2, "perfectly clean page line one fine.\n"
+            "alpha beta gamma delta x.\nalpha beta gamma delta y.\n"
+            "alpha beta gamma delta z."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "page"])
+    out = {
+        r["doc_id"]: r
+        for r in c4_clean(df, "page", badwords=("c++", "a$$", "(")).collect()
+    }
+    assert out[1]["c4_drop_reason"] == "bad_words"
+    assert out[2]["c4_keep"]
