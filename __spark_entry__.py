@@ -4384,6 +4384,134 @@ def _q_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# r9: corpus-statistics panel (functions/text.py additions)
+# --------------------------------------------------------------------------
+
+
+def _q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy in bits/char (functions/text.py
+    char_entropy): the cheap junk detector — base64/minified blobs
+    score high, repeated-char padding scores low.  Spark computes it
+    as ONE sorted-array fold per row (zero shuffle, zero explode); the
+    oracle recomputes from per-char counts, proving run-lengths ==
+    counts.  A doc_id%19 residue gets base64-ish noise appended and a
+    %23 residue gets 'aaaa...' padding so both tails are exercised.
+    Uses the STAGED form (with_char_entropy): the sort+fold
+    materializes once per row behind the Generate barrier instead of
+    once per referencing subtree."""
+    from pandance_spark.functions.text import with_char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 19 == 0,
+            F.concat(F.lit(" "), F.md5(did.cast("string")), F.lit("==")),
+        ).otherwise(F.lit("")),
+        F.when(did % 23 == 0, F.lit(" aaaaaaaaaaaaaaaaaaaaaaaa")).otherwise(
+            F.lit("")
+        ),
+    )
+    return with_char_entropy(
+        docs.select("doc_id", t.alias("__t")), "__t"
+    ).select("doc_id", "entropy_bits")
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (functions/text.py
+    flesch_reading_ease): the corpus gets sentence structure the
+    c4_filters way ('table' -> 'table.', 'value' -> 'value?'), then
+    one map-only pass computes words / sentence runs / vowel-group
+    syllables and the 1948 formula.  The oracle replays all three
+    RE2-portable regex counts and the same double arithmetic."""
+    from pandance_spark.functions.text import flesch_reading_ease
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.regexp_replace(F.col("text"), "\\btable\\b", "table.")
+    page = F.regexp_replace(page, "\\bvalue\\b", "value?")
+    low = F.lower(page)
+    words = F.size(F.filter(F.split(low, "\\s+"), lambda w: w != F.lit("")))
+    sents = F.size(F.regexp_extract_all(low, F.lit("[.!?]+"), F.lit(0)))
+    sylls = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        F.greatest(sents, F.lit(1)).cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(flesch_reading_ease(page), 6).alias("flesch"),
+    )
+
+
+def _q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit (functions/text.py zipf_fit): ln(freq)-on-
+    ln(rank) OLS over the top-200 token types — the one-number
+    distribution drift check.  One token hash-aggregate (map-side
+    combine), a deterministic TakeOrdered cut, then closed-form OLS
+    over 200 points; the oracle replays the whole chain including the
+    count-desc/token-asc tie order."""
+    from pandance_spark.functions.text import zipf_fit
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return zipf_fit(docs, "text", top_r=200)
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency audit per language (functions/text.py
+    tokenizer_fertility): GPT-2 pre-tokenizer pieces per whitespace
+    word and chars per piece — the metric multilingual tokenizer
+    reports compare across languages.  One map-side-combinable
+    aggregate; the oracle replays the RE2-portable pre-tokenizer
+    regex.  Punctuation/digit texture is injected on residues so
+    fertility actually varies by group."""
+    from pandance_spark.functions.text import tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" v"), (did % 97).cast("string"), F.lit(".2!")),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" it's 2024, e.g. $4,096...")).otherwise(
+            F.lit("")
+        ),
+    )
+    return tokenizer_fertility(
+        docs.select("lang", t.alias("text")), "text", "lang"
+    )
+
+
+def _q_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-canary sweep (functions/text.py canary_scan): canaries
+    'CANARY-<md5[:8]>' are planted on doc_id%23 residues (the %46 half
+    twice, so n_hits > n_docs rows exist; consecutive residues share
+    one canary value via doc_id//2 so n_docs > 1 rows exist too), then
+    the corpus-wide regex sweep aggregates per canary value.  Matches
+    only are exploded — the shuffle carries hits, never documents."""
+    from pandance_spark.functions.text import canary_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    guid = F.concat(
+        F.lit(" CANARY-"),
+        F.substring(F.md5(F.floor(did / 2).cast("string")), 1, 8),
+    )
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 23 == 0, guid).otherwise(F.lit("")),
+        F.when(did % 46 == 0, guid).otherwise(F.lit("")),
+    )
+    return canary_scan(
+        docs.select("doc_id", t.alias("text")),
+        "doc_id",
+        "text",
+        "CANARY-[0-9a-f]{8}",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -4443,6 +4571,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # backfill below) so each new query takes a window slot as it
         # ships and the backfill rows fall out in order.
         # ------------------------------------------------------------------
+        # corpus-statistics panel
+        "char_entropy": _q_char_entropy,
+        "readability": _q_readability,
+        "zipf_fit": _q_zipf_fit,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "canary_scan": _q_canary_scan,
         # backfill: one-green r8 rows holding the remaining slots for a
         # 2nd green until r9 builds displace them
         "script_detect": _q_script_detect,
@@ -5310,6 +5444,171 @@ def oracle_sql() -> dict[str, str]:
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
     )
     return {
+        # r9 corpus-statistics panel: entropy from per-char counts
+        # (run-lengths in the Spark fold ARE the counts), Flesch from
+        # the same three RE2 regex counts, Zipf OLS replayed with the
+        # identical count-desc/token-asc tie order, the GPT-2
+        # pre-tokenizer regex re-run by RE2, and the canary sweep
+        # replanted from the same md5 residues
+        "char_entropy": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 19 = 0 THEN
+                       ' ' || md5(CAST(doc_id AS VARCHAR)) || '=='
+                     ELSE '' END ||
+                     CASE WHEN doc_id % 23 = 0 THEN
+                       ' aaaaaaaaaaaaaaaaaaaaaaaa'
+                     ELSE '' END AS t
+              FROM documents
+            ),
+            chars AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t) + 1),
+                                           i -> t[i])) AS c
+              FROM aug
+            ),
+            cnt AS (
+              SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+              FROM chars GROUP BY doc_id, c
+            ),
+            tot AS (
+              SELECT doc_id, sum(k) AS n, sum(k * ln(k)) AS s
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   COALESCE(round((ln(t.n) - t.s / t.n) / ln(2), 6), 0.0)
+                     AS entropy_bits
+            FROM aug a LEFT JOIN tot t ON a.doc_id = t.doc_id
+        """,
+        "readability": """
+            WITH pages AS (
+              SELECT doc_id,
+                     lower(regexp_replace(
+                       regexp_replace(text, '\\btable\\b', 'table.', 'g'),
+                       '\\bvalue\\b', 'value?', 'g')) AS low
+              FROM documents
+            ),
+            cnts AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split_regex(low, '\\s+'), w -> w <> ''))
+                       AS BIGINT) AS n_words,
+                     CAST(greatest(len(regexp_extract_all(low, '[.!?]+')),
+                                   1) AS BIGINT) AS n_sentences,
+                     CAST(len(regexp_extract_all(low, '[aeiouy]+'))
+                       AS BIGINT) AS n_syllables
+              FROM pages
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                     round(206.835
+                           - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+                           - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE),
+                           6)
+                   END AS flesch
+            FROM cnts
+        """,
+        "zipf_fit": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            cnt AS (
+              SELECT t AS token, count(*) AS n
+              FROM (SELECT unnest(ts) AS t FROM toks)
+              GROUP BY t
+            ),
+            totals AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(n) AS BIGINT) AS n_tokens
+              FROM cnt
+            ),
+            top AS (
+              SELECT n,
+                     row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+              FROM cnt ORDER BY n DESC, token ASC LIMIT 200
+            ),
+            pts AS (
+              SELECT ln(CAST(rk AS DOUBLE)) AS x,
+                     ln(CAST(n AS DOUBLE)) AS y
+              FROM top
+            ),
+            sums AS (
+              SELECT CAST(count(*) AS DOUBLE) AS r,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM pts
+            )
+            SELECT n_types, n_tokens,
+                   round((sxy - sx * sy / r) / (sxx - sx * sx / r), 9)
+                     AS slope,
+                   round((sy - ((sxy - sx * sy / r) / (sxx - sx * sx / r))
+                              * sx) / r, 9) AS intercept,
+                   round(CASE WHEN (syy - sy * sy / r) > 0 THEN
+                       ((sxy - sx * sy / r) * (sxy - sx * sy / r))
+                       / ((sxx - sx * sx / r) * (syy - sy * sy / r))
+                     ELSE 1.0 END, 9) AS r2
+            FROM totals, sums
+        """,
+        "tokenizer_fertility": """
+            WITH aug AS (
+              SELECT lang,
+                     text ||
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       ' v' || CAST(doc_id % 97 AS VARCHAR) || '.2!'
+                     ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       ' it''s 2024, e.g. $4,096...'
+                     ELSE '' END AS t
+              FROM documents
+            ),
+            agg AS (
+              SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(list_filter(
+                       string_split_regex(lower(t), '[^a-z0-9]+'),
+                       x -> x <> ''))) AS BIGINT) AS n_words,
+                     CAST(sum(len(regexp_extract_all(lower(t),
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                     ))) AS BIGINT) AS n_pieces,
+                     CAST(sum(len(t)) AS BIGINT) AS n_chars
+              FROM aug GROUP BY lang
+            )
+            SELECT lang, n_docs, n_words, n_pieces,
+                   round(CASE WHEN n_words > 0
+                              THEN n_pieces::DOUBLE / n_words::DOUBLE END, 9)
+                     AS fertility,
+                   round(CASE WHEN n_pieces > 0
+                              THEN n_chars::DOUBLE / n_pieces::DOUBLE END, 9)
+                     AS chars_per_piece
+            FROM agg
+        """,
+        "canary_scan": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 23 = 0 THEN
+                       ' CANARY-' || substr(md5(CAST(
+                         CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)), 1, 8)
+                     ELSE '' END ||
+                     CASE WHEN doc_id % 46 = 0 THEN
+                       ' CANARY-' || substr(md5(CAST(
+                         CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)), 1, 8)
+                     ELSE '' END AS t
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(t, 'CANARY-[0-9a-f]{8}'))
+                       AS canary
+              FROM aug
+            )
+            SELECT canary,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM hits GROUP BY canary
+        """,
         # bloom_dedup is EXACT by construction, so the oracle is the
         # plain anti-join the Bloom path must equal
         "bloom_dedup": """

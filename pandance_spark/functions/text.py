@@ -11,8 +11,10 @@ via ``theta_join`` (e.g. substring containment,
 
 from __future__ import annotations
 
+import math
 
-from pyspark.sql import Column
+
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -1303,3 +1305,293 @@ def word_shingle_hashes(text: Column, n: int = 3) -> Column:
             ),
         )
     return F.filter(acc, lambda x: x.isNotNull())
+
+
+# --- corpus statistics for training-data panels --------------------------
+# Per-document information signals (entropy, readability) plus
+# corpus-level distribution fits (Zipf) and tokenizer-efficiency
+# metrics — the quality/quantity dashboard a data pipeline reads before
+# committing a crawl slice to a training mix.
+
+
+def char_entropy(text: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the classic cheap junk detector: base64 blobs and
+    minified code score high, template spam and repeated-char padding
+    score low.
+
+    Per-row, zero shuffle: sort the char array, then ONE aggregate
+    fold accumulates ``Σ run·ln(run)`` over runs of equal neighbors
+    (run lengths ARE the character counts), and
+    ``H = (ln n − Σ run·ln(run)/n) / ln 2``.  No explode — the 100 TB
+    cost is O(chars log chars) per row inside whole-stage codegen,
+    same shape as :func:`longest_equal_run`.  Engine-portable: any
+    replay computing per-char counts gets the identical formula
+    (callers should round, 6 dp convention).  Empty/NULL text → 0.0.
+    """
+    s = F.array_sort(F.split(text, ""))
+    n = F.size(s)
+    fold = F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when((x == acc["prev"]) & (acc["run"] > 0), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(
+                (x == acc["prev"]) & (acc["run"] > 0), acc["acc"]
+            )
+            .otherwise(
+                acc["acc"]
+                + F.when(
+                    acc["run"] > 0,
+                    acc["run"].cast("double")
+                    * F.log(acc["run"].cast("double")),
+                ).otherwise(F.lit(0.0))
+            )
+            .alias("acc"),
+        ),
+        lambda acc: acc["acc"]
+        + F.when(
+            acc["run"] > 0,
+            acc["run"].cast("double") * F.log(acc["run"].cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    nd = n.cast("double")
+    return F.when(
+        n > 0, (F.log(nd) - fold / nd) / F.lit(math.log(2.0))
+    ).otherwise(F.lit(0.0))
+
+
+def with_char_entropy(
+    df, text_col: str, out_col: str = "entropy_bits", dp: int = 6
+):
+    """Staged df-level form of :func:`char_entropy` for hot paths: the
+    per-row entropy expression references its sorted char array from
+    several subtrees (size guard + fold), and lambda-bearing trees are
+    exempt from CSE — unstaged, the split+sort evaluates PER REFERENCE
+    (the stage_expr lesson).  Here the (n, Σ run·ln run) pair is
+    computed by ONE fold materialized once behind a Generate barrier;
+    the final projection is arithmetic over the staged struct."""
+    from pandance_spark._kernel import stage_expr
+
+    s = F.array_sort(F.split(F.col(text_col), ""))
+    fold = F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when((x == acc["prev"]) & (acc["run"] > 0), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            (acc["cnt"] + 1).alias("cnt"),
+            F.when((x == acc["prev"]) & (acc["run"] > 0), acc["acc"])
+            .otherwise(
+                acc["acc"]
+                + F.when(
+                    acc["run"] > 0,
+                    acc["run"].cast("double")
+                    * F.log(acc["run"].cast("double")),
+                ).otherwise(F.lit(0.0))
+            )
+            .alias("acc"),
+        ),
+        lambda acc: F.struct(
+            acc["cnt"].alias("n"),
+            (
+                acc["acc"]
+                + F.when(
+                    acc["run"] > 0,
+                    acc["run"].cast("double")
+                    * F.log(acc["run"].cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).alias("tot"),
+        ),
+    )
+    staged = stage_expr(df, fold, "__ent")
+    st = F.col("__ent")
+    nd = st["n"].cast("double")
+    h = F.when(
+        st["n"] > 0,
+        (F.log(nd) - st["tot"] / nd) / F.lit(math.log(2.0)),
+    ).otherwise(F.lit(0.0))
+    return staged.withColumn(out_col, F.round(h, dp)).drop("__ent")
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease (Flesch 1948): ``206.835 − 1.015·(words /
+    sentences) − 84.6·(syllables / words)``.  Words are whitespace
+    tokens, sentences are runs of terminal punctuation ``[.!?]+``
+    (floored at 1), and syllables use the standard vowel-group
+    heuristic — each maximal ``[aeiouy]+`` run in the lowercased text
+    counts one syllable (runs never span words: separators are
+    non-vowels, so the whole-text count equals the per-word sum).
+
+    Pure Column expression (three regex counts), map-only, and every
+    regex is RE2-portable for independent replay.  Tokenless text →
+    NULL (no words to score).
+    """
+    low = F.lower(text)
+    words = F.size(
+        F.filter(F.split(low, r"\s+"), lambda w: w != F.lit(""))
+    ).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(low, F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("double")
+    return F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words),
+    )
+
+
+def zipf_fit(df, text_col: str, top_r: int = 200):
+    """Least-squares fit of the corpus' token frequency distribution to
+    Zipf's law: regress ``ln(freq)`` on ``ln(rank)`` over the top
+    ``top_r`` token types and return ONE row ``(n_types, n_tokens,
+    slope, intercept, r2)`` (9 dp).  A healthy natural-language corpus
+    sits near slope −1; template/boilerplate corpora flatten, spam
+    steepens — the one-number drift check before a mix update.
+
+    Shape: one explode → token hash-aggregate (map-side combine: the
+    shuffle carries one partial per distinct token per partition, never
+    raw tokens), a TakeOrdered ``top_r`` cut (count desc, token asc —
+    deterministic at ties), then the closed-form OLS sums over top_r
+    rows.  The regression itself is a second tiny aggregate — nothing
+    corpus-sized crosses the wire after the first combine.
+    """
+    if top_r < 2:
+        raise ValueError("top_r must be >= 2")
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.agg(
+        F.count("*").alias("n_types"), F.sum("n").alias("n_tokens")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(
+        int(top_r)
+    )
+    ranked = top.select(
+        F.log(
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("n").desc(), F.col("token").asc())
+            )
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    fit = ranked.agg(
+        F.count("*").cast("double").alias("r"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r, sx, sy = F.col("r"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") - sx * sy / r
+    varx = F.col("sxx") - sx * sx / r
+    vary = F.col("syy") - sy * sy / r
+    return totals.crossJoin(fit).select(
+        "n_types",
+        "n_tokens",
+        F.round(cov / varx, 9).alias("slope"),
+        F.round((sy - (cov / varx) * sx) / r, 9).alias("intercept"),
+        F.round(
+            F.when(vary > 0, (cov * cov) / (varx * vary)).otherwise(
+                F.lit(1.0)
+            ),
+            9,
+        ).alias("r2"),
+    )
+
+
+def tokenizer_fertility(df, text_col: str, group_col: str):
+    """Tokenizer-efficiency report per ``group_col`` (typically
+    language): ``(group, n_docs, n_words, n_pieces, fertility,
+    chars_per_piece)`` where pieces are the GPT-2 pre-tokenizer count
+    (:func:`bpe_token_count`) and ``fertility = pieces/word`` — THE
+    number multilingual tokenizer audits compare across languages
+    (high-fertility languages pay more sequence length per word).
+    9 dp; one map-side-combinable aggregate, no explode.
+    """
+    t = F.col(text_col)
+    agg = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(t).cast("long")).alias("n_words"),
+            F.sum(bpe_token_count(t).cast("long")).alias("n_pieces"),
+            F.sum(F.length(t).cast("long")).alias("n_chars"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_pieces") / F.col("n_words"),
+            ),
+            9,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_pieces") > 0,
+                F.col("n_chars") / F.col("n_pieces"),
+            ),
+            9,
+        ).alias("chars_per_piece"),
+    )
+
+
+def canary_scan(df, id_col: str, text_col: str, pattern: str):
+    """Dataset-canary sweep: find every match of ``pattern`` (a
+    RE2-portable regex for planted canary strings / GUIDs) across the
+    corpus and aggregate per canary value: ``(canary, n_docs, n_hits,
+    first_doc, last_doc)``.  The eval-leak / memorization audit — run
+    it before AND after dedup to prove planted canaries survive or die
+    as intended.
+
+    Scan shape: regexp_extract_all per row (map-only over the scan,
+    multiple hits per doc all kept), explode only MATCHES (canary hits
+    are rare — the exploded stream is tiny), then one aggregate.
+    Canary-free rows are filtered before the explode, so the shuffle
+    carries hits only.
+    """
+    hits = df.select(
+        F.col(id_col).alias("__doc"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(pattern), F.lit(0)
+        ).alias("__m"),
+    ).filter(F.size("__m") > 0)
+    return (
+        hits.select("__doc", F.explode("__m").alias("canary"))
+        .groupBy("canary")
+        .agg(
+            F.count_distinct("__doc").alias("n_docs"),
+            F.count("*").alias("n_hits"),
+            F.min("__doc").alias("first_doc"),
+            F.max("__doc").alias("last_doc"),
+        )
+    )

@@ -892,3 +892,107 @@ def test_c4_clean_badwords_with_regex_metachars(spark):
     }
     assert out[1]["c4_drop_reason"] == "bad_words"
     assert out[2]["c4_keep"]
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import char_entropy
+
+    rows = [(1, "aabb"), (2, "abcd"), (3, ""), (4, "aaaa"),
+            (5, None), (6, "aab")]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", F.round(char_entropy(F.col("t")), 9).alias("h")
+        ).collect()
+    }
+    assert got[1] == 1.0  # two symbols, equal
+    assert got[2] == 2.0  # four distinct
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert got[5] == 0.0  # NULL text -> size=-1 guard -> 0.0
+    # H(2/3, 1/3)
+    exp = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(got[6] - exp) < 1e-9
+
+
+def test_flesch_reading_ease_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import flesch_reading_ease
+
+    # 6 words, 2 sentences, syllable runs counted by vowel groups
+    txt = "the cat sat down. the dog ran!"
+    df = spark.createDataFrame([(txt,), ("",), (None,)], "t string")
+    vals = [
+        r["f"]
+        for r in df.select(
+            F.round(flesch_reading_ease(F.col("t")), 6).alias("f")
+        ).collect()
+    ]
+    words, sents = 7.0, 2.0
+    # vowel groups: e,a,a,o(down? d-o-w-n: 'o')... count directly
+    import re
+
+    syl = len(re.findall(r"[aeiouy]+", txt.lower()))
+    exp = round(206.835 - 1.015 * (words / sents) - 84.6 * (syl / words), 6)
+    assert vals[0] == exp
+    assert vals[1] is None and vals[2] is None  # no words -> NULL
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """A corpus built to be exactly Zipfian (freq = 240/rank for ranks
+    1..6) must fit slope -1 with r2 ~ 1."""
+    from pandance_spark.functions.text import zipf_fit
+
+    words = []
+    for rank, w in enumerate(["aa", "bb", "cc", "dd", "ee", "ff"], 1):
+        words += [w] * (240 // rank)
+    # spread across rows so the aggregate actually combines
+    rows = [(i, " ".join(words[i::10])) for i in range(10)]
+    df = spark.createDataFrame(rows, "i long, t string")
+    r = zipf_fit(df, "t", top_r=6).collect()[0]
+    assert r["n_types"] == 6
+    assert abs(r["slope"] + 1.0) < 0.02, r["slope"]
+    assert r["r2"] > 0.999
+
+
+def test_tokenizer_fertility_and_canary(spark):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import canary_scan, tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(1, "en", "it's $4,096 now."), (2, "en", "plain words here"),
+         (3, "de", "drei worte hier")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["lang"]: r for r in tokenizer_fertility(df, "text", "lang").collect()}
+    # tokenize splits on [^a-z0-9]+: it|s|4|096|now = 5 words + 3 = 8;
+    # pre-tokenizer pieces: it|'s| $|4|,|096| now|. = 8 + 3 = 11
+    assert got["en"]["n_words"] == 8 and got["en"]["n_pieces"] == 11
+    assert got["de"]["fertility"] == 1.0
+    c = canary_scan(
+        df.select("doc_id", F.concat("text", F.lit(" CANARY-deadbeef")).alias("text")),
+        "doc_id", "text", "CANARY-[0-9a-f]{8}",
+    ).collect()
+    assert len(c) == 1 and c[0]["n_docs"] == 3 and c[0]["n_hits"] == 3
+    assert c[0]["first_doc"] == 1 and c[0]["last_doc"] == 3
+
+
+def test_with_char_entropy_matches_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.functions.text import char_entropy, with_char_entropy
+
+    rows = [(i, t) for i, t in enumerate(
+        ["aabb", "abcd", "", None, "mississippi", "aab", "zz  zz!"])]
+    df = spark.createDataFrame(rows, "i long, t string")
+    a = {r["i"]: r["entropy_bits"]
+         for r in with_char_entropy(df, "t", dp=9).collect()}
+    b = {r["i"]: r["h"]
+         for r in df.select("i", F.round(char_entropy(F.col("t")), 9).alias("h")).collect()}
+    assert a == b, (a, b)
