@@ -4512,6 +4512,35 @@ def _q_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (operators/rollup.py build_cms /
+    cms_lookup — Cormode & Muthukrishnan 2005): a 4x64 sketch over
+    events.user_id (width 64 forces real collisions at this scale),
+    probed for the exact top-15 users.  The one-sided guarantee
+    (est_n >= exact_n, overcount >= 0) is visible in the result; the
+    oracle replays the md5 row hashing, the counter grid, and the
+    min-of-4 probe.  Sketch-sized shuffle on build, broadcast hash
+    probe on lookup."""
+    from pandance_spark.operators.rollup import build_cms, cms_lookup
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    sk = build_cms(ev, "user_id", depth=4, width=64)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(15)
+    )
+    est = cms_lookup(sk, exact, "user_id", depth=4, width=64)
+    return est.select(
+        "user_id",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -4577,6 +4606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": _q_zipf_fit,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "canary_scan": _q_canary_scan,
+        "cms_heavy": _q_cms_heavy,
         # backfill: one-green r8 rows holding the remaining slots for a
         # 2nd green until r9 builds displace them
         "script_detect": _q_script_detect,
@@ -5608,6 +5638,36 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc,
                    max(doc_id) AS last_doc
             FROM hits GROUP BY canary
+        """,
+        "cms_heavy": """
+            WITH vals AS (
+              SELECT user_id FROM events WHERE user_id IS NOT NULL
+            ),
+            probes AS (
+              SELECT user_id, t.r,
+                     CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                       || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 64 AS c
+              FROM (SELECT DISTINCT user_id FROM vals) u,
+                   range(4) t(r)
+            ),
+            sketch AS (
+              SELECT p.r, p.c, CAST(count(*) AS BIGINT) AS cnt
+              FROM vals v JOIN probes p ON v.user_id = p.user_id
+              GROUP BY p.r, p.c
+            ),
+            exact AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+              FROM vals GROUP BY user_id
+              ORDER BY exact_n DESC, user_id ASC LIMIT 15
+            )
+            SELECT e.user_id, e.exact_n,
+                   min(s.cnt) AS est_n,
+                   min(s.cnt) - e.exact_n AS overcount
+            FROM exact e
+            JOIN probes p ON p.user_id = e.user_id
+            JOIN sketch s ON s.r = p.r AND s.c = p.c
+            GROUP BY e.user_id, e.exact_n
         """,
         # bloom_dedup is EXACT by construction, so the oracle is the
         # plain anti-join the Bloom path must equal

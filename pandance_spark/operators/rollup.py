@@ -51,6 +51,9 @@ __all__ = [
     "build_rollup_bottomk",
     "merge_rollup_bottomk",
     "finalize_rollup_bottomk",
+    "build_cms",
+    "merge_cms",
+    "cms_lookup",
     "fill_gaps",
 ]
 
@@ -652,3 +655,122 @@ def fill_gaps(
     else:
         out = out.withColumn("value", F.col("__obs"))
     return out.select("bucket", *keys, "value", "is_filled")
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) ----------------------
+# Fourth member of the mergeable-sketch-partial family (sums /
+# histogram / HLL / KMV above): fixed d x w counter grid supporting
+# point-frequency queries with one-sided error — estimates never
+# undercount, and overshoot is bounded by e/w * N with probability
+# 1 - e^-d.  The sketch a 100 TB pipeline keeps per shard to answer
+# "how often did THIS url/user/token appear" without a per-key table:
+# partials are plain (row, col, cnt) rows, merge is counter addition
+# (exact, associative, order-independent), so shards build locally and
+# the union reduces map-side.
+
+
+def _cms_hash(col: Column, row: int, width: int, portable: bool = True) -> Column:
+    """Bucket of ``col`` under hash-row ``row``: md5 over
+    ``'<row>:' || value`` (portable — DuckDB replays it as
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) % width``), or
+    seeded xxhash64 when portability doesn't matter."""
+    if not portable:
+        return F.pmod(F.xxhash64(F.lit(row), col), F.lit(int(width)))
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(int(width)),
+    )
+
+
+def _check_cms_shape(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+
+
+def build_cms(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-Min sketch of ``df[value_col]`` frequencies as a
+    ``(row, col, cnt)`` DataFrame (NULLs excluded; at most
+    ``depth * width`` rows).
+
+    Plan shape: each input row contributes ``depth`` (row, bucket)
+    pairs via ONE inline posexplode over the per-row hash array, then
+    a hash aggregate — map-side partial combine collapses every input
+    partition to at most ``depth * width`` partial counters before the
+    shuffle, so shuffle volume is sketch-sized, never data-sized.  The
+    one-sided guarantee (est >= true; P[est > true + e/w * N] < e^-d)
+    and exact mergeability are pinned by tests.
+    """
+    _check_cms_shape(depth, width)
+    v = F.col(value_col)
+    hashes = F.array(
+        *[_cms_hash(v, r, width, portable) for r in range(depth)]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.posexplode(hashes).alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def merge_cms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS partials built with the SAME (depth, width,
+    portable) parameters: counter addition — exact and associative, so
+    ``merge(build(x), build(y)) == build(x UNION ALL y)`` bit-for-bit
+    (pinned by unit test).  Shapes are not re-validated here; mixing
+    sketches of different geometry is a caller error."""
+    return (
+        a.select("row", "col", "cnt")
+        .unionAll(b.select("row", "col", "cnt"))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    portable: bool = True,
+) -> DataFrame:
+    """Point-frequency estimates for ``items[value_col]``: each item
+    probes its ``depth`` counters and takes the MIN (missing counter =
+    0 — the value hashed to a cell nothing ever incremented).  Adds
+    ``est_n`` (long) to the item rows.
+
+    Spark-first: the probe is an equi-join on (row, col) against the
+    sketch — at most ``depth * width`` rows, hinted broadcast, so the
+    lookup is a map-side hash probe with zero shuffle of the item
+    stream no matter how large it is."""
+    _check_cms_shape(depth, width)
+    v = F.col(value_col)
+    hashes = F.array(
+        *[_cms_hash(v, r, width, portable) for r in range(depth)]
+    )
+    probes = items.select(
+        "*", F.posexplode(hashes).alias("__row", "__col")
+    )
+    joined = probes.join(
+        F.broadcast(sketch.select("row", "col", "cnt")),
+        (F.col("__row") == F.col("row")) & (F.col("__col") == F.col("col")),
+        "left",
+    )
+    others = [c for c in items.columns]
+    return (
+        joined.groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )

@@ -43,6 +43,8 @@ __all__ = [
     "stream_rollup_sink",
     "stream_rollup_hist_sink",
     "stream_rollup_bottomk_sink",
+    "stream_cms_sink",
+    "read_cms",
     "stream_upsert_sink",
     "stream_scd2_sink",
     "streaming_similarity_join",
@@ -1462,3 +1464,69 @@ def streaming_robots_router(
     return stream.withColumn(
         "allowed", F.coalesce(win["allow"] == 1, F.lit(True))
     ).withColumn("rule_path", win["path"])
+
+
+def stream_cms_sink(
+    events: DataFrame,
+    path: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+    portable: bool = True,
+    num_buckets: int = 4,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Maintain a Count-Min sketch from a stream — the streaming
+    composition of :func:`~pandance_spark.operators.rollup.build_cms`
+    with the replay-guarded partitioned sink machinery of
+    :func:`stream_rollup_sink`.  The target at ``path`` stores the
+    counter grid as ``(bucket=row, col, cnt)`` rows (``read_cms``
+    restores the ``(row, col, cnt)`` shape :func:`~pandance_spark.
+    operators.rollup.cms_lookup` expects), partitioned by
+    ``__bucket = pmod(xxhash64(row, col), num_buckets)``.
+
+    Each micro-batch reduces itself to at most ``depth * width``
+    partial counters map-side before any I/O; counter addition is the
+    merge, so the stored sketch equals the batch-built sketch over the
+    whole history bit-for-bit (streaming-parity case), and the rollup
+    sink's per-partition batch-id stamp makes redelivery heal rather
+    than double-count — the same exactly-once argument as
+    ``stream_rollup_sink``."""
+    from pandance_spark.operators.rollup import build_cms
+
+    def build_fn(batch, _tc, _ws, _keys, vc):
+        return build_cms(batch, vc, depth, width, portable).withColumnRenamed(
+            "row", "bucket"
+        )
+
+    def merge_fn(a, b):
+        return (
+            a.unionAll(b)
+            .groupBy("bucket", "col")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    handle_batch = _rollup_batch_handler(
+        path,
+        "__unused_time",
+        1,
+        ["col"],
+        value_col,
+        num_buckets,
+        build_fn,
+        merge_fn,
+        ["cnt"],
+    )
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
+    )
+    return writer
+
+
+def read_cms(spark, path: str) -> DataFrame:
+    """Read a :func:`stream_cms_sink` target back as the ``(row, col,
+    cnt)`` grid ``cms_lookup`` consumes."""
+    return spark.read.parquet(path).select(
+        F.col("bucket").alias("row"), "col", "cnt"
+    )

@@ -1476,6 +1476,53 @@ WHERE NOT EXISTS (
            note="stateless crawl-policy routing == batch robots_filter "
                 "== DuckDB longest-match replay (fixture rules)")
 
+    # ------------------------------------------------------------------
+    # 20. stream_cms_sink (r9): continuously maintained Count-Min
+    # sketch == batch build_cms over the whole history == DuckDB md5
+    # grid replay; counter addition is exact, and the rollup sink's
+    # replay guard is exercised by the shared handler (case 12)
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.rollup import build_cms
+    from pandance_spark.streaming import read_cms, stream_cms_sink
+
+    ev20 = ev_batch.select("user_id", "ts").filter(
+        F.col("user_id").isNotNull()
+    )
+    src20 = os.path.join(tmp, "cms_src")
+    ev20.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(src20)
+    ev20.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src20)
+    tgt20 = os.path.join(tmp, "cms_tgt")
+    stream20 = spark.readStream.schema(ev20.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src20)
+    q20 = stream_cms_sink(
+        stream20, tgt20, "user_id", depth=4, width=64, num_buckets=4
+    ).start()
+    try:
+        q20.processAllAvailable()
+    finally:
+        q20.stop()
+    cols = ["row", "col", "cnt"]
+    s20 = canon_rows(read_cms(spark, tgt20).collect(), cols)
+    b20 = canon_rows(
+        build_cms(ev20, "user_id", depth=4, width=64).collect(), cols
+    )
+    d20 = canon_rows(duck_rows(con.sql("""
+        SELECT t.r AS "row",
+               CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':'
+                 || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64
+                 AS col,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events, range(4) t(r)
+        WHERE user_id IS NOT NULL
+        GROUP BY 1, 2
+    """)), cols)
+    record("stream_cms_sink", "duckdb", s20, b20, d20,
+           note="maintained Count-Min grid == batch build_cms == "
+                "DuckDB md5 hash-grid replay (counter addition exact)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

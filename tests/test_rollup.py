@@ -312,3 +312,57 @@ def test_bottomk_k_mismatch_fails_fast(spark):
         merge_rollup_bottomk(sk, sk, k=64).collect()
     # matching k still fine
     assert finalize_rollup_bottomk(sk, k=16).collect()[0]["distinct_est"] > 0
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """Count-Min guarantees: estimates NEVER undercount; merge of
+    split builds equals the whole-data build bit-for-bit; an unseen
+    value may overcount but never errors."""
+    from pyspark.sql import functions as F
+
+    from pandance_spark.operators.rollup import (
+        build_cms,
+        cms_lookup,
+        merge_cms,
+    )
+
+    rows = [(i, f"u{i % 13}") for i in range(400)] + [(900, None)]
+    df = spark.createDataFrame(rows, "i long, v string")
+    D, W = 3, 8  # narrow grid -> guaranteed collisions
+    sk = build_cms(df, "v", depth=D, width=W)
+    grid = sk.collect()
+    assert all(0 <= r["col"] < W and 0 <= r["row"] < D for r in grid)
+    # total per hash row == number of non-null inputs
+    per_row = {r["row"]: 0 for r in grid}
+    for r in grid:
+        per_row[r["row"]] += r["cnt"]
+    assert all(v == 400 for v in per_row.values()), per_row
+    exact = (
+        df.filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    est = cms_lookup(sk, exact, "v", depth=D, width=W).collect()
+    assert est and all(r["est_n"] >= r["n"] for r in est)
+    # unseen value: est >= 0, never an error or NULL
+    probe = spark.createDataFrame([("never-seen",)], "v string")
+    e = cms_lookup(sk, probe, "v", depth=D, width=W).collect()[0]
+    assert e["est_n"] is not None and e["est_n"] >= 0
+    # exact mergeability
+    m = merge_cms(
+        build_cms(df.filter(F.col("i") % 2 == 0), "v", D, W),
+        build_cms(df.filter(F.col("i") % 2 == 1), "v", D, W),
+    )
+    assert sorted(map(tuple, m.collect())) == sorted(map(tuple, grid))
+
+
+def test_cms_shape_validation(spark):
+    import pytest
+
+    from pandance_spark.operators.rollup import build_cms
+
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        build_cms(df, "v", depth=0)
+    with pytest.raises(ValueError):
+        build_cms(df, "v", width=1)
