@@ -4541,6 +4541,69 @@ def _q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus planted near-duplicates: every vec_id%25==0 row
+    re-appears as (vec_id+100000, embedding*0.97) — same direction, so
+    cosine ~ 1 and the pair must be found; random 64-d pairs sit near
+    cos ~ N(0, 1/8) and must not."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.97)).alias(
+            "embedding"
+        ),
+    )
+    return emb.select("vec_id", "embedding").unionAll(dups)
+
+
+def _q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd step (operators/similarity.py
+    hash_seed_centroids + kmeans_update_exact): md5-order centroid
+    seeding (engine-replayable 'random' init), integer micro-unit
+    argmin assignment (first-min tie rule — no float argmin ties),
+    and the update aggregate — per cluster n, EXACT integer inertia,
+    and the new centroid as rounded micro-unit CSV.  Map-only assign
+    (centroids ride as one constant-folded literal), one combine-
+    friendly aggregate; the corpus never shuffles to be assigned."""
+    from pandance_spark.operators.similarity import (
+        hash_seed_centroids,
+        kmeans_update_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = hash_seed_centroids(emb, "vec_id", "embedding", 64, 8)
+    return kmeans_update_exact(emb, "vec_id", "embedding", centers).select(
+        "cluster",
+        "n_vecs",
+        # long for the driver contract (the operator keeps decimal;
+        # exact at any tested SF — 5e13 at sf0.1 vs 9.2e18 capacity)
+        F.col("inertia").cast("long").alias("inertia"),
+        "mean_q_csv",
+    )
+
+
+def _q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/similarity.py semdedup_pairs — Abbas et al.
+    2023): cluster with the exact k-means step, then find near-
+    duplicate pairs WITHIN clusters by integer-exact cosine test
+    (den²·dot² > num²·|a|²·|b|², all int128-range decimals — no sqrt,
+    no float ties).  The corpus carries planted scaled copies
+    (cos ~ 1) that must all surface; pair work is per-cluster, never
+    corpus-all-pairs.  The oracle replays seeding, assignment, and
+    the decimal comparison in DuckDB HUGEINT."""
+    from pandance_spark.operators.similarity import (
+        hash_seed_centroids,
+        semdedup_pairs,
+    )
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    centers = hash_seed_centroids(corpus, "vec_id", "embedding", 64, 8)
+    return semdedup_pairs(
+        corpus, "vec_id", "embedding", centers, threshold_num=9,
+        threshold_den=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -4607,6 +4670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": _q_tokenizer_fertility,
         "canary_scan": _q_canary_scan,
         "cms_heavy": _q_cms_heavy,
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_prune": _q_semdedup_prune,
         # backfill: one-green r8 rows holding the remaining slots for a
         # 2nd green until r9 builds displace them
         "script_detect": _q_script_detect,
@@ -5668,6 +5733,112 @@ def oracle_sql() -> dict[str, str]:
             JOIN probes p ON p.user_id = e.user_id
             JOIN sketch s ON s.r = p.r AND s.c = p.c
             GROUP BY e.user_id, e.exact_n
+        """,
+        # exact k-means step: md5-order seeding, integer micro-unit
+        # argmin (first-min tie), exact inertia, rounded-mean CSV
+        "kmeans_assign": """
+            WITH q AS (
+              SELECT vec_id,
+                     [CAST(round(x::DOUBLE * 1048576.0) AS BIGINT)
+                      for x in embedding] AS q
+              FROM embeddings WHERE len(embedding) = 64
+            ),
+            ranked AS (
+              SELECT q, CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) AS h,
+                     vec_id
+              FROM q ORDER BY h, vec_id LIMIT 8
+            ),
+            cents AS (SELECT list(q ORDER BY h, vec_id) AS cs FROM ranked),
+            assigned AS (
+              SELECT vec_id, q.q,
+                     list_transform(c.cs, ctr -> list_sum(
+                       list_transform(range(1, 65),
+                         i -> (q.q[i] - ctr[i]) * (q.q[i] - ctr[i]))))
+                       AS ds
+              FROM q, cents c
+            ),
+            cl AS (
+              SELECT vec_id, q,
+                     CAST(list_position(ds, list_min(ds)) - 1 AS INT)
+                       AS cluster,
+                     list_min(ds) AS dmin
+              FROM assigned
+            ),
+            agg AS (
+              SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(sum(dmin) AS BIGINT) AS inertia
+              FROM cl GROUP BY cluster
+            ),
+            dims AS (
+              SELECT cluster, e.idx AS idx, sum(e.x) AS s
+              FROM (
+                SELECT cluster,
+                       unnest(list_transform(q,
+                         (x, i) -> struct_pack(idx := i, x := x))) AS e
+                FROM cl
+              ) GROUP BY cluster, e.idx
+            ),
+            means AS (
+              SELECT d.cluster,
+                     string_agg(CAST(CAST(round(d.s::DOUBLE / a.n_vecs)
+                                          AS BIGINT) AS VARCHAR),
+                                ',' ORDER BY d.idx) AS mean_q_csv
+              FROM dims d JOIN agg a ON d.cluster = a.cluster
+              GROUP BY d.cluster
+            )
+            SELECT a.cluster, a.n_vecs, a.inertia, m.mean_q_csv
+            FROM agg a JOIN means m ON a.cluster = m.cluster
+        """,
+        # SemDeDup: cluster assignment replayed, then the integer-exact
+        # cosine gate in HUGEINT (dot>0 and den^2 dot^2 > num^2 na nb)
+        "semdedup_prune": """
+            WITH corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding, x -> x * 0.97)
+              FROM embeddings WHERE vec_id % 25 = 0
+            ),
+            q AS (
+              SELECT vec_id,
+                     [CAST(round(x * 1048576.0) AS BIGINT)
+                      for x in v] AS q
+              FROM corpus WHERE len(v) = 64
+            ),
+            ranked AS (
+              SELECT q, CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) AS h,
+                     vec_id
+              FROM q ORDER BY h, vec_id LIMIT 8
+            ),
+            cents AS (SELECT list(q ORDER BY h, vec_id) AS cs FROM ranked),
+            cl AS (
+              SELECT vec_id, q.q,
+                     CAST(list_position(
+                       list_transform(c.cs, ctr -> list_sum(
+                         list_transform(range(1, 65),
+                           i -> (q.q[i] - ctr[i]) * (q.q[i] - ctr[i])))),
+                       list_min(
+                         list_transform(c.cs, ctr -> list_sum(
+                           list_transform(range(1, 65),
+                             i -> (q.q[i] - ctr[i]) * (q.q[i] - ctr[i])))))
+                     ) - 1 AS INT) AS cluster,
+                     CAST(list_sum(list_transform(q.q, x -> x * x))
+                       AS HUGEINT) AS n2
+              FROM q, cents c
+            )
+            SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cl a JOIN cl b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE (SELECT 1) IS NOT NULL
+              AND CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.q[i] * b.q[i])) AS HUGEINT) > 0
+              AND CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.q[i] * b.q[i])) AS HUGEINT)
+                  * CAST(list_sum(list_transform(range(1, 65),
+                    i -> a.q[i] * b.q[i])) AS HUGEINT) * 100
+                  > a.n2 * b.n2 * 81
         """,
         # bloom_dedup is EXACT by construction, so the oracle is the
         # plain anti-join the Bloom path must equal

@@ -616,3 +616,271 @@ def ann_ivf_search(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- exact-arithmetic k-means + SemDeDup ----------------------------------
+# The curation-side clustering pair: a Lloyd assignment/update step in
+# 2^20 integer micro-units (engine-exact — the project_embedding
+# convention from functions/vectors.py) and SemDeDup (Abbas et al.
+# 2023, arXiv:2303.09540) semantic pruning WITHIN clusters.  The float
+# KMeans in ann_ivf_topk is the throughput path; this family exists
+# where replayability is the point: data-curation decisions (which
+# documents were dropped) must be reproducible bit-for-bit across
+# engines and reruns.
+
+
+def _q20(vec: Column, dim: int) -> Column:
+    """Quantize to integer micro-units with the exact-length NULL
+    guard (the project_embedding rule: wrong-length vectors poison to
+    NULL, never a silent wrong answer)."""
+    q = F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.round(x * F.lit(1048576.0)).cast("long"),
+    )
+    return F.when(F.size(q) == dim, q).otherwise(F.lit(None))
+
+
+def hash_seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int
+) -> list:
+    """Deterministic, engine-replayable centroid seeding: the ``k``
+    rows with the smallest ``(md5-hash(id), id)`` — a uniform sample
+    under a fixed hash order (the KMV argument: hash order is
+    independent of the data), so any engine with md5 picks the SAME
+    seeds.  Returns the quantized (micro-unit integer) centroid
+    vectors as a list of lists, smallest-hash first.
+
+    Driver-side collect is k rows (k ~ tens/hundreds) — index-sized,
+    never corpus-sized; the TakeOrdered cut is one pass.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.col("__id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            _q20(F.col(vec_col), dim).alias("__q"),
+        )
+        .filter(F.col("__q").isNotNull())
+        .withColumn("__h", h)
+        .orderBy("__h", "__id")
+        .limit(int(k))
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"only {len(rows)} valid vectors for k={k}")
+    return [[int(x) for x in r["__q"]] for r in rows]
+
+
+def _int_dists(q: Column, centers_q: list) -> Column:
+    """Array of EXACT integer squared distances from quantized vector
+    ``q`` to each quantized centroid.  Long arithmetic: |diff| <= 2^21
+    * max|x|, so the dim-sum stays inside int64 for |x| up to ~3e4 —
+    far beyond the micro-unit convention (enforce upstream if inputs
+    are unconventional; the decimal cast the moment sums use would
+    cost ~3x here on the k*dim hot loop)."""
+    import json
+
+    return F.transform(
+        F.from_json(
+            F.lit(json.dumps(centers_q)), "array<array<bigint>>"
+        ),
+        lambda ctr: F.aggregate(
+            F.zip_with(q, ctr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def kmeans_assign_exact(
+    df: DataFrame, id_col: str, vec_col: str, centers_q: list
+) -> DataFrame:
+    """One Lloyd ASSIGNMENT step in exact integer arithmetic:
+    ``(id, cluster, dist2)`` with ``cluster`` the first index attaining
+    the minimum squared distance (ties break to the lowest cluster id
+    — replayable, unlike float argmin whose last-ulp ties are engine
+    luck) and ``dist2`` the exact integer distance.
+
+    Map-only: the centroid table rides in as ONE constant-folded
+    from_json literal (the const_vectors trick), the corpus is never
+    shuffled to be assigned — at 100 TB this runs at scan speed.
+    Wrong-length vectors are excluded (NULL-guard rule)."""
+    dim = len(centers_q[0])
+    q = _q20(F.col(vec_col), dim)
+    staged = df.select(F.col(id_col), q.alias("__q")).filter(
+        F.col("__q").isNotNull()
+    )
+    dists = _int_dists(F.col("__q"), centers_q)
+    return (
+        staged.withColumn("__d", dists)
+        .select(
+            id_col,
+            (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(F.col("__d")).alias("dist2"),
+        )
+    )
+
+
+def kmeans_update_exact(
+    df: DataFrame, id_col: str, vec_col: str, centers_q: list
+) -> DataFrame:
+    """Assignment + one Lloyd UPDATE, all exact: per cluster
+    ``(cluster, n_vecs, inertia, mean_q_csv)`` where ``inertia`` is
+    the exact integer sum of squared distances and ``mean_q_csv`` the
+    new centroid as rounded micro-unit integers (CSV string — exact
+    decimal sums divided by n, one IEEE division + round per
+    coordinate, identical in any engine).
+
+    Shape: the map-only assignment above, then TWO combine-friendly
+    aggregates joined on the k-row cluster table: (n, inertia) over
+    the assigned rows, and the per-dimension sums over ONE posexplode
+    of the quantized vectors grouped by (cluster, dim) — dim decimal
+    partials per cluster per partition cross the wire, never vectors.
+    (An unrolled per-dim aggregate list was measured 3.5x slower in
+    BUILD alone: 64 element_at sums + 64 projections push thousands
+    of nodes through analysis.)"""
+    dim = len(centers_q[0])
+    q = _q20(F.col(vec_col), dim)
+    staged = df.select(F.col(id_col), q.alias("__q")).filter(
+        F.col("__q").isNotNull()
+    )
+    dists = _int_dists(F.col("__q"), centers_q)
+    assigned = staged.withColumn("__d", dists).select(
+        "__q",
+        (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(F.col("__d")).alias("__dist2"),
+    )
+    agg = assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("__dist2").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("inertia"),
+    )
+    dims = (
+        assigned.select("cluster", F.posexplode("__q").alias("__i", "__x"))
+        .groupBy("cluster", "__i")
+        .agg(F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"))
+    )
+    means = (
+        dims.join(agg.select("cluster", "n_vecs"), "cluster")
+        .select(
+            "cluster",
+            "__i",
+            F.round(F.col("__s").cast("double") / F.col("n_vecs"), 0)
+            .cast("long")
+            .cast("string")
+            .alias("__m"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__i", "__m"))
+                    ),
+                    lambda s: s["__m"],
+                ),
+                ",",
+            ).alias("mean_q_csv")
+        )
+    )
+    return agg.join(means, "cluster").select(
+        "cluster", "n_vecs", "inertia", "mean_q_csv"
+    )
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers_q: list,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023): within each
+    k-means cluster, the ordered pairs whose cosine exceeds
+    ``threshold_num / threshold_den`` — evaluated EXACTLY in integer
+    arithmetic: ``cos(a,b) > t``  ⇔  ``dot > 0  ∧  den² · dot² >
+    num² · |a|² · |b|²`` (all decimal(38,0); no sqrt, no floats, no
+    engine ties).  Returns ``(cluster, id_a, id_b)`` with
+    ``id_a < id_b``; the SemDeDup keeper rule (drop the higher id,
+    i.e. keep one representative per near-duplicate set) is a
+    downstream distinct on id_b.
+
+    Scale: the pair generation is an equi-join on the cluster id —
+    O(Σ s_c²) work, never corpus-all-pairs; the standard mitigation
+    for a fat cluster is recursive sub-clustering (re-run
+    kmeans_assign_exact within the cluster), which preserves
+    correctness, unlike salting (which would drop cross-salt pairs).
+    The dot/norm folds run on the quantized arrays staged ONCE per
+    side."""
+    if not (0 < threshold_num < threshold_den):
+        raise ValueError("threshold must be in (0, 1) as num/den")
+    dim = len(centers_q[0])
+    q = _q20(F.col(vec_col), dim)
+    staged = df.select(F.col(id_col), q.alias("__q")).filter(
+        F.col("__q").isNotNull()
+    )
+    dists = _int_dists(F.col("__q"), centers_q)
+    norm2 = F.aggregate(
+        F.col("__q"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: (
+            acc + v.cast("decimal(19,0)") * v.cast("decimal(19,0)")
+        ).cast("decimal(38,0)"),
+    )
+    side = staged.withColumn(
+        "cluster",
+        (
+            F.array_position(dists, F.array_min(dists)) - 1
+        ).cast("int"),
+    ).withColumn("__n2", norm2)
+    a = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__q").alias("__qa"),
+        F.col("__n2").alias("__na"),
+        "cluster",
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__q").alias("__qb"),
+        F.col("__n2").alias("__nb"),
+        "cluster",
+    )
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qa"),
+            F.col("__qb"),
+            lambda x, y: x.cast("decimal(19,0)") * y.cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, v: (acc + v).cast("decimal(38,0)"),
+    )
+    num = F.lit(int(threshold_num)).cast("decimal(38,0)")
+    den = F.lit(int(threshold_den)).cast("decimal(38,0)")
+    staged_pairs = pairs.withColumn("__dot", dot)
+    # EXACT decimal(38,0) comparison: for micro-unit vectors dot <=
+    # dim * (2^20 * |x|)^2 ~ 7e13 at |x|~1, so dot^2 * den^2 ~ 5e29
+    # and na*nb*num^2 ~ 4e29 — both far inside 38 digits (the bound
+    # holds to |x| ~ 1e2; beyond it Spark decimal overflow yields
+    # NULL -> the filter drops the pair rather than keeping a wrong
+    # one).  No floats anywhere in the decision.
+    d38 = "decimal(38,0)"
+    lhs = (
+        (F.col("__dot") * F.col("__dot")).cast(d38) * (den * den).cast(d38)
+    ).cast(d38)
+    rhs = (
+        (F.col("__na") * F.col("__nb")).cast(d38) * (num * num).cast(d38)
+    ).cast(d38)
+    return (
+        staged_pairs.filter((F.col("__dot") > 0) & (lhs > rhs))
+        .select("cluster", "id_a", "id_b")
+    )

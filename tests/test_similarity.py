@@ -538,3 +538,89 @@ def test_pc1_projection_large_magnitudes_exact(spark):
         dq = sum(a * b for a, b in zip(q, p))  # exact Python int
         t = (float(dq) - spmu / n) / (1048576.0 * 1.0e9)
         assert got[i] == round_half_up(t), (i, got[i], t)
+
+
+def test_kmeans_exact_family(spark):
+    """Seeding is deterministic under repartitioning; assignment is
+    exact-integer argmin with first-min ties; update means equal a
+    driver-side exact replay; semdedup finds planted scaled copies and
+    nothing below threshold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pandance_spark.operators.similarity import (
+        hash_seed_centroids,
+        kmeans_assign_exact,
+        kmeans_update_exact,
+        semdedup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(120, 16) * 0.3
+    rows = [(i, [float(v) for v in X[i]]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = hash_seed_centroids(df, "vec_id", "embedding", 16, 4)
+    C2 = hash_seed_centroids(df.repartition(7), "vec_id", "embedding", 16, 4)
+    assert C == C2
+    asg = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in kmeans_assign_exact(df, "vec_id", "embedding", C).collect()}
+    # driver-side replay
+    Q = {i: [int(round(x * 1048576.0)) for x in map(float, X[i])]
+         for i in range(120)}
+    for i, q in Q.items():
+        d = [sum((a - b) ** 2 for a, b in zip(q, c)) for c in C]
+        assert asg[i] == (d.index(min(d)), min(d)), i
+    upd = {r["cluster"]: r for r in
+           kmeans_update_exact(df, "vec_id", "embedding", C).collect()}
+    for cl, r in upd.items():
+        members = [i for i in Q if asg[i][0] == cl]
+        assert r["n_vecs"] == len(members)
+        assert int(r["inertia"]) == sum(asg[i][1] for i in members)
+        sums = [sum(Q[i][j] for i in members) for j in range(16)]
+        exp = ",".join(str(int(_round_half_away(s / len(members))))
+                       for s in sums)
+        assert r["mean_q_csv"] == exp, (cl, r["mean_q_csv"], exp)
+    # plant a scaled near-dup of row 0; no other pair crosses 0.9
+    dup = spark.createDataFrame(
+        [(999, [float(v) * 0.9 for v in X[0]])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = df.unionAll(dup)
+    C3 = hash_seed_centroids(corpus, "vec_id", "embedding", 16, 4)
+    pairs = semdedup_pairs(corpus, "vec_id", "embedding", C3, 9, 10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 999) in got
+    # verify every reported pair really clears 0.9 in exact arithmetic
+    Q[999] = [int(round(float(v) * 0.9 * 1048576.0)) for v in X[0]]
+    for a, b in got:
+        dot = sum(x * y for x, y in zip(Q[a], Q[b]))
+        na = sum(x * x for x in Q[a])
+        nb = sum(x * x for x in Q[b])
+        assert dot > 0 and 100 * dot * dot > 81 * na * nb, (a, b)
+
+
+def _round_half_away(v: float) -> int:
+    import decimal
+
+    return int(
+        decimal.Decimal(repr(v)).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def test_kmeans_validation(spark):
+    import pytest
+
+    from pandance_spark.operators.similarity import hash_seed_centroids
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        hash_seed_centroids(df, "vec_id", "embedding", 2, 0)
+    with pytest.raises(ValueError):  # only 1 valid vector for k=2
+        hash_seed_centroids(df, "vec_id", "embedding", 2, 2)
+    # wrong-length vectors are excluded, not silently mis-assigned
+    with pytest.raises(ValueError):
+        hash_seed_centroids(df, "vec_id", "embedding", 3, 1)
