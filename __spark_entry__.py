@@ -4604,6 +4604,135 @@ def _q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interleave_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB interleave (functions/split.py interleave_shards):
+    same (source_rank, order_idx) contract as interleave_sources but
+    the global row_number — the single-partition total-order cost
+    called out as the honest residual in r8's VERDICT — is replaced
+    by a closed-form index over the per-source size table (a
+    sources-sized literal).  The ORACLE replays the two-window
+    definition, so a green row PROVES closed form == total order."""
+    from pandance_spark.functions.split import interleave_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_shards(docs, "source", "doc_id")
+
+
+def _q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate in ONE pass (DataFrame
+    groupingSets — the GROUPING SETS surface beyond the existing
+    CUBE/ROLLUP rows): (event_type), (dow), (event_type, dow) and the
+    grand total, disambiguated by grouping_id.  dow is pure epoch
+    arithmetic ((epoch_day + 4) % 7 — engine-free, no locale).  One
+    shuffle; Spark expands the sets map-side."""
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    base = ev.select(
+        "event_type",
+        F.pmod(
+            F.floor(F.unix_timestamp(F.col("ts")) / 86400) + 4, F.lit(7)
+        )
+        .cast("int")
+        .alias("dow"),
+        "value",
+    )
+    return (
+        base.groupingSets(
+            [["event_type"], ["dow"], ["event_type", "dow"], []],
+            "event_type",
+            "dow",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("v_sum"),
+        )
+        .select("event_type", "dow", "gid", "n", "v_sum")
+    )
+
+
+def _q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier sweep per event type: median + MAD (median
+    absolute deviation) instead of mean/stddev — the detector heavy
+    tails can't poison (one whale user shifts a mean by sigmas but
+    moves a median one rank).  Rows with |v - median| > 5 * MAD are
+    flagged with their robust z-score.  Two tiny aggregates (exact
+    interpolated medians), each joined back broadcast — the event
+    stream is scanned twice, shuffled never."""
+    ev = spread_partitions(load_table(spark, sf_dir, "events")).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    med = ev.groupBy("event_type").agg(F.median("value").alias("__m"))
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("__m"))).alias("__mad")
+    )
+    out = j.join(F.broadcast(mad), "event_type").filter(
+        (F.col("__mad") > 0)
+        & (F.abs(F.col("value") - F.col("__m")) > 5 * F.col("__mad"))
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            F.abs(F.col("value") - F.col("__m")) / F.col("__mad"), 6
+        ).alias("robust_z"),
+    )
+
+
+def _q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the A/B panel:
+    per user a pre-metric X (even event_ids) and outcome Y (odd
+    event_ids), variant = user_id % 2; theta = cov(X,Y)/var(X) pooled
+    over ALL users, and each variant reports its raw and adjusted
+    means (mean_cuped = meanY - theta*(meanX - Xbar)).  One per-user
+    aggregate, one variant aggregate, one global-sums row joined back
+    — nothing user-level crosses the wire twice."""
+    ev = spread_partitions(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_id") % 2 == 0, F.col("value"))),
+            F.lit(0.0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_id") % 2 == 1, F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    g = per_user.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+         ).alias("__theta"),
+        (F.col("sx") / F.col("n")).alias("__xbar"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        (F.sum("x") / F.count("*")).alias("__mx"),
+        (F.sum("y") / F.count("*")).alias("__my"),
+    )
+    return per_variant.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        F.round(F.col("__my"), 6).alias("mean_y"),
+        F.round(
+            F.col("__my")
+            - F.col("__theta") * (F.col("__mx") - F.col("__xbar")),
+            6,
+        ).alias("mean_cuped"),
+        F.round(F.col("__theta"), 6).alias("theta"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -4672,6 +4801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": _q_cms_heavy,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_prune": _q_semdedup_prune,
+        "interleave_shards": _q_interleave_shards,
+        "grouping_sets_events": _q_grouping_sets_events,
+        "outliers_mad": _q_outliers_mad,
+        "ab_cuped": _q_ab_cuped,
         # backfill: one-green r8 rows holding the remaining slots for a
         # 2nd green until r9 builds displace them
         "script_detect": _q_script_detect,
@@ -5839,6 +5972,94 @@ def oracle_sql() -> dict[str, str]:
                   * CAST(list_sum(list_transform(range(1, 65),
                     i -> a.q[i] * b.q[i])) AS HUGEINT) * 100
                   > a.n2 * b.n2 * 81
+        """,
+        # closed-form interleave vs the TWO-WINDOW definition: a green
+        # row proves the sharded arithmetic equals the total order
+        "interleave_shards": """
+            WITH ranked AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id) - 1
+                       AS BIGINT) AS source_rank
+              FROM documents
+            )
+            SELECT doc_id, source, source_rank,
+                   CAST(row_number() OVER (
+                     ORDER BY source_rank, source) - 1
+                     AS BIGINT) AS order_idx
+            FROM ranked
+        """,
+        "grouping_sets_events": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                                AS BIGINT) + 4) % 7 AS INT) AS dow,
+                     value
+              FROM events
+            )
+            SELECT event_type, dow,
+                   CAST(GROUPING(event_type, dow) AS BIGINT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS v_sum
+            FROM base
+            GROUP BY GROUPING SETS ((event_type), (dow),
+                                    (event_type, dow), ())
+        """,
+        "outliers_mad": """
+            WITH ev AS (
+              SELECT event_id, event_type, value FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+            ),
+            med AS (
+              SELECT event_type, median(value) AS m
+              FROM ev GROUP BY event_type
+            ),
+            j AS (
+              SELECT ev.*, med.m FROM ev JOIN med USING (event_type)
+            ),
+            mad AS (
+              SELECT event_type, median(abs(value - m)) AS mad
+              FROM j GROUP BY event_type
+            )
+            SELECT j.event_id, j.event_type, j.value,
+                   round(abs(j.value - j.m) / mad.mad, 6) AS robust_z
+            FROM j JOIN mad USING (event_type)
+            WHERE mad.mad > 0 AND abs(j.value - j.m) > 5 * mad.mad
+        """,
+        "ab_cuped": """
+            WITH ev AS (
+              SELECT user_id, event_id, value FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+                AND NOT isnan(value)
+            ),
+            pu AS (
+              SELECT user_id,
+                     COALESCE(sum(CASE WHEN event_id % 2 = 0
+                                       THEN value END), 0.0) AS x,
+                     COALESCE(sum(CASE WHEN event_id % 2 = 1
+                                       THEN value END), 0.0) AS y,
+                     CAST(user_id % 2 AS INT) AS variant
+              FROM ev GROUP BY user_id
+            ),
+            g AS (
+              SELECT (sum(x * y) - sum(x) * sum(y)
+                        / CAST(count(*) AS DOUBLE))
+                     / (sum(x * x) - sum(x) * sum(x)
+                        / CAST(count(*) AS DOUBLE)) AS theta,
+                     sum(x) / CAST(count(*) AS DOUBLE) AS xbar
+              FROM pu
+            ),
+            pv AS (
+              SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                     sum(x) / count(*) AS mx,
+                     sum(y) / count(*) AS my
+              FROM pu GROUP BY variant
+            )
+            SELECT variant, n_users,
+                   round(my, 6) AS mean_y,
+                   round(my - g.theta * (mx - g.xbar), 6) AS mean_cuped,
+                   round(g.theta, 6) AS theta
+            FROM pv, g
         """,
         # bloom_dedup is EXACT by construction, so the oracle is the
         # plain anti-join the Bloom path must equal

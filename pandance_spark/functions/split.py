@@ -745,6 +745,61 @@ def interleave_sources(df, source_col: str, key_col: str):
     )
 
 
+def interleave_shards(df, source_col: str, key_col: str):
+    """:func:`interleave_sources` WITHOUT the global window — the
+    100 TB form its docstring promises.  Semantics are identical
+    (same ``source_rank``/``order_idx``, pinned by the oracle replay
+    of the two-window definition); the total order is computed in
+    CLOSED FORM from the per-source sizes:
+
+        order_idx(r, s) = Σ_s' min(size_s', r)          (full rounds)
+                        + |{s' < s : size_s' > r}|      (this round)
+
+    One tiny aggregate collects the per-source sizes (bounded by the
+    number of SOURCES, not rows — training mixes have tens), which
+    ride back in as a constant-folded literal; the per-row index is
+    then a pure map-side fold over that literal.  Total shuffle: the
+    per-source rank window only — the single-partition global
+    row_number that serializes interleave_sources at scale is gone.
+    """
+    import json
+
+    from pyspark.sql.window import Window
+
+    sizes = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(source_col).alias("__s"))
+        .agg(F.count("*").alias("__n"))
+        .collect()
+    }
+    table = [
+        {"s": s, "n": int(sizes[s])} for s in sorted(sizes)
+    ]
+    lit = F.from_json(
+        F.lit(json.dumps(table)), "array<struct<s:string,n:bigint>>"
+    )
+    ws = Window.partitionBy(source_col).orderBy(F.col(key_col))
+    ranked = df.withColumn(
+        "source_rank", (F.row_number().over(ws) - 1).cast("long")
+    )
+    r = F.col("source_rank")
+    s = F.col(source_col)
+    full_rounds = F.aggregate(
+        lit,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.least(e["n"], r),
+    )
+    this_round = F.aggregate(
+        lit,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.when((e["s"] < s) & (e["n"] > r), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return ranked.withColumn("order_idx", full_rounds + this_round)
+
+
 def length_buckets(
     df,
     key_col: str,

@@ -715,3 +715,39 @@ def test_length_buckets_assignment(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         length_buckets(df, "doc_id", "n", batch_size=0)
+
+
+def test_interleave_shards_equals_total_order(spark):
+    """The closed-form sharded interleave must equal the two-window
+    interleave_sources on every row, including exhausted-source
+    dropout, and stay identical under repartitioning."""
+    from pandance_spark.functions.split import (
+        interleave_shards,
+        interleave_sources,
+    )
+
+    rows = (
+        [(i, "a") for i in range(7)]
+        + [(100 + i, "b") for i in range(3)]
+        + [(200 + i, "c") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k long, src string")
+    a = {
+        r["k"]: (r["source_rank"], r["order_idx"])
+        for r in interleave_sources(df, "src", "k").collect()
+    }
+    b = {
+        r["k"]: (r["source_rank"], r["order_idx"])
+        for r in interleave_shards(df, "src", "k").collect()
+    }
+    assert a == b
+    c = {
+        r["k"]: (r["source_rank"], r["order_idx"])
+        for r in interleave_shards(df.repartition(5), "src", "k").collect()
+    }
+    assert a == c
+    # the order is a permutation 0..n-1 and round-robin at the head
+    order = sorted(a.items(), key=lambda kv: kv[1][1])
+    assert [kv[1][1] for kv in order] == list(range(len(rows)))
+    first_three = [df_row for df_row, _ in order[:3]]
+    assert {k < 100 for k in first_three} != {True}  # mixed sources up front
