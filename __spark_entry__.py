@@ -4733,6 +4733,173 @@ def _q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_root(sf_dir: str, kind: str) -> str:
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(
+        tempfile.gettempdir(), f"pandance_{kind}_roundtrip_{tag}_v1"
+    )
+
+
+def _publish_dir(root: str, write_fn) -> None:
+    """Idempotent per-sf temp publication (the orc_roundtrip /
+    warc_files pattern): write to a stage dir, atomic-rename into
+    place; a concurrent publisher winning the rename is fine."""
+    if os.path.isdir(root):
+        return
+    stage = root + ".stage"
+    write_fn(stage)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        pass
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with corrupt-row quarantine (sources/__init__.py
+    read_csv_quarantine): a documents projection is written as CSV,
+    THREE malformed lines are planted in a sibling part file (bad
+    long, truncated row, raw garbage), and the PERMISSIVE single-pass
+    reader must route exactly the good rows to the aggregate and
+    exactly 3 lines to quarantine.  The oracle recomputes the good-row
+    aggregate from the parquet the CSV came from — any writer/reader/
+    quoting corruption surfaces as value drift; n_bad is the planted
+    constant."""
+    from pandance_spark.sources import read_csv_quarantine
+    from pyspark.sql import types as T
+
+    root = _roundtrip_root(sf_dir, "csv")
+
+    def write(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        proj = docs.select("doc_id", "lang", "source", "n_chars")
+        proj.coalesce(2).write.mode("overwrite").option(
+            "header", "true"
+        ).csv(stage)
+        with open(os.path.join(stage, "part-corrupt.csv"), "w") as f:
+            f.write("doc_id,lang,source,n_chars\n")
+            f.write("notanumber,en,src0,12\n")
+            f.write("12345,en\n")
+            f.write("}} raw garbage line {{,,,\n")
+
+    _publish_dir(root, write)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    good, bad, unpersist = read_csv_quarantine(
+        spark, root, schema, header="true"
+    )
+    n_bad = bad.count()
+    agg = (
+        good.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .withColumn("n_bad", F.lit(int(n_bad)).cast("long"))
+    )
+    rows = agg.localCheckpoint(eager=True)
+    unpersist()
+    return rows
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with corrupt-line quarantine (sources/
+    __init__.py read_jsonl): the same contract as csv_roundtrip for
+    the interchange format crawled/exported corpora actually arrive
+    in — Spark writes the good lines, three invalid JSON lines are
+    planted, and the PERMISSIVE reader must split them exactly.
+    Schema-enforced (no inference double-scan); oracle recomputes the
+    good aggregate from parquet."""
+    from pandance_spark.sources import read_jsonl
+    from pyspark.sql import types as T
+
+    root = _roundtrip_root(sf_dir, "jsonl")
+
+    def write(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        proj = docs.select("doc_id", "source", "text")
+        proj.coalesce(2).write.mode("overwrite").json(stage)
+        with open(os.path.join(stage, "part-corrupt.json"), "w") as f:
+            f.write('{"doc_id": 1, "source": "src0", "text": unquoted}\n')
+            f.write('{"doc_id": 2, "source":\n')
+            f.write("not json at all\n")
+
+    _publish_dir(root, write)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad, unpersist = read_jsonl(spark, root, schema)
+    n_bad = bad.count()
+    agg = (
+        good.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("text")).alias("sum_len"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.md5("text")))
+                )
+            ).alias("content_md5"),
+        )
+        .withColumn("n_bad", F.lit(int(n_bad)).cast("long"))
+    )
+    rows = agg.localCheckpoint(eager=True)
+    unpersist()
+    return rows
+
+
+def _event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 60-vertex graph derived from events (u = user_id
+    % 60, v = (7*user_id + event_id) % 60) — dense enough to carry
+    real triangles, fully replayable in SQL."""
+    ev = spread_partitions(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(60)).alias("x"),
+        F.pmod(F.col("user_id") * 7 + F.col("event_id"), F.lit(60)).alias(
+            "y"
+        ),
+    )
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (operators/cluster.py
+    triangle_count) via the compact-forward orientation — each edge
+    directed low-(degree,id) -> high, so a triangle is found exactly
+    once and no vertex ever self-joins more than O(sqrt(m)) out-
+    neighbors (the celebrity-vertex defense).  The oracle counts
+    triangles the naive u<v<w way, so a green row proves the
+    orientation loses/duplicates nothing."""
+    from pandance_spark.operators.cluster import triangle_count
+
+    return triangle_count(_event_graph(spark, sf_dir), "x", "y")
+
+
+def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity report (operators/cluster.py
+    graph_summary): vertices, edges, triangles, wedges and the global
+    clustering coefficient 3T/W — the one-number health check for
+    crawl/similarity graphs.  All counts exact integers; the
+    coefficient is one division rounded 9 dp."""
+    from pandance_spark.operators.cluster import graph_summary
+
+    return graph_summary(_event_graph(spark, sf_dir), "x", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -4801,6 +4968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy": _q_cms_heavy,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_prune": _q_semdedup_prune,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "triangle_count": _q_triangle_count,
+        "graph_summary": _q_graph_summary,
         "interleave_shards": _q_interleave_shards,
         "grouping_sets_events": _q_grouping_sets_events,
         "outliers_mad": _q_outliers_mad,
@@ -5972,6 +6143,82 @@ def oracle_sql() -> dict[str, str]:
                   * CAST(list_sum(list_transform(range(1, 65),
                     i -> a.q[i] * b.q[i])) AS HUGEINT) * 100
                   > a.n2 * b.n2 * 81
+        """,
+        # triangles the NAIVE u<v<w way — green proves the oriented
+        # compact-forward plan loses/duplicates nothing
+        "triangle_count": """
+            WITH raw AS (
+              SELECT user_id % 60 AS x,
+                     (user_id * 7 + event_id) % 60 AS y
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            e AS (
+              SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+              FROM raw WHERE x <> y
+            ),
+            t AS (
+              SELECT e1.a AS u, e1.b AS v, e2.b AS w
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([u, v, w]) AS vertex FROM t)
+            GROUP BY vertex
+        """,
+        "graph_summary": """
+            WITH raw AS (
+              SELECT user_id % 60 AS x,
+                     (user_id * 7 + event_id) % 60 AS y
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            e AS (
+              SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+              FROM raw WHERE x <> y
+            ),
+            deg AS (
+              SELECT v, count(*) AS d FROM (
+                SELECT a AS v FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY v
+            ),
+            base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                     CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+                     CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+              FROM deg
+            ),
+            tri AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT n_vertices, n_edges, n_triangles, n_wedges,
+                   round(CASE WHEN n_wedges > 0 THEN
+                       3.0 * n_triangles / n_wedges ELSE 0.0 END, 9)
+                     AS global_clustering
+            FROM base, tri
+        """,
+        # roundtrips: the oracle recomputes the good-row aggregate from
+        # the parquet the CSV/JSONL was WRITTEN from (writer/reader/
+        # quoting corruption = value drift); n_bad = planted constant
+        "csv_roundtrip": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(doc_id) AS min_doc,
+                   max(doc_id) AS max_doc,
+                   CAST(3 AS BIGINT) AS n_bad
+            FROM documents GROUP BY lang
+        """,
+        "jsonl_roundtrip": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len(text)) AS BIGINT) AS sum_len,
+                   md5(string_agg(md5(text), '|' ORDER BY md5(text)))
+                     AS content_md5,
+                   CAST(3 AS BIGINT) AS n_bad
+            FROM documents GROUP BY source
         """,
         # closed-form interleave vs the TWO-WINDOW definition: a green
         # row proves the sharded arithmetic equals the total order

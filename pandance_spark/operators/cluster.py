@@ -39,6 +39,8 @@ __all__ = [
     "dedup_clusters",
     "keep_best",
     "pagerank",
+    "triangle_count",
+    "graph_summary",
 ]
 
 
@@ -442,3 +444,111 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("__r", 9).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-vertex triangle counts over an UNDIRECTED graph given as an
+    edge list (self-loops dropped, duplicates/direction collapsed).
+    Returns ``(vertex, n_triangles)`` for vertices in >= 1 triangle.
+
+    Spark-first via the compact-forward orientation (Chiba & Nishizeki
+    / Schank & Wagner): orient every edge from the lower-(degree, id)
+    endpoint to the higher, so each directed path u->v->w closed by
+    the oriented edge u->w is counted exactly once per triangle.  The
+    orientation bounds every vertex's OUT-degree by O(sqrt(m)) on any
+    graph, which is precisely the skew defense at scale: a celebrity
+    vertex with 10^7 neighbors never self-joins its own adjacency —
+    its edges point INTO it and the join fans out from the low-degree
+    side.  Plan: one degree aggregate, two shuffle joins on vertex
+    keys (AQE handles residual skew); no driver iteration.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    # orient lower (degree, id) -> higher (degree, id)
+    fwd = ranked.select(
+        F.when(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+            F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+        )
+        .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+        .alias("e")
+    ).select("e.s", "e.t")
+    p1 = fwd.select(F.col("s").alias("u"), F.col("t").alias("v"))
+    p2 = fwd.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    wedges = p1.join(p2, "v")
+    closing = fwd.select(F.col("s").alias("u"), F.col("t").alias("w"))
+    tris = wedges.join(closing, ["u", "w"])
+    per_vertex = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return per_vertex
+
+
+def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One-row global graph health report: ``(n_vertices, n_edges,
+    n_triangles, n_wedges, global_clustering)`` where wedges are
+    unordered connected vertex triples through a center (Σ d(d-1)/2)
+    and ``global_clustering = 3 * triangles / wedges`` (9 dp; 0.0 for
+    wedge-free graphs).  The transitivity number crawl-graph and
+    similarity-graph audits track: near 0 = scale-free sprawl, high =
+    clique-y near-dup clusters.  Costs one triangle_count plus two
+    tiny aggregates."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    base = deg.agg(
+        F.count("*").alias("n_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    tri = triangle_count(e, "a", "b").agg(
+        F.coalesce(F.sum("n_triangles") / 3, F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
+    )
+    return base.crossJoin(tri).select(
+        "n_vertices",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("global_clustering"),
+    )

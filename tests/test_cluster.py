@@ -254,3 +254,36 @@ def test_keep_best_null_scores_never_win(spark):
         # scored rows beat NULL-scored rows in both directions
         assert got[1] == 1 and got[2] == 0, (desc, got)
         assert got[4] == 1 and got[3] == 0, (desc, got)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles (3 per vertex); adding a pendant vertex and
+    duplicate/reversed/self-loop edges must change nothing."""
+    from pandance_spark.operators.cluster import graph_summary, triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (3, 4), (0, 1)]
+    df = spark.createDataFrame(noisy, "s long, d long")
+    got = {r["vertex"]: r["n_triangles"]
+           for r in triangle_count(df, "s", "d").collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # pendant vertex 4 absent
+    g = graph_summary(df, "s", "d").collect()[0]
+    assert g["n_vertices"] == 5 and g["n_edges"] == 7
+    assert g["n_triangles"] == 4
+    # wedges: degrees 3,3,3,4,1 -> 3+3+3+6+0 = 15; C = 12/15
+    assert g["n_wedges"] == 15
+    assert g["global_clustering"] == 0.8
+
+
+def test_triangle_count_star_graph_no_blowup(spark):
+    """A star (one celebrity hub) has zero triangles and — thanks to
+    the degree orientation — zero wedge-join fanout from the hub: all
+    edges point INTO it."""
+    from pandance_spark.operators.cluster import graph_summary, triangle_count
+
+    star = [(0, i) for i in range(1, 200)]
+    df = spark.createDataFrame(star, "s long, d long")
+    assert triangle_count(df, "s", "d").count() == 0
+    g = graph_summary(df, "s", "d").collect()[0]
+    assert g["n_triangles"] == 0 and g["global_clustering"] == 0.0
+    assert g["n_wedges"] == 199 * 198 // 2
