@@ -4900,6 +4900,83 @@ def _q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_summary(_event_graph(spark, sf_dir), "x", "y")
 
 
+def _q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    2009): BM25 top-50 (lexical) and embedding-cosine top-50 (dense,
+    query = vec 0's embedding; doc_id == vec_id in the corpus) fused
+    by score = Σ 1/(60 + rank), top-10 by (score desc, doc_id).  Both
+    rank lists have pinned tie rules (score-6dp desc, id asc), so the
+    fusion is deterministic; the oracle replays both rankers and the
+    fusion.  Shape: two independent top-k pipelines (each one
+    aggregate + TakeOrdered), one tiny outer join."""
+    from pandance_spark.functions.ranking import bm25_topk
+    from pandance_spark.functions.vectors import cosine_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(
+        docs, "doc_id", "text", ["hash", "merge", "scan", "table"], k=50
+    ).select(F.col("doc_id"), F.col("rank").alias("r_bm25"))
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qv")
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), F.col("__qv")), 6
+            ).alias("__c"),
+        )
+        .orderBy(F.col("__c").desc(), F.col("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("__c").desc(), F.col("doc_id")))
+            .alias("r_cos"),
+        )
+    )
+    fused = bm.join(cos, "doc_id", "outer").select(
+        "doc_id",
+        F.coalesce("r_bm25", F.lit(0)).cast("long").alias("r_bm25"),
+        F.coalesce("r_cos", F.lit(0)).cast("long").alias("r_cos"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT chat-transcript prep (functions/chat.py): documents become
+    JSONL-style chat transcripts (system turn on doc_id%3==0, user =
+    first 12 tokens, assistant = the rest), round-trip through
+    to_json -> parse_chat -> render_chatml, and report the loss-mask
+    geometry.  The ORACLE renders the final ChatML string directly
+    from the tokens — a green row proves the whole JSON parse/render
+    chain is lossless.  Map-only, one fold per row."""
+    from pandance_spark.functions.chat import chat_sft_view
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    user = F.concat_ws(" ", F.slice(toks, 1, 12))
+    asst = F.concat_ws(" ", F.slice(toks, 13, 1 << 20))
+    sys_m = F.struct(
+        F.lit("system").alias("role"),
+        F.lit("you are a helpful assistant").alias("content"),
+    )
+    usr_m = F.struct(F.lit("user").alias("role"), user.alias("content"))
+    ast_m = F.struct(F.lit("assistant").alias("role"), asst.alias("content"))
+    msgs = F.when(
+        F.col("doc_id") % 3 == 0, F.array(sys_m, usr_m, ast_m)
+    ).otherwise(F.array(usr_m, ast_m))
+    staged = docs.select("doc_id", F.to_json(msgs).alias("chat_json"))
+    return chat_sft_view(staged, "doc_id", "chat_json")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -4972,6 +5049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "triangle_count": _q_triangle_count,
         "graph_summary": _q_graph_summary,
+        "rrf_fusion": _q_rrf_fusion,
+        "sft_render": _q_sft_render,
         "interleave_shards": _q_interleave_shards,
         "grouping_sets_events": _q_grouping_sets_events,
         "outliers_mad": _q_outliers_mad,
@@ -6143,6 +6222,98 @@ def oracle_sql() -> dict[str, str]:
                   * CAST(list_sum(list_transform(range(1, 65),
                     i -> a.q[i] * b.q[i])) AS HUGEINT) * 100
                   > a.n2 * b.n2 * 81
+        """,
+        # both rankers replayed (BM25 with the pinned 6dp/doc-id tie
+        # rule; cosine via list_cosine_similarity) then the RRF sum
+        "rrf_fusion": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            dl AS (SELECT doc_id, len(ts) AS dl, ts FROM toks),
+            stats AS (SELECT count(*) AS n_docs, avg(dl::DOUBLE) AS avgdl
+                      FROM dl),
+            m AS (
+              SELECT doc_id, dl, t
+              FROM (SELECT doc_id, dl, unnest(ts) AS t FROM dl)
+              WHERE t IN ('hash', 'merge', 'scan', 'table')
+            ),
+            tf AS (SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl
+                   FROM m GROUP BY doc_id, t),
+            dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+            s AS (
+              SELECT tf.doc_id,
+                     round(sum(ln(1 + (stats.n_docs - dft.df + 0.5)
+                                      / (dft.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                           ), 6) AS score
+              FROM tf JOIN dft USING (t) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            bm AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS r_bm25
+              FROM s QUALIFY r_bm25 <= 50
+            ),
+            qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+                   WHERE vec_id = 0),
+            cosr AS (
+              SELECT vec_id AS doc_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[],
+                                                  qv.q), 6) AS c
+              FROM embeddings, qv
+            ),
+            cos AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY c DESC, doc_id) AS r_cos
+              FROM cosr QUALIFY r_cos <= 50
+            ),
+            fused AS (
+              SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+                     CAST(COALESCE(bm.r_bm25, 0) AS BIGINT) AS r_bm25,
+                     CAST(COALESCE(cos.r_cos, 0) AS BIGINT) AS r_cos,
+                     round(COALESCE(1.0 / (60 + bm.r_bm25), 0.0)
+                           + COALESCE(1.0 / (60 + cos.r_cos), 0.0), 9)
+                       AS rrf_score
+              FROM bm FULL JOIN cos ON bm.doc_id = cos.doc_id
+            )
+            SELECT doc_id, r_bm25, r_cos, rrf_score
+            FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # the oracle renders the FINAL ChatML string directly from the
+        # tokens — green proves the to_json -> parse -> render chain
+        # in Spark is lossless
+        "sft_render": """
+            WITH parts AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(
+                       string_split(text, ' '), 1, 12), ' ') AS user_c,
+                     COALESCE(array_to_string(list_slice(
+                       string_split(text, ' '), 13,
+                       len(string_split(text, ' '))), ' '), '') AS asst_c
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       '<|im_start|>system' || chr(10)
+                       || 'you are a helpful assistant<|im_end|>' || chr(10)
+                     ELSE '' END
+                     || '<|im_start|>user' || chr(10) || user_c
+                     || '<|im_end|>' || chr(10)
+                     || '<|im_start|>assistant' || chr(10) || asst_c
+                     || '<|im_end|>' || chr(10) AS rendered,
+                     CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS n_turns
+              FROM parts
+            )
+            SELECT doc_id,
+                   CAST(n_turns AS BIGINT) AS n_turns,
+                   CAST(1 AS BIGINT) AS n_assistant,
+                   md5(rendered) AS rendered_md5,
+                   CAST(len(rendered) AS BIGINT) AS rendered_chars,
+                   CAST(strpos(rendered, '<|im_start|>assistant' || chr(10))
+                        + len('<|im_start|>assistant') + 1 AS BIGINT)
+                     AS mask_offset
+            FROM r
         """,
         # triangles the NAIVE u<v<w way — green proves the oriented
         # compact-forward plan loses/duplicates nothing
