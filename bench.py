@@ -317,6 +317,25 @@ def main():
         "interleave_sources",
         "length_batches",
         "minhash_eval",
+        # r9 additions
+        "char_entropy",
+        "readability",
+        "zipf_fit",
+        "tokenizer_fertility",
+        "canary_scan",
+        "cms_heavy",
+        "kmeans_assign",
+        "semdedup_prune",
+        "interleave_shards",
+        "grouping_sets_events",
+        "outliers_mad",
+        "ab_cuped",
+        "csv_roundtrip",
+        "jsonl_roundtrip",
+        "triangle_count",
+        "graph_summary",
+        "rrf_fusion",
+        "sft_render",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

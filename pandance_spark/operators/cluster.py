@@ -470,6 +470,10 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        # e feeds THREE consumers (degree count, both join sides);
+        # without a barrier the upstream edge pipeline re-evaluates
+        # per consumer — plan-audited 22 shuffles unbarriered vs 5
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -490,6 +494,8 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
         .alias("e")
     ).select("e.s", "e.t")
+    # fwd feeds the wedge join twice plus the closing join
+    fwd = fwd.localCheckpoint(eager=False)
     p1 = fwd.select(F.col("s").alias("u"), F.col("t").alias("v"))
     p2 = fwd.select(F.col("s").alias("v"), F.col("t").alias("w"))
     wedges = p1.join(p2, "v")
@@ -520,6 +526,8 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        # shared by the degree stats AND the triangle_count call below
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
