@@ -842,19 +842,66 @@ def semdedup_pairs(
             F.array_position(dists, F.array_min(dists)) - 1
         ).cast("int"),
     ).withColumn("__n2", norm2)
+    # per-side DOUBLE copies staged once (pair-stage folds then run on
+    # cheap double arithmetic instead of per-pair decimal casts)
+    side = side.withColumn(
+        "__qd", F.transform(F.col("__q"), lambda x: x.cast("double"))
+    )
+    # the broadcast cluster-join inherits the SCAN partitioning, so a
+    # 1-2-file corpus would run the O(pairs) fold stage on 1-2 cores;
+    # spread the stream side first (no-op for healthy inputs)
+    from pandance_spark._kernel import spread_partitions
+
+    side = spread_partitions(side)
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col("__q").alias("__qa"),
+        F.col("__qd").alias("__qad"),
         F.col("__n2").alias("__na"),
         "cluster",
     )
     b = side.select(
         F.col(id_col).alias("id_b"),
         F.col("__q").alias("__qb"),
+        F.col("__qd").alias("__qbd"),
         F.col("__n2").alias("__nb"),
         "cluster",
     )
     pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    from pandance_spark._kernel import stage_expr
+
+    # STAGE 1 — exact-double pre-gate over EVERY pair.  For micro-unit
+    # vectors each product q_a*q_b <= (2^20*|x|)^2 ~ 1.1e12 and the
+    # dim-sum <= ~7e13: every partial sum is an integer below 2^53,
+    # so the double dot is EXACT.  Squaring it for the cosine test
+    # leaves exactness (4.9e27 > 2^53), so the pre-gate keeps a
+    # relative MARGIN of 1e-9 — ~1e6x the worst double error of the
+    # two multiplies — and only provably-below-threshold pairs are
+    # rejected here.  Staged behind a Generate barrier: predicate
+    # pushdown re-inlines filter aliases, and an unstaged fold
+    # evaluated per reference (measured 10.7 s -> the decimal form's
+    # cost was exactly this class).
+    dot_d = F.aggregate(
+        F.zip_with(F.col("__qad"), F.col("__qbd"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pre = stage_expr(pairs, dot_d, "__dotd")
+    t2 = (float(threshold_num) / float(threshold_den)) ** 2
+    survivors = pre.filter(
+        (F.col("__dotd") > 0)
+        & (
+            F.col("__dotd") * F.col("__dotd")
+            > F.lit(t2 * (1.0 - 1e-9))
+            * F.col("__na").cast("double")
+            * F.col("__nb").cast("double")
+        )
+    )
+    # STAGE 2 — the EXACT decimal(38,0) decision, now over the handful
+    # of survivors only: dot^2 * den^2 ~ 5e29 and na*nb*num^2 ~ 4e29
+    # both fit 38 digits (bound holds to |x| ~ 1e2; beyond it decimal
+    # overflow yields NULL -> the filter DROPS the pair rather than
+    # keeping a wrong one).  No floats in the final decision.
     dot = F.aggregate(
         F.zip_with(
             F.col("__qa"),
@@ -866,13 +913,7 @@ def semdedup_pairs(
     )
     num = F.lit(int(threshold_num)).cast("decimal(38,0)")
     den = F.lit(int(threshold_den)).cast("decimal(38,0)")
-    staged_pairs = pairs.withColumn("__dot", dot)
-    # EXACT decimal(38,0) comparison: for micro-unit vectors dot <=
-    # dim * (2^20 * |x|)^2 ~ 7e13 at |x|~1, so dot^2 * den^2 ~ 5e29
-    # and na*nb*num^2 ~ 4e29 — both far inside 38 digits (the bound
-    # holds to |x| ~ 1e2; beyond it Spark decimal overflow yields
-    # NULL -> the filter drops the pair rather than keeping a wrong
-    # one).  No floats anywhere in the decision.
+    staged_pairs = stage_expr(survivors, dot, "__dot")
     d38 = "decimal(38,0)"
     lhs = (
         (F.col("__dot") * F.col("__dot")).cast(d38) * (den * den).cast(d38)

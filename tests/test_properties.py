@@ -1096,3 +1096,71 @@ def test_robots_pipeline_matches_python_reference(spark, spec, paths, agent):
         else:
             want = (True, None)
         assert got[i] == want, (robots, agent, p, got[i], want)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    split=st.integers(1, 5),
+)
+def test_cms_merge_and_one_sided_property(spark, vals, split):
+    """Count-Min invariants under arbitrary data and splits: (1) any
+    split-and-merge equals the whole-data build cell-for-cell; (2)
+    every point estimate >= its true count; (3) per hash row, the
+    counters sum to the input size (mass conservation)."""
+    from collections import Counter
+
+    from pandance_spark.operators.rollup import (
+        build_cms,
+        cms_lookup,
+        merge_cms,
+    )
+
+    D, W = 3, 16
+    df = spark.createDataFrame(
+        [(i, f"v{v}") for i, v in enumerate(vals)], "i long, v string"
+    )
+    full = sorted(map(tuple, build_cms(df, "v", D, W).collect()))
+    merged = build_cms(df.filter(F.col("i") % split == 0), "v", D, W)
+    for k in range(1, split):
+        merged = merge_cms(
+            merged, build_cms(df.filter(F.col("i") % split == k), "v", D, W)
+        )
+    assert sorted(map(tuple, merged.collect())) == full
+    mass = Counter()
+    for r, c, n in full:
+        mass[r] += n
+    assert all(v == len(vals) for v in mass.values())
+    truth = Counter(f"v{v}" for v in vals)
+    items = spark.createDataFrame(
+        [(k,) for k in truth], "v string"
+    )
+    est = {r["v"]: r["est_n"]
+           for r in cms_lookup(build_cms(df, "v", D, W), items, "v", D, W).collect()}
+    assert all(est[k] >= n for k, n in truth.items())
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c", "dd"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_interleave_shards_matches_window_form(spark, rows):
+    """Closed-form sharded interleave == the two-window definition on
+    arbitrary (key, source) sets — sizes skewed, sources missing,
+    singleton sources all covered by generation."""
+    from pandance_spark.functions.split import (
+        interleave_shards,
+        interleave_sources,
+    )
+
+    df = spark.createDataFrame(rows, "k long, src string")
+    a = {r["k"]: (r["source_rank"], r["order_idx"])
+         for r in interleave_sources(df, "src", "k").collect()}
+    b = {r["k"]: (r["source_rank"], r["order_idx"])
+         for r in interleave_shards(df, "src", "k").collect()}
+    assert a == b
