@@ -4977,6 +4977,32 @@ def _q_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chat_sft_view(staged, "doc_id", "chat_json")
 
 
+def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection (functions/text.py script_mix): pages
+    are synthesized with residue-controlled per-LINE scripts (Latin
+    always; Han on %2, Cyrillic on %3, Hangul on %5, a script-free
+    digits/punctuation line on %7), and the per-doc mixing report —
+    majority script, mix_ratio, is_mixed — must replay exactly.  The
+    oracle re-runs every per-line script regex and the (count desc,
+    name asc) majority rule.  One explode + two combine-friendly
+    aggregates; the shuffle carries (doc, script) partials only."""
+    from pandance_spark.functions.text import script_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    page = F.concat_ws(
+        "\n",
+        F.lit("the quick brown fox jumps"),
+        F.when(
+            did % 2 == 0, F.repeat(F.lit("漢字"), (did % 5 + 1).cast("int"))
+        ),
+        F.when(did % 3 == 0, F.lit("слово много слово")),
+        F.when(did % 5 == 0, F.repeat(F.lit("한글"), F.lit(2))),
+        F.when(did % 7 == 0, F.lit("1234 !!! 5678")),
+    )
+    return script_mix(docs.select("doc_id", page.alias("__t")), "doc_id", "__t")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5051,6 +5077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": _q_graph_summary,
         "rrf_fusion": _q_rrf_fusion,
         "sft_render": _q_sft_render,
+        "lang_mix": _q_lang_mix,
         "interleave_shards": _q_interleave_shards,
         "grouping_sets_events": _q_grouping_sets_events,
         "outliers_mad": _q_outliers_mad,
@@ -6222,6 +6249,104 @@ def oracle_sql() -> dict[str, str]:
                   * CAST(list_sum(list_transform(range(1, 65),
                     i -> a.q[i] * b.q[i])) AS HUGEINT) * 100
                   > a.n2 * b.n2 * 81
+        """,
+        # per-line script winner + (count desc, name asc) majority
+        # rule replayed line by line
+        "lang_mix": """
+            WITH pages AS (
+              SELECT doc_id,
+                     'the quick brown fox jumps'
+                     || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                          repeat('漢字', CAST(doc_id % 5 + 1 AS INT))
+                        ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                          'слово много слово' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+                          repeat('한글', 2) ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                          '1234 !!! 5678' ELSE '' END AS page
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, unnest(string_split(page, chr(10))) AS s
+              FROM pages
+            ),
+            c AS (
+              SELECT doc_id,
+                 length(s) - length(regexp_replace(s, '[؀-ۿ]', '', 'g')) AS n_arabic,
+                 length(s) - length(regexp_replace(s, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+                 length(s) - length(regexp_replace(s, '[ऀ-ॿ]', '', 'g')) AS n_devanagari,
+                 length(s) - length(regexp_replace(s, '[Ͱ-Ͽ]', '', 'g')) AS n_greek,
+                 length(s) - length(regexp_replace(s, '[一-鿿]', '', 'g')) AS n_han,
+                 length(s) - length(regexp_replace(s, '[가-힯]', '', 'g')) AS n_hangul,
+                 length(s) - length(regexp_replace(s, '[぀-ヿ]', '', 'g')) AS n_kana,
+                 length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g')) AS n_latin
+              FROM lines
+            ),
+            w AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(n_arabic, n_cyrillic, n_devanagari,
+                                        n_greek, n_han, n_hangul, n_kana,
+                                        n_latin) = 0 THEN 'none'
+                      WHEN n_arabic = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'arabic'
+                      WHEN n_cyrillic = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'cyrillic'
+                      WHEN n_devanagari = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'devanagari'
+                      WHEN n_greek = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'greek'
+                      WHEN n_han = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'han'
+                      WHEN n_hangul = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'hangul'
+                      WHEN n_kana = greatest(n_arabic, n_cyrillic,
+                        n_devanagari, n_greek, n_han, n_hangul, n_kana,
+                        n_latin) THEN 'kana'
+                      ELSE 'latin'
+                     END AS s
+              FROM c
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(COALESCE(sum(CASE WHEN s <> 'none' THEN 1 END),
+                                   0) AS BIGINT) AS n_scripted
+              FROM w GROUP BY doc_id
+            ),
+            maj AS (
+              SELECT doc_id, s, count(*) AS n,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, s ASC)
+                       AS rn
+              FROM w WHERE s <> 'none' GROUP BY doc_id, s
+            ),
+            winner AS (
+              SELECT doc_id, s AS majority_script,
+                     CAST(n AS BIGINT) AS n_majority
+              FROM maj WHERE rn = 1
+            ),
+            ks AS (
+              SELECT doc_id, count(DISTINCT s) AS k
+              FROM maj GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_lines, p.n_scripted,
+                   COALESCE(winner.majority_script, 'none')
+                     AS majority_script,
+                   COALESCE(winner.n_majority, 0) AS n_majority,
+                   round(CASE WHEN p.n_scripted > 0 THEN
+                       1.0 - COALESCE(winner.n_majority, 0)::DOUBLE
+                             / p.n_scripted ELSE 0.0 END, 6) AS mix_ratio,
+                   COALESCE(ks.k, 0) >= 2 AS is_mixed
+            FROM per_doc p
+            LEFT JOIN winner ON p.doc_id = winner.doc_id
+            LEFT JOIN ks ON p.doc_id = ks.doc_id
         """,
         # both rankers replayed (BM25 with the pinned 6dp/doc-id tie
         # rule; cosine via list_cosine_similarity) then the RRF sum

@@ -1595,3 +1595,84 @@ def canary_scan(df, id_col: str, text_col: str, pattern: str):
             F.max("__doc").alias("last_doc"),
         )
     )
+
+
+def script_mix(df, id_col: str, text_col: str):
+    """Code-switching / script-mixing report per document — the
+    router's second pass after :func:`dominant_script`: a page that is
+    60% Latin and 40% Han should reach NEITHER the Latin-only nor the
+    CJK pipeline silently.  Lines are the mixing unit (translations
+    and boilerplate switch per line, not per char).
+
+    Per document:
+
+    - ``n_lines``       — total lines
+    - ``n_scripted``    — lines whose dominant script is not 'none'
+    - ``majority_script`` — most common per-line script (count desc,
+      name asc ties; 'none' when no line carries script chars)
+    - ``n_majority``    — lines of the majority script
+    - ``mix_ratio``     — ``1 - n_majority/n_scripted`` (6 dp; 0.0
+      for script-free docs) — 0 = monoscript, high = heavy switching
+    - ``is_mixed``      — >= 2 distinct scripted line-scripts
+
+    Shape: one explode over lines, the per-line winner via STAGED
+    count columns (each script regex scans each line exactly once —
+    the with_dominant_script lesson), then two map-side-combinable
+    aggregates; the shuffle carries (doc, script) partials, never
+    text.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\\r?\\n")).alias("__line"),
+    )
+    scored = with_dominant_script(lines, "__line", out_col="__s").select(
+        id_col, "__s"
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("__s") != "none").cast("long")).alias("n_scripted"),
+    )
+    maj = (
+        scored.filter(F.col("__s") != "none")
+        .groupBy(id_col, "__s")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("__n").desc(), F.col("__s").asc()
+                )
+            ),
+        )
+    )
+    winner = maj.filter(F.col("__rn") == 1).select(
+        F.col(id_col),
+        F.col("__s").alias("majority_script"),
+        F.col("__n").alias("n_majority"),
+    )
+    n_scripts = maj.groupBy(id_col).agg(
+        F.count("*").alias("__k")
+    )
+    return (
+        per_doc.join(winner, id_col, "left")
+        .join(n_scripts, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "n_scripted",
+            F.coalesce("majority_script", F.lit("none")).alias(
+                "majority_script"
+            ),
+            F.coalesce("n_majority", F.lit(0)).cast("long").alias(
+                "n_majority"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_scripted") > 0,
+                    1.0 - F.col("n_majority") / F.col("n_scripted"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("mix_ratio"),
+            (F.coalesce("__k", F.lit(0)) >= 2).alias("is_mixed"),
+        )
+    )

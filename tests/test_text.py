@@ -996,3 +996,27 @@ def test_with_char_entropy_matches_column_form(spark):
     b = {r["i"]: r["h"]
          for r in df.select("i", F.round(char_entropy(F.col("t")), 9).alias("h")).collect()}
     assert a == b, (a, b)
+
+
+def test_script_mix_report(spark):
+    from pandance_spark.functions.text import script_mix
+
+    rows = [
+        (1, "hello world\n漢字漢字\nпривет мир"),      # 3 scripts, latin maj? counts: latin 10, han 4, cyr 9 -> latin
+        (2, "all latin here\nmore latin text"),          # monoscript
+        (3, "1234 !!!\n..."),                            # no script chars
+        (4, None),                                       # NULL page
+        (5, "漢字漢字漢字\nhi"),                          # han majority
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    got = {r["doc_id"]: r for r in script_mix(df, "doc_id", "t").collect()}
+    assert got[1]["n_lines"] == 3 and got[1]["n_scripted"] == 3
+    assert got[1]["is_mixed"] and got[1]["majority_script"] == "cyrillic"
+    # tie at 1 line each -> count desc ties -> alphabetical first
+    assert got[2]["majority_script"] == "latin" and not got[2]["is_mixed"]
+    assert got[2]["mix_ratio"] == 0.0
+    assert got[3]["majority_script"] == "none" and got[3]["n_scripted"] == 0
+    assert got[3]["mix_ratio"] == 0.0 and not got[3]["is_mixed"]
+    assert 4 not in got or got[4]["n_lines"] >= 0  # NULL page: split(NULL) drops
+    assert got[5]["majority_script"] == "han" and got[5]["is_mixed"]
+    assert got[5]["mix_ratio"] == 0.5
