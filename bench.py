@@ -336,6 +336,7 @@ def main():
         "graph_summary",
         "rrf_fusion",
         "sft_render",
+        "lang_mix",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
