@@ -41,16 +41,20 @@ def render_chatml(msgs: Column) -> Column:
         <|im_start|>{role}\\n{content}<|im_end|>\\n
 
     per message, concatenated in order — ONE aggregate fold (no
-    explode, no shuffle, no UDF).  NULL array renders NULL."""
+    explode, no shuffle, no UDF).  NULL array renders NULL; a NULL
+    role/content FIELD renders as empty (missing/null content is
+    routine in interchange chat data — without the coalesce one null
+    field would NULL-poison the whole fold and downstream mask
+    geometry would silently read 'no assistant turn')."""
     return F.aggregate(
         msgs,
         F.lit("").cast("string"),
         lambda acc, m: F.concat(
             acc,
             F.lit(_IM_START),
-            m["role"],
+            F.coalesce(m["role"], F.lit("")),
             F.lit("\n"),
-            m["content"],
+            F.coalesce(m["content"], F.lit("")),
             F.lit(_IM_END),
         ),
     )
@@ -69,7 +73,14 @@ def chat_sft_view(
     - ``rendered_chars``— total rendered length (long)
     - ``mask_offset``   — 1-based char position where the FIRST
       assistant completion begins (everything before it is prompt =
-      loss-masked; 0 when no assistant turn exists)
+      loss-masked; 0 when no assistant turn exists).  KNOWN LIMIT:
+      the template tokens are not escaped anywhere in the render
+      path (ChatML itself has no escaping), so content that embeds
+      the literal assistant tag — web text discussing the format, or
+      adversarial injection — shifts the boundary earlier; SFT
+      ingest should drop/clean transcripts whose CONTENT contains
+      ``<|im_start|>``/``<|im_end|>`` before packing (the canary /
+      contamination scans in this repo do that sweep)
 
     Map-only: parse, fold, and strpos are per-row expressions; at
     100 TB this is scan-speed work with full column pruning upstream.

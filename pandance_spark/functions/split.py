@@ -764,16 +764,32 @@ def interleave_shards(df, source_col: str, key_col: str):
     """
     import json
 
+    from pyspark.sql import types as _T
     from pyspark.sql.window import Window
 
+    # the size table rides in as a JSON string literal and the
+    # "earlier source" test compares against it — only STRING sources
+    # keep their ordering through that encoding ("10" < "9" for ints)
+    if not isinstance(df.schema[source_col].dataType, _T.StringType):
+        raise ValueError(
+            f"interleave_shards requires a string source column; "
+            f"{source_col!r} is {df.schema[source_col].dataType.simpleString()} "
+            f"(cast it, or use interleave_sources)"
+        )
     sizes = {
         r["__s"]: r["__n"]
         for r in df.groupBy(F.col(source_col).alias("__s"))
         .agg(F.count("*").alias("__n"))
         .collect()
     }
+    # NULL is a legitimate source partition for interleave_sources
+    # (window semantics: its own group, sorting FIRST under Spark's
+    # ASC nulls-first) — the closed form must agree, so the size
+    # table carries it as a null struct field and the "earlier
+    # source this round" test below is null-aware
     table = [
-        {"s": s, "n": int(sizes[s])} for s in sorted(sizes)
+        {"s": s, "n": int(sizes[s])}
+        for s in sorted(sizes, key=lambda x: (x is not None, x))
     ]
     lit = F.from_json(
         F.lit(json.dumps(table)), "array<struct<s:string,n:bigint>>"
@@ -793,7 +809,16 @@ def interleave_shards(df, source_col: str, key_col: str):
         lit,
         F.lit(0).cast("long"),
         lambda acc, e: acc
-        + F.when((e["s"] < s) & (e["n"] > r), F.lit(1))
+        + F.when(
+            # e.s sorts before s under ASC nulls-first: NULL beats
+            # any non-null; two NULLs are the same group (not before)
+            (
+                (e["s"].isNull() & s.isNotNull())
+                | (e["s"].isNotNull() & s.isNotNull() & (e["s"] < s))
+            )
+            & (e["n"] > r),
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         .cast("long"),
     )

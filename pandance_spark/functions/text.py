@@ -1254,8 +1254,13 @@ def c4_clean(
             suf = "\\b" if _re.match(r"\w", w[-1]) else ""
             return pre + _re.escape(w) + suf
 
-        pat = "(" + "|".join(_lit(w) for w in sorted(set(badwords)) if w) + ")"
-        bad = low.rlike(pat)
+        terms = [w for w in sorted(set(badwords)) if w]
+        if terms:
+            bad = low.rlike("(" + "|".join(_lit(w) for w in terms) + ")")
+        else:
+            # badwords=("",) would otherwise build "()" — an empty
+            # alternation matching EVERY page
+            bad = F.lit(False)
     else:
         bad = F.lit(False)
     reason = (
@@ -1510,15 +1515,20 @@ def zipf_fit(df, text_col: str, top_r: int = 200):
     cov = F.col("sxy") - sx * sy / r
     varx = F.col("sxx") - sx * sx / r
     vary = F.col("syy") - sy * sy / r
+    # degenerate corpora (< 2 distinct types -> varx = 0; empty ->
+    # r = 0) must yield NULL fit columns, not a DIVIDE_BY_ZERO under
+    # ANSI mode — top_r >= 2 validates the PARAMETER, not the data
+    fit_ok = (r >= 2) & (varx > 0)
     return totals.crossJoin(fit).select(
         "n_types",
         "n_tokens",
-        F.round(cov / varx, 9).alias("slope"),
-        F.round((sy - (cov / varx) * sx) / r, 9).alias("intercept"),
+        F.round(F.when(fit_ok, cov / varx), 9).alias("slope"),
         F.round(
-            F.when(vary > 0, (cov * cov) / (varx * vary)).otherwise(
-                F.lit(1.0)
-            ),
+            F.when(fit_ok, (sy - (cov / varx) * sx) / r), 9
+        ).alias("intercept"),
+        F.round(
+            F.when(fit_ok & (vary > 0), (cov * cov) / (varx * vary))
+            .when(fit_ok, F.lit(1.0)),
             9,
         ).alias("r2"),
     )

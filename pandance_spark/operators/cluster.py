@@ -446,23 +446,13 @@ def pagerank(
     return ranks.select("node", F.round("__r", 9).alias("rank"))
 
 
-def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Per-vertex triangle counts over an UNDIRECTED graph given as an
-    edge list (self-loops dropped, duplicates/direction collapsed).
-    Returns ``(vertex, n_triangles)`` for vertices in >= 1 triangle.
-
-    Spark-first via the compact-forward orientation (Chiba & Nishizeki
-    / Schank & Wagner): orient every edge from the lower-(degree, id)
-    endpoint to the higher, so each directed path u->v->w closed by
-    the oriented edge u->w is counted exactly once per triangle.  The
-    orientation bounds every vertex's OUT-degree by O(sqrt(m)) on any
-    graph, which is precisely the skew defense at scale: a celebrity
-    vertex with 10^7 neighbors never self-joins its own adjacency —
-    its edges point INTO it and the join fans out from the low-degree
-    side.  Plan: one degree aggregate, two shuffle joins on vertex
-    keys (AQE handles residual skew); no driver iteration.
-    """
-    e = (
+def _canon_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge list ``(a < b)``: self-loops and
+    NULLs dropped, duplicates/direction collapsed, localCheckpoint-ed
+    because every consumer (degree aggregate, both join sides) would
+    otherwise re-evaluate the upstream edge pipeline — plan-audited
+    22 shuffles unbarriered vs 5."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -470,17 +460,22 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        # e feeds THREE consumers (degree count, both join sides);
-        # without a barrier the upstream edge pipeline re-evaluates
-        # per consumer — plan-audited 22 shuffles unbarriered vs 5
         .localCheckpoint(eager=False)
     )
-    deg = (
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
+
+
+def _triangle_core(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over a pre-canonicalized edge list
+    and its degree table (see :func:`triangle_count` for semantics)."""
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
     ranked = e.join(da, "a").join(db, "b")
@@ -501,12 +496,31 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     wedges = p1.join(p2, "v")
     closing = fwd.select(F.col("s").alias("u"), F.col("t").alias("w"))
     tris = wedges.join(closing, ["u", "w"])
-    per_vertex = (
+    return (
         tris.select(F.explode(F.array("u", "v", "w")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count("*").alias("n_triangles"))
     )
-    return per_vertex
+
+
+def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-vertex triangle counts over an UNDIRECTED graph given as an
+    edge list (self-loops dropped, duplicates/direction collapsed).
+    Returns ``(vertex, n_triangles)`` for vertices in >= 1 triangle.
+
+    Spark-first via the compact-forward orientation (Chiba & Nishizeki
+    / Schank & Wagner): orient every edge from the lower-(degree, id)
+    endpoint to the higher, so each directed path u->v->w closed by
+    the oriented edge u->w is counted exactly once per triangle.  The
+    orientation bounds every vertex's OUT-degree by O(sqrt(m)) on any
+    graph, which is precisely the skew defense at scale: a celebrity
+    vertex with 10^7 neighbors never self-joins its own adjacency —
+    its edges point INTO it and the join fans out from the low-degree
+    side.  Plan: one degree aggregate, two shuffle joins on vertex
+    keys (AQE handles residual skew); no driver iteration.
+    """
+    e = _canon_edges(edges, src, dst)
+    return _triangle_core(e, _degrees(e))
 
 
 def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -516,25 +530,11 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     and ``global_clustering = 3 * triangles / wedges`` (9 dp; 0.0 for
     wedge-free graphs).  The transitivity number crawl-graph and
     similarity-graph audits track: near 0 = scale-free sprawl, high =
-    clique-y near-dup clusters.  Costs one triangle_count plus two
-    tiny aggregates."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .distinct()
-        # shared by the degree stats AND the triangle_count call below
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        e.select(F.col("a").alias("v"))
-        .unionAll(e.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
+    clique-y near-dup clusters.  Shares ONE canonical edge list and
+    ONE degree table with the triangle core — no double
+    normalization/degree work."""
+    e = _canon_edges(edges, src, dst)
+    deg = _degrees(e).localCheckpoint(eager=False)
     base = deg.agg(
         F.count("*").alias("n_vertices"),
         (F.sum("d") / 2).cast("long").alias("n_edges"),
@@ -542,7 +542,7 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .cast("long")
         .alias("n_wedges"),
     )
-    tri = triangle_count(e, "a", "b").agg(
+    tri = _triangle_core(e, deg).agg(
         F.coalesce(F.sum("n_triangles") / 3, F.lit(0))
         .cast("long")
         .alias("n_triangles")

@@ -670,20 +670,16 @@ def fill_gaps(
 
 
 def _cms_hash(col: Column, row: int, width: int, portable: bool = True) -> Column:
-    """Bucket of ``col`` under hash-row ``row``: md5 over
-    ``'<row>:' || value`` (portable — DuckDB replays it as
-    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) % width``), or
-    seeded xxhash64 when portability doesn't matter."""
+    """Bucket of ``col`` under hash-row ``row``: the module's portable
+    60-bit md5 hash (:func:`_kmv_hash` — ONE place owns the
+    cross-engine recipe) over ``'<row>:' || value``, reduced mod
+    ``width`` (DuckDB replay: ``CAST('0x' || substr(md5(...), 1, 15)
+    AS BIGINT) % width``); or seeded xxhash64 when portability doesn't
+    matter."""
     if not portable:
         return F.pmod(F.xxhash64(F.lit(row), col), F.lit(int(width)))
     return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{row}:"), col.cast("string"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
+        _kmv_hash(F.concat(F.lit(f"{row}:"), col.cast("string"))),
         F.lit(int(width)),
     )
 
@@ -755,22 +751,35 @@ def cms_lookup(
     Spark-first: the probe is an equi-join on (row, col) against the
     sketch — at most ``depth * width`` rows, hinted broadcast, so the
     lookup is a map-side hash probe with zero shuffle of the item
-    stream no matter how large it is."""
+    stream no matter how large it is.  Item ROWS are preserved
+    one-to-one (duplicates stay duplicates — a per-row id carries
+    them through the min-of-d regroup), and the sketch's column names
+    are renamed internally so items may carry ``row``/``col``/``cnt``
+    columns of their own."""
     _check_cms_shape(depth, width)
+    if "est_n" in items.columns:
+        raise ValueError("items already has an est_n column")
     v = F.col(value_col)
     hashes = F.array(
         *[_cms_hash(v, r, width, portable) for r in range(depth)]
     )
-    probes = items.select(
-        "*", F.posexplode(hashes).alias("__row", "__col")
+    probes = items.withColumn(
+        "__cms_rid", F.monotonically_increasing_id()
+    ).select("*", F.posexplode(hashes).alias("__cms_row", "__cms_col"))
+    sk = sketch.select(
+        F.col("row").alias("__sk_row"),
+        F.col("col").alias("__sk_col"),
+        F.col("cnt").alias("__sk_cnt"),
     )
     joined = probes.join(
-        F.broadcast(sketch.select("row", "col", "cnt")),
-        (F.col("__row") == F.col("row")) & (F.col("__col") == F.col("col")),
+        F.broadcast(sk),
+        (F.col("__cms_row") == F.col("__sk_row"))
+        & (F.col("__cms_col") == F.col("__sk_col")),
         "left",
     )
-    others = [c for c in items.columns]
+    others = list(items.columns)
     return (
-        joined.groupBy(*others)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+        joined.groupBy("__cms_rid", *others)
+        .agg(F.min(F.coalesce(F.col("__sk_cnt"), F.lit(0))).alias("est_n"))
+        .drop("__cms_rid")
     )

@@ -631,13 +631,31 @@ def ann_ivf_search(
 
 def _q20(vec: Column, dim: int) -> Column:
     """Quantize to integer micro-units with the exact-length NULL
-    guard (the project_embedding rule: wrong-length vectors poison to
-    NULL, never a silent wrong answer)."""
-    q = F.transform(
-        vec.cast("array<double>"),
-        lambda x: F.round(x * F.lit(1048576.0)).cast("long"),
+    guard (the project_embedding rule) AND an operating-range guard:
+    the integer distance fold below computes ``dim * (2*|q|)^2`` in
+    LONG, which wraps (non-ANSI) or throws ARITHMETIC_OVERFLOW (ANSI,
+    the Spark 4.x default) once ``|q| > sqrt(2^63/dim)/2`` — so
+    vectors beyond that bound poison to NULL and are EXCLUDED, never
+    a crash or a silent wrong cluster (the same philosophy as
+    fuzzy_join's 2^51 operating-range guard).  At dim 64 the bound is
+    |x| ~ 162; the micro-unit convention sits ~100x inside it."""
+    import math as _m
+
+    qmax = float(int(_m.sqrt((2**63 - 1) / dim) / 2))
+    vd = vec.cast("array<double>")
+    # range-check on the DOUBLES (the double->long cast itself throws
+    # CAST_OVERFLOW under ANSI for huge inputs; CaseWhen branches are
+    # lazy per row, so the cast never runs for excluded rows).  NaN
+    # compares false -> excluded; NULL elements -> NULL -> excluded.
+    in_range = F.forall(
+        vd, lambda x: F.abs(x) * F.lit(1048576.0) <= F.lit(qmax)
     )
-    return F.when(F.size(q) == dim, q).otherwise(F.lit(None))
+    q = F.transform(
+        vd, lambda x: F.round(x * F.lit(1048576.0)).cast("long")
+    )
+    return F.when(
+        (F.size(vd) == dim) & F.coalesce(in_range, F.lit(False)), q
+    ).otherwise(F.lit(None))
 
 
 def hash_seed_centroids(
@@ -676,11 +694,13 @@ def hash_seed_centroids(
 
 def _int_dists(q: Column, centers_q: list) -> Column:
     """Array of EXACT integer squared distances from quantized vector
-    ``q`` to each quantized centroid.  Long arithmetic: |diff| <= 2^21
-    * max|x|, so the dim-sum stays inside int64 for |x| up to ~3e4 —
-    far beyond the micro-unit convention (enforce upstream if inputs
-    are unconventional; the decimal cast the moment sums use would
-    cost ~3x here on the k*dim hot loop)."""
+    ``q`` to each quantized centroid.  Long arithmetic: |diff| <=
+    2^21 * max|x|, so the dim-sum is <= dim * (2^21 * |x|)^2 and
+    stays inside int64 for |x| up to ~sqrt(2^63 / dim) / 2^21 — ~181
+    at dim 64, ~52 at dim 768 — comfortably beyond the ~unit
+    micro-unit convention but NOT unbounded (enforce upstream for
+    unconventional magnitudes; the decimal cast the moment sums use
+    would cost ~3x here on the k*dim hot loop)."""
     import json
 
     return F.transform(
@@ -899,9 +919,14 @@ def semdedup_pairs(
     )
     # STAGE 2 — the EXACT decimal(38,0) decision, now over the handful
     # of survivors only: dot^2 * den^2 ~ 5e29 and na*nb*num^2 ~ 4e29
-    # both fit 38 digits (bound holds to |x| ~ 1e2; beyond it decimal
-    # overflow yields NULL -> the filter DROPS the pair rather than
-    # keeping a wrong one).  No floats in the final decision.
+    # both fit 38 digits for micro-unit vectors.  The exactness
+    # envelope is checked EXPLICITLY per pair (|dot| <= sqrt(na*nb)
+    # by Cauchy-Schwarz, so bounding the norms bounds every product
+    # below 10^38): inside it, no floats touch the decision; beyond
+    # it — inputs far past the 2^20 unit convention — the pair falls
+    # back to the double comparison (relative error ~1e-15) instead
+    # of an ANSI ARITHMETIC_OVERFLOW crash or a silent non-ANSI
+    # NULL-drop of a genuine duplicate.
     dot = F.aggregate(
         F.zip_with(
             F.col("__qa"),
@@ -915,13 +940,27 @@ def semdedup_pairs(
     den = F.lit(int(threshold_den)).cast("decimal(38,0)")
     staged_pairs = stage_expr(survivors, dot, "__dot")
     d38 = "decimal(38,0)"
+    norm_bound = F.lit(
+        9.9e18 / float(max(threshold_num, threshold_den))
+    ).cast(d38)
+    in_envelope = (F.col("__na") <= norm_bound) & (
+        F.col("__nb") <= norm_bound
+    )
     lhs = (
         (F.col("__dot") * F.col("__dot")).cast(d38) * (den * den).cast(d38)
     ).cast(d38)
     rhs = (
         (F.col("__na") * F.col("__nb")).cast(d38) * (num * num).cast(d38)
     ).cast(d38)
+    t2_exact = (float(threshold_num) / float(threshold_den)) ** 2
+    dbl_decision = (
+        F.col("__dot").cast("double") * F.col("__dot").cast("double")
+        > F.lit(t2_exact)
+        * F.col("__na").cast("double")
+        * F.col("__nb").cast("double")
+    )
+    keep = F.when(in_envelope, lhs > rhs).otherwise(dbl_decision)
     return (
-        staged_pairs.filter((F.col("__dot") > 0) & (lhs > rhs))
+        staged_pairs.filter((F.col("__dot") > 0) & keep)
         .select("cluster", "id_a", "id_b")
     )

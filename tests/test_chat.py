@@ -37,3 +37,16 @@ def test_chat_nulls_and_no_assistant(spark):
     # malformed / NULL JSON -> NULL parse -> NULL stats, never a crash
     assert got[2]["rendered_md5"] is None
     assert got[3]["n_turns"] is None or got[3]["n_turns"] == -1
+
+
+def test_render_chatml_null_fields_do_not_poison(spark):
+    """A NULL content/role field renders as empty instead of
+    NULL-poisoning the fold (and faking 'no assistant turn')."""
+    from pandance_spark.functions.chat import chat_sft_view
+
+    j = ('[{"role":"user","content":null},'
+         '{"role":"assistant","content":"hi"}]')
+    df = spark.createDataFrame([(1, j)], "id long, chat string")
+    v = chat_sft_view(df, "id", "chat").first()
+    assert v["rendered_md5"] is not None
+    assert v["n_assistant"] == 1 and v["mask_offset"] > 0

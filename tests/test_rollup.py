@@ -366,3 +366,24 @@ def test_cms_shape_validation(spark):
         build_cms(df, "v", depth=0)
     with pytest.raises(ValueError):
         build_cms(df, "v", width=1)
+
+
+def test_cms_lookup_preserves_duplicates_and_survives_name_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from pandance_spark.operators.rollup import build_cms, cms_lookup
+
+    df = spark.createDataFrame([(f"u{i % 5}",) for i in range(50)], "v string")
+    sk = build_cms(df, "v", 3, 8)
+    # duplicate item rows come back one-to-one, not collapsed
+    items = spark.createDataFrame(
+        [("u1", 7), ("u1", 7), ("u2", 9)], "v string, row long"
+    )  # 'row' collides with the sketch's grid column on purpose
+    out = cms_lookup(sk, items, "v", 3, 8).collect()
+    assert len(out) == 3
+    assert sorted(r["v"] for r in out) == ["u1", "u1", "u2"]
+    assert all(r["est_n"] >= 10 for r in out)
+    import pytest
+
+    with pytest.raises(ValueError, match="est_n"):
+        cms_lookup(sk, items.withColumn("est_n", F.lit(1)), "v", 3, 8)

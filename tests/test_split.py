@@ -751,3 +751,27 @@ def test_interleave_shards_equals_total_order(spark):
     assert [kv[1][1] for kv in order] == list(range(len(rows)))
     first_three = [df_row for df_row, _ in order[:3]]
     assert {k < 100 for k in first_three} != {True}  # mixed sources up front
+
+
+def test_interleave_shards_null_sources_and_type_guard(spark):
+    """NULL is a legitimate source partition (sorts FIRST, matching
+    interleave_sources' nulls-first window order); non-string source
+    columns are rejected with a clear error (the JSON size-table
+    literal cannot preserve their ordering)."""
+    import pytest
+
+    from pandance_spark.functions.split import (
+        interleave_shards,
+        interleave_sources,
+    )
+
+    rows = [(1, "b"), (2, None), (3, "a"), (4, None), (5, "a")]
+    df = spark.createDataFrame(rows, "k long, src string")
+    a = {r["k"]: (r["source_rank"], r["order_idx"])
+         for r in interleave_sources(df, "src", "k").collect()}
+    b = {r["k"]: (r["source_rank"], r["order_idx"])
+         for r in interleave_shards(df, "src", "k").collect()}
+    assert a == b
+    ints = spark.createDataFrame([(1, 10), (2, 9)], "k long, src int")
+    with pytest.raises(ValueError, match="string source column"):
+        interleave_shards(ints, "src", "k")

@@ -1020,3 +1020,32 @@ def test_script_mix_report(spark):
     assert 4 not in got or got[4]["n_lines"] >= 0  # NULL page: split(NULL) drops
     assert got[5]["majority_script"] == "han" and got[5]["is_mixed"]
     assert got[5]["mix_ratio"] == 0.5
+
+
+def test_c4_clean_empty_badwords_and_zipf_degenerate(spark):
+    from pandance_spark.functions.text import c4_clean, zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta one.\nalpha beta gamma delta two!\n"
+             "alpha beta gamma delta three?")],
+        "doc_id long, page string",
+    )
+    # badwords of only empty strings must not become the "()" regex
+    # that matches every page
+    r = c4_clean(df, "page", badwords=("",)).collect()[0]
+    assert r["c4_keep"] and r["c4_drop_reason"] is None
+    # zipf over a single-type corpus: NULL fit, no ANSI explosion
+    one = spark.createDataFrame([("aa aa aa",)], "t string")
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        z = zipf_fit(one, "t", top_r=5).collect()[0]
+        assert z["n_types"] == 1 and z["slope"] is None and z["r2"] is None
+        empty = spark.createDataFrame([], "t string")
+        z2 = zipf_fit(empty, "t", top_r=5).collect()[0]
+        assert z2["n_types"] == 0 and z2["slope"] is None
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")
