@@ -3,12 +3,17 @@ from pandance_spark.operators.bloom import bloom_dedup, bloom_words
 from pandance_spark.operators.cluster import (
     connected_components,
     dedup_clusters,
+    graph_summary,
     pagerank,
+    triangle_count,
 )
 from pandance_spark.operators.contamination import contamination_check
 from pandance_spark.operators.rollup import (
+    build_cms,
     build_rollup,
+    cms_lookup,
     finalize_rollup,
+    merge_cms,
     merge_rollup,
     time_bucket,
 )
@@ -22,12 +27,25 @@ from pandance_spark.operators.similarity import (
     ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk,
+    hash_seed_centroids,
+    kmeans_assign_exact,
+    kmeans_update_exact,
     knn_graph,
+    semdedup_pairs,
 )
 from pandance_spark.operators.skew import salted_join
 from pandance_spark.operators.theta import theta_join
 
 __all__ = [
+    "build_cms",
+    "merge_cms",
+    "cms_lookup",
+    "triangle_count",
+    "graph_summary",
+    "hash_seed_centroids",
+    "kmeans_assign_exact",
+    "kmeans_update_exact",
+    "semdedup_pairs",
     "build_rollup",
     "finalize_rollup",
     "merge_rollup",
