@@ -5109,6 +5109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": _q_mixture_plan,
         "outliers_events": _q_outliers_events,
         "weighted_per_lang": _q_weighted_per_lang,
+        # r10 rotation plan: the 19 r9 builds above hold 1 green each
+        # after r10's driver run — rotate them to the local gate and
+        # bring back one-green r8 rows for their 2nd green (the TPC-H
+        # Q2-Q22 completions and session-2 rows below); keep the
+        # standing pins (fuzzy/ineq autoskew, multimodal_png) and
+        # retire pii_cards/bpe_tokens/theta after this round's
+        # re-check greens.  The sortability meta-test
+        # (tests/test_contract.py) guards every rotation against the
+        # ArrayType driver-canonicalizer class.
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r9 rotations OUT: the r8 first-timers with their green banked
         # (TPC-H Q2-Q22 completions, rollup_distinct_users rows-only,
