@@ -1164,3 +1164,34 @@ def test_interleave_shards_matches_window_form(spark, rows):
     b = {r["k"]: (r["source_rank"], r["order_idx"])
          for r in interleave_shards(df, "src", "k").collect()}
     assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    ),
+)
+def test_triangle_count_matches_brute_force(spark, pairs):
+    """Compact-forward oriented counting == brute-force triangle
+    enumeration on arbitrary small graphs (self-loops, duplicates,
+    reversed edges, disconnected vertices all generated)."""
+    import itertools
+
+    from pandance_spark.operators.cluster import triangle_count
+
+    df = spark.createDataFrame(
+        pairs or [(0, 0)], "s long, d long"
+    )
+    got = {r["vertex"]: r["n_triangles"]
+           for r in triangle_count(df, "s", "d").collect()}
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    verts = sorted({v for e in edges for v in e})
+    exp = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        if ({(a, b), (a, c), (b, c)} <= edges):
+            for v in (a, b, c):
+                exp[v] = exp.get(v, 0) + 1
+    assert got == exp, (got, exp)
