@@ -4734,26 +4734,49 @@ def _q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip_root(sf_dir: str, kind: str) -> str:
+    """Cache root keyed by sf tag PLUS a content fingerprint of the
+    source documents parquet (mtime+size of every part file, hashed) —
+    regenerated testdata gets a fresh cache dir instead of silently
+    reusing stale CSV/JSONL while the oracle recomputes from the new
+    parquet (ADVICE r9)."""
+    import hashlib
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/"))
+    h = hashlib.md5()
+    src = os.path.join(sf_dir, "documents.parquet")
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(src, p) for p in os.listdir(src)
+        )
+    for p in paths:
+        try:
+            st = os.stat(p)
+            h.update(f"{p}|{st.st_mtime_ns}|{st.st_size};".encode())
+        except OSError:
+            h.update(f"{p}|missing;".encode())
+    fp = h.hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(), f"pandance_{kind}_roundtrip_{tag}_v1"
+        tempfile.gettempdir(), f"pandance_{kind}_roundtrip_{tag}_{fp}"
     )
 
 
 def _publish_dir(root: str, write_fn) -> None:
     """Idempotent per-sf temp publication (the orc_roundtrip /
     warc_files pattern): write to a stage dir, atomic-rename into
-    place; a concurrent publisher winning the rename is fine."""
+    place; a concurrent publisher winning the rename is fine — the
+    loser removes its orphaned stage dir (ADVICE r9)."""
     if os.path.isdir(root):
         return
+    import shutil
+
     stage = root + ".stage"
     write_fn(stage)
     try:
         os.rename(stage, root)
     except OSError:
-        pass
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6537,7 +6560,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, source_rank,
                    CAST(row_number() OVER (
-                     ORDER BY source_rank, source) - 1
+                     ORDER BY source_rank, source NULLS FIRST) - 1
                      AS BIGINT) AS order_idx
             FROM ranked
         """,
@@ -9518,7 +9541,7 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             )
             SELECT doc_id, source, source_rank,
                    CAST(ROW_NUMBER() OVER
-                     (ORDER BY source_rank, source) - 1
+                     (ORDER BY source_rank, source NULLS FIRST) - 1
                      AS BIGINT) AS order_idx
             FROM ranked
         """,

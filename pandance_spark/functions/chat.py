@@ -107,6 +107,11 @@ def chat_sft_view(
             first_assistant > 0,
             (first_assistant + F.lit(len(_ASSISTANT_TAG))).cast("long"),
         )
-        .otherwise(F.lit(0).cast("long"))
+        # 0 is reserved for genuinely assistant-free transcripts;
+        # an unparseable row (every other stat NULL) gets a NULL
+        # mask_offset too, so SFT ingest can tell "prompt-only"
+        # from "corrupt" by this column alone (ADVICE r9).
+        .when(F.col("__m").isNotNull(), F.lit(0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
         .alias("mask_offset"),
     )

@@ -535,15 +535,24 @@ def graph_summary(edges: DataFrame, src: str, dst: str) -> DataFrame:
     normalization/degree work."""
     e = _canon_edges(edges, src, dst)
     deg = _degrees(e).localCheckpoint(eager=False)
+    # Integer arithmetic end-to-end (ADVICE r9): float division
+    # (sum(d)/2, d*(d-1)/2 as double) silently corrupts low bits once
+    # the numerator passes 2^53 (degree ~1.3e8 for the wedge term) —
+    # exactly the 100 TB regime this report targets.  Decimal(38,0)
+    # accumulation + `div` keeps every count exact; sum(d) and
+    # sum(d*(d-1)) are even by construction, so div loses nothing.
     base = deg.agg(
         F.count("*").alias("n_vertices"),
-        (F.sum("d") / 2).cast("long").alias("n_edges"),
-        F.sum(F.col("d") * (F.col("d") - 1) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        F.expr("sum(cast(d as decimal(38,0))) div 2").alias("n_edges"),
+        F.expr(
+            "sum(cast(d as decimal(38,0)) * (d - 1)) div 2"
+        ).alias("n_wedges"),
     )
     tri = _triangle_core(e, deg).agg(
-        F.coalesce(F.sum("n_triangles") / 3, F.lit(0))
+        F.coalesce(
+            F.expr("sum(cast(n_triangles as decimal(38,0))) div 3"),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_triangles")
     )

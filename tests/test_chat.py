@@ -34,9 +34,13 @@ def test_chat_nulls_and_no_assistant(spark):
     df = spark.createDataFrame(rows, "id long, chat string")
     got = {r["id"]: r for r in chat_sft_view(df, "id", "chat").collect()}
     assert got[1]["n_assistant"] == 0 and got[1]["mask_offset"] == 0
-    # malformed / NULL JSON -> NULL parse -> NULL stats, never a crash
+    # malformed / NULL JSON -> NULL parse -> NULL stats, never a crash;
+    # mask_offset is NULL too (0 is reserved for genuinely
+    # assistant-free transcripts — ADVICE r9)
     assert got[2]["rendered_md5"] is None
+    assert got[2]["mask_offset"] is None
     assert got[3]["n_turns"] is None or got[3]["n_turns"] == -1
+    assert got[3]["mask_offset"] is None
 
 
 def test_render_chatml_null_fields_do_not_poison(spark):

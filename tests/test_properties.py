@@ -1143,7 +1143,10 @@ def test_cms_merge_and_one_sided_property(spark, vals, split):
 @settings(**_SETTINGS)
 @given(
     rows=st.lists(
-        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c", "dd"])),
+        st.tuples(
+            st.integers(0, 50),
+            st.sampled_from(["a", "b", "c", "dd", None]),
+        ),
         min_size=1,
         max_size=40,
         unique_by=lambda t: t[0],
@@ -1152,7 +1155,8 @@ def test_cms_merge_and_one_sided_property(spark, vals, split):
 def test_interleave_shards_matches_window_form(spark, rows):
     """Closed-form sharded interleave == the two-window definition on
     arbitrary (key, source) sets — sizes skewed, sources missing,
-    singleton sources all covered by generation."""
+    singleton sources, and NULL sources (the null-aware 'earlier
+    source' branch; ADVICE r9) all covered by generation."""
     from pandance_spark.functions.split import (
         interleave_shards,
         interleave_sources,
