@@ -430,10 +430,18 @@ def main():
         every attempt and survives the pooling."""
         reps = _timed_reps(fn)
         attempts = 1
+        # r10 tightening (VERDICT r9 item 7): the 2x-median trigger let
+        # load-poisoned triples through — r9's dedup_simhash "5.96 s"
+        # carried a 4.6 s spread (spread < 2x median, guard silent) and
+        # read as a 3x regression that an isolated re-measure showed
+        # was ~1.9 s.  New trigger: spread > max(0.8 x median, 0.25 s);
+        # on the r9b clean run only 2/172 rows would re-run, so the
+        # cost is bounded while contaminated triples now always retry.
         while (
             REPS > 1
             and attempts < 3
-            and (max(reps) - min(reps)) > 2 * statistics.median(reps)
+            and (max(reps) - min(reps))
+            > max(0.8 * statistics.median(reps), 0.25)
         ):
             # no barrier for the baseline workloads: it would evict
             # their cached createDataFrame inputs mid-measurement

@@ -479,24 +479,25 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("__t"),
     ).select("id", _token_hash64(F.col("__t"), seed, portable).alias("__h"))
+    # The 64 bit-vote aggregates and the 64-term OR recombination are
+    # built as parsed SQL strings, not Column-by-Column: the unrolled
+    # Column form costs ~2.6 s of py4j round trips PER BUILD (measured
+    # r10 — half of dedup_simhash's bench wall was driver-side tree
+    # construction, re-paid every rep), while F.expr parses each
+    # aggregate in one call.  The physical plan is identical.
     cnts = tok.groupBy("id").agg(
         F.count("*").alias("__n"),
         *[
-            F.sum(F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(
-                f"__c{b}"
-            )
+            F.expr(f"sum(shiftrightunsigned(__h, {b}) & 1) AS __c{b}")
             for b in range(64)
         ],
     )
-    mask_vals = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    sh = F.lit(0).cast("long")
-    for b in range(64):
-        sh = sh.bitwiseOR(
-            F.when(
-                F.col(f"__c{b}") * 2 > F.col("__n"), F.lit(mask_vals[b]).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    sigs = cnts.select("id", sh.alias("__sh"))
+    # shiftleft(1L, 63) is min-long — the sign bit's mask — with no
+    # overflowing literal; constant-folded by Catalyst
+    or_terms = " | ".join(
+        f"if(__c{b} * 2 > __n, shiftleft(1L, {b}), 0L)" for b in range(64)
+    )
+    sigs = cnts.select("id", F.expr(or_terms).alias("__sh"))
     # tokenless documents never reach the aggregate; they carry sig 0
     return ids.join(sigs, "id", "left").select(
         "id", F.coalesce("__sh", F.lit(0).cast("long")).alias("__sh")
@@ -962,12 +963,15 @@ def _gemm_cosine_pairs(
     """All-pairs cosine via broadcast numpy matrix + per-partition matmul."""
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()  # broadcast-sized by contract
-    if not rows:
+    # Arrow-batched driver fetch (broadcast-sized by contract):
+    # toPandas moves the (id, vec) table as columnar batches instead of
+    # pickled Row objects — ~2x faster at the 10 MB broadcast ceiling
+    pdf0 = df.select(id_col, vec_col).toPandas()
+    if len(pdf0) == 0:
         return df.sparkSession.createDataFrame([], _cosine_out_schema(df, id_col))
     # preserve the id dtype (string/uuid ids must not be coerced)
-    ids = np.array([r[0] for r in rows])
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = pdf0[id_col].to_numpy()
+    mat = np.array(list(pdf0[vec_col]), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     unit = mat / norms[:, None]
