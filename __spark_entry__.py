@@ -5031,37 +5031,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # DRIVER WINDOW (first 50 entries — the driver's correctness gate
         # reads only these; ALL entries below stay in the local multi-sf
-        # gate).  r9 rotation, executing the plan committed in r8: the
-        # ~40 first-time r8 rows earned their green and rotate to the
-        # local gate; back in come the 12 one-green r7 veterans
-        # (dsir_select ... ab_summary), the 4 built-after-the-window
-        # session-2 queries (page_meta, interleave_sources,
-        # length_batches, minhash_eval), and the theta rows (last
-        # driver-green r6 — VERDICT r8 asked for a re-pin).  The two r8
-        # REDS (embed_project, emit_packs — ArrayType columns crashed
-        # the driver canonicalizer) are FIXED (CSV projections, oracle
-        # updated) and stay for their first clean green; the class is
-        # now pinned repo-wide by
-        # tests/test_contract.py::test_no_unsortable_columns_in_any_query_result.
-        # Standing pins: fuzzy/ineq autoskew + multimodal_png; re-checks
-        # before retirement: pii_cards, bpe_tokens.
-        # Rotation history through r8 lives in git (pre-e6e7f76 blocks).
+        # gate).  r10 rotation, executing the plan committed in r9 and
+        # VERDICT r9 item 2: the 19 r9 first-timers banked their green and
+        # rotate to the local gate (9 return as backfill below for an
+        # opportunistic 2nd green); retired after their r9 re-check greens:
+        # pii_cards, bpe_tokens, theta_expr_mod, theta_udf_gcd, plus the 12
+        # two-green r7 veterans (dsir_select ... ab_summary) and the 6
+        # two-green r8 backfill rows (script_detect ... html_links).  Back
+        # in for their 2nd green: the 14 TPC-H completions and the 17 other
+        # r8 one-green rows, text_normalize (the repo's oldest one-green,
+        # r3), the fixed r8 reds (embed_project/emit_packs), and the 4 r8
+        # session-2 builds whose first green came in r9 — 38 second-green
+        # candidates (VERDICT asked for >= 15).  Standing pins unchanged.
+        # Rotation history lives in git (this block, per round).
         # ------------------------------------------------------------------
         "fuzzy_autoskew": _q_fuzzy_autoskew,
         "ineq_band_autoskew": _q_ineq_band_autoskew,
         "multimodal_png": _q_multimodal_png,
-        # final re-checks before retiring to the local gate
-        "pii_cards": _q_pii_cards,
-        "bpe_tokens": _q_bpe_tokens,
-        # theta re-pin (VERDICT r8 §2.1: out of window two rounds) —
-        # both execution paths: pure-Catalyst Column callable and the
-        # Arrow pandas_udf scalar-callable fallback
-        "theta_expr_mod": _q_theta_expr_mod,
-        "theta_udf_gcd": _q_theta_udf_gcd,
-        # r8 REDS, fixed this round (driver-sortable projections)
+        # TPC-H completions (one r8 green each) — 2nd green
+        "q2_min_cost": _q_q2_min_cost,
+        "q4_late_orders": _q_q4_late_orders,
+        "q7_volume_shipping": _q_q7_volume_shipping,
+        "q8_market_share": _q_q8_market_share,
+        "q9_product_profit": _q_q9_product_profit,
+        "q10_returned_items": _q_q10_returned_items,
+        "q11_important_stock": _q_q11_important_stock,
+        "q12_late_lines": _q_q12_late_lines,
+        "q14_promo_share": _q_q14_promo_share,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "q20_semi_chain": _q_q20_semi_chain,
+        "q22_idle_value": _q_q22_idle_value,
+        # r8 one-green builds — 2nd green
+        "containment_quotes": _q_containment_quotes,
+        "corpus_drift": _q_corpus_drift,
+        "embed_pc1": _q_embed_pc1,
+        "image_meta_triage": _q_image_meta_triage,
+        "mixture_plan": _q_mixture_plan,
+        "ngram_novelty": _q_ngram_novelty,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "outliers_events": _q_outliers_events,
+        "ppl_buckets": _q_ppl_buckets,
+        "robots_gate": _q_robots_gate,
+        "rollup_bottomk": _q_rollup_bottomk,
+        "rollup_incremental": _q_rollup_incremental,
+        "vocab_coverage": _q_vocab_coverage,
+        "vocab_oov": _q_vocab_oov,
+        "warc_files": _q_warc_files,
+        "weighted_per_lang": _q_weighted_per_lang,
+        "weighted_sample": _q_weighted_sample,
+        # oldest one-green row in the repo (r3 window)
+        "text_normalize": _q_text_normalize,
+        # r8 reds, fixed + first clean green r9 — the 2nd green pins the fix
         "embed_project": _q_embed_project,
         "emit_packs": _q_emit_packs,
-        # the 12 one-green r7 veterans, back for their 2nd green
+        # r8 session-2 builds (first green r9) — 2nd green
+        "page_meta": _q_page_meta,
+        "interleave_sources": _q_interleave_sources,
+        "length_batches": _q_length_batches,
+        "minhash_eval": _q_minhash_eval,
+        # ------------------------------------------------------------------
+        # NEW r10 BUILDS land here (above the backfill) so each new query
+        # takes a window slot as it ships and the backfill falls out in
+        # order.
+        # ------------------------------------------------------------------
+        # backfill: r9 one-greens banking an opportunistic 2nd green
+        "char_entropy": _q_char_entropy,
+        "readability": _q_readability,
+        "zipf_fit": _q_zipf_fit,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "canary_scan": _q_canary_scan,
+        "cms_heavy": _q_cms_heavy,
+        "rrf_fusion": _q_rrf_fusion,
+        "sft_render": _q_sft_render,
+        "lang_mix": _q_lang_mix,
+        # --- entries 51+ (outside the driver window; locally gated) ---
+        # r10 rotations OUT: r9 first-timers with their green banked, the
+        # retired re-check rows (pii_cards/bpe_tokens/theta), the two-green
+        # r7 veterans, and the r8/r9 backfill rows that hit 2 greens.
+        "pii_cards": _q_pii_cards,
+        "bpe_tokens": _q_bpe_tokens,
+        "theta_expr_mod": _q_theta_expr_mod,
+        "theta_udf_gcd": _q_theta_udf_gcd,
         "dsir_select": _q_dsir_select,
         "filter_funnel": _q_filter_funnel,
         "cdc_apply": _q_cdc_apply,
@@ -5074,98 +5126,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": _q_cumulative_users,
         "step_transitions": _q_step_transitions,
         "ab_summary": _q_ab_summary,
-        # r8 session-2 builds that never got a driver check (the window
-        # was full when they landed)
-        "page_meta": _q_page_meta,
-        "interleave_sources": _q_interleave_sources,
-        "length_batches": _q_length_batches,
-        "minhash_eval": _q_minhash_eval,
-        # ------------------------------------------------------------------
-        # r9 NEW BUILDS land here (between the core-25 above and the
-        # backfill below) so each new query takes a window slot as it
-        # ships and the backfill rows fall out in order.
-        # ------------------------------------------------------------------
-        # corpus-statistics panel
-        "char_entropy": _q_char_entropy,
-        "readability": _q_readability,
-        "zipf_fit": _q_zipf_fit,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "canary_scan": _q_canary_scan,
-        "cms_heavy": _q_cms_heavy,
         "kmeans_assign": _q_kmeans_assign,
         "semdedup_prune": _q_semdedup_prune,
         "csv_roundtrip": _q_csv_roundtrip,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "triangle_count": _q_triangle_count,
         "graph_summary": _q_graph_summary,
-        "rrf_fusion": _q_rrf_fusion,
-        "sft_render": _q_sft_render,
-        "lang_mix": _q_lang_mix,
         "interleave_shards": _q_interleave_shards,
         "grouping_sets_events": _q_grouping_sets_events,
         "outliers_mad": _q_outliers_mad,
         "ab_cuped": _q_ab_cuped,
-        # backfill: one-green r8 rows holding the remaining slots for a
-        # 2nd green until r9 builds displace them
         "script_detect": _q_script_detect,
         "mojibake_clean": _q_mojibake_clean,
         "pii_cards_sparse": _q_pii_cards_sparse,
         "decontam_composed": _q_decontam_composed,
         "c4_filters": _q_c4_filters,
         "html_links": _q_html_links,
-        "corpus_drift": _q_corpus_drift,
-        "vocab_oov": _q_vocab_oov,
-        "ngram_novelty": _q_ngram_novelty,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "embed_pc1": _q_embed_pc1,
-        "vocab_coverage": _q_vocab_coverage,
-        "robots_gate": _q_robots_gate,
-        "warc_files": _q_warc_files,
-        "containment_quotes": _q_containment_quotes,
-        "rollup_bottomk": _q_rollup_bottomk,
-        "image_meta_triage": _q_image_meta_triage,
         "mixture_temperature": _q_mixture_temperature,
         "token_budget": _q_token_budget,
-        "weighted_sample": _q_weighted_sample,
-        "ppl_buckets": _q_ppl_buckets,
-        "rollup_incremental": _q_rollup_incremental,
-        "mixture_plan": _q_mixture_plan,
-        "outliers_events": _q_outliers_events,
-        "weighted_per_lang": _q_weighted_per_lang,
-        # r10 rotation plan: the 19 r9 builds above hold 1 green each
-        # after r10's driver run — rotate them to the local gate and
-        # bring back one-green r8 rows for their 2nd green (the TPC-H
-        # Q2-Q22 completions and session-2 rows below); keep the
-        # standing pins (fuzzy/ineq autoskew, multimodal_png) and
-        # retire pii_cards/bpe_tokens/theta after this round's
-        # re-check greens.  The sortability meta-test
-        # (tests/test_contract.py) guards every rotation against the
-        # ArrayType driver-canonicalizer class.
-        # --- entries 51+ (outside the driver window; locally gated) ---
-        # r9 rotations OUT: the r8 first-timers with their green banked
-        # (TPC-H Q2-Q22 completions, rollup_distinct_users rows-only,
-        # 2-green veterans main_text_extract/rollup_quantiles/keep_best)
         "main_text_extract": _q_main_text,
         "rollup_quantiles": _q_rollup_quantiles,
         "keep_best": _q_keep_best,
         "rollup_distinct_users": _q_rollup_distinct_users,
-        "q17_avg_qty_gate": _q_q17_avg_qty_gate,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q20_semi_chain": _q_q20_semi_chain,
-        "q22_idle_value": _q_q22_idle_value,
-        "q2_min_cost": _q_q2_min_cost,
-        "q11_important_stock": _q_q11_important_stock,
-        "q4_late_orders": _q_q4_late_orders,
-        "q14_promo_share": _q_q14_promo_share,
-        "q7_volume_shipping": _q_q7_volume_shipping,
-        "q8_market_share": _q_q8_market_share,
-        "q9_product_profit": _q_q9_product_profit,
-        "q10_returned_items": _q_q10_returned_items,
-        "q12_late_lines": _q_q12_late_lines,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        # r8 rotations OUT: the 28 carryovers with 2+ straight greens
-        # (bloom_dedup, heavy_hitters, the multimodal codec family,
-        # url/layout/maintenance rows, dedup_substrings, ...)
         "bloom_dedup": _q_bloom_dedup,
         "heavy_hitters": _q_heavy_hitters,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -5261,7 +5243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": _q_asof_nearest,
         "pii_redact": _q_pii_redact,
         "text_quality": _q_text_quality,
-        "text_normalize": _q_text_normalize,
         "multimodal_meta": _q_multimodal_meta,
         "stratified_sample": _q_stratified_sample,
         "merge_upsert": _q_merge_upsert,
