@@ -48,6 +48,7 @@ __all__ = [
     "stream_upsert_sink",
     "stream_scd2_sink",
     "streaming_similarity_join",
+    "streaming_fuzzy_join",
     "streaming_contamination_router",
     "streaming_token_budget_router",
     "streaming_c4_gate",
@@ -1530,3 +1531,113 @@ def read_cms(spark, path: str) -> DataFrame:
     return spark.read.parquet(path).select(
         F.col("bucket").alias("row"), "col", "cnt"
     )
+
+
+def streaming_fuzzy_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Optional[str] = None,
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    tol=1e-3,
+    suffixes=("_x", "_y"),
+) -> DataFrame:
+    """Stream-static :func:`pandance_spark.fuzzy_join` — the engine's
+    signature operator in CDC-enrichment form: every arriving row
+    joins the rows of a static dimension whose join value differs by
+    at most ``tol``.  Reference semantics per ``pandance/pandance.py:
+    22-208`` apply unchanged (inner join, NaN/Inf dropped, ``suffixes``
+    on overlapping names, numeric/timestamp/decimal tolerance matrix).
+
+    Plan: the batch band-bucket rewrite IS a stream-static equi-join
+    Spark supports natively — the static side is exploded once into
+    its ±2 neighbor buckets (``floor(v/tol) + i``), the stream side
+    computes its single bucket statelessly, and the exact
+    ``abs(l - r) <= tol`` predicate rides the join.  No state store:
+    a stream-static inner join keeps nothing between micro-batches,
+    and a broadcast-sized static side makes each micro-batch a
+    map-only broadcast hash join (the 100 TB shape: dimension
+    broadcast, stream never shuffles).
+
+    Operating-range guard: ``floor(v/tol)`` in double drops matches
+    past ``|v|/tol ~ 2^51``; the static side is checked with one
+    min/max job (raises, same contract as batch ``strategy='band'``),
+    and stream values are subject to the same published bound —
+    rescale upstream if the stream can exceed it.
+    """
+    from pandance_spark._kernel import (
+        apply_suffixes,
+        as_instant,
+        finite_filter,
+        resolve_join_columns,
+        tolerance_to_micros,
+        validate_fuzzy_types,
+        validate_tol_value,
+    )
+    from pandance_spark.operators.fuzzy import (
+        _BUCKET_MARGIN,
+        _MAX_BUCKET_QUOTIENT,
+    )
+
+    left_on, right_on = resolve_join_columns(
+        stream, static, on, left_on, right_on
+    )
+    mode = validate_fuzzy_types(
+        stream.schema[left_on].dataType, static.schema[right_on].dataType, tol
+    )
+    validate_tol_value(tol)
+
+    stream = finite_filter(stream, left_on)
+    static = finite_filter(static, right_on)
+    left2, right2, lcol, rcol = apply_suffixes(
+        stream, static, left_on, right_on, suffixes
+    )
+    out_cols = [*left2.columns, *right2.columns]
+
+    if mode == "timestamp":
+        tol_us = tolerance_to_micros(tol)
+        lval = F.unix_micros(as_instant(left2[lcol]))
+        rval = F.unix_micros(as_instant(right2[rcol]))
+        tol_lit = F.lit(tol_us)
+        bucket_width = float(tol_us)
+    else:
+        tol_lit = F.lit(tol)
+        bucket_width = float(tol)
+        lval, rval = left2[lcol], right2[rcol]
+    exact = F.abs(lval - rval) <= tol_lit
+
+    if bucket_width == 0.0:
+        # tol == 0 degenerates to an exact stream-static equi-join
+        return left2.join(right2, lval == rval, "inner").select(*out_cols)
+
+    # one bounded batch job on the static side only (the stream side
+    # cannot be scanned) — same raise contract as batch strategy='band'
+    mm = right2.agg(F.max(F.abs(rval)).alias("m")).first()
+    if (
+        mm is not None
+        and mm["m"] is not None
+        and float(mm["m"]) / bucket_width > _MAX_BUCKET_QUOTIENT
+    ):
+        raise ValueError(
+            "streaming band join out of operating range: static "
+            f"|value|/tol ~ {float(mm['m']) / bucket_width:.2e} exceeds "
+            "2^51, floor(v/tol) in double would drop matches; rescale "
+            "the values"
+        )
+
+    lb = left2.withColumn(
+        "__bucket", F.floor(lval.cast("double") / F.lit(bucket_width))
+    )
+    rbucket = F.floor(rval.cast("double") / F.lit(bucket_width))
+    rb = right2.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                *[
+                    rbucket + F.lit(i)
+                    for i in range(-_BUCKET_MARGIN, _BUCKET_MARGIN + 1)
+                ]
+            )
+        ),
+    )
+    return lb.join(rb, "__bucket", "inner").filter(exact).select(*out_cols)

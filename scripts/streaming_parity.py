@@ -1523,6 +1523,54 @@ WHERE NOT EXISTS (
            note="maintained Count-Min grid == batch build_cms == "
                 "DuckDB md5 hash-grid replay (counter addition exact)")
 
+    # ------------------------------------------------------------------
+    # 21. streaming_fuzzy_join (r10): the engine's signature operator in
+    # stream-static CDC-enrichment form — arriving events join a static
+    # price-ladder dimension within tol.  The static side is split into
+    # two files so the join replans across REAL micro-batches; stream ==
+    # batch fuzzy_join == DuckDB brute-force abs() predicate.
+    # ------------------------------------------------------------------
+    from pandance_spark import fuzzy_join
+    from pandance_spark.streaming import streaming_fuzzy_join
+
+    ladder = spark.range(100).select(
+        F.col("id").alias("level_id"), (F.col("id") * 0.5).alias("level")
+    )
+    ev21 = ev_batch.select("event_id", "value")
+    src21 = os.path.join(tmp, "fuzzy_src")
+    ev21.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src21)
+    ev21.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src21)
+    stream21 = spark.readStream.schema(ev21.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src21)
+    run_stream_to_memory(
+        streaming_fuzzy_join(
+            stream21, ladder, left_on="value", right_on="level", tol=0.1
+        ),
+        "parity_fuzzy",
+    )
+    cols = ["event_id", "value", "level_id", "level"]
+    s21 = canon_rows(spark.table("parity_fuzzy").collect(), cols)
+    b21 = canon_rows(
+        fuzzy_join(
+            ev21, ladder, left_on="value", right_on="level", tol=0.1
+        ).collect(),
+        cols,
+    )
+    d21 = canon_rows(duck_rows(con.sql("""
+        -- CAST keeps the ladder in DOUBLE (bare i * 0.5 is DECIMAL in
+        -- DuckDB, which drifts both repr and the boundary comparison)
+        SELECT event_id, value, i AS level_id,
+               CAST(i AS DOUBLE) * 0.5 AS level
+        FROM events, range(100) t(i)
+        WHERE abs(value - CAST(i AS DOUBLE) * 0.5) <= 0.1
+    """)), cols)
+    record("streaming_fuzzy_join", "duckdb", s21, b21, d21,
+           note="stream-static band join over 2 micro-batches == batch "
+                "fuzzy_join == DuckDB brute-force abs() predicate")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

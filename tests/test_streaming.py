@@ -1190,3 +1190,72 @@ def test_streaming_robots_router_matches_batch(spark, tmp_path):
     assert not sb[1] and not sb[2] and not sb[3] and not sb[7]
     # hosts without a specialbot group fall back to their * rules
     assert sb[5] and not sb[4] and sb[6]
+
+
+def test_streaming_fuzzy_join_matches_batch(spark, tmp_path):
+    """Stream-static band join == batch fuzzy_join on the same inputs,
+    across two real micro-batches; suffixes apply to overlapping
+    names; tol=0 degenerates to an exact equi-join."""
+    from pandance_spark import fuzzy_join
+    from pandance_spark.streaming import streaming_fuzzy_join
+
+    rows = [(i, round(i * 0.37 % 7, 3)) for i in range(60)]
+    # NaN/Inf on the stream side must be dropped, as in batch
+    rows += [(100, float("nan")), (101, float("inf"))]
+    src = spark.createDataFrame(rows, "event_id long, val double")
+    static = spark.range(15).select(
+        F.col("id").alias("level_id"), (F.col("id") * 0.5).alias("val")
+    )
+    path = str(tmp_path / "src")
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(path)
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    _run_to_memory(
+        streaming_fuzzy_join(stream, static, on="val", tol=0.25),
+        "sfj_out",
+        "append",
+    )
+    got = sorted(
+        map(tuple, spark.table("sfj_out").collect())
+    )
+    want = sorted(
+        map(tuple, fuzzy_join(src, static, on="val", tol=0.25).collect())
+    )
+    assert got == want and len(got) > 0
+    # suffixes landed on the overlapping join column
+    assert {"val_x", "val_y"} <= set(spark.table("sfj_out").columns)
+
+    # tol=0 -> exact equi-join
+    _run_to_memory(
+        streaming_fuzzy_join(stream, static, on="val", tol=0),
+        "sfj_exact",
+        "append",
+    )
+    got0 = {r["val_x"] for r in spark.table("sfj_exact").collect()}
+    want0 = {
+        r["val_x"]
+        for r in fuzzy_join(src, static, on="val", tol=0).collect()
+    }
+    assert got0 == want0
+
+
+def test_streaming_fuzzy_join_operating_range_raises(spark, tmp_path):
+    """A static side past |v|/tol ~ 2^51 raises (same contract as
+    batch strategy='band') instead of silently dropping matches."""
+    from pandance_spark.streaming import streaming_fuzzy_join
+
+    src = spark.createDataFrame([(1, 1.0)], "event_id long, val double")
+    path = str(tmp_path / "src2")
+    src.write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    static = spark.createDataFrame(
+        [(1, 1e13)], "level_id long, val double"
+    )
+    with pytest.raises(ValueError, match="operating range"):
+        streaming_fuzzy_join(stream, static, on="val", tol=1e-3)
