@@ -17,4 +17,13 @@ python scripts/check_correctness.py /root/testdata/sf0.1 \
 # canonicalization class of mismatch (HUGEINT/DECIMAL -> float64)
 # is invisible to the fetchall-based gate above — audit every oracle
 python scripts/audit_oracle_dtypes.py /root/testdata/sf0.01
+
+# standing 10x scaling gate (r9 verdict item 5): every NEW query of
+# the round goes in this list; wall must stay within 3x of
+# max(input growth, output growth) across sf0.01 -> sf0.1.  The
+# second-decade (@sf1) probe for the pair-growth core runs per-round,
+# not per-gate (see SCALING.md r10).
+NEW_QUERIES="${SPARK_GRAFT_PROBE_QUERIES:-fuzzy_autoskew,ineq_band_autoskew,dedup_minhash,dedup_simhash,containment_quotes}"
+python scripts/scale_probe.py --queries "$NEW_QUERIES" \
+    --sfs /root/testdata/sf0.01,/root/testdata/sf0.1 --max-ratio 3
 echo "multi-sf gate: all green"
