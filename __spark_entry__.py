@@ -1491,6 +1491,35 @@ def _q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_eval with truth_sample_frac=0.5 (VERDICT r9 item 6):
+    the affordable-audit mode — the WHOLE evaluation (exact truth,
+    LSH candidates, verification) runs on a seeded length-stratified
+    half-sample, so recall/precision estimate the full-corpus report
+    where exact all-pairs truth is unaffordable.  Same mutated-copy
+    fixture as minhash_eval; portable=True makes the SAMPLE md5-keyed
+    too, so the oracle replays sample selection, truth, and the
+    banded LSH pair-for-pair."""
+    from pandance_spark.operators.dedup import minhash_eval
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dropped = F.array_join(
+        F.filter(
+            F.split(F.col("text"), " "), lambda x, i: i % 9 != 0
+        ),
+        " ",
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        dropped.alias("text"),
+    )
+    aug = docs.unionAll(variants)
+    return minhash_eval(
+        aug, "doc_id", "text", threshold=0.6, portable=True,
+        truth_sample_frac=0.5,
+    )
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document n-gram novelty vs a reference corpus
     (operators/contamination.py novelty_stats — the inverse of
@@ -5096,6 +5125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # takes a window slot as it ships and the backfill falls out in
         # order.
         # ------------------------------------------------------------------
+        "minhash_eval_sampled": _q_minhash_eval_sampled,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -5733,27 +5763,47 @@ _PII_SPARSE_ORACLE = f"""
 """
 
 
-def _minhash_eval_oracle(threshold: float = 0.6) -> str:
+def _minhash_eval_oracle(
+    threshold: float = 0.6, sample_frac=None, seed: int = 42
+) -> str:
     """Full SQL replay of the minhash_eval query: the mutated-copy
     fixture, string-shingle brute-force Jaccard truth, AND the
     portable md5 LSH candidate path (31-bit folded shingle hashes,
     64-slot affine-min signatures, per-band md5) — the same chain the
     streaming-parity harness replays, here driving the recall/
-    precision report."""
+    precision report.  ``sample_frac`` replays the seeded
+    length-stratified md5 document sample of
+    ``dedup._stratified_doc_sample`` (stratum = length(bin(len+2))-1,
+    exact integer arithmetic on both engines)."""
     from pandance_spark.operators.dedup import _hash_params
 
     params = _hash_params(64, 42)
     vals = ", ".join(f"({k}, {a}, {b})" for k, (a, b) in enumerate(params))
     t = threshold
+    sample_where = ""
+    if sample_frac is not None and sample_frac < 1.0:
+        thresh = int(sample_frac * (1 << 32))
+        key = (
+            f"CAST(doc_id AS VARCHAR) || ':{seed}:' || "
+            "coalesce(CAST(length(bin(CAST(length(text) AS BIGINT) + 2))"
+            " - 1 AS VARCHAR), 'null')"
+        )
+        sample_where = (
+            f", sampled AS (SELECT doc_id, text FROM aug0 WHERE "
+            f"CAST('0x' || substr(md5({key}), 1, 8) AS BIGINT)"
+            f" < {thresh})"
+        )
+    aug_tbl = "sampled" if sample_where else "aug0"
     return f"""
-        WITH aug AS (
+        WITH aug0 AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 100000 AS doc_id,
                  array_to_string(list_filter(string_split(text, ' '),
                    (x, i) -> (i - 1) % 9 <> 0), ' ') AS text
           FROM documents
-        ),
+        ){sample_where},
+        aug AS (SELECT * FROM {aug_tbl}),
         toks AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(text),
@@ -9478,6 +9528,7 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # string-shingle brute-force truth + the full portable md5 LSH
         # chain (signatures, band hashes, collision pairs) replayed
         "minhash_eval": _minhash_eval_oracle(0.6),
+        "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
         # log2 bucket (exact at powers of two), row_number batching
         # and the padding aggregate all replayed
         "length_batches": """

@@ -1013,3 +1013,61 @@ def test_minhash_eval_report(spark):
     solo = spark.createDataFrame(base[:5], ["doc_id", "text"])
     r2 = minhash_eval(solo, "doc_id", "text", threshold=0.9).collect()[0]
     assert r2["n_true"] == 0 and r2["recall"] == 1.0
+
+
+def test_minhash_eval_sampled_truth_converges(spark):
+    """truth_sample_frac (VERDICT r9 item 6): the sampled estimate is
+    deterministic, frac=1.0 is bit-identical to the full run, and at
+    frac=0.5 the recall/precision estimates converge on the
+    full-corpus values for a corpus of planted dup pairs spanning
+    length strata."""
+    import pytest
+
+    from pandance_spark.operators.dedup import minhash_eval
+
+    # 120 docs across three length strata, each with an exact copy —
+    # every sampled sub-corpus keeps (doc, copy) pairs together only
+    # when both survive; with exact copies the LSH surfaces every
+    # surviving true pair, so recall stays 1.0 at ANY frac and
+    # precision estimates are comparable
+    rows = []
+    for i in range(120):
+        reps = 1 + (i % 3) * 4
+        words = " ".join(
+            f"w{i}x{j} q{i}y{j} r{i}z{j}" for j in range(reps)
+        )
+        rows.append((i, words))
+        rows.append((1000 + i, words))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    full = minhash_eval(df, "doc_id", "text", threshold=0.9).collect()[0]
+    f1 = minhash_eval(
+        df, "doc_id", "text", threshold=0.9, truth_sample_frac=1.0
+    ).collect()[0]
+    assert tuple(full) == tuple(f1)
+
+    half_a = minhash_eval(
+        df, "doc_id", "text", threshold=0.9, truth_sample_frac=0.5
+    ).collect()[0]
+    half_b = minhash_eval(
+        df, "doc_id", "text", threshold=0.9, truth_sample_frac=0.5
+    ).collect()[0]
+    # seeded hash sample: bit-deterministic across invocations
+    assert tuple(half_a) == tuple(half_b)
+    # binomial n=240 p=0.5: sample size inside a generous 6-sigma band
+    assert 72 <= half_a["n_docs"] <= 168
+    assert half_a["n_docs"] < full["n_docs"]
+    # estimates converge on the full-corpus metrics
+    assert full["recall"] == 1.0 and half_a["recall"] == 1.0
+    assert abs(half_a["precision"] - full["precision"]) <= 0.2
+    # portable mode draws a DIFFERENT but equally valid sample
+    p = minhash_eval(
+        df, "doc_id", "text", threshold=0.9, portable=True,
+        truth_sample_frac=0.5,
+    ).collect()[0]
+    assert 72 <= p["n_docs"] <= 168 and p["recall"] == 1.0
+
+    with pytest.raises(ValueError, match="truth_sample_frac"):
+        minhash_eval(df, "doc_id", "text", truth_sample_frac=0.0)
+    with pytest.raises(ValueError, match="truth_sample_frac"):
+        minhash_eval(df, "doc_id", "text", truth_sample_frac=1.5)
