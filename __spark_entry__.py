@@ -5055,6 +5055,44 @@ def _q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_mix(docs.select("doc_id", page.alias("__t")), "doc_id", "__t")
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint panel (functions/text.py
+    winnow_fingerprints — Schleimer et al. 2003 / MOSS): per document,
+    the count of char-8-gram hashes, the count of distinct window-min
+    fingerprints selected at w=4, and an md5 digest of the ordered
+    (hash, position) list.  The oracle replays normalization, the md5
+    k-gram hashes, and the rightmost-tie window minima list-for-list,
+    so a green row pins the full selection rule.  Map-only projection:
+    at 100 TB this is scan-speed work; the HOF window scan is O(g*w)
+    per row with no shuffle."""
+    from pandance_spark._kernel import stage_expr
+    from pandance_spark.functions.text import winnow_fingerprint_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = winnow_fingerprint_table(docs, "doc_id", "text", 8, 4)
+    # fps feeds two outputs (count + digest): stage it so the window
+    # scan runs once per row, not per reference
+    staged = stage_expr(t, F.col("fps"), "__fps").select(
+        F.col("id").alias("doc_id"), "n_grams", "__fps"
+    )
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        F.size("__fps").cast("long").alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("__fps"),
+                    lambda x: F.concat_ws(
+                        ":", x["h"].cast("string"), x["p"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5126,6 +5164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order.
         # ------------------------------------------------------------------
         "minhash_eval_sampled": _q_minhash_eval_sampled,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -5761,6 +5800,11 @@ _PII_SPARSE_ORACLE = f"""
     SELECT k, found, redacted FROM res
     WHERE found <> '' OR redacted <> t
 """
+
+
+# exact base-128 8-gram encoding shared by functions/text.py
+# winnow_fingerprint_table and its oracle
+_WINNOW_ENC = "CAST(ascii(substr(s, i + 0, 1)) AS BIGINT) * 562949953421312 + CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 4398046511104 + CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 34359738368 + CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 268435456 + CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 2097152 + CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 16384 + CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 128 + CAST(ascii(substr(s, i + 7, 1)) AS BIGINT) * 1"
 
 
 def _minhash_eval_oracle(
@@ -9529,6 +9573,56 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # chain (signatures, band hashes, collision pairs) replayed
         "minhash_eval": _minhash_eval_oracle(0.6),
         "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
+        "winnow_fingerprints": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(coalesce(text, '')),
+                                    '[^a-z0-9]', '', 'g') AS s
+              FROM documents
+            ),
+            -- base-128 gram encoding, the exact integer twin of
+            -- functions/text.py winnow_fingerprint_table (k=8)
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN length(s) - 7 < 1 THEN []
+                          ELSE [CAST({_WINNOW_ENC} AS BIGINT)
+                                for i in range(1, length(s) - 6)] END AS hs
+              FROM norm
+            ),
+            sel AS (
+              SELECT doc_id, hs,
+                     CASE WHEN len(hs) < 4 THEN []
+                          ELSE [
+                            struct_pack(
+                              h := list_min(list_slice(hs, j, j + 3)),
+                              p := CAST(j + 4 - list_position(
+                                     list_reverse(list_slice(hs, j, j + 3)),
+                                     list_min(list_slice(hs, j, j + 3)))
+                                   AS BIGINT))
+                            for j in range(1, len(hs) - 2)] END AS fps
+              FROM h
+            ),
+            -- list_distinct on STRUCT lists is unimplemented in
+            -- DuckDB: dedup + (h, p) ordering via unnest/DISTINCT/
+            -- ordered string_agg instead
+            flat AS (
+              SELECT s.doc_id, u.f.h AS fh, u.f.p AS fp
+              FROM sel s, unnest(s.fps) AS u(f)
+            ),
+            ded AS (SELECT DISTINCT doc_id, fh, fp FROM flat),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_fp,
+                     md5(string_agg(CAST(fh AS VARCHAR) || ':' ||
+                                    CAST(fp AS VARCHAR), ','
+                                    ORDER BY fh, fp)) AS fp_digest
+              FROM ded GROUP BY doc_id
+            )
+            SELECT h.doc_id,
+                   CAST(len(h.hs) AS BIGINT) AS n_grams,
+                   coalesce(a.n_fp, 0)::BIGINT AS n_fp,
+                   coalesce(a.fp_digest, md5('')) AS fp_digest
+            FROM h LEFT JOIN agg a USING (doc_id)
+        """,
         # log2 bucket (exact at powers of two), row_number batching
         # and the padding aggregate all replayed
         "length_batches": """

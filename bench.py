@@ -337,6 +337,8 @@ def main():
         "rrf_fusion",
         "sft_render",
         "lang_mix",
+        "minhash_eval_sampled",
+        "winnow_fingerprints",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

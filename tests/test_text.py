@@ -1049,3 +1049,56 @@ def test_c4_clean_empty_badwords_and_zipf_degenerate(spark):
             spark.conf.set("spark.sql.ansi.enabled", prev)
         else:
             spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_winnowing_guarantee_and_forms_agree(spark):
+    """Winnowing (Schleimer et al. 2003): any shared substring of
+    length >= k + w - 1 yields a shared fingerprint HASH (the paper's
+    detection guarantee); the staged table form and the reference
+    Column form select identical (h, p) sets; short/NULL/empty texts
+    yield empty sets."""
+    import random
+
+    from pandance_spark.functions.text import (
+        winnow_fingerprint_table,
+        winnow_fingerprints,
+    )
+
+    random.seed(11)
+    shared = "thecommonpassageofinterest"  # 26 alnum chars >= 8+4-1
+    rows = []
+    for i in range(30):
+        n = random.randint(0, 50)
+        t = "".join(random.choice("abc 1!") for _ in range(n))
+        if i % 3 == 0:
+            cut = random.randint(0, len(t))
+            t = t[:cut] + " " + shared + " " + t[cut:]
+        rows.append((i, t))
+    rows += [(100, None), (101, ""), (102, "1234567"), (103, "x" * 11)]
+    df = spark.createDataFrame(rows, ["id", "t"])
+
+    tbl = {
+        r["id"]: [tuple(x) for x in r["fps"]]
+        for r in winnow_fingerprint_table(df, "id", "t", 8, 4).collect()
+    }
+    col = {
+        r["id"]: [tuple(x) for x in (r["fp"] or [])]
+        for r in df.select(
+            "id",
+            winnow_fingerprints(
+                F.coalesce(F.col("t"), F.lit("")), 8, 4
+            ).alias("fp"),
+        ).collect()
+    }
+    assert tbl == col
+    # guarantee: every pair of docs containing `shared` shares a hash
+    carriers = [i for i in range(30) if i % 3 == 0]
+    hsets = {i: {h for h, _ in tbl[i]} for i in carriers}
+    for a in carriers:
+        for b in carriers:
+            if a < b:
+                assert hsets[a] & hsets[b], (a, b)
+    # edges: too-short, empty, NULL all yield empty fingerprint sets
+    assert tbl[100] == [] and tbl[101] == [] and tbl[102] == []
+    # 11 chars = exactly k + w - 1 = one full window -> one fingerprint
+    assert len(tbl[103]) == 1
