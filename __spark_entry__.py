@@ -5093,6 +5093,28 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair crawl-budget allocation (functions/split.py
+    fair_share_alloc): 50 synthetic domains (user_id % 50) demand
+    their event counts; 60% of the total is the budget, so the fat
+    domains saturate at one shared water level while small domains
+    get their full demand.  The oracle replays the sorted saturation
+    test in HUGEINT and the one double division in the same operation
+    order — a green row pins the closed form exactly.  The global
+    sort window runs over the 50-row demand table, not the corpus."""
+    from pandance_spark.functions.split import fair_share_alloc
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    demands = ev.groupBy(
+        F.pmod(F.col("user_id"), F.lit(50)).alias("domain")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    total = demands.agg(F.sum("n_events")).first()[0]
+    budget = (int(total) * 6) // 10
+    return fair_share_alloc(demands, "domain", "n_events", budget)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5165,6 +5187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "minhash_eval_sampled": _q_minhash_eval_sampled,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "fair_share": _q_fair_share,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -9573,6 +9596,42 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # chain (signatures, band hashes, collision pairs) replayed
         "minhash_eval": _minhash_eval_oracle(0.6),
         "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
+        "fair_share": """
+            WITH g AS (
+              SELECT user_id % 50 AS grp, count(*)::BIGINT AS d
+              FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ),
+            tot AS (SELECT sum(d)::BIGINT AS t,
+                           count(*)::BIGINT AS n FROM g),
+            b AS (SELECT (t * 6) // 10 AS bud FROM tot),
+            ranked AS (
+              SELECT grp, d,
+                     row_number() OVER (ORDER BY d, grp) AS rn,
+                     sum(CAST(d AS HUGEINT)) OVER
+                       (ORDER BY d, grp ROWS UNBOUNDED PRECEDING)
+                       AS pfx,
+                     (SELECT n FROM tot) AS n
+              FROM g
+            ),
+            sat AS (
+              SELECT *, CAST(d AS HUGEINT) * (n - rn + 1)
+                        + (pfx - d) <= (SELECT bud FROM b) AS is_sat
+              FROM ranked
+            ),
+            lv AS (
+              SELECT coalesce(max(rn) FILTER (is_sat), 0) AS rs,
+                     coalesce(max(pfx) FILTER (is_sat), 0) AS ps
+              FROM sat
+            )
+            SELECT grp AS "group", d AS demand,
+                   CASE WHEN is_sat THEN CAST(d AS DOUBLE)
+                        ELSE round(greatest(
+                          (CAST((SELECT bud FROM b) AS DOUBLE)
+                           - CAST((SELECT ps FROM lv) AS DOUBLE))
+                          / CAST(n - (SELECT rs FROM lv) AS DOUBLE),
+                          0.0), 9) END AS alloc
+            FROM sat
+        """,
         "winnow_fingerprints": f"""
             WITH norm AS (
               SELECT doc_id,

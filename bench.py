@@ -339,6 +339,7 @@ def main():
         "lang_mix",
         "minhash_eval_sampled",
         "winnow_fingerprints",
+        "fair_share",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -864,3 +864,76 @@ def length_buckets(
             ).cast("long"),
         )
     )
+
+
+def fair_share_alloc(df, group_col: str, demand_col: str, budget):
+    """Max-min fair (water-filling) allocation of ``budget`` across
+    groups with the given demands — the crawl-politeness / per-source
+    quota shape: every group gets its full demand if affordable,
+    otherwise the budget's water level ``L`` (all unsaturated groups
+    get the SAME amount, the defining max-min property).
+
+    Closed form over the demand table sorted ascending (ties by
+    group): group at rank ``r`` is saturated iff
+    ``prefix(r-1) + d_r * (n - r + 1) <= budget`` (serving everyone
+    from it onward at its demand still fits); with ``r*`` the largest
+    saturated rank, ``L = (budget - prefix(r*)) / (n - r*)``.  The
+    saturation test runs in decimal(38,0) — long demands times group
+    counts overflow int64 exactly in the 100 TB regime this targets —
+    and only the final level is one double division, replayed in the
+    same operation order by the oracle.
+
+    The global sort window runs over the DEMAND table (one row per
+    group, post-aggregation cardinality), not the corpus — same
+    honest-total-order class as ``interleave_sources``.  Returns
+    ``(group, demand, alloc)``; negative budgets allocate 0.
+    """
+    from pyspark.sql import Window
+
+    b_dec = F.lit(int(budget)).cast("decimal(38,0)")
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    w_ord = Window.orderBy("demand", "group")
+    w_all = Window.partitionBy()
+    d_dec = F.col("demand").cast("decimal(38,0)")
+    ranked = base.select(
+        "group",
+        "demand",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum(d_dec)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pfx"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).withColumn(
+        "sat",
+        d_dec * (F.col("n") - F.col("rn") + 1)
+        + (F.col("pfx") - d_dec)
+        <= b_dec,
+    )
+    lvl = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("sat"), F.struct("rn", "pfx"))),
+            F.struct(
+                F.lit(0).alias("rn"),
+                F.lit(0).cast("decimal(38,0)").alias("pfx"),
+            ),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_all"),
+    ).select(
+        F.when(
+            F.col("n_all") > F.col("s.rn"),
+            (b_dec.cast("double") - F.col("s.pfx").cast("double"))
+            / (F.col("n_all") - F.col("s.rn")).cast("double"),
+        ).alias("lvl")
+    )
+    return ranked.crossJoin(F.broadcast(lvl)).select(
+        "group",
+        "demand",
+        F.when(F.col("sat"), F.col("demand").cast("double"))
+        .otherwise(
+            F.round(F.greatest(F.col("lvl"), F.lit(0.0)), 9)
+        )
+        .alias("alloc"),
+    )

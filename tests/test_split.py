@@ -1,6 +1,8 @@
 """Deterministic hash-split tests (training-pipeline primitive)."""
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pandance_spark.functions.split import (
@@ -775,3 +777,36 @@ def test_interleave_shards_null_sources_and_type_guard(spark):
     ints = spark.createDataFrame([(1, 10), (2, 9)], "k long, src int")
     with pytest.raises(ValueError, match="string source column"):
         interleave_shards(ints, "src", "k")
+
+
+@settings(deadline=None, max_examples=25, derandomize=True,
+          suppress_health_check=list(HealthCheck))
+@given(
+    demands=st.lists(st.integers(0, 500), min_size=1, max_size=25),
+    budget=st.integers(-10, 6000),
+)
+def test_fair_share_alloc_properties(spark, demands, budget):
+    """Water-filling invariants on arbitrary demand sets: alloc never
+    exceeds demand, mass conservation (sum(alloc) == min(budget+,
+    sum(d)) up to float), monotonicity in demand, and all unsaturated
+    groups share one level."""
+    from pandance_spark.functions.split import fair_share_alloc
+
+    df = spark.createDataFrame(
+        [(f"g{i}", d) for i, d in enumerate(demands)], ["g", "d"]
+    )
+    got = {r["group"]: r for r in
+           fair_share_alloc(df, "g", "d", budget).collect()}
+    assert len(got) == len(demands)
+    total = sum(demands)
+    alloc_sum = sum(r["alloc"] for r in got.values())
+    assert all(r["alloc"] <= r["demand"] + 1e-9 for r in got.values())
+    assert all(r["alloc"] >= 0.0 for r in got.values())
+    expected = min(max(budget, 0), total)
+    assert abs(alloc_sum - expected) < 1e-6 * max(1, len(demands))
+    # monotone + equal-level for unsaturated
+    rows = sorted(got.values(), key=lambda r: (r["demand"], r["group"]))
+    for a, b in zip(rows, rows[1:]):
+        assert a["alloc"] <= b["alloc"] + 1e-9
+    unsat = [r["alloc"] for r in rows if r["alloc"] < r["demand"] - 1e-9]
+    assert all(abs(x - unsat[0]) < 1e-6 for x in unsat) if unsat else True
