@@ -5115,6 +5115,34 @@ def _q_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fair_share_alloc(demands, "domain", "n_events", budget)
 
 
+def _q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type event-value location (functions/analytics.py
+    trimmed_stats): 10%-trimmed and winsorized means per event_type.
+    Values snap to 2^20 micro-units, sums run in decimal/HUGEINT, and
+    each mean is one double division in a pinned operation order — the
+    oracle replays rank selection and both numerators exactly, so a
+    green row is bit-level agreement, not approximate-float luck."""
+    from pandance_spark.functions.analytics import trimmed_stats
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return trimmed_stats(ev, "event_type", "value", trim_frac=0.1)
+
+
+def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (functions/profile.py benford_profile)
+    over lineitem extended prices — the fabricated-numbers smell test.
+    The digit comes from the integer part's string form (exact in any
+    engine) and the expected fractions are literals shared with the
+    oracle, so the chi-square contributions replay bit-for-bit.  One
+    9-key groupBy + broadcast total: scan-bound at 100 TB."""
+    from pandance_spark.functions.profile import benford_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_profile(li, "l_extendedprice")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5188,6 +5216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_eval_sampled": _q_minhash_eval_sampled,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "fair_share": _q_fair_share,
+        "trimmed_stats": _q_trimmed_stats,
+        "benford_audit": _q_benford_audit,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -6071,6 +6101,39 @@ def _mojibake_oracle() -> str:
                CAST(length({expr}) AS BIGINT) AS n_fixed,
                md5({expr}) AS fixed_md5
         FROM t ORDER BY doc_id
+    """
+
+
+def _benford_oracle() -> str:
+    from pandance_spark.functions.profile import BENFORD_EXPECTED
+
+    vals = ", ".join(
+        f"({d}, {BENFORD_EXPECTED[d]!r})" for d in range(1, 10)
+    )
+    return f"""
+        WITH vals AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+          WHERE l_extendedprice >= 1.0
+        ),
+        counts AS (
+          SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR),
+                             1, 1) AS INT) AS digit,
+                 count(*)::BIGINT AS n
+          FROM vals GROUP BY 1
+        ),
+        digits(digit, ef) AS (VALUES {vals}),
+        tot AS (SELECT sum(n) AS total FROM counts)
+        SELECT d.digit, coalesce(c.n, 0)::BIGINT AS n,
+               round(CAST(coalesce(c.n, 0) AS DOUBLE)
+                     / CAST((SELECT total FROM tot) AS DOUBLE), 9)
+                 AS obs_frac,
+               round(d.ef, 9) AS exp_frac,
+               round((CAST(coalesce(c.n, 0) AS DOUBLE)
+                      / CAST((SELECT total FROM tot) AS DOUBLE) - d.ef)
+                     * (CAST(coalesce(c.n, 0) AS DOUBLE)
+                        / CAST((SELECT total FROM tot) AS DOUBLE) - d.ef)
+                     / d.ef, 9) AS chi2_contrib
+        FROM digits d LEFT JOIN counts c USING (digit)
     """
 
 
@@ -9596,6 +9659,48 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         # chain (signatures, band hashes, collision pairs) replayed
         "minhash_eval": _minhash_eval_oracle(0.6),
         "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
+        "benford_audit": _benford_oracle(),
+        "trimmed_stats": """
+            WITH base AS (
+              SELECT event_type AS grp,
+                     CAST(round(value * 1048576) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT grp, v,
+                     row_number() OVER (PARTITION BY grp ORDER BY v)
+                       AS rk,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM base
+            ),
+            tt AS (
+              SELECT *, CASE WHEN n > 2 * floor(n * 0.1)
+                             THEN CAST(floor(n * 0.1) AS BIGINT)
+                             ELSE 0 END AS t
+              FROM ranked
+            ),
+            agg AS (
+              SELECT grp, max(n)::BIGINT AS n,
+                     (2 * max(t))::BIGINT AS n_trimmed,
+                     sum(CASE WHEN rk > t AND rk <= n - t
+                              THEN CAST(v AS HUGEINT) END) AS s_kept,
+                     count(CASE WHEN rk > t AND rk <= n - t
+                                THEN 1 END)::BIGINT AS n_kept,
+                     max(CASE WHEN rk = t + 1 THEN v END) AS lo,
+                     max(CASE WHEN rk = n - t THEN v END) AS hi,
+                     max(t) AS tmax
+              FROM tt GROUP BY grp
+            )
+            SELECT grp AS "group", n, n_trimmed,
+                   round(CAST(s_kept AS DOUBLE)
+                         / CAST(n_kept * 1048576 AS DOUBLE), 9)
+                     AS trimmed_mean,
+                   round(CAST(s_kept + CAST(tmax * lo AS HUGEINT)
+                              + CAST(tmax * hi AS HUGEINT) AS DOUBLE)
+                         / CAST(n * 1048576 AS DOUBLE), 9)
+                     AS winsor_mean
+            FROM agg
+        """,
         "fair_share": """
             WITH g AS (
               SELECT user_id % 50 AS grp, count(*)::BIGINT AS d

@@ -340,6 +340,8 @@ def main():
         "minhash_eval_sampled",
         "winnow_fingerprints",
         "fair_share",
+        "trimmed_stats",
+        "benford_audit",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

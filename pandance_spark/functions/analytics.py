@@ -340,3 +340,99 @@ def cohort_retention(
         )
         .agg(F.count("*").alias("users"))
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Per-group robust location estimates: the ``trim_frac``-trimmed
+    mean (drop the ``floor(n * frac)`` smallest and largest values)
+    and the winsorized mean (CLAMP them to the surviving extremes
+    instead) — the outlier-robust pair a metrics pipeline reads when
+    raw means are poisoned by telemetry spikes.
+
+    Exactness contract (the cross-engine float trap): values are
+    snapped to 2^20 integer micro-units up front, every sum runs in
+    long arithmetic (order-independent, so Spark's partition-order
+    summation and any oracle's sorted summation agree bit-for-bit),
+    and each mean is ONE double division at the end.  Trim ranks come
+    from ``row_number`` over the snapped value — ties are
+    interchangeable in micro-unit space, so the kept-set SUM is
+    deterministic even though the kept set itself is not.
+
+    One shuffle to the group windows, one aggregate.  Returns
+    ``(group, n, n_trimmed, trimmed_mean, winsor_mean)`` (9 dp);
+    groups where trimming would drop everything (n <= 2t) fall back
+    to the untrimmed mean.
+    """
+    if not (0.0 <= trim_frac < 0.5):
+        raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
+    from pyspark.sql import Window
+
+    SCALE = 1 << 20
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.round(F.col(value_col).cast("double") * SCALE)
+        .cast("long")
+        .alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w = Window.partitionBy("group").orderBy("v")
+    wg = Window.partitionBy("group")
+    ranked = base.select(
+        "group",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    ).withColumn(
+        "t",
+        F.when(
+            F.col("n") > 2 * F.floor(F.col("n") * trim_frac),
+            F.floor(F.col("n") * trim_frac),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    kept = F.col("rk") > F.col("t")
+    kept = kept & (F.col("rk") <= F.col("n") - F.col("t"))
+    agg = ranked.groupBy("group").agg(
+        F.max("n").alias("n"),
+        (F.lit(2) * F.max("t")).alias("n_trimmed"),
+        # decimal(38,0) accumulation: a group's micro-unit sum passes
+        # int64 at ~1e9 rows x 1e6-scale values (DuckDB's sum(BIGINT)
+        # widens to HUGEINT; this is the Spark twin)
+        F.sum(F.when(kept, F.col("v")).cast("decimal(38,0)")).alias(
+            "s_kept"
+        ),
+        F.count(F.when(kept, F.lit(1))).alias("n_kept"),
+        # winsorization clamps: the smallest and largest SURVIVING
+        # values, each weighted by the t rows clamped onto them
+        F.max(F.when(F.col("rk") == F.col("t") + 1, F.col("v"))).alias(
+            "lo"
+        ),
+        F.max(
+            F.when(F.col("rk") == F.col("n") - F.col("t"), F.col("v"))
+        ).alias("hi"),
+        F.max("t").alias("tt"),
+    )
+    return agg.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_trimmed").cast("long").alias("n_trimmed"),
+        F.round(
+            F.col("s_kept").cast("double")
+            / (F.col("n_kept") * SCALE).cast("double"),
+            9,
+        ).alias("trimmed_mean"),
+        F.round(
+            (
+                F.col("s_kept")
+                + (F.col("tt") * F.col("lo")).cast("decimal(38,0)")
+                + (F.col("tt") * F.col("hi")).cast("decimal(38,0)")
+            ).cast("double")
+            / (F.col("n") * SCALE).cast("double"),
+            9,
+        ).alias("winsor_mean"),
+    )

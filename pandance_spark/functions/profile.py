@@ -18,6 +18,8 @@ Expand then carries sketches, not values.
 
 from __future__ import annotations
 
+import math
+
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
@@ -457,4 +459,75 @@ def psi_drift(
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias(
             "psi_term"
         ),
+    )
+
+
+# Benford expected first-digit mass, log10(1 + 1/d): shared literals —
+# injecting the SAME doubles into the Spark plan and any SQL replay
+# sidesteps cross-engine log10 ulp drift entirely
+BENFORD_EXPECTED = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit audit against Benford's law — the
+    classic fabricated-/corrupted-numbers smell test for financial and
+    telemetry columns.  Rows with ``value >= 1`` contribute their
+    leading digit; the report has one row per digit 1-9 (digits absent
+    from the data included with n=0): observed count, observed
+    fraction, Benford's expected fraction, and the chi-square
+    contribution ``(obs - exp)^2 / exp``.
+
+    Exactness: the digit comes from the INTEGER part's string form
+    (``substring(cast(floor(v) as bigint), 1, 1)``) — integer-to-string
+    is identical in every engine, where double-to-string shortest-repr
+    and float log10 are not; expected fractions are shared literals
+    (see ``BENFORD_EXPECTED``).  One groupBy on a 9-value key + a
+    broadcast total: scan-bound at any scale.
+    """
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v") >= 1.0
+    )
+    digit = F.substring(
+        F.floor(F.col("v")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = vals.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    total = counts.agg(F.sum("n").alias("total"))
+    exp_expr = F.element_at(
+        F.create_map(
+            *[
+                x
+                for d in range(1, 10)
+                for x in (F.lit(d), F.lit(BENFORD_EXPECTED[d]))
+            ]
+        ),
+        F.col("digit"),
+    )
+    out = (
+        digits.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("of"),
+            exp_expr.alias("ef"),
+        )
+    )
+    return out.select(
+        "digit",
+        "n",
+        F.round("of", 9).alias("obs_frac"),
+        F.round("ef", 9).alias("exp_frac"),
+        F.round(
+            (F.col("of") - F.col("ef"))
+            * (F.col("of") - F.col("ef"))
+            / F.col("ef"),
+            9,
+        ).alias("chi2_contrib"),
     )

@@ -232,3 +232,36 @@ def test_ab_summary_counts_and_z(spark):
     rows = {r["arm"]: r["z_vs_pooled"] for r in
             ab_summary(ev, "uid", "arm", F.col("ok")).collect()}
     assert rows["a"] < 0 < rows["b"]
+
+
+def test_trimmed_stats_exact_and_edges(spark):
+    """Trimmed/winsorized means against hand-computed values, the
+    n <= 2t fallback, tie interchangeability, and the trim_frac
+    domain guard."""
+    import pytest
+
+    from pandance_spark.functions.analytics import trimmed_stats
+
+    rows = (
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]]   # one spike
+        + [("b", 5.0)]                                  # n=1: fallback
+        + [("c", float(v)) for v in [7, 7, 7, 7, 7, 700]]  # ties
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["group"]: r for r in
+           trimmed_stats(df, "g", "v", trim_frac=0.2).collect()}
+    # a: n=5, t=1 -> keep [2,3,4]; winsor: (2+3+4 + 2 + 4)/5 = 3.0
+    assert got["a"]["n"] == 5 and got["a"]["n_trimmed"] == 2
+    assert abs(got["a"]["trimmed_mean"] - 3.0) < 1e-9
+    assert abs(got["a"]["winsor_mean"] - 3.0) < 1e-9
+    # b: n=1 <= 2t -> untrimmed
+    assert got["b"]["n_trimmed"] == 0
+    assert abs(got["b"]["trimmed_mean"] - 5.0) < 1e-9
+    assert abs(got["b"]["winsor_mean"] - 5.0) < 1e-9
+    # c: n=6, t=1 -> drop one 7 and the 700: mean of four 7s = 7;
+    # winsor: (28 + 7 + 7)/6 = 7
+    assert abs(got["c"]["trimmed_mean"] - 7.0) < 1e-9
+    assert abs(got["c"]["winsor_mean"] - 7.0) < 1e-9
+
+    with pytest.raises(ValueError, match="trim_frac"):
+        trimmed_stats(df, "g", "v", trim_frac=0.5)

@@ -321,3 +321,28 @@ def test_psi_drift_empty_side_under_ansi(spark):
             spark.conf.set("spark.sql.ansi.enabled", prev)
         else:
             spark.conf.unset("spark.sql.ansi.enabled")
+
+
+def test_benford_profile_exact_counts(spark):
+    """Hand-checkable Benford panel: digit extraction from the integer
+    part, absent digits present with n=0, fractions and chi-square
+    contributions replaying the closed form."""
+    import math
+
+    from pandance_spark.functions.profile import (
+        BENFORD_EXPECTED,
+        benford_profile,
+    )
+
+    vals = [1.2, 19.0, 150.0, 1999.9, 2.5, 31.4, 0.4, None, -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {r["digit"]: r for r in benford_profile(df, "x").collect()}
+    assert set(got) == set(range(1, 10))
+    # qualifying rows: 1.2, 19.0, 150.0, 1999.9 -> digit 1 (x4);
+    # 2.5 -> 2; 31.4 -> 3; 0.4/None/-5.0 dropped
+    assert got[1]["n"] == 4 and got[2]["n"] == 1 and got[3]["n"] == 1
+    assert got[9]["n"] == 0
+    assert abs(got[1]["obs_frac"] - round(4 / 6, 9)) < 1e-12
+    assert got[1]["exp_frac"] == round(BENFORD_EXPECTED[1], 9)
+    exp = BENFORD_EXPECTED[9]
+    assert abs(got[9]["chi2_contrib"] - round(exp, 9)) < 1e-9
