@@ -373,12 +373,22 @@ def trimmed_stats(
     from pyspark.sql import Window
 
     SCALE = 1 << 20
-    base = df.select(
-        F.col(group_col).alias("group"),
-        F.round(F.col(value_col).cast("double") * SCALE)
-        .cast("long")
-        .alias("v"),
-    ).filter(F.col("v").isNotNull())
+    # non-finite guard: Spark casts NaN->0 / Inf->max-long silently
+    # while DuckDB ERRORS on the same cast — drop NaN/Inf rows before
+    # snapping so both engines (and the stats themselves) see the same
+    # population
+    vraw = F.col(value_col).cast("double")
+    base = (
+        df.filter(
+            vraw.isNotNull()
+            & ~F.isnan(vraw)
+            & (F.abs(vraw) < F.lit(float("inf")))
+        )
+        .select(
+            F.col(group_col).alias("group"),
+            F.round(vraw * SCALE).cast("long").alias("v"),
+        )
+    )
     w = Window.partitionBy("group").orderBy("v")
     wg = Window.partitionBy("group")
     ranked = base.select(

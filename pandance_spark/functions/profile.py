@@ -485,8 +485,11 @@ def benford_profile(df: DataFrame, value_col: str) -> DataFrame:
     broadcast total: scan-bound at any scale.
     """
     spark = df.sparkSession
+    # >= 1 drops NaN and -Inf by comparison semantics; +Inf and
+    # values past int64 are dropped explicitly — Spark clamps the
+    # bigint cast where DuckDB errors, and a clamped digit is a lie
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
-        F.col("v") >= 1.0
+        (F.col("v") >= 1.0) & (F.col("v") < F.lit(9.2e18))
     )
     digit = F.substring(
         F.floor(F.col("v")).cast("bigint").cast("string"), 1, 1

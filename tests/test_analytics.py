@@ -265,3 +265,13 @@ def test_trimmed_stats_exact_and_edges(spark):
 
     with pytest.raises(ValueError, match="trim_frac"):
         trimmed_stats(df, "g", "v", trim_frac=0.5)
+
+    # NaN/Inf rows are dropped, not silently snapped (Spark casts
+    # NaN->0 where DuckDB errors — the population must match)
+    messy = spark.createDataFrame(
+        [("m", 1.0), ("m", 2.0), ("m", float("nan")),
+         ("m", float("inf")), ("m", None)],
+        ["g", "v"],
+    )
+    r = trimmed_stats(messy, "g", "v", trim_frac=0.1).collect()[0]
+    assert r["n"] == 2 and abs(r["trimmed_mean"] - 1.5) < 1e-9

@@ -346,3 +346,10 @@ def test_benford_profile_exact_counts(spark):
     assert got[1]["exp_frac"] == round(BENFORD_EXPECTED[1], 9)
     exp = BENFORD_EXPECTED[9]
     assert abs(got[9]["chi2_contrib"] - round(exp, 9)) < 1e-9
+    # non-finite and bigint-overflow values dropped (DuckDB would
+    # error on the cast Spark silently clamps)
+    messy = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (1e19,), (2.0,)], ["x"]
+    )
+    got2 = {r["digit"]: r["n"] for r in benford_profile(messy, "x").collect()}
+    assert got2[2] == 1 and sum(got2.values()) == 1
