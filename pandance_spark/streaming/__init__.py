@@ -49,6 +49,8 @@ __all__ = [
     "stream_scd2_sink",
     "streaming_similarity_join",
     "streaming_fuzzy_join",
+    "streaming_ineq_join",
+    "streaming_theta_join",
     "streaming_contamination_router",
     "streaming_token_budget_router",
     "streaming_c4_gate",
@@ -1641,3 +1643,87 @@ def streaming_fuzzy_join(
         ),
     )
     return lb.join(rb, "__bucket", "inner").filter(exact).select(*out_cols)
+
+
+def streaming_ineq_join(
+    stream: DataFrame,
+    static: DataFrame,
+    how: str = "<",
+    on: Optional[str] = None,
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    suffixes=("_x", "_y"),
+    num_bands: int = 32,
+) -> DataFrame:
+    """Stream-static :func:`pandance_spark.ineq_join` — completes the
+    streaming form of the engine's core triad (fuzzy / ineq / theta).
+    Reference semantics per ``pandance/pandance.py:614-846`` apply
+    unchanged (all four operators, NULL drop, suffixes).
+
+    The batch quantile band join is stream-legal end-to-end with the
+    static table on the right: cuts come from ONE approxQuantile job
+    on the static side, the stream side computes its band and explodes
+    to its target bands STATELESSLY, and the band equi-join is a plain
+    stream-static inner join (the off-diagonal guaranteed-match
+    shortcut and the fat-band salt both ride along — salting only ever
+    explodes per-row sequences, no state).  The batch disjoint
+    fast path is disabled: it needs min/max jobs on both sides, and a
+    stream cannot be scanned at plan time.
+    """
+    from pandance_spark.operators.ineq import ineq_join
+
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_ineq_join expects the STREAM as the left input; "
+            "for two batch frames use pandance_spark.ineq_join"
+        )
+    return ineq_join(
+        stream,
+        static,
+        how=how,
+        on=on,
+        left_on=left_on,
+        right_on=right_on,
+        suffixes=suffixes,
+        strategy="band",
+        num_bands=num_bands,
+        disjoint_fast_path=False,
+    )
+
+
+def streaming_theta_join(
+    stream: DataFrame,
+    static: DataFrame,
+    condition=None,
+    on: Optional[str] = None,
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    suffixes=("_x", "_y"),
+) -> DataFrame:
+    """Stream-static :func:`pandance_spark.theta_join`: arriving rows
+    join a static table under an arbitrary predicate.  Both batch
+    paths carry over — a Column-polymorphic callable stays pure
+    Catalyst (the stream-static join plans as a broadcast
+    nested-loop with the STATIC side broadcast), and a scalar callable
+    demotes to the Arrow pandas_udf filter, which Structured Streaming
+    executes per micro-batch.  The static side must be
+    broadcast-sized: an unbounded x unbounded theta join has no
+    bounded-state execution, which is exactly why this wrapper pins
+    the stream-static shape.  Reference semantics per
+    ``pandance/pandance.py:331-566``."""
+    from pandance_spark.operators.theta import theta_join
+
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_theta_join expects the STREAM as the left input; "
+            "for two batch frames use pandance_spark.theta_join"
+        )
+    return theta_join(
+        stream,
+        static,
+        condition=condition,
+        on=on,
+        left_on=left_on,
+        right_on=right_on,
+        suffixes=suffixes,
+    )

@@ -1571,6 +1571,98 @@ WHERE NOT EXISTS (
            note="stream-static band join over 2 micro-batches == batch "
                 "fuzzy_join == DuckDB brute-force abs() predicate")
 
+    # ------------------------------------------------------------------
+    # 22. streaming_ineq_join (r10): the quantile band join in
+    # stream-static form — arriving events join every ladder level
+    # strictly above their value.  Two micro-batches; stream == batch
+    # ineq_join == DuckDB brute-force `<`.
+    # ------------------------------------------------------------------
+    from pandance_spark import ineq_join, theta_join
+    from pandance_spark.streaming import (
+        streaming_ineq_join,
+        streaming_theta_join,
+    )
+
+    ladder22 = spark.range(40).select(
+        F.col("id").alias("level_id"),
+        (F.col("id").cast("double") * 1.5).alias("lvl"),
+    )
+    ev22 = ev_batch.select("event_id", "value").filter(
+        F.col("event_id") % 5 == 0
+    )
+    src22 = os.path.join(tmp, "ineq_src")
+    ev22.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src22)
+    ev22.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src22)
+    stream22 = spark.readStream.schema(ev22.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src22)
+    run_stream_to_memory(
+        streaming_ineq_join(
+            stream22, ladder22, how="<", left_on="value", right_on="lvl"
+        ),
+        "parity_ineq",
+    )
+    cols = ["event_id", "value", "level_id", "lvl"]
+    s22 = canon_rows(spark.table("parity_ineq").collect(), cols)
+    b22 = canon_rows(
+        ineq_join(
+            ev22, ladder22, how="<", left_on="value", right_on="lvl"
+        ).collect(),
+        cols,
+    )
+    d22 = canon_rows(duck_rows(con.sql("""
+        SELECT event_id, value, i AS level_id,
+               CAST(i AS DOUBLE) * 1.5 AS lvl
+        FROM events, range(40) t(i)
+        WHERE event_id % 5 = 0 AND value < CAST(i AS DOUBLE) * 1.5
+    """)), cols)
+    record("streaming_ineq_join", "duckdb", s22, b22, d22,
+           note="stream-static quantile band join over 2 micro-batches "
+                "== batch ineq_join == DuckDB brute-force <")
+
+    # ------------------------------------------------------------------
+    # 23. streaming_theta_join (r10): arbitrary-predicate stream-static
+    # join via the Column fast path ((event_id + k) % 7 == 0).
+    # ------------------------------------------------------------------
+    keys23 = spark.range(25).select(F.col("id").alias("k"))
+    ev23 = ev_batch.select("event_id").filter(F.col("event_id") % 11 == 0)
+    src23 = os.path.join(tmp, "theta_src")
+    ev23.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src23)
+    ev23.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src23)
+    stream23 = spark.readStream.schema(ev23.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src23)
+    run_stream_to_memory(
+        streaming_theta_join(
+            stream23,
+            keys23,
+            condition=lambda x, y: (x + y) % 7 == 0,
+            left_on="event_id",
+            right_on="k",
+        ),
+        "parity_theta",
+    )
+    cols = ["event_id", "k"]
+    s23 = canon_rows(spark.table("parity_theta").collect(), cols)
+    b23 = canon_rows(
+        theta_join(
+            ev23, keys23, condition=lambda x, y: (x + y) % 7 == 0,
+            left_on="event_id", right_on="k",
+        ).collect(),
+        cols,
+    )
+    d23 = canon_rows(duck_rows(con.sql("""
+        SELECT event_id, i AS k FROM events, range(25) t(i)
+        WHERE event_id % 11 = 0 AND (event_id + i) % 7 = 0
+    """)), cols)
+    record("streaming_theta_join", "duckdb", s23, b23, d23,
+           note="stream-static theta (Column fast path) over 2 "
+                "micro-batches == batch theta_join == DuckDB")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

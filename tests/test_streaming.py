@@ -1259,3 +1259,61 @@ def test_streaming_fuzzy_join_operating_range_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="operating range"):
         streaming_fuzzy_join(stream, static, on="val", tol=1e-3)
+
+
+def test_streaming_ineq_and_theta_match_batch(spark, tmp_path):
+    """Stream-static ineq_join (band) and theta_join (Column fast
+    path) == their batch twins across two micro-batches; both reject
+    a batch frame in the stream seat."""
+    from pandance_spark import ineq_join, theta_join
+    from pandance_spark.streaming import (
+        streaming_ineq_join,
+        streaming_theta_join,
+    )
+
+    src = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(40)], "event_id long, val double"
+    )
+    static = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("lvl")
+    )
+    path = str(tmp_path / "s")
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(path)
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+    def stream():
+        return (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    _run_to_memory(
+        streaming_ineq_join(stream(), static, how="<",
+                            left_on="val", right_on="lvl"),
+        "sineq", "append",
+    )
+    got = sorted(map(tuple, spark.table("sineq").collect()))
+    want = sorted(map(tuple, ineq_join(
+        src, static, how="<", left_on="val", right_on="lvl").collect()))
+    assert got == want and len(got) > 0
+
+    _run_to_memory(
+        streaming_theta_join(stream(), static,
+                             condition=lambda x, y: (x + y) % 3 == 0,
+                             left_on="event_id", right_on="k"),
+        "stheta", "append",
+    )
+    got_t = sorted(map(tuple, spark.table("stheta").collect()))
+    want_t = sorted(map(tuple, theta_join(
+        src, static, condition=lambda x, y: (x + y) % 3 == 0,
+        left_on="event_id", right_on="k").collect()))
+    assert got_t == want_t and len(got_t) > 0
+
+    with pytest.raises(ValueError, match="STREAM as the left"):
+        streaming_ineq_join(src, static, on="val")
+    with pytest.raises(ValueError, match="STREAM as the left"):
+        streaming_theta_join(src, static, condition=lambda x, y: x < y,
+                             left_on="event_id", right_on="k")
