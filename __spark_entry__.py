@@ -5143,6 +5143,37 @@ def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(li, "l_extendedprice")
 
 
+def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table entity resolution (operators/dedup.py
+    record_linkage): customer names vs a mutated register (every 3rd
+    name loses its 10th char, every 3rd swaps '#' for '@', the rest
+    are verbatim), linked at levenshtein <= 1.  Digit-neighbor names
+    ("Customer#...001" vs "...002") make the truth non-trivial in both
+    directions.  The oracle brute-forces the full cross levenshtein —
+    a green row proves the tagged-union EDJoin candidate filter loses
+    nothing across universes."""
+    from pandance_spark.operators.dedup import record_linkage
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    mutated = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(
+            F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")
+        ),
+    ).when(
+        F.col("c_custkey") % 3 == 2,
+        F.regexp_replace(F.col("c_name"), "#", "@"),
+    ).otherwise(F.col("c_name"))
+    right = cust.select(
+        F.col("c_custkey").alias("rid"), mutated.alias("rname")
+    )
+    return record_linkage(
+        cust, right, "c_custkey", "c_name", "rid", "rname", max_dist=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5218,6 +5249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fair_share": _q_fair_share,
         "trimmed_stats": _q_trimmed_stats,
         "benford_audit": _q_benford_audit,
+        "record_linkage": _q_record_linkage,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -9660,6 +9692,21 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         "minhash_eval": _minhash_eval_oracle(0.6),
         "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
         "benford_audit": _benford_oracle(),
+        "record_linkage": """
+            WITH r AS (
+              SELECT c_custkey AS rid,
+                     CASE WHEN c_custkey % 3 = 0 THEN
+                            substr(c_name, 1, 9) || substr(c_name, 11)
+                          WHEN c_custkey % 3 = 2 THEN
+                            replace(c_name, '#', '@')
+                          ELSE c_name END AS rname
+              FROM customer
+            )
+            SELECT l.c_custkey, r.rid,
+                   CAST(levenshtein(l.c_name, r.rname) AS INT) AS dist
+            FROM customer l, r
+            WHERE levenshtein(l.c_name, r.rname) <= 1
+        """,
         "trimmed_stats": """
             WITH base AS (
               SELECT event_type AS grp,

@@ -342,6 +342,7 @@ def main():
         "fair_share",
         "trimmed_stats",
         "benford_audit",
+        "record_linkage",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -2448,3 +2448,57 @@ def minhash_eval(
             9,
         ).alias("precision"),
     )
+
+
+def record_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_str: str,
+    right_id: str,
+    right_str: str,
+    max_dist: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """Cross-table entity resolution by exact edit distance: pairs
+    (one record from each table) with ``levenshtein <= max_dist`` —
+    the two-universe form of :func:`edit_distance_join` (customer file
+    vs CRM export, crawl titles vs catalog names).
+
+    Implemented AS the self-join: both sides union under a side tag
+    ('L:'/'R:' prefixed string ids — collision-proof across universes
+    and order-stable), the EDJoin positional q-gram machinery runs
+    once over the union, and only cross-side survivors are kept and
+    mapped back.  Zero duplicated candidate logic, and the recall
+    guarantee is inherited verbatim.  Returns ``({left_id}, 
+    {right_id}, dist)`` — one row per matching cross pair.
+    """
+    l2 = left.select(
+        F.concat(F.lit("L:"), F.col(left_id).cast("string")).alias("__uid"),
+        F.col(left_str).alias("__str"),
+    )
+    r2 = right.select(
+        F.concat(F.lit("R:"), F.col(right_id).cast("string")).alias("__uid"),
+        F.col(right_str).alias("__str"),
+    )
+    pairs = edit_distance_join(
+        l2.unionAll(r2), "__uid", "__str", max_dist=max_dist, q=q
+    )
+    # id_a < id_b and 'L:' < 'R:' lexicographically, so cross pairs
+    # always carry the left record in id_a
+    cross = pairs.filter(
+        F.col("id_a").startswith("L:") & F.col("id_b").startswith("R:")
+    )
+    lt = left.schema[left_id].dataType
+    rt = right.schema[right_id].dataType
+    # same id name on both sides gets the usual _x/_y disambiguation
+    lname, rname = (
+        (left_id + "_x", right_id + "_y")
+        if left_id == right_id
+        else (left_id, right_id)
+    )
+    return cross.select(
+        F.expr("substring(id_a, 3)").cast(lt).alias(lname),
+        F.expr("substring(id_b, 3)").cast(rt).alias(rname),
+        "dist",
+    )

