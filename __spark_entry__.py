@@ -5174,6 +5174,41 @@ def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining (operators/bitext.py): an "English"
+    side and a synthetic "translated" side carry the same injected
+    numeral sequences (section number + year) — translation-invariant
+    content — while every 5th right doc is truncated hard enough to
+    fail the STRAND length-ratio filter.  The oracle recomputes the
+    digit-run fingerprints from the TEXT with the same regex and
+    replays join + ratio filter, so a green row pins the whole
+    blocking pipeline, not just the join."""
+    from pandance_spark.operators.bitext import bitext_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    nums = F.concat(
+        F.lit(" sec "), (did % 7).cast("string"),
+        F.lit(" of "), (did % 120 + 1900).cast("string"),
+    )
+    left = docs.select(
+        "doc_id", F.concat(F.col("text"), nums).alias("ltext")
+    )
+    rtext_full = F.concat(
+        F.lit("tr: "), F.reverse(F.col("text")), nums
+    )
+    right = docs.select(
+        (did + 500000).alias("rid"),
+        F.when(
+            did % 5 == 0, F.concat(F.substring(rtext_full, 1, 40), nums)
+        ).otherwise(rtext_full).alias("rtext"),
+    )
+    return bitext_candidates(
+        left, right, "doc_id", "ltext", "rid", "rtext",
+        min_runs=2, max_len_ratio=2.0,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5250,6 +5285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_stats": _q_trimmed_stats,
         "benford_audit": _q_benford_audit,
         "record_linkage": _q_record_linkage,
+        "bitext_mine": _q_bitext_mine,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -9692,6 +9728,56 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         "minhash_eval": _minhash_eval_oracle(0.6),
         "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
         "benford_audit": _benford_oracle(),
+        "bitext_mine": """
+            WITH l AS (
+              SELECT doc_id,
+                     text || ' sec ' || CAST(doc_id % 7 AS VARCHAR)
+                          || ' of ' || CAST(doc_id % 120 + 1900 AS VARCHAR)
+                       AS t
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id + 500000 AS rid,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       substr('tr: ' || reverse(text)
+                              || ' sec ' || CAST(doc_id % 7 AS VARCHAR)
+                              || ' of ' || CAST(doc_id % 120 + 1900 AS VARCHAR),
+                              1, 40)
+                       || ' sec ' || CAST(doc_id % 7 AS VARCHAR)
+                       || ' of ' || CAST(doc_id % 120 + 1900 AS VARCHAR)
+                     ELSE 'tr: ' || reverse(text)
+                       || ' sec ' || CAST(doc_id % 7 AS VARCHAR)
+                       || ' of ' || CAST(doc_id % 120 + 1900 AS VARCHAR)
+                     END AS t
+              FROM documents
+            ),
+            lf AS (
+              SELECT doc_id, length(t)::BIGINT AS llen,
+                     list_filter(string_split(
+                       regexp_replace(t, '[^0-9]+', ' ', 'g'), ' '),
+                       x -> x <> '') AS runs
+              FROM l
+            ),
+            rf AS (
+              SELECT rid, length(t)::BIGINT AS rlen,
+                     list_filter(string_split(
+                       regexp_replace(t, '[^0-9]+', ' ', 'g'), ' '),
+                       x -> x <> '') AS runs
+              FROM r
+            )
+            SELECT lf.doc_id, rf.rid,
+                   CAST(len(lf.runs) AS BIGINT) AS n_runs,
+                   round(CAST(greatest(llen, rlen) AS DOUBLE)
+                         / CAST(least(llen, rlen) AS DOUBLE), 6)
+                     AS len_ratio
+            FROM lf JOIN rf
+              ON array_to_string(lf.runs, ',')
+                 = array_to_string(rf.runs, ',')
+            WHERE len(lf.runs) >= 2 AND len(rf.runs) >= 2
+              AND least(llen, rlen) > 0
+              AND CAST(greatest(llen, rlen) AS DOUBLE)
+                  / CAST(least(llen, rlen) AS DOUBLE) <= 2.0
+        """,
         "record_linkage": """
             WITH r AS (
               SELECT c_custkey AS rid,

@@ -343,6 +343,7 @@ def main():
         "trimmed_stats",
         "benford_audit",
         "record_linkage",
+        "bitext_mine",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

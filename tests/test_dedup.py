@@ -1129,3 +1129,31 @@ def test_record_linkage_cross_table(spark):
         "id", "name", "id", "name",
     ).columns
     assert cols == ["id_x", "id_y", "dist"]
+
+
+def test_bitext_candidates_blocking_and_filters(spark):
+    """Numeral-fingerprint blocking: same ordered digit runs match,
+    different order / too-few runs / length-ratio violations do not."""
+    from pandance_spark.operators.bitext import bitext_candidates
+
+    left = spark.createDataFrame(
+        [(1, "meeting on 14 March 1907 room 3"),
+         (2, "only 7 here"),                 # 1 run: below min_runs
+         (3, "figures 12 and 34"),
+         (4, "no digits at all")],
+        ["lid", "t"],
+    )
+    right = spark.createDataFrame(
+        [(10, "reunion le 14 mars 1907 salle 3"),     # matches 1
+         (11, "le 1907 du 14 salle 3"),               # same runs, wrong ORDER
+         (12, "12 34"),                                # matches 3 but len ratio
+         (13, "les chiffres 12 puis 34 suivent")],     # matches 3
+        ["rid", "t"],
+    )
+    got = {(r["lid"], r["rid"]): r for r in bitext_candidates(
+        left, right, "lid", "t", "rid", "t",
+        min_runs=2, max_len_ratio=2.0,
+    ).collect()}
+    assert set(got) == {(1, 10), (3, 13)}
+    assert got[(1, 10)]["n_runs"] == 3  # runs: 14, 1907, 3
+    assert got[(3, 13)]["len_ratio"] >= 1.0
