@@ -1199,3 +1199,73 @@ def test_triangle_count_matches_brute_force(spark, pairs):
             for v in (a, b, c):
                 exp[v] = exp.get(v, 0) + 1
     assert got == exp, (got, exp)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab1 .", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_winnowing_table_matches_column_form(spark, texts):
+    """The codegen'd window-pipeline corpus form selects exactly the
+    same (h, p) fingerprint sets as the reference Column fold, on
+    arbitrary strings over a tiny alphabet (maximal hash ties — the
+    rightmost-tie rule's worst case)."""
+    from pandance_spark.functions.text import (
+        winnow_fingerprint_table,
+        winnow_fingerprints,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    tbl = {r["id"]: [tuple(x) for x in r["fps"]]
+           for r in winnow_fingerprint_table(df, "id", "t", 4, 3).collect()}
+    col = {r["id"]: [tuple(x) for x in (r["fp"] or [])]
+           for r in df.select(
+               "id",
+               winnow_fingerprints(
+                   F.coalesce(F.col("t"), F.lit("")), 4, 3
+               ).alias("fp"),
+           ).collect()}
+    assert tbl == col
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.floats(-1e4, 1e4, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    frac=st.sampled_from([0.0, 0.1, 0.25, 0.4]),
+)
+def test_trimmed_stats_matches_python_reference(spark, vals, frac):
+    """trimmed/winsorized means == a pure-python replay on the same
+    2^20 micro-unit snapping, for arbitrary groups and trim
+    fractions."""
+    from pandance_spark.functions.analytics import trimmed_stats
+
+    df = spark.createDataFrame(vals, ["g", "v"])
+    got = {r["group"]: r for r in
+           trimmed_stats(df, "g", "v", trim_frac=frac).collect()}
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v in vals:
+        groups[g].append(round(v * (1 << 20)))
+    for g, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        t = int(n * frac) if n > 2 * int(n * frac) else 0
+        kept = xs[t:n - t]
+        tm = sum(kept) / (len(kept) * (1 << 20))
+        wm = (sum(kept) + t * kept[0] + t * kept[-1]) / (n * (1 << 20))
+        assert got[g]["n"] == n and got[g]["n_trimmed"] == 2 * t
+        assert abs(got[g]["trimmed_mean"] - round(tm, 9)) <= 1e-9
+        assert abs(got[g]["winsor_mean"] - round(wm, 9)) <= 1e-9
