@@ -5216,6 +5216,73 @@ def _q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion with corrupt-element quarantine (sources/
+    __init__.py read_xml_quarantine, Spark 4's NATIVE xml source —
+    feeds/sitemaps/exports): a documents projection round-trips
+    through the XML writer, a sibling part file plants THREE
+    type-corrupt rows, one extra VALID row, and one field-less
+    garbage row.  Contract pinned by the oracle: type errors
+    quarantine (n_bad = 3), the valid planted row joins the good
+    aggregate, and the field-less row parses as all-NULL good (XML
+    has no row delimiter to flag it corrupt) and is dropped by the
+    doc_id filter.  Oracle recomputes the good aggregate from the
+    parquet the XML came from + the planted constant."""
+    from pandance_spark.sources import read_xml_quarantine
+    from pyspark.sql import types as T
+
+    root = _roundtrip_root(sf_dir, "xml")
+
+    def write(stage: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        proj = docs.select("doc_id", "source", "text")
+        proj.coalesce(2).write.mode("overwrite").option(
+            "rootTag", "rows"
+        ).option("rowTag", "row").format("xml").save(stage)
+        with open(os.path.join(stage, "part-corrupt.xml"), "w") as f:
+            f.write(
+                "<rows>\n"
+                "<row><doc_id>notanumber</doc_id><source>s</source>"
+                "<text>x</text></row>\n"
+                "<row><doc_id>1.5</doc_id><source>s</source>"
+                "<text>y</text></row>\n"
+                "<row><doc_id>nan</doc_id><source>s</source>"
+                "<text>z</text></row>\n"
+                "<row><doc_id>900001</doc_id><source>plantedsrc</source>"
+                "<text>planted text</text></row>\n"
+                "<row>fieldless garbage</row>\n"
+                "</rows>\n"
+            )
+
+    _publish_dir(root, write)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad, unpersist = read_xml_quarantine(spark, root, schema, "row")
+    n_bad = bad.count()
+    agg = (
+        good.filter(F.col("doc_id").isNotNull())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("sum_len"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.md5("text")))
+                )
+            ).alias("content_md5"),
+        )
+        .withColumn("n_bad", F.lit(int(n_bad)).cast("long"))
+    )
+    rows = agg.localCheckpoint(eager=True)
+    unpersist()
+    return rows
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ------------------------------------------------------------------
@@ -5293,6 +5360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": _q_benford_audit,
         "record_linkage": _q_record_linkage,
         "bitext_mine": _q_bitext_mine,
+        "xml_roundtrip": _q_xml_roundtrip,
         # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
         "readability": _q_readability,
@@ -9735,6 +9803,20 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
         "minhash_eval": _minhash_eval_oracle(0.6),
         "minhash_eval_sampled": _minhash_eval_oracle(0.6, sample_frac=0.5),
         "benford_audit": _benford_oracle(),
+        "xml_roundtrip": """
+            WITH g AS (
+              SELECT source, text FROM documents
+              UNION ALL
+              SELECT 'plantedsrc' AS source, 'planted text' AS text
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(len(text)) AS BIGINT) AS sum_len,
+                   md5(string_agg(md5(text), '|' ORDER BY md5(text)))
+                     AS content_md5,
+                   CAST(3 AS BIGINT) AS n_bad
+            FROM g GROUP BY source
+        """,
         "bitext_mine": """
             WITH l AS (
               SELECT doc_id,

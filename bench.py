@@ -344,6 +344,7 @@ def main():
         "benford_audit",
         "record_linkage",
         "bitext_mine",
+        "xml_roundtrip",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -329,3 +329,32 @@ def _quarantine_split(df, corrupt_col: str):
 
 
 from pandance_spark.sources.warc import warc_records  # noqa: E402
+
+
+def read_xml_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    row_tag: str = "row",
+    corrupt_col: str = "_corrupt_record",
+):
+    """XML sibling of :func:`read_jsonl` — same quarantine contract
+    (``(good, bad, unpersist)``, PERMISSIVE single-pass scan, same
+    cache-lifetime caveats; see that docstring).  Uses Spark 4's
+    native XML source (no external package): each ``row_tag`` element
+    parses against ``schema``; malformed elements land raw in ``bad``.
+    Feeds/sitemaps/exports are the usual carriers — the formats
+    crawled corpora arrive in when they don't arrive as JSONL."""
+    from pyspark.sql import types as T
+
+    configure_session(spark)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("rowTag", row_tag)
+    )
+    return _quarantine_split(reader.format("xml").load(path), corrupt_col)

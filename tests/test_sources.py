@@ -200,3 +200,48 @@ def test_read_csv_quarantine_rejects_contract_overrides(spark, tmp_path):
         read_csv_quarantine(
             spark, str(p), schema, columnNameOfCorruptRecord="zzz"
         )
+
+
+def test_read_xml_quarantine_contract(spark, tmp_path):
+    """Native-XML quarantine (Spark 4): type-corrupt elements land in
+    bad, valid planted rows parse, field-less elements become all-NULL
+    good rows (XML's structural limit, pinned here)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from pandance_spark.sources import read_xml_quarantine
+
+    d = str(tmp_path / "x")
+    df = spark.createDataFrame(
+        [(1, "s0", "hello"), (2, "s1", "world")],
+        "doc_id long, source string, text string",
+    )
+    df.coalesce(1).write.option("rootTag", "rows").option(
+        "rowTag", "row"
+    ).format("xml").save(d)
+    with open(os.path.join(d, "part-corrupt.xml"), "w") as f:
+        f.write(
+            "<rows>\n"
+            "<row><doc_id>bad</doc_id><source>s</source>"
+            "<text>x</text></row>\n"
+            "<row><doc_id>12</doc_id><source>ok</source>"
+            "<text>fine</text></row>\n"
+            "<row>garbage</row>\n"
+            "</rows>"
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad, unp = read_xml_quarantine(spark, d, schema, "row")
+    n_bad = bad.count()
+    rows = good.collect()
+    unp()
+    ids = {r["doc_id"] for r in rows}
+    assert n_bad == 1
+    assert {1, 2, 12} <= ids
+    assert None in ids  # the field-less row: all-NULL good, by contract
