@@ -882,7 +882,11 @@ def winnow_fingerprint_table(
 
     - gram "hash" = the exact base-128 encoding assembled from
       ``lead(code, j)`` over the doc partition (k <= 8 fits 2^56 and
-      is collision-free; k > 8 falls back to md5 of the substring);
+      is collision-free; k > 8 falls back to md5 of the substring —
+      NOTE that fallback carries the full document string on every
+      exploded char row, O(n^2) shuffle bytes per doc: fine for the
+      short-string corpora that want long grams, wrong for web docs —
+      keep k <= 8 there);
     - window minimum with the paper's rightmost tie-break = ONE
       ``min(struct(h, BIG - pos))`` over a ``rowsBetween(0, w-1)``
       frame (struct ordering: h ascending, then pos DESCENDING via the
