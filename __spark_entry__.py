@@ -4795,12 +4795,14 @@ def _publish_dir(root: str, write_fn) -> None:
     """Idempotent per-sf temp publication (the orc_roundtrip /
     warc_files pattern): write to a stage dir, atomic-rename into
     place; a concurrent publisher winning the rename is fine — the
-    loser removes its orphaned stage dir (ADVICE r9)."""
+    loser removes its orphaned stage dir (ADVICE r9).  The stage dir
+    is per-process (pid suffix, ADVICE r10) so two concurrent
+    publishers never interleave part files in a shared stage."""
     if os.path.isdir(root):
         return
     import shutil
 
-    stage = root + ".stage"
+    stage = root + f".stage-{os.getpid()}"
     write_fn(stage)
     try:
         os.rename(stage, root)
@@ -5145,9 +5147,10 @@ def _q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table entity resolution (operators/dedup.py
-    record_linkage): customer names vs a mutated register (every 3rd
-    name loses its 10th char, every 3rd swaps '#' for '@', the rest
-    are verbatim), linked at levenshtein <= 1.  Digit-neighbor names
+    record_linkage): customer names vs a mutated register (keyed on
+    c_custkey % 9, independent of the % 3 == 0 register cap: bucket 0
+    loses its 10th char, bucket 3 swaps '#' for '@', bucket 6 stays
+    verbatim), linked at levenshtein <= 1.  Digit-neighbor names
     ("Customer#...001" vs "...002") make the truth non-trivial in both
     directions.  The oracle brute-forces the full cross levenshtein —
     a green row proves the tagged-union EDJoin candidate filter loses
@@ -5164,13 +5167,15 @@ def _q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_custkey", "c_name"
     )
+    # mutation buckets keyed on % 9 so all three branches fire under
+    # the % 3 == 0 register cap (custkey % 9 in {0, 3, 6} here)
     mutated = F.when(
-        F.col("c_custkey") % 3 == 0,
+        F.col("c_custkey") % 9 == 0,
         F.concat(
             F.substring("c_name", 1, 9), F.expr("substring(c_name, 11)")
         ),
     ).when(
-        F.col("c_custkey") % 3 == 2,
+        F.col("c_custkey") % 9 == 3,
         F.regexp_replace(F.col("c_name"), "#", "@"),
     ).otherwise(F.col("c_name"))
     right = cust.select(
@@ -9874,9 +9879,9 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             ),
             r AS (
               SELECT c_custkey AS rid,
-                     CASE WHEN c_custkey % 3 = 0 THEN
+                     CASE WHEN c_custkey % 9 = 0 THEN
                             substr(c_name, 1, 9) || substr(c_name, 11)
-                          WHEN c_custkey % 3 = 2 THEN
+                          WHEN c_custkey % 9 = 3 THEN
                             replace(c_name, '#', '@')
                           ELSE c_name END AS rname
               FROM c3

@@ -818,7 +818,10 @@ def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
     use goes through :func:`winnow_fingerprint_table` (staged, no
     re-evaluation blowup).
     """
-    s = F.regexp_replace(F.lower(text), "[^a-z0-9]", "")
+    # NULL text behaves like '' (empty fps array) — same contract as
+    # winnow_fingerprint_table, which coalesces before exploding
+    s = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))),
+                         "[^a-z0-9]", "")
     n = F.length(s)
     g = n - (k - 1)  # number of k-grams
     if k <= 8:

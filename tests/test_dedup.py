@@ -1081,7 +1081,9 @@ def test_record_linkage_cross_table(spark):
 
     left = spark.createDataFrame(
         [(1, "acme corp"), (2, "globex inc"), (3, "initech"),
-         (4, "acme corq")],           # near-dup of 1 WITHIN left: excluded
+         (4, "acme corq")],  # pairs CROSS with right 1 at dist 1; the
+        # left-left (4, 1) pair never appears (output is cross-universe
+        # by schema, which got == want asserts)
         ["lid", "name"],
     )
     right = spark.createDataFrame(
@@ -1121,7 +1123,9 @@ def test_record_linkage_cross_table(spark):
         if lev(a, b) <= 1
     )
     assert got == want
-    assert (4, 1) not in {(a, b) for a, b, _ in got} or True
+    # cross-universe contract: left 4 "acme corq" DOES link to right 1
+    # "acme corp" (dist 1) — the brute-force want contains it
+    assert (4, 1, 1) in want
     # identical id name on both sides disambiguates
     cols = record_linkage(
         left.withColumnRenamed("lid", "id"),

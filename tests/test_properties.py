@@ -1223,12 +1223,10 @@ def test_winnowing_table_matches_column_form(spark, texts):
     df = spark.createDataFrame(rows, ["id", "t"])
     tbl = {r["id"]: [tuple(x) for x in r["fps"]]
            for r in winnow_fingerprint_table(df, "id", "t", 4, 3).collect()}
-    col = {r["id"]: [tuple(x) for x in (r["fp"] or [])]
+    col = {r["id"]: [tuple(x) for x in r["fp"]]
            for r in df.select(
                "id",
-               winnow_fingerprints(
-                   F.coalesce(F.col("t"), F.lit("")), 4, 3
-               ).alias("fp"),
+               winnow_fingerprints(F.col("t"), 4, 3).alias("fp"),
            ).collect()}
     assert tbl == col
 
@@ -1256,9 +1254,18 @@ def test_trimmed_stats_matches_python_reference(spark, vals, frac):
            trimmed_stats(df, "g", "v", trim_frac=frac).collect()}
     from collections import defaultdict
 
+    import math
+
+    def snap_half_up(v):
+        # Spark F.round is HALF_UP (away from zero); Python round()
+        # is banker's — an exact .5 micro-unit boundary would diverge
+        # by 1 unit (ADVICE r10)
+        x = v * (1 << 20)
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
     groups = defaultdict(list)
     for g, v in vals:
-        groups[g].append(round(v * (1 << 20)))
+        groups[g].append(snap_half_up(v))
     for g, xs in groups.items():
         xs.sort()
         n = len(xs)

@@ -1081,13 +1081,13 @@ def test_winnowing_guarantee_and_forms_agree(spark):
         r["id"]: [tuple(x) for x in r["fps"]]
         for r in winnow_fingerprint_table(df, "id", "t", 8, 4).collect()
     }
+    # NO pre-coalesce: NULL text must hit the Column form directly and
+    # still return the empty array, matching the table form (ADVICE r10)
     col = {
-        r["id"]: [tuple(x) for x in (r["fp"] or [])]
+        r["id"]: [tuple(x) for x in r["fp"]]
         for r in df.select(
             "id",
-            winnow_fingerprints(
-                F.coalesce(F.col("t"), F.lit("")), 8, 4
-            ).alias("fp"),
+            winnow_fingerprints(F.col("t"), 8, 4).alias("fp"),
         ).collect()
     }
     assert tbl == col
