@@ -499,15 +499,22 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
+    # key order matters: the harness keeps only the last ~2 KB of
+    # output, so on a ~12 KB line only the TRAILING section survives.
+    # r10's driver artifact kept the end of a trailing "spread" dict,
+    # and its per-query SPREADS were read as MEDIANS — manufacturing a
+    # phantom 2x minhash_eval "regression" (r11 adjudication,
+    # PLANS.md).  "queries" goes LAST so whatever survives truncation
+    # is always real medians.
     full = {
         "metric": "bench_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "reps": REPS,
         "spread": spread,
         "respreads": respreads,
+        "queries": timings,
     }
     # The harness that runs this keeps only a small TAIL of stdout and
     # parses the last JSON line it finds there: a 117-query timings

@@ -175,14 +175,19 @@ def _signature_from_hashed(hashed: Column, num_hashes: int, seed: int) -> Column
     Measured on sf0.1: fold cold 1.2 s vs 1.6 s, warm 1.0 s vs 1.3 s,
     identical signatures.  Empty or null shingle arrays yield the
     all-``p`` sentinel signature, as before.
+
+    The (a, b) literal array is built as ONE ``F.expr`` parse instead
+    of 64 struct/lit/alias py4j round-trips — the r10 simhash lesson
+    (driver-side Column-tree construction is real wall time; r11
+    minhash_eval adjudication measured ~1 s/rep in this path).
     """
-    ab = F.array(
-        *[
-            F.struct(
-                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
-            )
+    ab = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('a',{a}L,'b',{b}L)"
             for a, b in _hash_params(num_hashes, seed)
-        ]
+        )
+        + ")"
     )
     sentinel = F.array_repeat(F.lit(_PRIME).cast("long"), num_hashes)
     folded = F.aggregate(
@@ -257,26 +262,28 @@ def _bands_from_hashed(
         *carry,
         _signature_from_hashed(F.col("__hashed"), num_hashes, seed).alias("__sig"),
     )
-    return with_sig.select(
-        id_col,
-        *carry,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        _band_hash(
-                            F.slice(
-                                F.col("__sig"), i * rows_per_band + 1,
-                                rows_per_band,
-                            ),
-                            portable,
-                        ).alias("bhash"),
-                    )
-                    for i in range(bands)
-                ]
+
+    # band structs as ONE F.expr parse (not bands x ~10 py4j calls):
+    # same SQL semantics as _band_hash — hash() IS Murmur3 over the
+    # array, and the portable branch replays _band_hash's md5 of the
+    # comma-joined decimal slots (r11 minhash_eval adjudication)
+    def band_sql(i: int) -> str:
+        sl = f"slice(__sig, {i * rows_per_band + 1}, {rows_per_band})"
+        if portable:
+            h = (
+                "cast(conv(substring(md5(concat_ws(',', "
+                f"transform({sl}, x -> cast(x as string)))), 1, 8), "
+                "16, 10) as bigint)"
             )
-        ).alias("__b"),
+        else:
+            h = f"hash({sl})"
+        return f"named_struct('band',{i},'bhash',{h})"
+
+    bexpr = F.expr(
+        "array(" + ",".join(band_sql(i) for i in range(bands)) + ")"
+    )
+    return with_sig.select(
+        id_col, *carry, F.explode(bexpr).alias("__b")
     ).select(id_col, *carry, "__b.band", "__b.bhash")
 
 
