@@ -51,6 +51,7 @@ __all__ = [
     "streaming_fuzzy_join",
     "streaming_ineq_join",
     "streaming_theta_join",
+    "streaming_asof_join",
     "streaming_contamination_router",
     "streaming_token_budget_router",
     "streaming_c4_gate",
@@ -1726,4 +1727,145 @@ def streaming_theta_join(
         left_on=left_on,
         right_on=right_on,
         suffixes=suffixes,
+    )
+
+
+def streaming_asof_join(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Optional[str] = None,
+    left_on: Optional[str] = None,
+    right_on: Optional[str] = None,
+    by: Optional[Sequence[str]] = None,
+    direction: str = "backward",
+    tolerance=None,
+    how: str = "left",
+    suffixes=("_x", "_y"),
+) -> DataFrame:
+    """Stream-static :func:`pandance_spark.asof_join` — the CDC /
+    telemetry enrichment join: each arriving event picks up the
+    static dimension row in effect at (backward), next after
+    (forward), or closest to (nearest) its timestamp, per ``by`` key.
+    Matches batch ``operators/asof.py`` semantics: ``how`` left/inner,
+    ``tolerance`` nullifies an out-of-range match (never substitutes
+    another), equidistant ``nearest`` candidates resolve backward,
+    ``suffixes`` on non-``by`` collisions, NULL ``by`` keys match each
+    other (the batch window partitions NULL keys together).
+
+    The batch union + running-last plan needs a global sort — illegal
+    on a stream — so the stream-static form inverts it: ONE batch-side
+    window pass over the STATIC table rewrites each dimension row as
+    the interval of event times it answers for (its validity range:
+    [ts, next) backward, (prev, ts] forward, the midpoint cell for
+    nearest), and the stream then joins that interval table with a
+    plain stateless range predicate.  Intervals partition the
+    timeline, so each event matches AT MOST ONE static row — exactly
+    the asof contract — and the join carries no state store: Spark
+    re-plans the static side per micro-batch and a broadcast-sized
+    dimension makes every micro-batch a map-only broadcast join (the
+    100 TB shape).  ``nearest`` boundary arithmetic uses the SAME
+    ``abs(l - r)`` float expressions as the batch distance pick, and
+    each boundary pairs a ``<`` with the complementary ``<=`` over
+    identical operands, so ownership is exhaustive and exclusive even
+    under rounding.  Ties among static rows at one timestamp are
+    arbitrary (the pandas contract), as in batch.
+    """
+    from pandance_spark._kernel import (
+        as_instant,
+        is_timestamp_type,
+        resolve_join_columns,
+        tolerance_to_micros,
+    )
+    from pyspark.sql import Window
+
+    if not stream.isStreaming:
+        raise ValueError(
+            "streaming_asof_join expects the STREAM as the left input; "
+            "for two batch frames use pandance_spark.asof_join"
+        )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'"
+        )
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    by = list(by) if by else []
+    left_on, right_on = resolve_join_columns(
+        stream, static, on, left_on, right_on
+    )
+    for k in by:
+        if k not in stream.columns or k not in static.columns:
+            raise ValueError(f"by-column {k!r} missing from an input")
+
+    # suffix only non-by collisions; by-keys merge into one output
+    # column (same contract as batch asof_join)
+    lcols = list(stream.columns)
+    rcols_payload = [c for c in static.columns if c not in by]
+    lsuf, rsuf = suffixes
+    collisions = (set(lcols) & set(rcols_payload)) - set(by)
+    left2 = stream.withColumnsRenamed({c: c + lsuf for c in collisions})
+    right2 = static.withColumnsRenamed({c: c + rsuf for c in collisions})
+    lts = left_on + lsuf if left_on in collisions else left_on
+    rts = right_on + rsuf if right_on in collisions else right_on
+    ltype = left2.schema[lts].dataType
+    rtype = right2.schema[rts].dataType
+    out_left_cols = list(left2.columns)
+    out_right_cols = [c for c in right2.columns if c not in by]
+
+    def _num(col, dt):
+        return (
+            F.unix_micros(as_instant(col))
+            if is_timestamp_type(dt)
+            else col.cast("double")
+        )
+
+    # ONE window pass over the static (batch) side: neighbors in the
+    # per-key time order define each row's validity interval
+    w = (
+        Window.partitionBy(*by).orderBy("__rv")
+        if by
+        else Window.orderBy("__rv")
+    )
+    r3 = (
+        right2.withColumn("__rv", _num(F.col(rts), rtype))
+        .filter(F.col("__rv").isNotNull())
+        .withColumn("__prv", F.lag("__rv").over(w))
+        .withColumn("__nxt", F.lead("__rv").over(w))
+    )
+    l3 = left2.withColumn("__lv", _num(F.col(lts), ltype))
+
+    lv, rv = l3["__lv"], r3["__rv"]
+    prv, nxt = r3["__prv"], r3["__nxt"]
+    if direction == "backward":
+        own = (lv >= rv) & (nxt.isNull() | (lv < nxt))
+    elif direction == "forward":
+        own = (lv <= rv) & (prv.isNull() | (lv > prv))
+    else:  # nearest: strict < against prev (tie -> backward = prev),
+        # <= against next (tie -> backward = this row) — complementary
+        # comparisons over identical float expressions at each boundary
+        own = (prv.isNull() | (F.abs(lv - rv) < F.abs(lv - prv))) & (
+            nxt.isNull() | (F.abs(lv - rv) <= F.abs(lv - nxt))
+        )
+    if tolerance is not None:
+        tol = (
+            tolerance_to_micros(tolerance)
+            if is_timestamp_type(ltype)
+            else float(tolerance)
+        )
+        # the interval already selects the unique asof candidate, so a
+        # tolerance predicate in the join condition nullifies exactly
+        # the out-of-range match, as batch does post-match
+        own = own & (F.abs(lv - rv) <= F.lit(tol))
+    cond = own & lv.isNotNull()
+    for k in by:
+        # eqNullSafe: batch partitions NULL by-keys into one window
+        # group, i.e. NULL matches NULL
+        cond = cond & l3[k].eqNullSafe(r3[k])
+
+    joined = l3.join(
+        r3, cond, "left_outer" if how == "left" else "inner"
+    )
+    return joined.select(
+        *[l3[c].alias(c) for c in out_left_cols],
+        *[r3[c].alias(c) for c in out_right_cols],
     )

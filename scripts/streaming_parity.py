@@ -1663,6 +1663,70 @@ WHERE NOT EXISTS (
            note="stream-static theta (Column fast path) over 2 "
                 "micro-batches == batch theta_join == DuckDB")
 
+    # ------------------------------------------------------------------
+    # 24. streaming_asof_join (r11): the CDC enrichment join — each
+    # arriving event picks up the per-event-type config version in
+    # effect at its timestamp (backward, by-key).  Two micro-batches;
+    # stream == batch asof_join == DuckDB's native ASOF LEFT JOIN.
+    # ------------------------------------------------------------------
+    from pandance_spark import asof_join
+    from pandance_spark.streaming import streaming_asof_join
+
+    dim24 = spark.createDataFrame(
+        [
+            (et, f"2024-01-{d:02d} 00:00:00", f"{et}_v{i}")
+            for et in ("click", "view", "purchase", "signup", "error")
+            for i, d in enumerate((3, 11, 22))
+        ],
+        "event_type string, valid_from string, config string",
+    ).withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+    ev24 = ev_batch.select("event_id", "event_type", "ts").filter(
+        F.col("event_id") % 17 == 0
+    )
+    src24 = os.path.join(tmp, "asof_src")
+    ev24.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src24)
+    ev24.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src24)
+    stream24 = spark.readStream.schema(ev24.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src24)
+    run_stream_to_memory(
+        streaming_asof_join(
+            stream24, dim24, left_on="ts", right_on="valid_from",
+            by=["event_type"], direction="backward",
+        ),
+        "parity_asof",
+    )
+    cols = ["event_id", "event_type", "ts", "valid_from", "config"]
+    s24 = canon_rows(spark.table("parity_asof").collect(), cols)
+    b24 = canon_rows(
+        asof_join(
+            ev24, dim24, left_on="ts", right_on="valid_from",
+            by=["event_type"], direction="backward",
+        ).collect(),
+        cols,
+    )
+    d24 = canon_rows(duck_rows(con.sql("""
+        WITH dim AS (
+          SELECT et AS event_type,
+                 CAST('2024-01-' || lpad(d, 2, '0') AS TIMESTAMP)
+                   AS valid_from,
+                 et || '_v' || i AS config
+          FROM (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                       ('error')) t(et),
+               (VALUES (0, '3'), (1, '11'), (2, '22')) v(i, d)
+        )
+        SELECT e.event_id, e.event_type, e.ts, dim.valid_from, dim.config
+        FROM (SELECT event_id, event_type, ts FROM events
+              WHERE event_id % 17 = 0) e
+        ASOF LEFT JOIN dim
+          ON e.event_type = dim.event_type AND e.ts >= dim.valid_from
+    """)), cols)
+    record("streaming_asof_join", "duckdb", s24, b24, d24,
+           note="stream-static interval asof (backward, by-key) over 2 "
+                "micro-batches == batch asof_join == DuckDB ASOF LEFT JOIN")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results

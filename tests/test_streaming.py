@@ -1317,3 +1317,137 @@ def test_streaming_ineq_and_theta_match_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="STREAM as the left"):
         streaming_theta_join(src, static, condition=lambda x, y: x < y,
                              left_on="event_id", right_on="k")
+
+
+def test_streaming_asof_join_matches_batch_all_directions(spark, tmp_path):
+    """Stream-static interval asof == batch asof_join across two real
+    micro-batches, for backward/forward/nearest, with by-keys and a
+    left-join null row for keys the dimension lacks."""
+    from pandance_spark import asof_join
+    from pandance_spark.streaming import streaming_asof_join
+
+    # events: two sensors + one sensor absent from the dimension
+    rows = [
+        (i, ["a", "b", "zz"][i % 3], float(i) * 0.75 % 13.0)
+        for i in range(48)
+    ]
+    src = spark.createDataFrame(rows, "event_id long, sensor string, ts double")
+    static = spark.createDataFrame(
+        [(s, float(t), f"{s}{t}") for s in ("a", "b") for t in range(0, 13, 3)],
+        "sensor string, ts double, label string",
+    )
+    path = str(tmp_path / "asof_src")
+    src.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(path)
+    src.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    for direction in ("backward", "forward", "nearest"):
+        _run_to_memory(
+            streaming_asof_join(
+                stream, static, on="ts", by=["sensor"], direction=direction
+            ),
+            f"saj_{direction}",
+            "append",
+        )
+        got = sorted(map(tuple, spark.table(f"saj_{direction}").collect()),
+                     key=str)
+        want = sorted(
+            map(tuple, asof_join(src, static, on="ts", by=["sensor"],
+                                 direction=direction).collect()),
+            key=str,
+        )
+        assert got == want and len(got) == 48, direction
+        # the zz sensor rows survive with NULL payload (how='left')
+        assert any(t[1] == "zz" and t[4] is None for t in got), direction
+
+
+def test_streaming_asof_join_tolerance_inner_and_suffixes(spark, tmp_path):
+    """tolerance nullifies (not substitutes) an out-of-range match;
+    how='inner' drops unmatched rows; collision suffixes as in batch;
+    non-stream left raises."""
+    import pytest
+
+    from pandance_spark import asof_join
+    from pandance_spark.streaming import streaming_asof_join
+
+    src = spark.createDataFrame(
+        [(1, 0.9), (2, 5.0), (3, 30.0)], "event_id long, ts double"
+    )
+    static = spark.createDataFrame(
+        [(10, 1.0), (20, 6.0)], "dim_id long, ts double"
+    )
+    path = str(tmp_path / "asof_tol_src")
+    src.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+
+    _run_to_memory(
+        streaming_asof_join(stream, static, on="ts", direction="nearest",
+                            tolerance=2.0),
+        "saj_tol",
+        "append",
+    )
+    got = sorted(map(tuple, spark.table("saj_tol").collect()))
+    want = sorted(
+        map(tuple, asof_join(src, static, on="ts", direction="nearest",
+                             tolerance=2.0).collect())
+    )
+    assert got == want
+    # event 3's nearest (20, 6.0) is 24 away -> nulled, row kept
+    by_id = {t[0]: t for t in got}
+    assert by_id[3][2] is None and by_id[3][3] is None
+    assert {"ts_x", "ts_y"} <= set(spark.table("saj_tol").columns)
+
+    _run_to_memory(
+        streaming_asof_join(stream, static, on="ts", direction="nearest",
+                            tolerance=2.0, how="inner"),
+        "saj_inner",
+        "append",
+    )
+    inner = sorted(map(tuple, spark.table("saj_inner").collect()))
+    want_inner = sorted(
+        map(tuple, asof_join(src, static, on="ts", direction="nearest",
+                             tolerance=2.0, how="inner").collect())
+    )
+    assert inner == want_inner and len(inner) == 2
+
+    with pytest.raises(ValueError, match="STREAM as the left"):
+        streaming_asof_join(src, static, on="ts")
+
+
+def test_streaming_asof_join_timestamps(spark, tmp_path):
+    """Timestamp keys go through the same micros conversion as batch:
+    backward enrichment on real TIMESTAMP columns matches batch."""
+    import datetime as dt
+
+    from pandance_spark import asof_join
+    from pandance_spark.streaming import streaming_asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(20)],
+        "event_id long, ts timestamp",
+    )
+    static = spark.createDataFrame(
+        [(h, base + dt.timedelta(hours=h)) for h in range(3)],
+        "version long, ts timestamp",
+    )
+    path = str(tmp_path / "asof_ts_src")
+    src.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    _run_to_memory(
+        streaming_asof_join(stream, static, on="ts", direction="backward"),
+        "saj_ts",
+        "append",
+    )
+    got = sorted(map(tuple, spark.table("saj_ts").collect()), key=str)
+    want = sorted(
+        map(tuple, asof_join(src, static, on="ts",
+                             direction="backward").collect()),
+        key=str,
+    )
+    assert got == want and len(got) == 20
