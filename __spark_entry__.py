@@ -3698,6 +3698,51 @@ def _q_rollup_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket_s", "event_type")
 
 
+def _q_rollup_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (operators/rollup.py
+    build/merge/finalize_rollup_qsketch — the Agarwal et al. 2012
+    mergeable uniform-sample summary): daily per-event-type quantile
+    sketches over event values, keyed by the unique event_id, built
+    on a 75/25 split and MERGED.  The merge algebra is EXACT (bottom-k
+    rows by md5 hash of the id — the KMV order over rows with
+    multiplicity), so the DuckDB oracle recomputes sketch contents,
+    sample sizes and the p50/p90/p99 estimates from scratch and must
+    match bit-for-bit — a fully hash-green quantile sketch, where
+    KLL/GK (whose merges only preserve error bounds, not contents)
+    could never be externally replayed.  Groups below k prove the
+    exact path; above k the estimates carry the DKW rank-error bound
+    (pinned in tests/test_rollup.py)."""
+    from pandance_spark.operators.rollup import (
+        build_rollup_qsketch,
+        finalize_rollup_qsketch,
+        merge_rollup_qsketch,
+    )
+
+    k = 32
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
+    a = build_rollup_qsketch(
+        ev.filter(F.col("event_id") % 4 != 0), "ts", 86400,
+        ["event_type"], "value", "event_id", k=k,
+    )
+    b = build_rollup_qsketch(
+        ev.filter(F.col("event_id") % 4 == 0), "ts", 86400,
+        ["event_type"], "value", "event_id", k=k,
+    )
+    fin = finalize_rollup_qsketch(
+        merge_rollup_qsketch(a, b, k=k), probs=(0.5, 0.9, 0.99), k=k
+    )
+    return fin.select(
+        F.unix_timestamp("bucket").alias("bucket_s"),
+        "event_type",
+        F.col("n"),
+        F.col("m").cast("long").alias("m"),
+        "exact",
+        F.element_at("quantiles", 1).alias("p50"),
+        F.element_at("quantiles", 2).alias("p90"),
+        F.element_at("quantiles", 3).alias("p99"),
+    ).orderBy("bucket_s", "event_type")
+
+
 def _q_containment_quotes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment search (operators/dedup.py
     containment_join): every 11th document's first HALF is treated as
@@ -5337,6 +5382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": _q_ppl_buckets,
         "robots_gate": _q_robots_gate,
         "rollup_bottomk": _q_rollup_bottomk,
+        "rollup_qsketch": _q_rollup_qsketch,
         "rollup_incremental": _q_rollup_incremental,
         "vocab_coverage": _q_vocab_coverage,
         "vocab_oov": _q_vocab_oov,
@@ -7817,6 +7863,48 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                         END AS BIGINT) AS distinct_est,
                    array_to_string(list_slice(vs, 1, 5), ',') AS sample_ids
             FROM bk
+            ORDER BY bucket_s, event_type
+        """,
+        # full from-scratch replay of the mergeable uniform-sample
+        # quantile sketch: same md5-of-id bottom-32 row sample, same
+        # lower-empirical-quantile rank picks — the merge algebra is
+        # exact, so sketch contents and estimates match bit-for-bit
+        "rollup_qsketch": """
+            WITH base AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                       AS BIGINT) * 86400 AS bucket_s,
+                     event_type,
+                     CAST(value AS DOUBLE) AS v,
+                     CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                         1, 15) AS BIGINT) AS h
+              FROM events WHERE value IS NOT NULL
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bucket_s, event_type
+                       ORDER BY h, v) AS rn,
+                     count(*) OVER (
+                       PARTITION BY bucket_s, event_type) AS n
+              FROM base
+            ),
+            samp AS (
+              SELECT bucket_s, event_type,
+                     max(n) AS n, count(*) AS m,
+                     list(v ORDER BY v) AS vs
+              FROM r WHERE rn <= 32
+              GROUP BY 1, 2
+            )
+            SELECT bucket_s, event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(m AS BIGINT) AS m,
+                   n <= 32 AS exact,
+                   round(vs[greatest(1, CAST(ceil(0.5 * m) AS INT))], 9)
+                     AS p50,
+                   round(vs[greatest(1, CAST(ceil(0.9 * m) AS INT))], 9)
+                     AS p90,
+                   round(vs[greatest(1, CAST(ceil(0.99 * m) AS INT))], 9)
+                     AS p99
+            FROM samp
             ORDER BY bucket_s, event_type
         """,
         # exact asymmetric containment replayed over STRING shingle

@@ -51,6 +51,9 @@ __all__ = [
     "build_rollup_bottomk",
     "merge_rollup_bottomk",
     "finalize_rollup_bottomk",
+    "build_rollup_qsketch",
+    "merge_rollup_qsketch",
+    "finalize_rollup_qsketch",
     "build_cms",
     "merge_cms",
     "cms_lookup",
@@ -559,6 +562,179 @@ def finalize_rollup_bottomk(
         F.transform(
             F.slice("bk", 1, sample_size), lambda e: e["v"]
         ),
+    )
+
+
+def build_rollup_qsketch(
+    df: DataFrame,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    portable: bool = True,
+) -> DataFrame:
+    """Mergeable QUANTILE sketch partials — quantiles WITHOUT a fixed
+    bin grid (the gap :func:`quantile_from_hist` leaves: its bounds
+    must be known up front).  Construction: the mergeable
+    uniform-sample quantile summary of Agarwal et al., "Mergeable
+    Summaries" (PODS 2012, §3): per (bucket, keys) keep the ``k``
+    rows whose ``id_col`` hashes SMALLEST under a fixed 60-bit order,
+    carrying their values.  Hash order is independent of the data, so
+    the kept rows are a uniform without-replacement sample of the
+    group's rows and the sample's empirical quantiles estimate the
+    group's with rank error bounded by DKW:
+    ``sup_q |rank_est(q) - q*n| <= n * sqrt(ln(2/delta) / (2k))``
+    with probability 1-delta (k=1024: ~4.3% of n at 99.9%; exact
+    whenever the group has <= k rows, since then the sketch IS the
+    group).
+
+    Deliberately NOT KLL/GK: their merges only preserve the error
+    bound — two KLL sketches merge into a sketch whose contents
+    depend on merge order, so ``merge == from-scratch`` can never be
+    pinned bit-for-bit and no external engine can replay the result.
+    This family's merge IS exact, order/batch-shape independent
+    (bottom-k of a union == bottom-k of the unioned bottom-k's, the
+    KMV algebra of :func:`build_rollup_bottomk`, here over row ids
+    with multiplicity instead of distinct values):
+
+        merge_rollup_qsketch(s(a), s(b)) == build_rollup_qsketch(a ∪ b)
+
+    bit-for-bit (pinned by unit test), and ``portable=True`` (md5)
+    lets DuckDB replay sketch contents AND quantile estimates exactly
+    — a fully hash-green oracle where a KLL implementation could only
+    ever offer a rows-only contract.  The price is sketch size:
+    a uniform sample needs k = O(1/eps^2) where KLL needs
+    O((1/eps)·log^2 log(1/delta)) — the right trade here, where the
+    sketch must be cheap to VERIFY, not minimal to store.
+
+    ``id_col`` must be unique per row (it is the sampling key); n
+    (the true row count) rides in the partial, so finalize can flag
+    exact groups and scale ranks.  Plan shape: one row_number window
+    per group capped at k, then one groupBy — shuffle volume is the
+    raw rows once for the build, k rows per group thereafter.
+    """
+    keys = _check(
+        keys, value_col,
+        extra=("qs", "n", "v", "k", "__h", "__rn", "m",
+               "exact", "quantiles"),
+    )
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if id_col in ("qs", "n", "k"):
+        raise ValueError(f"id_col {id_col!r} collides with sketch schema")
+    from pyspark.sql import Window
+
+    base = df.select(
+        time_bucket(F.col(time_col), width_seconds).alias("bucket"),
+        *[F.col(c) for c in keys],
+        F.col(value_col).cast("double").alias("v"),
+        _kmv_hash(F.col(id_col), portable).alias("__h"),
+    ).filter(F.col("v").isNotNull())
+    w = Window.partitionBy("bucket", *keys).orderBy("__h", "v")
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__n",
+            F.count("*").over(
+                Window.partitionBy("bucket", *keys)
+            ),
+        )
+        .filter(F.col("__rn") <= k)
+        .groupBy("bucket", *keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__h").alias("h"), "v"))
+            ).alias("qs"),
+            F.max("__n").alias("n"),
+        )
+        .withColumn("k", F.lit(int(k)))
+    )
+
+
+def merge_rollup_qsketch(
+    existing: DataFrame, delta: DataFrame, k: int = 1024
+) -> DataFrame:
+    """Incremental maintenance for quantile-sketch partials: explode
+    both sides, re-rank by the fixed (hash, value) order, re-slice,
+    sum the true counts — at most 2k rows per group enter the window.
+    Exactly equals the from-scratch build over the combined input
+    (duplicate (h, v) pairs are KEPT — they are distinct sampled rows,
+    unlike the distinct-value bottom-k).  The two inputs must cover
+    DISJOINT row sets (the same contract every partial family here
+    has).  Fails fast on a k mismatch."""
+    if set(existing.columns) != set(delta.columns):
+        raise ValueError(
+            f"rollup schemas differ: {sorted(existing.columns)} vs "
+            f"{sorted(delta.columns)}"
+        )
+    from pyspark.sql import Window
+
+    group_cols = [c for c in existing.columns if c not in ("qs", "n")]
+    both = _assert_k(existing, k).unionByName(_assert_k(delta, k))
+    n_sum = both.groupBy(*group_cols).agg(F.sum("n").alias("n"))
+    exploded = both.select(
+        *group_cols, F.explode("qs").alias("e")
+    ).select(
+        *group_cols, F.col("e.h").alias("__h"), F.col("e.v").alias("v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h", "v")
+    merged = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__h").alias("h"), "v"))
+            ).alias("qs")
+        )
+    )
+    out_cols = [c for c in existing.columns]
+    return merged.join(n_sum, group_cols).select(*out_cols)
+
+
+def finalize_rollup_qsketch(
+    rollup: DataFrame,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    k: int = 1024,
+    round_to: int = 9,
+) -> DataFrame:
+    """Read-time quantile estimates from sketch partials: for each
+    requested probability ``p``, the sample's lower empirical
+    quantile — the value at rank ``max(1, ceil(p * m))`` of the m
+    sampled values sorted ascending (p=0 -> sample min, p=1 -> sample
+    max).  Closed-form arithmetic only (one ceil per prob), so an
+    external engine replays estimates bit-for-bit.  Adds ``m`` (sample
+    size), ``exact`` (n <= k: the sketch holds the whole group, the
+    estimate is the true quantile), and ``quantiles`` (array aligned
+    with ``probs``, rounded to ``round_to`` dp).  A projection —
+    partials stay mergeable.  Fails fast if ``k`` differs from the
+    build-time k stored in the partials."""
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("probs must be non-empty, each in [0, 1]")
+    rollup = _assert_k(rollup, k)
+    vs = F.array_sort(F.transform("qs", lambda e: e["v"]))
+    m = F.size("qs")
+    ests = F.array(
+        *[
+            F.round(
+                F.element_at(
+                    vs,
+                    F.greatest(
+                        F.lit(1), F.ceil(F.lit(p) * m).cast("int")
+                    ),
+                ),
+                round_to,
+            )
+            for p in probs
+        ]
+    )
+    return (
+        rollup.withColumn("m", m)
+        .withColumn("exact", F.col("n") <= F.lit(int(k)))
+        .withColumn("quantiles", ests)
     )
 
 

@@ -387,3 +387,120 @@ def test_cms_lookup_preserves_duplicates_and_survives_name_collisions(spark):
 
     with pytest.raises(ValueError, match="est_n"):
         cms_lookup(sk, items.withColumn("est_n", F.lit(1)), "v", 3, 8)
+
+
+def test_qsketch_merge_equals_scratch_bitforbit(spark):
+    """The quantile sketch's merge algebra is EXACT (Agarwal et al.
+    2012 mergeable uniform sample): sketch of a union == merge of the
+    parts' sketches, bit for bit, including the true count n — and
+    unlike the distinct-value bottom-k, duplicate values survive with
+    multiplicity (they are distinct sampled rows)."""
+    from pandance_spark.operators.rollup import (
+        build_rollup_qsketch,
+        merge_rollup_qsketch,
+    )
+
+    rows = [
+        # heavy value duplication: v cycles over just 7 values
+        (i, "t%d" % (i % 3), float(i % 7),
+         dt.datetime(2024, 1, 1, i % 48 // 2, 0, 0))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, typ string, val double, ts timestamp"
+    )
+    a = df.filter("rid % 2 = 0")
+    b = df.filter("rid % 2 = 1")
+    k = 16
+    scratch = build_rollup_qsketch(
+        df, "ts", 3600, ["typ"], "val", "rid", k=k
+    )
+    merged = merge_rollup_qsketch(
+        build_rollup_qsketch(a, "ts", 3600, ["typ"], "val", "rid", k=k),
+        build_rollup_qsketch(b, "ts", 3600, ["typ"], "val", "rid", k=k),
+        k=k,
+    )
+
+    def canon(d):
+        return sorted(
+            (r["bucket"], r["typ"], r["n"], r["k"],
+             [(e["h"], e["v"]) for e in r["qs"]])
+            for r in d.collect()
+        )
+
+    sc, mg = canon(scratch), canon(merged)
+    assert sc == mg
+    # full groups keep exactly k sample rows; n is the TRUE row count
+    assert all(len(s[4]) == min(s[2], k) for s in sc)
+
+
+def test_qsketch_quantiles_exact_below_k_and_dkw_above(spark):
+    """Below k the sketch IS the group (estimates are true quantiles);
+    above k the rank error of every estimate stays inside the DKW
+    bound sqrt(ln(2/delta)/(2k)) * n at delta=1e-3 — deterministic
+    check: the md5 hash order fixes the sample."""
+    import math
+
+    from pandance_spark.operators.rollup import (
+        build_rollup_qsketch,
+        finalize_rollup_qsketch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # skewed multiset: value = (i*37 % 1000) ** 2 / 100
+    big = spark.createDataFrame(
+        [(i, float((i * 37 % 1000) ** 2) / 100.0, t0) for i in range(5000)],
+        "rid long, val double, ts timestamp",
+    )
+    k = 256
+    probs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    out = finalize_rollup_qsketch(
+        build_rollup_qsketch(big, "ts", 3600, [], "val", "rid", k=k),
+        probs=probs, k=k,
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 5000 and not out[0]["exact"]
+    vals = sorted(float((i * 37 % 1000) ** 2) / 100.0 for i in range(5000))
+    eps = math.sqrt(math.log(2 / 1e-3) / (2 * k))  # ~0.122 at k=256
+    import bisect
+
+    for p, est in zip(probs, out[0]["quantiles"]):
+        # rank of the estimate in the true multiset (lower/upper span)
+        lo = bisect.bisect_left(vals, est) / 5000
+        hi = bisect.bisect_right(vals, est) / 5000
+        assert lo - eps <= p <= hi + eps, (p, est, lo, hi)
+
+    # below-k group: estimates are EXACT lower quantiles
+    small = spark.createDataFrame(
+        [(i, float(v), t0) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "rid long, val double, ts timestamp",
+    )
+    o2 = finalize_rollup_qsketch(
+        build_rollup_qsketch(small, "ts", 3600, [], "val", "rid", k=64),
+        probs=[0.0, 0.5, 1.0], k=64,
+    ).collect()[0]
+    assert o2["exact"] and o2["m"] == 5
+    assert o2["quantiles"] == [1.0, 5.0, 9.0]
+
+
+def test_qsketch_k_mismatch_and_bad_probs_fail_fast(spark):
+    import pytest as _pytest
+
+    from pandance_spark.operators.rollup import (
+        build_rollup_qsketch,
+        finalize_rollup_qsketch,
+        merge_rollup_qsketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, dt.datetime(2024, 1, 1))],
+        "rid long, val double, ts timestamp",
+    )
+    sk16 = build_rollup_qsketch(df, "ts", 3600, [], "val", "rid", k=16)
+    with _pytest.raises(Exception, match="built with k=16"):
+        finalize_rollup_qsketch(sk16, k=64).collect()
+    with _pytest.raises(Exception, match="built with k=16"):
+        merge_rollup_qsketch(sk16, sk16, k=64).collect()
+    with _pytest.raises(ValueError, match="probs"):
+        finalize_rollup_qsketch(sk16, probs=[], k=16)
+    with _pytest.raises(ValueError, match="probs"):
+        finalize_rollup_qsketch(sk16, probs=[1.5], k=16)
