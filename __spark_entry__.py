@@ -5140,6 +5140,42 @@ def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_long_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-gram winnowing (k=12, w=5 — r11, VERDICT r10 Missing #4):
+    same MOSS selection as winnow_fingerprints, but k > 8 exercises
+    the double-Horner polynomial gram hash (two independent 31-bit
+    folds combined to ~62 bits, composed from lead() over per-char
+    codes) — O(1) bytes per char row at any k, where the pre-r11
+    md5-of-substring fallback shipped the whole document per char row.
+    The oracle replays the Horner arithmetic, the rightmost-tie window
+    minima and the digest list-for-list; collision odds of the 62-bit
+    pair are ~g^2/2^62 — below any corpus this engine will see."""
+    from pandance_spark._kernel import stage_expr
+    from pandance_spark.functions.text import winnow_fingerprint_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = winnow_fingerprint_table(docs, "doc_id", "text", 12, 5)
+    staged = stage_expr(t, F.col("fps"), "__fps").select(
+        F.col("id").alias("doc_id"), "n_grams", "__fps"
+    )
+    return staged.select(
+        "doc_id",
+        "n_grams",
+        F.size("__fps").cast("long").alias("n_fp"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.col("__fps"),
+                    lambda x: F.concat_ws(
+                        ":", x["h"].cast("string"), x["p"].cast("string")
+                    ),
+                ),
+                ",",
+            )
+        ).alias("fp_digest"),
+    )
+
+
 def _q_fair_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-min fair crawl-budget allocation (functions/split.py
     fair_share_alloc): 50 synthetic domains (user_id % 50) demand
@@ -5406,6 +5442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "minhash_eval_sampled": _q_minhash_eval_sampled,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_long_grams": _q_winnow_long_grams,
         "fair_share": _q_fair_share,
         "trimmed_stats": _q_trimmed_stats,
         "benford_audit": _q_benford_audit,
@@ -6052,6 +6089,34 @@ _PII_SPARSE_ORACLE = f"""
 # exact base-128 8-gram encoding shared by functions/text.py
 # winnow_fingerprint_table and its oracle
 _WINNOW_ENC = "CAST(ascii(substr(s, i + 0, 1)) AS BIGINT) * 562949953421312 + CAST(ascii(substr(s, i + 1, 1)) AS BIGINT) * 4398046511104 + CAST(ascii(substr(s, i + 2, 1)) AS BIGINT) * 34359738368 + CAST(ascii(substr(s, i + 3, 1)) AS BIGINT) * 268435456 + CAST(ascii(substr(s, i + 4, 1)) AS BIGINT) * 2097152 + CAST(ascii(substr(s, i + 5, 1)) AS BIGINT) * 16384 + CAST(ascii(substr(s, i + 6, 1)) AS BIGINT) * 128 + CAST(ascii(substr(s, i + 7, 1)) AS BIGINT) * 1"
+
+
+def _winnow_horner_sql(k: int) -> str:
+    """SQL replay of the k > 8 long-gram winnowing hash (r11): two
+    independent Horner polynomial folds mod 31-bit primes, combined
+    as h1 * p2 + h2 — the exact integer arithmetic of
+    functions/text.py (_WINNOW_B1/B2/P1/P2); all intermediates are
+    non-negative so ``%`` == Spark's ``pmod``."""
+    from pandance_spark.functions.text import (
+        _WINNOW_B1,
+        _WINNOW_B2,
+        _WINNOW_P1,
+        _WINNOW_P2,
+    )
+
+    def horner(base, prime):
+        e = "CAST(ascii(substr(s, i + 0, 1)) AS BIGINT)"
+        for j in range(1, k):
+            e = (
+                f"(({e}) * {base} + CAST(ascii(substr(s, i + {j}, 1)) "
+                f"AS BIGINT)) % {prime}"
+            )
+        return e
+
+    return (
+        f"({horner(_WINNOW_B1, _WINNOW_P1)}) * {_WINNOW_P2} "
+        f"+ ({horner(_WINNOW_B2, _WINNOW_P2)})"
+    )
 
 
 def _minhash_eval_oracle(
@@ -10088,6 +10153,56 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
             -- list_distinct on STRUCT lists is unimplemented in
             -- DuckDB: dedup + (h, p) ordering via unnest/DISTINCT/
             -- ordered string_agg instead
+            flat AS (
+              SELECT s.doc_id, u.f.h AS fh, u.f.p AS fp
+              FROM sel s, unnest(s.fps) AS u(f)
+            ),
+            ded AS (SELECT DISTINCT doc_id, fh, fp FROM flat),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_fp,
+                     md5(string_agg(CAST(fh AS VARCHAR) || ':' ||
+                                    CAST(fp AS VARCHAR), ','
+                                    ORDER BY fh, fp)) AS fp_digest
+              FROM ded GROUP BY doc_id
+            )
+            SELECT h.doc_id,
+                   CAST(len(h.hs) AS BIGINT) AS n_grams,
+                   coalesce(a.n_fp, 0)::BIGINT AS n_fp,
+                   coalesce(a.fp_digest, md5('')) AS fp_digest
+            FROM h LEFT JOIN agg a USING (doc_id)
+        """,
+        # k=12 long-gram winnowing: the double-Horner polynomial hash
+        # replayed in exact integer arithmetic (all intermediates
+        # non-negative, % == pmod), then the same rightmost-tie window
+        # selection as winnow_fingerprints at w=5
+        "winnow_long_grams": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_replace(lower(coalesce(text, '')),
+                                    '[^a-z0-9]', '', 'g') AS s
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN length(s) - 11 < 1 THEN []
+                          ELSE [CAST({_winnow_horner_sql(12)} AS BIGINT)
+                                for i in range(1, length(s) - 10)]
+                          END AS hs
+              FROM norm
+            ),
+            sel AS (
+              SELECT doc_id, hs,
+                     CASE WHEN len(hs) < 5 THEN []
+                          ELSE [
+                            struct_pack(
+                              h := list_min(list_slice(hs, j, j + 4)),
+                              p := CAST(j + 5 - list_position(
+                                     list_reverse(list_slice(hs, j, j + 4)),
+                                     list_min(list_slice(hs, j, j + 4)))
+                                   AS BIGINT))
+                            for j in range(1, len(hs) - 3)] END AS fps
+              FROM h
+            ),
             flat AS (
               SELECT s.doc_id, u.f.h AS fh, u.f.p AS fp
               FROM sel s, unnest(s.fps) AS u(f)

@@ -1102,3 +1102,57 @@ def test_winnowing_guarantee_and_forms_agree(spark):
     assert tbl[100] == [] and tbl[101] == [] and tbl[102] == []
     # 11 chars = exactly k + w - 1 = one full window -> one fingerprint
     assert len(tbl[103]) == 1
+
+
+def test_winnowing_long_gram_forms_agree_and_guarantee(spark):
+    """k=12 > 8 exercises the double-Horner polynomial hash path in
+    BOTH forms (r11, VERDICT r10 Missing #4): table == Column, the
+    detection guarantee holds for a shared >= k + w - 1 substring, and
+    per-row cost no longer carries the document (covered structurally:
+    the plan's window inputs are (id, pos, c) only)."""
+    import random
+
+    from pandance_spark.functions.text import (
+        winnow_fingerprint_table,
+        winnow_fingerprints,
+    )
+
+    random.seed(23)
+    shared = "sharedrunofthirtyalnumchars123"  # 30 >= 12 + 5 - 1
+    rows = []
+    for i in range(20):
+        t = "".join(random.choice("abcd 12.") for _ in range(random.randint(0, 80)))
+        if i % 2 == 0:
+            cut = random.randint(0, len(t))
+            t = t[:cut] + " " + shared + " " + t[cut:]
+        rows.append((i, t))
+    rows += [(100, None), (101, "tooshort")]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    tbl = {
+        r["id"]: [tuple(x) for x in r["fps"]]
+        for r in winnow_fingerprint_table(df, "id", "t", 12, 5).collect()
+    }
+    col = {
+        r["id"]: [tuple(x) for x in r["fp"]]
+        for r in df.select(
+            "id", winnow_fingerprints(F.col("t"), 12, 5).alias("fp")
+        ).collect()
+    }
+    assert tbl == col
+    carriers = [i for i in range(20) if i % 2 == 0]
+    hsets = {i: {h for h, _ in tbl[i]} for i in carriers}
+    for a in carriers:
+        for b in carriers:
+            if a < b:
+                assert hsets[a] & hsets[b], (a, b)
+    assert tbl[100] == [] and tbl[101] == []
+    # O(1) bytes per char row: the k=12 gram hash composes from lead()
+    # over per-char codes, so no md5-of-substring (the old O(n^2)
+    # fallback) appears anywhere in the optimized plan
+    plan = (
+        winnow_fingerprint_table(df, "id", "t", 12, 5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "md5" not in plan.lower()
