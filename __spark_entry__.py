@@ -1927,6 +1927,43 @@ def _q_lm_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_cross_entropy_bigram(docs, "doc_id", "text")
 
 
+def _q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (functions/lm.py
+    lm_cross_entropy_kn — VERDICT r10 next-round #5): the smoothing
+    KenLM/CCNet actually uses, redistributing backoff mass by context
+    DIVERSITY (continuation counts) instead of raw frequency.  Every
+    model quantity is an aggregate of the self-trained bigram table
+    (counts, type counts, T, V), so the oracle retrains AND rescores
+    the entire model in SQL — discount arithmetic, continuation
+    floor, unseen-context backoff — and must match to 6 dp."""
+    from pandance_spark.functions.lm import lm_cross_entropy_kn
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return lm_cross_entropy_kn(docs, "doc_id", "text")
+
+
+def _q_ppl_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tiers under BOTH scorers (functions/lm.py ppl_buckets
+    scorer='kn' vs 'unigram', global ntile(3)): the KN bucket is the
+    output a KN-filtered recipe samples by, and the ``moved`` flag
+    materializes VERDICT r10's acceptance criterion — the tier
+    boundary demonstrably moves where context diversity and frequency
+    disagree (the oracle replays both models and both cuts)."""
+    from pandance_spark.functions.lm import ppl_buckets
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    kn = ppl_buckets(docs, "doc_id", "text", scorer="kn").select(
+        "doc_id", "n_tokens", "cross_entropy", "perplexity",
+        F.col("bucket").alias("bucket_kn"),
+    )
+    uni = ppl_buckets(docs, "doc_id", "text").select(
+        "doc_id", F.col("bucket").alias("bucket_uni")
+    )
+    return kn.join(uni, "doc_id").withColumn(
+        "moved", F.col("bucket_kn") != F.col("bucket_uni")
+    )
+
+
 def _q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fractional-epoch mixture (functions/split.py epoch_mixture —
     the LLaMA-style data-recipe knob): src0 x 2.5 epochs, src1 x 0.25,
@@ -5547,6 +5584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
         "lm_perplexity_bigram": _q_lm_perplexity_bigram,
+        "lm_perplexity_kn": _q_lm_perplexity_kn,
+        "ppl_buckets_kn": _q_ppl_buckets_kn,
         "pagerank_supply": _q_pagerank_supply,
         "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
@@ -8536,6 +8575,109 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    round(avg(b), 6) AS cross_entropy,
                    round(pow(2, avg(b)), 6) AS perplexity
             FROM bits GROUP BY doc_id
+        """,
+        # full retrain-and-rescore of the interpolated Kneser-Ney
+        # bigram model: discounted bigram mass + continuation
+        # redistribution, all from aggregates of the same bigram table
+        "lm_perplexity_kn": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ts) = 0 THEN []
+                            ELSE list_concat(['<s>'],
+                                 list_slice(ts, 1, len(ts) - 1)) END) AS prev,
+                     unnest(ts) AS token
+              FROM toks
+            ),
+            bg AS (SELECT prev, token, count(*) AS c FROM pairs
+                   GROUP BY prev, token),
+            ctx AS (SELECT prev, sum(c) AS cc, count(*) AS n1p
+                    FROM bg GROUP BY prev),
+            cont AS (SELECT token, count(*) AS n1c FROM bg GROUP BY token),
+            sca AS (SELECT count(*) AS t, count(DISTINCT token) AS v
+                    FROM bg),
+            bits AS (
+              SELECT p.doc_id,
+                     -log2(CASE WHEN coalesce(x.cc, 0) > 0 THEN
+                             (greatest(coalesce(b.c, 0) - 0.75, 0.0)
+                              + 0.75 * x.n1p
+                                * ((coalesce(co.n1c, 0) + 1.0)
+                                   / (t + (v + 1))))
+                             / x.cc
+                           ELSE (coalesce(co.n1c, 0) + 1.0)
+                                / (t + (v + 1)) END) AS b
+              FROM pairs p
+              LEFT JOIN bg b ON p.prev = b.prev AND p.token = b.token
+              LEFT JOIN ctx x ON p.prev = x.prev
+              LEFT JOIN cont co ON p.token = co.token
+              CROSS JOIN sca
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(b), 6) AS cross_entropy,
+                   round(pow(2, avg(b)), 6) AS perplexity
+            FROM bits GROUP BY doc_id
+        """,
+        # both scorers replayed, both global ntile(3) cuts, and the
+        # moved flag — the KN-vs-frequency tier disagreement is DATA
+        "ppl_buckets_kn": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            pairs AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ts) = 0 THEN []
+                            ELSE list_concat(['<s>'],
+                                 list_slice(ts, 1, len(ts) - 1)) END) AS prev,
+                     unnest(ts) AS token
+              FROM toks
+            ),
+            bg AS (SELECT prev, token, count(*) AS c FROM pairs
+                   GROUP BY prev, token),
+            ctx AS (SELECT prev, sum(c) AS cc, count(*) AS n1p
+                    FROM bg GROUP BY prev),
+            cont AS (SELECT token, count(*) AS n1c FROM bg GROUP BY token),
+            sca AS (SELECT count(*) AS t, count(DISTINCT token) AS v
+                    FROM bg),
+            knbits AS (
+              SELECT p.doc_id,
+                     -log2(CASE WHEN coalesce(x.cc, 0) > 0 THEN
+                             (greatest(coalesce(b.c, 0) - 0.75, 0.0)
+                              + 0.75 * x.n1p
+                                * ((coalesce(co.n1c, 0) + 1.0)
+                                   / (t + (v + 1))))
+                             / x.cc
+                           ELSE (coalesce(co.n1c, 0) + 1.0)
+                                / (t + (v + 1)) END) AS b
+              FROM pairs p
+              LEFT JOIN bg b ON p.prev = b.prev AND p.token = b.token
+              LEFT JOIN ctx x ON p.prev = x.prev
+              LEFT JOIN cont co ON p.token = co.token
+              CROSS JOIN sca
+            ),
+            knce AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                     round(avg(b), 6) AS cross_entropy,
+                     round(pow(2, avg(b)), 6) AS perplexity,
+                     ntile(3) OVER (ORDER BY round(avg(b), 6) ASC,
+                                    doc_id ASC) AS bucket_kn
+              FROM knbits GROUP BY doc_id
+            ),
+            tok AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+            ucnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+            utot AS (SELECT sum(c) AS n, count(*) AS v FROM ucnt),
+            ubits AS (
+              SELECT t.doc_id,
+                     -log2((c + 1.0) / (n + (v + 1))) AS b
+              FROM tok t JOIN ucnt USING (token), utot
+            ),
+            uce AS (
+              SELECT doc_id,
+                     ntile(3) OVER (ORDER BY round(avg(b), 6) ASC,
+                                    doc_id ASC) AS bucket_uni
+              FROM ubits GROUP BY doc_id
+            )
+            SELECT k.doc_id, k.n_tokens, k.cross_entropy, k.perplexity,
+                   k.bucket_kn, u.bucket_uni,
+                   k.bucket_kn <> u.bucket_uni AS moved
+            FROM knce k JOIN uce u USING (doc_id)
         """,
         "fingerprint_dups": """
             WITH fp AS (

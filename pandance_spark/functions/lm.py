@@ -41,6 +41,7 @@ __all__ = [
     "lm_cross_entropy",
     "bigram_counts",
     "lm_cross_entropy_bigram",
+    "lm_cross_entropy_kn",
 ]
 
 
@@ -261,6 +262,103 @@ def lm_cross_entropy_bigram(
     )
 
 
+def lm_cross_entropy_kn(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: Optional[DataFrame] = None,
+    discount: float = 0.75,
+    add_k: float = 1.0,
+    carry=(),
+) -> DataFrame:
+    """Per-document cross-entropy under an interpolated KNESER-NEY
+    bigram LM (Kneser & Ney 1995; the smoothing KenLM builds, hence
+    what the CCNet filter this module emulates actually scores with —
+    VERDICT r10 next-round #5).  Add-k backoff (the ``_bigram`` form)
+    redistributes mass by FREQUENCY, so "francisco" — frequent but
+    only ever after "san" — gets a large unseen-context probability;
+    KN redistributes by CONTEXT DIVERSITY: token t after context p
+    scores
+
+        p(t | p) = (max(c(p,t) - D, 0) + D * n1p(p) * P_cont(t))
+                   / c_ctx(p)                          if c_ctx(p) > 0
+                 = P_cont(t)                           otherwise
+
+        P_cont(t) = (n1c(t) + k) / (T + k * (V + 1))
+
+    with ``D`` the absolute discount, ``n1p(p)`` the number of
+    distinct tokens seen after p, ``n1c(t)`` the number of distinct
+    contexts t follows (the continuation count), ``T`` the number of
+    distinct bigram TYPES and ``V`` the vocabulary; the ``add_k``
+    floor on the continuation distribution keeps OOV tokens finite
+    (textbook KN leaves them zero), the same one-extra-slot convention
+    as the other scorers.  Every model quantity is a plain aggregate
+    of the bigram table — counts, type counts, one sum — so the whole
+    retrain-and-rescore replays in any engine (the driver oracle
+    does), unlike a KenLM binary.
+
+    Returns the same schema as :func:`lm_cross_entropy`
+    (+ ``carry``).  Both model joins broadcast (the model is
+    vocabulary-sized by construction); the only wide shuffle is the
+    per-document average.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    if add_k <= 0:
+        raise ValueError("add_k must be > 0 (OOV continuation diverges)")
+    if bigrams is None:
+        bigrams = bigram_counts(docs, text_col).localCheckpoint(eager=True)
+    carry = list(carry)
+    model = bigrams.select(
+        F.col("prev").alias("__prev"),
+        F.col("token").alias("__token"),
+        F.col("cnt").alias("__cnt"),
+    )
+    # per-context: total count and distinct-continuation count (each
+    # (prev, token) row IS a distinct type, so count(*) == countDistinct)
+    ctx = model.groupBy("__prev").agg(
+        F.sum("__cnt").alias("__ctx"),
+        F.count(F.lit(1)).alias("__n1p"),
+    )
+    # per-token continuation count + the two scalars (T, V)
+    cont = model.groupBy("__token").agg(
+        F.count(F.lit(1)).alias("__n1c")
+    )
+    scalars = model.agg(
+        F.count(F.lit(1)).alias("__T"),
+        F.countDistinct("__token").alias("__V"),
+    )
+    pairs = _bigram_pairs(docs, id_col, text_col)
+    pcont = (F.coalesce(F.col("__n1c"), F.lit(0)) + F.lit(add_k)) / (
+        F.col("__T") + F.lit(add_k) * (F.col("__V") + 1)
+    )
+    seen_ctx = F.coalesce(F.col("__ctx"), F.lit(0)) > 0
+    p_kn = F.when(
+        seen_ctx,
+        (
+            F.greatest(
+                F.coalesce(F.col("__cnt"), F.lit(0)) - F.lit(discount),
+                F.lit(0.0),
+            )
+            + F.lit(discount) * F.col("__n1p") * pcont
+        )
+        / F.col("__ctx"),
+    ).otherwise(pcont)
+    scored = (
+        pairs.join(F.broadcast(model), ["__prev", "__token"], "left")
+        .join(F.broadcast(ctx), "__prev", "left")
+        .join(F.broadcast(cont), "__token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(id_col, *carry, (-F.log2(p_kn)).alias("__bits"))
+    )
+    return scored.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry],
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__bits"), 6).alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), F.avg("__bits")), 6).alias("perplexity"),
+    )
+
+
 def ppl_buckets(
     docs: DataFrame,
     id_col: str,
@@ -268,6 +366,7 @@ def ppl_buckets(
     group_col: Optional[str] = None,
     counts: Optional[DataFrame] = None,
     n_buckets: int = 3,
+    scorer: str = "unigram",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing: rank documents by LM
     cross-entropy and cut into ``n_buckets`` equal-count tiers —
@@ -277,7 +376,11 @@ def ppl_buckets(
     sample by.
 
     Returns ``(id_col, [group_col], n_tokens, cross_entropy,
-    perplexity, bucket)``.  Determinism: the ntile orders by the
+    perplexity, bucket)``.  ``scorer``: ``"unigram"`` (default,
+    ``counts`` = unigram table) or ``"kn"`` (interpolated Kneser-Ney
+    bigram, ``counts`` = bigram table) — KN moves the tier boundary
+    wherever context diversity and raw frequency disagree, which is
+    the point of using it.  Determinism: the ntile orders by the
     6-dp-ROUNDED cross-entropy with the id as tie-breaker, so the cut
     is identical on any engine/partitioning (ordering raw doubles
     would let sub-rounding noise flip near-boundary documents).
@@ -291,8 +394,18 @@ def ppl_buckets(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if scorer not in ("unigram", "kn"):
+        raise ValueError("scorer must be 'unigram' or 'kn'")
     carry = [group_col] if group_col is not None else []
-    keyed = lm_cross_entropy(docs, id_col, text_col, counts=counts, carry=carry)
+    if scorer == "kn":
+        # counts is the (prev, token, cnt) bigram table in kn mode
+        keyed = lm_cross_entropy_kn(
+            docs, id_col, text_col, bigrams=counts, carry=carry
+        )
+    else:
+        keyed = lm_cross_entropy(
+            docs, id_col, text_col, counts=counts, carry=carry
+        )
     if group_col is not None:
         w = Window.partitionBy(group_col)
     else:

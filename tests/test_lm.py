@@ -287,3 +287,145 @@ def test_vocab_coverage_curve_ranks_and_coverage(spark):
     # ties break on token asc: c before z
     top2 = vocab_coverage_curve(docs, "text", top_v=2).collect()
     assert [r["token"] for r in top2] == ["a", "b"]
+
+
+def _brute_kn_ce(docs, train=None, discount=0.75, add_k=1.0):
+    from collections import Counter, defaultdict
+
+    train = docs if train is None else train
+    big = Counter()
+    for _, txt in train:
+        toks = _py_tokens(txt)
+        for p, t in zip(["<s>"] + toks[:-1], toks):
+            big[(p, t)] += 1
+    ctx = defaultdict(int)
+    n1p = defaultdict(int)
+    n1c = defaultdict(int)
+    for (p, t), c in big.items():
+        ctx[p] += c
+        n1p[p] += 1
+        n1c[t] += 1
+    T = len(big)
+    V = len({t for _, t in big})
+
+    def pcont(t):
+        return (n1c.get(t, 0) + add_k) / (T + add_k * (V + 1))
+
+    out = {}
+    for i, txt in docs:
+        toks = _py_tokens(txt)
+        if not toks:
+            continue
+        bits = []
+        for p, t in zip(["<s>"] + toks[:-1], toks):
+            if ctx.get(p, 0) > 0:
+                prob = (
+                    max(big.get((p, t), 0) - discount, 0.0)
+                    + discount * n1p[p] * pcont(t)
+                ) / ctx[p]
+            else:
+                prob = pcont(t)
+            bits.append(-math.log2(prob))
+        out[i] = (len(bits), sum(bits) / len(bits))
+    return out
+
+
+def test_kn_matches_brute_force(spark):
+    from pandance_spark.functions.lm import lm_cross_entropy_kn
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in lm_cross_entropy_kn(df, "doc_id", "text").collect()
+    }
+    want = _brute_kn_ce(DOCS)
+    assert set(got) == set(want)
+    for i, (n, ce) in want.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(ce, abs=1e-6)
+    # probabilities stay a distribution: every doc scores finite bits
+    assert all(ce == ce and ce > 0 for _, (_, ce) in want.items())
+
+
+def test_kn_continuation_beats_frequency(spark):
+    """The canonical KN motivation: 'francisco' appears MANY times but
+    only after 'san'; 'day' appears the same number of times across
+    diverse contexts.  After an unseen context, add-k backoff scores
+    them by frequency (tie), while KN scores 'day' far more likely —
+    context diversity, not raw count."""
+    from pandance_spark.functions.lm import (
+        bigram_counts,
+        lm_cross_entropy_bigram,
+        lm_cross_entropy_kn,
+    )
+
+    train = [
+        (0, "san francisco " * 6 +
+            "one day two day red day blue day new day old day"),
+    ]
+    tdf = spark.createDataFrame(train, "doc_id int, text string")
+    big = bigram_counts(tdf, "text")
+    # score single-token docs in an unseen context ('zzz' prefix
+    # forces backoff for the SECOND token)
+    probe = spark.createDataFrame(
+        [(1, "zzz francisco"), (2, "zzz day")], "doc_id int, text string"
+    )
+    kn = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy_kn(
+            probe, "doc_id", "text", bigrams=big
+        ).collect()
+    }
+    addk = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_cross_entropy_bigram(
+            probe, "doc_id", "text", bigrams=big
+        ).collect()
+    }
+    # both tokens occur 6x -> add-k sees them as equally likely
+    assert addk[1] == pytest.approx(addk[2], abs=1e-6)
+    # KN: 'day' follows 6 distinct contexts, 'francisco' only 1
+    assert kn[2] < kn[1] - 0.5
+
+
+def test_ppl_buckets_kn_moves_tier_boundary(spark):
+    """ppl_buckets(scorer='kn') re-ranks documents the unigram scorer
+    cannot distinguish: docs made of frequent-but-single-context
+    tokens drop tiers under KN."""
+    from pandance_spark.functions.lm import ppl_buckets
+
+    # corpus: 'san francisco' pairs + diverse 'day' contexts + filler
+    docs = (
+        [(i, "san francisco city") for i in range(4)]
+        + [(10 + i, f"ctx{i} day park") for i in range(4)]
+        + [(20 + i, "zx qv jk") for i in range(2)]
+    )
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    uni = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_buckets(df, "doc_id", "text", n_buckets=3).collect()
+    }
+    kn = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_buckets(
+            df, "doc_id", "text", n_buckets=3, scorer="kn"
+        ).collect()
+    }
+    assert set(uni) == set(kn)
+    moved = [i for i in uni if uni[i] != kn[i]]
+    assert moved, "KN must move at least one document across a tier"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scorer"):
+        ppl_buckets(df, "doc_id", "text", scorer="katz")
+
+
+def test_kn_validation(spark):
+    from pandance_spark.functions.lm import lm_cross_entropy_kn
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError, match="discount"):
+        lm_cross_entropy_kn(df, "doc_id", "text", discount=1.0)
+    with pytest.raises(ValueError, match="add_k"):
+        lm_cross_entropy_kn(df, "doc_id", "text", add_k=0.0)
