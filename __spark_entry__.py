@@ -2938,10 +2938,15 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-users-per-day continuous aggregate (operators/rollup.py
     build_rollup_distinct): DataSketches HLL partials built from two
-    disjoint batches, merged, estimated at read.  Sketch estimates are
-    engine-specific (no DuckDB replay), so this entry is rows-only by
-    contract; the merge≈from-scratch property and the error bound are
-    pinned by tests/test_rollup.py instead."""
+    disjoint batches, merged, estimated at read.  Sketch ESTIMATES are
+    engine-specific (no DuckDB value replay), so the row stays
+    rows-only — but since r11 (VERDICT r10 item 7) the query carries
+    its own external check: an exact countDistinct per group rides
+    along and ``F.assert_true`` FAILS THE JOB unless every group's
+    relative error is within 3x the lg_k=12 RSE (3 * 1.04/sqrt(2^12)
+    = 4.875%).  HLL is deterministic on fixed data, so a green run
+    pins the bound at that SF forever; the merge≈from-scratch property
+    is pinned by tests/test_rollup.py."""
     from pandance_spark.operators.rollup import (
         build_rollup_distinct,
         finalize_rollup_distinct,
@@ -2956,10 +2961,37 @@ def _q_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1), "ts", 86400, ["event_type"], "user_id"
     )
     m = finalize_rollup_distinct(merge_rollup_distinct(a, b))
-    return m.select(
-        F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
-        "event_type",
-        "approx_distinct",
+    from pandance_spark.operators.rollup import time_bucket
+
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(
+            time_bucket(F.col("ts"), 86400).alias("bucket"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    bound = 3 * 1.04 / (2 ** 12) ** 0.5
+    rel_err = (
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+    )
+    chk = F.assert_true(
+        rel_err <= F.lit(bound),
+        F.concat(
+            F.lit("HLL estimate outside 3-sigma bound: "),
+            rel_err.cast("string"),
+        ),
+    )
+    return (
+        m.join(exact, ["bucket", "event_type"])
+        .filter(chk.isNull())
+        .select(
+            F.unix_timestamp(F.col("bucket")).alias("bucket_s"),
+            "event_type",
+            "approx_distinct",
+            "exact_distinct",
+            F.round(rel_err, 6).alias("rel_err"),
+        )
     )
 
 
