@@ -5443,24 +5443,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         # DRIVER WINDOW (first 50 entries — the driver's correctness gate
         # reads only these; ALL entries below stay in the local multi-sf
-        # gate).  r10 rotation, executing the plan committed in r9 and
-        # VERDICT r9 item 2: the 19 r9 first-timers banked their green and
-        # rotate to the local gate (9 return as backfill below for an
-        # opportunistic 2nd green); retired after their r9 re-check greens:
-        # pii_cards, bpe_tokens, theta_expr_mod, theta_udf_gcd, plus the 12
-        # two-green r7 veterans (dsir_select ... ab_summary) and the 6
-        # two-green r8 backfill rows (script_detect ... html_links).  Back
-        # in for their 2nd green: the 14 TPC-H completions and the 17 other
-        # r8 one-green rows, text_normalize (the repo's oldest one-green,
-        # r3), the fixed r8 reds (embed_project/emit_packs), and the 4 r8
-        # session-2 builds whose first green came in r9 — 38 second-green
-        # candidates (VERDICT asked for >= 15).  Standing pins unchanged.
-        # Rotation history lives in git (this block, per round).
+        # gate).  r11 rotation: the 38 r10 second-green rows retire with
+        # their greens banked (14 TPC-H + 16 r8 one-greens + text_normalize
+        # + embed_project/emit_packs + page_meta/interleave_sources/
+        # length_batches + char_entropy).  In: the 5 r11 builds, the 8 r10
+        # first-greens for their 2nd, 4 changed-code re-checks (minhash
+        # F.expr refactor, lm.py scorer param), the 8 remaining r9 one-green
+        # backfills, the 10 r9 first-timers for their 2nd, and a 12-row
+        # veteran spread restoring core-triad coverage to the window.
+        # Standing pins unchanged.  Rotation history lives in git.
         # ------------------------------------------------------------------
+        # standing pins
         "fuzzy_autoskew": _q_fuzzy_autoskew,
         "ineq_band_autoskew": _q_ineq_band_autoskew,
         "multimodal_png": _q_multimodal_png,
-        # TPC-H completions (one r8 green each) — 2nd green
+        # NEW r11 builds land here (above the backfill)
+        "rollup_qsketch": _q_rollup_qsketch,
+        "winnow_long_grams": _q_winnow_long_grams,
+        "lm_perplexity_kn": _q_lm_perplexity_kn,
+        "ppl_buckets_kn": _q_ppl_buckets_kn,
+        "rollup_distinct_users": _q_rollup_distinct_users,
+        # r10 first-greens — 2nd green
+        "minhash_eval_sampled": _q_minhash_eval_sampled,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "fair_share": _q_fair_share,
+        "trimmed_stats": _q_trimmed_stats,
+        "benford_audit": _q_benford_audit,
+        "record_linkage": _q_record_linkage,
+        "bitext_mine": _q_bitext_mine,
+        "xml_roundtrip": _q_xml_roundtrip,
+        # changed-code re-checks (r11 minhash F.expr refactor; lm.py)
+        "minhash_eval": _q_minhash_eval,
+        "dedup_minhash": _q_dedup_minhash,
+        "ppl_buckets": _q_ppl_buckets,
+        "lm_perplexity_bigram": _q_lm_perplexity_bigram,
+        # r9 one-green backfill — 2nd green
+        "readability": _q_readability,
+        "zipf_fit": _q_zipf_fit,
+        "tokenizer_fertility": _q_tokenizer_fertility,
+        "canary_scan": _q_canary_scan,
+        "cms_heavy": _q_cms_heavy,
+        "rrf_fusion": _q_rrf_fusion,
+        "sft_render": _q_sft_render,
+        "lang_mix": _q_lang_mix,
+        # r9 first-timers — 2nd green
+        "kmeans_assign": _q_kmeans_assign,
+        "semdedup_prune": _q_semdedup_prune,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "triangle_count": _q_triangle_count,
+        "graph_summary": _q_graph_summary,
+        "interleave_shards": _q_interleave_shards,
+        "grouping_sets_events": _q_grouping_sets_events,
+        "outliers_mad": _q_outliers_mad,
+        "ab_cuped": _q_ab_cuped,
+        # veteran spread: core triad / clustering / set ops
+        "fuzzy_numeric": _q_fuzzy_numeric,
+        "fuzzy_timestamps": _q_fuzzy_timestamps,
+        "fuzzy_decimal": _q_fuzzy_decimal,
+        "ineq_lt_balances": _q_ineq_lt_balances,
+        "ineq_gt_strings": _q_ineq_gt_strings,
+        "theta_keywords": _q_theta_keywords,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "edit_distance": _q_edit_distance,
+        "overlap_set": _q_overlap_set,
+        "q3_shipping": _q_q3_shipping,
+        "q6_forecast": _q_q6_forecast,
+        # --- entries 51+ (outside the driver window; locally gated) ---
+        # r11 rotations OUT: the r10 second-green rows listed above.
         "q2_min_cost": _q_q2_min_cost,
         "q4_late_orders": _q_q4_late_orders,
         "q7_volume_shipping": _q_q7_volume_shipping,
@@ -5475,7 +5526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "q20_semi_chain": _q_q20_semi_chain,
         "q22_idle_value": _q_q22_idle_value,
-        # r8 one-green builds — 2nd green
         "containment_quotes": _q_containment_quotes,
         "corpus_drift": _q_corpus_drift,
         "embed_pc1": _q_embed_pc1,
@@ -5484,54 +5534,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _q_ngram_novelty,
         "orc_roundtrip": _q_orc_roundtrip,
         "outliers_events": _q_outliers_events,
-        "ppl_buckets": _q_ppl_buckets,
         "robots_gate": _q_robots_gate,
         "rollup_bottomk": _q_rollup_bottomk,
-        "rollup_qsketch": _q_rollup_qsketch,
         "rollup_incremental": _q_rollup_incremental,
         "vocab_coverage": _q_vocab_coverage,
         "vocab_oov": _q_vocab_oov,
         "warc_files": _q_warc_files,
         "weighted_per_lang": _q_weighted_per_lang,
         "weighted_sample": _q_weighted_sample,
-        # oldest one-green row in the repo (r3 window)
         "text_normalize": _q_text_normalize,
-        # r8 reds, fixed + first clean green r9 — the 2nd green pins the fix
         "embed_project": _q_embed_project,
         "emit_packs": _q_emit_packs,
-        # r8 session-2 builds (first green r9) — 2nd green
         "page_meta": _q_page_meta,
         "interleave_sources": _q_interleave_sources,
         "length_batches": _q_length_batches,
-        "minhash_eval": _q_minhash_eval,
-        # ------------------------------------------------------------------
-        # NEW r10 BUILDS land here (above the backfill) so each new query
-        # takes a window slot as it ships and the backfill falls out in
-        # order.
-        # ------------------------------------------------------------------
-        "minhash_eval_sampled": _q_minhash_eval_sampled,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "winnow_long_grams": _q_winnow_long_grams,
-        "fair_share": _q_fair_share,
-        "trimmed_stats": _q_trimmed_stats,
-        "benford_audit": _q_benford_audit,
-        "record_linkage": _q_record_linkage,
-        "bitext_mine": _q_bitext_mine,
-        "xml_roundtrip": _q_xml_roundtrip,
-        # backfill: r9 one-greens banking an opportunistic 2nd green
         "char_entropy": _q_char_entropy,
-        "readability": _q_readability,
-        "zipf_fit": _q_zipf_fit,
-        "tokenizer_fertility": _q_tokenizer_fertility,
-        "canary_scan": _q_canary_scan,
-        "cms_heavy": _q_cms_heavy,
-        "rrf_fusion": _q_rrf_fusion,
-        "sft_render": _q_sft_render,
-        "lang_mix": _q_lang_mix,
-        # --- entries 51+ (outside the driver window; locally gated) ---
-        # r10 rotations OUT: r9 first-timers with their green banked, the
-        # retired re-check rows (pii_cards/bpe_tokens/theta), the two-green
-        # r7 veterans, and the r8/r9 backfill rows that hit 2 greens.
         "pii_cards": _q_pii_cards,
         "bpe_tokens": _q_bpe_tokens,
         "theta_expr_mod": _q_theta_expr_mod,
@@ -5543,21 +5560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "funnel_conversion": _q_funnel_conversion,
         "moving_avg_orders": _q_moving_avg_orders,
-        "q21_blame": _q21_blame,
         "ip_range_lookup": _q_ip_range_lookup,
         "cumulative_users": _q_cumulative_users,
         "step_transitions": _q_step_transitions,
         "ab_summary": _q_ab_summary,
-        "kmeans_assign": _q_kmeans_assign,
-        "semdedup_prune": _q_semdedup_prune,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "triangle_count": _q_triangle_count,
-        "graph_summary": _q_graph_summary,
-        "interleave_shards": _q_interleave_shards,
-        "grouping_sets_events": _q_grouping_sets_events,
-        "outliers_mad": _q_outliers_mad,
-        "ab_cuped": _q_ab_cuped,
         "script_detect": _q_script_detect,
         "mojibake_clean": _q_mojibake_clean,
         "pii_cards_sparse": _q_pii_cards_sparse,
@@ -5569,7 +5575,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_text_extract": _q_main_text,
         "rollup_quantiles": _q_rollup_quantiles,
         "keep_best": _q_keep_best,
-        "rollup_distinct_users": _q_rollup_distinct_users,
         "bloom_dedup": _q_bloom_dedup,
         "heavy_hitters": _q_heavy_hitters,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -5615,25 +5620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply_late": _q_scd2_apply_late,
         "ineq_band_skewed": _q_ineq_band_skewed,
         "merge_spans": _q_merge_spans,
-        "lm_perplexity_bigram": _q_lm_perplexity_bigram,
-        "lm_perplexity_kn": _q_lm_perplexity_kn,
-        "ppl_buckets_kn": _q_ppl_buckets_kn,
         "pagerank_supply": _q_pagerank_supply,
-        "theta_keywords": _q_theta_keywords,
         "ineq_band_timestamps": _q_ineq_band_timestamps,
-        "ineq_lt_balances": _q_ineq_lt_balances,
-        "ineq_gt_strings": _q_ineq_gt_strings,
-        "fuzzy_numeric": _q_fuzzy_numeric,
-        "fuzzy_timestamps": _q_fuzzy_timestamps,
-        "q3_shipping": _q_q3_shipping,
-        "q6_forecast": _q_q6_forecast,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
         "ineq_band_strings": _q_ineq_band_strings,
-        "fuzzy_decimal": _q_fuzzy_decimal,
         "jaccard_topk": _q_jaccard_topk,
-        "edit_distance": _q_edit_distance,
-        "overlap_set": _q_overlap_set,
         "chunk_documents": _q_chunk_documents,
         "mixture_sample": _q_mixture_sample,
         "scd2_user_status": _q_scd2_user_status,
@@ -5650,7 +5640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "overlap_sessions": _q_overlap_sessions,
         "text_fingerprints": _q_text_fingerprints,
-        "dedup_minhash": _q_dedup_minhash,
         "gopher_quality": _q_gopher_quality,
         "ann_ivf": _q_ann_ivf,
         "knn_graph": _q_knn_graph,

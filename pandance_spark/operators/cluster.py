@@ -188,10 +188,18 @@ def connected_components(
             )
         labels = doubled
         if converged:
+            # observability for scale probes (r11, VERDICT r10 item 8):
+            # rounds-to-convergence is THE health metric of the
+            # driver-orchestrated loop — module attr, not API surface
+            global _LAST_ROUNDS
+            _LAST_ROUNDS = it + 1
             return labels.select("node", F.col("comp").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )
+
+
+_LAST_ROUNDS = None  # rounds used by the most recent distributed run
 
 
 def _driver_union_find(e_sym: DataFrame) -> DataFrame:
