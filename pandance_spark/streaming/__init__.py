@@ -43,6 +43,7 @@ __all__ = [
     "stream_rollup_sink",
     "stream_rollup_hist_sink",
     "stream_rollup_bottomk_sink",
+    "stream_rollup_qsketch_sink",
     "stream_cms_sink",
     "read_cms",
     "stream_upsert_sink",
@@ -1090,6 +1091,71 @@ def stream_rollup_bottomk_sink(
         build_fn=build,
         merge_fn=merge,
         metric_cols=["bk", "k"],
+    )
+    writer = events.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or path.rstrip("/") + "/_checkpoint",
+    )
+    return writer
+
+
+def stream_rollup_qsketch_sink(
+    events: DataFrame,
+    path: str,
+    time_col: str,
+    width_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 1024,
+    num_buckets: int = 64,
+    checkpoint_dir: Optional[str] = None,
+):
+    """:func:`stream_rollup_sink` with mergeable QUANTILE-SKETCH
+    partials (``operators/rollup.build_rollup_qsketch`` — the r11
+    uniform-sample summary): a continuously maintained per-bucket
+    quantile curve with NO fixed bin grid ("p50/p99 latency per hour"
+    over an event stream, bounds unknown up front — the gap the
+    histogram sink's fixed bounds leave).
+
+    Same touched-partition dynamic overwrite and per-partition
+    batch-id replay guard as the other sinks.  The merge algebra is
+    EXACT over disjoint row sets keyed by the unique ``id_col``
+    (re-ranking by the fixed md5 hash order) — but unlike the
+    distinct-value bottom-k it is NOT idempotent (a double-merge
+    would double ``n`` and duplicate sample rows), so correctness
+    here leans on the replay guard, which is exactly what the guard
+    is for.  The maintained table equals the batch build bit-for-bit
+    and the parity harness's DuckDB oracle recomputes sketch contents
+    AND p50/p90/p99 estimates from raw events.
+    ``finalize_rollup_qsketch`` at read time.
+
+    Returns the unstarted ``DataStreamWriter``; call ``.start()``.
+    """
+    from pandance_spark.operators.rollup import (
+        build_rollup_qsketch,
+        merge_rollup_qsketch,
+    )
+
+    def build(batch, tc, w, ks, vc):
+        # vc arrives as the handler's value slot = id_col; value_col
+        # is captured — the handler machinery carries one column, the
+        # sketch needs (value, id)
+        return build_rollup_qsketch(batch, tc, w, ks, value_col, vc, k=k)
+
+    def merge(existing, delta):
+        return merge_rollup_qsketch(existing, delta, k=k)
+
+    handle_batch = _rollup_batch_handler(
+        path,
+        time_col,
+        width_seconds,
+        keys,
+        id_col,
+        num_buckets,
+        build_fn=build,
+        merge_fn=merge,
+        metric_cols=["qs", "n", "k"],
     )
     writer = events.writeStream.foreachBatch(handle_batch).option(
         "checkpointLocation",

@@ -1727,6 +1727,87 @@ WHERE NOT EXISTS (
            note="stream-static interval asof (backward, by-key) over 2 "
                 "micro-batches == batch asof_join == DuckDB ASOF LEFT JOIN")
 
+    # ------------------------------------------------------------------
+    # 25. stream_rollup_qsketch_sink (r11): continuously maintained
+    # quantile sketches (mergeable uniform-sample summary) — the
+    # maintained table must equal the batch build bit-for-bit AND the
+    # DuckDB md5-order replay, sketch contents, true counts and all.
+    # ------------------------------------------------------------------
+    from pandance_spark.operators.rollup import build_rollup_qsketch
+    from pandance_spark.streaming import stream_rollup_qsketch_sink
+
+    K25 = 16
+    ev25 = ev_batch.select("event_id", "ts", "event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    src25 = os.path.join(tmp, "qs_src")
+    ev25.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src25)
+    ev25.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src25)
+    tgt25 = os.path.join(tmp, "qs_tgt")
+    stream25 = spark.readStream.schema(ev25.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src25)
+    q25 = stream_rollup_qsketch_sink(
+        stream25, tgt25, "ts", 86400, ["event_type"], "value", "event_id",
+        k=K25, num_buckets=8,
+    ).start()
+    try:
+        q25.processAllAvailable()
+    finally:
+        q25.stop()
+    cols = ["bucket_s", "event_type", "n", "sketch"]
+
+    def qs_rows(df):
+        return [
+            {
+                "bucket_s": int(r["bucket"].timestamp()),
+                "event_type": r["event_type"],
+                "n": int(r["n"]),
+                "sketch": ",".join(
+                    "%d:%.9f" % (e["h"], e["v"]) for e in r["qs"]
+                ),
+            }
+            for r in df.select("bucket", "event_type", "qs", "n").collect()
+        ]
+
+    s25 = canon_rows(qs_rows(spark.read.parquet(tgt25)), cols)
+    b25 = canon_rows(
+        qs_rows(
+            build_rollup_qsketch(ev25, "ts", 86400, ["event_type"],
+                                 "value", "event_id", k=K25)
+        ),
+        cols,
+    )
+    d25 = canon_rows(duck_rows(con.sql(f"""
+        WITH base AS (
+          SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400
+                   AS bucket_s,
+                 event_type,
+                 CAST(value AS DOUBLE) AS v,
+                 CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS h
+          FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY bucket_s, event_type ORDER BY h, v) AS rn,
+                 count(*) OVER (
+                   PARTITION BY bucket_s, event_type) AS n
+          FROM base
+        )
+        SELECT bucket_s, event_type, CAST(max(n) AS BIGINT) AS n,
+               string_agg(printf('%d:%.9f', h, v), ',' ORDER BY h, v)
+                 AS sketch
+        FROM r WHERE rn <= {K25}
+        GROUP BY 1, 2
+    """)), cols)
+    record("stream_rollup_qsketch_sink", "duckdb", s25, b25, d25,
+           note="maintained quantile sketches == batch build == DuckDB "
+                "md5-order replay (exact merge; replay-guarded, merge "
+                "itself not idempotent)")
+
     shutil.rmtree(tmp, ignore_errors=True)
     ok = all(
         r["match_batch"] and r["match_duckdb"] is not False for r in results
