@@ -2995,6 +2995,46 @@ def _q_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra from bottom-k sketches (operators/rollup.py
+    bottomk_set_stats — Beyer et al. 2007 KMV estimators): per
+    event_type, how much do the first and second half-month's USER
+    populations overlap — union, Jaccard and intersection estimated
+    from two k=32 sketches alone, never joining the raw halves.  The
+    sketches are md5-ordered, so the oracle recomputes both sketches,
+    the merged union sketch, the k-th hash and every estimate from raw
+    rows; the merged-sketch union estimate provably equals the
+    from-scratch union sketch's (the bottom-k algebra).  At 100 TB the
+    raw-corpus work is the two sketch builds (distinct + one capped
+    window each); the overlap math touches 2k rows per group."""
+    from pandance_spark.operators.rollup import (
+        bottomk_set_stats,
+        build_rollup_bottomk,
+    )
+
+    k = 32
+    ev = spread_partitions(load_table(spark, sf_dir, "events")).filter(
+        F.col("user_id").isNotNull()
+    )
+    cut = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    width = 40 * 86400  # one bucket spanning the whole month
+    a = build_rollup_bottomk(
+        ev.filter(cut), "ts", width, ["event_type"], "user_id", k=k
+    )
+    b = build_rollup_bottomk(
+        ev.filter(~cut), "ts", width, ["event_type"], "user_id", k=k
+    )
+    return bottomk_set_stats(a, b, k=k).select(
+        "bucket",
+        "event_type",
+        "union_est",
+        "jaccard_est",
+        "intersect_est",
+    ).withColumn(
+        "bucket", F.unix_timestamp("bucket")
+    ).orderBy("event_type")
+
+
 def _q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Readability-style main-content extraction (functions/text.py
     extract_main_text): each document is wrapped in a deterministic
@@ -5462,6 +5502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_long_grams": _q_winnow_long_grams,
         "lm_perplexity_kn": _q_lm_perplexity_kn,
         "ppl_buckets_kn": _q_ppl_buckets_kn,
+        "sketch_overlap": _q_sketch_overlap,
         "rollup_distinct_users": _q_rollup_distinct_users,
         # r10 first-greens — 2nd green
         "minhash_eval_sampled": _q_minhash_eval_sampled,
@@ -5509,9 +5550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
         "q3_shipping": _q_q3_shipping,
-        "q6_forecast": _q_q6_forecast,
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r11 rotations OUT: the r10 second-green rows listed above.
+        "q6_forecast": _q_q6_forecast,
         "q2_min_cost": _q_q2_min_cost,
         "q4_late_orders": _q_q4_late_orders,
         "q7_volume_shipping": _q_q7_volume_shipping,
@@ -7989,6 +8030,76 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                    array_to_string(list_slice(vs, 1, 5), ',') AS sample_ids
             FROM bk
             ORDER BY bucket_s, event_type
+        """,
+        # both half-month sketches, the merged union sketch, the k-th
+        # hash and all three KMV set estimates recomputed from raw rows
+        "sketch_overlap": """
+            WITH halves AS (
+              SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3456000)
+                       AS BIGINT) * 3456000 AS bucket,
+                     event_type, user_id AS v,
+                     CAST(ts AS TIMESTAMP)
+                       < TIMESTAMP '2024-01-16 00:00:00' AS in_a
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            du AS (
+              SELECT bucket, event_type, v,
+                     max(CASE WHEN in_a THEN 1 ELSE 0 END) AS any_a,
+                     max(CASE WHEN in_a THEN 0 ELSE 1 END) AS any_b,
+                     CAST('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h
+              FROM halves GROUP BY bucket, event_type, v
+            ),
+            ra AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bucket, event_type ORDER BY h, v)
+                     AS rn
+              FROM du WHERE any_a = 1
+            ),
+            rb AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bucket, event_type ORDER BY h, v)
+                     AS rn
+              FROM du WHERE any_b = 1
+            ),
+            ska AS (SELECT bucket, event_type, h, v FROM ra WHERE rn <= 32),
+            skb AS (SELECT bucket, event_type, h, v FROM rb WHERE rn <= 32),
+            uni AS (
+              SELECT bucket, event_type, h, v,
+                     max(in_a) AS in_a, max(in_b) AS in_b
+              FROM (
+                SELECT *, 1 AS in_a, 0 AS in_b FROM ska
+                UNION ALL
+                SELECT *, 0 AS in_a, 1 AS in_b FROM skb
+              ) GROUP BY bucket, event_type, h, v
+            ),
+            ru AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY bucket, event_type ORDER BY h, v)
+                     AS rn
+              FROM uni
+            ),
+            agg AS (
+              SELECT bucket, event_type,
+                     count(*) AS m,
+                     max(CASE WHEN rn = 32 THEN h END) AS hk,
+                     sum(in_a * in_b) AS shared
+              FROM ru WHERE rn <= 32
+              GROUP BY bucket, event_type
+            )
+            SELECT bucket, event_type,
+                   CAST(CASE WHEN m < 32 THEN m
+                        ELSE round(31.0 * 1152921504606846976.0
+                                   / CAST(hk + 1 AS DOUBLE))
+                        END AS BIGINT) AS union_est,
+                   round(shared / CAST(m AS DOUBLE), 9) AS jaccard_est,
+                   CAST(round((shared / CAST(m AS DOUBLE))
+                              * (CASE WHEN m < 32 THEN m
+                                 ELSE round(31.0 * 1152921504606846976.0
+                                            / CAST(hk + 1 AS DOUBLE))
+                                 END), 0) AS BIGINT) AS intersect_est
+            FROM agg
+            ORDER BY event_type
         """,
         # full from-scratch replay of the mergeable uniform-sample
         # quantile sketch: same md5-of-id bottom-32 row sample, same

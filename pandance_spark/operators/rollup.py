@@ -54,6 +54,7 @@ __all__ = [
     "build_rollup_qsketch",
     "merge_rollup_qsketch",
     "finalize_rollup_qsketch",
+    "bottomk_set_stats",
     "build_cms",
     "merge_cms",
     "cms_lookup",
@@ -735,6 +736,108 @@ def finalize_rollup_qsketch(
         rollup.withColumn("m", m)
         .withColumn("exact", F.col("n") <= F.lit(int(k)))
         .withColumn("quantiles", ests)
+    )
+
+
+def bottomk_set_stats(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Distinct-set ALGEBRA from two bottom-k sketch tables — the
+    KMV estimators of Beyer et al. (SIGMOD 2007) / Bar-Yossef et al.:
+    given :func:`build_rollup_bottomk` partials over the same group
+    keys and the same (k, hash) parameters, estimate per group
+
+    - ``union_est``      |A ∪ B| — KMV estimate on the MERGED sketch
+      (exact bottom-k of the union, the family's algebra);
+    - ``jaccard_est``    |A ∩ B| / |A ∪ B| — the fraction of the
+      union's k smallest hashes present in BOTH sketches (the
+      classic MinHash/KMV coincidence estimator, here over the
+      bottom-k coordinated sample — ~1/sqrt(k) RSE);
+    - ``intersect_est``  jaccard_est * union_est.
+
+    The question this answers at 100 TB: "how much do two corpus
+    snapshots / sources / crawls overlap, per bucket?" — WITHOUT
+    joining the raw corpora: both inputs are k-row-per-group
+    sketches, so the whole computation is aggregate-sized.  Exact
+    when both groups hold < k distinct values (the sketches ARE the
+    sets).  With ``portable=True`` sketches every number replays in
+    plain SQL (the driver oracle recomputes sketches AND estimates
+    from raw rows).  A group present on only one side degrades
+    gracefully: union = that side's estimate, jaccard = 0.
+    """
+    from pyspark.sql import Window
+
+    for df, nm in ((a, "a"), (b, "b")):
+        if "bk" not in df.columns or "k" not in df.columns:
+            raise ValueError(
+                f"input {nm!r} is not a bottom-k sketch table "
+                "(expected 'bk' and 'k' columns)"
+            )
+    a = _assert_k(a, k)
+    b = _assert_k(b, k)
+    group_cols = [c for c in a.columns if c not in ("bk", "k")]
+    if set(group_cols) != {
+        c for c in b.columns if c not in ("bk", "k")
+    }:
+        raise ValueError(
+            f"group columns differ: {sorted(group_cols)} vs "
+            f"{sorted(c for c in b.columns if c not in ('bk', 'k'))}"
+        )
+    ea = a.select(
+        *group_cols, F.explode("bk").alias("e")
+    ).select(
+        *group_cols,
+        F.col("e.h").alias("__h"),
+        F.col("e.v").alias("__v"),
+        F.lit(1).alias("__in_a"),
+        F.lit(0).alias("__in_b"),
+    )
+    eb = b.select(
+        *group_cols, F.explode("bk").alias("e")
+    ).select(
+        *group_cols,
+        F.col("e.h").alias("__h"),
+        F.col("e.v").alias("__v"),
+        F.lit(0).alias("__in_a"),
+        F.lit(1).alias("__in_b"),
+    )
+    # value present in both sketches -> ONE row with both flags (the
+    # hash is a function of the value, so (h, v) dedups exactly)
+    both = (
+        ea.unionByName(eb)
+        .groupBy(*group_cols, "__h", "__v")
+        .agg(
+            F.max("__in_a").alias("__in_a"),
+            F.max("__in_b").alias("__in_b"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h", "__v")
+    topk = both.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = topk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"),
+        F.sum(
+            (F.col("__in_a") * F.col("__in_b")).cast("long")
+        ).alias("__shared"),
+    )
+    union_est = F.when(
+        F.col("__m") < k, F.col("__m").cast("long")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(1 << 60))
+            / (F.col("__hk") + F.lit(1)).cast("double")
+        ).cast("long")
+    )
+    jacc = F.round(F.col("__shared") / F.col("__m"), 9)
+    return agg.select(
+        *group_cols,
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+        F.round(
+            (F.col("__shared") / F.col("__m")) * union_est, 0
+        ).cast("long").alias("intersect_est"),
     )
 
 
