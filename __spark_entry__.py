@@ -1255,13 +1255,16 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-policy gate (functions/url.py parse_robots +
     robots_filter): 50 synthetic hosts each publish a robots.txt
     (wildcard group with a disallow/allow-override pair and a
-    host-varying /tmp<k%3> rule; even hosts add an exclusive
+    host-varying /tmp<k%3> rule, plus r11's RFC 9309 wildcard pair
+    /*.zip$ and /files/ok*.zip$; even hosts add an exclusive
     specialbot group), and every document contributes one URL across
-    five path classes — longest-match, allow-beats-disallow-on-tie,
-    no-rule-allowed and empty-root paths all exercised under
-    agent='*'.  The oracle replays the ENTIRE pipeline in SQL: line
-    explode with ordinality, the lag/running-sum group recovery, the
-    agent-precedence pick and the max(struct) longest-match.  Shape:
+    eight path classes — longest-match, allow-beats-disallow-on-tie,
+    no-rule-allowed, empty-root, '$'-anchor miss and
+    wildcard-vs-wildcard precedence all exercised under agent='*'.
+    The oracle replays the ENTIRE pipeline in SQL: line explode with
+    ordinality, the lag/running-sum group recovery, the
+    agent-precedence pick, the rule-pattern -> RE2 rewrite and the
+    max(struct) longest-match.  Shape:
     line parse is one explode + one host window; the URL decision is
     a host-keyed join + one map-side-combinable max per URL."""
     from pandance_spark.functions.url import parse_robots, robots_filter
@@ -1272,7 +1275,8 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = F.concat(
         F.lit(
             "# policy\nUser-agent: *\nDisallow: /private\n"
-            "Allow: /private/ok\nDisallow: /tmp"
+            "Allow: /private/ok\nDisallow: /*.zip$\n"
+            "Allow: /files/ok*.zip$\nDisallow: /tmp"
         ),
         (k % 3).cast("string"),
         F.when(
@@ -1284,18 +1288,21 @@ def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"), robots.alias("robots")
     ).distinct()
     rules = parse_robots(hosts_df, "robots", "host")
-    m5 = F.col("doc_id") % 5
+    m8 = F.col("doc_id") % 8
     path = (
-        F.when(m5 == 0, F.lit("/private/x"))
-        .when(m5 == 1, F.lit("/private/ok/page"))
-        .when(m5 == 2, F.lit("/public/y"))
+        F.when(m8 == 0, F.lit("/private/x"))
+        .when(m8 == 1, F.lit("/private/ok/page"))
+        .when(m8 == 2, F.lit("/public/y"))
         .when(
-            m5 == 3,
+            m8 == 3,
             F.concat(
                 F.lit("/tmp"), (F.col("doc_id") % 3).cast("string"),
                 F.lit("/z"),
             ),
         )
+        .when(m8 == 5, F.lit("/files/d.zip"))    # /*.zip$ blocks
+        .when(m8 == 6, F.lit("/files/d.zipx"))   # $ anchor: NOT blocked
+        .when(m8 == 7, F.lit("/files/okay.zip"))  # longer allow wins
         .otherwise(F.lit(""))
     )
     urls = docs.select(
@@ -10665,6 +10672,8 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                      'User-agent: *' || chr(10) ||
                      'Disallow: /private' || chr(10) ||
                      'Allow: /private/ok' || chr(10) ||
+                     'Disallow: /*.zip$' || chr(10) ||
+                     'Allow: /files/ok*.zip$' || chr(10) ||
                      'Disallow: /tmp' ||
                        CAST((doc_id % 50) % 3 AS VARCHAR) ||
                      CASE WHEN (doc_id % 50) % 2 = 0 THEN
@@ -10730,12 +10739,15 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
               SELECT doc_id,
                      'site' || CAST(doc_id % 50 AS VARCHAR) ||
                        '.example' AS host,
-                     CASE doc_id % 5
+                     CASE doc_id % 8
                        WHEN 0 THEN '/private/x'
                        WHEN 1 THEN '/private/ok/page'
                        WHEN 2 THEN '/public/y'
                        WHEN 3 THEN '/tmp' ||
                          CAST(doc_id % 3 AS VARCHAR) || '/z'
+                       WHEN 5 THEN '/files/d.zip'
+                       WHEN 6 THEN '/files/d.zipx'
+                       WHEN 7 THEN '/files/okay.zip'
                        ELSE '' END AS path
               FROM documents
             ),
@@ -10745,6 +10757,23 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                      CASE WHEN path = '' THEN '/' ELSE path END AS up
               FROM urls
             ),
+            starx AS (
+              -- rule pattern -> RE2, same rewrite as robots_filter:
+              -- strip trailing '$' (anchor), escape metachars incl.
+              -- '*', then the escaped star becomes '.*'
+              SELECT *,
+                     ends_with(path, '$') AS anch,
+                     '^' || replace(
+                       regexp_replace(
+                         CASE WHEN ends_with(path, '$')
+                              THEN substr(path, 1, length(path) - 1)
+                              ELSE path END,
+                         '([.^$+?(){}\\[\\]|\\\\*])', '\\\\\\1', 'g'),
+                       '\\*', '.*')
+                       || CASE WHEN ends_with(path, '$')
+                               THEN '$' ELSE '' END AS rx
+              FROM star
+            ),
             matched AS (
               SELECT u.doc_id, u.url,
                      MAX(struct_pack(
@@ -10752,8 +10781,8 @@ FROM lab l JOIN documents d ON l.doc_id = d.doc_id
                        a := CASE WHEN s.rule = 'allow'
                                  THEN 1 ELSE 0 END,
                        p := s.path)) AS w
-              FROM u JOIN star s ON u.host = s.host
-                AND starts_with(u.up, s.path)
+              FROM u JOIN starx s ON u.host = s.host
+                AND regexp_matches(u.up, s.rx)
               GROUP BY u.doc_id, u.url
             )
             SELECT u.doc_id, u.url,

@@ -314,10 +314,10 @@ def extract_links(
 # User-agent lines share the rules that follow) is recovered with
 # window functions — no per-file sequential fold — so parsing scales
 # like any other exploded-line pipeline and an independent SQL engine
-# replays it exactly.  Documented simplifications: path rules are
-# PREFIX matches (the RFC 9309 core; * and $ wildcards are not
-# implemented), and an empty Disallow (allow-everything) is dropped at
-# parse time.
+# replays it exactly.  Path rules implement full RFC 9309 matching:
+# prefix match plus the '*' (any run) and trailing '$' (end anchor)
+# wildcards (r11 — closes the residual documented through r10); an
+# empty Disallow (allow-everything) is dropped at parse time.
 
 
 def parse_robots(
@@ -402,12 +402,19 @@ def robots_filter(
 ) -> DataFrame:
     """Crawl-policy decision per URL against a ``parse_robots`` rules
     table: RFC 9309 longest-match — among the agent's applicable rules
-    whose path is a prefix of the URL path, the LONGEST path wins,
+    MATCHING the URL path, the longest RULE PATTERN wins (pattern
+    length including wildcards, the google robots.cc convention),
     ``allow`` beating ``disallow`` on equal length; no matching rule
-    means allowed.  Agent precedence is exclusive: if a host has any
-    group for exactly ``agent``, only those rules apply, else the
-    ``*`` group (the spec's most-specific-group rule, restricted to
-    exact-vs-wildcard — documented).
+    means allowed.  Matching implements the full RFC 9309 grammar:
+    plain rules are prefix matches, ``*`` matches any character run,
+    a trailing ``$`` anchors at the path end (r11 — previously
+    prefix-only, documented).  The rule pattern is rewritten to an
+    RE2-safe regex RELATIONALLY (escape metachars, ``\\*`` -> ``.*``,
+    conditional anchor), so the decision replays in any RE2 engine —
+    the DuckDB oracle does.  Agent precedence is exclusive: if a host
+    has any group for exactly ``agent``, only those rules apply, else
+    the ``*`` group (the spec's most-specific-group rule, restricted
+    to exact-vs-wildcard — documented).
 
     Output: ``keep_cols`` + ``url``, ``allowed`` (boolean),
     ``rule_path`` (the winning rule's path, NULL when no rule
@@ -441,9 +448,25 @@ def robots_filter(
     applicable = r.join(best_prio, "host").filter(
         F.col("__prio") == F.col("__bp")
     )
+    # rule pattern -> anchored RE2: strip a trailing '$' (anchor flag),
+    # escape regex metachars, then turn the escaped '\*' into '.*'.
+    # All relational string ops — the oracle rebuilds the same regex.
+    anchored = F.col("path").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(path, 1, length(path) - 1)")
+    ).otherwise(F.col("path"))
+    esc = F.regexp_replace(
+        body, r"([.^$+?(){}\[\]|\\*])", r"\\$1"
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\\\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    applicable = applicable.withColumn("__rx", rx)
     j = u.join(applicable, "host", "left").filter(
         F.col("path").isNotNull()
-        & F.col("__path").startswith(F.col("path"))
+        & F.regexp_like(F.col("__path"), F.col("__rx"))
     )
     won = j.groupBy(*keep_cols, "url").agg(
         F.max(

@@ -351,3 +351,48 @@ def test_html_meta_and_sitemap_urls(spark):
     assert r2["m"]["title"] == "" and r2["m"]["canonical"] == ""
     assert not r2["m"]["noindex"] and not r2["m"]["nofollow"]
     assert r2["u"] == []
+
+
+def test_robots_wildcards_and_anchor(spark):
+    """RFC 9309 wildcard grammar (r11): '*' matches any run, trailing
+    '$' anchors, pattern length (incl. wildcards) drives precedence,
+    and regex metachars inside rule paths stay literal."""
+    from pandance_spark.functions.url import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "ex.com",
+                "User-agent: *\n"
+                "Disallow: /*.pdf$\n"
+                "Allow: /pub*\n"
+                "Disallow: /private\n"
+                "Disallow: /a+b\n",
+            )
+        ],
+        "host string, text string",
+    )
+    rules = parse_robots(robots, "text", "host")
+    urls = spark.createDataFrame(
+        [
+            (1, "https://ex.com/pub/x.html"),     # allow /pub*
+            (2, "https://ex.com/docs/r.pdf"),     # *.pdf$ -> blocked
+            (3, "https://ex.com/docs/r.pdfx"),    # $ anchor -> NOT pdf
+            (4, "https://ex.com/pub/r.pdf"),      # /*.pdf$ (len 7) beats /pub* (len 5)
+            (5, "https://ex.com/private/z"),      # plain prefix
+            (6, "https://ex.com/a+b/c"),          # '+' literal
+            (7, "https://ex.com/axb/c"),          # '+' must NOT be regex
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["rule_path"])
+        for r in robots_filter(urls, "url", rules).collect()
+    }
+    assert got[1] == (True, "/pub*")
+    assert got[2] == (False, "/*.pdf$")
+    assert got[3][0] is True
+    assert got[4] == (False, "/*.pdf$")
+    assert got[5] == (False, "/private")
+    assert got[6] == (False, "/a+b")
+    assert got[7][0] is True
