@@ -309,6 +309,83 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (operators/similarity.py mmr_rerank,
+    Carbonell & Goldstein 1998): for 10 query vectors, greedily pick 5
+    of the 20 nearest candidates maximizing lamb*relevance -
+    (1-lamb)*max-sim-to-selected — the RAG-side dedup that keeps three
+    copies of one passage from filling a context window.  Every
+    similarity and marginal score rounds to 6 dp before comparison
+    with smallest-id ties (the cosine_topk convention), and
+    ``1 - lamb`` is embedded as the SAME Python-double literal on both
+    sides, so the oracle replays the ENTIRE greedy loop as k unrolled
+    SQL layers (argmax via QUALIFY, redundancy via
+    greatest(ms, cand-x-selected cosine)) and matches bit-for-bit."""
+    from pandance_spark.operators.similarity import mmr_rerank
+
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(
+        queries, emb, "vec_id", "vec_id", k=5, pool=20, lamb=0.7
+    )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lamb: float = 0.7) -> str:
+    """Unrolled-greedy SQL replay of _q_mmr_rerank: layer i picks the
+    argmax of round(lamb*rel - mu*ms, 6) per query (ties by smallest
+    candidate id), then folds the selected vector into every remaining
+    candidate's running max-similarity.  ``mu`` is repr(1.0 - lamb) —
+    the exact Python double the Spark side embeds."""
+    mu = repr(1.0 - lamb)
+    lam = repr(float(lamb))
+    cos_ab = (
+        "round(list_cosine_similarity("
+        "a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)"
+    )
+    parts = [f"""
+        WITH base AS (
+          SELECT a.vec_id AS qid, b.vec_id AS cid,
+                 {cos_ab} AS rel,
+                 b.embedding::DOUBLE[] AS cv,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY {cos_ab} DESC, b.vec_id)
+                   AS rnk
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < 10
+        ),
+        rem0 AS (
+          SELECT qid, cid, rel, cv, 0.0::DOUBLE AS ms
+          FROM base WHERE rnk <= {pool}
+        )"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+        sel{i} AS (
+          SELECT qid, cid, rel, cv,
+                 round({lam} * rel - {mu} * ms, 6) AS s
+          FROM rem{i - 1}
+          QUALIFY row_number() OVER (
+            PARTITION BY qid
+            ORDER BY round({lam} * rel - {mu} * ms, 6) DESC, cid ASC
+          ) = 1
+        )""")
+        if i < k:
+            parts.append(f""",
+        rem{i} AS (
+          SELECT p.qid, p.cid, p.rel, p.cv,
+                 greatest(p.ms, round(list_cosine_similarity(
+                   p.cv, s.cv), 6)) AS ms
+          FROM rem{i - 1} p JOIN sel{i} s USING (qid)
+          WHERE p.cid <> s.cid
+        )""")
+    union = "\n          UNION ALL ".join(
+        f"SELECT qid AS vec_id_x, cid AS vec_id_y, "
+        f"{i} AS mmr_rank, rel AS relevance, s AS mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append("\n        " + union)
+    return "".join(parts)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file scans yield ONE partition; fan out so the per-pair
     # scoring map stage uses every core (see text_fingerprints note)
@@ -5510,6 +5587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_kn": _q_lm_perplexity_kn,
         "ppl_buckets_kn": _q_ppl_buckets_kn,
         "sketch_overlap": _q_sketch_overlap,
+        "mmr_rerank": _q_mmr_rerank,
         "rollup_distinct_users": _q_rollup_distinct_users,
         # r10 first-greens — 2nd green
         "minhash_eval_sampled": _q_minhash_eval_sampled,
@@ -5556,9 +5634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
-        "q3_shipping": _q_q3_shipping,
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r11 rotations OUT: the r10 second-green rows listed above.
+        "q3_shipping": _q_q3_shipping,
         "q6_forecast": _q_q6_forecast,
         "q2_min_cost": _q_q2_min_cost,
         "q4_late_orders": _q_q4_late_orders,
@@ -7542,6 +7620,7 @@ ORDER BY doc_id
             FROM cand
             QUALIFY rank <= 5
         """,
+        "mmr_rerank": _mmr_oracle(),
         "ann_topk": f"""
             SELECT a.vec_id AS vec_id_x, b.vec_id AS vec_id_y, {cos} AS cosine,
                    row_number() OVER (PARTITION BY a.vec_id

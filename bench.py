@@ -345,6 +345,12 @@ def main():
         "record_linkage",
         "bitext_mine",
         "xml_roundtrip",
+        # r11 additions
+        "rollup_qsketch",
+        "winnow_long_grams",
+        "lm_perplexity_kn",
+        "ppl_buckets_kn",
+        "sketch_overlap",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

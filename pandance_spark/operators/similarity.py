@@ -32,6 +32,7 @@ from pandance_spark.functions.vectors import (
 
 __all__ = [
     "cosine_topk",
+    "mmr_rerank",
     "lsh_bucket",
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -85,6 +86,130 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    lamb: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the RAG-side answer to near-duplicate retrieval: from each
+    query's ``pool`` most-similar candidates, greedily select ``k``
+    maximizing ``lamb * rel(q, c) - (1 - lamb) * max_sim(c,
+    selected)`` — relevance traded against redundancy, so three copies
+    of the same passage can't fill the context window.
+
+    Returns ``(query_id, corpus_id, mmr_rank, relevance, mmr_score)``,
+    ``mmr_rank`` 1..k in selection order.  Determinism across engines:
+    every similarity and every marginal score is ROUNDED to 6 dp
+    before any comparison and ties break on smallest corpus id — the
+    ``cosine_topk`` convention, which is what lets the driver oracle
+    replay the whole greedy loop in SQL.  ``1 - lamb`` is computed
+    ONCE in the driver (Python double) and embedded as a literal, so
+    an oracle replaying with the same literal gets bit-identical
+    arithmetic.
+
+    Plan shape: one ``cosine_topk`` (corpus scans once, queries
+    broadcast), then ``k`` greedy rounds over the pool — every round
+    is an argmax (max(struct) aggregate) plus one bounded join of the
+    remaining pool against the just-selected row, at most ``pool``
+    rows per query throughout; each round is checkpointed so the plan
+    stays flat instead of deepening k times.  The greedy loop is
+    driver-ORCHESTRATED but never driver-EVALUATED (no collect) —
+    the same honest residual class as connected_components, bounded
+    at k iterations.
+    """
+    if k < 1 or pool < k:
+        raise ValueError("need pool >= k >= 1")
+    if not 0.0 <= lamb <= 1.0:
+        raise ValueError("lamb must be in [0, 1]")
+    mu = 1.0 - lamb  # Python double, embedded as a literal below
+    qname, cname = _out_names(query_id, corpus_id)
+    cands = cosine_topk(
+        queries, corpus, query_id, corpus_id, query_vec, corpus_vec,
+        k=pool,
+    )
+    cvecs = corpus.select(
+        F.col(corpus_id).alias(cname),
+        F.col(corpus_vec).cast("array<double>").alias("__cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
+    )
+    remaining = (
+        cands.join(cvecs, cname)
+        .select(
+            qname, cname,
+            F.col("cosine").alias("__rel"),
+            "__cv", "__cn",
+            F.lit(0.0).alias("__maxsim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picked = None
+    for i in range(k):
+        score = F.round(
+            F.lit(lamb) * F.col("__rel")
+            - F.lit(mu) * F.col("__maxsim"),
+            6,
+        )
+        best = (
+            remaining.select(
+                qname,
+                F.max(
+                    F.struct(
+                        score.alias("s"),
+                        (-F.col(cname)).alias("negid"),
+                        F.col(cname).alias("cid"),
+                        F.col("__rel").alias("rel"),
+                        F.col("__cv").alias("sv"),
+                        F.col("__cn").alias("sn"),
+                    )
+                ).over(Window.partitionBy(qname)).alias("__b"),
+                cname,
+            )
+            .filter(F.col(cname) == F.col("__b.cid"))
+            .select(
+                qname,
+                F.col("__b.cid").alias(cname),
+                F.lit(i + 1).alias("mmr_rank"),
+                F.col("__b.rel").alias("relevance"),
+                F.col("__b.s").alias("mmr_score"),
+                F.col("__b.sv").alias("__sv"),
+                F.col("__b.sn").alias("__sn"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out_i = best.select(
+            qname, cname, "mmr_rank", "relevance", "mmr_score"
+        )
+        picked = out_i if picked is None else picked.unionByName(out_i)
+        if i == k - 1:
+            break
+        sel = best.select(qname, F.col(cname).alias("__sid"),
+                          "__sv", "__sn")
+        remaining = (
+            remaining.join(sel, qname)
+            .filter(F.col(cname) != F.col("__sid"))
+            .select(
+                qname, cname, "__rel", "__cv", "__cn",
+                F.greatest(
+                    F.col("__maxsim"),
+                    F.round(
+                        dot(F.col("__cv"), F.col("__sv"))
+                        / (F.col("__cn") * F.col("__sn")),
+                        6,
+                    ),
+                ).alias("__maxsim"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return picked
 
 
 def _out_names(query_id: str, corpus_id: str):

@@ -624,3 +624,81 @@ def test_kmeans_validation(spark):
     # wrong-length vectors are excluded, not silently mis-assigned
     with pytest.raises(ValueError):
         hash_seed_centroids(df, "vec_id", "embedding", 3, 1)
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """mmr_rerank == a pure-python greedy replay (same 6-dp rounding,
+    same smallest-id tie-break), and redundancy is actually penalized:
+    with a duplicated top passage, plain top-k keeps both copies, MMR
+    keeps one and pulls in the diverse doc."""
+    import math
+
+    from pandance_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    def v(*xs):
+        return [float(x) for x in xs]
+
+    corpus_rows = [
+        (0, v(1, 0, 0)),      # duplicate of 1
+        (1, v(1, 0, 0)),      # duplicate of 0
+        (2, v(0.9, 0.1, 0)),  # near-dup of 0/1
+        (3, v(0, 1, 0)),      # diverse, mid relevance
+        (4, v(0, 0, 1)),      # irrelevant
+    ]
+    queries_rows = [(100, v(1, 0.2, 0))]
+    corpus = spark.createDataFrame(corpus_rows, "vid long, embedding array<double>")
+    queries = spark.createDataFrame(queries_rows, "vid long, embedding array<double>")
+
+    lamb = 0.5
+    got = [
+        (r["vid_y"], r["mmr_rank"], r["relevance"], r["mmr_score"])
+        for r in mmr_rerank(
+            queries, corpus, "vid", "vid", k=3, pool=5, lamb=lamb
+        ).orderBy("mmr_rank").collect()
+    ]
+
+    # pure-python replay
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    q = queries_rows[0][1]
+    mu = 1.0 - lamb
+    rel = {i: cos(q, e) for i, e in corpus_rows}
+    remaining = dict(corpus_rows)
+    maxsim = {i: 0.0 for i, _ in corpus_rows}
+    want = []
+    for rank in range(1, 4):
+        best = max(
+            remaining,
+            key=lambda i: (round(lamb * rel[i] - mu * maxsim[i], 6), -i),
+        )
+        want.append(
+            (best, rank, rel[best],
+             round(lamb * rel[best] - mu * maxsim[best], 6))
+        )
+        sv = remaining.pop(best)
+        for i, e in remaining.items():
+            maxsim[i] = max(maxsim[i], cos(e, sv))
+    assert got == want
+    # top-1 is the most relevant (2); the near-identical pair 0/1
+    # collapses under the redundancy penalty — NEITHER makes the top-3
+    # (diverse 3 and even irrelevant-but-novel 4 outrank them)
+    assert got[0][0] == 2 and got[1][0] == 3
+    assert {0, 1}.isdisjoint({g[0] for g in got})
+    # plain top-3 keeps BOTH duplicates (ranks 2-3)
+    plain = [
+        r["vid_y"]
+        for r in cosine_topk(queries, corpus, "vid", "vid", k=3)
+        .orderBy("rank").collect()
+    ]
+    assert plain[0] == 2 and set(plain[1:]) == {0, 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_rerank(queries, corpus, "vid", "vid", k=5, pool=3)
+    with _pytest.raises(ValueError, match="lamb"):
+        mmr_rerank(queries, corpus, "vid", "vid", lamb=1.5)
