@@ -309,6 +309,21 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+def _q_npmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by normalized PMI (functions/text.py
+    npmi_phrases, Bouma 2009): top-50 adjacent-pair phrases with >= 5
+    occurrences over the documents corpus — the word2vec-style
+    "New_York" detector a tokenizer/vocab pipeline runs first.  The
+    oracle recomputes both count tables, both totals and the
+    ln-ratio score (6-dp rounded, (npmi desc, w1, w2) rank order) in
+    SQL.  Two map-side-combined aggregations + broadcast joins; the
+    100 TB cost is the corpus scan."""
+    from pandance_spark.functions.text import npmi_phrases
+
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return npmi_phrases(docs, "text", min_count=5, top=50)
+
+
 def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified retrieval (operators/similarity.py mmr_rerank,
     Carbonell & Goldstein 1998): for 10 query vectors, greedily pick 5
@@ -5588,6 +5603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets_kn": _q_ppl_buckets_kn,
         "sketch_overlap": _q_sketch_overlap,
         "mmr_rerank": _q_mmr_rerank,
+        "npmi_phrases": _q_npmi_phrases,
         "rollup_distinct_users": _q_rollup_distinct_users,
         # r10 first-greens — 2nd green
         "minhash_eval_sampled": _q_minhash_eval_sampled,
@@ -5633,9 +5649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "edit_distance": _q_edit_distance,
-        "overlap_set": _q_overlap_set,
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r11 rotations OUT: the r10 second-green rows listed above.
+        "overlap_set": _q_overlap_set,
         "q3_shipping": _q_q3_shipping,
         "q6_forecast": _q_q6_forecast,
         "q2_min_cost": _q_q2_min_cost,
@@ -7621,6 +7637,46 @@ ORDER BY doc_id
             QUALIFY rank <= 5
         """,
         "mmr_rerank": _mmr_oracle(),
+        # both count tables, both totals, the ln-ratio and the ranked
+        # cut replayed; the degenerate p(ab)=1 branch pinned to 1.0
+        "npmi_phrases": f"""
+            WITH toks AS ({_TOKS_CTE}),
+            pairs AS (
+              SELECT u.p.a AS w1, u.p.b AS w2
+              FROM toks t, unnest([struct_pack(a := t.ts[i],
+                                               b := t.ts[i + 1])
+                                   for i in range(1, len(t.ts))]) u(p)
+            ),
+            tok AS (SELECT unnest(ts) AS tok FROM toks),
+            uni AS (SELECT tok, count(*) AS c1 FROM tok GROUP BY tok),
+            big AS (SELECT w1, w2, count(*) AS n_pair FROM pairs
+                    GROUP BY w1, w2),
+            t1 AS (SELECT sum(c1) AS t1 FROM uni),
+            t2 AS (SELECT sum(n_pair) AS t2 FROM big),
+            j AS (
+              SELECT b.w1, b.w2, b.n_pair, ua.c1 AS ca, ub.c1 AS cb,
+                     t1.t1, t2.t2
+              FROM big b
+              JOIN uni ua ON b.w1 = ua.tok
+              JOIN uni ub ON b.w2 = ub.tok
+              CROSS JOIN t1 CROSS JOIN t2
+              WHERE b.n_pair >= 5
+            ),
+            scored AS (
+              SELECT w1, w2, n_pair,
+                     CASE WHEN n_pair = t2 THEN 1.0
+                          ELSE round(
+                            ln((n_pair / t2)
+                               / ((ca / t1) * (cb / t1)))
+                            / -ln(n_pair / t2), 6) END AS npmi
+              FROM j
+            )
+            SELECT w1, w2, n_pair::BIGINT AS n_pair, npmi,
+                   row_number() OVER (ORDER BY npmi DESC, w1, w2)
+                     AS rank
+            FROM scored
+            QUALIFY rank <= 50
+        """,
         "ann_topk": f"""
             SELECT a.vec_id AS vec_id_x, b.vec_id AS vec_id_y, {cos} AS cosine,
                    row_number() OVER (PARTITION BY a.vec_id

@@ -351,6 +351,8 @@ def main():
         "lm_perplexity_kn",
         "ppl_buckets_kn",
         "sketch_overlap",
+        "mmr_rerank",
+        "npmi_phrases",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

@@ -641,6 +641,86 @@ def fix_mojibake(text: Column) -> Column:
     return F.when(text.rlike("[ÃÂâ]"), fixed).otherwise(text)
 
 
+def npmi_phrases(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Collocation / phrase mining by normalized pointwise mutual
+    information (Bouma 2009; the word2vec-preprocessing "New_York"
+    detector): adjacent token pairs scored
+
+        npmi(a, b) = ln( p(ab) / (p(a) p(b)) ) / -ln p(ab)
+
+    with ``p(ab)`` over all adjacent pairs and ``p(a)`` over all
+    tokens — +1 = the pair ALWAYS co-occurs (a phrase), 0 =
+    independent, negative = repulsion.  Returns the ``top`` pairs with
+    ``n_pair >= min_count`` as ``(w1, w2, n_pair, npmi, rank)``, npmi
+    rounded to 6 dp and ranked (npmi desc, w1, w2) so the cut is
+    deterministic and engine-replayable; the degenerate single-pair
+    corpus (p(ab) = 1, denominator 0) pins npmi = 1.
+
+    Shape: two hash aggregations over the exploded pair/token streams
+    (map-side combined) + two broadcast joins of pair rows against the
+    vocabulary-sized unigram table; the only wide work is
+    corpus-proportional counting — the 100 TB cost is the scan, as it
+    should be.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    toks = tokenize(F.col(text_col))
+    pairs_arr = F.when(
+        F.size(toks) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    pair_rows = df.select(F.explode(pairs_arr).alias("__p")).select(
+        F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+    tok_rows = df.select(F.explode(toks).alias("tok"))
+    # the unigram/bigram tables each feed two consumers (counts +
+    # totals); totals are derived FROM the aggregated tables so the
+    # corpus scans once per stream
+    uni = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    uni = uni.localCheckpoint(eager=False)
+    big = pair_rows.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    big = big.localCheckpoint(eager=False)
+    t1 = uni.agg(F.sum("c1").alias("__t1"))
+    t2 = big.agg(F.sum("n_pair").alias("__t2"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c1").alias("__ca"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c1").alias("__cb"))
+    j = (
+        big.filter(F.col("n_pair") >= min_count)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    p_ab = F.col("n_pair") / F.col("__t2")
+    p_a = F.col("__ca") / F.col("__t1")
+    p_b = F.col("__cb") / F.col("__t1")
+    npmi = F.when(F.col("n_pair") == F.col("__t2"), F.lit(1.0)).otherwise(
+        F.round(F.log(p_ab / (p_a * p_b)) / -F.log(p_ab), 6)
+    )
+    scored = j.select("w1", "w2", "n_pair", npmi.alias("npmi"))
+    w = Window.orderBy(
+        F.col("npmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+    )
+
+
 def top_tokens(df, text_col: str, k: int = 100, by_doc_freq: bool = False):
     """Global top-``k`` tokens: ``(token, n)`` ordered by count desc,
     token asc (deterministic at the cut).  ``by_doc_freq`` counts each

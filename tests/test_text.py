@@ -1156,3 +1156,55 @@ def test_winnowing_long_gram_forms_agree_and_guarantee(spark):
         .toString()
     )
     assert "md5" not in plan.lower()
+
+
+def test_npmi_phrases_scores_and_determinism(spark):
+    """NPMI collocations: a pair that always co-occurs scores ~1,
+    independent pairs score ~0, ranking cuts deterministically, and
+    the python replay matches to 6 dp."""
+    import math
+
+    from pandance_spark.functions.text import npmi_phrases
+
+    docs = (
+        [(i, "new york is big today no " + f"f{i % 7}") for i in range(30)]
+        + [(100 + i, "old york was red") for i in range(10)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["npmi"], r["rank"])
+        for r in npmi_phrases(df, "text", min_count=5, top=50).collect()
+    }
+
+    # python replay
+    from collections import Counter
+
+    toks_all, pairs_all = Counter(), Counter()
+    for _, t in docs:
+        ts = [x for x in t.lower().split() if x]
+        toks_all.update(ts)
+        pairs_all.update(zip(ts[:-1], ts[1:]))
+    t1, t2 = sum(toks_all.values()), sum(pairs_all.values())
+    want = {}
+    for (a, b), c in pairs_all.items():
+        if c < 5:
+            continue
+        pab = c / t2
+        val = 1.0 if c == t2 else round(
+            math.log(pab / ((toks_all[a] / t1) * (toks_all[b] / t1)))
+            / -math.log(pab), 6)
+        want[(a, b)] = (c, val)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    want_full = {
+        k: (c, v, i + 1) for i, (k, (c, v)) in enumerate(ranked)
+    }
+    assert got == want_full
+    # 'new york' always adjacent -> npmi near 1; it outranks the
+    # high-frequency-but-promiscuous 'york is/was' pairs
+    assert got[("new", "york")][1] > 0.9
+    assert got[("new", "york")][2] < got[("york", "is")][2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_count"):
+        npmi_phrases(df, "text", min_count=0)
