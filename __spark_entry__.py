@@ -5654,6 +5654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_set": _q_overlap_set,
         "q3_shipping": _q_q3_shipping,
         "q6_forecast": _q_q6_forecast,
+        "q21_blame": _q21_blame,
         "q2_min_cost": _q_q2_min_cost,
         "q4_late_orders": _q_q4_late_orders,
         "q7_volume_shipping": _q_q7_volume_shipping,
