@@ -309,6 +309,56 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
 
 
+def _q_pii_ibans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated IBAN detection (functions/text.py find_ibans
+    — ISO 13616 MOD-97-10, the international twin of the Luhn card
+    panel): every 3rd document gets a deterministic VALID planted IBAN
+    (check digits computed in-query by the same mod-97 fold, spaced
+    groups-of-4 on half of them), every 3rd+1 gets a corrupted twin
+    (last BBAN digit bumped — provably mod-97-invalid since 10^k is
+    coprime to 97).  The oracle replays candidate-run extraction, the
+    15-34 prefix scan, the per-char fold (list_reduce) and the
+    planted-IBAN construction — detection AND rejection both pinned.
+    Pure projection over the corpus: scan-bound at 100 TB."""
+    from pandance_spark.functions.text import find_ibans, iban_mod97
+
+    docs = load_table(spark, sf_dir, "documents")
+    bban = F.concat(
+        F.lit("WEST"),
+        F.lpad(((F.col("doc_id") * 7919) % 10000000000).cast("string"),
+               10, "0"),
+    )
+    chk = F.lpad(
+        (98 - iban_mod97(F.concat(F.lit("GB00"), bban))).cast("string"),
+        2, "0",
+    )
+    iban = F.concat(F.lit("GB"), chk, bban)
+    bad = F.concat(
+        F.substring(iban, 1, 17),
+        ((F.substring(iban, 18, 1).cast("int") + 1) % 10).cast("string"),
+    )
+    spaced = F.trim(F.regexp_replace(iban, "(....)", "$1 "))
+    m3 = F.col("doc_id") % 3
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            m3 == 0,
+            F.concat(
+                F.lit(" pay to "),
+                F.when(F.col("doc_id") % 6 == 0, spaced).otherwise(iban),
+            ),
+        )
+        .when(m3 == 1, F.concat(F.lit(" ref "), bad))
+        .otherwise(F.lit("")),
+    )
+    found = find_ibans(text2)
+    return docs.select(
+        "doc_id",
+        F.size(found).cast("long").alias("n_ibans"),
+        F.array_join(F.array_sort(found), ",").alias("ibans"),
+    )
+
+
 def _q_npmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by normalized PMI (functions/text.py
     npmi_phrases, Bouma 2009): top-50 adjacent-pair phrases with >= 5
@@ -343,6 +393,79 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         queries, emb, "vec_id", "vec_id", k=5, pool=20, lamb=0.7
     )
+
+
+def _iban_fold_sql(expr: str) -> str:
+    """DuckDB replay of functions/text.py iban_mod97's per-char fold
+    over an ALREADY-REARRANGED string expression: digits fold as
+    acc*10+d, letters as acc*100+(code-55), every step mod 97."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(c) AS BIGINT) for c in string_split({expr}, '')]), "
+        "(acc, code) -> CASE WHEN code BETWEEN 48 AND 57 "
+        "THEN (acc*10 + code-48) % 97 "
+        "ELSE (acc*100 + code-55) % 97 END)"
+    )
+
+
+def _pii_ibans_oracle() -> str:
+    fold_chk = _iban_fold_sql("bban || 'GB00'")
+    fold_p = _iban_fold_sql("substr(p, 5) || substr(p, 1, 4)")
+    return f"""
+        WITH planted AS (
+          SELECT doc_id, text,
+                 'WEST' || lpad(CAST((doc_id * 7919) % 10000000000
+                                     AS VARCHAR), 10, '0') AS bban
+          FROM documents
+        ),
+        built AS (
+          SELECT doc_id, text, bban,
+                 'GB' || lpad(CAST(98 - {fold_chk} AS VARCHAR), 2, '0')
+                   || bban AS iban
+          FROM planted
+        ),
+        t2 AS (
+          SELECT doc_id,
+                 text || CASE
+                   WHEN doc_id % 3 = 0 THEN ' pay to ' ||
+                     CASE WHEN doc_id % 6 = 0
+                          THEN trim(regexp_replace(iban, '(....)',
+                                                   '\\1 ', 'g'))
+                          ELSE iban END
+                   WHEN doc_id % 3 = 1 THEN ' ref ' ||
+                     substr(iban, 1, 17) ||
+                     CAST((CAST(substr(iban, 18, 1) AS INT) + 1) % 10
+                          AS VARCHAR)
+                   ELSE '' END AS text2
+          FROM built
+        ),
+        runs AS (
+          SELECT doc_id,
+                 [regexp_replace(r, '[ -]', '', 'g')
+                  for r in regexp_extract_all(upper(text2),
+                    '\\b([A-Z]{{2}}[0-9]{{2}}[A-Z0-9 -]{{10,48}})', 1)]
+                   AS rs
+          FROM t2
+        ),
+        pref AS (
+          SELECT doc_id,
+                 flatten([[substr(r, 1, w) for w in range(15, 35)]
+                          for r in rs]) AS ps
+          FROM runs
+        ),
+        val AS (
+          SELECT doc_id,
+                 list_sort(list_distinct([p for p in ps
+                   if regexp_matches(p,
+                        '^[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}$')
+                      and {fold_p} = 1])) AS ib
+          FROM pref
+        )
+        SELECT doc_id,
+               CAST(coalesce(len(ib), 0) AS BIGINT) AS n_ibans,
+               coalesce(array_to_string(ib, ','), '') AS ibans
+        FROM val
+    """
 
 
 def _mmr_oracle(k: int = 5, pool: int = 20, lamb: float = 0.7) -> str:
@@ -5604,6 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_overlap": _q_sketch_overlap,
         "mmr_rerank": _q_mmr_rerank,
         "npmi_phrases": _q_npmi_phrases,
+        "pii_ibans": _q_pii_ibans,
         "rollup_distinct_users": _q_rollup_distinct_users,
         # r10 first-greens — 2nd green
         "minhash_eval_sampled": _q_minhash_eval_sampled,
@@ -5648,9 +5772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_keywords": _q_theta_keywords,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
-        "edit_distance": _q_edit_distance,
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r11 rotations OUT: the r10 second-green rows listed above.
+        "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
         "q3_shipping": _q_q3_shipping,
         "q6_forecast": _q_q6_forecast,
@@ -7638,6 +7762,7 @@ ORDER BY doc_id
             QUALIFY rank <= 5
         """,
         "mmr_rerank": _mmr_oracle(),
+        "pii_ibans": _pii_ibans_oracle(),
         # both count tables, both totals, the ln-ratio and the ranked
         # cut replayed; the degenerate p(ab)=1 branch pinned to 1.0
         "npmi_phrases": f"""

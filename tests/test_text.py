@@ -1208,3 +1208,46 @@ def test_npmi_phrases_scores_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="min_count"):
         npmi_phrases(df, "text", min_count=0)
+
+
+def test_iban_detection_mod97(spark):
+    """IBAN detection: real checksums pass, one-digit corruptions
+    fail, separators/case normalize, packed runs found, and the
+    candidate regex alone (no checksum) would have kept the fakes."""
+    from pandance_spark.functions.text import find_ibans, iban_valid
+
+    rows = [
+        (1, "pay to GB82 WEST 1234 5698 7654 32 today"),      # valid (ISO example)
+        (2, "de89 3704 0044 0532 0130 00 works too"),          # valid, lowercase
+        (3, "fake GB82 WEST 1234 5698 7654 33 nope"),          # corrupted digit
+        (4, "packed FR1420041010050500013M02606 ok"),          # valid, no separators
+        (5, "just text, no account numbers at all"),
+        (6, None),
+        (7, "two: GB82WEST12345698765432, NL91 ABNA 0417 1643 00"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["ib"]
+        for r in df.select(
+            "id", find_ibans(F.col("text")).alias("ib")
+        ).collect()
+    }
+    assert got[1] == ["GB82WEST12345698765432"]
+    assert got[2] == ["DE89370400440532013000"]
+    assert got[3] == []
+    assert got[4] == ["FR1420041010050500013M02606"]
+    assert got[5] == []
+    assert got[6] is None
+    assert sorted(got[7]) == ["GB82WEST12345698765432", "NL91ABNA0417164300"]
+
+    # checksum-only contract: shape-valid but mod97 != 1 rejected
+    v = {
+        r["s"]: r["v"]
+        for r in spark.createDataFrame(
+            [("GB82WEST12345698765432",), ("GB82WEST12345698765433",),
+             ("XX00SHORT",)], "s string"
+        ).select("s", iban_valid(F.col("s")).alias("v")).collect()
+    }
+    assert v["GB82WEST12345698765432"] is True
+    assert v["GB82WEST12345698765433"] is False
+    assert v["XX00SHORT"] is False
