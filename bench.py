@@ -353,6 +353,7 @@ def main():
         "sketch_overlap",
         "mmr_rerank",
         "npmi_phrases",
+        "pii_ibans",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session
