@@ -395,6 +395,99 @@ def _q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_eval_oracle(threshold: float = 0.6) -> str:
+    """Full SQL replay of simhash_eval: the minhash_eval mutated-copy
+    fixture and brute-force Jaccard truth, with the dedup_simhash
+    signature chain (md5 token hashes, 64 bit votes, hamming<=3
+    pairs) as the candidate side, feeding the dedup_eval report."""
+    return f"""
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id,
+                 array_to_string(list_filter(string_split(text, ' '),
+                   (x, i) -> (i - 1) % 9 <> 0), ' ') AS text
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                                                '[^a-z0-9]+'),
+                             s -> s <> '') AS ts
+          FROM aug
+        ),
+        shn AS (
+          SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN []
+                      ELSE [array_to_string(list_slice(ts, i, i+2), ' ')
+                            for i in range(1, len(ts)-1)] END AS ss
+          FROM toks
+        ),
+        sets AS (SELECT doc_id, list_distinct(ss) AS s FROM shn),
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sets a, sets b
+          WHERE a.doc_id < b.doc_id
+            AND len(list_distinct(list_concat(a.s, b.s))) > 0
+            AND round(len(list_intersect(a.s, b.s)) * 1.0 /
+                      len(list_distinct(list_concat(a.s, b.s))), 6)
+                >= {threshold}
+        ),
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        h AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+                 CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+          FROM tok
+        ),
+        v AS (
+          SELECT doc_id, bits.b AS b,
+                 count(*) AS n,
+                 sum(((CASE WHEN bits.b < 32 THEN lo ELSE hi END)
+                      >> (bits.b % 32)) & 1) AS c
+          FROM h, range(64) bits(b)
+          GROUP BY doc_id, bits.b
+        ),
+        sig AS (
+          SELECT d.doc_id,
+                 coalesce(sum(CASE WHEN v.b < 32 AND v.c * 2 > v.n
+                                   THEN (1::BIGINT << v.b)
+                                   ELSE 0 END), 0) AS sh_lo,
+                 coalesce(sum(CASE WHEN v.b >= 32 AND v.c * 2 > v.n
+                                   THEN (1::BIGINT << (v.b - 32))
+                                   ELSE 0 END), 0) AS sh_hi
+          FROM aug d LEFT JOIN v ON d.doc_id = v.doc_id
+          GROUP BY d.doc_id
+        ),
+        cands AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh_lo, b.sh_lo))
+                  + bit_count(xor(a.sh_hi, b.sh_hi)) <= 3
+        ),
+        ver AS (
+          SELECT count(*) AS n_verified
+          FROM cands JOIN truth USING (id_a, id_b)
+        ),
+        nums AS (
+          SELECT (SELECT count(*) FROM aug) AS n_docs,
+                 (SELECT count(*) FROM truth) AS n_true,
+                 (SELECT count(*) FROM cands) AS n_candidates,
+                 (SELECT n_verified FROM ver) AS n_verified
+        )
+        SELECT n_docs::BIGINT AS n_docs, n_true::BIGINT AS n_true,
+               n_candidates::BIGINT AS n_candidates,
+               n_verified::BIGINT AS n_verified,
+               round(CASE WHEN n_true > 0
+                          THEN n_verified * 1.0 / n_true
+                          ELSE 1.0 END, 9) AS recall,
+               round(CASE WHEN n_candidates > 0
+                          THEN n_verified * 1.0 / n_candidates
+                          ELSE 0.0 END, 9) AS precision
+        FROM nums
+    """
+
+
 def _iban_fold_sql(expr: str) -> str:
     """DuckDB replay of functions/text.py iban_mod97's per-char fold
     over an ALREADY-REARRANGED string expression: digits fold as
@@ -1711,6 +1804,43 @@ def _q_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_eval(
         aug, "doc_id", "text", threshold=0.6, portable=True
     )
+
+
+def _q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality evaluation of the SIMHASH candidate generator
+    (operators/dedup.py dedup_eval — the generic harness factored out
+    of minhash_eval in r11): recall/precision of hamming<=3 simhash
+    candidates against the SAME exact-Jaccard truth and mutated-copy
+    fixture as minhash_eval, so the two approximate families' audit
+    rows are directly comparable.  portable=True makes the md5 token
+    hashes, the 64-bit vote-fold signatures AND the brute-force truth
+    all SQL-replayable — the oracle recomputes the entire evaluation
+    pair-for-pair."""
+    from pandance_spark.operators.dedup import (
+        dedup_eval,
+        ngram_jaccard_join,
+        simhash_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dropped = F.array_join(
+        F.filter(
+            F.split(F.col("text"), " "), lambda x, i: i % 9 != 0
+        ),
+        " ",
+    )
+    variants = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        dropped.alias("text"),
+    )
+    aug = docs.unionAll(variants)
+    cands = simhash_candidates(
+        aug, "doc_id", "text", max_hamming=3, portable=True
+    )
+    truth = ngram_jaccard_join(
+        aug, "doc_id", "text", shingle_n=3, threshold=0.6
+    )
+    return dedup_eval(cands, truth, n_docs=aug.select("doc_id"))
 
 
 def _q_minhash_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5728,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": _q_mmr_rerank,
         "npmi_phrases": _q_npmi_phrases,
         "pii_ibans": _q_pii_ibans,
+        "simhash_eval": _q_simhash_eval,
         "rollup_distinct_users": _q_rollup_distinct_users,
         # r10 first-greens — 2nd green
         "minhash_eval_sampled": _q_minhash_eval_sampled,
@@ -5771,9 +5902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ineq_gt_strings": _q_ineq_gt_strings,
         "theta_keywords": _q_theta_keywords,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
         # --- entries 51+ (outside the driver window; locally gated) ---
         # r11 rotations OUT: the r10 second-green rows listed above.
+        "dedup_clusters": _q_dedup_clusters,
         "edit_distance": _q_edit_distance,
         "overlap_set": _q_overlap_set,
         "q3_shipping": _q_q3_shipping,
@@ -7763,6 +7894,7 @@ ORDER BY doc_id
         """,
         "mmr_rerank": _mmr_oracle(),
         "pii_ibans": _pii_ibans_oracle(),
+        "simhash_eval": _simhash_eval_oracle(),
         # both count tables, both totals, the ln-ratio and the ranked
         # cut replayed; the degenerate p(ab)=1 branch pinned to 1.0
         "npmi_phrases": f"""

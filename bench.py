@@ -354,6 +354,7 @@ def main():
         "mmr_rerank",
         "npmi_phrases",
         "pii_ibans",
+        "simhash_eval",
     ]
 
     # r5: run each query REPS times and report the MEDIAN — same-session

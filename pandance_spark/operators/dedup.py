@@ -2457,6 +2457,54 @@ def minhash_eval(
     )
 
 
+def dedup_eval(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_docs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Generic dedup-quality report for ANY candidate generator
+    (r11 — the harness :func:`minhash_eval` builds inline, factored
+    so simhash / embedding / custom candidate sets audit the same
+    way): given ``candidates`` and ``truth`` as (id_a, id_b) pair
+    tables (id_a < id_b, any extra columns ignored), return ONE row
+    ``n_true, n_candidates, n_verified, recall, precision`` — with
+    ``n_docs`` prepended when a 1-column frame of document ids is
+    passed.  Same conventions as minhash_eval: recall = 1.0 and
+    precision = 0.0 on empty denominators, 9 dp.
+
+    Both inputs feed two consumers (their count + the verification
+    join); each is checkpointed so neither generator re-runs
+    (pair-list-sized, never corpus-sized)."""
+    cands = candidates.select("id_a", "id_b").localCheckpoint(eager=False)
+    tru = truth.select("id_a", "id_b").localCheckpoint(eager=False)
+    verified = cands.join(tru, ["id_a", "id_b"], "inner")
+    n_true = tru.select(F.count("*").alias("n_true"))
+    n_cand = cands.select(F.count("*").alias("n_candidates"))
+    n_ver = verified.select(F.count("*").alias("n_verified"))
+    rep = n_true.crossJoin(n_cand).crossJoin(n_ver)
+    if n_docs is not None:
+        nd = n_docs.select(F.count("*").alias("n_docs"))
+        rep = nd.crossJoin(rep)
+    cols = ([] if n_docs is None else ["n_docs"]) + [
+        "n_true", "n_candidates", "n_verified",
+    ]
+    return rep.select(
+        *cols,
+        F.round(
+            F.when(F.col("n_true") > 0,
+                   F.col("n_verified") / F.col("n_true"))
+            .otherwise(F.lit(1.0)),
+            9,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_candidates") > 0,
+                   F.col("n_verified") / F.col("n_candidates"))
+            .otherwise(F.lit(0.0)),
+            9,
+        ).alias("precision"),
+    )
+
+
 def record_linkage(
     left: DataFrame,
     right: DataFrame,

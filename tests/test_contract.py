@@ -109,3 +109,18 @@ def test_no_unsortable_columns_in_any_query_result(spark, entrymod):
         if bad:
             offenders[name] = bad
     assert offenders == {}, f"driver-unsortable columns: {offenders}"
+
+
+def test_bench_full_line_ends_with_queries():
+    """r11 adjudication guard: the driver keeps only the TAIL of
+    bench.py's full JSON line, so 'queries' (the medians) must be the
+    LAST key — r10's artifact tailed into the spread dict and its
+    spreads were read as medians, manufacturing a phantom 2x
+    regression."""
+    import re
+
+    src = open("bench.py").read()
+    m = re.search(r"full = \{(.*?)\}", src, re.S)
+    assert m, "full dict not found"
+    keys = re.findall(r'"(\w+)":', m.group(1))
+    assert keys[-1] == "queries", keys

@@ -1161,3 +1161,29 @@ def test_bitext_candidates_blocking_and_filters(spark):
     assert set(got) == {(1, 10), (3, 13)}
     assert got[(1, 10)]["n_runs"] == 3  # runs: 14, 1907, 3
     assert got[(3, 13)]["len_ratio"] >= 1.0
+
+
+def test_dedup_eval_generic_metrics(spark):
+    """dedup_eval (r11): plain confusion arithmetic over any candidate
+    and truth pair tables, with the minhash_eval empty-denominator
+    conventions."""
+    from pandance_spark.operators.dedup import dedup_eval
+
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    r = dedup_eval(cands, truth, n_docs=docs).collect()[0]
+    assert (r["n_docs"], r["n_true"], r["n_candidates"], r["n_verified"]) \
+        == (8, 3, 3, 2)
+    assert r["recall"] == pytest.approx(2 / 3, abs=1e-9)
+    assert r["precision"] == pytest.approx(2 / 3, abs=1e-9)
+    # empty truth -> recall 1.0; empty candidates -> precision 0.0
+    empty = cands.filter("id_a < 0")
+    r2 = dedup_eval(empty, empty).collect()[0]
+    assert (r2["recall"], r2["precision"]) == (1.0, 0.0)
+    # no n_docs frame -> column absent
+    assert "n_docs" not in dedup_eval(cands, truth).columns
