@@ -1451,3 +1451,82 @@ def test_streaming_asof_join_timestamps(spark, tmp_path):
         key=str,
     )
     assert got == want and len(got) == 20
+
+
+def test_stream_rollup_qsketch_sink_bit_exact_and_replay_safe(
+    spark, tmp_path
+):
+    """Maintained quantile sketches == the from-scratch batch build
+    bit for bit (exact merge algebra over disjoint row sets), n sums
+    correctly across batches, and a redelivered batch no-ops under
+    the replay guard — which is load-bearing here, since the qsketch
+    merge (unlike bottom-k) is NOT idempotent."""
+    import datetime as dt
+
+    from pandance_spark.operators.rollup import build_rollup_qsketch
+    from pandance_spark.streaming import (
+        _rollup_batch_handler,
+        stream_rollup_qsketch_sink,
+    )
+
+    K = 8
+    rows1 = [
+        (dt.datetime(2024, 1, 1, 0, m % 60), "a", m, float(m % 13))
+        for m in range(30)
+    ] + [(dt.datetime(2024, 1, 1, 1, 5), "b", 1000, 7.0)]
+    rows2 = [
+        (dt.datetime(2024, 1, 1, 0, 55), "a", 500, 99.0),
+        (dt.datetime(2024, 1, 1, 2, 0), "b", 1001, 1.0),
+    ]
+    schema = "ts timestamp, typ string, rid long, val double"
+    target = str(tmp_path / "qsroll_out")
+
+    def canon(df):
+        return sorted(
+            (r["bucket"], r["typ"], r["n"],
+             [(e["h"], e["v"]) for e in r["qs"]])
+            for r in df.select("bucket", "typ", "qs", "n").collect()
+        )
+
+    exp = canon(
+        build_rollup_qsketch(
+            spark.createDataFrame(rows1 + rows2, schema),
+            "ts", 3600, ["typ"], "val", "rid", k=K,
+        )
+    )
+    in_dir = str(tmp_path / "qsroll_in")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = stream_rollup_qsketch_sink(
+        stream, target, "ts", 3600, ["typ"], "val", "rid",
+        k=K, num_buckets=8,
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert canon(spark.read.parquet(target)) == exp
+
+    # replay guard: re-apply batch 0 to a manually driven handler —
+    # without the guard, n would double and sample rows duplicate
+    from pandance_spark.operators.rollup import merge_rollup_qsketch
+
+    t2 = str(tmp_path / "qsroll_manual")
+    h = _rollup_batch_handler(
+        t2, "ts", 3600, ["typ"], "rid", 8,
+        build_fn=lambda b, tc, w, ks, vc: build_rollup_qsketch(
+            b, tc, w, ks, "val", vc, k=K
+        ),
+        merge_fn=lambda e, d: merge_rollup_qsketch(e, d, k=K),
+        metric_cols=["qs", "n", "k"],
+    )
+    b1 = spark.createDataFrame(rows1, schema)
+    h(b1, 0)
+    once = canon(spark.read.parquet(t2))
+    h(b1, 0)  # redelivery must no-op
+    assert canon(spark.read.parquet(t2)) == once
