@@ -23,7 +23,7 @@ python scripts/audit_oracle_dtypes.py /root/testdata/sf0.01
 # max(input growth, output growth) across sf0.01 -> sf0.1.  The
 # second-decade (@sf1) probe for the pair-growth core runs per-round,
 # not per-gate (see SCALING.md r10).
-NEW_QUERIES="${SPARK_GRAFT_PROBE_QUERIES:-fuzzy_autoskew,ineq_band_autoskew,dedup_minhash,dedup_simhash,containment_quotes,winnow_fingerprints,fair_share,trimmed_stats,benford_audit,record_linkage,bitext_mine,minhash_eval_sampled,rollup_qsketch,winnow_long_grams,lm_perplexity_kn,ppl_buckets_kn,sketch_overlap,mmr_rerank,npmi_phrases}"
+NEW_QUERIES="${SPARK_GRAFT_PROBE_QUERIES:-fuzzy_autoskew,ineq_band_autoskew,dedup_minhash,dedup_simhash,containment_quotes,winnow_fingerprints,fair_share,trimmed_stats,benford_audit,record_linkage,bitext_mine,minhash_eval_sampled,rollup_qsketch,winnow_long_grams,lm_perplexity_kn,ppl_buckets_kn,sketch_overlap,mmr_rerank,npmi_phrases,pii_ibans,simhash_eval}"
 python scripts/scale_probe.py --queries "$NEW_QUERIES" \
     --sfs /root/testdata/sf0.01,/root/testdata/sf0.1 --max-ratio 3
 echo "multi-sf gate: all green"
