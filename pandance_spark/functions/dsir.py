@@ -126,16 +126,30 @@ def dsir_weights(
     smoothing: ``p_hat(b) = (t_b + 1) / (T + buckets)`` and likewise
     for q.  Both totals are computed in-plan from the same count
     tables (no separate eager pass — the counts-vs-total consistency
-    lesson from skew_report applies here too).  Everything is
-    ``buckets`` rows end to end.
+    lesson from skew_report applies here too), as WINDOW sums over the
+    joined <= ``buckets``-row count table rather than separate
+    aggregate branches: a standalone ``counts.agg(sum)`` subquery
+    re-evaluates the whole corpus tokenize/explode/count subtree a
+    second time per side (guide §2.4 duplicated-subtree class —
+    measured as 4 extra corpus scans in dsir_select's r11 before-plan),
+    while the window form reads each count table once and sums the
+    bucket rows it already has.  Everything is ``buckets`` rows end to
+    end.
     """
-    t_tot = target_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_total"))
-    r_tot = raw_counts.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("r_total"))
-    joined = (
-        target_counts.withColumnRenamed("cnt", "t_cnt")
-        .join(raw_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "full_outer")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+    from pyspark.sql import Window
+
+    joined = target_counts.withColumnRenamed("cnt", "t_cnt").join(
+        raw_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "full_outer"
+    )
+    # bucket rows are unique per side (groupBy output), so the window
+    # sums over the full-outer join equal the per-side totals exactly
+    wall = Window.partitionBy()
+    joined = joined.select(
+        "bucket",
+        "t_cnt",
+        "r_cnt",
+        F.coalesce(F.sum("t_cnt").over(wall), F.lit(0)).alias("t_total"),
+        F.coalesce(F.sum("r_cnt").over(wall), F.lit(0)).alias("r_total"),
     )
     t_cnt = F.coalesce(F.col("t_cnt"), F.lit(0))
     r_cnt = F.coalesce(F.col("r_cnt"), F.lit(0))

@@ -143,12 +143,18 @@ def keywords_tfidf(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    # pairs feeds THREE consumers (N, df, the scored join): without a
+    # barrier the tokenize+explode+groupBy subtree evaluates once per
+    # consumer — 3 corpus scans in the r11 before-plan (guide §2.4).
+    # The checkpoint is (doc, term)-distinct-sized, far below raw
+    # tokens, and makes the docstring's "ONE tokenize+explode" true.
     pairs = (
         docs.select(
             F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
         )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     n_docs = pairs.select(id_col).distinct().agg(
         F.count(F.lit(1)).alias("__n")

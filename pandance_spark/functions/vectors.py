@@ -303,33 +303,37 @@ def quantized_moments(df, vec_col: str, dim: int):
     # int64 under non-ANSI mode when input magnitudes exceed the
     # ~unit convention (ADVICE r8); decimal(19,0)x(19,0) -> (38,0)
     # keeps the product exact for any |x| < ~9.5e12
-    pmom = (
+    # ONE aggregation + ONE collect for both moment families (r11
+    # optimization — two separate jobs re-evaluated the quantize +
+    # first-explode subtree and serialized two driver round-trips):
+    # the diagonal groups (__jo == 0, where __qj is __qi itself —
+    # posexplode positions are 0-based) carry the first moments and
+    # the row count alongside their pair sum.
+    mom = (
         pairs.groupBy("__i", "__jo")
         .agg(
             F.sum(
                 F.col("__qi").cast("decimal(19,0)")
                 * F.col("__qj").cast("decimal(19,0)")
-            ).alias("__p")
-        )
-        .collect()
-    )
-    smom = (
-        base.groupBy("__i")
-        .agg(
-            F.sum(F.col("__qi").cast("decimal(38,0)")).alias("__s"),
+            ).alias("__p"),
+            F.sum(
+                F.when(F.col("__jo") == 0, F.col("__qi")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("__s"),
             F.count("*").alias("__n"),
         )
         .collect()
     )
-    if not smom:
+    if not mom:
         raise ValueError(f"no vectors of length {dim} in {vec_col!r}")
-    n = int(smom[0]["__n"])
+    n = int(mom[0]["__n"])
     s = [0] * dim
-    for r in smom:
-        s[r["__i"]] = int(r["__s"])
     P = {}
-    for r in pmom:
+    for r in mom:
         P[(r["__i"], r["__i"] + r["__jo"])] = int(r["__p"])
+        if r["__jo"] == 0:
+            s[r["__i"]] = int(r["__s"])
     return n, s, P
 
 

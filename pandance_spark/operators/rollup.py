@@ -673,7 +673,17 @@ def merge_rollup_qsketch(
     from pyspark.sql import Window
 
     group_cols = [c for c in existing.columns if c not in ("qs", "n")]
-    both = _assert_k(existing, k).unionByName(_assert_k(delta, k))
+    # `both` feeds TWO consumers (the n re-sum and the explode/re-rank):
+    # without a barrier each side's whole BUILD plan (corpus scan +
+    # per-group window) evaluates twice (guide §2.4 — r11 before-plan of
+    # rollup_qsketch showed 4 corpus scans for 2 builds).  The partials
+    # are sketch-sized (<= k rows per group) by contract, so the lazy
+    # checkpoint is bounded at any corpus scale.
+    both = (
+        _assert_k(existing, k)
+        .unionByName(_assert_k(delta, k))
+        .localCheckpoint(eager=False)
+    )
     n_sum = both.groupBy(*group_cols).agg(F.sum("n").alias("n"))
     exploded = both.select(
         *group_cols, F.explode("qs").alias("e")

@@ -881,14 +881,19 @@ def kmeans_update_exact(
     decimal sums divided by n, one IEEE division + round per
     coordinate, identical in any engine).
 
-    Shape: the map-only assignment above, then TWO combine-friendly
-    aggregates joined on the k-row cluster table: (n, inertia) over
-    the assigned rows, and the per-dimension sums over ONE posexplode
-    of the quantized vectors grouped by (cluster, dim) — dim decimal
-    partials per cluster per partition cross the wire, never vectors.
-    (An unrolled per-dim aggregate list was measured 3.5x slower in
-    BUILD alone: 64 element_at sums + 64 projections push thousands
-    of nodes through analysis.)"""
+    Shape: the map-only assignment above, then ONE combine-friendly
+    aggregate over a single posexplode of the quantized vectors keyed
+    by (cluster, dim): each (cluster, dim) group carries the
+    per-dimension decimal sum AND (redundantly per dim, identically
+    valued) the cluster's row count and exact inertia — so the whole
+    update is one corpus pass, where the previous two-aggregate +
+    rejoin form evaluated the assignment subtree (scan + k*dim
+    distance folds) three times (r11 optimization: 3 scans -> 1,
+    measured in plans/r11/kmeans_assign_{before,after}.txt).  Only
+    dim decimal partials per cluster per partition cross the wire,
+    never vectors.  (An unrolled per-dim aggregate list was measured
+    3.5x slower in BUILD alone: 64 element_at sums + 64 projections
+    push thousands of nodes through analysis.)"""
     dim = len(centers_q[0])
     q = _q20(F.col(vec_col), dim)
     staged = df.select(F.col(id_col), q.alias("__q")).filter(
@@ -902,22 +907,30 @@ def kmeans_update_exact(
         .alias("cluster"),
         F.array_min(F.col("__d")).alias("__dist2"),
     )
-    agg = assigned.groupBy("cluster").agg(
-        F.count("*").alias("n_vecs"),
-        F.sum(F.col("__dist2").cast("decimal(38,0)"))
-        .cast("decimal(38,0)")
-        .alias("inertia"),
-    )
-    dims = (
-        assigned.select("cluster", F.posexplode("__q").alias("__i", "__x"))
+    # one pass: per (cluster, dim) the decimal coordinate sum, plus the
+    # cluster-level count and inertia (identical in every dim group of a
+    # cluster — each vector contributes its __dist2 to each of its dim
+    # rows exactly once, so the per-(cluster, dim) sums all equal the
+    # cluster total; max() picks the shared value back out)
+    dimagg = (
+        assigned.select(
+            "cluster", "__dist2", F.posexplode("__q").alias("__i", "__x")
+        )
         .groupBy("cluster", "__i")
-        .agg(F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"))
+        .agg(
+            F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"),
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("__dist2").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("inertia"),
+        )
     )
-    means = (
-        dims.join(agg.select("cluster", "n_vecs"), "cluster")
-        .select(
+    return (
+        dimagg.select(
             "cluster",
             "__i",
+            "n_vecs",
+            "inertia",
             F.round(F.col("__s").cast("double") / F.col("n_vecs"), 0)
             .cast("long")
             .cast("string")
@@ -925,6 +938,8 @@ def kmeans_update_exact(
         )
         .groupBy("cluster")
         .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.max("inertia").alias("inertia"),
             F.array_join(
                 F.transform(
                     F.array_sort(
@@ -933,11 +948,9 @@ def kmeans_update_exact(
                     lambda s: s["__m"],
                 ),
                 ",",
-            ).alias("mean_q_csv")
+            ).alias("mean_q_csv"),
         )
-    )
-    return agg.join(means, "cluster").select(
-        "cluster", "n_vecs", "inertia", "mean_q_csv"
+        .select("cluster", "n_vecs", "inertia", "mean_q_csv")
     )
 
 
@@ -998,6 +1011,15 @@ def semdedup_pairs(
     from pandance_spark._kernel import spread_partitions
 
     side = spread_partitions(side)
+    # side feeds BOTH ends of the cluster self-join; column aliases
+    # differ per side, so Spark's exchange reuse never fires and the
+    # whole assignment subtree (scan + quantize + k*dim distance folds
+    # + norm fold) evaluated TWICE (r11 before-plan: 4 corpus scans).
+    # The lazy checkpoint materializes it once; contents are the
+    # quantized projection of the embedding table (vectors + one
+    # norm), MEMORY_AND_DISK — at scale the spill I/O replaces a
+    # strictly more expensive rescan + recompute.
+    side = side.localCheckpoint(eager=False)
     a = side.select(
         F.col(id_col).alias("id_a"),
         F.col("__q").alias("__qa"),
