@@ -105,8 +105,33 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     repeated Column references; staging is the caller's lever)."""
     if n < 1:
         raise ValueError("shingle size must be >= 1")
-    # slice windows [i, i+n) over the token array; build via index
-    # sequence so each lambda references only its own variable
+    if n <= 4:
+        # zip_with chain over n aligned slices (r11 optimization): the
+        # transform-over-index form pays slice(toks, i, n) (an array
+        # allocation) + concat_ws per shingle inside an interpreted
+        # lambda — measured 3.4 s/pass over the sf0.1 eval corpus vs
+        # 0.68 s for this form at n=3 (5x), bit-identical output.
+        # Each zip_with pairs equal-length slices (no null padding)
+        # and the lambdas reference only their own variables
+        # (outer-capture rule, see module header).  Only for SMALL n:
+        # the chain re-copies the growing prefix string at each of the
+        # n-1 steps (~n/2 x the string bytes of the one-shot concat),
+        # and the 13-gram consumers (contamination_spans,
+        # decontam_composed) measured 1.4-1.5x SLOWER under it in situ
+        # — so large n keeps the one-shot concat_ws form below.
+        m = F.size(toks) - (n - 1)  # shingle count
+        z = F.slice(toks, 1, m)
+        for j in range(1, n):
+            z = F.zip_with(
+                z,
+                F.slice(toks, 1 + j, m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.when(
+            F.size(toks) < n, F.array().cast("array<string>")
+        ).otherwise(z)
+    # large n: slice windows [i, i+n) over the token array; build via
+    # index sequence so each lambda references only its own variable
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
