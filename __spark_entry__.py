@@ -1833,7 +1833,16 @@ def _q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         dropped.alias("text"),
     )
-    aug = docs.unionAll(variants)
+    # aug feeds THREE consumers (simhash chain, jaccard truth chain,
+    # n_docs) — spread + checkpoint once so the scan + variant
+    # projection run once, and the inner _spread no-ops keep the
+    # amplified stages on full parallelism (r11, same barrier
+    # minhash_eval applies internally)
+    aug = (
+        docs.unionAll(variants)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     cands = simhash_candidates(
         aug, "doc_id", "text", max_hamming=3, portable=True
     )

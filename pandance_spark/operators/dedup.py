@@ -1828,8 +1828,11 @@ def dedup_substrings(
     How (all DataFrame ops, no UDF): tokenize on whitespace; emit one
     ``min_tokens``-gram shingle per position as TWO independent 64-bit
     hashes (the string itself is dropped before the shuffle — 16 bytes
-    per position instead of ~6 bytes x min_tokens); self-equi-join on
-    the 128-bit hash pair; merge runs of consecutive matching
+    per position instead of ~6 bytes x min_tokens); ONE hash
+    aggregation on the 128-bit hash pair collects each shingle's
+    (id, pos) occurrence list, singleton groups are dropped, and
+    ordered in-group combinations replay exactly the pair set a
+    self-equi-join would emit; merge runs of consecutive matching
     positions at constant offset into maximal spans with a
     gaps-and-islands window per (doc_a, doc_b, offset).  A span of
     L >= min_tokens duplicated tokens yields L - min_tokens + 1
@@ -1839,14 +1842,17 @@ def dedup_substrings(
     through the shuffle.
 
     Scale plan: the shingle projection is per-row (no shuffle); the
-    equi-join shuffles 16-byte keys + (id, pos) — about 2.5x the
-    corpus bytes at 50-token grain, flat in doc count.  Candidate work
-    is proportional to DUPLICATED positions, never rows².  The one
-    quadratic hazard is a boilerplate shingle repeated in f places ->
-    f^2/2 pairs on one key: ``max_occurrences`` drops shingles seen
-    more than that many times (a map-side-combinable count + semi
-    join), the same frequency cut Lee et al. apply to pathological
-    repeats — at 100 TB set it to a few thousand.  Under a cap, spans
+    ONE group-by exchange moves 16-byte keys + (id, pos) — about
+    1.25x the corpus bytes at 50-token grain, flat in doc count (the
+    former self-join moved it twice and sorted both sides).
+    Candidate work is proportional to DUPLICATED positions, never
+    rows².  The one quadratic hazard is a boilerplate shingle
+    repeated in f places -> f^2/2 pairs on one key (identical under
+    the old join): ``max_occurrences`` drops shingles seen more than
+    that many times — now a filter on the collected per-hash
+    occurrence-list size, no extra pass — the same frequency cut Lee
+    et al. apply to pathological repeats; at 100 TB set it to a few
+    thousand.  Under a cap, spans
     covered only by dropped shingles are not reported, and a span
     whose MIDDLE shingles are dropped (its interior k-gram is itself
     hot boilerplate) is reported FRACTURED into the sub-spans the
@@ -1855,9 +1861,8 @@ def dedup_substrings(
     truncation).  The islands window partitions by
     (doc pair, offset): its partition size is bounded by a single
     document's length, not by corpus-wide key frequency, so no hot
-    reducer.  Like ``dedup_paragraphs``, the shingle stream feeds two
-    join sides — ``df`` must be deterministic (``localCheckpoint()``
-    nondeterministic sources first).  Partitioning caveat: the shingle
+    reducer.  The shingle stream now has ONE consumer, so no
+    determinism barrier is needed.  Partitioning caveat: the shingle
     posexplode amplifies each row ~``n_tokens``-fold WITHOUT a shuffle,
     so an input that arrives in few partitions (e.g. the output of a
     broadcast join over a small table) serializes the amplified stage
@@ -1868,38 +1873,52 @@ def dedup_substrings(
     if min_tokens < 2:
         raise ValueError("min_tokens must be >= 2")
     sh = _substring_shingles(df, id_col, text_col, min_tokens, hash_seed)
+    # r11 optimization (guide §2.4: remove shuffles outright): the
+    # former self-equi-join on (__h1, __h2) shuffled the shingle
+    # stream TWICE (one exchange + sort per side) and — because the
+    # per-side aliases defeat exchange reuse — evaluated the whole
+    # shingle build (tokenize + k-gram concat + double xxhash64)
+    # twice.  ONE hash aggregation on the same keys produces the
+    # identical pair set: collect the (id, pos) occurrence list per
+    # 128-bit hash, drop singleton groups (they cannot pair — the
+    # overwhelming majority of shingles), and emit ordered
+    # combinations i < j of the sorted list, which satisfy exactly
+    # the old join predicate (ida < idb) | (ida == idb & pa < pb).
+    # Shuffle bytes halve, both sorts disappear, and the subtree runs
+    # once with no barrier.  The f^2/2 hazard on a hot shingle is
+    # unchanged (the join had the same blow-up on one key) and is
+    # governed by ``max_occurrences``, now a free filter on the
+    # collected group size instead of a count + semi-join + checkpoint
+    # pre-pass.  Group lists are frequency-bounded (<= f entries), so
+    # no collected row outgrows one key's occurrence count.
+    occ = F.sort_array(
+        F.collect_list(F.struct(F.col("__id"), F.col("__pos")))
+    )
+    groups = (
+        sh.groupBy("__h1", "__h2")
+        .agg(occ.alias("__v"))
+        .filter(F.size("__v") >= 2)
+    )
     if max_occurrences is not None:
-        rare = (
-            sh.groupBy("__h1", "__h2")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_occurrences)
-            .select("__h1", "__h2")
+        groups = groups.filter(F.size("__v") <= max_occurrences)
+    v = F.col("__v")
+    combos = F.flatten(
+        F.transform(
+            v,
+            lambda x, i: F.transform(
+                F.slice(v, i + 2, F.size(v) - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        sh = sh.join(rare, ["__h1", "__h2"], "left_semi")
-        sh = sh.localCheckpoint(eager=True)
-    a = sh.select(
-        F.col("__id").alias("__ida"),
-        F.col("__pos").alias("__pa"),
-        "__h1",
-        "__h2",
     )
-    b = sh.select(
-        F.col("__id").alias("__idb"),
-        F.col("__pos").alias("__pb"),
-        F.col("__h1").alias("__h1b"),
-        F.col("__h2").alias("__h2b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("__h1") == F.col("__h1b"))
-        & (F.col("__h2") == F.col("__h2b"))
-        & (
-            (F.col("__ida") < F.col("__idb"))
-            | ((F.col("__ida") == F.col("__idb")) & (F.col("__pa") < F.col("__pb")))
-        ),
-        "inner",
-    ).select(
-        "__ida", "__idb", "__pa", (F.col("__pb") - F.col("__pa")).alias("__delta")
+    pairs = (
+        groups.select(F.explode(combos).alias("__p"))
+        .select(
+            F.col("__p.a.__id").alias("__ida"),
+            F.col("__p.b.__id").alias("__idb"),
+            F.col("__p.a.__pos").alias("__pa"),
+            (F.col("__p.b.__pos") - F.col("__p.a.__pos")).alias("__delta"),
+        )
     )
     return _substring_spans(pairs, min_tokens)
 
@@ -2415,6 +2434,15 @@ def minhash_eval(
             df = _stratified_doc_sample(
                 df, id_col, text_col, f, seed, portable
             )
+    # r11: df feeds THREE consumers (truth chain, candidate chain,
+    # n_docs count) — without a barrier each re-evaluates the input
+    # subtree (scan + any fixture projection + the sample when
+    # truth_sample_frac is set).  Spread FIRST so the checkpointed
+    # partitioning keeps the amplified shingle stages parallel (the
+    # inner _spread calls no-op on a non-file-backed plan), then
+    # materialize once.  (id, text)-sized — one corpus copy, vs three
+    # full re-evaluations.
+    df = _spread(df.select(id_col, text_col)).localCheckpoint(eager=True)
     truth = ngram_jaccard_join(
         df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
     )
