@@ -1497,12 +1497,18 @@ def _q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prio_sparse"),
     )
     if not os.path.isdir(root):
-        stage = root + ".stage"
+        # per-process stage + loser cleanup — the _publish_dir pattern
+        # (ADVICE r10); a shared ".stage" path lets two concurrent
+        # publishers interleave part files
+        import shutil
+
+        stage = root + f".stage-{os.getpid()}"
         proj.coalesce(4).write.mode("overwrite").orc(stage)
         try:
             os.rename(stage, root)
         except OSError:
-            pass  # concurrent publisher won; reuse theirs
+            # concurrent publisher won; reuse theirs
+            shutil.rmtree(stage, ignore_errors=True)
     back = read_any(spark, root, fmt="orc")
     return (
         back.filter(F.col("o_custkey") > 0)  # pushed into the ORC scan
