@@ -1849,12 +1849,24 @@ def _q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    cands = simhash_candidates(
-        aug, "doc_id", "text", max_hamming=3, portable=True
-    )
-    truth = ngram_jaccard_join(
-        aug, "doc_id", "text", shingle_n=3, threshold=0.6
-    )
+    # guide §2.6: both chains materialize eager checkpoints at build
+    # time (signature fold / shingle stream + prefix sets); with aug
+    # already a shared barrier they are independent, so build them from
+    # two driver threads and let the scheduler back-fill one chain's
+    # job tails with the other's tasks (same plans, same results).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        cands_f = pool.submit(
+            simhash_candidates,
+            aug, "doc_id", "text", max_hamming=3, portable=True,
+        )
+        truth_f = pool.submit(
+            ngram_jaccard_join,
+            aug, "doc_id", "text", shingle_n=3, threshold=0.6,
+        )
+        cands = cands_f.result()
+        truth = truth_f.result()
     return dedup_eval(cands, truth, n_docs=aug.select("doc_id"))
 
 

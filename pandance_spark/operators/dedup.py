@@ -1530,11 +1530,15 @@ def fingerprint_overlap_join(
     bounds the worst-case join fan-out (skew guard); ``None`` keeps
     the join exact over all fingerprints.
 
-    Plan shape: per-row fingerprint projection (no shuffle), explode to
-    an inverted index, optional document-frequency cap (the df agg and
-    the pair join share the fingerprint shuffle key), equi-join on
-    fingerprint with ``id_a < id_b``, count shared per pair.  Work is
-    proportional to sum over fingerprints of df^2 — bounded by
+    Plan shape (capped, the recommended form): per-row fingerprint
+    projection (no shuffle), explode to an inverted index, ONE hash
+    aggregation on the fingerprint collecting each group's sorted doc
+    list (``max_df`` is a filter on its size — no separate df pass),
+    ordered in-group combinations replaying exactly the join's
+    ``id_a < id_b`` pairs, count shared per pair.  With ``max_df=None``
+    the occurrence list is frequency-unbounded, so the exact uncapped
+    form keeps the AQE-splittable self-equi-join instead of collecting.
+    Work is proportional to sum over fingerprints of df^2 — bounded by
     ``max_df`` — never corpus rows².
 
     Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``.
@@ -1545,29 +1549,59 @@ def fingerprint_overlap_join(
         raise ValueError("min_shared must be >= 1")
     if max_df is not None and max_df < 2:
         raise ValueError("max_df must be >= 2 (a pair needs 2 docs)")
-    # the fingerprint projection (md5 per char k-gram) feeds several
-    # consumers — both join sides, plus the df-cap agg; checkpoint the
-    # exploded index so the expensive hashing runs once over the corpus
-    fps = (
-        _spread(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                char_ngram_fingerprints(F.col(text_col), k, mod)
-            ).alias("__fp"),
-        )
-        .localCheckpoint(eager=True)
+    fps = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            char_ngram_fingerprints(F.col(text_col), k, mod)
+        ).alias("__fp"),
     )
     if max_df is not None:
-        keep = (
+        # r11 optimization (guide §2.4, the dedup_substrings shape):
+        # the former self-equi-join on __fp shuffled the checkpointed
+        # index TWICE and needed a df-count + join + second checkpoint
+        # pre-pass for the cap.  ONE hash aggregation produces the
+        # identical pair multiset: per-doc fingerprints are DISTINCT
+        # (char_ngram_fingerprints array_distincts before explode), so
+        # each group's id list holds each doc at most once, and ordered
+        # in-group combinations of the sorted list replay exactly the
+        # join's (id_a < id_b) rows.  max_df becomes a free filter on
+        # the collected group size; both checkpoints disappear (the
+        # hashing now has ONE consumer).  Group lists are bounded by
+        # max_df entries, so no collected row outgrows the cap — this
+        # path is only taken when the cap bounds it.
+        groups = (
             fps.groupBy("__fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_df)
-            .select("__fp")
+            .agg(F.sort_array(F.collect_list("__id")).alias("__v"))
+            .filter(
+                (F.size("__v") >= 2) & (F.size("__v") <= max_df)
+            )
         )
-        fps = fps.join(keep, "__fp").localCheckpoint(eager=True)
-    fa = fps.select(F.col("__id").alias("id_a"), "__fp")
-    fb = fps.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fp_b"))
+        v = F.col("__v")
+        combos = F.flatten(
+            F.transform(
+                v,
+                lambda x, i: F.transform(
+                    F.slice(v, i + 2, F.size(v) - i - 1),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        pairs = groups.select(F.explode(combos).alias("__p")).select(
+            F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b")
+        )
+        return (
+            pairs.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared)
+        )
+    # max_df=None: an uncapped fingerprint's occurrence list is
+    # frequency-sized — collecting it onto one reducer row is a new
+    # OOM hazard the AQE-splittable join does not have, so the exact
+    # uncapped form keeps the join (checkpointed: the hashing feeds
+    # both sides).
+    fpsc = fps.localCheckpoint(eager=True)
+    fa = fpsc.select(F.col("__id").alias("id_a"), "__fp")
+    fb = fpsc.select(F.col("__id").alias("id_b"), F.col("__fp").alias("__fp_b"))
     return (
         fa.join(
             fb,
@@ -2443,13 +2477,29 @@ def minhash_eval(
     # materialize once.  (id, text)-sized — one corpus copy, vs three
     # full re-evaluations.
     df = _spread(df.select(id_col, text_col)).localCheckpoint(eager=True)
-    truth = ngram_jaccard_join(
-        df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
-    )
-    cands = minhash_candidates(
-        df, id_col, text_col, num_hashes, bands, shingle_n, seed,
-        portable=portable,
-    )
+    # r11 session 4 (guide §2.6 "overlap independent jobs"): the truth
+    # chain and the candidate chain each materialize eager checkpoints
+    # at BUILD time (shingle stream + prefix-ordered sets on one side,
+    # banded signature keys on the other).  Given the shared df barrier
+    # the two chains are independent — building them from two driver
+    # threads lets the scheduler back-fill the tail of one chain's jobs
+    # with the other's tasks instead of running the jobs end-to-end
+    # sequentially.  Plans and results are identical; only job overlap
+    # changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(
+            ngram_jaccard_join,
+            df, id_col, text_col, shingle_n=shingle_n, threshold=threshold,
+        )
+        cands_f = pool.submit(
+            minhash_candidates,
+            df, id_col, text_col, num_hashes, bands, shingle_n, seed,
+            portable=portable,
+        )
+        truth = truth_f.result()
+        cands = cands_f.result()
     # truth and cands each feed TWO consumers (their count aggregate
     # and the verified join); without a barrier Spark re-evaluates the
     # exact all-pairs join and the LSH plan once per consumer —

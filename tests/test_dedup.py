@@ -525,6 +525,58 @@ def test_fingerprint_overlap_join_max_df(spark):
         fingerprint_overlap_join(df, "doc_id", "text", max_df=1)
 
 
+def test_fingerprint_overlap_join_max_df_partial_cap(spark):
+    # r11: the capped branch is a single hash aggregation (collect the
+    # per-fingerprint doc list, emit ordered in-group combinations)
+    # instead of the self-equi-join — pin its VALUES against a
+    # brute-force replay with a cap that drops some fingerprints but
+    # keeps others, so surviving pair counts (not just emptiness) are
+    # asserted on the new code path.
+    from pandance_spark.operators.dedup import fingerprint_overlap_join
+
+    boiler = "common boilerplate stretch shared by every single document"
+    duo = "a rarer passage shared by exactly two documents only right"
+    rows = [
+        (1, boiler + " " + duo + " one"),
+        (2, boiler + " " + duo + " two"),
+        (3, boiler + " third doc unique trailing content here"),
+        (4, boiler + " fourth doc other unique trailing content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = fingerprint_overlap_join(
+        df, "doc_id", "text", k=8, mod=4, min_shared=1, max_df=2
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in out}
+
+    import hashlib
+
+    def fps(text):
+        t = text.lower()
+        grams = [t[i : i + 8] for i in range(len(t) - 7)]
+        hs = {
+            int(hashlib.md5(g.encode()).hexdigest()[:14], 16)
+            for g in grams
+        }
+        return {h for h in hs if h % 4 == 0}
+
+    fsets = {i: fps(t) for i, t in rows}
+    # document frequency per fingerprint; cap at 2
+    from collections import Counter
+
+    dfreq = Counter(h for s in fsets.values() for h in s)
+    kept = {h for h, c in dfreq.items() if c <= 2}
+    want = {}
+    ids = sorted(fsets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                shared = len(fsets[i] & fsets[j] & kept)
+                if shared >= 1:
+                    want[(i, j)] = shared
+    assert got == want
+    assert (1, 2) in got  # the duo passage survives the cap
+
+
 def test_edit_distance_join_middle_bucket_d2(spark):
     # regression: the [p-d, p+d] span covers THREE width-(d+1) buckets
     # for d=2; endpoint-only fan-out missed pairs whose only shared
