@@ -2331,13 +2331,23 @@ def _q_ppl_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pandance_spark.functions.lm import ppl_buckets
 
     docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    kn = ppl_buckets(docs, "doc_id", "text", scorer="kn").select(
-        "doc_id", "n_tokens", "cross_entropy", "perplexity",
-        F.col("bucket").alias("bucket_kn"),
-    )
-    uni = ppl_buckets(docs, "doc_id", "text").select(
-        "doc_id", F.col("bucket").alias("bucket_uni")
-    )
+    # guide §2.6: both scorers must replay (they ARE the query), but
+    # each trains its model behind an eager checkpoint at build time —
+    # two driver threads overlap those jobs (same plans, same results).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        kn_f = pool.submit(
+            ppl_buckets, docs, "doc_id", "text", scorer="kn"
+        )
+        uni_f = pool.submit(ppl_buckets, docs, "doc_id", "text")
+        kn = kn_f.result().select(
+            "doc_id", "n_tokens", "cross_entropy", "perplexity",
+            F.col("bucket").alias("bucket_kn"),
+        )
+        uni = uni_f.result().select(
+            "doc_id", F.col("bucket").alias("bucket_uni")
+        )
     return kn.join(uni, "doc_id").withColumn(
         "moved", F.col("bucket_kn") != F.col("bucket_uni")
     )
@@ -4280,17 +4290,31 @@ def _q_decontam_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(toks, 11, 30), " ").alias("btext"),
     )
-    hits = containment_join(
-        bench, docs, "bench_id", "btext", "doc_id", "text",
-        shingle_n=13, threshold=0.9,
-    ).select(
-        F.col("query_id").alias("bench_id"),
-        F.col("corpus_id").alias("doc_id"),
-        "containment",
-    )
-    spans = contamination_spans(
-        docs, "doc_id", "text", bench, "bench_id", "btext", min_tokens=13
-    )
+    # guide §2.6: the two detectors are independent (their features
+    # genuinely differ — the r11 audit kept them separate on those
+    # grounds), but each materializes eager checkpoints at build time,
+    # so building them from two driver threads overlaps those jobs
+    # (same plans, same results; sharing subtrees would need API
+    # changes, overlap does not).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        hits_f = pool.submit(
+            containment_join,
+            bench, docs, "bench_id", "btext", "doc_id", "text",
+            shingle_n=13, threshold=0.9,
+        )
+        spans_f = pool.submit(
+            contamination_spans,
+            docs, "doc_id", "text", bench, "bench_id", "btext",
+            min_tokens=13,
+        )
+        hits = hits_f.result().select(
+            F.col("query_id").alias("bench_id"),
+            F.col("corpus_id").alias("doc_id"),
+            "containment",
+        )
+        spans = spans_f.result()
     ev = spans.groupBy(
         F.col("doc_b").alias("s_bench"), F.col("doc_a").alias("s_doc")
     ).agg(
