@@ -2991,6 +2991,13 @@ def _q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~180x on those cores.  Spread the tiny pre-explode table so
         # the amplified stage parallelizes (sf0.1: 9.6 s -> sub-second)
         .repartition(spark.sparkContext.defaultParallelism)
+        # r12: the re-guarded operator evaluates its input twice (hot-
+        # key count pre-pass + collect pass, dedup.py) and documents
+        # the standard determinism barrier for multi-consumer inputs;
+        # the synth frame is doc-count-sized (pre-explode), so the
+        # checkpoint is cheap and the successor join + repartition run
+        # once instead of per consumer
+        .localCheckpoint(eager=True)
     )
     return dedup_substrings(synth, "sid", "text", min_tokens=20)
 

@@ -75,6 +75,17 @@ _PRIME = (1 << 31) - 1
 
 from pandance_spark._kernel import spread_partitions as _spread  # noqa: E402
 
+# r12 skew guard for the join->aggregation rewrites (dedup_substrings,
+# fingerprint_overlap_join): groups whose occurrence count exceeds this
+# are routed through the AQE-splittable self-join instead of being
+# collected into a single aggregation row.  Bounds the per-row memory of
+# the collected path at ~_HOT_GROUP_CAP list entries plus
+# ~_HOT_GROUP_CAP^2/2 emitted combo structs (<~1 MB at 256), independent
+# of corpus-wide key frequency.  Scale-independent (it caps a ROW, not a
+# partition), so a constant is correct at any input size; tests shrink
+# it via monkeypatch to exercise the hot path on small fixtures.
+_HOT_GROUP_CAP = 256
+
 
 def _hash_params(num_hashes: int, seed: int = 42):
     """Deterministic (a, b) pairs for the universal hash family
@@ -1531,15 +1542,22 @@ def fingerprint_overlap_join(
     the join exact over all fingerprints.
 
     Plan shape (capped, the recommended form): per-row fingerprint
-    projection (no shuffle), explode to an inverted index, ONE hash
-    aggregation on the fingerprint collecting each group's sorted doc
-    list (``max_df`` is a filter on its size — no separate df pass),
-    ordered in-group combinations replaying exactly the join's
-    ``id_a < id_b`` pairs, count shared per pair.  With ``max_df=None``
-    the occurrence list is frequency-unbounded, so the exact uncapped
-    form keeps the AQE-splittable self-equi-join instead of collecting.
-    Work is proportional to sum over fingerprints of df^2 — bounded by
-    ``max_df`` — never corpus rows².
+    projection (no shuffle), explode to an inverted index, a map-side-
+    combinable count per fingerprint finds the HOT keys (df above
+    ``min(max_df, _HOT_GROUP_CAP)``), the collect aggregation runs
+    behind a left-anti join against them — so no collected occurrence
+    list ever exceeds that bound, regardless of corpus-wide key
+    frequency — and ordered in-group combinations replay exactly the
+    join's ``id_a < id_b`` pairs.  Fingerprints with df in
+    ``(_HOT_GROUP_CAP, max_df]`` (only possible when the cap exceeds
+    the row-memory guard) go through the AQE-splittable self-join and
+    the two pair streams are unioned before the shared-count
+    aggregation.  With ``max_df=None`` the exact uncapped form keeps
+    the self-equi-join for every key.  Work is proportional to sum
+    over fingerprints of df^2 — bounded by ``max_df`` — never corpus
+    rows².  Rows with a NULL id are dropped up front (the join form's
+    ``id_a < id_b`` never matched them; the collected form keeps the
+    same contract explicitly).
 
     Returns ``(id_a, id_b, shared_fps)`` with ``id_a < id_b``.
     """
@@ -1549,32 +1567,59 @@ def fingerprint_overlap_join(
         raise ValueError("min_shared must be >= 1")
     if max_df is not None and max_df < 2:
         raise ValueError("max_df must be >= 2 (a pair needs 2 docs)")
-    fps = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            char_ngram_fingerprints(F.col(text_col), k, mod)
-        ).alias("__fp"),
+    fps = (
+        _spread(df)
+        .filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                char_ngram_fingerprints(F.col(text_col), k, mod)
+            ).alias("__fp"),
+        )
     )
     if max_df is not None:
-        # r11 optimization (guide §2.4, the dedup_substrings shape):
-        # the former self-equi-join on __fp shuffled the checkpointed
-        # index TWICE and needed a df-count + join + second checkpoint
-        # pre-pass for the cap.  ONE hash aggregation produces the
-        # identical pair multiset: per-doc fingerprints are DISTINCT
-        # (char_ngram_fingerprints array_distincts before explode), so
-        # each group's id list holds each doc at most once, and ordered
-        # in-group combinations of the sorted list replay exactly the
-        # join's (id_a < id_b) rows.  max_df becomes a free filter on
-        # the collected group size; both checkpoints disappear (the
-        # hashing now has ONE consumer).  Group lists are bounded by
-        # max_df entries, so no collected row outgrows the cap — this
-        # path is only taken when the cap bounds it.
+        # r11 turned the capped self-equi-join into one hash
+        # aggregation (per-doc fingerprints are DISTINCT, so ordered
+        # in-group combinations of the sorted doc list replay exactly
+        # the join's (id_a < id_b) rows).  r12 re-guard (ADVICE r11
+        # high): the r11 form collected the FULL occurrence list and
+        # only then filtered on its size, so a corpus-wide boilerplate
+        # fingerprint — the exact rows max_df exists to drop —
+        # materialized an unbounded array on one reducer row.  Now a
+        # count aggregation (map-side combinable, key-sized shuffle)
+        # finds the hot fingerprints first and the collect runs behind
+        # a left-anti join against them: no collected list exceeds
+        # min(max_df, _HOT_GROUP_CAP).  Keys the cap KEEPS above the
+        # row-memory guard (df in (_HOT_GROUP_CAP, max_df]) pair via
+        # the AQE-splittable self-join below.  The count pass
+        # re-evaluates the fingerprint projection (map-only,
+        # embarrassingly parallel — cheaper than materializing the
+        # exploded index, per the r11 checkpoint A/B), so df must be
+        # deterministic, same as the uncapped join form.
+        bound = min(max_df, _HOT_GROUP_CAP)
+        # ONE explicit exchange on the fingerprint feeds the count
+        # pre-pass, the anti-joined collect and the hot self-join:
+        # identical subtrees, so ReuseExchange shuffle-writes the
+        # inverted index ONCE and each pass local-reads it (§2.4).
+        fpr = fps.repartition("__fp")
+        # count(__id) == count(1) here (__id is filtered non-NULL
+        # upstream) but keeps __id referenced, so this branch's copy
+        # of the exchange canonicalizes equal to the collect branch's
+        # and AQE reuses ONE shuffle of the inverted index (pruned to
+        # bare keys it would shuffle-write twice — measured on the
+        # substrings twin).
+        counts = fpr.groupBy("__fp").agg(F.count("__id").alias("__n"))
+        # broadcast hint: without it the static planner picks an SMJ
+        # for the anti join and shuffle-writes the full fingerprint
+        # stream before AQE can downgrade it.  Hot keys are corpus-wide
+        # boilerplate — few by nature (bounded by rows/bound, tiny in
+        # any non-pathological corpus), so the build side is hint-safe.
+        hot = F.broadcast(counts.filter(F.col("__n") > bound).select("__fp"))
         groups = (
-            fps.groupBy("__fp")
+            fpr.join(hot, "__fp", "left_anti")
+            .groupBy("__fp")
             .agg(F.sort_array(F.collect_list("__id")).alias("__v"))
-            .filter(
-                (F.size("__v") >= 2) & (F.size("__v") <= max_df)
-            )
+            .filter(F.size("__v") >= 2)
         )
         v = F.col("__v")
         combos = F.flatten(
@@ -1589,6 +1634,24 @@ def fingerprint_overlap_join(
         pairs = groups.select(F.explode(combos).alias("__p")).select(
             F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b")
         )
+        if max_df > _HOT_GROUP_CAP:
+            mid = F.broadcast(
+                counts.filter(
+                    (F.col("__n") > bound) & (F.col("__n") <= max_df)
+                ).select("__fp")
+            )
+            msh = fpr.join(mid, "__fp", "left_semi")
+            ja = msh.select(F.col("__id").alias("id_a"), "__fp")
+            jb = msh.select(
+                F.col("__id").alias("id_b"), F.col("__fp").alias("__fp_b")
+            )
+            pairs = pairs.unionByName(
+                ja.join(
+                    jb,
+                    (ja["__fp"] == jb["__fp_b"]) & (ja["id_a"] < jb["id_b"]),
+                    "inner",
+                ).select("id_a", "id_b")
+            )
         return (
             pairs.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared_fps"))
@@ -1883,10 +1946,13 @@ def dedup_substrings(
     rows².  The one quadratic hazard is a boilerplate shingle
     repeated in f places -> f^2/2 pairs on one key (identical under
     the old join): ``max_occurrences`` drops shingles seen more than
-    that many times — now a filter on the collected per-hash
-    occurrence-list size, no extra pass — the same frequency cut Lee
-    et al. apply to pathological repeats; at 100 TB set it to a few
-    thousand.  Under a cap, spans
+    that many times — a map-side-combinable count pre-pass whose hot
+    keys the collect aggregation anti-joins away, so no collected row
+    exceeds ``min(max_occurrences, _HOT_GROUP_CAP)`` entries; keys
+    above the row-memory guard that the cap keeps (or every hot key
+    when uncapped) pair through an AQE-splittable self-join instead —
+    the same frequency cut Lee et al. apply to pathological repeats;
+    at 100 TB set it to a few thousand.  Under a cap, spans
     covered only by dropped shingles are not reported, and a span
     whose MIDDLE shingles are dropped (its interior k-gram is itself
     hot boilerplate) is reported FRACTURED into the sub-spans the
@@ -1895,8 +1961,10 @@ def dedup_substrings(
     truncation).  The islands window partitions by
     (doc pair, offset): its partition size is bounded by a single
     document's length, not by corpus-wide key frequency, so no hot
-    reducer.  The shingle stream now has ONE consumer, so no
-    determinism barrier is needed.  Partitioning caveat: the shingle
+    reducer.  The count pre-pass and the collect pass each evaluate
+    the shingle stream, so ``df`` must be deterministic
+    (``localCheckpoint()`` nondeterministic sources first).
+    Partitioning caveat: the shingle
     posexplode amplifies each row ~``n_tokens``-fold WITHOUT a shuffle,
     so an input that arrives in few partitions (e.g. the output of a
     broadcast join over a small table) serializes the amplified stage
@@ -1918,23 +1986,73 @@ def dedup_substrings(
     # overwhelming majority of shingles), and emit ordered
     # combinations i < j of the sorted list, which satisfy exactly
     # the old join predicate (ida < idb) | (ida == idb & pa < pb).
-    # Shuffle bytes halve, both sorts disappear, and the subtree runs
-    # once with no barrier.  The f^2/2 hazard on a hot shingle is
-    # unchanged (the join had the same blow-up on one key) and is
-    # governed by ``max_occurrences``, now a free filter on the
-    # collected group size instead of a count + semi-join + checkpoint
-    # pre-pass.  Group lists are frequency-bounded (<= f entries), so
-    # no collected row outgrows one key's occurrence count.
+    # r12 re-guard (VERDICT r11 item 1): the r11 form collected the
+    # occurrence list for EVERY key, so one corpus-wide boilerplate
+    # shingle put an f-entry list plus an f^2/2-struct combos array on
+    # a single reducer row — unbounded at 100 TB, where the old join's
+    # f^2/2 output ROWS were at least AQE-splittable.  Now a count
+    # aggregation (map-side combinable, key-sized shuffle) finds the
+    # HOT keys (occurrences above min(max_occurrences, _HOT_GROUP_CAP))
+    # first; the collect aggregation runs behind a left-anti join
+    # against them, so no collected row exceeds that bound, and the
+    # hot keys that survive the cap pair through the AQE-splittable
+    # self-join, the two pair streams unioning BEFORE the span merge
+    # (one doc pair's shingles can straddle both branches).  When no
+    # hot key exists the anti join is a pass-through and the join
+    # branch an empty relation — AQE eliminates both at runtime, so
+    # the common case keeps the r11 single-aggregation plan plus only
+    # the count pre-pass.  The count pass re-evaluates the shingle
+    # build (map-only, embarrassingly parallel — cheaper than
+    # materializing the exploded stream, per the r11 checkpoint A/B),
+    # so ``df`` must be deterministic — ``localCheckpoint()``
+    # nondeterministic sources first, the same rule the pre-r11 join
+    # form documented.
+    bound = (
+        min(max_occurrences, _HOT_GROUP_CAP)
+        if max_occurrences is not None
+        else _HOT_GROUP_CAP
+    )
+    # ONE explicit exchange on the group key feeds every consumer
+    # below (count pre-pass, anti-joined collect, hot-key self-join):
+    # the subtrees are identical, so ReuseExchange/AQE stage reuse
+    # shuffle-writes the shingle stream ONCE and each pass local-reads
+    # it — the same §2.4 move as repartition-then-groupBy.  (Separate
+    # groupBys would each plant their own exchange with differing
+    # partial aggregates inside, defeating reuse and re-evaluating the
+    # shingle build per pass.)  Key-partitioned reads stream through
+    # count/filter without buffering, so a hot key never concentrates
+    # in an aggregation buffer — only in an exchange partition, which
+    # is read sequentially.
+    shr = sh.repartition("__h1", "__h2")
+    # count(when(pos >= 0, id)) == count(1) here (posexplode positions
+    # are >= 0 by construction, ids filtered non-NULL upstream), but
+    # unlike count(1) it keeps both payload columns referenced, so the
+    # optimizer cannot column-prune this branch's copy of the exchange
+    # down to bare keys — pruned, the two exchange subtrees stop
+    # canonicalizing equal and AQE shuffle-writes the shingle stream
+    # twice instead of reusing one stage (measured; count(struct(..))
+    # gets rewritten to count(1) and prunes anyway).
+    counts = shr.groupBy("__h1", "__h2").agg(
+        F.count(F.when(F.col("__pos") >= 0, F.col("__id"))).alias("__n")
+    )
+    # broadcast hint: without it the static planner picks an SMJ for
+    # the anti join and shuffle-writes the full shingle stream a
+    # second time before AQE can downgrade it.  Hot keys are
+    # corpus-wide boilerplate — few by nature (bounded by
+    # positions/bound), so the build side is hint-safe at any scale
+    # the operator itself survives.
+    hot = F.broadcast(
+        counts.filter(F.col("__n") > bound).select("__h1", "__h2")
+    )
     occ = F.sort_array(
         F.collect_list(F.struct(F.col("__id"), F.col("__pos")))
     )
     groups = (
-        sh.groupBy("__h1", "__h2")
+        shr.join(hot, ["__h1", "__h2"], "left_anti")
+        .groupBy("__h1", "__h2")
         .agg(occ.alias("__v"))
         .filter(F.size("__v") >= 2)
     )
-    if max_occurrences is not None:
-        groups = groups.filter(F.size("__v") <= max_occurrences)
     v = F.col("__v")
     combos = F.flatten(
         F.transform(
@@ -1954,6 +2072,51 @@ def dedup_substrings(
             (F.col("__p.b.__pos") - F.col("__p.a.__pos")).alias("__delta"),
         )
     )
+    if max_occurrences is None or max_occurrences > _HOT_GROUP_CAP:
+        if max_occurrences is None:
+            mid = hot  # same plan object -> one broadcast build
+        else:
+            mid = F.broadcast(
+                counts.filter(
+                    (F.col("__n") > bound)
+                    & (F.col("__n") <= max_occurrences)
+                ).select("__h1", "__h2")
+            )
+        msh = shr.join(mid, ["__h1", "__h2"], "left_semi")
+        ja = msh.select(
+            F.col("__id").alias("__ida_j"),
+            F.col("__pos").alias("__pa_j"),
+            "__h1",
+            "__h2",
+        )
+        jb = msh.select(
+            F.col("__id").alias("__idb_j"),
+            F.col("__pos").alias("__pb_j"),
+            F.col("__h1").alias("__h1b"),
+            F.col("__h2").alias("__h2b"),
+        )
+        jp = (
+            ja.join(
+                jb,
+                (F.col("__h1") == F.col("__h1b"))
+                & (F.col("__h2") == F.col("__h2b"))
+                & (
+                    (F.col("__ida_j") < F.col("__idb_j"))
+                    | (
+                        (F.col("__ida_j") == F.col("__idb_j"))
+                        & (F.col("__pa_j") < F.col("__pb_j"))
+                    )
+                ),
+                "inner",
+            )
+            .select(
+                F.col("__ida_j").alias("__ida"),
+                F.col("__idb_j").alias("__idb"),
+                F.col("__pa_j").alias("__pa"),
+                (F.col("__pb_j") - F.col("__pa_j")).alias("__delta"),
+            )
+        )
+        pairs = pairs.unionByName(jp)
     return _substring_spans(pairs, min_tokens)
 
 
@@ -1965,6 +2128,10 @@ def _substring_shingles(
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     return (
         _spread(df)
+        # NULL ids never paired under the join form's id ordering
+        # predicate; drop them up front so the collected form keeps
+        # the identical contract (ADVICE r11)
+        .filter(F.col(id_col).isNotNull())
         .select(
             F.col(id_col).alias("__id"),
             F.posexplode(

@@ -577,6 +577,77 @@ def test_fingerprint_overlap_join_max_df_partial_cap(spark):
     assert (1, 2) in got  # the duo passage survives the cap
 
 
+def test_fingerprint_overlap_join_mid_branch_above_guard(
+    spark, monkeypatch
+):
+    # r12 re-guard (ADVICE r11 high): fingerprints with df above
+    # _HOT_GROUP_CAP never reach the collect aggregation — those the
+    # cap keeps (df in (guard, max_df]) pair via the self-join branch
+    # and the two pair streams union BEFORE the shared-count
+    # aggregation, so a doc pair sharing fingerprints from both
+    # branches still counts them all.  Shrink the guard to exercise
+    # the split on a small fixture and pin equality with the
+    # single-branch output at the default guard.
+    import pandance_spark.operators.dedup as dd
+    from pandance_spark.operators.dedup import fingerprint_overlap_join
+
+    boiler = "common boilerplate stretch shared by every single document"
+    duo = "a rarer passage shared by exactly two documents only right"
+    rows = [
+        (1, boiler + " " + duo + " one"),
+        (2, boiler + " " + duo + " two"),
+        (3, boiler + " third doc unique trailing content here"),
+        (4, boiler + " fourth doc other unique trailing content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    kwargs = dict(k=8, mod=4, min_shared=1, max_df=4)
+    want = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in fingerprint_overlap_join(
+            df, "doc_id", "text", **kwargs
+        ).collect()
+    }
+    monkeypatch.setattr(dd, "_HOT_GROUP_CAP", 2)
+    got = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in fingerprint_overlap_join(
+            df, "doc_id", "text", **kwargs
+        ).collect()
+    }
+    assert got == want
+    # (1,2) shares the duo fps (df=2, aggregation branch) AND the
+    # boilerplate fps (df=4, join branch): both must be in its count
+    assert (1, 2) in got
+
+
+def test_fingerprint_overlap_join_null_ids_dropped(spark):
+    # ADVICE r11: sort_array places NULL first, so the r11 capped path
+    # emitted (NULL, id) pairs the join form's id_a < id_b never
+    # produced; both paths now drop NULL ids up front
+    from pandance_spark.operators.dedup import fingerprint_overlap_join
+
+    base = "the licensing header that repeats verbatim across documents"
+    clean = [(1, base + " one"), (2, base + " two")]
+    with_null = clean + [(None, base + " three")]
+    for max_df in (None, 3):
+        want = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in fingerprint_overlap_join(
+                spark.createDataFrame(clean, "doc_id int, text string"),
+                "doc_id", "text", k=8, mod=4, min_shared=1, max_df=max_df,
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["shared_fps"]
+            for r in fingerprint_overlap_join(
+                spark.createDataFrame(with_null, "doc_id int, text string"),
+                "doc_id", "text", k=8, mod=4, min_shared=1, max_df=max_df,
+            ).collect()
+        }
+        assert got == want and want, max_df
+        assert all(a is not None and b is not None for a, b in got)
+
+
 def test_edit_distance_join_middle_bucket_d2(spark):
     # regression: the [p-d, p+d] span covers THREE width-(d+1) buckets
     # for d=2; endpoint-only fan-out missed pairs whose only shared
@@ -788,6 +859,98 @@ def test_dedup_substrings_cap_fractures_partially_covered_spans(spark):
     # entirely, and never reported at full length
     assert capped and all(s[4] < 10 for s in capped)
     assert all(s[2] >= 0 and s[2] + s[4] <= 10 for s in capped)
+
+
+def test_dedup_substrings_hot_keys_route_through_join_branch(
+    spark, monkeypatch
+):
+    # r12 re-guard (VERDICT r11 item 1): shingles hotter than
+    # _HOT_GROUP_CAP pair via the AQE-splittable self-join instead of
+    # the collect aggregation.  Shrink the guard so a small fixture
+    # exercises BOTH branches plus the pair-stream union, and assert
+    # the output still equals the brute-force span set (and therefore
+    # the pure-aggregation path's output at the default guard).
+    import pandance_spark.operators.dedup as dd
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    hot = "h1 h2 h3 h4"  # f=10: the only shingle above the shrunk guard
+    pair = [
+        (1, f"a1 a2 a3 {hot} b1 b2 b3"),
+        (2, f"a1 a2 a3 {hot} b1 b2 b3"),
+    ]
+    noise = [(10 + i, f"x{i} {hot} y{i}") for i in range(8)]
+    docs = pair + noise
+    df = spark.createDataFrame(docs, ["id", "text"])
+    want = _brute_spans(docs, 4)
+    got_default = {
+        tuple(r)
+        for r in dedup_substrings(df, "id", "text", min_tokens=4).collect()
+    }
+    assert got_default == want
+    monkeypatch.setattr(dd, "_HOT_GROUP_CAP", 3)
+    got_hybrid = {
+        tuple(r)
+        for r in dedup_substrings(df, "id", "text", min_tokens=4).collect()
+    }
+    # the (1,2) maximal span straddles both branches: its interior hot
+    # shingle arrives from the join, its flanks from the aggregation —
+    # the union before the islands merge must reassemble it exactly
+    assert got_hybrid == want
+    assert (1, 2, 0, 0, 10) in got_hybrid
+
+
+def test_dedup_substrings_capped_mid_branch_agrees(spark, monkeypatch):
+    # capped form with max_occurrences ABOVE the row-memory guard:
+    # keys with counts in (_HOT_GROUP_CAP, max_occurrences] must still
+    # pair (through the join branch), keys above the cap must drop
+    import pandance_spark.operators.dedup as dd
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    warm = "w1 w2 w3 w4"  # f=4: above the shrunk guard, within the cap
+    hot = "h1 h2 h3 h4"  # f=8: above the cap -> dropped on both paths
+    docs = [(i, f"p{i} {warm} q{i} {hot}") for i in range(1, 5)]
+    docs += [(10 + i, f"r{i} {hot} s{i}") for i in range(4)]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    want = {
+        tuple(r)
+        for r in dedup_substrings(
+            df, "id", "text", min_tokens=4, max_occurrences=5
+        ).collect()
+    }
+    monkeypatch.setattr(dd, "_HOT_GROUP_CAP", 3)
+    got = {
+        tuple(r)
+        for r in dedup_substrings(
+            df, "id", "text", min_tokens=4, max_occurrences=5
+        ).collect()
+    }
+    assert got == want
+    assert want  # the warm spans survive the cap on both paths
+
+
+def test_dedup_substrings_null_ids_dropped(spark):
+    # the pre-r11 join form's (id_a < id_b) predicate silently dropped
+    # NULL ids; the collected form keeps that contract via an explicit
+    # up-front filter (ADVICE r11)
+    from pandance_spark.operators.dedup import dedup_substrings
+
+    clean = [(1, "a b c d e f"), (2, "z a b c d e f")]
+    with_null = clean + [(None, "a b c d e f")]
+    df_clean = spark.createDataFrame(clean, "id int, text string")
+    df_null = spark.createDataFrame(with_null, "id int, text string")
+    want = {
+        tuple(r)
+        for r in dedup_substrings(
+            df_clean, "id", "text", min_tokens=4
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in dedup_substrings(
+            df_null, "id", "text", min_tokens=4
+        ).collect()
+    }
+    assert got == want and want
 
 
 def test_contamination_spans_cross_corpus(spark):
