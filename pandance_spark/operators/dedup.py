@@ -1322,6 +1322,7 @@ def edit_distance_join(
     grams = base.select(
         "__id",
         "__len",
+        "__s",
         F.explode(
             F.when(
                 F.col("__len") >= q,
@@ -1336,10 +1337,31 @@ def edit_distance_join(
                 F.array().cast("array<struct<g:string,p:int>>")
             )
         ).alias("__gp"),
-    ).select("__id", "__len", F.col("__gp.g").alias("__g"), F.col("__gp.p").alias("__p"))
+    ).select(
+        "__id",
+        "__len",
+        "__s",
+        F.col("__gp.g").alias("__g"),
+        F.col("__gp.p").alias("__p"),
+    )
     # rarest-first global order on gram VALUE; ties by (gram, position)
     # for a total order per string
     freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    # r12 (guide §2.3 "shuffle keys and metadata instead of payloads",
+    # INVERTED for short strings): the prefix index CARRIES the string
+    # itself — at most ``prefix_len`` copies of a short string — so
+    # the verification (built-in levenshtein) runs INLINE on each
+    # candidate join row.  The former shape piped every candidate
+    # pair through a distinct and TWO string-fetch shuffle joins
+    # before verifying; on gram-collision-heavy corpora (the TPC-H
+    # name fixture: 3.2M candidates for 1.8k true pairs at sf0.1)
+    # those three post-join shuffles of the candidate stream were
+    # ~2/3 of the runtime.  Verified rows are match-sized, so the
+    # final distinct is trivial.  Strings here are short by the
+    # operator's nature (edit distance <= k only means anything when
+    # k is comparable to the string length), so the wider prefix
+    # exchange costs ~prefix_len string copies — bytes the old plan
+    # paid anyway in its two verification joins.
     ranked = grams.join(freq, "__g").withColumn(
         "__rk",
         F.row_number().over(
@@ -1353,9 +1375,22 @@ def edit_distance_join(
             (F.col("__len") - q + 1 > q * max_dist)
             & (F.col("__rk") <= prefix_len)
         )
-        .select("__id", "__len", "__g", "__p")
+        .select("__id", "__len", "__s", "__g", "__p")
         .localCheckpoint(eager=True)
     )
+    # AQE sizes the window exchange above by BYTES, but the candidate
+    # join's work is quadratic in gram collisions — a byte-tiny prefix
+    # index can arrive in ONE partition and serialize the whole join
+    # on one core (measured: 1 partition at sf0.1, every downstream
+    # stage single-threaded).  The checkpoint is already materialized,
+    # so its partition count is a free property; respread only when it
+    # sits below the session's parallelism — at real scale the index
+    # is wide already and this never fires.
+    sc = df.sparkSession.sparkContext
+    if prefix.rdd.getNumPartitions() < sc.defaultParallelism:
+        prefix = prefix.repartition(
+            sc.defaultParallelism
+        ).localCheckpoint(eager=True)
     # probe side keeps its own bucket; build side fans out to EVERY
     # bucket a position within +-d could land in.  The span [p-d, p+d]
     # (width 2d+1) can straddle THREE width-(d+1) buckets for d >= 2 —
@@ -1366,6 +1401,7 @@ def edit_distance_join(
     pa = prefix.select(
         F.col("__id").alias("id_a"),
         F.col("__len").alias("len_a"),
+        F.col("__s").alias("__sa"),
         "__g",
         F.col("__p").alias("__pa"),
         F.floor(F.col("__p") / w).alias("__bk"),
@@ -1373,6 +1409,7 @@ def edit_distance_join(
     pb = prefix.select(
         F.col("__id").alias("id_b"),
         F.col("__len").alias("len_b"),
+        F.col("__s").alias("__sb"),
         F.col("__g").alias("__g_b"),
         F.col("__p").alias("__pb"),
         F.explode(
@@ -1382,50 +1419,67 @@ def edit_distance_join(
             )
         ).alias("__bk_b"),
     )
-    cands = (
+    # levenshtein verification INLINE, as the LAST conjunct of the
+    # join condition: candidate rows that fail the distance never
+    # leave the join operator — no candidate-stream distinct, no
+    # string-fetch joins.  Order matters: written as a post-join
+    # filter, Catalyst pushes the predicate into the condition but
+    # PREPENDS it, so the DP would run on every key-collision pair
+    # before the cheap positional/length conjuncts get to prune
+    # (measured 14s vs 2s on the sf0.1 linkage fixture); in-condition
+    # last, it runs only on pairs surviving them.  The projection
+    # recomputes the distance for the (match-sized) survivors.
+    pairs = (
         pa.join(
             pb,
             (pa["__g"] == pb["__g_b"])
             & (pa["__bk"] == pb["__bk_b"])
             & (F.abs(pa["__pa"] - pb["__pb"]) <= max_dist)
             & (pa["id_a"] < pb["id_b"])
-            & (F.abs(pa["len_a"] - pb["len_b"]) <= max_dist),
+            & (F.abs(pa["len_a"] - pb["len_b"]) <= max_dist)
+            # threshold form: banded O(len*d) DP with early exit,
+            # returns -1 above the bound — ~2x the plain form here
+            & (F.levenshtein(pa["__sa"], pb["__sb"], max_dist) >= 0),
             "inner",
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb", max_dist).alias("dist"),
+        )
     )
     # short strings (< q*(d+1) chars): length-banded pairs vs everything
     degen = base.filter(F.col("__len") - q + 1 <= q * max_dist).select(
-        F.col("__id").alias("id_d"), F.col("__len").alias("len_d")
+        F.col("__id").alias("id_d"),
+        F.col("__len").alias("len_d"),
+        F.col("__s").alias("__sd"),
     )
     allside = base.select(
-        F.col("__id").alias("id_o"), F.col("__len").alias("len_o")
+        F.col("__id").alias("id_o"),
+        F.col("__len").alias("len_o"),
+        F.col("__s").alias("__so"),
     )
-    degen_cands = (
+    degen_pairs = (
         degen.join(
             allside,
             (F.col("id_d") != F.col("id_o"))
-            & (F.abs(F.col("len_d") - F.col("len_o")) <= max_dist),
+            & (F.abs(F.col("len_d") - F.col("len_o")) <= max_dist)
+            & (
+                F.levenshtein(F.col("__sd"), F.col("__so"), max_dist)
+                >= 0
+            ),
             "inner",
         )
         .select(
             F.least("id_d", "id_o").alias("id_a"),
             F.greatest("id_d", "id_o").alias("id_b"),
+            F.levenshtein("__sd", "__so", max_dist).alias("dist"),
         )
-        .distinct()
     )
-    sa = base.select(F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
-    sb = base.select(F.col("__id").alias("id_b"), F.col("__s").alias("__sb"))
-    return (
-        cands.unionByName(degen_cands)
-        .distinct()
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("dist", F.levenshtein("__sa", "__sb"))
-        .filter(F.col("dist") <= max_dist)
-        .select("id_a", "id_b", "dist")
-    )
+    # the union's multiplicities (several shared prefix grams per
+    # pair; degen-degen pairs seen from both sides) collapse here —
+    # distinct over VERIFIED matches only, never the candidate stream
+    return pairs.unionByName(degen_pairs).distinct()
 
 
 def overlap_set_join(
