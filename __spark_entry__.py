@@ -1822,10 +1822,15 @@ def _q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, the 64-bit vote-fold signatures AND the brute-force truth
     all SQL-replayable — the oracle recomputes the entire evaluation
     pair-for-pair."""
+    from pandance_spark.functions.text import (
+        tokenize,
+        word_shingles_from_tokens,
+    )
     from pandance_spark.operators.dedup import (
+        _ngram_jaccard_from_raw,
+        _simhash_signatures_from_tokens,
         dedup_eval,
-        ngram_jaccard_join,
-        simhash_candidates,
+        hamming_candidates,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1839,35 +1844,53 @@ def _q_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         dropped.alias("text"),
     )
-    # aug feeds THREE consumers (simhash chain, jaccard truth chain,
-    # n_docs) — spread + checkpoint once so the scan + variant
-    # projection run once, and the inner _spread no-ops keep the
-    # amplified stages on full parallelism (r11, same barrier
-    # minhash_eval applies internally)
-    aug = (
+    # r12 (VERDICT r11 item 4): both chains consumed (doc_id, text) and
+    # TOKENIZED it independently; the shared checkpoint now carries the
+    # token arrays instead, so the scan + variant projection + tokenize
+    # run once for the whole harness (the simhash votes hash the same
+    # tokens, the jaccard truth shingles them — bit-identical values).
+    toks = (
         docs.unionAll(variants)
         .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokenize(F.col("text")).alias("__toks"))
         .localCheckpoint(eager=True)
     )
-    # guide §2.6: both chains materialize eager checkpoints at build
-    # time (signature fold / shingle stream + prefix sets); with aug
-    # already a shared barrier they are independent, so build them from
-    # two driver threads and let the scheduler back-fill one chain's
-    # job tails with the other's tasks (same plans, same results).
+
+    # guide §2.6 (r11): the chains stay independent given the shared
+    # barrier; two driver threads overlap their build-time checkpoint
+    # jobs (signature fold / shingle stream + prefix sets).
+    def _cands():
+        sig = _simhash_signatures_from_tokens(
+            toks.select(F.col("doc_id").alias("id"), "__toks"),
+            portable=True,
+        ).localCheckpoint(eager=True)
+        return hamming_candidates(sig, "id", "__sh", max_hamming=3)
+
+    def _truth():
+        raw = (
+            toks.select(
+                F.col("doc_id").alias("id"),
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            word_shingles_from_tokens(F.col("__toks"), 3),
+                            lambda s: F.xxhash64(s),
+                        )
+                    )
+                ).alias("sh"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return _ngram_jaccard_from_raw(raw, 0.6)
+
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        cands_f = pool.submit(
-            simhash_candidates,
-            aug, "doc_id", "text", max_hamming=3, portable=True,
-        )
-        truth_f = pool.submit(
-            ngram_jaccard_join,
-            aug, "doc_id", "text", shingle_n=3, threshold=0.6,
-        )
+        cands_f = pool.submit(_cands)
+        truth_f = pool.submit(_truth)
         cands = cands_f.result()
         truth = truth_f.result()
-    return dedup_eval(cands, truth, n_docs=aug.select("doc_id"))
+    return dedup_eval(cands, truth, n_docs=toks.select("doc_id"))
 
 
 def _q_minhash_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -349,6 +349,12 @@ def minhash_candidates(
         df, id_col, text_col, num_hashes, bands, shingle_n, seed,
         portable=portable,
     ).localCheckpoint(eager=True)
+    return _banded_pairs(banded, id_col)
+
+
+def _banded_pairs(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a, id_b) pairs colliding in >= 1 LSH band, from a
+    checkpointed ``(id, band, bhash)`` frame."""
     a = banded.withColumnRenamed(id_col, "id_a")
     b = banded.withColumnsRenamed({id_col: "id_b", "band": "band_b", "bhash": "bhash_b"})
     pairs = a.join(
@@ -492,10 +498,26 @@ def simhash_signatures(
     half the token hashes have it set (identical to the sign-of-votes
     rule in :func:`simhash`); tokenless documents get signature 0.
     """
-    ids = df.select(F.col(id_col).alias("id"))
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokenize(F.col(text_col))).alias("__t"),
+    return _simhash_signatures_from_tokens(
+        df.select(
+            F.col(id_col).alias("id"),
+            tokenize(F.col(text_col)).alias("__toks"),
+        ),
+        seed,
+        portable,
+    )
+
+
+def _simhash_signatures_from_tokens(
+    toks_df: DataFrame, seed: int = 42, portable: bool = False
+) -> DataFrame:
+    """:func:`simhash_signatures` from a pre-tokenized ``(id, __toks)``
+    frame — the r12 shared-input path for the eval harness, which
+    tokenizes the corpus once for both its chains."""
+    ids = toks_df.select("id")
+    tok = toks_df.select(
+        "id",
+        F.explode(F.col("__toks")).alias("__t"),
     ).select("id", _token_hash64(F.col("__t"), seed, portable).alias("__h"))
     # The 64 bit-vote aggregates and the 64-term OR recombination are
     # built as parsed SQL strings, not Column-by-Column: the unrolled
@@ -639,6 +661,15 @@ def ngram_jaccard_join(
     cands, sets_df = _ngram_candidates(
         df, id_col, text_col, shingle_n, threshold
     )
+    return _ngram_verify(cands, sets_df, threshold)
+
+
+def _ngram_verify(
+    cands: DataFrame, sets_df: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification stage of :func:`ngram_jaccard_join`:
+    fetch both documents' full sets onto each candidate pair and keep
+    rounded Jaccard >= threshold."""
     sa = sets_df.withColumnsRenamed({"id": "id_a", "__set": "__set_a"})
     sb = sets_df.withColumnsRenamed({"id": "id_b", "__set": "__set_b"})
     joined = cands.join(sa, "id_a").join(sb, "id_b")
@@ -650,6 +681,20 @@ def ngram_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _ngram_jaccard_from_raw(raw: DataFrame, threshold: float) -> DataFrame:
+    """:func:`ngram_jaccard_join` from a pre-built ``(id, sh)`` exploded
+    distinct shingle-hash stream — the r12 shared-input path for the
+    eval harnesses, which already hold the per-document shingle sets
+    behind a checkpoint and must not rebuild them per chain.  ``raw``
+    must be cheap to re-evaluate (a projection of a checkpoint): it
+    feeds both the document-frequency aggregate and the per-document
+    set build."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    cands, sets_df = _ngram_candidates_from_raw(raw, threshold)
+    return _ngram_verify(cands, sets_df, threshold)
 
 
 def _ngram_candidates(
@@ -686,6 +731,13 @@ def _ngram_candidates(
         )
         .localCheckpoint(eager=True)
     )
+    return _ngram_candidates_from_raw(raw, threshold)
+
+
+def _ngram_candidates_from_raw(raw: DataFrame, threshold: float):
+    """Candidate generation from an ``(id, sh)`` exploded distinct
+    shingle-hash stream (see :func:`_ngram_candidates`, which builds
+    and checkpoints that stream from text)."""
     # global prefix order = ascending DOCUMENT FREQUENCY (ties by hash):
     # the canonical AllPairs/PPJoin ordering.  Prefixes then consist of
     # each document's RAREST shingles, so the inverted-index join
@@ -2689,36 +2741,69 @@ def minhash_eval(
             df = _stratified_doc_sample(
                 df, id_col, text_col, f, seed, portable
             )
-    # r11: df feeds THREE consumers (truth chain, candidate chain,
-    # n_docs count) — without a barrier each re-evaluates the input
-    # subtree (scan + any fixture projection + the sample when
-    # truth_sample_frac is set).  Spread FIRST so the checkpointed
-    # partitioning keeps the amplified shingle stages parallel (the
-    # inner _spread calls no-op on a non-file-backed plan), then
-    # materialize once.  (id, text)-sized — one corpus copy, vs three
-    # full re-evaluations.
-    df = _spread(df.select(id_col, text_col)).localCheckpoint(eager=True)
-    # r11 session 4 (guide §2.6 "overlap independent jobs"): the truth
-    # chain and the candidate chain each materialize eager checkpoints
-    # at BUILD time (shingle stream + prefix-ordered sets on one side,
-    # banded signature keys on the other).  Given the shared df barrier
-    # the two chains are independent — building them from two driver
-    # threads lets the scheduler back-fill the tail of one chain's jobs
-    # with the other's tasks instead of running the jobs end-to-end
-    # sequentially.  Plans and results are identical; only job overlap
-    # changes.
+    # r12 (VERDICT r11 item 4): the truth chain and the candidate
+    # chain each tokenized + shingled the checkpointed corpus
+    # independently (the r11 form checkpointed (id, text) and ran the
+    # full text pipeline once per chain).  ONE staged pass now
+    # computes BOTH hash families over the same shingle array — the
+    # truth chain's distinct xxhash64 set and the candidate chain's
+    # 31-bit-folded (optionally portable md5) array — and the
+    # checkpoint carries those instead of text: tokenize + shingle
+    # run once for the whole harness.  Values are bit-identical to
+    # the per-chain builds (same expressions over the same staged
+    # array), so truth, candidates and the report are unchanged.
+    # Spread FIRST so the checkpointed partitioning keeps the
+    # amplified stages parallel.
+    df = _spread(df.select(id_col, text_col))
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            tokenize(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id",
+            word_shingles_from_tokens(F.col("__toks"), shingle_n).alias(
+                "__sh"
+            ),
+        )
+        .select(
+            "__id",
+            F.array_distinct(
+                F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+            ).alias("__set"),
+            F.transform(
+                F.col("__sh"), lambda s: _shingle_hash(s, portable)
+            ).alias("__hashed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # guide §2.6 "overlap independent jobs" (r11): each chain still
+    # materializes its own eager checkpoint at BUILD time (prefix-
+    # ordered sets / banded signature keys); they are independent
+    # given the shared base, so two driver threads let the scheduler
+    # back-fill one chain's job tails with the other's tasks.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        truth_f = pool.submit(
-            ngram_jaccard_join,
-            df, id_col, text_col, shingle_n=shingle_n, threshold=threshold,
+    def _truth():
+        raw = base.select(
+            F.col("__id").alias("id"), F.explode("__set").alias("sh")
         )
-        cands_f = pool.submit(
-            minhash_candidates,
-            df, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        return _ngram_jaccard_from_raw(raw, threshold)
+
+    def _cands():
+        banded = _bands_from_hashed(
+            base.select(F.col("__id").alias(id_col), "__hashed"),
+            id_col,
+            num_hashes,
+            bands,
+            seed,
             portable=portable,
-        )
+        ).localCheckpoint(eager=True)
+        return _banded_pairs(banded, id_col)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f = pool.submit(_truth)
+        cands_f = pool.submit(_cands)
         truth = truth_f.result()
         cands = cands_f.result()
     # truth and cands each feed TWO consumers (their count aggregate
@@ -2731,7 +2816,7 @@ def minhash_eval(
     truth = truth.localCheckpoint(eager=False)
     cands = cands.localCheckpoint(eager=False)
     verified = cands.join(truth, ["id_a", "id_b"], "inner")
-    n_docs = df.select(F.count("*").alias("n_docs"))
+    n_docs = base.select(F.count("*").alias("n_docs"))
     n_true = truth.select(F.count("*").alias("n_true"))
     n_cand = cands.select(F.count("*").alias("n_candidates"))
     n_ver = verified.select(F.count("*").alias("n_verified"))
