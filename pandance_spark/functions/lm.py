@@ -225,9 +225,27 @@ def lm_cross_entropy_bigram(
     if add_k <= 0:
         raise ValueError("add_k must be > 0 (unsmoothed zeros diverge)")
     if bigrams is None:
-        # feeds THREE consumers (pair join, context totals, vocab) —
-        # checkpoint so the corpus-wide bigram count runs once
-        bigrams = bigram_counts(docs, text_col).localCheckpoint(eager=True)
+        # r12 (guide §2.4): training and scoring derive from the SAME
+        # (id, prev, token) pair stream — checkpoint it once, so the
+        # tokenize + bigram explode runs ONE corpus pass instead of
+        # one per phase (bigram_counts is definitionally the groupBy
+        # count of this very stream; the doc id is not in its keys, so
+        # the trained table is identical).  The model aggregation is
+        # checkpointed too: it feeds the pair join, the context totals
+        # and the vocab count, and is vocabulary-sized.
+        pairs = _bigram_pairs(docs, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        bigrams = (
+            pairs.groupBy(
+                F.col("__prev").alias("prev"),
+                F.col("__token").alias("token"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        pairs = _bigram_pairs(docs, id_col, text_col)
     # __-prefixed internal copies so an id_col named 'prev'/'token'/
     # 'cnt' cannot collide with the public model schema
     model = bigrams.select(
@@ -237,7 +255,6 @@ def lm_cross_entropy_bigram(
     )
     ctx = model.groupBy("__prev").agg(F.sum("__cnt").alias("__ctx"))
     vocab = model.agg(F.countDistinct("__token").alias("__V"))
-    pairs = _bigram_pairs(docs, id_col, text_col)
     scored = (
         pairs.join(F.broadcast(model), ["__prev", "__token"], "left")
         .join(F.broadcast(ctx), "__prev", "left")
@@ -307,7 +324,22 @@ def lm_cross_entropy_kn(
     if add_k <= 0:
         raise ValueError("add_k must be > 0 (OOV continuation diverges)")
     if bigrams is None:
-        bigrams = bigram_counts(docs, text_col).localCheckpoint(eager=True)
+        # same single-pass trade as lm_cross_entropy_bigram (r12,
+        # guide §2.4): the scoring pair stream IS the training input,
+        # so one checkpointed tokenize + explode feeds both phases
+        pairs = _bigram_pairs(docs, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        bigrams = (
+            pairs.groupBy(
+                F.col("__prev").alias("prev"),
+                F.col("__token").alias("token"),
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        pairs = _bigram_pairs(docs, id_col, text_col)
     carry = list(carry)
     model = bigrams.select(
         F.col("prev").alias("__prev"),
@@ -328,7 +360,6 @@ def lm_cross_entropy_kn(
         F.count(F.lit(1)).alias("__T"),
         F.countDistinct("__token").alias("__V"),
     )
-    pairs = _bigram_pairs(docs, id_col, text_col)
     pcont = (F.coalesce(F.col("__n1c"), F.lit(0)) + F.lit(add_k)) / (
         F.col("__T") + F.lit(add_k) * (F.col("__V") + 1)
     )
