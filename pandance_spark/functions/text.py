@@ -256,11 +256,24 @@ def find_ibans(text: Column) -> Column:
         F.regexp_extract_all(F.upper(text), F.lit(_IBAN_RE), 1),
         lambda c: F.regexp_replace(c, "[ -]", ""),
     )
+    # r12 (guide §1.2 per-task work): widths are bounded by the run's
+    # length — substring CLAMPS, so every width beyond len(run) used
+    # to yield the same full-run prefix and re-ran the mod-97 fold on
+    # an identical string (a 22-char IBAN paid 20 folds where 8
+    # suffice; the duplicates were then discarded by array_distinct).
+    # Runs shorter than 15 never pass iban_valid's shape gate, so the
+    # empty width list for them is equally lossless.
     prefixes = F.flatten(
         F.transform(
             runs,
-            lambda r: F.array(
-                *[F.substring(r, 1, w) for w in range(15, 35)]
+            lambda r: F.transform(
+                F.when(
+                    F.length(r) >= 15,
+                    F.sequence(
+                        F.lit(15), F.least(F.lit(34), F.length(r))
+                    ),
+                ).otherwise(F.array().cast("array<int>")),
+                lambda w: r.substr(F.lit(1), w),
             ),
         )
     )

@@ -1251,3 +1251,36 @@ def test_iban_detection_mod97(spark):
     assert v["GB82WEST12345698765432"] is True
     assert v["GB82WEST12345698765433"] is False
     assert v["XX00SHORT"] is False
+
+
+def test_find_ibans_prefix_widths_clamped_by_run_length(spark):
+    """r12: prefix widths are bounded by the candidate run's length
+    (beyond it, substring clamps to the same full-run prefix, which
+    used to re-run the mod-97 fold ~12 extra times per candidate).
+    Pin the cases the clamp touches: a run shorter than the 15-char
+    floor (no prefixes at all), a run between 15 and 34 (widths stop
+    at its length), a valid IBAN inside a LONGER merged run (interior
+    prefix still found), and the 34-char ceiling."""
+    from pandance_spark.functions.text import find_ibans
+
+    rows = [
+        (1, "tiny run GB82 WEST 12 end"),                 # 12 chars < 15
+        (2, "exact GB82 WEST 1234 5698 7654 32 end"),     # 22-char valid
+        # valid 22-char IBAN glued to a following uppercase-able word
+        # by spaces only: the merged run is longer than the IBAN, the
+        # valid prefix is interior and must still be found
+        (3, "GB82 WEST 1234 5698 7654 32 TODAY"),
+        # run far beyond 34 chars: widths cap at 34, no candidate valid
+        (4, "ref XY12" + "9" * 40 + " trail"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["ib"]
+        for r in df.select(
+            "id", find_ibans(F.col("text")).alias("ib")
+        ).collect()
+    }
+    assert got[1] == []
+    assert got[2] == ["GB82WEST12345698765432"]
+    assert got[3] == ["GB82WEST12345698765432"]
+    assert got[4] == []
